@@ -1,0 +1,81 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated TPC-H-ish parquet fixtures
+  * (`/root/testdata/sf*`), plus the STAC "items" view (SURVEY.md §4) that
+  * models the reference's item corpus (cf. /root/reference/stac_fastapi/
+  * duckdb/database_logic.py:831-853 — per-collection GeoParquet scans).
+  *
+  * Scale note: in production these would be catalog tables partitioned by
+  * `collection` (and time-bucketed), so a collections filter is partition
+  * pruning instead of the reference's UNION-ALL-over-files. The loaders
+  * keep an explicit column list close to each query so parquet column
+  * pruning always applies.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** STAC items view (SURVEY.md §4): `events` rows as STAC items.
+    *
+    * - collection  = event_type (models the reference's collection id tag,
+    *                 database_logic.py:835 `SELECT *, ? AS collection`)
+    * - rows with event_id % 7 = 0 are interval-only items (datetime NULL,
+    *   [start_datetime, end_datetime] = ts ± 1h) so the reference's
+    *   null-datetime overlap semantics (database_logic.py:261-312) are
+    *   exercised
+    * - geometry is a point carried as plain (lon, lat) columns so spatial
+    *   predicates push down to parquet row-group stats (SURVEY.md §3.2)
+    *
+    * Every expression here is bit-identical in Spark and DuckDB 1.0; the
+    * oracle uses [[itemsSql]], the same view in ANSI SQL.
+    */
+  def items(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val interval = (col("event_id") % 7) === 0
+    e.select(
+      col("event_id").as("id"),
+      col("event_type").as("collection"),
+      when(interval, lit(null)).otherwise(col("ts")).as("datetime"),
+      when(interval, col("ts") - expr("INTERVAL '1' HOUR")).as("start_datetime"),
+      when(interval, col("ts") + expr("INTERVAL '1' HOUR")).as("end_datetime"),
+      (col("value") % 360.0 - 180.0).as("lon"),
+      ((col("user_id") % 180) - 90).cast("double").as("lat"),
+      col("value"),
+      col("user_id"),
+      col("props")
+    )
+  }
+
+  /** [[items]] as a SQL CTE body for the DuckDB oracle (tables are
+    * registered by name driver-side).
+    */
+  val itemsSql: String =
+    """items AS (
+      |  SELECT event_id AS id,
+      |         event_type AS collection,
+      |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS datetime,
+      |         CASE WHEN event_id % 7 = 0 THEN ts - INTERVAL 1 HOUR END AS start_datetime,
+      |         CASE WHEN event_id % 7 = 0 THEN ts + INTERVAL 1 HOUR END AS end_datetime,
+      |         value % 360.0 - 180.0 AS lon,
+      |         CAST((user_id % 180) - 90 AS DOUBLE) AS lat,
+      |         value, user_id, props
+      |  FROM events
+      |)""".stripMargin
+
+  /** Wrap a SELECT over `items` with the CTE prefix. */
+  def withItems(select: String): String = s"WITH $itemsSql\n$select"
+}

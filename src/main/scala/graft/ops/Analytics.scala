@@ -1,0 +1,304 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** B-series relational engine queries (SURVEY.md §2.B): the operator core
+  * the STAC search surface compiles onto, exercised TPC-H-style on the
+  * fixture tables.
+  *
+  * Scale discipline (SURVEY.md §5): dims are broadcast explicitly; sums of
+  * doubles go through DECIMAL(18,2) so results are exact and
+  * order-independent (then cast back to DOUBLE so both engines emit the
+  * same physical type); every query ends in a deterministic total ORDER BY.
+  */
+object Analytics {
+
+  /** Exact, order-independent sum of a double column: accumulate as
+    * decimal, emit double. Identical semantics in the DuckDB oracle via
+    * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  private def dsum(c: String): Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  private def dsumSql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- B1/B2
+  /** TPC-H Q1 shape: pushdown scan (shipdate filter + column pruning) into
+    * a partial-agg hash aggregate.
+    */
+  def b2Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        avg(col("l_quantity")).cast("decimal(18,6)").cast("double").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val b2AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(AVG(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B1: filter + projection that must reach the parquet scan
+    * (PushedFilters / 2-column ReadSchema — audited in AnalyticsSpec).
+    */
+  def b1PushdownScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .where(col("o_totalprice") > 150000.0)
+      .orderBy(col("o_orderkey"))
+
+  val b1PushdownScanSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------- B3
+  /** Broadcast dim ⋈ fact: revenue by nation. nation/customer are tiny →
+    * broadcast; only the fact side streams.
+    */
+  def b3BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nation   = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val b3BroadcastJoinSql: String =
+    s"""SELECT n_name, ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------------------- B4
+  /** Fact ⋈ fact shuffle join (orders ⋈ lineitem on orderkey), AQE-planned. */
+  def b4ShuffleJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val lineitem = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(dsum("l_extendedprice").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("o_year"))
+  }
+
+  val b4ShuffleJoinSql: String =
+    s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       |  ${dsumSql("l_extendedprice")} AS revenue, COUNT(*) AS n_items
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------------------------------- B5
+  /** Star join across 5 tables (region→nation→customer→orders→lineitem). */
+  def b5StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region   = Tables.region(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  val b5StarJoinSql: String =
+    """SELECT r_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ------------------------------------------------------------------- B6
+  /** Window: top-3 orders per customer by price (dense ranking). */
+  def b6Window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 3)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val b6WindowSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  // ------------------------------------------------------------------- B7
+  /** Global top-k: planned as TakeOrderedAndProject (per-partition top-k +
+    * merge of k), never a full sort — the 100 TB-safe pattern.
+    */
+  def b7Topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+
+  val b7TopkSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin
+
+  // ------------------------------------------------------------------- B8
+  /** Distinct (exact) + HLL estimate side by side. approx_count_distinct
+    * is engine-specific so only the exact column is oracle-compared; the
+    * HLL path is asserted within ±5% in AnalyticsSpec.
+    */
+  def b8Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val b8DistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------- B9
+  /** Left-semi and left-anti joins: customers with/without open orders. */
+  def b9SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val open = Tables.orders(spark, dir)
+      .where(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val withOpen = customer.join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_open"))
+    val without = customer.join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_open"))
+    withOpen.unionAll(without).orderBy(col("c_custkey"))
+  }
+
+  val b9SemiAntiSql: String =
+    """SELECT c_custkey, TRUE AS has_open FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT c_custkey, FALSE AS has_open FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------ B10
+  /** Rollup (grouping sets): order totals by (status, priority) with
+    * subtotal and grand-total rows.
+    */
+  def b10Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum("o_totalprice").as("total"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val b10RollupSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  ${dsumSql("o_totalprice")} AS total, COUNT(*) AS n
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------ B11
+  /** Conditional aggregation + scalar-subquery-style comparison: share of
+    * high-value orders per priority vs the global mean price.
+    */
+  def b11ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") > 100000.0, 1).otherwise(0)).as("n_high"),
+        avg(col("o_totalprice")).cast("decimal(18,4)").cast("double").as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val b11ConditionalAggSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_high,
+      |  CAST(CAST(AVG(o_totalprice) AS DECIMAL(18,4)) AS DOUBLE) AS avg_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------ B12
+  /** UNION ALL + deduplicating UNION over heterogeneous account sources. */
+  def b12Union(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    c.unionAll(s).distinct()
+      .groupBy(lit(1).as("grp")).agg(count(lit(1)).as("n_nations"))
+      .select(col("n_nations"))
+  }
+
+  val b12UnionSql: String =
+    """SELECT COUNT(*) AS n_nations FROM (
+      |  SELECT DISTINCT nationkey FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    UNION ALL
+      |    SELECT s_nationkey AS nationkey FROM supplier))""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_pushdown_scan"   -> (b1PushdownScan _),
+    "b2_agg"             -> (b2Agg _),
+    "b3_broadcast_join"  -> (b3BroadcastJoin _),
+    "b4_shuffle_join"    -> (b4ShuffleJoin _),
+    "b5_star_join"       -> (b5StarJoin _),
+    "b6_window"          -> (b6Window _),
+    "b7_topk"            -> (b7Topk _),
+    "b8_distinct"        -> (b8Distinct _),
+    "b9_semi_anti"       -> (b9SemiAnti _),
+    "b10_rollup"         -> (b10Rollup _),
+    "b11_conditional_agg" -> (b11ConditionalAgg _),
+    "b12_union"          -> (b12Union _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "b1_pushdown_scan"   -> b1PushdownScanSql,
+    "b2_agg"             -> b2AggSql,
+    "b3_broadcast_join"  -> b3BroadcastJoinSql,
+    "b4_shuffle_join"    -> b4ShuffleJoinSql,
+    "b5_star_join"       -> b5StarJoinSql,
+    "b6_window"          -> b6WindowSql,
+    "b7_topk"            -> b7TopkSql,
+    "b8_distinct"        -> b8DistinctSql,
+    "b9_semi_anti"       -> b9SemiAntiSql,
+    "b10_rollup"         -> b10RollupSql,
+    "b11_conditional_agg" -> b11ConditionalAggSql,
+    "b12_union"          -> b12UnionSql
+  )
+}
