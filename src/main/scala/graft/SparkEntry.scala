@@ -12,15 +12,15 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("b2_agg")(spark, sf0001)
+    queries("a22_combined_search")(spark, sf0001)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Analytics.queries
+    search.StacSearch.queries ++ ops.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.Analytics.oracle
+    search.StacSearch.oracle ++ ops.Analytics.oracle
 }

@@ -1,0 +1,145 @@
+package graft.cql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** CQL2 filter support (reference surface: /root/reference/stac_fastapi/
+  * duckdb/filter_client.py:64-81 — eq neq lt lte gt gte and or not in
+  * between like ilike isNull).
+  *
+  * The reference compiles its CQL2 JSON tree to a SQL WHERE string
+  * (database_logic.py:539-624). Spark-first re-architecture: the AST
+  * compiles to a Catalyst [[Column]], so CQL2 predicates constant-fold,
+  * push down to parquet scans, and run inside whole-stage codegen — no SQL
+  * string assembly in the hot path. The same AST also renders ANSI SQL
+  * ([[Cql.toSql]]) which is used ONLY to generate the DuckDB oracle.
+  */
+sealed trait Cql {
+  /** Compile to a Catalyst predicate. */
+  def toColumn: Column = Cql.toColumn(this)
+  /** Render as ANSI SQL (oracle generation / debugging). */
+  def toSql: String = Cql.toSql(this)
+}
+
+object Cql {
+  // ------------------------------------------------------------- operands
+  sealed trait Operand
+  /** `{"property": name}` reference. */
+  final case class Prop(name: String) extends Operand
+  final case class Str(v: String) extends Operand
+  final case class Num(v: Double) extends Operand
+  final case class IntNum(v: Long) extends Operand
+  final case class Bool(v: Boolean) extends Operand
+  /** Timestamp literal, `yyyy-MM-dd HH:mm:ss[.SSSSSS]` (UTC). */
+  final case class Ts(v: String) extends Operand
+
+  // ------------------------------------------------------------ operators
+  final case class And(xs: Seq[Cql]) extends Cql
+  final case class Or(xs: Seq[Cql]) extends Cql
+  final case class Not(x: Cql) extends Cql
+  /** op ∈ =, <>, <, <=, >, >= */
+  final case class Cmp(op: String, l: Operand, r: Operand) extends Cql
+  final case class Like(l: Operand, pattern: String, ci: Boolean = false) extends Cql
+  final case class In(l: Operand, vs: Seq[Operand]) extends Cql
+  final case class Between(l: Operand, lo: Operand, hi: Operand) extends Cql
+  final case class IsNull(l: Operand) extends Cql
+
+  // -------------------------------------------------------- Column back-end
+  private def opCol(o: Operand): Column = o match {
+    case Prop(n)   => col(n)
+    case Str(v)    => lit(v)
+    case Num(v)    => lit(v)
+    case IntNum(v) => lit(v)
+    case Bool(v)   => lit(v)
+    case Ts(v)     => lit(v).cast("timestamp")
+  }
+
+  def toColumn(e: Cql): Column = e match {
+    case And(xs) => xs.map(toColumn).reduce(_ && _)
+    case Or(xs)  => xs.map(toColumn).reduce(_ || _)
+    case Not(x)  => !toColumn(x)
+    case Cmp(op, l, r) =>
+      val (a, b) = (opCol(l), opCol(r))
+      op match {
+        case "="  => a === b
+        case "<>" => a =!= b
+        case "<"  => a < b
+        case "<=" => a <= b
+        case ">"  => a > b
+        case ">=" => a >= b
+        case other => throw new IllegalArgumentException(s"bad cmp op: $other")
+      }
+    case Like(l, p, false) => opCol(l).like(p)
+    case Like(l, p, true)  => lower(opCol(l)).like(p.toLowerCase)
+    case In(l, vs)         => opCol(l).isInCollection(vs.map(opCol))
+    case Between(l, lo, hi) => opCol(l).between(opCol(lo), opCol(hi))
+    case IsNull(l)         => opCol(l).isNull
+  }
+
+  // ----------------------------------------------------------- SQL back-end
+  /** String escaping mirrors the reference's `_format_value`
+    * (database_logic.py:646-659): single quotes doubled.
+    */
+  private def opSql(o: Operand): String = o match {
+    case Prop(n)   => n
+    case Str(v)    => "'" + v.replace("'", "''") + "'"
+    case Num(v)    => v.toString
+    case IntNum(v) => v.toString
+    case Bool(v)   => if (v) "TRUE" else "FALSE"
+    case Ts(v)     => s"TIMESTAMP '$v'"
+  }
+
+  def toSql(e: Cql): String = e match {
+    case And(xs)       => xs.map(toSql).mkString("(", " AND ", ")")
+    case Or(xs)        => xs.map(toSql).mkString("(", " OR ", ")")
+    case Not(x)        => s"NOT (${toSql(x)})"
+    case Cmp(op, l, r) => s"${opSql(l)} $op ${opSql(r)}"
+    case Like(l, p, false) => s"${opSql(l)} LIKE ${opSql(Str(p))}"
+    case Like(l, p, true)  => s"LOWER(${opSql(l)}) LIKE ${opSql(Str(p.toLowerCase))}"
+    case In(l, vs)     => s"${opSql(l)} IN (${vs.map(opSql).mkString(", ")})"
+    case Between(l, lo, hi) => s"${opSql(l)} BETWEEN ${opSql(lo)} AND ${opSql(hi)}"
+    case IsNull(l)     => s"${opSql(l)} IS NULL"
+  }
+
+  // ----------------------------------------------------------- JSON parser
+  /** Parse the reference's cql2-json dict shape (database_logic.py:539-624):
+    * `{"and": [...]}`, `{"=": [lhs, rhs]}`, `{"between": [f, lo, hi]}`,
+    * `{"isNull": field}`, operands either `{"property": name}` or literals.
+    */
+  def parseJson(json: String): Cql = {
+    val root = new ObjectMapper().readTree(json)
+    parseNode(root)
+  }
+
+  private def parseOperand(n: JsonNode): Operand =
+    if (n.isObject && n.has("property")) Prop(n.get("property").asText())
+    else if (n.isTextual) Str(n.asText())
+    else if (n.isBoolean) Bool(n.asBoolean())
+    else if (n.isIntegralNumber) IntNum(n.asLong())
+    else if (n.isNumber) Num(n.asDouble())
+    else throw new IllegalArgumentException(s"bad cql2 operand: $n")
+
+  private def parseNode(n: JsonNode): Cql = {
+    require(n.isObject && n.size() == 1, s"bad cql2 node: $n")
+    val key = n.fieldNames().next()
+    val v = n.get(key)
+    key match {
+      case "and" => And(v.elements().asScala.map(parseNode).toSeq)
+      case "or"  => Or(v.elements().asScala.map(parseNode).toSeq)
+      case "not" => Not(parseNode(if (v.isArray) v.get(0) else v))
+      case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") =>
+        Cmp(op, parseOperand(v.get(0)), parseOperand(v.get(1)))
+      case "like"  => Like(parseOperand(v.get(0)), v.get(1).asText())
+      case "ilike" => Like(parseOperand(v.get(0)), v.get(1).asText(), ci = true)
+      case "in" =>
+        In(parseOperand(v.get(0)), v.get(1).elements().asScala.map(parseOperand).toSeq)
+      case "between" =>
+        Between(parseOperand(v.get(0)), parseOperand(v.get(1)), parseOperand(v.get(2)))
+      case "isNull" => IsNull(parseOperand(if (v.isArray) v.get(0) else v))
+      case other => throw new IllegalArgumentException(s"unsupported cql2 op: $other")
+    }
+  }
+}

@@ -1,0 +1,385 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.cql.Cql
+import graft.spatial.Geo
+
+/** A-series: the reference's STAC search surface re-expressed Spark-first
+  * (SURVEY.md §2.A). Each capability is a composable `Column` planner plus
+  * the identical predicate in ANSI SQL for the DuckDB oracle.
+  *
+  * Reference behavior being preserved (cf. /root/reference/stac_fastapi/
+  * duckdb/database_logic.py):
+  *  - datetime semantics incl. null-datetime interval overlap (:224-347)
+  *  - bbox / intersects spatial filters (:349-448)
+  *  - CQL2 compile (:488-659) — here via [[graft.cql.Cql]]
+  *  - sort w/ id tiebreak (:661-696), offset pagination (:921-955),
+  *    count (:698-770), item lookup (:140-203)
+  *
+  * Scale re-architecture (SURVEY.md §3): collection filter = partition
+  * pruning; datetime/bbox = plain-column range predicates that push to
+  * parquet row-group stats; CQL2 → Catalyst `Column` (codegen + pushdown);
+  * pagination scale path = keyset predicates (a23), not global OFFSET.
+  */
+object StacSearch {
+
+  private val proj = Seq("id", "collection", "datetime", "lon", "lat", "value")
+  private def projCols: Seq[Column] = proj.map(col)
+  private val projSql = proj.mkString(", ")
+
+  private def items(s: SparkSession, d: String): DataFrame = Tables.items(s, d)
+
+  private def ts(t: String): Column = lit(t).cast("timestamp")
+
+  // ------------------------------------------------- datetime semantics
+  /** Exact datetime match: `datetime = t` OR, for interval-only items
+    * (datetime NULL), containment of t in [start, end]
+    * (database_logic.py:261-273).
+    */
+  def dtExact(t: String): Column =
+    col("datetime") === ts(t) ||
+      (col("datetime").isNull && col("start_datetime") <= ts(t) && col("end_datetime") >= ts(t))
+
+  def dtExactSql(t: String): String =
+    s"(datetime = TIMESTAMP '$t' OR (datetime IS NULL AND start_datetime <= TIMESTAMP '$t' AND end_datetime >= TIMESTAMP '$t'))"
+
+  /** Closed range [lo, hi]: datetime in range OR null-datetime items whose
+    * interval OVERLAPS the search range (database_logic.py:279-292).
+    */
+  def dtRange(lo: String, hi: String): Column =
+    (col("datetime") >= ts(lo) && col("datetime") <= ts(hi)) ||
+      (col("datetime").isNull && col("start_datetime") <= ts(hi) && col("end_datetime") >= ts(lo))
+
+  def dtRangeSql(lo: String, hi: String): String =
+    s"((datetime >= TIMESTAMP '$lo' AND datetime <= TIMESTAMP '$hi') OR " +
+      s"(datetime IS NULL AND start_datetime <= TIMESTAMP '$hi' AND end_datetime >= TIMESTAMP '$lo'))"
+
+  /** Open-ended `t/..` (database_logic.py:293-302). */
+  def dtOpenStart(t: String): Column =
+    col("datetime") >= ts(t) || (col("datetime").isNull && col("end_datetime") >= ts(t))
+
+  def dtOpenStartSql(t: String): String =
+    s"(datetime >= TIMESTAMP '$t' OR (datetime IS NULL AND end_datetime >= TIMESTAMP '$t'))"
+
+  /** Open-ended `../t` (database_logic.py:303-312). */
+  def dtOpenEnd(t: String): Column =
+    col("datetime") <= ts(t) || (col("datetime").isNull && col("start_datetime") <= ts(t))
+
+  def dtOpenEndSql(t: String): String =
+    s"(datetime <= TIMESTAMP '$t' OR (datetime IS NULL AND start_datetime <= TIMESTAMP '$t'))"
+
+  /** properties.x / properties__x / x name variants → schema name
+    * (database_logic.py:856-919).
+    */
+  def resolveField(name: String, schema: Seq[String]): Option[String] = {
+    val bare = name.stripPrefix("properties.").stripPrefix("properties__")
+    Seq(name, bare).find(schema.contains)
+  }
+
+  // --------------------------------------------------------- A1/A2/A3
+  def a1ScanCollection(s: SparkSession, d: String): DataFrame =
+    items(s, d).where(col("collection") === "click")
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a1Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE collection = 'click' ORDER BY id")
+
+  /** Multi-collection search. Reference: one scan per collection UNION
+    * ALL'd (database_logic.py:831-853); here a single IN predicate that at
+    * scale is partition pruning over a collection-partitioned table.
+    */
+  def a2MultiCollection(s: SparkSession, d: String): DataFrame =
+    items(s, d).where(col("collection").isin("click", "error"))
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a2Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE collection IN ('click', 'error') ORDER BY id")
+
+  private val idList = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L)
+
+  def a3IdsFilter(s: SparkSession, d: String): DataFrame =
+    items(s, d).where(col("id").isin(idList: _*))
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a3Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE id IN (${idList.mkString(", ")}) ORDER BY id")
+
+  // ------------------------------------------------------- A5/A6/A7
+  private val tExact = "2024-01-15 12:00:00"
+  private val tLo = "2024-01-10 00:00:00"
+  private val tHi = "2024-01-20 00:00:00"
+  private val tLate = "2024-01-25 00:00:00"
+  private val tEarly = "2024-01-05 00:00:00"
+
+  private val dtProj = Seq("id", "collection", "datetime", "start_datetime", "end_datetime")
+
+  def a5DatetimeExact(s: SparkSession, d: String): DataFrame =
+    items(s, d).where(dtExact(tExact))
+      .select(dtProj.map(col): _*).orderBy(col("id"))
+
+  val a5Sql: String = Tables.withItems(
+    s"SELECT ${dtProj.mkString(", ")} FROM items WHERE ${dtExactSql(tExact)} ORDER BY id")
+
+  def a6DatetimeRange(s: SparkSession, d: String): DataFrame =
+    items(s, d).where(dtRange(tLo, tHi))
+      .select(dtProj.map(col): _*).orderBy(col("id"))
+
+  val a6Sql: String = Tables.withItems(
+    s"SELECT ${dtProj.mkString(", ")} FROM items WHERE ${dtRangeSql(tLo, tHi)} ORDER BY id")
+
+  /** Both open-range forms in one gate query, tagged. */
+  def a7DatetimeOpen(s: SparkSession, d: String): DataFrame = {
+    val it = items(s, d)
+    val openStart = it.where(dtOpenStart(tLate))
+      .select(lit("t_dotdot").as("form") +: dtProj.map(col): _*)
+    val openEnd = it.where(dtOpenEnd(tEarly))
+      .select(lit("dotdot_t").as("form") +: dtProj.map(col): _*)
+    openStart.unionAll(openEnd).orderBy(col("form"), col("id"))
+  }
+
+  val a7Sql: String = Tables.withItems(
+    s"""SELECT * FROM (
+       |  SELECT 't_dotdot' AS form, ${dtProj.mkString(", ")} FROM items WHERE ${dtOpenStartSql(tLate)}
+       |  UNION ALL
+       |  SELECT 'dotdot_t' AS form, ${dtProj.mkString(", ")} FROM items WHERE ${dtOpenEndSql(tEarly)}
+       |) ORDER BY form, id""".stripMargin)
+
+  // ---------------------------------------------------------- A8/A9
+  private val bbox = (-90.5, -45.25, 90.5, 45.25) // (west, south, east, north)
+
+  def a8Bbox(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(Geo.bboxContains(col("lon"), col("lat"), bbox._1, bbox._2, bbox._3, bbox._4))
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a8Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)} ORDER BY id")
+
+  /** Convex CCW hexagon (off-grid coords so no point sits on an edge). */
+  private val hexagon: Array[Double] = Array(
+    80.137, 10.223,
+    50.139, 55.177,
+    -9.861, 55.177,
+    -39.859, 10.223,
+    -9.861, -34.731,
+    50.139, -34.731)
+
+  def a9Intersects(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(Geo.intersectsPolygon(col("lon"), col("lat"), hexagon))
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a9Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE ${Geo.convexIntersectsSql("lon", "lat", hexagon)} ORDER BY id")
+
+  // ------------------------------------------------------ A10..A15 CQL2
+  /** Each gate query round-trips real cql2-json through the parser, then
+    * compiles the SAME AST to both a Catalyst Column (Spark plan) and ANSI
+    * SQL (oracle) — divergence in either backend fails the gate.
+    */
+  private def cqlQuery(json: String): ((SparkSession, String) => DataFrame, String) = {
+    val ast = Cql.parseJson(json)
+    val fn = (s: SparkSession, d: String) =>
+      items(s, d).where(ast.toColumn).select(projCols: _*).orderBy(col("id"))
+    val sql = Tables.withItems(
+      s"SELECT $projSql FROM items WHERE ${ast.toSql} ORDER BY id")
+    (fn, sql)
+  }
+
+  private val (a10Fn, a10Sql) = cqlQuery(
+    """{"and":[
+      |  {"or":[{"=":[{"property":"collection"},"click"]},
+      |         {"=":[{"property":"collection"},"view"]}]},
+      |  {"not":[{"<":[{"property":"value"},100.5]}]}
+      |]}""".stripMargin)
+
+  private val (a11Fn, a11Sql) = cqlQuery(
+    """{"and":[
+      |  {">=":[{"property":"value"},50.25]},
+      |  {"<":[{"property":"value"},300.75]},
+      |  {"<>":[{"property":"collection"},"error"]},
+      |  {">":[{"property":"user_id"},10]},
+      |  {"<=":[{"property":"user_id"},120]}
+      |]}""".stripMargin)
+
+  private val (a12Fn, a12Sql) = cqlQuery(
+    """{"or":[
+      |  {"like":[{"property":"props"},"{\"k\": 1%"]},
+      |  {"ilike":[{"property":"collection"},"CLI%"]}
+      |]}""".stripMargin)
+
+  private val (a13Fn, a13Sql) = cqlQuery(
+    """{"in":[{"property":"user_id"},[1,5,9,42,77]]}""")
+
+  private val (a14Fn, a14Sql) = cqlQuery(
+    """{"between":[{"property":"value"},50.5,150.5]}""")
+
+  private val (a15Fn, a15Sql) = cqlQuery(
+    """{"or":[
+      |  {"isNull":{"property":"datetime"}},
+      |  {"=":[{"property":"user_id"},3]}
+      |]}""".stripMargin)
+
+  // -------------------------------------------------- A16..A19 shape ops
+  /** Multi-field sort, always id ASC tiebreak (database_logic.py:661-696).
+    * LIMITed, so planned as TakeOrderedAndProject — per-partition top-k +
+    * merge of k, never a global sort (the 100 TB-safe plan).
+    */
+  def a16Sort(s: SparkSession, d: String): DataFrame =
+    items(s, d).select(projCols: _*)
+      .orderBy(col("value").desc, col("id").asc).limit(50)
+
+  val a16Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items ORDER BY value DESC, id ASC LIMIT 50")
+
+  /** Offset-token pagination, kept for reference parity (the reference
+    * fetches limit+1 to probe for a next page, database_logic.py:921-955;
+    * the probe row is a LIMIT arithmetic detail, not a plan shape).
+    */
+  def a17Paginate(s: SparkSession, d: String): DataFrame =
+    items(s, d).select(projCols: _*).orderBy(col("id")).offset(100).limit(25)
+
+  val a17Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items ORDER BY id LIMIT 25 OFFSET 100")
+
+  /** numMatched: same filter subtree, COUNT over pruned columns — reads no
+    * data columns beyond the filter's (database_logic.py:698-770).
+    */
+  def a18Count(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(col("collection").isin("click", "purchase") && dtRange(tLo, tHi) &&
+        Geo.bboxContains(col("lon"), col("lat"), bbox._1, bbox._2, bbox._3, bbox._4))
+      .agg(count(lit(1)).as("matched"))
+
+  val a18Sql: String = Tables.withItems(
+    s"""SELECT COUNT(*) AS matched FROM items
+       |WHERE collection IN ('click', 'purchase') AND ${dtRangeSql(tLo, tHi)}
+       |  AND ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)}""".stripMargin)
+
+  /** Single-item lookup (database_logic.py:140-203): id equality over the
+    * partition-pruned collection scan; LIMIT 1.
+    */
+  def a19ItemLookup(s: SparkSession, d: String): DataFrame =
+    items(s, d).where(col("id") === 43L)
+      .select(projCols: _*).limit(1)
+
+  val a19Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE id = 43 LIMIT 1")
+
+  // ------------------------------------------------------ A20 serialize
+  /** Row → STAC Feature JSON as a distributed projection
+    * (utilities.py:114-288 does this in a Python row loop; here it's
+    * `to_json(named_struct(...))` inside codegen). Rows-only gate —
+    * JSON text formatting is engine-specific — plus a parsing unit test.
+    */
+  def a20Serialize(s: SparkSession, d: String): DataFrame =
+    items(s, d).orderBy(col("id")).limit(20)
+      .select(col("id"),
+        to_json(struct(
+          lit("Feature").as("type"),
+          col("id").cast("string").as("id"),
+          col("collection"),
+          struct(lit("Point").as("type"),
+            array(col("lon"), col("lat")).as("coordinates")).as("geometry"),
+          array(col("lon"), col("lat"), col("lon"), col("lat")).as("bbox"),
+          struct(
+            date_format(col("datetime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("datetime"),
+            col("value"), col("user_id")).as("properties")
+        )).as("feature"))
+
+  // ---------------------------------------------------- A22 flagship
+  /** Combined search: collections + datetime + bbox + CQL2 + sort + page —
+    * the reference's full search path in one plan
+    * (tests/api/test_api.py:77-90).
+    */
+  private val a22Cql = Cql.parseJson(
+    """{"between":[{"property":"value"},20.5,400.5]}""")
+
+  def a22CombinedSearch(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(col("collection").isin("click", "view", "purchase"))
+      .where(dtRange("2024-01-05 00:00:00", "2024-01-28 00:00:00"))
+      .where(Geo.bboxContains(col("lon"), col("lat"), -120.5, -60.5, 120.5, 60.5))
+      .where(a22Cql.toColumn)
+      .select(projCols: _*)
+      .orderBy(col("value").desc, col("id").asc)
+      .offset(10).limit(25)
+
+  val a22Sql: String = Tables.withItems(
+    s"""SELECT $projSql FROM items
+       |WHERE collection IN ('click', 'view', 'purchase')
+       |  AND ${dtRangeSql("2024-01-05 00:00:00", "2024-01-28 00:00:00")}
+       |  AND ${Geo.bboxContainsSql("lon", "lat", -120.5, -60.5, 120.5, 60.5)}
+       |  AND ${a22Cql.toSql}
+       |ORDER BY value DESC, id ASC LIMIT 25 OFFSET 10""".stripMargin)
+
+  // ------------------------------------------------------- A23 keyset
+  /** Keyset (search-after) pagination — the 100 TB replacement for OFFSET:
+    * token = last (value, id); next page = lexicographic predicate that
+    * pushes down, then top-k. No offset scan of skipped rows.
+    */
+  def a23KeysetPaginate(s: SparkSession, d: String): DataFrame = {
+    val (v0, id0) = (250.0, 0L)
+    items(s, d)
+      .where(col("value") > v0 || (col("value") === v0 && col("id") > id0))
+      .select(projCols: _*)
+      .orderBy(col("value").asc, col("id").asc).limit(25)
+  }
+
+  val a23Sql: String = Tables.withItems(
+    s"""SELECT $projSql FROM items
+       |WHERE value > 250.0 OR (value = 250.0 AND id > 0)
+       |ORDER BY value ASC, id ASC LIMIT 25""".stripMargin)
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_scan_collection"  -> (a1ScanCollection _),
+    "a2_multi_collection" -> (a2MultiCollection _),
+    "a3_ids_filter"       -> (a3IdsFilter _),
+    "a5_datetime_exact"   -> (a5DatetimeExact _),
+    "a6_datetime_range"   -> (a6DatetimeRange _),
+    "a7_datetime_open"    -> (a7DatetimeOpen _),
+    "a8_bbox"             -> (a8Bbox _),
+    "a9_intersects"       -> (a9Intersects _),
+    "a10_cql2_logical"    -> a10Fn,
+    "a11_cql2_compare"    -> a11Fn,
+    "a12_cql2_like"       -> a12Fn,
+    "a13_cql2_in"         -> a13Fn,
+    "a14_cql2_between"    -> a14Fn,
+    "a15_cql2_isnull"     -> a15Fn,
+    "a16_sort"            -> (a16Sort _),
+    "a17_paginate"        -> (a17Paginate _),
+    "a18_count"           -> (a18Count _),
+    "a19_item_lookup"     -> (a19ItemLookup _),
+    "a20_serialize"       -> (a20Serialize _),
+    "a22_combined_search" -> (a22CombinedSearch _),
+    "a23_keyset_paginate" -> (a23KeysetPaginate _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_scan_collection"  -> a1Sql,
+    "a2_multi_collection" -> a2Sql,
+    "a3_ids_filter"       -> a3Sql,
+    "a5_datetime_exact"   -> a5Sql,
+    "a6_datetime_range"   -> a6Sql,
+    "a7_datetime_open"    -> a7Sql,
+    "a8_bbox"             -> a8Sql,
+    "a9_intersects"       -> a9Sql,
+    "a10_cql2_logical"    -> a10Sql,
+    "a11_cql2_compare"    -> a11Sql,
+    "a12_cql2_like"       -> a12Sql,
+    "a13_cql2_in"         -> a13Sql,
+    "a14_cql2_between"    -> a14Sql,
+    "a15_cql2_isnull"     -> a15Sql,
+    "a16_sort"            -> a16Sql,
+    "a17_paginate"        -> a17Sql,
+    "a18_count"           -> a18Sql,
+    "a19_item_lookup"     -> a19Sql,
+    // a20_serialize: rows-only (JSON text is engine-specific)
+    "a22_combined_search" -> a22Sql,
+    "a23_keyset_paginate" -> a23Sql
+  )
+}
