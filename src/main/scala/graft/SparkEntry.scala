@@ -16,11 +16,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    search.StacSearch.queries ++ ops.Analytics.queries
+    search.StacSearch.queries ++ ops.Analytics.queries ++
+      ops.TextAnalysis.queries ++ ops.Dedup.queries ++
+      ops.Similarity.queries ++ ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    search.StacSearch.oracle ++ ops.Analytics.oracle
+    search.StacSearch.oracle ++ ops.Analytics.oracle ++
+      ops.TextAnalysis.oracle ++ ops.Dedup.oracle ++
+      ops.Similarity.oracle ++ ops.Multimodal.oracle
 }

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import TextExprs._
+
+/** C1-C5: deduplication operators (SURVEY.md §2.C).
+  *
+  * Scale discipline (SURVEY.md §5): every near-dup operator is
+  * bucket-first — MinHash bands (C2), SimHash prefix bands (C3), so the
+  * candidate join is O(collisions), never O(n²). C4 (exact Jaccard) is the
+  * *verify* stage that at 100 TB runs only on C2's candidates; here it runs
+  * standalone on shared-shingle candidates for an independent oracle. C5's
+  * all-pairs form is the small-scale baseline whose scale path is C7's LSH.
+  */
+object Dedup {
+
+  /** doc_id + word-trigram shingles (docs with ≥3 words; Spark `sequence`
+    * would run descending below that).
+    */
+  private def grams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), expr(trigramsSpark).as("g"))
+
+  private val gramsDuck: String =
+    s"""SELECT doc_id, $trigramsDuck AS g
+       |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= 3""".stripMargin
+
+  // ------------------------------------------------------- C1 exact dedup
+  /** Exact dedup: content-hash groupBy, keep-first (min doc_id). One
+    * map-side-combined shuffle on the hash; no row comparison.
+    */
+  def c1DedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("h"))
+
+  val c1Sql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  // ------------------------------------------------- C2 MinHash + LSH
+  /** 8 md5-derived minhash lanes over trigram shingles; 4 bands × 2 lanes.
+    * Candidate pairs = equi-join on (band, band-key): O(collisions).
+    */
+  private val nLanes = 8
+  private val nBands = 4
+
+  private def laneSpark(j: Int): String =
+    s"array_min(transform(g, s -> ${h64Spark(s"concat('mh$j:', s)")}))"
+
+  private def laneDuck(j: Int): String =
+    s"list_min(list_transform(g, s -> ${h64Duck(s"'mh$j:'||s")}))"
+
+  def c2DedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sig = grams(s, d).select(col("doc_id"),
+      array((0 until nLanes).map(j => expr(laneSpark(j))): _*).as("sig"))
+    val bandKeys = (0 until nBands).map { b =>
+      expr(s"concat(CAST(element_at(sig, ${2 * b + 1}) AS STRING), '_', " +
+        s"CAST(element_at(sig, ${2 * b + 2}) AS STRING))")
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val c2Sql: String = {
+    val lanes = (0 until nLanes).map(laneDuck).mkString("[", ", ", "]")
+    s"""WITH g AS ($gramsDuck),
+       |sig AS (SELECT doc_id, $lanes AS sig FROM g),
+       |bands AS (SELECT doc_id, b,
+       |    CAST(sig[2*b+1] AS VARCHAR)||'_'||CAST(sig[2*b+2] AS VARCHAR) AS bkey
+       |  FROM sig, range($nBands) t(b))
+       |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |FROM bands x JOIN bands y
+       |  ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  // ------------------------------------------------------- C3 SimHash
+  /** 32-bit SimHash over word hashes; near-dup pairs at hamming ≤ 3 via
+    * 4 disjoint 8-bit prefix bands (pigeonhole: ≤3 differing bits leave at
+    * least one band identical — the banded candidate set provably covers
+    * the naive O(n²) oracle join).
+    */
+  private val simBits = 32
+  private val hamMax = 3
+
+  private def simhashSpark: String = {
+    val terms = (0 until simBits).map { k =>
+      s"(CASE WHEN aggregate(transform(hs, h -> (shiftright(h, $k) & 1) * 2 - 1), " +
+        s"CAST(0 AS BIGINT), (a, x) -> a + x) > 0 THEN ${1L << k} ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  private def simhashDuck: String = {
+    val terms = (0 until simBits).map { k =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $k) & 1) * 2 - 1)) > 0 " +
+        s"THEN ${1L << k} ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  def c3DedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sim = Tables.documents(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .withColumn("hs", expr(s"transform(w, x -> ${h64Spark("concat('sh:', x)")})"))
+      .select(col("doc_id"), expr(simhashSpark).as("sh"))
+    val bandKeys = (0 until 4).map(b => expr(s"shiftright(sh, ${8 * b}) & 255"))
+    val bands = sim.select(col("doc_id"), col("sh"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        expr("bit_count(x.sh ^ y.sh)").as("hamming"))
+      .where(col("hamming") <= hamMax)
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val c3Sql: String =
+    s"""WITH sim AS (
+       |  SELECT doc_id, $simhashDuck AS sh
+       |  FROM (SELECT doc_id,
+       |          list_transform(w, x -> ${h64Duck("'sh:'||x")}) AS hs
+       |        FROM (SELECT doc_id, $wordsDuck AS w FROM documents)))
+       |SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |  CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+       |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= $hamMax
+       |ORDER BY d1, d2""".stripMargin
+
+  // ----------------------------------------------- C4 n-gram Jaccard
+  /** Exact Jaccard ≥ 0.6 on distinct trigram sets, fully relational:
+    * explode → shared-gram equi-join → count intersections → sizes.
+    * At 100 TB this runs on C2's candidates (and hot grams get a
+    * document-frequency cap); standalone here for an independent oracle.
+    */
+  private val jacMin = 0.6
+
+  def c4DedupJaccard(s: SparkSession, d: String): DataFrame = {
+    val g = grams(s, d).select(col("doc_id"),
+      explode(expr("array_distinct(g)")).as("gram"))
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = g.alias("x").join(g.alias("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.alias("sa"), col("d1") === col("sa.doc_id"))
+      .join(sizes.alias("sb"), col("d2") === col("sb.doc_id"))
+      .select(col("d1"), col("d2"),
+        expr("CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)").as("jac"))
+      .where(col("jac") >= jacMin)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val c4Sql: String =
+    s"""WITH g AS ($gramsDuck),
+       |gr AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM gr GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+       |  FROM gr x JOIN gr y ON x.gram = y.gram AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, jac FROM (
+       |  SELECT d1, d2,
+       |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+       |  FROM inter
+       |  JOIN sz sa ON d1 = sa.doc_id
+       |  JOIN sz sb ON d2 = sb.doc_id)
+       |WHERE jac >= $jacMin
+       |ORDER BY d1, d2""".stripMargin
+
+  // ----------------------------------- C5 embedding cosine near-dup
+  /** Cosine ≥ 0.45 threshold self-join over embeddings. All double math is
+    * an explicit sequential fold (bit-identical to the oracle). The
+    * all-pairs join is the correctness baseline; the scale path is C7's
+    * LSH bucketing.
+    */
+  private val cosMin = 0.45
+
+  def c5DedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    e.alias("x").join(e.alias("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        expr(cosSpark("x.v", "y.v")).as("cos_sim"))
+      .where(col("cos_sim") >= cosMin)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val c5Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT v1, v2, cos_sim FROM (
+       |  SELECT x.vec_id AS v1, y.vec_id AS v2,
+       |    ${cosDuck("x.v", "y.v")} AS cos_sim
+       |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+       |WHERE cos_sim >= $cosMin
+       |ORDER BY v1, v2""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_dedup_exact"     -> (c1DedupExact _),
+    "c2_dedup_minhash"   -> (c2DedupMinhash _),
+    "c3_dedup_simhash"   -> (c3DedupSimhash _),
+    "c4_dedup_jaccard"   -> (c4DedupJaccard _),
+    "c5_dedup_embedding" -> (c5DedupEmbedding _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c1_dedup_exact"     -> c1Sql,
+    "c2_dedup_minhash"   -> c2Sql,
+    "c3_dedup_simhash"   -> c3Sql,
+    "c4_dedup_jaccard"   -> c4Sql,
+    "c5_dedup_embedding" -> c5Sql
+  )
+}

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import TextExprs._
+
+/** C8-C11: text analysis operators for an LLM training-data pipeline,
+  * run over the `documents` fixture table (SURVEY.md §2.C).
+  *
+  * All operators are single-pass projections — no shuffle except the final
+  * deterministic ORDER BY (which at scale would be a write partitioning, not
+  * a sort). Expressions stay inside whole-stage codegen: no UDFs, only
+  * `functions._` and higher-order array functions.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  // ----------------------------------------------------------- C8 lang id
+  /** Stopword-profile language ID. Scores text against per-language marker
+    * sets; argmax with fixed priority tiebreak (en>de>es>fr>zh). The
+    * fixture text is synthetic so predictions are mostly 'en' — the gate
+    * verifies the operator (scores + argmax), not corpus realism.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "la", "que", "y", "los", "se", "por"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "zai", "you", "ta"))
+
+  private def inList(vs: Seq[String]): String =
+    vs.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  private def scoreSpark(vs: Seq[String]): String =
+    s"size(filter(w, x -> x IN ${inList(vs)}))"
+
+  private def scoreDuck(vs: Seq[String]): String =
+    s"len(list_filter(w, x -> x IN ${inList(vs)}))"
+
+  /** argmax CASE with fixed priority order — identical text both engines. */
+  private def argmaxCase: String = {
+    val langs = markers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  def c8LangId(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        markers.map { case (l, vs) => expr(scoreSpark(vs)).as(s"s_$l") }: _*)
+    scored.withColumn("pred_lang", expr(argmaxCase))
+      .orderBy(col("doc_id"))
+  }
+
+  val c8Sql: String = {
+    val scores = markers.map { case (l, vs) => s"${scoreDuck(vs)} AS s_$l" }.mkString(", ")
+    s"""SELECT doc_id, lang, ${markers.map(m => "s_" + m._1).mkString(", ")},
+       |  $argmaxCase AS pred_lang
+       |FROM (SELECT doc_id, lang, $scores
+       |      FROM (SELECT doc_id, lang, $wordsDuck AS w FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------- C9 quality score
+  /** Quality scoring: length, punctuation ratio, stopword ratio, composite
+    * score. Pure double arithmetic in a fixed op order (bit-identical to
+    * the oracle).
+    */
+  private val stopEn = inList(Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"))
+  private val punctPat = "[.,!?;:]"
+
+  def c9TextQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        expr("size(w)").as("n_words"),
+        expr(s"size(filter(w, x -> x IN $stopEn))").as("n_stop"),
+        expr(s"CAST(size(regexp_extract_all(text, '$punctPat', 0)) AS BIGINT)").as("n_punct"))
+      .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)"))
+      .withColumn("punct_ratio", expr("CAST(n_punct AS DOUBLE) / CAST(len_chars AS DOUBLE)"))
+      .withColumn("quality",
+        expr("stop_ratio * 0.4 + least(CAST(1.0 AS DOUBLE), CAST(n_words AS DOUBLE) / 100.0) * 0.4 + " +
+          "(1.0 - least(CAST(1.0 AS DOUBLE), punct_ratio * 10.0)) * 0.2"))
+      .orderBy(col("doc_id"))
+
+  val c9Sql: String =
+    s"""SELECT doc_id, len_chars, n_words, n_stop, n_punct,
+       |  stop_ratio, punct_ratio,
+       |  stop_ratio * 0.4 + least(CAST(1.0 AS DOUBLE), CAST(n_words AS DOUBLE) / 100.0) * 0.4 +
+       |    (1.0 - least(CAST(1.0 AS DOUBLE), punct_ratio * 10.0)) * 0.2 AS quality
+       |FROM (
+       |  SELECT doc_id, len_chars, n_words, n_stop, n_punct,
+       |    CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+       |    CAST(n_punct AS DOUBLE) / CAST(len_chars AS DOUBLE) AS punct_ratio
+       |  FROM (
+       |    SELECT doc_id, length(text) AS len_chars, len(w) AS n_words,
+       |      len(list_filter(w, x -> x IN $stopEn)) AS n_stop,
+       |      len(regexp_extract_all(text, '$punctPat')) AS n_punct
+       |    FROM (SELECT doc_id, text, $wordsDuck AS w FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- C10 token count
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-alnum). The pattern avoids
+    * `\s`-class dialect differences by using a literal space.
+    */
+  private val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def c10TokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        expr(s"size($wordsSpark)").as("ws_tokens"),
+        expr(s"CAST(size(regexp_extract_all(text, '$bpePat', 0)) AS BIGINT)").as("bpe_tokens"),
+        (length(col("text")).cast("double") / 4.0).as("est_tokens"))
+      .orderBy(col("doc_id"))
+
+  val c10Sql: String =
+    s"""SELECT doc_id, len($wordsDuck) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$bpePat')) AS bpe_tokens,
+       |  CAST(length(text) AS DOUBLE) / 4.0 AS est_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- C11 fingerprint
+  /** Document fingerprinting: (a) polynomial rolling hash over characters
+    * (base 31 mod 1e9+7, explicit sequential fold), (b) min word-trigram
+    * md5 lane — a 1-lane minhash usable as a cheap near-dup prefilter.
+    */
+  private val rollSpark =
+    "aggregate(filter(split(text, ''), c -> c <> ''), CAST(0 AS BIGINT), " +
+      "(a, c) -> (a * 31 + ascii(c)) % 1000000007)"
+
+  private val rollDuck =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(list_filter(string_split(text, ''), c -> c <> ''), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007)"
+
+  def c11Fingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(
+        col("doc_id"),
+        expr(rollSpark).as("rolling_fp"),
+        expr(s"array_min(transform($trigramsSpark, g -> ${h64Spark("g")}))").as("min_gram_fp"))
+      .orderBy(col("doc_id"))
+
+  val c11Sql: String =
+    s"""SELECT doc_id, $rollDuck AS rolling_fp,
+       |  list_min(list_transform($trigramsDuck, g -> ${h64Duck("g")})) AS min_gram_fp
+       |FROM (SELECT doc_id, text, $wordsDuck AS w FROM documents)
+       |WHERE len(w) >= 3
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c8_lang_id"      -> (c8LangId _),
+    "c9_text_quality" -> (c9TextQuality _),
+    "c10_token_count" -> (c10TokenCount _),
+    "c11_fingerprint" -> (c11Fingerprint _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c8_lang_id"      -> c8Sql,
+    "c9_text_quality" -> c9Sql,
+    "c10_token_count" -> c10Sql,
+    "c11_fingerprint" -> c11Sql
+  )
+}
