@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     search.StacSearch.queries ++ ops.Analytics.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
-      ops.Similarity.queries ++ ops.Multimodal.queries
+      ops.Similarity.queries ++ ops.Multimodal.queries ++
+      streaming.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     search.StacSearch.oracle ++ ops.Analytics.oracle ++
       ops.TextAnalysis.oracle ++ ops.Dedup.oracle ++
-      ops.Similarity.oracle ++ ops.Multimodal.oracle
+      ops.Similarity.oracle ++ ops.Multimodal.oracle ++
+      streaming.Events.oracle
 }

@@ -62,7 +62,9 @@ object Tables {
       when(interval, col("ts") - expr("INTERVAL '1' HOUR")).as("start_datetime"),
       when(interval, col("ts") + expr("INTERVAL '1' HOUR")).as("end_datetime"),
       (col("value") % 360.0 - 180.0).as("lon"),
-      ((col("user_id") % 180) - 90).cast("double").as("lat"),
+      // lat derives from event_id (not user_id): small SFs have few users,
+      // which would pin all latitudes into a narrow southern band
+      (((col("event_id") * 13 + col("user_id")) % 180) - 90).cast("double").as("lat"),
       col("value"),
       col("user_id"),
       col("props")
@@ -80,7 +82,7 @@ object Tables {
       |         CASE WHEN event_id % 7 = 0 THEN ts - INTERVAL 1 HOUR END AS start_datetime,
       |         CASE WHEN event_id % 7 = 0 THEN ts + INTERVAL 1 HOUR END AS end_datetime,
       |         value % 360.0 - 180.0 AS lon,
-      |         CAST((user_id % 180) - 90 AS DOUBLE) AS lat,
+      |         CAST(((event_id * 13 + user_id) % 180) - 90 AS DOUBLE) AS lat,
       |         value, user_id, props
       |  FROM events
       |)""".stripMargin

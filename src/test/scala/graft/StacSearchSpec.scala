@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.core.Tables
+import graft.search.StacSearch
+
+class StacSearchSpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("entry (a22 combined search) returns rows on sf0.001") {
+    assert(SparkEntry.entry(s).count() > 0)
+  }
+
+  test("a20: serialized features are valid GeoJSON STAC items") {
+    val rows = StacSearch.queries("a20_serialize")(s, sf).collect()
+    assert(rows.length == 20)
+    val om = new ObjectMapper()
+    rows.foreach { r =>
+      val f = om.readTree(r.getString(1))
+      assert(f.get("type").asText() == "Feature")
+      assert(f.get("geometry").get("type").asText() == "Point")
+      assert(f.get("geometry").get("coordinates").size() == 2)
+      assert(f.get("bbox").size() == 4)
+      assert(f.has("properties") && f.get("properties").has("value"))
+      // interval-only items have no datetime key (null dropped by to_json)
+      val c = f.get("geometry").get("coordinates")
+      assert(c.get(0).asDouble() >= -180.0 && c.get(0).asDouble() < 180.0)
+    }
+  }
+
+  test("a21 queryables: JSON-schema derived from live schema") {
+    val q = StacSearch.queryables(Tables.items(s, sf))
+    val om = new ObjectMapper()
+    val node = om.readTree(q)
+    val props = node.get("properties")
+    assert(props.has("id") && props.has("collection") && props.has("datetime"))
+    assert(props.get("datetime").get("format").asText() == "date-time")
+    assert(props.get("value").get("type").asText() == "number")
+    assert(props.get("id").get("type").asText() == "integer")
+  }
+
+  test("resolveField handles properties.x / properties__x / x variants") {
+    val schema = Seq("id", "value", "user_id")
+    assert(StacSearch.resolveField("properties.value", schema).contains("value"))
+    assert(StacSearch.resolveField("properties__value", schema).contains("value"))
+    assert(StacSearch.resolveField("value", schema).contains("value"))
+    assert(StacSearch.resolveField("nope", schema).isEmpty)
+  }
+
+  test("a23 keyset page equals the corresponding slice of a full sort") {
+    val it = Tables.items(s, sf)
+    import org.apache.spark.sql.functions._
+    val full = it.select(col("value"), col("id"))
+      .orderBy(col("value"), col("id")).collect()
+    val expected = full.filter(r => r.getDouble(0) > 250.0 ||
+      (r.getDouble(0) == 250.0 && r.getLong(1) > 0L)).take(25)
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val got = StacSearch.queries("a23_keyset_paginate")(s, sf)
+      .select(col("value"), col("id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+}
