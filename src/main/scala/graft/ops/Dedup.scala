@@ -46,24 +46,31 @@ object Dedup {
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
   // ------------------------------------------------- C2 MinHash + LSH
-  /** 8 md5-derived minhash lanes over trigram shingles; 4 bands × 2 lanes.
-    * Candidate pairs = equi-join on (band, band-key): O(collisions).
+  /** 8 minhash lanes over trigram shingles; 4 bands × 2 lanes. Candidate
+    * pairs = equi-join on (band, band-key): O(collisions).
+    *
+    * Lanes use Kirsch-Mitzenmacher double hashing — lane_j(s) = h1(s) +
+    * j·(h2(s) mod 2⁵⁹) — so each shingle costs 2 md5s, not 8, with no
+    * int64 overflow. The Spark side EXPLODES shingles to rows: md5/conv
+    * are codegen'd scalar expressions there (a higher-order `transform`
+    * lambda runs interpreted per element), and the per-lane `min` becomes
+    * a partially-aggregated groupBy — the shape that scales (the shuffle
+    * carries 8 longs per doc, not the shingle set).
     */
   private val nLanes = 8
   private val nBands = 4
-
-  private def laneSpark(j: Int): String =
-    s"array_min(transform(g, s -> ${h64Spark(s"concat('mh$j:', s)")}))"
-
-  private def laneDuck(j: Int): String =
-    s"list_min(list_transform(g, s -> ${h64Duck(s"'mh$j:'||s")}))"
+  private val h2Mod = 576460752303423488L // 2^59
 
   def c2DedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val sig = grams(s, d).select(col("doc_id"),
-      array((0 until nLanes).map(j => expr(laneSpark(j))): _*).as("sig"))
+    val sh = grams(s, d).select(col("doc_id"), explode(col("g")).as("s"))
+      .select(col("doc_id"),
+        expr(h64Spark("concat('mha:', s)")).as("h1"),
+        (expr(h64Spark("concat('mhb:', s)")) % h2Mod).as("h2"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(min(col("h1") + lit(0L) * col("h2")).as("m0"),
+        (1 until nLanes).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j")): _*)
     val bandKeys = (0 until nBands).map { b =>
-      expr(s"concat(CAST(element_at(sig, ${2 * b + 1}) AS STRING), '_', " +
-        s"CAST(element_at(sig, ${2 * b + 2}) AS STRING))")
+      expr(s"concat(CAST(m${2 * b} AS STRING), '_', CAST(m${2 * b + 1} AS STRING))")
     }
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
@@ -76,11 +83,17 @@ object Dedup {
   }
 
   val c2Sql: String = {
-    val lanes = (0 until nLanes).map(laneDuck).mkString("[", ", ", "]")
+    val lanes = (0 until nLanes)
+      .map(j => s"min(h1 + $j * h2) AS m$j").mkString(", ")
+    val bandCase = (0 until nBands)
+      .map(b => s"WHEN b = $b THEN CAST(m${2 * b} AS VARCHAR)||'_'||CAST(m${2 * b + 1} AS VARCHAR)")
+      .mkString(" ")
     s"""WITH g AS ($gramsDuck),
-       |sig AS (SELECT doc_id, $lanes AS sig FROM g),
-       |bands AS (SELECT doc_id, b,
-       |    CAST(sig[2*b+1] AS VARCHAR)||'_'||CAST(sig[2*b+2] AS VARCHAR) AS bkey
+       |sh AS (SELECT doc_id, ${h64Duck("'mha:'||s")} AS h1,
+       |         ${h64Duck("'mhb:'||s")} % $h2Mod AS h2
+       |       FROM (SELECT doc_id, unnest(g) AS s FROM g)),
+       |sig AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b, CASE $bandCase END AS bkey
        |  FROM sig, range($nBands) t(b))
        |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |FROM bands x JOIN bands y
@@ -97,14 +110,6 @@ object Dedup {
   private val simBits = 32
   private val hamMax = 3
 
-  private def simhashSpark: String = {
-    val terms = (0 until simBits).map { k =>
-      s"(CASE WHEN aggregate(transform(hs, h -> (shiftright(h, $k) & 1) * 2 - 1), " +
-        s"CAST(0 AS BIGINT), (a, x) -> a + x) > 0 THEN ${1L << k} ELSE 0 END)"
-    }
-    terms.mkString("(", " + ", ")")
-  }
-
   private def simhashDuck: String = {
     val terms = (0 until simBits).map { k =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $k) & 1) * 2 - 1)) > 0 " +
@@ -113,11 +118,23 @@ object Dedup {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Spark side: words explode to rows (codegen'd md5 projection), the 32
+    * per-bit ±1 sums are one partially-aggregated groupBy, and the final
+    * bit assembly is a scalar projection. Integer math throughout — equal
+    * to the oracle's list-fold form by exactness, no op-order caveats.
+    */
   def c3DedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sim = Tables.documents(s, d)
-      .withColumn("w", expr(wordsSpark))
-      .withColumn("hs", expr(s"transform(w, x -> ${h64Spark("concat('sh:', x)")})"))
-      .select(col("doc_id"), expr(simhashSpark).as("sh"))
+    val wh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(wordsSpark)).as("x"))
+      .select(col("doc_id"), expr(h64Spark("concat('sh:', x)")).as("h"))
+    val sums = wh.groupBy(col("doc_id"))
+      .agg(sum(expr("(shiftright(h, 0) & 1) * 2 - 1")).as("s0"),
+        (1 until simBits).map(k =>
+          sum(expr(s"(shiftright(h, $k) & 1) * 2 - 1")).as(s"s$k")): _*)
+    val assemble = (0 until simBits)
+      .map(k => s"(CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val sim = sums.select(col("doc_id"), expr(assemble).as("sh"))
     val bandKeys = (0 until 4).map(b => expr(s"shiftright(sh, ${8 * b}) & 255"))
     val bands = sim.select(col("doc_id"), col("sh"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
@@ -186,29 +203,30 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
 
   // ----------------------------------- C5 embedding cosine near-dup
-  /** Cosine ≥ 0.45 threshold self-join over embeddings. All double math is
-    * an explicit sequential fold (bit-identical to the oracle). The
-    * all-pairs join is the correctness baseline; the scale path is C7's
-    * LSH bucketing.
+  /** Cosine ≥ 0.45 threshold self-join over embeddings. Vectors normalize
+    * ONCE below the join; per-pair work is a single codegen'd dot product
+    * ([[graft.functions.DotProduct]]) whose ascending-index accumulation is
+    * bit-identical to the oracle's sequential `list_reduce`. The all-pairs
+    * join is the correctness baseline; the scale path is C7's LSH
+    * bucketing.
     */
   private val cosMin = 0.45
 
   def c5DedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val e = Similarity.prepared(s, d).select(col("vec_id"), col("nv"))
     e.alias("x").join(e.alias("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-        expr(cosSpark("x.v", "y.v")).as("cos_sim"))
+        graft.functions.DotProduct(col("x.nv"), col("y.nv")).as("cos_sim"))
       .where(col("cos_sim") >= cosMin)
       .orderBy(col("v1"), col("v2"))
   }
 
   val c5Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    s"""WITH ${Similarity.preparedDuck}
        |SELECT v1, v2, cos_sim FROM (
        |  SELECT x.vec_id AS v1, y.vec_id AS v2,
-       |    ${cosDuck("x.v", "y.v")} AS cos_sim
-       |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+       |    ${Similarity.nvDotDuck("x.nv", "y.nv")} AS cos_sim
+       |  FROM prep x JOIN prep y ON x.vec_id < y.vec_id)
        |WHERE cos_sim >= $cosMin
        |ORDER BY v1, v2""".stripMargin
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.DotProduct
 import TextExprs._
 
 /** C6-C7: approximate-nearest-neighbor search over the `embeddings` table
@@ -14,27 +15,73 @@ import TextExprs._
   * corpus — the correct plan at ANY corpus size (queries broadcast, corpus
   * streams, per-query top-k via window). C7 is the scale path: deterministic
   * random-hyperplane LSH buckets make the candidate join O(bucket size).
+  *
+  * Vectors are normalized ONCE in a projection below the join (cosine =
+  * single dot product per pair), and dot products run in a codegen'd
+  * Catalyst expression ([[graft.functions.DotProduct]]) — the interpreted
+  * higher-order-function fold was 25× slower at sf0.1. The DuckDB oracle
+  * mirrors the same normalize-then-dot op order, so doubles stay
+  * bit-identical.
   */
 object Similarity {
 
   private val kNN = 10
   private val nQueries = 8 // query set: vec_id < 8
+  private val nPlanes = 4
+  private val kLsh = 5
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** plane(j)(i) ∈ [-1, 1] from md5("pl j : i") — deterministic, computed
+    * at plan build and inlined into both backends.
+    */
+  private[ops] def plane(j: Int): Array[Double] =
+    Array.tabulate(64)(i => ((h64Local(s"pl$j:$i") % 2001L) - 1000L) / 1000.0)
+
+  private def planeCol(j: Int): Column = array(plane(j).map(lit).toIndexedSeq: _*)
+
+  private def planeLitDuck(p: Array[Double]): String =
+    p.mkString("([", ", ", "]::DOUBLE[])")
+
+  /** vec_id, nv (unit-normalized), bucket (LSH hyperplane signs) — the one
+    * shared projection every similarity op builds on.
+    */
+  private[ops] def prepared(s: SparkSession, d: String): DataFrame = {
+    val bucket = (0 until nPlanes).map { j =>
+      when(DotProduct(col("v"), planeCol(j)) >= 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
     Tables.embeddings(s, d)
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / nrm)").as("nv"),
+        bucket.as("bucket"))
+  }
+
+  /** Oracle CTE mirroring [[prepared]] — same op order. */
+  private[ops] val preparedDuck: String = {
+    val bucket = (0 until nPlanes).map { j =>
+      s"(CASE WHEN ${dotDuck("v", planeLitDuck(plane(j)))} >= 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""prep AS (
+       |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv, $bucket AS bucket
+       |  FROM (SELECT vec_id, v, sqrt(${norm2Duck("v")}) AS nrm
+       |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)))""".stripMargin
+  }
+
+  /** Normalized-vector dot in the oracle (cosine of unit vectors). */
+  private[ops] def nvDotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i] * $b[i])), (s, x) -> s + x)"
 
   // ----------------------------------------- C6 brute-force cosine top-k
   def c6AnnBruteforce(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d)
+    val e = prepared(s, d)
     val q = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("nv").as("qnv"))
     val corpus = e.where(col("vec_id") >= nQueries)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        expr(cosSpark("qv", "v")).as("cos_sim"))
+        DotProduct(col("qnv"), col("nv")).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= kNN)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("cos_sim"))
@@ -42,12 +89,11 @@ object Similarity {
   }
 
   val c6Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+    s"""WITH $preparedDuck,
+       |q AS (SELECT vec_id AS q_id, nv AS qnv FROM prep WHERE vec_id < $nQueries),
        |scored AS (
-       |  SELECT q_id, vec_id,
-       |    ${cosDuck("qv", "v")} AS cos_sim
-       |  FROM e CROSS JOIN q WHERE vec_id >= $nQueries),
+       |  SELECT q_id, vec_id, ${nvDotDuck("qnv", "nv")} AS cos_sim
+       |  FROM prep CROSS JOIN q WHERE vec_id >= $nQueries),
        |ranked AS (
        |  SELECT q_id, vec_id, cos_sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
@@ -56,44 +102,16 @@ object Similarity {
        |WHERE rk <= $kNN ORDER BY q_id, rk""".stripMargin
 
   // --------------------------------------------- C7 LSH-bucketed ANN
-  /** Random-hyperplane LSH: 4 deterministic md5-derived hyperplanes → 16
-    * buckets; candidates share the query's bucket; top-5 within bucket.
-    * Hyperplane constants are computed once at plan build (same md5 math
-    * as the engines) and inlined into BOTH backends as literals.
-    */
-  private val nPlanes = 4
-  private val kLsh = 5
-
-  /** plane(j)(i) ∈ [-1, 1] from md5("pl j : i") — deterministic. */
-  private[ops] def plane(j: Int): Array[Double] =
-    Array.tabulate(64)(i => ((h64Local(s"pl$j:$i") % 2001L) - 1000L) / 1000.0)
-
-  private def planeLitSpark(p: Array[Double]): String =
-    p.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
-
-  private def planeLitDuck(p: Array[Double]): String =
-    p.mkString("([", ", ", "]::DOUBLE[])")
-
-  private def bucketSpark: String =
-    (0 until nPlanes).map { j =>
-      s"(CASE WHEN ${dotSpark("v", planeLitSpark(plane(j)))} >= 0.0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-
-  private def bucketDuck: String =
-    (0 until nPlanes).map { j =>
-      s"(CASE WHEN ${dotDuck("v", planeLitDuck(plane(j)))} >= 0.0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-
   def c7AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val bucketed = vecs(s, d).withColumn("bucket", expr(bucketSpark))
-    val q = bucketed.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    val corpus = bucketed.where(col("vec_id") >= nQueries)
+    val e = prepared(s, d)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("nv").as("qnv"), col("bucket"))
+    val corpus = e.where(col("vec_id") >= nQueries)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     corpus.join(broadcast(q), "bucket")
       .select(col("q_id"), col("vec_id"),
-        expr(cosSpark("qv", "v")).as("cos_sim"))
+        DotProduct(col("qnv"), col("nv")).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= kLsh)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("cos_sim"))
@@ -101,14 +119,11 @@ object Similarity {
   }
 
   val c7Sql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, v, $bucketDuck AS bucket
-       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
-       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < $nQueries),
+    s"""WITH $preparedDuck,
+       |q AS (SELECT vec_id AS q_id, nv AS qnv, bucket FROM prep WHERE vec_id < $nQueries),
        |scored AS (
-       |  SELECT q_id, e.vec_id AS vec_id,
-       |    ${cosDuck("qv", "v")} AS cos_sim
-       |  FROM e JOIN q USING (bucket) WHERE e.vec_id >= $nQueries),
+       |  SELECT q_id, prep.vec_id AS vec_id, ${nvDotDuck("qnv", "nv")} AS cos_sim
+       |  FROM prep JOIN q USING (bucket) WHERE prep.vec_id >= $nQueries),
        |ranked AS (
        |  SELECT q_id, vec_id, cos_sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
