@@ -1,0 +1,162 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.cql.Cql
+import graft.spatial.Geo
+
+/** The reference's search endpoint as a typed programmatic API
+  * (cf. /root/reference/stac_fastapi/duckdb/database_logic.py:772-1022
+  * `execute_search`): every POST /search parameter maps to a field of
+  * [[SearchParams]]; [[StacApi.search]] returns the page, `numMatched`,
+  * and a continuation token.
+  *
+  * Differences from the reference, by design (SURVEY.md §3):
+  *  - the filter/sort/page pipeline is ONE Catalyst plan (pushdown works
+  *    through every parameter), not SQL-string assembly;
+  *  - two token schemes: `off:<n>` (reference parity, fetches limit+1
+  *    rows to probe for a next page — database_logic.py:921-955) and
+  *    `ks:<...>` keyset continuation, which compiles the last row's sort
+  *    key into a lexicographic predicate — the 100 TB path: no scan of
+  *    skipped rows, pruning stays effective at any page depth.
+  */
+final case class SortBy(field: String, desc: Boolean = false)
+
+final case class SearchParams(
+    collections: Seq[String] = Nil,
+    ids: Seq[Long] = Nil,
+    bbox: Option[(Double, Double, Double, Double)] = None,
+    intersects: Option[Array[Double]] = None, // closed convex/concave ring
+    datetime: Option[String] = None,          // "t" | "a/b" | "t/.." | "../t"
+    filter: Option[String] = None,            // cql2-json
+    sortBy: Seq[SortBy] = Nil,
+    limit: Int = 10,
+    token: Option[String] = None)
+
+final case class SearchResult(
+    items: Array[Row], numMatched: Long, nextToken: Option[String])
+
+object StacApi {
+
+  /** Filter-only plan: every search parameter as a Catalyst predicate. */
+  def plan(items: DataFrame, p: SearchParams): DataFrame = {
+    var df = items
+    if (p.collections.nonEmpty) df = df.where(col("collection").isin(p.collections: _*))
+    if (p.ids.nonEmpty) df = df.where(col("id").isin(p.ids: _*))
+    p.bbox.foreach { case (w, s, e, n) =>
+      df = df.where(Geo.bboxContains(col("lon"), col("lat"), w, s, e, n))
+    }
+    p.intersects.foreach { poly =>
+      df = df.where(Geo.intersectsPolygon(col("lon"), col("lat"), poly))
+    }
+    p.datetime.foreach { dt => df = df.where(datetimePredicate(dt)) }
+    p.filter.foreach { json => df = df.where(Cql.parseJson(json).toColumn) }
+    df
+  }
+
+  /** Reference datetime forms (database_logic.py:224-347). */
+  def datetimePredicate(dt: String): Column = dt.split("/", -1) match {
+    case Array(t)         => StacSearch.dtExact(t)
+    case Array(a, "..")   => StacSearch.dtOpenStart(a)
+    case Array("..", b)   => StacSearch.dtOpenEnd(b)
+    case Array(a, b)      => StacSearch.dtRange(a, b)
+    case _ => throw new IllegalArgumentException(s"bad datetime: $dt")
+  }
+
+  /** Sort columns with the reference's always-appended `id ASC` tiebreak
+    * (database_logic.py:661-696), resolving `properties.x` name variants.
+    */
+  private def sortCols(df: DataFrame, p: SearchParams): Seq[(String, Boolean)] = {
+    val schema = df.schema.fieldNames.toSeq
+    val user = p.sortBy.flatMap { sb =>
+      StacSearch.resolveField(sb.field, schema).map(f => (f, sb.desc))
+    }
+    user :+ ("id" -> false)
+  }
+
+  private def orderCols(sorts: Seq[(String, Boolean)]): Seq[Column] =
+    sorts.map { case (f, desc) => if (desc) col(f).desc else col(f).asc }
+
+  /** Keyset predicate: strict lexicographic "after (v1..vn)" under the
+    * given sort directions — row-value comparison unrolled to an OR-chain
+    * whose leading conjuncts are sargable (they push down and prune).
+    */
+  private def keysetAfter(sorts: Seq[(String, Boolean)], last: Seq[Any]): Column =
+    sorts.indices.map { i =>
+      val eqPrefix = (0 until i).map { j =>
+        col(sorts(j)._1) === lit(last(j))
+      }.foldLeft(lit(true))(_ && _)
+      val (f, desc) = sorts(i)
+      eqPrefix && (if (desc) col(f) < lit(last(i)) else col(f) > lit(last(i)))
+    }.reduce(_ || _)
+
+  private val ksSep = "\u0001"
+
+  /** Execute a search: page of items + numMatched + continuation token. */
+  def search(spark: SparkSession, dir: String, p: SearchParams): SearchResult = {
+    val filtered = plan(Tables.items(spark, dir), p)
+    val sorts = sortCols(filtered, p)
+    val sorted = filtered.orderBy(orderCols(sorts): _*)
+
+    val numMatched = filtered.count()
+
+    p.token match {
+      case Some(t) if t.startsWith("ks:") =>
+        val vals = decodeKeyset(t.drop(3), sorts, filtered)
+        val page = sorted.where(keysetAfter(sorts, vals)).limit(p.limit + 1).collect()
+        result(page, sorts, p, numMatched, keyset = true)
+      case Some(t) if t.startsWith("off:") =>
+        val off = t.drop(4).toInt
+        val page = sorted.offset(off).limit(p.limit + 1).collect()
+        resultOffset(page, p, numMatched, off)
+      case None =>
+        // first page: emit a keyset token (scale path) by default
+        val page = sorted.limit(p.limit + 1).collect()
+        result(page, sorts, p, numMatched, keyset = true)
+      case Some(other) =>
+        throw new IllegalArgumentException(s"bad token: $other")
+    }
+  }
+
+  private def result(page: Array[Row], sorts: Seq[(String, Boolean)],
+                     p: SearchParams, matched: Long, keyset: Boolean): SearchResult = {
+    val items = page.take(p.limit)
+    val next =
+      if (page.length <= p.limit) None
+      else encodeKeyset(items.last, sorts).map("ks:" + _)
+        // sort key contains NULL (e.g. interval-only items under a
+        // datetime sort) → keyset ordering is ill-defined, fall back to
+        // an offset token for the remainder
+        .orElse(Some(s"off:${p.limit}"))
+    SearchResult(items, matched, next)
+  }
+
+  private def resultOffset(page: Array[Row], p: SearchParams,
+                           matched: Long, off: Int): SearchResult = {
+    val items = page.take(p.limit)
+    val next = if (page.length <= p.limit) None else Some(s"off:${off + p.limit}")
+    SearchResult(items, matched, next)
+  }
+
+  private def encodeKeyset(row: Row, sorts: Seq[(String, Boolean)]): Option[String] = {
+    val vs = sorts.map { case (f, _) => row.get(row.fieldIndex(f)) }
+    if (vs.contains(null)) None else Some(vs.map(_.toString).mkString(ksSep))
+  }
+
+  private def decodeKeyset(s: String, sorts: Seq[(String, Boolean)],
+                           df: DataFrame): Seq[Any] = {
+    import org.apache.spark.sql.types._
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    s.split(ksSep, -1).toSeq.zip(sorts).map { case (v, (f, _)) =>
+      types(f) match {
+        case LongType      => v.toLong
+        case IntegerType   => v.toInt
+        case DoubleType    => v.toDouble
+        case TimestampType => java.sql.Timestamp.valueOf(v)
+        case _             => v
+      }
+    }
+  }
+}

@@ -359,6 +359,50 @@ object StacSearch {
        |WHERE value > 250.0 OR (value = 250.0 AND id > 0)
        |ORDER BY value ASC, id ASC LIMIT 25""".stripMargin)
 
+  // ------------------------------------------------- A24 z-curve cells
+  /** Z-order (Morton) spatial bucketing — the 100 TB spatial-pruning
+    * pattern: each item's (lon, lat) maps to a cell on a 16×16 grid with
+    * bit-interleaved ids; a bbox query becomes `cell IN (cover)` — at
+    * scale a partition/bucket prune that reads nothing outside the
+    * cover — AND'd with the exact bbox predicate. The oracle is the PLAIN
+    * bbox query: result equality proves the cover is a correct superset.
+    */
+  private val zLevel = 4 // 16x16 grid
+
+  private def interleave(ix: Int, iy: Int): Int =
+    (0 until zLevel).map(k => (((ix >> k) & 1) << (2 * k + 1)) | (((iy >> k) & 1) << (2 * k))).sum
+
+  /** Cells covering a bbox (computed at plan time, driver-side). */
+  private[search] def zCover(w: Double, s: Double, e: Double, n: Double): Seq[Int] = {
+    def clamp(i: Int) = math.min(math.max(i, 0), (1 << zLevel) - 1)
+    val ix0 = clamp(math.floor((w + 180.0) / 360.0 * (1 << zLevel)).toInt)
+    val ix1 = clamp(math.floor((e + 180.0) / 360.0 * (1 << zLevel)).toInt)
+    val iy0 = clamp(math.floor((s + 90.0) / 180.0 * (1 << zLevel)).toInt)
+    val iy1 = clamp(math.floor((n + 90.0) / 180.0 * (1 << zLevel)).toInt)
+    for (ix <- ix0 to ix1; iy <- iy0 to iy1) yield interleave(ix, iy)
+  }
+
+  def a24ZcurveCells(s: SparkSession, d: String): DataFrame = {
+    val cover = zCover(bbox._1, bbox._2, bbox._3, bbox._4)
+    items(s, d)
+      .withColumn("zcell", expr(s"(${zCellBitsExpr})"))
+      .where(col("zcell").isin(cover: _*)) // at scale: partition prune
+      .where(Geo.bboxContains(col("lon"), col("lat"), bbox._1, bbox._2, bbox._3, bbox._4))
+      .select(projCols: _*).orderBy(col("id"))
+  }
+
+  /** Flat (non-subquery) form of [[zCellExpr]] for Catalyst. */
+  private def zCellBitsExpr: String = {
+    val ix = s"CAST(least(greatest(floor((lon + 180.0) / 360.0 * ${1 << zLevel}.0), 0.0), ${(1 << zLevel) - 1}.0) AS INT)"
+    val iy = s"CAST(least(greatest(floor((lat + 90.0) / 180.0 * ${1 << zLevel}.0), 0.0), ${(1 << zLevel) - 1}.0) AS INT)"
+    (0 until zLevel).map(k =>
+      s"(shiftleft(shiftright($ix, $k) & 1, ${2 * k + 1}) + shiftleft(shiftright($iy, $k) & 1, ${2 * k}))")
+      .mkString(" + ")
+  }
+
+  /** Oracle: the plain bbox query — proves the z-cover is a correct superset. */
+  val a24Sql: String = a8Sql
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_scan_collection"  -> (a1ScanCollection _),
@@ -381,7 +425,8 @@ object StacSearch {
     "a19_item_lookup"     -> (a19ItemLookup _),
     "a20_serialize"       -> (a20Serialize _),
     "a22_combined_search" -> (a22CombinedSearch _),
-    "a23_keyset_paginate" -> (a23KeysetPaginate _)
+    "a23_keyset_paginate" -> (a23KeysetPaginate _),
+    "a24_zcurve_cells"    -> (a24ZcurveCells _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -405,6 +450,7 @@ object StacSearch {
     "a19_item_lookup"     -> a19Sql,
     // a20_serialize: rows-only (JSON text is engine-specific)
     "a22_combined_search" -> a22Sql,
-    "a23_keyset_paginate" -> a23Sql
+    "a23_keyset_paginate" -> a23Sql,
+    "a24_zcurve_cells"    -> a24Sql
   )
 }
