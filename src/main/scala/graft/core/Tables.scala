@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   * pruning always applies.
   */
 object Tables {
+  /** Resolved-plan cache: `spark.read.parquet` re-lists files and re-reads
+    * the footer schema on every call — a fixed per-query tax that dominates
+    * small benchmarks and is pure waste at any scale (a production catalog
+    * caches its FileIndex the same way). Keyed per session so test/driver
+    * sessions don't share plans. Caches the PLAN, not data — no .cache().
+    */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    planCache.computeIfAbsent(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -62,10 +62,13 @@ object Dedup {
   private val h2Mod = 576460752303423488L // 2^59
 
   def c2DedupMinhash(s: SparkSession, d: String): DataFrame = {
+    // ONE md5 per shingle; h1/h2 are disjoint 15-hex-digit halves of the
+    // digest (md5 halves are independent enough for banding).
     val sh = grams(s, d).select(col("doc_id"), explode(col("g")).as("s"))
+      .select(col("doc_id"), expr("md5(concat('mh:', s))").as("hex"))
       .select(col("doc_id"),
-        expr(h64Spark("concat('mha:', s)")).as("h1"),
-        (expr(h64Spark("concat('mhb:', s)")) % h2Mod).as("h2"))
+        expr("CAST(conv(substr(hex, 1, 15), 16, 10) AS BIGINT)").as("h1"),
+        (expr("CAST(conv(substr(hex, 17, 15), 16, 10) AS BIGINT)") % h2Mod).as("h2"))
     val sig = sh.groupBy(col("doc_id"))
       .agg(min(col("h1") + lit(0L) * col("h2")).as("m0"),
         (1 until nLanes).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j")): _*)
@@ -74,10 +77,17 @@ object Dedup {
     }
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    bands.alias("x").join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // one pass, no self-join: bucket members → in-bucket pair expansion.
+    // (A bands⋈bands self-join would recompute the whole signature
+    // pipeline for each side — Spark plans no ReusedExchange here.)
+    val buckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+    buckets.select(explode(expr(
+        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
+          "transform(slice(ds, i + 1, size(ds) - i), y -> " +
+          "struct(element_at(ds, i) AS d1, y AS d2))))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
       .orderBy(col("d1"), col("d2"))
   }
@@ -89,9 +99,10 @@ object Dedup {
       .map(b => s"WHEN b = $b THEN CAST(m${2 * b} AS VARCHAR)||'_'||CAST(m${2 * b + 1} AS VARCHAR)")
       .mkString(" ")
     s"""WITH g AS ($gramsDuck),
-       |sh AS (SELECT doc_id, ${h64Duck("'mha:'||s")} AS h1,
-       |         ${h64Duck("'mhb:'||s")} % $h2Mod AS h2
-       |       FROM (SELECT doc_id, unnest(g) AS s FROM g)),
+       |sh AS (SELECT doc_id, ('0x'||substr(hex,1,15))::BIGINT AS h1,
+       |         ('0x'||substr(hex,17,15))::BIGINT % $h2Mod AS h2
+       |       FROM (SELECT doc_id, md5('mh:'||s) AS hex
+       |             FROM (SELECT doc_id, unnest(g) AS s FROM g))),
        |sig AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, b, CASE $bandCase END AS bkey
        |  FROM sig, range($nBands) t(b))
@@ -138,11 +149,16 @@ object Dedup {
     val bandKeys = (0 until 4).map(b => expr(s"shiftright(sh, ${8 * b}) & 255"))
     val bands = sim.select(col("doc_id"), col("sh"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    bands.alias("x").join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        expr("bit_count(x.sh ^ y.sh)").as("hamming"))
+    // same one-pass bucket-expansion shape as C2 (no self-join recompute)
+    val buckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sh")))).as("ds"))
+      .where(size(col("ds")) >= 2)
+    buckets.select(explode(expr(
+        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
+          "transform(slice(ds, i + 1, size(ds) - i), y -> " +
+          "struct(element_at(ds, i).doc_id AS d1, y.doc_id AS d2, " +
+          "bit_count(element_at(ds, i).sh ^ y.sh) AS hamming))))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming").as("hamming"))
       .where(col("hamming") <= hamMax)
       .distinct()
       .orderBy(col("d1"), col("d2"))
@@ -169,16 +185,26 @@ object Dedup {
   private val jacMin = 0.6
 
   def c4DedupJaccard(s: SparkSession, d: String): DataFrame = {
-    val g = grams(s, d).select(col("doc_id"),
-      explode(expr("array_distinct(g)")).as("gram"))
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = g.alias("x").join(g.alias("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // posting list per gram → in-bucket pair expansion → count = |A∩B|.
+    // One pass over the corpus (a gram⋈gram self-join would recompute the
+    // explode for both sides); set sizes come from a separate single-pass
+    // projection, broadcast into the final join.
+    val posting = grams(s, d)
+      .select(col("doc_id"), explode(expr("array_distinct(g)")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+    val inter = posting.select(explode(expr(
+        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
+          "transform(slice(ds, i + 1, size(ds) - i), y -> " +
+          "struct(element_at(ds, i) AS d1, y AS d2))))")).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
+    val sizes = grams(s, d)
+      .select(col("doc_id"), expr("size(array_distinct(g))").as("sz"))
     inter
-      .join(sizes.alias("sa"), col("d1") === col("sa.doc_id"))
-      .join(sizes.alias("sb"), col("d2") === col("sb.doc_id"))
+      .join(broadcast(sizes.alias("sa")), col("d1") === col("sa.doc_id"))
+      .join(broadcast(sizes.alias("sb")), col("d2") === col("sb.doc_id"))
       .select(col("d1"), col("d2"),
         expr("CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)").as("jac"))
       .where(col("jac") >= jacMin)
