@@ -13,4 +13,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder into a live session's registry (the
+    * same registration `SparkSessionExtensions.injectFunction` performs at
+    * session build time — this variant works on an existing session).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      "graft", name)
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+  }
 }
