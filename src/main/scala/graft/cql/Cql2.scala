@@ -46,6 +46,10 @@ object Cql {
   final case class In(l: Operand, vs: Seq[Operand]) extends Cql
   final case class Between(l: Operand, lo: Operand, hi: Operand) extends Cql
   final case class IsNull(l: Operand) extends Cql
+  /** CQL2 temporal ops (extension beyond the reference's surface):
+    * op ∈ t_before, t_after, t_during.
+    */
+  final case class Temporal(op: String, l: Operand, lo: Ts, hi: Option[Ts]) extends Cql
 
   // -------------------------------------------------------- Column back-end
   private def opCol(o: Operand): Column = o match {
@@ -77,6 +81,12 @@ object Cql {
     case In(l, vs)         => opCol(l).isInCollection(vs.map(opCol))
     case Between(l, lo, hi) => opCol(l).between(opCol(lo), opCol(hi))
     case IsNull(l)         => opCol(l).isNull
+    case Temporal("t_before", l, t, _) => opCol(l) < opCol(t)
+    case Temporal("t_after", l, t, _)  => opCol(l) > opCol(t)
+    case Temporal("t_during", l, lo, Some(hi)) =>
+      opCol(l) >= opCol(lo) && opCol(l) <= opCol(hi)
+    case Temporal(op, _, _, _) =>
+      throw new IllegalArgumentException(s"bad temporal op: $op")
   }
 
   // ----------------------------------------------------------- SQL back-end
@@ -102,6 +112,12 @@ object Cql {
     case In(l, vs)     => s"${opSql(l)} IN (${vs.map(opSql).mkString(", ")})"
     case Between(l, lo, hi) => s"${opSql(l)} BETWEEN ${opSql(lo)} AND ${opSql(hi)}"
     case IsNull(l)     => s"${opSql(l)} IS NULL"
+    case Temporal("t_before", l, t, _) => s"${opSql(l)} < ${opSql(t)}"
+    case Temporal("t_after", l, t, _)  => s"${opSql(l)} > ${opSql(t)}"
+    case Temporal("t_during", l, lo, Some(hi)) =>
+      s"(${opSql(l)} >= ${opSql(lo)} AND ${opSql(l)} <= ${opSql(hi)})"
+    case Temporal(op, _, _, _) =>
+      throw new IllegalArgumentException(s"bad temporal op: $op")
   }
 
   // ----------------------------------------------------------- JSON parser
@@ -139,6 +155,11 @@ object Cql {
       case "between" =>
         Between(parseOperand(v.get(0)), parseOperand(v.get(1)), parseOperand(v.get(2)))
       case "isNull" => IsNull(parseOperand(if (v.isArray) v.get(0) else v))
+      case op @ ("t_before" | "t_after") =>
+        Temporal(op, parseOperand(v.get(0)), Ts(v.get(1).asText()), None)
+      case "t_during" =>
+        Temporal("t_during", parseOperand(v.get(0)),
+          Ts(v.get(1).get(0).asText()), Some(Ts(v.get(1).get(1).asText())))
       case other => throw new IllegalArgumentException(s"unsupported cql2 op: $other")
     }
   }

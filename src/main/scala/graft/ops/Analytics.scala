@@ -271,6 +271,29 @@ object Analytics {
       |    UNION ALL
       |    SELECT s_nationkey AS nationkey FROM supplier))""".stripMargin
 
+  // ------------------------------------------------------------------ B13
+  /** Skew-safe two-phase aggregation: pre-aggregate on (key, salt) — the
+    * hot key's rows spread over 16 reducers — then merge partials by key.
+    * Decimal partials make the two-phase sum EXACTLY equal to the direct
+    * aggregate, which is what the oracle computes: result equality proves
+    * the salting rewrite is semantics-preserving.
+    */
+  def b13SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,2)")).as("pv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("pv")).cast("double").as("total_value"))
+      .orderBy(col("user_id"))
+
+  val b13SaltedAggSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_pushdown_scan"   -> (b1PushdownScan _),
@@ -284,7 +307,8 @@ object Analytics {
     "b9_semi_anti"       -> (b9SemiAnti _),
     "b10_rollup"         -> (b10Rollup _),
     "b11_conditional_agg" -> (b11ConditionalAgg _),
-    "b12_union"          -> (b12Union _)
+    "b12_union"          -> (b12Union _),
+    "b13_salted_agg"     -> (b13SaltedAgg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -299,6 +323,7 @@ object Analytics {
     "b9_semi_anti"       -> b9SemiAntiSql,
     "b10_rollup"         -> b10RollupSql,
     "b11_conditional_agg" -> b11ConditionalAggSql,
-    "b12_union"          -> b12UnionSql
+    "b12_union"          -> b12UnionSql,
+    "b13_salted_agg"     -> b13SaltedAggSql
   )
 }

@@ -248,6 +248,15 @@ object StacSearch {
       |  {"=":[{"property":"user_id"},3]}
       |]}""".stripMargin)
 
+  /** CQL2 temporal extension (beyond the reference's operator list). */
+  private val (a27Fn, a27Sql) = cqlQuery(
+    """{"or":[
+      |  {"t_before":[{"property":"datetime"},"2024-01-03 00:00:00"]},
+      |  {"t_during":[{"property":"start_datetime"},["2024-01-10 00:00:00","2024-01-12 00:00:00"]]},
+      |  {"and":[{"t_after":[{"property":"datetime"},"2024-01-29 00:00:00"]},
+      |          {">":[{"property":"value"},200.5]}]}
+      |]}""".stripMargin)
+
   // -------------------------------------------------- A16..A19 shape ops
   /** Multi-field sort, always id ASC tiebreak (database_logic.py:661-696).
     * LIMITed, so planned as TakeOrderedAndProject — per-partition top-k +
@@ -403,6 +412,28 @@ object StacSearch {
   /** Oracle: the plain bbox query — proves the z-cover is a correct superset. */
   val a24Sql: String = a8Sql
 
+  // ---------------------------------------------- A26 collections summary
+  /** The reference's /collections endpoint serves static metadata files
+    * (database_logic.py:58-138). Spark-first: the collection directory is
+    * DERIVED — per-collection counts plus temporal and spatial extents in
+    * one aggregation pass (at scale: one map-side-combined shuffle over
+    * the partition column, or free from partition-level stats).
+    */
+  def a26Collections(s: SparkSession, d: String): DataFrame =
+    items(s, d).groupBy(col("collection"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("datetime")).as("t_min"), max(col("datetime")).as("t_max"),
+        min(col("lon")).as("west"), max(col("lon")).as("east"),
+        min(col("lat")).as("south"), max(col("lat")).as("north"))
+      .orderBy(col("collection"))
+
+  val a26Sql: String = Tables.withItems(
+    """SELECT collection, COUNT(*) AS n_items,
+      |  min(datetime) AS t_min, max(datetime) AS t_max,
+      |  min(lon) AS west, max(lon) AS east,
+      |  min(lat) AS south, max(lat) AS north
+      |FROM items GROUP BY collection ORDER BY collection""".stripMargin)
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_scan_collection"  -> (a1ScanCollection _),
@@ -426,7 +457,9 @@ object StacSearch {
     "a20_serialize"       -> (a20Serialize _),
     "a22_combined_search" -> (a22CombinedSearch _),
     "a23_keyset_paginate" -> (a23KeysetPaginate _),
-    "a24_zcurve_cells"    -> (a24ZcurveCells _)
+    "a24_zcurve_cells"    -> (a24ZcurveCells _),
+    "a26_collections"     -> (a26Collections _),
+    "a27_cql2_temporal"   -> a27Fn
   )
 
   val oracle: Map[String, String] = Map(
@@ -451,6 +484,8 @@ object StacSearch {
     // a20_serialize: rows-only (JSON text is engine-specific)
     "a22_combined_search" -> a22Sql,
     "a23_keyset_paginate" -> a23Sql,
-    "a24_zcurve_cells"    -> a24Sql
+    "a24_zcurve_cells"    -> a24Sql,
+    "a26_collections"     -> a26Sql,
+    "a27_cql2_temporal"   -> a27Sql
   )
 }
