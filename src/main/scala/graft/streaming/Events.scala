@@ -157,6 +157,22 @@ object Events {
   def dedupStream(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** File-source stream over an events parquet directory: the real
+    * `readStream` entry point. Same TIMESTAMP(NANOS) workaround as the
+    * batch loader (Spark 4 rejects nanos parquet): read ts as raw nanos
+    * via an explicit long schema + `nanosAsLong`, floor to micros.
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_event_window" -> (d1EventWindow _),

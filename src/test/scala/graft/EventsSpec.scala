@@ -51,6 +51,34 @@ class EventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream (readStream.parquet) ≡ batch windowed agg") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    try {
+      // stage the fixture as a streaming source directory
+      val src = new java.io.File(s"$sf/events.parquet")
+      val dst = new java.io.File(s"$tmp/events_0.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+
+      val batchExpected = Events.windowAggTransform(Tables.events(s, sf))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+
+      val q = Events.windowAggStream(Events.eventsStream(s, tmp))
+        .writeStream.format("memory").queryName("d1_file_stream")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val got = s.table("d1_file_stream")
+          .select(col("window_start"), col("event_type"), col("n_events"), col("total_value"))
+          .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        assert(got == batchExpected)
+      } finally q.stop()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import s.implicits._
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")

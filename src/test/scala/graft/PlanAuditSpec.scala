@@ -55,7 +55,17 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("a1: collection equality pushes to the scan") {
     val p = plan(StacSearch.queries("a1_scan_collection")(s, sf))
-    assert(p.contains("EqualTo(event_type,click)") || p.contains("event_type"), p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+  }
+
+  test("a22 flagship: collections + CQL2 filters reach the parquet scan; " +
+      "sort+page is TakeOrderedAndProject; props column pruned") {
+    val p = plan(StacSearch.queries("a22_combined_search")(s, sf))
+    assert(p.contains("In(event_type, [click,purchase,view])"), p)
+    assert(p.contains("GreaterThanOrEqual(value,20.5)"), p)
+    assert(p.contains("LessThanOrEqual(value,400.5)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.split('\n').exists(l => l.contains("ReadSchema") && !l.contains("props")), p)
   }
 
   test("b8: approx_count_distinct (HLL) within 5% of exact") {
