@@ -131,14 +131,59 @@ object Similarity {
        |SELECT q_id, vec_id AS n_id, rk, cos_sim FROM ranked
        |WHERE rk <= $kLsh ORDER BY q_id, rk""".stripMargin
 
+  // ------------------------------------------- C13 multi-probe LSH ANN
+  /** Multi-probe LSH: each query searches its own bucket PLUS every bucket
+    * at hamming distance 1 in sign-space (flip one hyperplane) — the
+    * standard recall recovery that costs probe-count on the tiny query
+    * side and nothing on the corpus layout. A neighbor lives in exactly
+    * one bucket, so probes never duplicate candidates.
+    */
+  def c13AnnMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+    val probeCols = col("bucket") +:
+      (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("nv").as("qnv"),
+        explode(array(probeCols: _*)).as("bucket"))
+    val corpus = e.where(col("vec_id") >= nQueries)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(broadcast(q), "bucket")
+      .select(col("q_id"), col("vec_id"),
+        DotProduct(col("qnv"), col("nv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= kLsh)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val c13Sql: String = {
+    val probes = ("bucket" +: (0 until nPlanes).map(j => s"xor(bucket, ${1 << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH $preparedDuck,
+       |q AS (SELECT vec_id AS q_id, nv AS qnv, unnest($probes) AS bucket
+       |      FROM prep WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q_id, prep.vec_id AS vec_id, ${nvDotDuck("qnv", "nv")} AS cos_sim
+       |  FROM prep JOIN q USING (bucket) WHERE prep.vec_id >= $nQueries),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id AS n_id, rk, cos_sim FROM ranked
+       |WHERE rk <= $kLsh ORDER BY q_id, rk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c6_ann_bruteforce" -> (c6AnnBruteforce _),
-    "c7_ann_lsh"        -> (c7AnnLsh _)
+    "c6_ann_bruteforce"  -> (c6AnnBruteforce _),
+    "c7_ann_lsh"         -> (c7AnnLsh _),
+    "c13_ann_multiprobe" -> (c13AnnMultiprobe _)
   )
 
   val oracle: Map[String, String] = Map(
-    "c6_ann_bruteforce" -> c6Sql,
-    "c7_ann_lsh"        -> c7Sql
+    "c6_ann_bruteforce"  -> c6Sql,
+    "c7_ann_lsh"         -> c7Sql,
+    "c13_ann_multiprobe" -> c13Sql
   )
 }

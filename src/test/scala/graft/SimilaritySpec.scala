@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Approximation-quality measurement: LSH results are judged against the
+  * brute-force ground truth, and multi-probe must dominate single-probe.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def topsets(name: String, k: Int): Map[Long, Set[Long]] =
+    Similarity.queries(name)(s, sf).collect()
+      .filter(_.getInt(2) <= k)
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  test("multi-probe LSH recall@5 ≥ single-probe recall@5 against brute force") {
+    val truth = topsets("c6_ann_bruteforce", 5)
+    def recall(name: String): Double = {
+      val got = topsets(name, 5)
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val single = recall("c7_ann_lsh")
+    val multi = recall("c13_ann_multiprobe")
+    info(f"recall@5 single-probe=$single%.3f multi-probe=$multi%.3f")
+    assert(multi >= single, s"multi=$multi < single=$single")
+    assert(multi > 0.0)
+  }
+
+  test("every ANN result is ranked by descending similarity") {
+    Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe").foreach { name =>
+      Similarity.queries(name)(s, sf).collect()
+        .groupBy(_.getLong(0)).foreach { case (_, rows) =>
+          val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+          assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b })
+        }
+    }
+  }
+}
