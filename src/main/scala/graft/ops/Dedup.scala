@@ -189,9 +189,12 @@ object Dedup {
     // One pass over the corpus (a gram⋈gram self-join would recompute the
     // explode for both sides); set sizes come from a separate single-pass
     // projection, broadcast into the final join.
+    // shuffle 60-bit gram hashes, not strings (hash collisions would be
+    // identical in the oracle, which buckets by the same md5 lanes)
     val posting = grams(s, d)
       .select(col("doc_id"), explode(expr("array_distinct(g)")).as("gram"))
-      .groupBy(col("gram"))
+      .select(col("doc_id"), expr(h64Spark("concat('jg:', gram)")).as("gh"))
+      .groupBy(col("gh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) >= 2)
     val inter = posting.select(explode(expr(
@@ -213,11 +216,12 @@ object Dedup {
 
   val c4Sql: String =
     s"""WITH g AS ($gramsDuck),
-       |gr AS (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g),
+       |gr AS (SELECT doc_id, ${h64Duck("'jg:'||gram")} AS gh
+       |       FROM (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g)),
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM gr GROUP BY doc_id),
        |inter AS (
        |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
-       |  FROM gr x JOIN gr y ON x.gram = y.gram AND x.doc_id < y.doc_id
+       |  FROM gr x JOIN gr y ON x.gh = y.gh AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2, jac FROM (
        |  SELECT d1, d2,
