@@ -50,6 +50,12 @@ object Cql {
     * op ∈ t_before, t_after, t_during.
     */
   final case class Temporal(op: String, l: Operand, lo: Ts, hi: Option[Ts]) extends Cql
+  /** CQL2 s_intersects against the item point geometry (extension): the
+    * ring is the polygon's outer ring, open (no repeated closing vertex).
+    * Compiles to envelope-prune + codegen'd ray cast; SQL renders the
+    * convex half-plane form (gate polygons are convex CCW).
+    */
+  final case class SIntersects(ring: Array[Double]) extends Cql
 
   // -------------------------------------------------------- Column back-end
   private def opCol(o: Operand): Column = o match {
@@ -87,6 +93,8 @@ object Cql {
       opCol(l) >= opCol(lo) && opCol(l) <= opCol(hi)
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
+    case SIntersects(ring) =>
+      graft.spatial.Geo.intersectsPolygon(col("lon"), col("lat"), ring)
   }
 
   // ----------------------------------------------------------- SQL back-end
@@ -118,6 +126,8 @@ object Cql {
       s"(${opSql(l)} >= ${opSql(lo)} AND ${opSql(l)} <= ${opSql(hi)})"
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
+    case SIntersects(ring) =>
+      graft.spatial.Geo.convexIntersectsSql("lon", "lat", ring)
   }
 
   // ----------------------------------------------------------- JSON parser
@@ -160,6 +170,16 @@ object Cql {
       case "t_during" =>
         Temporal("t_during", parseOperand(v.get(0)),
           Ts(v.get(1).get(0).asText()), Some(Ts(v.get(1).get(1).asText())))
+      case "s_intersects" =>
+        // args: [{"property":"geometry"}, {"type":"Polygon","coordinates":[ring,...]}]
+        val geom = v.get(1)
+        require(geom.get("type").asText() == "Polygon", "only Polygon supported")
+        val ringNode = geom.get("coordinates").get(0)
+        val pts = ringNode.elements().asScala
+          .map(p => (p.get(0).asDouble(), p.get(1).asDouble())).toSeq
+        // GeoJSON rings repeat the first vertex last — drop the closure
+        val open = if (pts.length > 1 && pts.head == pts.last) pts.init else pts
+        SIntersects(open.flatMap(p => Seq(p._1, p._2)).toArray)
       case other => throw new IllegalArgumentException(s"unsupported cql2 op: $other")
     }
   }

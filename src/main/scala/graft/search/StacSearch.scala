@@ -248,6 +248,18 @@ object StacSearch {
       |  {"=":[{"property":"user_id"},3]}
       |]}""".stripMargin)
 
+  /** CQL2 spatial extension: s_intersects with a GeoJSON Polygon inside
+    * the filter tree (the reference handles intersects only as a separate
+    * top-level search parameter). Convex CCW ring, closed GeoJSON-style.
+    */
+  private val (a28Fn, a28Sql) = cqlQuery(
+    """{"and":[
+      |  {"s_intersects":[{"property":"geometry"},
+      |    {"type":"Polygon","coordinates":[[[70.137,0.223],[30.139,48.177],
+      |     [-25.861,30.177],[-25.861,-28.731],[30.139,-46.731],[70.137,0.223]]]}]},
+      |  {">":[{"property":"value"},40.5]}
+      |]}""".stripMargin)
+
   /** CQL2 temporal extension (beyond the reference's operator list). */
   private val (a27Fn, a27Sql) = cqlQuery(
     """{"or":[
@@ -459,7 +471,8 @@ object StacSearch {
     "a23_keyset_paginate" -> (a23KeysetPaginate _),
     "a24_zcurve_cells"    -> (a24ZcurveCells _),
     "a26_collections"     -> (a26Collections _),
-    "a27_cql2_temporal"   -> a27Fn
+    "a27_cql2_temporal"   -> a27Fn,
+    "a28_cql2_spatial"    -> a28Fn
   )
 
   val oracle: Map[String, String] = Map(
@@ -486,6 +499,7 @@ object StacSearch {
     "a23_keyset_paginate" -> a23Sql,
     "a24_zcurve_cells"    -> a24Sql,
     "a26_collections"     -> a26Sql,
-    "a27_cql2_temporal"   -> a27Sql
+    "a27_cql2_temporal"   -> a27Sql,
+    "a28_cql2_spatial"    -> a28Sql
   )
 }
