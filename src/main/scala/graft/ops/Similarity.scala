@@ -174,16 +174,107 @@ object Similarity {
        |WHERE rk <= $kLsh ORDER BY q_id, rk""".stripMargin
   }
 
+  // ------------------------------------------------- C14 IVF-flat ANN
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    * of [[nCentroids]] seed centroids (vectors 100..115 of the corpus —
+    * deterministic, no k-means iterations so both engines agree exactly);
+    * a query probes its [[nProbe]] nearest centroid lists and ranks only
+    * those. At scale the centroid id is the partition key: each query
+    * touches nProbe/nCentroids of the corpus.
+    */
+  private val nCentroids = 16
+  private val centroidBase = 100 // vec_ids [100, 116) serve as seeds
+  private val nProbe = 2
+  private val kIvf = 5
+
+  /** (vec_id, nv, cent) — every vector tagged with its nearest seed. */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+    val seeds = e.where(col("vec_id") >= centroidBase &&
+        col("vec_id") < centroidBase + nCentroids)
+      .select(col("vec_id").as("sid"), col("nv").as("sv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("sid"))
+    e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("nv"), col("sid"),
+        DotProduct(col("nv"), col("sv")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("nv"), col("sid").as("cent"))
+  }
+
+  private val ivfAssignedDuck: String =
+    s"""seeds AS (SELECT vec_id AS sid, nv AS sv FROM prep
+       |          WHERE vec_id >= $centroidBase AND vec_id < ${centroidBase + nCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, nv, sid AS cent FROM (
+       |    SELECT prep.vec_id AS vec_id, nv, sid,
+       |      ROW_NUMBER() OVER (PARTITION BY prep.vec_id
+       |        ORDER BY ${nvDotDuck("nv", "sv")} DESC, sid) AS rk
+       |    FROM prep CROSS JOIN seeds)
+       |  WHERE rk = 1)""".stripMargin
+
+  def c14AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssigned(s, d)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("cent"))
+    // per-query probe list: its nProbe nearest centroids
+    val e = prepared(s, d)
+    val seeds = e.where(col("vec_id") >= centroidBase &&
+        col("vec_id") < centroidBase + nCentroids)
+      .select(col("vec_id").as("cent"), col("nv").as("sv"))
+    val probes = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("nv").as("qnv"))
+      .crossJoin(broadcast(seeds))
+      .select(col("q_id"), col("qnv"), col("cent"),
+        DotProduct(col("qnv"), col("sv")).as("qsim"))
+      .withColumn("prk", row_number().over(wq))
+      .where(col("prk") <= nProbe)
+      .select(col("q_id"), col("qnv"), col("cent"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.where(col("vec_id") >= nQueries)
+      .join(broadcast(probes), "cent")
+      .select(col("q_id"), col("vec_id"),
+        DotProduct(col("qnv"), col("nv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= kIvf)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val c14Sql: String =
+    s"""WITH $preparedDuck,
+       |$ivfAssignedDuck,
+       |probes AS (
+       |  SELECT q_id, qnv, cent FROM (
+       |    SELECT prep.vec_id AS q_id, nv AS qnv, sid AS cent,
+       |      ROW_NUMBER() OVER (PARTITION BY prep.vec_id
+       |        ORDER BY ${nvDotDuck("nv", "sv")} DESC, sid) AS prk
+       |    FROM prep CROSS JOIN seeds WHERE prep.vec_id < $nQueries)
+       |  WHERE prk <= $nProbe),
+       |scored AS (
+       |  SELECT q_id, assigned.vec_id AS vec_id, ${nvDotDuck("qnv", "nv")} AS cos_sim
+       |  FROM assigned JOIN probes USING (cent) WHERE assigned.vec_id >= $nQueries),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id AS n_id, rk, cos_sim FROM ranked
+       |WHERE rk <= $kIvf ORDER BY q_id, rk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c6_ann_bruteforce"  -> (c6AnnBruteforce _),
     "c7_ann_lsh"         -> (c7AnnLsh _),
-    "c13_ann_multiprobe" -> (c13AnnMultiprobe _)
+    "c13_ann_multiprobe" -> (c13AnnMultiprobe _),
+    "c14_ann_ivf"        -> (c14AnnIvf _)
   )
 
   val oracle: Map[String, String] = Map(
     "c6_ann_bruteforce"  -> c6Sql,
     "c7_ann_lsh"         -> c7Sql,
-    "c13_ann_multiprobe" -> c13Sql
+    "c13_ann_multiprobe" -> c13Sql,
+    "c14_ann_ivf"        -> c14Sql
   )
 }

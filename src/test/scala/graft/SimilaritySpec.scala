@@ -28,13 +28,15 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val single = recall("c7_ann_lsh")
     val multi = recall("c13_ann_multiprobe")
-    info(f"recall@5 single-probe=$single%.3f multi-probe=$multi%.3f")
+    val ivf = recall("c14_ann_ivf")
+    info(f"recall@5 single-probe=$single%.3f multi-probe=$multi%.3f ivf(nprobe=2)=$ivf%.3f")
     assert(multi >= single, s"multi=$multi < single=$single")
     assert(multi > 0.0)
+    assert(ivf > 0.0)
   }
 
   test("every ANN result is ranked by descending similarity") {
-    Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe").foreach { name =>
+    Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf").foreach { name =>
       Similarity.queries(name)(s, sf).collect()
         .groupBy(_.getLong(0)).foreach { case (_, rows) =>
           val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
