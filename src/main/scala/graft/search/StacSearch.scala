@@ -424,6 +424,47 @@ object StacSearch {
   /** Oracle: the plain bbox query — proves the z-cover is a correct superset. */
   val a24Sql: String = a8Sql
 
+  // ------------------------------------------- A29 envelope geometries
+  /** Non-point geometries: each item carries a bounding envelope
+    * (xmin/ymin/xmax/ymax — here a deterministic box around the point;
+    * in production the envelope of the real polygon, stored as plain
+    * columns). A bbox search becomes INTERVAL OVERLAP — four range
+    * predicates that push down to parquet row-group stats exactly like
+    * the point case. The exact polygon test would run as a post-filter
+    * only on envelope survivors (the PointInPolygon pattern).
+    */
+  private def withEnvelope(df: DataFrame): DataFrame = {
+    val halfW = (col("user_id") % 10).cast("double") / 10.0 + 0.1
+    val halfH = (col("id") % 7).cast("double") / 10.0 + 0.1
+    df.withColumn("xmin", col("lon") - halfW)
+      .withColumn("xmax", col("lon") + halfW)
+      .withColumn("ymin", col("lat") - halfH)
+      .withColumn("ymax", col("lat") + halfH)
+  }
+
+  private val envelopeSqlCols =
+    """lon - (CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1) AS xmin,
+      |lon + (CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1) AS xmax,
+      |lat - (CAST(id % 7 AS DOUBLE) / 10.0 + 0.1) AS ymin,
+      |lat + (CAST(id % 7 AS DOUBLE) / 10.0 + 0.1) AS ymax""".stripMargin
+
+  def a29EnvelopeOverlap(s: SparkSession, d: String): DataFrame = {
+    val (w, so, e, n) = bbox
+    withEnvelope(items(s, d))
+      .where(col("xmin") <= e && col("xmax") >= w &&
+        col("ymin") <= n && col("ymax") >= so)
+      .select(col("id"), col("collection"), col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"))
+      .orderBy(col("id"))
+  }
+
+  val a29Sql: String = Tables.withItems(
+    s"""SELECT id, collection, xmin, ymin, xmax, ymax FROM (
+       |  SELECT id, collection, $envelopeSqlCols FROM items)
+       |WHERE xmin <= ${bbox._3} AND xmax >= ${bbox._1}
+       |  AND ymin <= ${bbox._4} AND ymax >= ${bbox._2}
+       |ORDER BY id""".stripMargin)
+
   // ---------------------------------------------- A26 collections summary
   /** The reference's /collections endpoint serves static metadata files
     * (database_logic.py:58-138). Spark-first: the collection directory is
@@ -472,7 +513,8 @@ object StacSearch {
     "a24_zcurve_cells"    -> (a24ZcurveCells _),
     "a26_collections"     -> (a26Collections _),
     "a27_cql2_temporal"   -> a27Fn,
-    "a28_cql2_spatial"    -> a28Fn
+    "a28_cql2_spatial"    -> a28Fn,
+    "a29_envelope_overlap" -> (a29EnvelopeOverlap _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -500,6 +542,7 @@ object StacSearch {
     "a24_zcurve_cells"    -> a24Sql,
     "a26_collections"     -> a26Sql,
     "a27_cql2_temporal"   -> a27Sql,
-    "a28_cql2_spatial"    -> a28Sql
+    "a28_cql2_spatial"    -> a28Sql,
+    "a29_envelope_overlap" -> a29Sql
   )
 }
