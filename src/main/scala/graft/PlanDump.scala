@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import java.nio.file.{Files, Paths}
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val picks = Seq(
+      "a22_combined_search" -> "Flagship search: every filter pushed, TakeOrderedAndProject page",
+      "a18_count" -> "numMatched: count over pruned columns only",
+      "b5_star_join" -> "Star join: all dimensions broadcast",
+      "c2_dedup_minhash" -> "MinHash LSH: explode-hash-partial-agg, bucket pair expansion",
+      "c6_ann_bruteforce" -> "Brute-force ANN: query set broadcast, corpus streams",
+      "d2_sessionize" -> "Sessionization: one shuffle reused by windows + groupBy")
+    val out = new StringBuilder
+    out ++= "# Physical plans (generated snapshot, sf0.01)\n\n"
+    out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"` (writes docs/PLANS.md).\n"
+    picks.foreach { case (name, caption) =>
+      val p = SparkEntry.queries(name)(s, d).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      out ++= s"\n## $name — $caption\n\n```\n$p```\n"
+    }
+    Files.writeString(Paths.get("docs/PLANS.md"), out.toString)
+    println("WROTE docs/PLANS.md " + out.length)
+    s.stop()
+  }
+}

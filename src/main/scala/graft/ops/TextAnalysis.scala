@@ -161,18 +161,43 @@ object TextAnalysis {
        |WHERE len(w) >= 3
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- C15 top n-grams
+  /** Corpus vocabulary: top-50 word trigrams by document frequency —
+    * explode distinct grams → count per gram (partial agg) → global top-k
+    * (TakeOrderedAndProject). The vocabulary-building primitive for
+    * tokenizer training / contamination checks.
+    */
+  def c15TopNgrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), explode(expr(s"array_distinct($trigramsSpark)")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(50)
+
+  val c15Sql: String =
+    s"""SELECT gram, COUNT(*) AS df FROM (
+       |  SELECT doc_id, unnest(list_distinct($trigramsDuck)) AS gram
+       |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= 3)
+       |GROUP BY gram ORDER BY df DESC, gram LIMIT 50""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c8_lang_id"      -> (c8LangId _),
     "c9_text_quality" -> (c9TextQuality _),
     "c10_token_count" -> (c10TokenCount _),
-    "c11_fingerprint" -> (c11Fingerprint _)
+    "c11_fingerprint" -> (c11Fingerprint _),
+    "c15_top_ngrams"  -> (c15TopNgrams _)
   )
 
   val oracle: Map[String, String] = Map(
     "c8_lang_id"      -> c8Sql,
     "c9_text_quality" -> c9Sql,
     "c10_token_count" -> c10Sql,
-    "c11_fingerprint" -> c11Sql
+    "c11_fingerprint" -> c11Sql,
+    "c15_top_ngrams"  -> c15Sql
   )
 }
