@@ -424,6 +424,64 @@ object StacSearch {
   /** Oracle: the plain bbox query — proves the z-cover is a correct superset. */
   val a24Sql: String = a8Sql
 
+  // ------------------------------------------------- A30 z-range scan
+  /** Finer Z-order pruning: at level 6 (64×64 grid) the bbox cover is
+    * hundreds of cells — instead of an IN-list, consecutive Morton codes
+    * merge into contiguous RANGES and the predicate becomes a small
+    * OR-of-BETWEENs, which parquet row-group stats can prune when data is
+    * written in Z order (ItemsLayout + sort by zcell). Oracle is again the
+    * plain bbox query: equality proves the range cover is a correct
+    * superset.
+    */
+  private val zrLevel = 6
+
+  private def interleaveL(level: Int)(ix: Int, iy: Int): Int =
+    (0 until level).map(k => (((ix >> k) & 1) << (2 * k + 1)) | (((iy >> k) & 1) << (2 * k))).sum
+
+  /** Merged contiguous z-ranges covering a bbox at `zrLevel`. */
+  private[search] def zRanges(w: Double, s: Double, e: Double, n: Double): Seq[(Int, Int)] = {
+    val size = 1 << zrLevel
+    def clamp(i: Int) = math.min(math.max(i, 0), size - 1)
+    val ix0 = clamp(math.floor((w + 180.0) / 360.0 * size).toInt)
+    val ix1 = clamp(math.floor((e + 180.0) / 360.0 * size).toInt)
+    val iy0 = clamp(math.floor((s + 90.0) / 180.0 * size).toInt)
+    val iy1 = clamp(math.floor((n + 90.0) / 180.0 * size).toInt)
+    val cells = (for (ix <- ix0 to ix1; iy <- iy0 to iy1)
+      yield interleaveL(zrLevel)(ix, iy)).sorted
+    // merge consecutive codes into ranges
+    cells.foldLeft(List.empty[(Int, Int)]) {
+      case ((a, b) :: rest, c) if c == b + 1 => (a, c) :: rest
+      case (acc, c) => (c, c) :: acc
+    }.reverse
+  }
+
+  private def zrCellExpr: String = {
+    val size = 1 << zrLevel
+    val ix = s"CAST(least(greatest(floor((lon + 180.0) / 360.0 * $size.0), 0.0), ${size - 1}.0) AS INT)"
+    val iy = s"CAST(least(greatest(floor((lat + 90.0) / 180.0 * $size.0), 0.0), ${size - 1}.0) AS INT)"
+    (0 until zrLevel).map(k =>
+      s"(shiftleft(shiftright($ix, $k) & 1, ${2 * k + 1}) + shiftleft(shiftright($iy, $k) & 1, ${2 * k}))")
+      .mkString(" + ")
+  }
+
+  def a30ZrangeScan(s: SparkSession, d: String): DataFrame = {
+    // the merged ranges drive pruning on a PHYSICAL z-sorted column (see
+    // zRanges + ItemsLayout); in this on-the-fly form the predicate is the
+    // expanded cell cover as an InSet — a single zcell occurrence, because
+    // Catalyst inlines the projected expression into every disjunct of an
+    // OR-of-BETWEENs (~60 copies, enough to break whole-stage codegen)
+    val cover = zRanges(bbox._1, bbox._2, bbox._3, bbox._4)
+      .flatMap { case (a, b) => a to b }
+    items(s, d)
+      .withColumn("zcell", expr(s"($zrCellExpr)"))
+      .where(col("zcell").isin(cover: _*))
+      .where(Geo.bboxContains(col("lon"), col("lat"), bbox._1, bbox._2, bbox._3, bbox._4))
+      .select(projCols: _*).orderBy(col("id"))
+  }
+
+  /** Oracle: plain bbox — proves the merged range cover is a superset. */
+  val a30Sql: String = a8Sql
+
   // ------------------------------------------- A29 envelope geometries
   /** Non-point geometries: each item carries a bounding envelope
     * (xmin/ymin/xmax/ymax — here a deterministic box around the point;
@@ -514,7 +572,8 @@ object StacSearch {
     "a26_collections"     -> (a26Collections _),
     "a27_cql2_temporal"   -> a27Fn,
     "a28_cql2_spatial"    -> a28Fn,
-    "a29_envelope_overlap" -> (a29EnvelopeOverlap _)
+    "a29_envelope_overlap" -> (a29EnvelopeOverlap _),
+    "a30_zrange_scan"     -> (a30ZrangeScan _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -543,6 +602,7 @@ object StacSearch {
     "a26_collections"     -> a26Sql,
     "a27_cql2_temporal"   -> a27Sql,
     "a28_cql2_spatial"    -> a28Sql,
-    "a29_envelope_overlap" -> a29Sql
+    "a29_envelope_overlap" -> a29Sql,
+    "a30_zrange_scan"     -> a30Sql
   )
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+import graft.search.StacSearch
+
+class DedupQualitySpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("every true near-dup pair (jaccard ≥ 0.6) appears in the MinHash candidates") {
+    // at jac ≈ 0.98 the per-pair miss probability of 4 bands × 2 lanes is
+    // ~2e-6 — a miss here means a banding bug, not bad luck
+    val truth = Dedup.queries("c4_dedup_jaccard")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = Dedup.queries("c2_dedup_minhash")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty || truth.isEmpty) // truth may be empty at tiny SF
+    assert(truth.subsetOf(candidates),
+      s"missed: ${truth.diff(candidates)}")
+  }
+
+  test("simhash pairs at hamming<=3 include the exact-duplicate-level pairs") {
+    val sim = Dedup.queries("c3_dedup_simhash")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.queries("c4_dedup_jaccard")(s, sf).collect()
+      .filter(_.getDouble(2) >= 0.9)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash at 32 bits / hamming 3 is coarser than jaccard — require
+    // substantial overlap rather than containment
+    if (truth.nonEmpty) {
+      val hit = truth.intersect(sim).size.toDouble / truth.size
+      info(f"simhash coverage of jac>=0.9 pairs: $hit%.2f")
+      assert(hit >= 0.5, s"coverage $hit")
+    }
+  }
+
+  test("z-range cover is consistent with the z-cell cover (both equal plain bbox)") {
+    val viaRanges = StacSearch.queries("a30_zrange_scan")(s, sf)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaCells = StacSearch.queries("a24_zcurve_cells")(s, sf)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val plain = StacSearch.queries("a8_bbox")(s, sf)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaRanges == plain && viaCells == plain)
+  }
+}
