@@ -96,6 +96,50 @@ object Events {
        |  FROM sessions GROUP BY user_id, sess)
        |ORDER BY user_id, session_start""".stripMargin
 
+  // ------------------------------------------- D4 stream-stream join
+  /** Follow-up events: pairs of events by the same user within 5 minutes
+    * (e.g. click → purchase attribution). Batch form is the oracle gate;
+    * the streaming form is the same TRANSFORM over two watermarked streams
+    * — the interval condition bounds join state on both sides.
+    */
+  private val followMinutes = 5
+
+  def intervalJoinTransform(e1: DataFrame, e2: DataFrame): DataFrame = {
+    val a = e1.select(col("user_id").as("u1"), col("ts").as("ts1"),
+      col("event_id").as("id1"))
+    val b = e2.select(col("user_id").as("u2"), col("ts").as("ts2"),
+      col("event_id").as("id2"))
+    a.join(b,
+      col("u1") === col("u2") &&
+        col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + expr(s"INTERVAL '$followMinutes' MINUTE") &&
+        col("id1") < col("id2"))
+      .select(col("u1").as("user_id"), col("id1"), col("id2"),
+        (unix_micros(col("ts2")) - unix_micros(col("ts1"))).as("gap_us"))
+  }
+
+  def d4IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    intervalJoinTransform(e, e).orderBy(col("user_id"), col("id1"), col("id2"))
+  }
+
+  val d4Sql: String =
+    s"""SELECT a.user_id AS user_id, a.event_id AS id1, b.event_id AS id2,
+       |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+       |FROM events a JOIN events b
+       |  ON a.user_id = b.user_id
+       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL $followMinutes MINUTE
+       | AND a.event_id < b.event_id
+       |ORDER BY user_id, id1, id2""".stripMargin
+
+  /** Streaming form: both sides watermarked; the ts bound lets Spark evict
+    * join state older than watermark + interval.
+    */
+  def intervalJoinStream(s1: DataFrame, s2: DataFrame): DataFrame =
+    intervalJoinTransform(
+      s1.withWatermark("ts", "10 minutes"),
+      s2.withWatermark("ts", "10 minutes"))
+
   // ------------------------- D2/D3 streaming state machinery (unit-tested)
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionState(start: Long, end: Long, n: Long)
@@ -175,12 +219,14 @@ object Events {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d1_event_window" -> (d1EventWindow _),
-    "d2_sessionize"   -> (d2Sessionize _)
+    "d1_event_window"  -> (d1EventWindow _),
+    "d2_sessionize"    -> (d2Sessionize _),
+    "d4_interval_join" -> (d4IntervalJoin _)
   )
 
   val oracle: Map[String, String] = Map(
-    "d1_event_window" -> d1Sql,
-    "d2_sessionize"   -> d2Sql
+    "d1_event_window"  -> d1Sql,
+    "d2_sessionize"    -> d2Sql,
+    "d4_interval_join" -> d4Sql
   )
 }

@@ -10,6 +10,7 @@ import graft.streaming.Events
 // top-level so Spark can derive Encoders
 case class EvIn(ts: java.sql.Timestamp, event_type: String, value: Double)
 case class EvDup(event_id: Long, ts: java.sql.Timestamp, v: Double)
+case class EvJ(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
 
 class EventsSpec extends AnyFunSuite {
   private val s = TestSpark.spark
@@ -77,6 +78,32 @@ class EventsSpec extends AnyFunSuite {
     } finally {
       new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
+  }
+
+  test("stream-stream interval join ≡ batch on the same data") {
+    import s.implicits._
+    case class E3(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+    val input = Tables.events(s, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .collect().map(r => EvJ(r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+
+    val batchExpected = Events.queries("d4_interval_join")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val m1 = MemoryStream[EvJ](s)
+    val m2 = MemoryStream[EvJ](s)
+    val q = Events.intervalJoinStream(m1.toDF(), m2.toDF())
+      .writeStream.format("memory").queryName("d4_stream")
+      .outputMode("append").start()
+    try {
+      m1.addData(input.toIndexedSeq)
+      m2.addData(input.toIndexedSeq)
+      q.processAllAvailable()
+      val got = s.table("d4_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == batchExpected)
+      assert(got.nonEmpty)
+    } finally q.stop()
   }
 
   test("streaming dedup drops duplicate event_ids within the watermark") {
