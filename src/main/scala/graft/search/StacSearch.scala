@@ -523,6 +523,41 @@ object StacSearch {
        |  AND ymin <= ${bbox._4} AND ymax >= ${bbox._2}
        |ORDER BY id""".stripMargin)
 
+  // --------------------------------------------------- A31 facets
+  /** STAC Aggregation-extension-style faceting: per-collection and
+    * per-month counts of a filtered search in ONE pass — `cube` computes
+    * the marginals simultaneously (grouping_id selects them), so the
+    * corpus is scanned once however many facets are requested. Interval
+    * items (null datetime) land in a `__none__` month bucket.
+    */
+  def a31Facets(s: SparkSession, d: String): DataFrame = {
+    val f = items(s, d)
+      .where(Geo.bboxContains(col("lon"), col("lat"), bbox._1, bbox._2, bbox._3, bbox._4))
+      .withColumn("month_b", coalesce(
+        date_format(date_trunc("month", col("datetime")), "yyyy-MM"), lit("__none__")))
+    f.cube(col("collection"), col("month_b"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .where(col("gid").isin(1, 2)) // the two single-facet marginals
+      .select(
+        when(col("gid") === 1, lit("collection")).otherwise(lit("month")).as("facet"),
+        coalesce(col("collection"), col("month_b")).as("bucket"),
+        col("n"))
+      .orderBy(col("facet"), col("bucket"))
+  }
+
+  val a31Sql: String = Tables.withItems(
+    s"""SELECT facet, bucket, n FROM (
+       |  SELECT 'collection' AS facet, collection AS bucket, COUNT(*) AS n
+       |  FROM (SELECT collection FROM items
+       |        WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)})
+       |  GROUP BY collection
+       |  UNION ALL
+       |  SELECT 'month', coalesce(strftime(date_trunc('month', datetime), '%Y-%m'), '__none__'), COUNT(*)
+       |  FROM (SELECT datetime FROM items
+       |        WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)})
+       |  GROUP BY 2)
+       |ORDER BY facet, bucket""".stripMargin)
+
   // ---------------------------------------------- A26 collections summary
   /** The reference's /collections endpoint serves static metadata files
     * (database_logic.py:58-138). Spark-first: the collection directory is
@@ -573,7 +608,8 @@ object StacSearch {
     "a27_cql2_temporal"   -> a27Fn,
     "a28_cql2_spatial"    -> a28Fn,
     "a29_envelope_overlap" -> (a29EnvelopeOverlap _),
-    "a30_zrange_scan"     -> (a30ZrangeScan _)
+    "a30_zrange_scan"     -> (a30ZrangeScan _),
+    "a31_facets"          -> (a31Facets _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -603,6 +639,7 @@ object StacSearch {
     "a27_cql2_temporal"   -> a27Sql,
     "a28_cql2_spatial"    -> a28Sql,
     "a29_envelope_overlap" -> a29Sql,
-    "a30_zrange_scan"     -> a30Sql
+    "a30_zrange_scan"     -> a30Sql,
+    "a31_facets"          -> a31Sql
   )
 }
