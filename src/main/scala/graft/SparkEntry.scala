@@ -19,7 +19,7 @@ object SparkEntry {
     search.StacSearch.queries ++ ops.Analytics.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.Multimodal.queries ++
-      streaming.Events.queries
+      ops.Curation.queries ++ streaming.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +28,5 @@ object SparkEntry {
     search.StacSearch.oracle ++ ops.Analytics.oracle ++
       ops.TextAnalysis.oracle ++ ops.Dedup.oracle ++
       ops.Similarity.oracle ++ ops.Multimodal.oracle ++
-      streaming.Events.oracle
+      ops.Curation.oracle ++ streaming.Events.oracle
 }

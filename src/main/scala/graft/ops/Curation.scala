@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import TextExprs._
+
+/** C16: the capstone composition — a training-corpus curation pipeline
+  * chaining the C-series operators end to end:
+  *
+  *   1. quality gate: ≥ 20 words and ≥ 100 characters;
+  *   2. exact dedup: keep the smallest doc_id per content hash;
+  *   3. near-dup removal: for every MinHash-LSH candidate pair (same
+  *      banding as C2), drop the GREATER doc_id — a deterministic greedy
+  *      that keeps one representative per duplicate cluster seed.
+  *
+  * Output is the surviving corpus (doc_id + stats), verified against a
+  * DuckDB oracle that restates the identical chain. At scale each stage is
+  * the already-audited shape: projections, one content-hash shuffle, one
+  * banded-signature shuffle — no O(n²) anywhere.
+  */
+object Curation {
+
+  private val minWords = 20
+  private val minChars = 100
+
+  def c16CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .withColumn("n_words", expr("size(w)"))
+      .where(col("n_words") >= minWords && length(col("text")) >= minChars)
+
+    // exact dedup: smallest doc_id per content hash survives
+    val keepExact = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+    val surviving = docs.join(keepExact, "doc_id")
+
+    // near-dup candidates over the survivors (C2's banding, inlined so the
+    // pipeline is self-contained over its own filtered corpus)
+    val sh = surviving
+      .select(col("doc_id"), explode(expr(trigramsSpark)).as("s"))
+      .select(col("doc_id"), expr("md5(concat('mh:', s))").as("hex"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(hex, 1, 15), 16, 10) AS BIGINT)").as("h1"),
+        (expr("CAST(conv(substr(hex, 17, 15), 16, 10) AS BIGINT)") % 576460752303423488L).as("h2"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(min(col("h1") + lit(0L) * col("h2")).as("m0"),
+        (1 until 8).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j")): _*)
+    val bandKeys = (0 until 4).map { b =>
+      expr(s"concat(CAST(m${2 * b} AS STRING), '_', CAST(m${2 * b + 1} AS STRING))")
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val dropNear = bands.groupBy(col("band"), col("bkey"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(expr("slice(ds, 2, size(ds) - 1)")).as("doc_id"))
+      .distinct()
+
+    surviving.join(dropNear, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c16Sql: String = {
+    val lanes = (0 until 8).map(j => s"min(h1 + $j * h2) AS m$j").mkString(", ")
+    val bandCase = (0 until 4)
+      .map(b => s"WHEN b = $b THEN CAST(m${2 * b} AS VARCHAR)||'_'||CAST(m${2 * b + 1} AS VARCHAR)")
+      .mkString(" ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, text, len($wordsDuck) AS n_words
+       |  FROM documents
+       |  WHERE len($wordsDuck) >= $minWords AND length(text) >= $minChars),
+       |keep_exact AS (
+       |  SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
+       |surviving AS (SELECT docs.* FROM docs JOIN keep_exact USING (doc_id)),
+       |g AS (SELECT doc_id, $trigramsDuck AS g
+       |      FROM (SELECT doc_id, $wordsDuck AS w FROM surviving)),
+       |sh AS (SELECT doc_id, ('0x'||substr(hex,1,15))::BIGINT AS h1,
+       |         ('0x'||substr(hex,17,15))::BIGINT % 576460752303423488 AS h2
+       |       FROM (SELECT doc_id, md5('mh:'||s) AS hex
+       |             FROM (SELECT doc_id, unnest(g) AS s FROM g))),
+       |sig AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b, CASE $bandCase END AS bkey
+       |  FROM sig, range(4) t(b)),
+       |buckets AS (
+       |  SELECT band, bkey, list_sort(list(doc_id)) AS ds
+       |  FROM (SELECT DISTINCT b AS band, bkey, doc_id FROM bands) z
+       |  GROUP BY band, bkey HAVING len(ds) >= 2),
+       |drop_near AS (
+       |  SELECT DISTINCT unnest(ds[2:]) AS doc_id FROM buckets)
+       |SELECT doc_id, lang, n_words, length(text) AS n_chars
+       |FROM surviving
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_curation_pipeline" -> (c16CurationPipeline _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c16_curation_pipeline" -> c16Sql
+  )
+}
