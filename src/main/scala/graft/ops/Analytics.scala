@@ -294,6 +294,79 @@ object Analytics {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------ B15
+  /** Statistical aggregates (mean/variance/stddev/correlation) derived
+    * from EXACT decimal sums, with the floating-point math confined to a
+    * final projection: `stddev_samp`/`corr` built-ins accumulate doubles
+    * in partition order, which is not reproducible across engines or even
+    * runs — exact Σx, Σx², Σxy make the result order-independent and
+    * bit-identical to the oracle.
+    */
+  def b15Stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+        sum((col("l_quantity").cast("decimal(18,2)") *
+             col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)")).as("sqq"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+             col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,4)")).as("spp"),
+        sum((col("l_quantity").cast("decimal(18,2)") *
+             col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,4)")).as("sqp"))
+      .select(col("l_returnflag"), col("n"),
+        expr("CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_qty"),
+        expr("(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)").as("var_qty"),
+        expr("sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))").as("stddev_qty"),
+        expr("(CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+          "(sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          "sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)))").as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  val b15StatsSql: String =
+    """SELECT l_returnflag, n,
+      |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+      |  (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_qty,
+      |  sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS stddev_qty,
+      |  (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |    (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |     sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqq,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS spp,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqp
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------ B16
+  /** Exact quantiles (sort-based): median and p95 per group. Spark
+    * `percentile` ≡ DuckDB `quantile_cont` (linear interpolation at
+    * (n-1)·p) up to last-ulp differences in the interpolation formula —
+    * both sides round to 6 dp. The exact path complements B8's
+    * approximate sketch (approx_count_distinct); at 100 TB you'd use
+    * approx_percentile the same way, trading this exactness for a
+    * mergeable sketch.
+    */
+  def b16Quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
+      .orderBy(col("l_linestatus"))
+
+  val b16QuantilesSql: String =
+    """SELECT l_linestatus,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_pushdown_scan"   -> (b1PushdownScan _),
@@ -308,7 +381,9 @@ object Analytics {
     "b10_rollup"         -> (b10Rollup _),
     "b11_conditional_agg" -> (b11ConditionalAgg _),
     "b12_union"          -> (b12Union _),
-    "b13_salted_agg"     -> (b13SaltedAgg _)
+    "b13_salted_agg"     -> (b13SaltedAgg _),
+    "b15_stats"          -> (b15Stats _),
+    "b16_quantiles"      -> (b16Quantiles _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -324,6 +399,8 @@ object Analytics {
     "b10_rollup"         -> b10RollupSql,
     "b11_conditional_agg" -> b11ConditionalAggSql,
     "b12_union"          -> b12UnionSql,
-    "b13_salted_agg"     -> b13SaltedAggSql
+    "b13_salted_agg"     -> b13SaltedAggSql,
+    "b15_stats"          -> b15StatsSql,
+    "b16_quantiles"      -> b16QuantilesSql
   )
 }
