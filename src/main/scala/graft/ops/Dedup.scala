@@ -98,18 +98,31 @@ object Dedup {
     val bandCase = (0 until nBands)
       .map(b => s"WHEN b = $b THEN CAST(m${2 * b} AS VARCHAR)||'_'||CAST(m${2 * b + 1} AS VARCHAR)")
       .mkString(" ")
-    s"""WITH g AS ($gramsDuck),
+    s"""WITH ${c2PairsCtes}
+       |SELECT d1, d2 FROM c2pairs ORDER BY d1, d2""".stripMargin
+  }
+
+  /** C2's pipeline as an embeddable CTE chain ending in `c2pairs(d1, d2)`
+    * — shared by the c2 gate and C18's clustering oracle.
+    */
+  private[ops] lazy val c2PairsCtes: String = {
+    val lanes = (0 until nLanes)
+      .map(j => s"min(h1 + $j * h2) AS m$j").mkString(", ")
+    val bandCase = (0 until nBands)
+      .map(b => s"WHEN b = $b THEN CAST(m${2 * b} AS VARCHAR)||'_'||CAST(m${2 * b + 1} AS VARCHAR)")
+      .mkString(" ")
+    s"""g AS ($gramsDuck),
        |sh AS (SELECT doc_id, ('0x'||substr(hex,1,15))::BIGINT AS h1,
        |         ('0x'||substr(hex,17,15))::BIGINT % $h2Mod AS h2
        |       FROM (SELECT doc_id, md5('mh:'||s) AS hex
        |             FROM (SELECT doc_id, unnest(g) AS s FROM g))),
        |sig AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, b, CASE $bandCase END AS bkey
-       |  FROM sig, range($nBands) t(b))
-       |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-       |FROM bands x JOIN bands y
-       |  ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-       |ORDER BY d1, d2""".stripMargin
+       |  FROM sig, range($nBands) t(b)),
+       |c2pairs AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
   }
 
   // ------------------------------------------------------- C3 SimHash
@@ -260,13 +273,58 @@ object Dedup {
        |WHERE cos_sim >= $cosMin
        |ORDER BY v1, v2""".stripMargin
 
+  // --------------------------------------- C18 duplicate clusters (CC)
+  /** Connected components over the C2 candidate graph — the correct
+    * canonicalization when duplicates chain (A≈B≈C must collapse to ONE
+    * representative). Iterative min-label propagation run to FIXPOINT
+    * (driver loop, one join per round, O(diameter) rounds — the standard
+    * Spark CC shape). Oracle: recursive-CTE transitive closure + min over
+    * reachable set — the exact fixpoint, so bounded-iteration bugs can't
+    * hide.
+    */
+  def c18DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = c2DedupMinhash(s, d).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("cand"))
+      val next = labels.join(prop, col("node") === col("dst"), "left")
+        .select(col("node"), least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab"))
+        .persist()
+      changed = next.alias("n").join(labels.alias("o"), col("n.node") === col("o.node"))
+        .where(col("n.lab") < col("o.lab")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
+      .orderBy(col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
+  val c18Sql: String =
+    s"""WITH RECURSIVE $c2PairsCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM c2pairs
+       |          UNION SELECT d2, d1 FROM c2pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, min(dst) AS cluster
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c2_dedup_minhash"   -> (c2DedupMinhash _),
     "c3_dedup_simhash"   -> (c3DedupSimhash _),
     "c4_dedup_jaccard"   -> (c4DedupJaccard _),
-    "c5_dedup_embedding" -> (c5DedupEmbedding _)
+    "c5_dedup_embedding" -> (c5DedupEmbedding _),
+    "c18_dup_clusters"   -> (c18DupClusters _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -274,6 +332,7 @@ object Dedup {
     "c2_dedup_minhash"   -> c2Sql,
     "c3_dedup_simhash"   -> c3Sql,
     "c4_dedup_jaccard"   -> c4Sql,
-    "c5_dedup_embedding" -> c5Sql
+    "c5_dedup_embedding" -> c5Sql,
+    "c18_dup_clusters"   -> c18Sql
   )
 }

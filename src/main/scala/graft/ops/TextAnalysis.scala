@@ -184,13 +184,55 @@ object TextAnalysis {
        |  WHERE len(w) >= 3)
        |GROUP BY gram ORDER BY df DESC, gram LIMIT 50""".stripMargin
 
+  // ------------------------------------------- C17 keyword search (TF-IDF)
+  /** Relevance-ranked keyword search: score(doc) = Σ_term tf(term, doc) ·
+    * (N / df(term)) — tf-idf with a rational idf instead of log so every
+    * arithmetic step is a single correctly-rounded double op (libm `log`
+    * is allowed 1-ulp error and differs between engines). Terms are scored
+    * in fixed order; top-20 by (score, doc_id). The inverted-index shape:
+    * one pass for df (broadcastable — it's |terms| rows), one for tf.
+    */
+  private val searchTerms = Seq("spark", "window", "stream")
+
+  def c17KeywordSearch(s: SparkSession, d: String): DataFrame = {
+    val terms = searchTerms.zipWithIndex
+    val base = docs(s, d).withColumn("w", expr(wordsSpark))
+    val n = base.count() // corpus size: driver-side constant, like df below
+    // document frequency per term (tiny: |terms| rows → driver constants)
+    val dfs = terms.map { case (t, _) =>
+      t -> base.where(expr(s"array_contains(w, '$t')")).count()
+    }.toMap
+    val score = terms.map { case (t, _) =>
+      s"CAST(size(filter(w, x -> x = '$t')) AS DOUBLE) * (CAST($n AS DOUBLE) / CAST(${dfs(t)} AS DOUBLE))"
+    }.mkString(" + ")
+    base.select(col("doc_id"), expr(s"($score)").as("score"))
+      .where(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  val c17Sql: String = {
+    // the oracle recomputes N and df in SQL — same integers, same ops
+    val dfSub = searchTerms.map(t =>
+      s"(SELECT COUNT(*) FROM (SELECT $wordsDuck AS w FROM documents) WHERE list_contains(w, '$t'))")
+    val score = searchTerms.zip(dfSub).map { case (t, df) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) * " +
+        s"(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST($df AS DOUBLE))"
+    }.mkString(" + ")
+    s"""SELECT doc_id, score FROM (
+       |  SELECT doc_id, ($score) AS score
+       |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents))
+       |WHERE score > 0.0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c8_lang_id"      -> (c8LangId _),
     "c9_text_quality" -> (c9TextQuality _),
     "c10_token_count" -> (c10TokenCount _),
     "c11_fingerprint" -> (c11Fingerprint _),
-    "c15_top_ngrams"  -> (c15TopNgrams _)
+    "c15_top_ngrams"  -> (c15TopNgrams _),
+    "c17_keyword_search" -> (c17KeywordSearch _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,6 +240,7 @@ object TextAnalysis {
     "c9_text_quality" -> c9Sql,
     "c10_token_count" -> c10Sql,
     "c11_fingerprint" -> c11Sql,
-    "c15_top_ngrams"  -> c15Sql
+    "c15_top_ngrams"  -> c15Sql,
+    "c17_keyword_search" -> c17Sql
   )
 }
