@@ -367,6 +367,32 @@ object Analytics {
       |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ------------------------------------------------------------------ B17
+  /** Pivot (crosstab): order counts by status × priority. The Dataset
+    * `pivot` API with EXPLICIT pivot values — at scale, never let pivot
+    * infer values (that's an extra distinct scan); the oracle states the
+    * equivalent conditional aggregation.
+    */
+  private val pivotPriorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def b17Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", pivotPriorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(pivotPriorities.map(p => p -> s"n_${p.charAt(0)}").toMap)
+      .orderBy(col("o_orderstatus"))
+
+  val b17PivotSql: String = {
+    val cols = pivotPriorities.map(p =>
+      s"COUNT(*) FILTER (o_orderpriority = '$p') AS n_${p.charAt(0)}").mkString(",\n  ")
+    s"""SELECT o_orderstatus,
+       |  $cols
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_pushdown_scan"   -> (b1PushdownScan _),
@@ -383,7 +409,8 @@ object Analytics {
     "b12_union"          -> (b12Union _),
     "b13_salted_agg"     -> (b13SaltedAgg _),
     "b15_stats"          -> (b15Stats _),
-    "b16_quantiles"      -> (b16Quantiles _)
+    "b16_quantiles"      -> (b16Quantiles _),
+    "b17_pivot"          -> (b17Pivot _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -401,6 +428,7 @@ object Analytics {
     "b12_union"          -> b12UnionSql,
     "b13_salted_agg"     -> b13SaltedAggSql,
     "b15_stats"          -> b15StatsSql,
-    "b16_quantiles"      -> b16QuantilesSql
+    "b16_quantiles"      -> b16QuantilesSql,
+    "b17_pivot"          -> b17PivotSql
   )
 }

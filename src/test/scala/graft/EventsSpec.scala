@@ -106,6 +106,36 @@ class EventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment ≡ batch join") {
+    import s.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    val batchExpected = Tables.events(s, sf)
+      .join(broadcast(dim), "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum((col("value").cast("decimal(18,2)") * col("weight").cast("decimal(18,2)")))
+        .cast("double").as("weighted"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+
+    val input = Tables.events(s, sf)
+      .select(col("ts"), col("event_type"), col("value")).as[EvIn].collect()
+    val mem = MemoryStream[EvIn](s)
+    val q = mem.toDF()
+      .join(broadcast(dim), "event_type") // stream-static: no state, no watermark
+      .groupBy(col("event_type"))
+      .agg(sum((col("value").cast("decimal(18,2)") * col("weight").cast("decimal(18,2)")))
+        .cast("double").as("weighted"))
+      .writeStream.format("memory").queryName("d5_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(input.toIndexedSeq)
+      q.processAllAvailable()
+      val got = s.table("d5_stream")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(got == batchExpected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import s.implicits._
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
