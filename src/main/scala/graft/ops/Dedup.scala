@@ -284,20 +284,22 @@ object Dedup {
     */
   def c18DupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = c2DedupMinhash(s, d).select(col("d1"), col("d2"))
+    // localCheckpoint (not persist): each round's plan must start from the
+    // materialized result, or the nested lineage of N rounds blows up the
+    // planner (OOM at sf0.1 with ~10 rounds)
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).persist()
+      .withColumn("lab", col("node")).localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("lab")).as("cand"))
       val next = labels.join(prop, col("node") === col("dst"), "left")
         .select(col("node"), least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.alias("n").join(labels.alias("o"), col("n.node") === col("o.node"))
         .where(col("n.lab") < col("o.lab")).count()
-      labels.unpersist()
       labels = next
     }
     val out = labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
