@@ -35,6 +35,8 @@ object Cql {
   final case class Bool(v: Boolean) extends Operand
   /** Timestamp literal, `yyyy-MM-dd HH:mm:ss[.SSSSSS]` (UTC). */
   final case class Ts(v: String) extends Operand
+  /** CQL2 `casei` accessor: case-insensitive wrapper around an operand. */
+  final case class CaseI(x: Operand) extends Operand
 
   // ------------------------------------------------------------ operators
   final case class And(xs: Seq[Cql]) extends Cql
@@ -65,6 +67,7 @@ object Cql {
     case IntNum(v) => lit(v)
     case Bool(v)   => lit(v)
     case Ts(v)     => lit(v).cast("timestamp")
+    case CaseI(x)  => lower(opCol(x))
   }
 
   def toColumn(e: Cql): Column = e match {
@@ -108,6 +111,7 @@ object Cql {
     case IntNum(v) => v.toString
     case Bool(v)   => if (v) "TRUE" else "FALSE"
     case Ts(v)     => s"TIMESTAMP '$v'"
+    case CaseI(x)  => s"LOWER(${opSql(x)})"
   }
 
   def toSql(e: Cql): String = e match {
@@ -141,7 +145,8 @@ object Cql {
   }
 
   private def parseOperand(n: JsonNode): Operand =
-    if (n.isObject && n.has("property")) Prop(n.get("property").asText())
+    if (n.isObject && n.has("casei")) CaseI(parseOperand(n.get("casei")))
+    else if (n.isObject && n.has("property")) Prop(n.get("property").asText())
     else if (n.isTextual) Str(n.asText())
     else if (n.isBoolean) Bool(n.asBoolean())
     else if (n.isIntegralNumber) IntNum(n.asLong())

@@ -225,6 +225,37 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------- C19 decontamination
+  /** Benchmark decontamination: flag training documents whose min-trigram
+    * fingerprint collides with an eval-set fingerprint (stand-in eval set:
+    * docs with doc_id % 97 = 0). The eval fingerprint list is tiny →
+    * broadcast semi/anti-join; corpus-side cost is one fingerprint
+    * projection. Output: the CLEAN corpus (benchmark docs and collisions
+    * removed).
+    */
+  def c19Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val fps = docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"),
+        expr(s"array_min(transform($trigramsSpark, g -> ${h64Spark("g")}))").as("fp"))
+    val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
+    fps.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalFps), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c19Sql: String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, list_min(list_transform($trigramsDuck, g -> ${h64Duck("g")})) AS fp
+       |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= 3)
+       |SELECT doc_id, fp FROM fps
+       |WHERE doc_id % 97 <> 0
+       |  AND fp NOT IN (SELECT fp FROM fps WHERE doc_id % 97 = 0)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c8_lang_id"      -> (c8LangId _),
@@ -232,7 +263,8 @@ object TextAnalysis {
     "c10_token_count" -> (c10TokenCount _),
     "c11_fingerprint" -> (c11Fingerprint _),
     "c15_top_ngrams"  -> (c15TopNgrams _),
-    "c17_keyword_search" -> (c17KeywordSearch _)
+    "c17_keyword_search" -> (c17KeywordSearch _),
+    "c19_decontaminate"  -> (c19Decontaminate _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -241,6 +273,7 @@ object TextAnalysis {
     "c10_token_count" -> c10Sql,
     "c11_fingerprint" -> c11Sql,
     "c15_top_ngrams"  -> c15Sql,
-    "c17_keyword_search" -> c17Sql
+    "c17_keyword_search" -> c17Sql,
+    "c19_decontaminate"  -> c19Sql
   )
 }

@@ -260,6 +260,13 @@ object StacSearch {
       |  {">":[{"property":"value"},40.5]}
       |]}""".stripMargin)
 
+  /** CQL2 casei accessor (case-insensitive equality/IN, extension). */
+  private val (a32Fn, a32Sql) = cqlQuery(
+    """{"or":[
+      |  {"=":[{"casei":{"property":"collection"}},{"casei":"CLICK"}]},
+      |  {"in":[{"casei":{"property":"collection"}},[{"casei":"VIEW"},{"casei":"Signup"}]]}
+      |]}""".stripMargin)
+
   /** CQL2 temporal extension (beyond the reference's operator list). */
   private val (a27Fn, a27Sql) = cqlQuery(
     """{"or":[
@@ -609,7 +616,8 @@ object StacSearch {
     "a28_cql2_spatial"    -> a28Fn,
     "a29_envelope_overlap" -> (a29EnvelopeOverlap _),
     "a30_zrange_scan"     -> (a30ZrangeScan _),
-    "a31_facets"          -> (a31Facets _)
+    "a31_facets"          -> (a31Facets _),
+    "a32_cql2_casei"      -> a32Fn
   )
 
   val oracle: Map[String, String] = Map(
@@ -640,6 +648,7 @@ object StacSearch {
     "a28_cql2_spatial"    -> a28Sql,
     "a29_envelope_overlap" -> a29Sql,
     "a30_zrange_scan"     -> a30Sql,
-    "a31_facets"          -> a31Sql
+    "a31_facets"          -> a31Sql,
+    "a32_cql2_casei"      -> a32Sql
   )
 }
