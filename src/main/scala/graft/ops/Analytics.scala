@@ -40,7 +40,14 @@ object Analytics {
         sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .cast("double").as("sum_disc_price"),
-        avg(col("l_quantity")).cast("decimal(18,6)").cast("double").as("avg_qty"),
+        // Mean from the EXACT decimal sum, not avg() over doubles: avg
+        // accumulates in partition order, so the pre-rounding double can
+        // differ by an ulp across engines/runs and flip a rounding boundary.
+        // Exact sum → one deterministic double division (identical IEEE 754
+        // in both engines); decimal-division scale rules differ, so divide
+        // in double space.
+        (dsum("l_quantity") / count(lit(1)).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -49,7 +56,7 @@ object Analytics {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(CAST(AVG(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+      |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -242,14 +249,18 @@ object Analytics {
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("o_totalprice") > 100000.0, 1).otherwise(0)).as("n_high"),
-        avg(col("o_totalprice")).cast("decimal(18,4)").cast("double").as("avg_price"))
+        // Exact-decimal mean (B15 pattern) — avg() over doubles is
+        // partition-order-dependent and flaked the round-1 oracle hash.
+        // Exact sum → one deterministic double division.
+        (dsum("o_totalprice") / count(lit(1)).cast("double"))
+          .cast("decimal(18,4)").cast("double").as("avg_price"))
       .orderBy(col("o_orderpriority"))
   }
 
   val b11ConditionalAggSql: String =
     """SELECT o_orderpriority, COUNT(*) AS n,
       |  SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_high,
-      |  CAST(CAST(AVG(o_totalprice) AS DECIMAL(18,4)) AS DOUBLE) AS avg_price
+      |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS avg_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ------------------------------------------------------------------ B12
