@@ -52,12 +52,15 @@ object Cql {
     * op ∈ t_before, t_after, t_during.
     */
   final case class Temporal(op: String, l: Operand, lo: Ts, hi: Option[Ts]) extends Cql
-  /** CQL2 s_intersects against the item point geometry (extension): the
-    * ring is the polygon's outer ring, open (no repeated closing vertex).
-    * Compiles to envelope-prune + codegen'd ray cast; SQL renders the
-    * convex half-plane form (gate polygons are convex CCW).
+  /** CQL2 s_intersects against the item point geometry (extension),
+    * accepting ANY GeoJSON Polygon (with holes) or MultiPolygon — the
+    * reference accepts arbitrary GeoJSON (database_logic.py:418-448).
+    * `geom(p)` = polygon p's rings (outer first, then holes), each an
+    * open flat [x0,y0,…]. Compiles to envelope-prune + codegen'd ray
+    * cast; SQL renders the independent convex half-plane form when the
+    * geometry is one convex ring, else the general even-odd parity form.
     */
-  final case class SIntersects(ring: Array[Double]) extends Cql
+  final case class SIntersects(geom: Array[Array[Array[Double]]]) extends Cql
 
   // -------------------------------------------------------- Column back-end
   private def opCol(o: Operand): Column = o match {
@@ -96,8 +99,8 @@ object Cql {
       opCol(l) >= opCol(lo) && opCol(l) <= opCol(hi)
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
-    case SIntersects(ring) =>
-      graft.spatial.Geo.intersectsPolygon(col("lon"), col("lat"), ring)
+    case SIntersects(geom) =>
+      graft.spatial.Geo.intersectsGeom(col("lon"), col("lat"), geom)
   }
 
   // ----------------------------------------------------------- SQL back-end
@@ -130,8 +133,11 @@ object Cql {
       s"(${opSql(l)} >= ${opSql(lo)} AND ${opSql(l)} <= ${opSql(hi)})"
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
-    case SIntersects(ring) =>
-      graft.spatial.Geo.convexIntersectsSql("lon", "lat", ring)
+    case SIntersects(geom) =>
+      if (geom.length == 1 && geom(0).length == 1 && graft.spatial.Geo.isConvexCcw(geom(0)(0)))
+        graft.spatial.Geo.convexIntersectsSql("lon", "lat", geom(0)(0))
+      else
+        graft.spatial.Geo.pointInGeomSql("lon", "lat", geom)
   }
 
   // ----------------------------------------------------------- JSON parser
@@ -152,6 +158,26 @@ object Cql {
     else if (n.isIntegralNumber) IntNum(n.asLong())
     else if (n.isNumber) Num(n.asDouble())
     else throw new IllegalArgumentException(s"bad cql2 operand: $n")
+
+  /** GeoJSON Polygon / MultiPolygon → ring arrays (outer first, holes
+    * after; closure vertex dropped). Matches the geometry surface the
+    * reference accepts via ST_GeomFromGeoJSON (database_logic.py:418-448).
+    */
+  private def parseGeoJson(g: JsonNode): Array[Array[Array[Double]]] = {
+    def ring(rn: JsonNode): Array[Double] = {
+      val pts = rn.elements().asScala
+        .map(p => (p.get(0).asDouble(), p.get(1).asDouble())).toSeq
+      val open = if (pts.length > 1 && pts.head == pts.last) pts.init else pts
+      open.flatMap(p => Seq(p._1, p._2)).toArray
+    }
+    def poly(pn: JsonNode): Array[Array[Double]] =
+      pn.elements().asScala.map(ring).toArray
+    g.get("type").asText() match {
+      case "Polygon"      => Array(poly(g.get("coordinates")))
+      case "MultiPolygon" => g.get("coordinates").elements().asScala.map(poly).toArray
+      case other => throw new IllegalArgumentException(s"unsupported geometry type: $other")
+    }
+  }
 
   private def parseNode(n: JsonNode): Cql = {
     require(n.isObject && n.size() == 1, s"bad cql2 node: $n")
@@ -176,15 +202,8 @@ object Cql {
         Temporal("t_during", parseOperand(v.get(0)),
           Ts(v.get(1).get(0).asText()), Some(Ts(v.get(1).get(1).asText())))
       case "s_intersects" =>
-        // args: [{"property":"geometry"}, {"type":"Polygon","coordinates":[ring,...]}]
-        val geom = v.get(1)
-        require(geom.get("type").asText() == "Polygon", "only Polygon supported")
-        val ringNode = geom.get("coordinates").get(0)
-        val pts = ringNode.elements().asScala
-          .map(p => (p.get(0).asDouble(), p.get(1).asDouble())).toSeq
-        // GeoJSON rings repeat the first vertex last — drop the closure
-        val open = if (pts.length > 1 && pts.head == pts.last) pts.init else pts
-        SIntersects(open.flatMap(p => Seq(p._1, p._2)).toArray)
+        // args: [{"property":"geometry"}, <GeoJSON Polygon|MultiPolygon>]
+        SIntersects(parseGeoJson(v.get(1)))
       case other => throw new IllegalArgumentException(s"unsupported cql2 op: $other")
     }
   }

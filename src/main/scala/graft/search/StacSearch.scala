@@ -530,6 +530,100 @@ object StacSearch {
        |  AND ymin <= ${bbox._4} AND ymax >= ${bbox._2}
        |ORDER BY id""".stripMargin)
 
+  // --------------------------------- A33/A34/A35/A36 arbitrary geometry
+  /** Concave 6-vertex CCW ring (an L with a diagonal notch edge) and its
+    * convex decomposition — the two quads share the diagonal, so their
+    * union is exactly the concave ring (validated numerically). Coords are
+    * off the data grid (lon 2-dp, lat integer) so no point or footprint
+    * edge lies on a boundary.
+    */
+  private val concaveRing: Array[Double] = Array(
+    -60.137, -40.223, 30.139, -40.223, 30.139, 10.177,
+    -10.861, 20.223, -10.861, 45.223, -60.137, 45.223)
+  private val concaveGeom: Array[Array[Array[Double]]] = Array(Array(concaveRing))
+  private val concavePiece1: Array[Double] = Array(
+    -60.137, -40.223, 30.139, -40.223, 30.139, 10.177, -10.861, 20.223)
+  private val concavePiece2: Array[Double] = Array(
+    -60.137, -40.223, -10.861, 20.223, -10.861, 45.223, -60.137, 45.223)
+
+  /** A33: intersects with a CONCAVE polygon — exact ray-cast kernel on the
+    * Spark side; the oracle is the INDEPENDENT convex decomposition
+    * (OR of half-plane tests), so kernel bugs can't hide.
+    */
+  def a33IntersectsConcave(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(Geo.intersectsGeom(col("lon"), col("lat"), concaveGeom))
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a33Sql: String = Tables.withItems(
+    s"""SELECT $projSql FROM items
+       |WHERE (${Geo.convexIntersectsSql("lon", "lat", concavePiece1)}
+       |    OR ${Geo.convexIntersectsSql("lon", "lat", concavePiece2)})
+       |ORDER BY id""".stripMargin)
+
+  /** MultiPolygon: convex pentagon A with a rectangular HOLE, plus a
+    * disjoint rectangle B (hole verified inside A numerically).
+    */
+  private val mpOuterA: Array[Double] = Array(
+    -80.137, -20.223, -20.139, -50.177, 40.141, -20.223, 20.139, 40.177, -60.137, 40.177)
+  private val mpHoleA: Array[Double] = Array(
+    -30.139, -10.223, 0.141, -10.223, 0.141, 15.177, -30.139, 15.177)
+  private val mpRectB: Array[Double] = Array(
+    80.137, -60.223, 140.139, -60.223, 140.139, 0.177, 80.137, 0.177)
+  private val multiPolyGeom: Array[Array[Array[Double]]] =
+    Array(Array(mpOuterA, mpHoleA), Array(mpRectB))
+
+  /** A34: intersects with a MultiPolygon containing a hole. Oracle =
+    * independent half-plane forms: (in A AND NOT in hole) OR in B.
+    */
+  def a34IntersectsMultipolygon(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(Geo.intersectsGeom(col("lon"), col("lat"), multiPolyGeom))
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a34Sql: String = Tables.withItems(
+    s"""SELECT $projSql FROM items
+       |WHERE ((${Geo.convexIntersectsSql("lon", "lat", mpOuterA)}
+       |        AND NOT ${Geo.convexIntersectsSql("lon", "lat", mpHoleA)})
+       |    OR ${Geo.convexIntersectsSql("lon", "lat", mpRectB)})
+       |ORDER BY id""".stripMargin)
+
+  /** A35: NON-POINT item geometry — each item's footprint is its envelope
+    * box (A29's columns); intersection with the concave query polygon runs
+    * the exact box∩geometry kernel (corner containment + vertex-in-box +
+    * edge crossings) behind an envelope prune. Oracle = INDEPENDENT
+    * separating-axis tests against the convex decomposition.
+    */
+  def a35FootprintIntersects(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d))
+      .where(Geo.footprintIntersectsGeom(
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"), concaveGeom))
+      .select(col("id"), col("collection"), col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"))
+      .orderBy(col("id"))
+
+  val a35Sql: String = Tables.withItems(
+    s"""SELECT id, collection, xmin, ymin, xmax, ymax FROM (
+       |  SELECT id, collection, $envelopeSqlCols FROM items)
+       |WHERE (${Geo.boxConvexSatSql("xmin", "ymin", "xmax", "ymax", concavePiece1)}
+       |    OR ${Geo.boxConvexSatSql("xmin", "ymin", "xmax", "ymax", concavePiece2)})
+       |ORDER BY id""".stripMargin)
+
+  /** A36: the same MultiPolygon-with-hole routed through the CQL2 parser
+    * (s_intersects with GeoJSON MultiPolygon) — proves the parser + the
+    * general parity-SQL renderer; the kernel itself is proven
+    * independently by a33/a34.
+    */
+  private val (a36Fn, a36Sql) = cqlQuery(
+    """{"and":[
+      |  {"s_intersects":[{"property":"geometry"},
+      |    {"type":"MultiPolygon","coordinates":[
+      |      [[[-80.137,-20.223],[-20.139,-50.177],[40.141,-20.223],[20.139,40.177],[-60.137,40.177],[-80.137,-20.223]],
+      |       [[-30.139,-10.223],[0.141,-10.223],[0.141,15.177],[-30.139,15.177],[-30.139,-10.223]]],
+      |      [[[80.137,-60.223],[140.139,-60.223],[140.139,0.177],[80.137,0.177],[80.137,-60.223]]]]}]},
+      |  {">":[{"property":"value"},30.5]}
+      |]}""".stripMargin)
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -617,7 +711,11 @@ object StacSearch {
     "a29_envelope_overlap" -> (a29EnvelopeOverlap _),
     "a30_zrange_scan"     -> (a30ZrangeScan _),
     "a31_facets"          -> (a31Facets _),
-    "a32_cql2_casei"      -> a32Fn
+    "a32_cql2_casei"      -> a32Fn,
+    "a33_intersects_concave"      -> (a33IntersectsConcave _),
+    "a34_intersects_multipolygon" -> (a34IntersectsMultipolygon _),
+    "a35_footprint_intersects"    -> (a35FootprintIntersects _),
+    "a36_cql2_s_intersects_multi" -> a36Fn
   )
 
   val oracle: Map[String, String] = Map(
@@ -649,6 +747,10 @@ object StacSearch {
     "a29_envelope_overlap" -> a29Sql,
     "a30_zrange_scan"     -> a30Sql,
     "a31_facets"          -> a31Sql,
-    "a32_cql2_casei"      -> a32Sql
+    "a32_cql2_casei"      -> a32Sql,
+    "a33_intersects_concave"      -> a33Sql,
+    "a34_intersects_multipolygon" -> a34Sql,
+    "a35_footprint_intersects"    -> a35Sql,
+    "a36_cql2_s_intersects_multi" -> a36Sql
   )
 }

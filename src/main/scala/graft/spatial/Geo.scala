@@ -99,6 +99,187 @@ object Geo {
       (lit(x2 - x1) * (lat - y1) - lit(y2 - y1) * (lon - x1)) >= 0
     }.reduce(_ && _)
   }
+
+  // =================================================================
+  // Arbitrary GeoJSON geometry (Polygon w/ holes, MultiPolygon) —
+  // matches the reference's ST_Intersects over any geometry
+  // (database_logic.py:418-448). Representation mirrors GeoJSON
+  // MultiPolygon coordinates: geom(p) = polygon p's rings, ring 0 the
+  // outer shell, rings 1.. holes; each ring a flat open [x0,y0,x1,y1,…].
+  // =================================================================
+
+  /** Point membership in an arbitrary geometry: inside some polygon's
+    * outer shell and not inside any of its holes (even-odd per ring).
+    * Static — called from generated code.
+    */
+  def containsGeom(x: Double, y: Double, geom: Array[Array[Array[Double]]]): Boolean = {
+    var p = 0
+    while (p < geom.length) {
+      val rings = geom(p)
+      if (rayCast(x, y, rings(0))) {
+        var h = 1
+        var inHole = false
+        while (h < rings.length && !inHole) { inHole = rayCast(x, y, rings(h)); h += 1 }
+        if (!inHole) return true
+      }
+      p += 1
+    }
+    false
+  }
+
+  /** Envelope of an arbitrary geometry (outer shells only). */
+  def geomEnvelope(geom: Array[Array[Array[Double]]]): (Double, Double, Double, Double) = {
+    val envs = geom.map(rings => envelope(rings(0)))
+    (envs.map(_._1).min, envs.map(_._2).min, envs.map(_._3).max, envs.map(_._4).max)
+  }
+
+  /** Is a CCW ring convex? Used to pick the independent half-plane SQL
+    * oracle form when possible.
+    */
+  def isConvexCcw(ring: Array[Double]): Boolean = {
+    val n = ring.length / 2
+    (0 until n).forall { i =>
+      val ax = ring(2 * i); val ay = ring(2 * i + 1)
+      val bx = ring(2 * ((i + 1) % n)); val by = ring(2 * ((i + 1) % n) + 1)
+      val cx = ring(2 * ((i + 2) % n)); val cy = ring(2 * ((i + 2) % n) + 1)
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) > 0
+    }
+  }
+
+  /** Exact point-in-geometry with an envelope pre-filter (pushdown-able)
+    * AND'd in front of the codegen'd kernel.
+    */
+  def intersectsGeom(lon: Column, lat: Column, geom: Array[Array[Array[Double]]]): Column = {
+    val (w, s, e, n) = geomEnvelope(geom)
+    bboxContains(lon, lat, w, s, e, n) &&
+      GraftBridge.column(PointInGeom(
+        GraftBridge.expression(lon.cast("double")),
+        GraftBridge.expression(lat.cast("double")), geom))
+  }
+
+  /** Ray cast (even-odd parity) rendered as plain SQL — the general
+    * oracle form for arbitrary rings; identical IEEE 754 arithmetic to
+    * [[rayCast]] in both engines.
+    */
+  def rayCastSql(lonC: String, latC: String, ring: Array[Double]): String = {
+    val n = ring.length / 2
+    val terms = (0 until n).map { i =>
+      val j = (i + n - 1) % n
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      s"(CASE WHEN (($yi > $latC) <> ($yj > $latC)) AND " +
+        s"$lonC < ($xj - $xi) * ($latC - $yi) / ($yj - $yi) + $xi THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  /** General point-in-geometry SQL (outer-shell parity AND NOT hole
+    * parity, OR'd over polygons).
+    */
+  def pointInGeomSql(lonC: String, latC: String, geom: Array[Array[Array[Double]]]): String =
+    geom.map { rings =>
+      val outer = rayCastSql(lonC, latC, rings(0))
+      val holes = rings.drop(1).map(h => s"NOT ${rayCastSql(lonC, latC, h)}")
+      (outer +: holes).mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+
+  // ------------------------- box (footprint) vs geometry, exact -----
+
+  /** Orientation sign of (a→b, a→c). */
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+                     cx: Double, cy: Double): Int = {
+    val v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    if (v > 0) 1 else if (v < 0) -1 else 0
+  }
+
+  /** Proper segment intersection (shared-endpoint / collinear-overlap
+    * cases are excluded by construction — gate coords are off-grid).
+    */
+  def segmentsCross(ax: Double, ay: Double, bx: Double, by: Double,
+                    cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    o1 != o2 && o3 != o4
+  }
+
+  /** Exact axis-aligned-box ∩ geometry test: (a) a box corner inside the
+    * polygon, (b) a ring vertex inside the box, or (c) a ring edge
+    * crossing a box edge. Static — called from generated code.
+    */
+  def boxIntersectsGeom(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                        geom: Array[Array[Array[Double]]]): Boolean = {
+    if (containsGeom(xmin, ymin, geom) || containsGeom(xmax, ymin, geom) ||
+        containsGeom(xmax, ymax, geom) || containsGeom(xmin, ymax, geom)) return true
+    var p = 0
+    while (p < geom.length) {
+      val rings = geom(p)
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        val n = ring.length / 2
+        var i = 0
+        while (i < n) {
+          val x1 = ring(2 * i); val y1 = ring(2 * i + 1)
+          if (x1 >= xmin && x1 <= xmax && y1 >= ymin && y1 <= ymax) return true
+          val j = (i + 1) % n
+          val x2 = ring(2 * j); val y2 = ring(2 * j + 1)
+          // ring edge vs the 4 box edges
+          if (segmentsCross(x1, y1, x2, y2, xmin, ymin, xmax, ymin) ||
+              segmentsCross(x1, y1, x2, y2, xmax, ymin, xmax, ymax) ||
+              segmentsCross(x1, y1, x2, y2, xmax, ymax, xmin, ymax) ||
+              segmentsCross(x1, y1, x2, y2, xmin, ymax, xmin, ymin)) return true
+          i += 1
+        }
+        r += 1
+      }
+      p += 1
+    }
+    false
+  }
+
+  /** Footprint (envelope-box columns) ∩ geometry: envelope prune against
+    * the geometry's envelope (pushdown-able ranges) AND the exact
+    * codegen'd kernel.
+    */
+  def footprintIntersectsGeom(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+                              geom: Array[Array[Array[Double]]]): Column = {
+    val (w, s, e, n) = geomEnvelope(geom)
+    xmin <= e && xmax >= w && ymin <= n && ymax >= s &&
+      GraftBridge.column(BoxIntersectsGeom(
+        GraftBridge.expression(xmin.cast("double")),
+        GraftBridge.expression(ymin.cast("double")),
+        GraftBridge.expression(xmax.cast("double")),
+        GraftBridge.expression(ymax.cast("double")), geom))
+  }
+
+  /** Independent SQL oracle for box ∩ CONVEX CCW ring: separating-axis
+    * test. Box axes = envelope interval overlap; each ring edge normal =
+    * projection interval overlap, with the ring's projection bounds
+    * precomputed driver-side and the box's projection derived from its
+    * corner extremes (min/max of n·corner decomposes per axis because
+    * the box is axis-aligned).
+    */
+  def boxConvexSatSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                      ring: Array[Double]): String = {
+    val n = ring.length / 2
+    val xs = (0 until n).map(i => ring(2 * i))
+    val ys = (0 until n).map(i => ring(2 * i + 1))
+    val envTest =
+      s"$xminC <= ${xs.max} AND $xmaxC >= ${xs.min} AND $yminC <= ${ys.max} AND $ymaxC >= ${ys.min}"
+    val edgeTests = (0 until n).map { i =>
+      val x1 = ring(2 * i); val y1 = ring(2 * i + 1)
+      val x2 = ring(2 * ((i + 1) % n)); val y2 = ring(2 * ((i + 1) % n) + 1)
+      val nx = -(y2 - y1); val ny = x2 - x1
+      val projs = (0 until n).map(k => nx * ring(2 * k) + ny * ring(2 * k + 1))
+      val pmin = projs.min; val pmax = projs.max
+      val bmin = s"(least($nx * $xminC, $nx * $xmaxC) + least($ny * $yminC, $ny * $ymaxC))"
+      val bmax = s"(greatest($nx * $xminC, $nx * $xmaxC) + greatest($ny * $yminC, $ny * $ymaxC))"
+      s"$bmin <= $pmax AND $bmax >= $pmin"
+    }
+    (envTest +: edgeTests).mkString("(", " AND ", ")")
+  }
 }
 
 /** Codegen'd exact point-in-polygon (even-odd ray cast). The polygon is a
@@ -126,4 +307,60 @@ case class PointInPolygon(left: Expression, right: Expression, poly: Array[Doubl
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PointInPolygon =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd point-in-geometry for arbitrary GeoJSON shapes (Polygon with
+  * holes, MultiPolygon): per-ring even-odd ray casts combined shell-minus-
+  * holes, OR'd over polygons. The geometry is a per-query constant carried
+  * as a generated-class reference object; one static call per row inside
+  * whole-stage codegen.
+  */
+case class PointInGeom(left: Expression, right: Expression,
+                       geom: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_geom"
+
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    Geo.containsGeom(lon.asInstanceOf[Double], lat.asInstanceOf[Double], geom)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val geomRef = ctx.addReferenceObj("geom", geom, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (lonCode, latCode) =>
+      s"${ev.value} = graft.spatial.Geo.containsGeom($lonCode, $latCode, $geomRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PointInGeom =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd exact footprint-box ∩ geometry test (corner containment +
+  * vertex-in-box + edge crossings) for non-point item geometries: the
+  * envelope columns (xmin/ymin/xmax/ymax) are the item's stored footprint
+  * bound; the query geometry is a constant reference object.
+  */
+case class BoxIntersectsGeom(first: Expression, second: Expression,
+                             third: Expression, fourth: Expression,
+                             geom: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "box_intersects_geom"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Geo.boxIntersectsGeom(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double], geom)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val geomRef = ctx.addReferenceObj("geom", geom, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.spatial.Geo.boxIntersectsGeom($a, $b, $c, $d, $geomRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): BoxIntersectsGeom =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }

@@ -42,4 +42,104 @@ class GeoSpec extends AnyFunSuite {
     assert(Geo.rayCast(8.0, 2.0, l))   // in the horizontal arm
     assert(!Geo.rayCast(8.0, 8.0, l))  // in the notch
   }
+
+  // ---- arbitrary geometry kernels (A33-A36) ----
+
+  private val concaveRing = Array(
+    -60.137, -40.223, 30.139, -40.223, 30.139, 10.177,
+    -10.861, 20.223, -10.861, 45.223, -60.137, 45.223)
+  private val piece1 = Array(-60.137, -40.223, 30.139, -40.223, 30.139, 10.177, -10.861, 20.223)
+  private val piece2 = Array(-60.137, -40.223, -10.861, 20.223, -10.861, 45.223, -60.137, 45.223)
+
+  private def inConvex(x: Double, y: Double, ring: Array[Double]): Boolean = {
+    val n = ring.length / 2
+    (0 until n).forall { i =>
+      val x1 = ring(2 * i); val y1 = ring(2 * i + 1)
+      val x2 = ring(2 * ((i + 1) % n)); val y2 = ring(2 * ((i + 1) % n) + 1)
+      (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) >= 0
+    }
+  }
+
+  test("containsGeom == union of convex pieces on a 100k random sample") {
+    val geom = Array(Array(concaveRing))
+    val rnd = new scala.util.Random(7)
+    var i = 0
+    while (i < 100000) {
+      val x = rnd.nextDouble() * 130 - 80
+      val y = rnd.nextDouble() * 120 - 60
+      val a = Geo.containsGeom(x, y, geom)
+      val b = inConvex(x, y, piece1) || inConvex(x, y, piece2)
+      assert(a == b, s"mismatch at ($x,$y)")
+      i += 1
+    }
+  }
+
+  test("containsGeom: hole and multipolygon semantics") {
+    val outer = Array(0.0, 0.0, 20.0, 0.0, 20.0, 20.0, 0.0, 20.0)
+    val hole  = Array(5.0, 5.0, 15.0, 5.0, 15.0, 15.0, 5.0, 15.0)
+    val far   = Array(100.0, 0.0, 110.0, 0.0, 110.0, 10.0, 100.0, 10.0)
+    val geom = Array(Array(outer, hole), Array(far))
+    assert(Geo.containsGeom(2.0, 2.0, geom))    // in shell, not in hole
+    assert(!Geo.containsGeom(10.0, 10.0, geom)) // in hole
+    assert(Geo.containsGeom(105.0, 5.0, geom))  // in second polygon
+    assert(!Geo.containsGeom(50.0, 5.0, geom))  // between polygons
+  }
+
+  test("boxIntersectsGeom == separating-axis decomposition on random boxes") {
+    val geom = Array(Array(concaveRing))
+    def satBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+               ring: Array[Double]): Boolean = {
+      val n = ring.length / 2
+      val xs = (0 until n).map(i => ring(2 * i))
+      val ys = (0 until n).map(i => ring(2 * i + 1))
+      if (!(xmin <= xs.max && xmax >= xs.min && ymin <= ys.max && ymax >= ys.min)) return false
+      (0 until n).forall { i =>
+        val x1 = ring(2 * i); val y1 = ring(2 * i + 1)
+        val x2 = ring(2 * ((i + 1) % n)); val y2 = ring(2 * ((i + 1) % n) + 1)
+        val nx = -(y2 - y1); val ny = x2 - x1
+        val projs = (0 until n).map(k => nx * ring(2 * k) + ny * ring(2 * k + 1))
+        val bmin = math.min(nx * xmin, nx * xmax) + math.min(ny * ymin, ny * ymax)
+        val bmax = math.max(nx * xmin, nx * xmax) + math.max(ny * ymin, ny * ymax)
+        bmin <= projs.max && bmax >= projs.min
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    var i = 0
+    while (i < 50000) {
+      val cx = rnd.nextDouble() * 130 - 80
+      val cy = rnd.nextDouble() * 120 - 60
+      val w = rnd.nextDouble() * 1.1 + 0.1
+      val h = rnd.nextDouble() * 0.7 + 0.1
+      val a = Geo.boxIntersectsGeom(cx - w, cy - h, cx + w, cy + h, geom)
+      val b = satBox(cx - w, cy - h, cx + w, cy + h, piece1) ||
+              satBox(cx - w, cy - h, cx + w, cy + h, piece2)
+      assert(a == b, s"mismatch box center ($cx,$cy) half ($w,$h)")
+      i += 1
+    }
+  }
+
+  test("boxIntersectsGeom: box fully containing the polygon intersects") {
+    val tri = Array(1.0, 1.0, 3.0, 1.0, 2.0, 3.0)
+    assert(Geo.boxIntersectsGeom(0.0, 0.0, 10.0, 10.0, Array(Array(tri))))
+    // box strictly inside a hole does NOT intersect
+    val outer = Array(0.0, 0.0, 20.0, 0.0, 20.0, 20.0, 0.0, 20.0)
+    val hole  = Array(5.0, 5.0, 15.0, 5.0, 15.0, 15.0, 5.0, 15.0)
+    assert(!Geo.boxIntersectsGeom(8.0, 8.0, 12.0, 12.0, Array(Array(outer, hole))))
+    // box inside the shell ring (no hole) intersects
+    assert(Geo.boxIntersectsGeom(8.0, 8.0, 12.0, 12.0, Array(Array(outer))))
+  }
+
+  test("codegen'd PointInGeom agrees with interpreted kernel on data") {
+    val s = TestSpark.spark
+    val items = Tables.items(s, TestSpark.sf)
+    val geom = Array(Array(concaveRing))
+    val viaExpr = items
+      .where(Geo.intersectsGeom(col("lon"), col("lat"), geom))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaDriver = items.select("id", "lon", "lat").collect()
+      .filter(r => Geo.containsGeom(r.getDouble(1), r.getDouble(2), geom))
+      .map(_.getLong(0)).toSet
+    assert(viaExpr == viaDriver)
+    assert(viaExpr.nonEmpty)
+  }
 }
