@@ -187,20 +187,34 @@ object Similarity {
   private val nProbe = 2
   private val kIvf = 5
 
-  /** (vec_id, nv, cent) — every vector tagged with its nearest seed. */
+  /** (vec_id, nv, cent) — every vector tagged with its nearest seed.
+    *
+    * ZERO-exchange assignment: the 16 seed vectors are a driver-side
+    * constant (one 16-row pushdown-filtered lookup, like a page fetch),
+    * inlined as literals so the argmax is a single narrow projection —
+    * all 16 dot products + first-position-of-max computed per row inside
+    * codegen. (The previous form crossJoined the corpus with the seeds
+    * and ranked through a Window: a 16×-expanded corpus shuffled to
+    * compute an argmin that needs no shuffle.) `array_position` returns
+    * the FIRST max index, and the seed array is sid-ascending, so ties
+    * break exactly like the oracle's ORDER BY sim DESC, sid.
+    */
   private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val e = prepared(s, d)
-    val seeds = e.where(col("vec_id") >= centroidBase &&
+    val seedRows = e.where(col("vec_id") >= centroidBase &&
         col("vec_id") < centroidBase + nCentroids)
-      .select(col("vec_id").as("sid"), col("nv").as("sv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("sid"))
-    e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("nv"), col("sid"),
-        DotProduct(col("nv"), col("sv")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("nv"), col("sid").as("cent"))
+      .select(col("vec_id"), col("nv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val simCols = seedRows.map { case (_, sv) =>
+      DotProduct(col("nv"), array(sv.map(lit).toIndexedSeq: _*))
+    }
+    val sids = array(seedRows.map(s => lit(s._1)).toIndexedSeq: _*)
+    e.select(col("vec_id"), col("nv"),
+        array(simCols.toIndexedSeq: _*).as("sims"))
+      .select(col("vec_id"), col("nv"),
+        element_at(sids, array_position(col("sims"), array_max(col("sims"))).cast("int"))
+          .as("cent"))
   }
 
   private val ivfAssignedDuck: String =

@@ -197,15 +197,20 @@ object TextAnalysis {
   def c17KeywordSearch(s: SparkSession, d: String): DataFrame = {
     val terms = searchTerms.zipWithIndex
     val base = docs(s, d).withColumn("w", expr(wordsSpark))
-    val n = base.count() // corpus size: driver-side constant, like df below
-    // document frequency per term (tiny: |terms| rows → driver constants)
-    val dfs = terms.map { case (t, _) =>
-      t -> base.where(expr(s"array_contains(w, '$t')")).count()
-    }.toMap
-    val score = terms.map { case (t, _) =>
-      s"CAST(size(filter(w, x -> x = '$t')) AS DOUBLE) * (CAST($n AS DOUBLE) / CAST(${dfs(t)} AS DOUBLE))"
+    // ONE conditional-aggregation pass → a 1-row (N, df_0..df_k) frame,
+    // broadcast into the scorer: 2 corpus scans total, ZERO driver-side
+    // actions. (The round-1 form ran 1+|terms| eager .count() jobs — at
+    // 100 TB that's 4 full-corpus passes to fetch 4 integers.)
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      terms.map { case (t, i) =>
+        sum(when(expr(s"array_contains(w, '$t')"), 1L).otherwise(0L)).as(s"df_$i")
+      }: _*)
+    val score = terms.map { case (t, i) =>
+      s"CAST(size(filter(w, x -> x = '$t')) AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df_$i AS DOUBLE))"
     }.mkString(" + ")
-    base.select(col("doc_id"), expr(s"($score)").as("score"))
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(s"($score)").as("score"))
       .where(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id")).limit(20)
   }

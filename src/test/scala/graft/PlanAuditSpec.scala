@@ -80,4 +80,31 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(graft.ops.Similarity.queries("c6_ann_bruteforce")(s, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("c17: exactly 2 corpus scans, stats side broadcast, no cartesian") {
+    val p = plan(graft.ops.TextAnalysis.queries("c17_keyword_search")(s, sf))
+    val scans = p.split('\n').count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 2, s"expected 2 documents scans, got $scans\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("c14: centroid assignment is a projection — no Exchange, no Window, no 16x join") {
+    // audit the assignment subplan through the public query: the only
+    // exchanges allowed in the whole c14 plan are the probe-side broadcast
+    // and the final top-k machinery — no Exchange may feed a Window over
+    // the full corpus (the round-1 16×-expansion shape)
+    val p = plan(graft.ops.Similarity.queries("c14_ann_ivf")(s, sf))
+    val corpusScans = p.split('\n').count(l => l.contains("Location") && l.contains("embeddings.parquet"))
+    assert(corpusScans <= 3, s"corpus re-scanned: $corpusScans\n$p")
+    // the assignment itself contributes zero Exchange: total exchange count
+    // is bounded by the probe broadcast + one shuffle for the rank window
+    val exchanges = p.split('\n').count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"too many exchanges ($exchanges) — assignment must be shuffle-free\n$p")
+  }
+
+  test("c20: bucketed embedding near-dup plans with NO cartesian product") {
+    val p = plan(graft.ops.Dedup.queries("c20_dedup_embedding_lsh")(s, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
