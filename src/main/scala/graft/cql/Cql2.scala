@@ -62,6 +62,39 @@ object Cql {
     */
   final case class SIntersects(geom: Array[Array[Array[Double]]]) extends Cql
 
+  // ------------------------------------------------- property resolution
+  /** Resolve `properties.x` / `properties__x` / `x` field references
+    * against a live schema, like the reference's `_format_field_name` /
+    * `resolve_field` (database_logic.py:640-644, 880): the exact name wins
+    * if present, else the stripped bare name; unknown names keep the bare
+    * form (and fail analysis with a clear missing-column error).
+    */
+  def resolveProp(name: String, schema: Seq[String]): String = {
+    val bare = name.stripPrefix("properties.").stripPrefix("properties__")
+    Seq(name, bare).find(schema.contains).getOrElse(bare)
+  }
+
+  /** Rewrite every property reference in the AST against `schema`. */
+  def resolve(e: Cql, schema: Seq[String]): Cql = {
+    def ro(o: Operand): Operand = o match {
+      case Prop(n)  => Prop(resolveProp(n, schema))
+      case CaseI(x) => CaseI(ro(x))
+      case other    => other
+    }
+    e match {
+      case And(xs) => And(xs.map(resolve(_, schema)))
+      case Or(xs)  => Or(xs.map(resolve(_, schema)))
+      case Not(x)  => Not(resolve(x, schema))
+      case Cmp(op, l, r)      => Cmp(op, ro(l), ro(r))
+      case Like(l, p, ci)     => Like(ro(l), p, ci)
+      case In(l, vs)          => In(ro(l), vs.map(ro))
+      case Between(l, lo, hi) => Between(ro(l), ro(lo), ro(hi))
+      case IsNull(l)          => IsNull(ro(l))
+      case Temporal(op, l, lo, hi) => Temporal(op, ro(l), lo, hi)
+      case s: SIntersects     => s
+    }
+  }
+
   // -------------------------------------------------------- Column back-end
   private def opCol(o: Operand): Column = o match {
     case Prop(n)   => col(n)

@@ -33,7 +33,11 @@ final case class SearchParams(
     filter: Option[String] = None,            // cql2-json
     sortBy: Seq[SortBy] = Nil,
     limit: Int = 10,
-    token: Option[String] = None)
+    token: Option[String] = None,
+    // Fields extension (reference mounts FieldsExtension, app.py:34):
+    // include/exclude accept properties.x / properties__x / x variants.
+    include: Seq[String] = Nil,
+    exclude: Seq[String] = Nil)
 
 final case class SearchResult(
     items: Array[Row], numMatched: Long, nextToken: Option[String])
@@ -52,8 +56,33 @@ object StacApi {
       df = df.where(Geo.intersectsPolygon(col("lon"), col("lat"), poly))
     }
     p.datetime.foreach { dt => df = df.where(datetimePredicate(dt)) }
-    p.filter.foreach { json => df = df.where(Cql.parseJson(json).toColumn) }
+    // CQL2 property refs resolve properties.x / properties__x / x against
+    // the live schema (database_logic.py:640-644)
+    p.filter.foreach { json =>
+      df = df.where(Cql.resolve(Cql.parseJson(json), df.columns.toSeq).toColumn)
+    }
     df
+  }
+
+  /** Fields extension: include/exclude → a computed PLAN-level projection
+    * (column pruning reaches the scan — the scale win the reference's
+    * serialization-time filtering can't have). `id`/`collection` are always
+    * kept (STAC minimum), and the active sort fields ride along so
+    * continuation tokens stay well-defined (the spec allows returning more
+    * than asked).
+    */
+  def applyFields(df: DataFrame, p: SearchParams): DataFrame = {
+    if (p.include.isEmpty && p.exclude.isEmpty) df
+    else {
+      val schema = df.schema.fieldNames.toSeq
+      val inc = p.include.flatMap(f => StacSearch.resolveField(f, schema))
+      val exc = p.exclude.flatMap(f => StacSearch.resolveField(f, schema)).toSet
+      val sortFields = sortCols(df, p).map(_._1)
+      val base = if (inc.nonEmpty) Seq("id", "collection") ++ inc else schema
+      val kept = (base.filterNot(f => exc.contains(f) && f != "id") ++ sortFields)
+        .distinct.filter(schema.contains)
+      df.select(kept.map(col): _*)
+    }
   }
 
   /** Reference datetime forms (database_logic.py:224-347). */
@@ -82,14 +111,32 @@ object StacApi {
   /** Keyset predicate: strict lexicographic "after (v1..vn)" under the
     * given sort directions — row-value comparison unrolled to an OR-chain
     * whose leading conjuncts are sargable (they push down and prune).
+    *
+    * NULL-aware, matching Spark's null ordering exactly (asc → nulls
+    * FIRST, desc → nulls LAST), so pages containing null sort keys (e.g.
+    * interval-only items under a datetime sort) neither drop rows nor
+    * re-read them:
+    *  - asc after value v:  x IS NOT NULL AND x > v   (nulls already seen)
+    *  - asc after NULL:     x IS NOT NULL             (all values follow)
+    *  - desc after value v: x IS NULL OR x < v        (nulls still follow)
+    *  - desc after NULL:    false                     (tiebreak fields only)
     */
-  private def keysetAfter(sorts: Seq[(String, Boolean)], last: Seq[Any]): Column =
+  private def keysetAfter(sorts: Seq[(String, Boolean)], last: Seq[Option[Any]]): Column =
     sorts.indices.map { i =>
       val eqPrefix = (0 until i).map { j =>
-        col(sorts(j)._1) === lit(last(j))
+        last(j) match {
+          case Some(v) => col(sorts(j)._1) === lit(v)
+          case None    => col(sorts(j)._1).isNull
+        }
       }.foldLeft(lit(true))(_ && _)
       val (f, desc) = sorts(i)
-      eqPrefix && (if (desc) col(f) < lit(last(i)) else col(f) > lit(last(i)))
+      val after = (last(i), desc) match {
+        case (Some(v), false) => col(f).isNotNull && col(f) > lit(v)
+        case (Some(v), true)  => col(f).isNull || col(f) < lit(v)
+        case (None, false)    => col(f).isNotNull
+        case (None, true)     => lit(false)
+      }
+      eqPrefix && after
     }.reduce(_ || _)
 
   private val ksSep = "\u0001"
@@ -98,7 +145,7 @@ object StacApi {
   def search(spark: SparkSession, dir: String, p: SearchParams): SearchResult = {
     val filtered = plan(Tables.items(spark, dir), p)
     val sorts = sortCols(filtered, p)
-    val sorted = filtered.orderBy(orderCols(sorts): _*)
+    val sorted = applyFields(filtered, p).orderBy(orderCols(sorts): _*)
 
     val numMatched = filtered.count()
 
@@ -106,7 +153,7 @@ object StacApi {
       case Some(t) if t.startsWith("ks:") =>
         val vals = decodeKeyset(t.drop(3), sorts, filtered)
         val page = sorted.where(keysetAfter(sorts, vals)).limit(p.limit + 1).collect()
-        result(page, sorts, p, numMatched, keyset = true)
+        result(page, sorts, p, numMatched)
       case Some(t) if t.startsWith("off:") =>
         val off = t.drop(4).toInt
         val page = sorted.offset(off).limit(p.limit + 1).collect()
@@ -114,22 +161,18 @@ object StacApi {
       case None =>
         // first page: emit a keyset token (scale path) by default
         val page = sorted.limit(p.limit + 1).collect()
-        result(page, sorts, p, numMatched, keyset = true)
+        result(page, sorts, p, numMatched)
       case Some(other) =>
         throw new IllegalArgumentException(s"bad token: $other")
     }
   }
 
   private def result(page: Array[Row], sorts: Seq[(String, Boolean)],
-                     p: SearchParams, matched: Long, keyset: Boolean): SearchResult = {
+                     p: SearchParams, matched: Long): SearchResult = {
     val items = page.take(p.limit)
     val next =
       if (page.length <= p.limit) None
-      else encodeKeyset(items.last, sorts).map("ks:" + _)
-        // sort key contains NULL (e.g. interval-only items under a
-        // datetime sort) → keyset ordering is ill-defined, fall back to
-        // an offset token for the remainder
-        .orElse(Some(s"off:${p.limit}"))
+      else Some("ks:" + encodeKeyset(items.last, sorts))
     SearchResult(items, matched, next)
   }
 
@@ -140,23 +183,30 @@ object StacApi {
     SearchResult(items, matched, next)
   }
 
-  private def encodeKeyset(row: Row, sorts: Seq[(String, Boolean)]): Option[String] = {
-    val vs = sorts.map { case (f, _) => row.get(row.fieldIndex(f)) }
-    if (vs.contains(null)) None else Some(vs.map(_.toString).mkString(ksSep))
-  }
+  /** NULL sort-key values encode as a dedicated sentinel so keyset
+    * pagination walks straight through null runs (no offset fallback).
+    */
+  private val ksNull = "\u0002"
+
+  private def encodeKeyset(row: Row, sorts: Seq[(String, Boolean)]): String =
+    sorts.map { case (f, _) =>
+      val v = row.get(row.fieldIndex(f))
+      if (v == null) ksNull else v.toString
+    }.mkString(ksSep)
 
   private def decodeKeyset(s: String, sorts: Seq[(String, Boolean)],
-                           df: DataFrame): Seq[Any] = {
+                           df: DataFrame): Seq[Option[Any]] = {
     import org.apache.spark.sql.types._
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     s.split(ksSep, -1).toSeq.zip(sorts).map { case (v, (f, _)) =>
-      types(f) match {
+      if (v == ksNull) None
+      else Some(types(f) match {
         case LongType      => v.toLong
         case IntegerType   => v.toInt
         case DoubleType    => v.toDouble
         case TimestampType => java.sql.Timestamp.valueOf(v)
         case _             => v
-      }
+      })
     }
   }
 }

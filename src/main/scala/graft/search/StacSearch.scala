@@ -325,23 +325,83 @@ object StacSearch {
   // ------------------------------------------------------ A20 serialize
   /** Row → STAC Feature JSON as a distributed projection
     * (utilities.py:114-288 does this in a Python row loop; here it's
-    * `to_json(named_struct(...))` inside codegen). Rows-only gate —
-    * JSON text formatting is engine-specific — plus a parsing unit test.
+    * `to_json(named_struct(...))` inside codegen), with the full Feature
+    * surface: stac_version, geometry, bbox, assets, links, properties.
+    *
+    * Driver-checkable gate: raw JSON text is engine-specific, so the query
+    * serializes AND parses back — each emitted column is extracted from
+    * the JSON string by path and cast to its type, and the oracle computes
+    * the same values directly. A wrong key, path, or value in the
+    * serialized Feature surfaces as a column mismatch.
     */
+  private def featureJsonCol: Column = {
+    val selfHref = concat(lit("https://example.com/collections/"), col("collection"),
+      lit("/items/"), col("id").cast("string"))
+    to_json(struct(
+      lit("Feature").as("type"),
+      lit("1.0.0").as("stac_version"),
+      col("id").cast("string").as("id"),
+      col("collection"),
+      struct(lit("Point").as("type"),
+        array(col("lon"), col("lat")).as("coordinates")).as("geometry"),
+      array(col("lon"), col("lat"), col("lon"), col("lat")).as("bbox"),
+      struct(
+        struct(concat(selfHref, lit("/data.tif")).as("href"),
+          lit("image/tiff").as("type")).as("data")).as("assets"),
+      array(
+        struct(lit("self").as("rel"), selfHref.as("href")),
+        struct(lit("collection").as("rel"),
+          concat(lit("https://example.com/collections/"), col("collection")).as("href"))
+      ).as("links"),
+      struct(
+        concat(date_format(col("datetime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z"))
+          .as("datetime"),
+        col("value"), col("user_id")).as("properties")
+    ))
+  }
+
+  /** Raw Feature JSON (unit-tested by parsing in StacSearchSpec). */
+  def a20FeatureJson(s: SparkSession, d: String): DataFrame =
+    items(s, d).orderBy(col("id")).limit(20)
+      .select(col("id"), featureJsonCol.as("feature"))
+
   def a20Serialize(s: SparkSession, d: String): DataFrame =
     items(s, d).orderBy(col("id")).limit(20)
+      .select(col("id"), featureJsonCol.as("f"))
       .select(col("id"),
-        to_json(struct(
-          lit("Feature").as("type"),
-          col("id").cast("string").as("id"),
-          col("collection"),
-          struct(lit("Point").as("type"),
-            array(col("lon"), col("lat")).as("coordinates")).as("geometry"),
-          array(col("lon"), col("lat"), col("lon"), col("lat")).as("bbox"),
-          struct(
-            date_format(col("datetime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("datetime"),
-            col("value"), col("user_id")).as("properties")
-        )).as("feature"))
+        get_json_object(col("f"), "$.type").as("f_type"),
+        get_json_object(col("f"), "$.stac_version").as("f_version"),
+        get_json_object(col("f"), "$.id").as("f_id"),
+        get_json_object(col("f"), "$.collection").as("f_collection"),
+        get_json_object(col("f"), "$.geometry.type").as("f_geom_type"),
+        get_json_object(col("f"), "$.geometry.coordinates[0]").cast("double").as("f_lon"),
+        get_json_object(col("f"), "$.geometry.coordinates[1]").cast("double").as("f_lat"),
+        get_json_object(col("f"), "$.bbox[2]").cast("double").as("f_bbox_e"),
+        get_json_object(col("f"), "$.assets.data.href").as("f_asset_href"),
+        get_json_object(col("f"), "$.assets.data.type").as("f_asset_type"),
+        get_json_object(col("f"), "$.links[0].rel").as("f_link0_rel"),
+        get_json_object(col("f"), "$.links[1].href").as("f_link1_href"),
+        get_json_object(col("f"), "$.properties.datetime").as("f_datetime"),
+        get_json_object(col("f"), "$.properties.value").cast("double").as("f_value"),
+        get_json_object(col("f"), "$.properties.user_id").cast("bigint").as("f_user_id"))
+      .orderBy(col("id"))
+
+  /** Oracle: the same Feature fields computed DIRECTLY from the items view
+    * — equality proves the serialized JSON put the right values at the
+    * right paths with the right types.
+    */
+  val a20Sql: String = Tables.withItems(
+    """SELECT id, 'Feature' AS f_type, '1.0.0' AS f_version,
+      |  CAST(id AS VARCHAR) AS f_id, collection AS f_collection,
+      |  'Point' AS f_geom_type, lon AS f_lon, lat AS f_lat, lon AS f_bbox_e,
+      |  'https://example.com/collections/'||collection||'/items/'||CAST(id AS VARCHAR)||'/data.tif' AS f_asset_href,
+      |  'image/tiff' AS f_asset_type,
+      |  'self' AS f_link0_rel,
+      |  'https://example.com/collections/'||collection AS f_link1_href,
+      |  CASE WHEN datetime IS NULL THEN NULL
+      |       ELSE strftime(datetime, '%Y-%m-%dT%H:%M:%S.%f')||'Z' END AS f_datetime,
+      |  value AS f_value, user_id AS f_user_id
+      |FROM items ORDER BY id LIMIT 20""".stripMargin)
 
   // ---------------------------------------------------- A22 flagship
   /** Combined search: collections + datetime + bbox + CQL2 + sort + page —
@@ -624,6 +684,48 @@ object StacSearch {
       |  {">":[{"property":"value"},30.5]}
       |]}""".stripMargin)
 
+  // ----------------------------------- A37 property resolution / A38 fields
+  /** The items view's column names — static (used to resolve oracle SQL at
+    * object init; the Spark side resolves against the live schema).
+    */
+  private val itemsSchema = Seq("id", "collection", "datetime", "start_datetime",
+    "end_datetime", "lon", "lat", "value", "user_id", "props")
+
+  /** A37: CQL2 filters referencing `properties.value` / `properties__user_id`
+    * name variants resolve against the schema (database_logic.py:640-644,
+    * 880) — round-1 graft only resolved variants in the sort path.
+    */
+  private val a37Ast = Cql.parseJson(
+    """{"and":[
+      |  {">":[{"property":"properties.value"},150.5]},
+      |  {"<=":[{"property":"properties__user_id"},120]},
+      |  {"<>":[{"property":"collection"},"error"]}
+      |]}""".stripMargin)
+
+  def a37CqlPropertyResolve(s: SparkSession, d: String): DataFrame = {
+    val it = items(s, d)
+    it.where(Cql.resolve(a37Ast, it.columns.toSeq).toColumn)
+      .select(projCols: _*).orderBy(col("id"))
+  }
+
+  val a37Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE ${Cql.resolve(a37Ast, itemsSchema).toSql} ORDER BY id")
+
+  /** A38: fields extension — include/exclude as a PLAN-level computed
+    * projection (column pruning reaches the scan), via the typed API's
+    * [[StacApi.applyFields]].
+    */
+  def a38Fields(s: SparkSession, d: String): DataFrame =
+    StacApi.applyFields(
+      items(s, d).where(col("collection") === "view"),
+      SearchParams(collections = Seq("view"),
+        include = Seq("properties.value", "datetime")))
+      .orderBy(col("id"))
+
+  val a38Sql: String = Tables.withItems(
+    """SELECT id, collection, value, datetime FROM items
+      |WHERE collection = 'view' ORDER BY id""".stripMargin)
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -715,7 +817,9 @@ object StacSearch {
     "a33_intersects_concave"      -> (a33IntersectsConcave _),
     "a34_intersects_multipolygon" -> (a34IntersectsMultipolygon _),
     "a35_footprint_intersects"    -> (a35FootprintIntersects _),
-    "a36_cql2_s_intersects_multi" -> a36Fn
+    "a36_cql2_s_intersects_multi" -> a36Fn,
+    "a37_cql2_property_resolve"   -> (a37CqlPropertyResolve _),
+    "a38_fields"                  -> (a38Fields _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -737,7 +841,7 @@ object StacSearch {
     "a17_paginate"        -> a17Sql,
     "a18_count"           -> a18Sql,
     "a19_item_lookup"     -> a19Sql,
-    // a20_serialize: rows-only (JSON text is engine-specific)
+    "a20_serialize"       -> a20Sql,
     "a22_combined_search" -> a22Sql,
     "a23_keyset_paginate" -> a23Sql,
     "a24_zcurve_cells"    -> a24Sql,
@@ -751,6 +855,8 @@ object StacSearch {
     "a33_intersects_concave"      -> a33Sql,
     "a34_intersects_multipolygon" -> a34Sql,
     "a35_footprint_intersects"    -> a35Sql,
-    "a36_cql2_s_intersects_multi" -> a36Sql
+    "a36_cql2_s_intersects_multi" -> a36Sql,
+    "a37_cql2_property_resolve"   -> a37Sql,
+    "a38_fields"                  -> a38Sql
   )
 }

@@ -147,20 +147,38 @@ object Events {
                         session_end: java.sql.Timestamp, n_events: Long, dur_us: Long)
 
   /** Per-user session state fn for flatMapGroupsWithState: emits every
-    * CLOSED session; an open session stays in (bounded, per-key) state. In
-    * a live stream, EventTimeTimeout + watermark evicts idle users; batch
-    * invocation (one call per key with all data) flushes the final open
-    * session too, matching [[sessionizeBatch]] exactly.
+    * CLOSED session; the open session lives in (bounded, per-key) state.
+    *
+    * Two modes, one merge loop:
+    *  - `streaming = true` (EventTimeTimeout + watermark): the open
+    *    session is `state.update`d and an event-time timeout is set at
+    *    session_end + gap — when the watermark passes it, no in-order
+    *    event can extend the session, so the timeout call emits it and
+    *    evicts the key. Sessions correctly span micro-batches.
+    *  - `streaming = false` (batch invocation, one call per key with all
+    *    data, NoTimeout): the trailing open session is flushed at the end,
+    *    matching [[sessionizeBatch]] exactly.
     */
-  def sessionFlatMap(userId: Long, evs: Iterator[Ev],
+  def sessionFlatMap(streaming: Boolean)(userId: Long, evs: Iterator[Ev],
                      state: GroupState[SessionState]): Iterator[SessionOut] = {
     val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
     def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
     def tstamp(us: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(us / 1000)
       t.setNanos(((us % 1000000) * 1000).toInt)
       t
     }
+    def emit(ss: SessionState): SessionOut =
+      SessionOut(userId, tstamp(ss.start), tstamp(ss.end), ss.n, ss.end - ss.start)
+
+    if (streaming && state.hasTimedOut) {
+      // watermark passed session_end + gap: nothing can extend it anymore
+      val closed = emit(state.get)
+      state.remove()
+      return Iterator.single(closed)
+    }
+
     val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
     val out = Seq.newBuilder[SessionOut]
     var cur = state.getOption
@@ -168,21 +186,25 @@ object Events {
       val t = us(e.ts)
       cur match {
         case Some(ss) if t - ss.end <= gapUs =>
-          cur = Some(SessionState(ss.start, math.max(ss.end, t), ss.n + 1))
+          cur = Some(SessionState(math.min(ss.start, t), math.max(ss.end, t), ss.n + 1))
         case Some(ss) =>
-          out += SessionOut(userId, tstamp(ss.start), tstamp(ss.end), ss.n, ss.end - ss.start)
+          out += emit(ss)
           cur = Some(SessionState(t, t, 1))
         case None =>
           cur = Some(SessionState(t, t, 1))
       }
     }
     cur match {
-      case Some(ss) if state.hasTimedOut || !state.exists || true =>
-        // batch mode: flush the trailing open session; stream mode would
-        // `state.update(ss)` + setTimeoutTimestamp and emit on timeout.
-        out += SessionOut(userId, tstamp(ss.start), tstamp(ss.end), ss.n, ss.end - ss.start)
+      case Some(ss) if streaming =>
+        state.update(ss)
+        // fire once the watermark proves the gap has elapsed (guard: a
+        // timeout may never be set at-or-before the current watermark)
+        state.setTimeoutTimestamp(
+          math.max(ss.end / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
+      case Some(ss) =>
+        out += emit(ss)
         state.remove()
-      case _ => ()
+      case None => ()
     }
     out.result().iterator
   }
@@ -194,7 +216,22 @@ object Events {
     import s.implicits._
     e.select(col("user_id"), col("ts"), col("event_id")).as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionFlatMap)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionFlatMap(streaming = false))
+  }
+
+  /** Streaming sessionization: watermarked event-time state, sessions span
+    * micro-batches, idle users evicted by EventTimeTimeout. Emits each
+    * session exactly once, when the watermark passes session_end + gap.
+    */
+  def sessionizeStream(s: SparkSession, stream: DataFrame,
+                       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import s.implicits._
+    stream.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFlatMap(streaming = true))
   }
 
   /** D3: streaming dedup — watermark-bounded state keyed on event_id. */

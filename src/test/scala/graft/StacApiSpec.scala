@@ -57,6 +57,80 @@ class StacApiSpec extends AnyFunSuite {
     assert(seen == expected)
   }
 
+  test("keyset walk under a NULLABLE desc sort visits every row exactly once (null datetimes included)") {
+    // the ADVICE scenario: datetime is null for 1/7 of items; under desc
+    // sort Spark orders nulls LAST — the null-aware keyset must walk
+    // through the null run without dropping or re-reading rows
+    val p0 = SearchParams(sortBy = Seq(SortBy("datetime", desc = true)), limit = 13)
+    var token: Option[String] = None
+    var seen = Vector.empty[Long]
+    var matched = -1L
+    var done = false
+    var pages = 0
+    while (!done) {
+      val r = StacApi.search(s, sf, p0.copy(token = token))
+      matched = r.numMatched
+      seen = seen ++ r.items.map(row => row.getLong(row.fieldIndex("id")))
+      token = r.nextToken
+      pages += 1
+      done = token.isEmpty
+      assert(pages < 2000)
+    }
+    assert(seen.length == matched, s"walked ${seen.length} of $matched rows")
+    assert(seen.distinct.length == seen.length, "no row visited twice")
+    val expected = Tables.items(s, sf)
+      .orderBy(col("datetime").desc, col("id"))
+      .select("id").collect().map(_.getLong(0)).toVector
+    assert(seen == expected)
+    // sanity: the walk actually crossed null sort keys
+    val nNull = Tables.items(s, sf).where(col("datetime").isNull).count()
+    assert(nNull > 0)
+  }
+
+  test("keyset walk under a nullable ASC multi-field sort (nulls first)") {
+    val p0 = SearchParams(collections = Seq("click", "error"),
+      sortBy = Seq(SortBy("datetime"), SortBy("value", desc = true)), limit = 17)
+    var token: Option[String] = None
+    var seen = Vector.empty[Long]
+    var matched = -1L
+    var done = false
+    while (!done) {
+      val r = StacApi.search(s, sf, p0.copy(token = token))
+      matched = r.numMatched
+      seen = seen ++ r.items.map(row => row.getLong(row.fieldIndex("id")))
+      token = r.nextToken
+      done = token.isEmpty
+    }
+    assert(seen.length == matched)
+    val expected = Tables.items(s, sf).where(col("collection").isin("click", "error"))
+      .orderBy(col("datetime").asc, col("value").desc, col("id"))
+      .select("id").collect().map(_.getLong(0)).toVector
+    assert(seen == expected)
+  }
+
+  test("fields extension: include/exclude project at plan level, id always kept") {
+    val inc = StacApi.search(s, sf, SearchParams(collections = Seq("view"),
+      include = Seq("properties.value"), limit = 5))
+    assert(inc.items.nonEmpty)
+    assert(inc.items.head.schema.fieldNames.toSet == Set("id", "collection", "value"))
+    val exc = StacApi.search(s, sf, SearchParams(collections = Seq("view"),
+      exclude = Seq("props", "properties__user_id"), limit = 5))
+    val fields = exc.items.head.schema.fieldNames.toSet
+    assert(!fields.contains("props") && !fields.contains("user_id"))
+    assert(fields.contains("id") && fields.contains("datetime"))
+    // excluding a sort field keeps it (tokens must stay well-defined)
+    val keep = StacApi.search(s, sf, SearchParams(collections = Seq("view"),
+      sortBy = Seq(SortBy("value")), exclude = Seq("value"), limit = 5))
+    assert(keep.items.head.schema.fieldNames.contains("value"))
+  }
+
+  test("cql2 filters resolve properties.x name variants like the reference") {
+    val r = StacApi.search(s, sf, SearchParams(
+      filter = Some("""{">":[{"property":"properties.value"},300.5]}"""), limit = 5))
+    val direct = Tables.items(s, sf).where(col("value") > 300.5).count()
+    assert(r.numMatched == direct && direct > 0)
+  }
+
   test("offset tokens paginate identically to keyset") {
     val base = SearchParams(collections = Seq("view"), limit = 11)
     val viaOffset = Iterator.iterate(Option("off:0"): Option[String]) { tk =>

@@ -15,16 +15,20 @@ class StacSearchSpec extends AnyFunSuite {
   }
 
   test("a20: serialized features are valid GeoJSON STAC items") {
-    val rows = StacSearch.queries("a20_serialize")(s, sf).collect()
+    val rows = StacSearch.a20FeatureJson(s, sf).collect()
     assert(rows.length == 20)
     val om = new ObjectMapper()
     rows.foreach { r =>
       val f = om.readTree(r.getString(1))
       assert(f.get("type").asText() == "Feature")
+      assert(f.get("stac_version").asText() == "1.0.0")
       assert(f.get("geometry").get("type").asText() == "Point")
       assert(f.get("geometry").get("coordinates").size() == 2)
       assert(f.get("bbox").size() == 4)
       assert(f.has("properties") && f.get("properties").has("value"))
+      assert(f.get("assets").get("data").get("href").asText().endsWith("/data.tif"))
+      assert(f.get("links").size() == 2)
+      assert(f.get("links").get(0).get("rel").asText() == "self")
       // interval-only items have no datetime key (null dropped by to_json)
       val c = f.get("geometry").get("coordinates")
       assert(c.get(0).asDouble() >= -180.0 && c.get(0).asDouble() < 180.0)
