@@ -29,23 +29,28 @@ object Bench {
     catch { case _: Throwable => () }
 
     // best-of-N: steady-state per-query time (N=2 default; run-to-run
-    // noise on a shared box otherwise dominates sub-second queries)
+    // noise on a shared box otherwise dominates sub-second queries).
+    // A run that throws does NOT contribute its fast fail-time: the query
+    // is reported as -1 in a separate `failures` list and excluded from
+    // the total, so crashes can't flatter the numbers.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try exec(name, sfDir)
+        try { exec(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failures":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

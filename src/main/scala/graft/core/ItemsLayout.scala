@@ -30,4 +30,18 @@ object ItemsLayout {
   /** Read back a materialized items table. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Z-ordered spatial layout: the Z-cell is STORED and the data is
+    * range-partitioned + sorted by it, so a bbox query's OR-of-BETWEENs
+    * over the merged z-ranges (StacSearch.zRangesSplit) prunes at BOTH
+    * levels — file skipping from the range partitioning, row-group
+    * skipping from parquet min/max stats on the sorted column. This is the
+    * 100 TB spatial layout; ItemsLayoutSpec audits the pushed filters.
+    */
+  def materializeZOrdered(items: DataFrame, zcell: org.apache.spark.sql.Column,
+                          path: String): Unit =
+    items.withColumn("zcell", zcell)
+      .repartitionByRange(col("zcell"), col("id"))
+      .sortWithinPartitions(col("zcell"), col("id"))
+      .write.mode("overwrite").parquet(path)
 }

@@ -24,10 +24,22 @@ object Tables {
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    planCache.computeIfAbsent(
-      (System.identityHashCode(spark), s"$dir/$name.parquet"),
-      key => spark.read.parquet(key._2))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict plans owned by STOPPED sessions: they can never be hit again
+    // (and an identityHashCode reuse must not hand back a dead plan)
+    planCache.entrySet().removeIf(e =>
+      e.getValue.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(spark), s"$dir/$name.parquet")
+    val df = planCache.computeIfAbsent(key, k => spark.read.parquet(k._2))
+    if (df.sparkSession eq spark) df
+    else {
+      // identityHashCode collision with a (live) different session — key
+      // collisions are resolved in favor of the caller's session
+      val fresh = spark.read.parquet(key._2)
+      planCache.put(key, fresh)
+      fresh
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -107,6 +107,11 @@ object Cql {
   }
 
   def toColumn(e: Cql): Column = e match {
+    // empty conjunction is vacuously true, empty disjunction false (and an
+    // empty IN list matches nothing) — defined instead of reduce-crashing
+    case And(Nil) => lit(true)
+    case Or(Nil)  => lit(false)
+    case In(_, Nil) => lit(false)
     case And(xs) => xs.map(toColumn).reduce(_ && _)
     case Or(xs)  => xs.map(toColumn).reduce(_ || _)
     case Not(x)  => !toColumn(x)
@@ -151,6 +156,9 @@ object Cql {
   }
 
   def toSql(e: Cql): String = e match {
+    case And(Nil)      => "TRUE"
+    case Or(Nil)       => "FALSE"
+    case In(_, Nil)    => "FALSE"
     case And(xs)       => xs.map(toSql).mkString("(", " AND ", ")")
     case Or(xs)        => xs.map(toSql).mkString("(", " OR ", ")")
     case Not(x)        => s"NOT (${toSql(x)})"
@@ -213,30 +221,48 @@ object Cql {
   }
 
   private def parseNode(n: JsonNode): Cql = {
-    require(n.isObject && n.size() == 1, s"bad cql2 node: $n")
+    require(n != null && n.isObject && n.size() == 1, s"bad cql2 node: $n")
     val key = n.fieldNames().next()
     val v = n.get(key)
+    // malformed cql2-json gets a clear message, not an NPE at v.get(i)
+    def arg(i: Int, what: String): JsonNode = {
+      if (v == null || !v.isArray || v.size() <= i)
+        throw new IllegalArgumentException(
+          s"cql2 '$key' expects $what (got: $v)")
+      v.get(i)
+    }
     key match {
-      case "and" => And(v.elements().asScala.map(parseNode).toSeq)
-      case "or"  => Or(v.elements().asScala.map(parseNode).toSeq)
-      case "not" => Not(parseNode(if (v.isArray) v.get(0) else v))
+      case "and" | "or" =>
+        if (v == null || !v.isArray)
+          throw new IllegalArgumentException(s"cql2 '$key' expects an array of predicates (got: $v)")
+        val xs = v.elements().asScala.map(parseNode).toSeq
+        if (key == "and") And(xs) else Or(xs)
+      case "not" => Not(parseNode(if (v != null && v.isArray) arg(0, "one predicate") else v))
       case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") =>
-        Cmp(op, parseOperand(v.get(0)), parseOperand(v.get(1)))
-      case "like"  => Like(parseOperand(v.get(0)), v.get(1).asText())
-      case "ilike" => Like(parseOperand(v.get(0)), v.get(1).asText(), ci = true)
+        Cmp(op, parseOperand(arg(0, "[lhs, rhs]")), parseOperand(arg(1, "[lhs, rhs]")))
+      case "like"  => Like(parseOperand(arg(0, "[field, pattern]")), arg(1, "[field, pattern]").asText())
+      case "ilike" => Like(parseOperand(arg(0, "[field, pattern]")), arg(1, "[field, pattern]").asText(), ci = true)
       case "in" =>
-        In(parseOperand(v.get(0)), v.get(1).elements().asScala.map(parseOperand).toSeq)
+        val list = arg(1, "[field, [values...]]")
+        if (!list.isArray)
+          throw new IllegalArgumentException(s"cql2 'in' expects a value ARRAY (got: $list)")
+        In(parseOperand(arg(0, "[field, [values...]]")),
+          list.elements().asScala.map(parseOperand).toSeq)
       case "between" =>
-        Between(parseOperand(v.get(0)), parseOperand(v.get(1)), parseOperand(v.get(2)))
-      case "isNull" => IsNull(parseOperand(if (v.isArray) v.get(0) else v))
+        Between(parseOperand(arg(0, "[field, lo, hi]")),
+          parseOperand(arg(1, "[field, lo, hi]")), parseOperand(arg(2, "[field, lo, hi]")))
+      case "isNull" => IsNull(parseOperand(if (v != null && v.isArray) arg(0, "one field") else v))
       case op @ ("t_before" | "t_after") =>
-        Temporal(op, parseOperand(v.get(0)), Ts(v.get(1).asText()), None)
+        Temporal(op, parseOperand(arg(0, "[field, t]")), Ts(arg(1, "[field, t]").asText()), None)
       case "t_during" =>
-        Temporal("t_during", parseOperand(v.get(0)),
-          Ts(v.get(1).get(0).asText()), Some(Ts(v.get(1).get(1).asText())))
+        val iv = arg(1, "[field, [lo, hi]]")
+        if (!iv.isArray || iv.size() != 2)
+          throw new IllegalArgumentException(s"cql2 't_during' expects [lo, hi] (got: $iv)")
+        Temporal("t_during", parseOperand(arg(0, "[field, [lo, hi]]")),
+          Ts(iv.get(0).asText()), Some(Ts(iv.get(1).asText())))
       case "s_intersects" =>
         // args: [{"property":"geometry"}, <GeoJSON Polygon|MultiPolygon>]
-        SIntersects(parseGeoJson(v.get(1)))
+        SIntersects(parseGeoJson(arg(1, "[geometry-prop, GeoJSON geometry]")))
       case other => throw new IllegalArgumentException(s"unsupported cql2 op: $other")
     }
   }

@@ -192,16 +192,26 @@ object Dedup {
   // ----------------------------------------------- C4 n-gram Jaccard
   /** Exact Jaccard ≥ 0.6 on distinct trigram sets, fully relational:
     * explode → shared-gram equi-join → count intersections → sizes.
-    * At 100 TB this runs on C2's candidates (and hot grams get a
-    * document-frequency cap); standalone here for an independent oracle.
+    * At 100 TB this runs on C2's candidates; standalone here for an
+    * independent oracle.
+    *
+    * HOT-GRAM CAP: a gram appearing in > [[dfCap]] documents is a
+    * stop-gram — it expands O(df²) candidate pairs while carrying almost
+    * no set-similarity signal. Both engines drop capped grams from the
+    * GRAM SETS themselves (postings AND sizes), so Jaccard stays
+    * internally consistent (J over the filtered sets). The cap (64) is
+    * far above every df in the fixtures (max 25 at sf0.1) — the gates
+    * prove Spark ≡ DuckDB under identical cap semantics while the valve
+    * bounds worst-case expansion at scale.
     */
   private val jacMin = 0.6
+  private val dfCap = 64
 
   def c4DedupJaccard(s: SparkSession, d: String): DataFrame = {
-    // posting list per gram → in-bucket pair expansion → count = |A∩B|.
-    // One pass over the corpus (a gram⋈gram self-join would recompute the
-    // explode for both sides); set sizes come from a separate single-pass
-    // projection, broadcast into the final join.
+    // posting list per gram (singletons kept — they feed the set sizes)
+    // → df cap → in-bucket pair expansion → count = |A∩B|; sizes come
+    // from the SAME capped postings (one corpus pass total), broadcast
+    // into the final join.
     // shuffle 60-bit gram hashes, not strings (hash collisions would be
     // identical in the oracle, which buckets by the same md5 lanes)
     val posting = grams(s, d)
@@ -209,15 +219,16 @@ object Dedup {
       .select(col("doc_id"), expr(h64Spark("concat('jg:', gram)")).as("gh"))
       .groupBy(col("gh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) >= 2)
-    val inter = posting.select(explode(expr(
+      .where(size(col("ds")) <= dfCap)
+    val inter = posting.where(size(col("ds")) >= 2)
+      .select(explode(expr(
         "flatten(transform(sequence(1, size(ds) - 1), i -> " +
           "transform(slice(ds, i + 1, size(ds) - i), y -> " +
           "struct(element_at(ds, i) AS d1, y AS d2))))")).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = grams(s, d)
-      .select(col("doc_id"), expr("size(array_distinct(g))").as("sz"))
+    val sizes = posting.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     inter
       .join(broadcast(sizes.alias("sa")), col("d1") === col("sa.doc_id"))
       .join(broadcast(sizes.alias("sb")), col("d2") === col("sb.doc_id"))
@@ -229,8 +240,10 @@ object Dedup {
 
   val c4Sql: String =
     s"""WITH g AS ($gramsDuck),
-       |gr AS (SELECT doc_id, ${h64Duck("'jg:'||gram")} AS gh
-       |       FROM (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g)),
+       |gr0 AS (SELECT doc_id, ${h64Duck("'jg:'||gram")} AS gh
+       |        FROM (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g)),
+       |hot AS (SELECT gh FROM gr0 GROUP BY gh HAVING COUNT(*) > $dfCap),
+       |gr AS (SELECT * FROM gr0 WHERE gh NOT IN (SELECT gh FROM hot)),
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM gr GROUP BY doc_id),
        |inter AS (
        |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter

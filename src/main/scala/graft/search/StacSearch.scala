@@ -505,8 +505,10 @@ object StacSearch {
   private def interleaveL(level: Int)(ix: Int, iy: Int): Int =
     (0 until level).map(k => (((ix >> k) & 1) << (2 * k + 1)) | (((iy >> k) & 1) << (2 * k))).sum
 
-  /** Merged contiguous z-ranges covering a bbox at `zrLevel`. */
-  private[search] def zRanges(w: Double, s: Double, e: Double, n: Double): Seq[(Int, Int)] = {
+  /** Merged contiguous z-ranges covering a bbox at `zrLevel` (reference
+    * enumerate+merge form; [[zRangesSplit]] is the scale path).
+    */
+  def zRanges(w: Double, s: Double, e: Double, n: Double): Seq[(Int, Int)] = {
     val size = 1 << zrLevel
     def clamp(i: Int) = math.min(math.max(i, 0), size - 1)
     val ix0 = clamp(math.floor((w + 180.0) / 360.0 * size).toInt)
@@ -531,13 +533,58 @@ object StacSearch {
       .mkString(" + ")
   }
 
+  /** Level-6 Z-cell as a Column — the stored layout column for
+    * [[graft.core.ItemsLayout.materializeZOrdered]].
+    */
+  def zCellColumn: Column = expr(s"($zrCellExpr)")
+
+  /** BIGMIN/LITMAX-style range derivation (Tropf–Herzog): recursive
+    * quadtree descent emits a z-range per maximal fully-covered square and
+    * recurses into partially-covered ones — the merged range cover WITHOUT
+    * enumerating cells (zRanges enumerates all |cover| cells; at level 20
+    * that's 10¹² cells while the split recursion stays O(ranges·level)).
+    * Unit-proven equal to the enumerate+merge form at this level.
+    */
+  def zRangesSplit(w: Double, s: Double, e: Double, n: Double): Seq[(Int, Int)] = {
+    val size = 1 << zrLevel
+    def clamp(i: Int) = math.min(math.max(i, 0), size - 1)
+    val ix0 = clamp(math.floor((w + 180.0) / 360.0 * size).toInt)
+    val ix1 = clamp(math.floor((e + 180.0) / 360.0 * size).toInt)
+    val iy0 = clamp(math.floor((s + 90.0) / 180.0 * size).toInt)
+    val iy1 = clamp(math.floor((n + 90.0) / 180.0 * size).toInt)
+    // square of side `sz` at cell (x0, y0) spans z-codes [z, z + sz²)
+    def rec(x0: Int, y0: Int, sz: Int, z: Int): List[(Int, Int)] = {
+      val x1 = x0 + sz - 1; val y1 = y0 + sz - 1
+      if (x1 < ix0 || x0 > ix1 || y1 < iy0 || y0 > iy1) Nil
+      else if (x0 >= ix0 && x1 <= ix1 && y0 >= iy0 && y1 <= iy1)
+        List((z, z + sz * sz - 1))
+      else {
+        val h = sz / 2
+        // z-order with y in the LOW interleave bit: quadrant offsets are
+        // (2·xbit + ybit)·h²
+        rec(x0, y0, h, z) :::
+          rec(x0, y0 + h, h, z + h * h) :::
+          rec(x0 + h, y0, h, z + 2 * h * h) :::
+          rec(x0 + h, y0 + h, h, z + 3 * h * h)
+      }
+    }
+    // merge ranges that touch (recursion emits them in ascending z order)
+    rec(0, 0, size, 0).foldLeft(List.empty[(Int, Int)]) {
+      case ((a, b) :: rest, (c, d)) if c == b + 1 => (a, d) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+  }
+
   def a30ZrangeScan(s: SparkSession, d: String): DataFrame = {
-    // the merged ranges drive pruning on a PHYSICAL z-sorted column (see
-    // zRanges + ItemsLayout); in this on-the-fly form the predicate is the
+    // the merged ranges drive pruning on a PHYSICAL z-sorted column
+    // (ItemsLayout.materializeZOrdered + the row-group-pruning audit in
+    // ItemsLayoutSpec); in this on-the-fly form the predicate is the
     // expanded cell cover as an InSet — a single zcell occurrence, because
     // Catalyst inlines the projected expression into every disjunct of an
-    // OR-of-BETWEENs (~60 copies, enough to break whole-stage codegen)
-    val cover = zRanges(bbox._1, bbox._2, bbox._3, bbox._4)
+    // OR-of-BETWEENs (~60 copies, enough to break whole-stage codegen).
+    // Ranges come from the BIGMIN-style split recursion (≡ enumerate+merge,
+    // unit-proven).
+    val cover = zRangesSplit(bbox._1, bbox._2, bbox._3, bbox._4)
       .flatMap { case (a, b) => a to b }
     items(s, d)
       .withColumn("zcell", expr(s"($zrCellExpr)"))

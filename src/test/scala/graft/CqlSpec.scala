@@ -42,6 +42,37 @@ class CqlSpec extends AnyFunSuite {
     }
   }
 
+  test("empty and/or/in have defined semantics instead of reduce-crashing") {
+    import Cql._
+    assert(And(Nil).toSql == "TRUE")
+    assert(Or(Nil).toSql == "FALSE")
+    assert(In(Prop("u"), Nil).toSql == "FALSE")
+    // Column backend builds without throwing
+    And(Nil).toColumn; Or(Nil).toColumn; In(Prop("u"), Nil).toColumn
+  }
+
+  test("malformed cql2-json gets a clear error, not an NPE") {
+    val cases = Seq(
+      """{"=":[{"property":"p"}]}""",          // missing rhs
+      """{"between":[{"property":"v"},1.5]}""", // missing hi
+      """{"in":[{"property":"u"},5]}""",        // values not an array
+      """{"and":{"=":[{"property":"p"},1]}}""", // and over non-array
+      """{"t_during":[{"property":"d"},["2024-01-01 00:00:00"]]}""") // 1-elem interval
+    cases.foreach { json =>
+      val e = intercept[IllegalArgumentException](Cql.parseJson(json))
+      assert(e.getMessage.contains("cql2"), s"$json → ${e.getMessage}")
+    }
+  }
+
+  test("property resolution rewrites name variants across the whole AST") {
+    val ast = Cql.parseJson(
+      """{"and":[{">":[{"property":"properties.value"},1.0]},
+        |        {"in":[{"property":"properties__user_id"},[1,2]]},
+        |        {"isNull":{"property":"datetime"}}]}""".stripMargin)
+    val resolved = Cql.resolve(ast, Seq("value", "user_id", "datetime"))
+    assert(resolved.toSql == "(value > 1.0 AND user_id IN (1, 2) AND datetime IS NULL)")
+  }
+
   test("Column backend filters rows identically to semantics") {
     val s = TestSpark.spark
     import s.implicits._

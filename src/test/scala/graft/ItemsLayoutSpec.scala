@@ -38,4 +38,52 @@ class ItemsLayoutSpec extends AnyFunSuite {
       new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("zRangesSplit (bigmin-style recursion) ≡ enumerate+merge zRanges") {
+    import graft.search.StacSearch
+    val boxes = Seq(
+      (-90.5, -45.25, 90.5, 45.25),
+      (-180.0, -90.0, 180.0, 90.0),
+      (-10.0, -10.0, 10.0, 10.0),
+      (100.0, 20.0, 170.0, 80.0),
+      (-170.0, -85.0, -100.0, -30.0))
+    boxes.foreach { case (w, s0, e, n) =>
+      assert(StacSearch.zRangesSplit(w, s0, e, n) == StacSearch.zRanges(w, s0, e, n),
+        s"cover mismatch for bbox ($w,$s0,$e,$n)")
+    }
+  }
+
+  test("z-sorted layout: OR-of-BETWEENs over merged z-ranges prunes row groups") {
+    import graft.search.StacSearch
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zlayout").toString
+    try {
+      val items = Tables.items(s, sf)
+      ItemsLayout.materializeZOrdered(items, StacSearch.zCellColumn, tmp)
+      val back = ItemsLayout.read(s, tmp)
+
+      val bbox = (-90.5, -45.25, 90.5, 45.25)
+      val ranges = StacSearch.zRangesSplit(bbox._1, bbox._2, bbox._3, bbox._4)
+      val nCells = ranges.map { case (a, b) => b - a + 1 }.sum
+      assert(ranges.length > 1 && ranges.length < nCells,
+        s"ranges: ${ranges.length} over $nCells cells")
+      val rangePred = ranges.map { case (a, b) => col("zcell").between(a, b) }
+        .reduce(_ || _)
+      val q = back.where(rangePred)
+        .where(col("lon") >= bbox._1 && col("lon") <= bbox._3 &&
+          col("lat") >= bbox._2 && col("lat") <= bbox._4)
+      val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // the range predicate reaches parquet as pushed filters on the STORED
+      // sorted column → row-group min/max stats prune
+      assert(p.split('\n').exists(l => l.contains("PushedFilters") && l.contains("zcell")), p)
+      // correctness: z-range prune + exact bbox ≡ plain bbox on the view
+      val expected = items
+        .where(col("lon") >= bbox._1 && col("lon") <= bbox._3 &&
+          col("lat") >= bbox._2 && col("lat") <= bbox._4)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val got = q.select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }
