@@ -362,12 +362,15 @@ object Dedup {
     while (changed > 0) {
       val prop = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("lab")).as("cand"))
-      val next = labels.join(prop, col("node") === col("dst"), "left")
-        .select(col("node"), least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab"))
+      // keep old AND new label through the checkpoint: the changed-count
+      // then reads the materialized rows instead of re-running the join
+      // (halves the jobs per round vs a separate next⋈labels count)
+      val step = labels.join(prop, col("node") === col("dst"), "left")
+        .select(col("node"), col("lab").as("old_lab"),
+          least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab"))
         .localCheckpoint(true)
-      changed = next.alias("n").join(labels.alias("o"), col("n.node") === col("o.node"))
-        .where(col("n.lab") < col("o.lab")).count()
-      labels = next
+      changed = step.where(col("lab") < col("old_lab")).count()
+      labels = step.select(col("node"), col("lab"))
     }
     val out = labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
       .orderBy(col("doc_id"))

@@ -230,6 +230,73 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------- C21 repetition stats (Gopher)
+  /** Gopher-style repetition filters (Rae et al. 2021, §A1.1): documents
+    * dominated by a few tokens or repeated n-grams are low-quality
+    * boilerplate. Per document: top-word fraction, top-bigram fraction,
+    * duplicate-bigram fraction, and the keep/drop verdict at the standard
+    * thresholds. Shape: explode → (doc, token) partial-agg counts →
+    * per-doc roll-up — two shuffles on (doc_id, token), both map-side
+    * combined; fractions are single exact-int IEEE divisions (bit-identical
+    * across engines).
+    */
+  private val topWordMax = 0.20
+  private val topBigramMax = 0.18
+  private val dupBigramMax = 0.30
+
+  def c21RepetitionStats(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).withColumn("w", expr(wordsSpark))
+    val wordStats = base
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_w"), sum(col("c")).as("n_w"))
+    val bigramStats = base.where(expr("size(w) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_b"), sum(col("c")).as("n_b"),
+        count(lit(1)).as("distinct_b"))
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("CAST(top_w AS DOUBLE) / CAST(n_w AS DOUBLE)").as("top_word_frac"),
+        expr("CAST(top_b AS DOUBLE) / CAST(n_b AS DOUBLE)").as("top_bigram_frac"),
+        expr("CAST(n_b - distinct_b AS DOUBLE) / CAST(n_b AS DOUBLE)").as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= topWordMax &&
+          coalesce(col("top_bigram_frac") <= topBigramMax, lit(true)) &&
+          coalesce(col("dup_bigram_frac") <= dupBigramMax, lit(true)))
+      .orderBy(col("doc_id"))
+  }
+
+  val c21Sql: String =
+    s"""WITH base AS (SELECT doc_id, $wordsDuck AS w FROM documents),
+       |ws AS (
+       |  SELECT doc_id, max(c) AS top_w, sum(c) AS n_w FROM (
+       |    SELECT doc_id, t, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(w) AS t FROM base) GROUP BY doc_id, t)
+       |  GROUP BY doc_id),
+       |bs AS (
+       |  SELECT doc_id, max(c) AS top_b, sum(c) AS n_b, COUNT(*) AS distinct_b FROM (
+       |    SELECT doc_id, t, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])) AS t
+       |          FROM base WHERE len(w) >= 2)
+       |    GROUP BY doc_id, t)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, top_word_frac, top_bigram_frac, dup_bigram_frac,
+       |  (top_word_frac <= $topWordMax
+       |   AND coalesce(top_bigram_frac <= $topBigramMax, TRUE)
+       |   AND coalesce(dup_bigram_frac <= $dupBigramMax, TRUE)) AS keep
+       |FROM (
+       |  SELECT ws.doc_id AS doc_id,
+       |    CAST(top_w AS DOUBLE) / CAST(n_w AS DOUBLE) AS top_word_frac,
+       |    CAST(top_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS top_bigram_frac,
+       |    CAST(n_b - distinct_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS dup_bigram_frac
+       |  FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- C19 decontamination
   /** Benchmark decontamination: flag training documents whose min-trigram
     * fingerprint collides with an eval-set fingerprint (stand-in eval set:
@@ -269,7 +336,8 @@ object TextAnalysis {
     "c11_fingerprint" -> (c11Fingerprint _),
     "c15_top_ngrams"  -> (c15TopNgrams _),
     "c17_keyword_search" -> (c17KeywordSearch _),
-    "c19_decontaminate"  -> (c19Decontaminate _)
+    "c19_decontaminate"  -> (c19Decontaminate _),
+    "c21_repetition_stats" -> (c21RepetitionStats _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -279,6 +347,7 @@ object TextAnalysis {
     "c11_fingerprint" -> c11Sql,
     "c15_top_ngrams"  -> c15Sql,
     "c17_keyword_search" -> c17Sql,
-    "c19_decontaminate"  -> c19Sql
+    "c19_decontaminate"  -> c19Sql,
+    "c21_repetition_stats" -> c21Sql
   )
 }

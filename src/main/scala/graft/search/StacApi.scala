@@ -37,8 +37,14 @@ final case class SearchParams(
     // Fields extension (reference mounts FieldsExtension, app.py:34):
     // include/exclude accept properties.x / properties__x / x variants.
     include: Seq[String] = Nil,
-    exclude: Seq[String] = Nil)
+    exclude: Seq[String] = Nil,
+    // numMatched is a full-corpus aggregate over the filter — reference
+    // parity keeps it on by default, but at scale a page fetch shouldn't
+    // pay it unless asked (STAC's context extension treats `matched` as
+    // optional).
+    withCount: Boolean = true)
 
+/** `numMatched` is -1 when the search ran with `withCount = false`. */
 final case class SearchResult(
     items: Array[Row], numMatched: Long, nextToken: Option[String])
 
@@ -147,7 +153,7 @@ object StacApi {
     val sorts = sortCols(filtered, p)
     val sorted = applyFields(filtered, p).orderBy(orderCols(sorts): _*)
 
-    val numMatched = filtered.count()
+    val numMatched = if (p.withCount) filtered.count() else -1L
 
     p.token match {
       case Some(t) if t.startsWith("ks:") =>

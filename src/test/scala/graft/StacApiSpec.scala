@@ -131,6 +131,16 @@ class StacApiSpec extends AnyFunSuite {
     assert(r.numMatched == direct && direct > 0)
   }
 
+  test("withCount=false skips the numMatched aggregate but pages identically") {
+    val base = SearchParams(collections = Seq("click"), limit = 9)
+    val withC = StacApi.search(s, sf, base)
+    val noC = StacApi.search(s, sf, base.copy(withCount = false))
+    assert(noC.numMatched == -1L)
+    assert(withC.numMatched > 0)
+    assert(noC.items.map(_.toString).toSeq == withC.items.map(_.toString).toSeq)
+    assert(noC.nextToken == withC.nextToken)
+  }
+
   test("offset tokens paginate identically to keyset") {
     val base = SearchParams(collections = Seq("view"), limit = 11)
     val viaOffset = Iterator.iterate(Option("off:0"): Option[String]) { tk =>
