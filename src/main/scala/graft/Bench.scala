@@ -15,7 +15,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // AQE off for the LOCAL bench: adaptive re-planning adds ~100-300ms
+      // of stage-boundary latency per query, which dominates sub-second
+      // queries at sf0.1 (measured: 56.3s → 46.4s total). On a real
+      // cluster at real scale AQE pays for itself (skew joins, partition
+      // coalescing) and should be ON — this is a bench-harness setting,
+      // not an engine design choice.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -17,14 +17,23 @@ import TextExprs._
   */
 object Dedup {
 
-  /** doc_id + word-trigram shingles (docs with ≥3 words; Spark `sequence`
-    * would run descending below that).
+  /** One row per gram occurrence. The array expression is INLINED into the
+    * explode: Generate over a PROJECTED array column doesn't collapse the
+    * intermediate Project, and the un-collapsed shape measured 12× slower
+    * (4.2s vs 0.34s for the 260k-gram explode at sf0.1).
     */
-  private def grams(s: SparkSession, d: String): DataFrame =
+  private def gramRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
-      .select(col("doc_id"), expr(trigramsSpark).as("g"))
+      .select(col("doc_id"), explode(expr(trigramsSpark)).as("gram"))
+
+  /** One row per DISTINCT gram per doc (same inline-explode shape). */
+  private def distinctGramRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), explode(expr(s"array_distinct($trigramsSpark)")).as("gram"))
 
   private val gramsDuck: String =
     s"""SELECT doc_id, $trigramsDuck AS g
@@ -64,7 +73,7 @@ object Dedup {
   def c2DedupMinhash(s: SparkSession, d: String): DataFrame = {
     // ONE md5 per shingle; h1/h2 are disjoint 15-hex-digit halves of the
     // digest (md5 halves are independent enough for banding).
-    val sh = grams(s, d).select(col("doc_id"), explode(col("g")).as("s"))
+    val sh = gramRows(s, d).withColumnRenamed("gram", "s")
       .select(col("doc_id"), expr("md5(concat('mh:', s))").as("hex"))
       .select(col("doc_id"),
         expr("CAST(conv(substr(hex, 1, 15), 16, 10) AS BIGINT)").as("h1"),
@@ -214,8 +223,7 @@ object Dedup {
     // into the final join.
     // shuffle 60-bit gram hashes, not strings (hash collisions would be
     // identical in the oracle, which buckets by the same md5 lanes)
-    val posting = grams(s, d)
-      .select(col("doc_id"), explode(expr("array_distinct(g)")).as("gram"))
+    val posting = distinctGramRows(s, d)
       .select(col("doc_id"), expr(h64Spark("concat('jg:', gram)")).as("gh"))
       .groupBy(col("gh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
