@@ -64,3 +64,49 @@ object DotProduct {
   def apply(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
+
+/** Polynomial rolling hash over the characters of a string: a = (a·31 +
+  * codepoint) mod 1e9+7, exactly the sequential fold
+  * `aggregate(split(text, ''), 0, (a, c) -> (a*31 + ascii(c)) % 1000000007)`
+  * — which evaluates its lambda INTERPRETED per character (2M lambda steps
+  * at sf0.1 dominated c11's profile). One static call per row inside
+  * whole-stage codegen; integer math, so parity with the DuckDB
+  * `list_reduce` form is exact.
+  */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.roll(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHash.roll($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  private val Mod = 1000000007L
+
+  /** UTF-16 char loop ≡ ascii() per single-char split for BMP text (the
+    * fixtures are ASCII). Static — called from generated code.
+    */
+  def roll(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var a = 0L
+    var i = 0
+    while (i < str.length) {
+      a = (a * 31L + str.charAt(i).toLong) % Mod
+      i += 1
+    }
+    a
+  }
+
+  def apply(c: Column): Column =
+    GraftBridge.column(RollingHash(GraftBridge.expression(c)))
+}

@@ -135,7 +135,11 @@ object TextAnalysis {
     * (base 31 mod 1e9+7, explicit sequential fold), (b) min word-trigram
     * md5 lane — a 1-lane minhash usable as a cheap near-dup prefilter.
     */
-  private val rollSpark =
+  /** HOF form of the rolling hash — kept as the parity reference for
+    * [[graft.functions.RollingHash]] (asserted equal in
+    * GraftFunctionsSpec); the operator itself uses the codegen'd kernel.
+    */
+  private[graft] val rollSpark =
     "aggregate(filter(split(text, ''), c -> c <> ''), CAST(0 AS BIGINT), " +
       "(a, c) -> (a * 31 + ascii(c)) % 1000000007)"
 
@@ -144,15 +148,27 @@ object TextAnalysis {
       "list_transform(list_filter(string_split(text, ''), c -> c <> ''), " +
       "c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007)"
 
-  def c11Fingerprint(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  /** Spark side: the rolling hash is the codegen'd
+    * [[graft.functions.RollingHash]] kernel (the `aggregate` HOF runs its
+    * lambda interpreted per character — 2M steps at sf0.1), and the
+    * min-gram lane uses the inline-explode → codegen'd md5 → partial-agg
+    * min shape instead of an interpreted per-gram `transform` lambda.
+    * Identical integer math to [[c11Sql]] either way.
+    */
+  def c11Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val rolling = docs(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
-      .select(
-        col("doc_id"),
-        expr(rollSpark).as("rolling_fp"),
-        expr(s"array_min(transform($trigramsSpark, g -> ${h64Spark("g")}))").as("min_gram_fp"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.RollingHash(col("text")).as("rolling_fp"))
+    val minGram = docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), explode(expr(trigramsSpark)).as("g"))
+      .select(col("doc_id"), expr(h64Spark("g")).as("gh"))
+      .groupBy(col("doc_id")).agg(min(col("gh")).as("min_gram_fp"))
+    rolling.join(minGram, "doc_id").orderBy(col("doc_id"))
+  }
 
   val c11Sql: String =
     s"""SELECT doc_id, $rollDuck AS rolling_fp,

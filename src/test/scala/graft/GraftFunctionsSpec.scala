@@ -26,6 +26,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("RollingHash kernel ≡ the interpreted HOF fold on real data") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(s, TestSpark.sf).limit(200)
+    val both = docs.select(
+      graft.functions.RollingHash(col("text")).as("k"),
+      expr(graft.ops.TextAnalysis.rollSpark).as("h"))
+    assert(both.where(col("k") =!= col("h")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("extensions class wires the same builders") {
     assert(GraftFunctions.builders.map(_._1).toSet ==
       Set("dot_product", "point_in_polygon"))
