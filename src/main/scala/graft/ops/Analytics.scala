@@ -439,6 +439,53 @@ object Analytics {
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
+  // ------------------------------------------------------------------ B18
+  /** AS-OF join: each event matched to the user's most recent order
+    * at-or-before the event time. Spark lacks a native as-of join; the
+    * scalable re-expression is the UNION-MERGE shape: tag both sides,
+    * union, ONE shuffle+sort on (key, time, side-tag), and a running
+    * `last(..., ignoreNulls)` window carries the latest right-side payload
+    * forward into each left row. No range-join candidate explosion, no
+    * per-key loop — wall-clock is one sort-merge pass at any scale.
+    * Right side is pre-deduped to one row per (key, time) so ties are
+    * deterministic in both engines; the oracle is DuckDB's NATIVE
+    * ASOF LEFT JOIN, an independent implementation of the semantics.
+    */
+  def b18AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(col("user_id").cast("bigint").as("k"), col("ts").as("t"),
+        col("event_id"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("bigint").as("k"),
+        col("o_orderdate").cast("timestamp").as("t"), col("o_orderkey"))
+      .groupBy(col("k"), col("t")).agg(max(col("o_orderkey")).as("ok"))
+    val left = e.select(col("k"), col("t"), lit(1).as("tag"),
+      col("event_id"), lit(null).cast("bigint").as("ok"))
+    val right = o.select(col("k"), col("t"), lit(0).as("tag"),
+      lit(null).cast("bigint").as("event_id"), col("ok"))
+    // right rows sort BEFORE left rows at equal t (tag 0 < 1) → the match
+    // is inclusive (ts >= order time), exactly ASOF's `>=`
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionAll(right)
+      .withColumn("asof_ok", last(col("ok"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("k").as("user_id"), col("event_id"), col("t").as("ts"),
+        col("asof_ok").as("o_orderkey"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val b18AsofJoinSql: String =
+    """WITH od AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS k, CAST(o_orderdate AS TIMESTAMP) AS t,
+      |         max(o_orderkey) AS ok
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT CAST(e.user_id AS BIGINT) AS user_id, e.event_id, e.ts, od.ok AS o_orderkey
+      |FROM events e
+      |ASOF LEFT JOIN od ON CAST(e.user_id AS BIGINT) = od.k AND e.ts >= od.t
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_pushdown_scan"   -> (b1PushdownScan _),
@@ -456,7 +503,8 @@ object Analytics {
     "b13_salted_agg"     -> (b13SaltedAgg _),
     "b15_stats"          -> (b15Stats _),
     "b16_quantiles"      -> (b16Quantiles _),
-    "b17_pivot"          -> (b17Pivot _)
+    "b17_pivot"          -> (b17Pivot _),
+    "b18_asof_join"      -> (b18AsofJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -475,6 +523,7 @@ object Analytics {
     "b13_salted_agg"     -> b13SaltedAggSql,
     "b15_stats"          -> b15StatsSql,
     "b16_quantiles"      -> b16QuantilesSql,
-    "b17_pivot"          -> b17PivotSql
+    "b17_pivot"          -> b17PivotSql,
+    "b18_asof_join"      -> b18AsofJoinSql
   )
 }

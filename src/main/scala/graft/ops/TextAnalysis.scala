@@ -346,6 +346,73 @@ object TextAnalysis {
        |  AND fp NOT IN (SELECT fp FROM fps WHERE doc_id % 97 = 0)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- C22 deterministic stratified sample
+  /** Per-source deterministic sampling — the domain-mixing primitive of a
+    * training-data pipeline (e.g. downweight a crawl source, keep all of a
+    * curated one). The keep decision is a pure function of doc_id
+    * (md5-derived hash mod 1000 < per-source rate), so the sample is
+    * REPRODUCIBLE across runs, engines, and cluster sizes — no RNG state,
+    * no seed-ordering dependence — and the filter pushes into the scan
+    * projection like any scalar predicate. Output: per-source kept/total
+    * counts plus the exact kept ids (oracle-checked).
+    */
+  private val sampleRates: Seq[(String, Int)] = // ‰ keep-rates per source
+    Seq("src0" -> 1000, "src1" -> 500, "src2" -> 250, "src3" -> 125, "src4" -> 50)
+
+  private def rateCaseSpark: String =
+    sampleRates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 100 END")
+
+  def c22StratifiedSample(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("keep",
+        expr(s"${h64Spark("concat('samp:', CAST(doc_id AS STRING))")} % 1000") < expr(rateCaseSpark))
+      .where(col("keep"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val c22Sql: String = {
+    val rateCase = sampleRates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 100 END")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${h64Duck("'samp:'||CAST(doc_id AS VARCHAR)")} % 1000 < ($rateCase)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- C23 sequence packing (bins)
+  /** Greedy sequence packing: assign documents (in deterministic doc_id
+    * order, per source) to fixed token-budget bins — the "pack short docs
+    * into one context window" step before tokenization. Bin id =
+    * floor(cumulative_tokens_before_doc / budget): a running-sum window
+    * per source, ONE shuffle+sort, no driver loop. (This is budget-packing
+    * — a doc may straddle two bins in exact greedy packing; the
+    * floor-of-prefix-sum form is the standard relational approximation
+    * and is what both engines compute here, identically.)
+    */
+  private val packBudget = 512
+
+  def c23SequencePacking(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), col("source"), expr(s"size($wordsSpark)").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / packBudget).cast("bigint").as("bin"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val c23Sql: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $packBudget) AS BIGINT) AS bin
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT doc_id, source, len($wordsDuck) AS n_tokens FROM documents))
+       |ORDER BY source, doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c8_lang_id"      -> (c8LangId _),
@@ -355,7 +422,9 @@ object TextAnalysis {
     "c15_top_ngrams"  -> (c15TopNgrams _),
     "c17_keyword_search" -> (c17KeywordSearch _),
     "c19_decontaminate"  -> (c19Decontaminate _),
-    "c21_repetition_stats" -> (c21RepetitionStats _)
+    "c21_repetition_stats" -> (c21RepetitionStats _),
+    "c22_stratified_sample" -> (c22StratifiedSample _),
+    "c23_sequence_packing"  -> (c23SequencePacking _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -366,6 +435,8 @@ object TextAnalysis {
     "c15_top_ngrams"  -> c15Sql,
     "c17_keyword_search" -> c17Sql,
     "c19_decontaminate"  -> c19Sql,
-    "c21_repetition_stats" -> c21Sql
+    "c21_repetition_stats" -> c21Sql,
+    "c22_stratified_sample" -> c22Sql,
+    "c23_sequence_packing"  -> c23Sql
   )
 }
