@@ -13,9 +13,14 @@ object PlanDump {
     val picks = Seq(
       "a22_combined_search" -> "Flagship search: every filter pushed, TakeOrderedAndProject page",
       "a18_count" -> "numMatched: count over pruned columns only",
+      "a35_footprint_intersects" -> "Box-footprint ∩ concave polygon: envelope prune + codegen'd exact kernel",
       "b5_star_join" -> "Star join: all dimensions broadcast",
-      "c2_dedup_minhash" -> "MinHash LSH: explode-hash-partial-agg, bucket pair expansion",
+      "b18_asof_join" -> "As-of join: union-merge, ONE shuffle+sort, running last() window",
+      "c2_dedup_minhash" -> "MinHash LSH: inline-explode-hash-partial-agg, bucket pair expansion",
       "c6_ann_bruteforce" -> "Brute-force ANN: query set broadcast, corpus streams",
+      "c14_ann_ivf" -> "IVF ANN: shuffle-free centroid assignment (inlined seed argmax projection)",
+      "c17_keyword_search" -> "tf-idf: one stats pass broadcast into the scorer, 2 corpus scans",
+      "c20_dedup_embedding_lsh" -> "Bucketed embedding near-dup: LSH tables, no cartesian",
       "d2_sessionize" -> "Sessionization: one shuffle reused by windows + groupBy")
     val out = new StringBuilder
     out ++= "# Physical plans (generated snapshot, sf0.01)\n\n"

@@ -104,7 +104,8 @@ object Events {
     */
   private val followMinutes = 5
 
-  def intervalJoinTransform(e1: DataFrame, e2: DataFrame): DataFrame = {
+  def intervalJoinTransform(e1: DataFrame, e2: DataFrame,
+                            joinType: String = "inner"): DataFrame = {
     val a = e1.select(col("user_id").as("u1"), col("ts").as("ts1"),
       col("event_id").as("id1"))
     val b = e2.select(col("user_id").as("u2"), col("ts").as("ts2"),
@@ -113,7 +114,7 @@ object Events {
       col("u1") === col("u2") &&
         col("ts2") >= col("ts1") &&
         col("ts2") <= col("ts1") + expr(s"INTERVAL '$followMinutes' MINUTE") &&
-        col("id1") < col("id2"))
+        col("id1") < col("id2"), joinType)
       .select(col("u1").as("user_id"), col("id1"), col("id2"),
         (unix_micros(col("ts2")) - unix_micros(col("ts1"))).as("gap_us"))
   }
@@ -139,6 +140,35 @@ object Events {
     intervalJoinTransform(
       s1.withWatermark("ts", "10 minutes"),
       s2.withWatermark("ts", "10 minutes"))
+
+  // -------------------------------------- D6 stream-stream OUTER join
+  /** D6: LEFT OUTER stream-stream interval join — events with NO follow-up
+    * inside the window surface with null id2/gap. In a live stream the
+    * outer (null-padded) rows can only be emitted once the watermark
+    * proves no matching right row can still arrive — the state-eviction
+    * reasoning the inner join doesn't need. Batch form is the oracle gate;
+    * the streaming form is the same transform over watermarked streams
+    * (multi-batch equivalence asserted in EventsSpec).
+    */
+  def d6IntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    intervalJoinTransform(e, e, "left_outer")
+      .orderBy(col("user_id"), col("id1"), col("id2"))
+  }
+
+  val d6Sql: String =
+    s"""SELECT a.user_id AS user_id, a.event_id AS id1, b.event_id AS id2,
+       |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+       |FROM events a LEFT JOIN events b
+       |  ON a.user_id = b.user_id
+       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL $followMinutes MINUTE
+       | AND a.event_id < b.event_id
+       |ORDER BY user_id, id1, id2""".stripMargin
+
+  def intervalJoinOuterStream(s1: DataFrame, s2: DataFrame): DataFrame =
+    intervalJoinTransform(
+      s1.withWatermark("ts", "10 minutes"),
+      s2.withWatermark("ts", "10 minutes"), "left_outer")
 
   // ------------------------- D2/D3 streaming state machinery (unit-tested)
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
@@ -258,12 +288,14 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_event_window"  -> (d1EventWindow _),
     "d2_sessionize"    -> (d2Sessionize _),
-    "d4_interval_join" -> (d4IntervalJoin _)
+    "d4_interval_join" -> (d4IntervalJoin _),
+    "d6_interval_join_outer" -> (d6IntervalJoinOuter _)
   )
 
   val oracle: Map[String, String] = Map(
     "d1_event_window"  -> d1Sql,
     "d2_sessionize"    -> d2Sql,
-    "d4_interval_join" -> d4Sql
+    "d4_interval_join" -> d4Sql,
+    "d6_interval_join_outer" -> d6Sql
   )
 }

@@ -152,6 +152,45 @@ class EventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: null-padded rows emit after the watermark passes") {
+    import s.implicits._
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    // u1: event 1 followed by event 2 inside 5 min (matched pair);
+    // u2: a single event with NO follow-up (must surface null-padded,
+    //     but only once the watermark proves nothing can still match)
+    val real = Seq(
+      EvJ(1, t("00:00"), 1), EvJ(1, t("00:03"), 2), EvJ(2, t("00:01"), 3))
+    val m1 = MemoryStream[EvJ](s)
+    val m2 = MemoryStream[EvJ](s)
+    val q = Events.intervalJoinOuterStream(m1.toDF(), m2.toDF())
+      .writeStream.format("memory").queryName("d6_stream")
+      .outputMode("append").start()
+    try {
+      m1.addData(real.toIndexedSeq); m2.addData(real.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark past
+      // ts + interval + delay for every real row → outer rows flush
+      val sentinel = EvJ(999, t("03:00"), 9)
+      m1.addData(sentinel); m2.addData(sentinel)
+      q.processAllAvailable()
+      m1.addData(EvJ(998, t("05:00"), 10)); m2.addData(EvJ(998, t("05:00"), 10))
+      q.processAllAvailable()
+      val got = s.table("d6_stream").where(col("user_id") < 900)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      val batchExpected = Events.intervalJoinTransform(
+          real.toDF("user_id", "ts", "event_id"),
+          real.toDF("user_id", "ts", "event_id"), "left_outer")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(got == batchExpected, s"got=$got expected=$batchExpected")
+      // the unmatched u2 row is present, null-padded
+      assert(got.contains((2L, 3L, -1L, -1L)))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment ≡ batch join") {
     import s.implicits._
     val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),

@@ -102,6 +102,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"too many exchanges ($exchanges) — assignment must be shuffle-free\n$p")
   }
 
+  test("b18: as-of join is JOINLESS — union + one window, no range-join explosion") {
+    val p = plan(Analytics.queries("b18_asof_join")(s, sf))
+    assert(!p.contains("Join"), p) // no SortMergeJoin/BroadcastHashJoin/Cartesian
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("c23: sequence packing is one shuffle+sort (window), no driver loop artifacts") {
+    val p = plan(graft.ops.TextAnalysis.queries("c23_sequence_packing")(s, sf))
+    assert(p.contains("Window"), p)
+    val scans = p.split('\n').count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
+  }
+
   test("c20: bucketed embedding near-dup plans with NO cartesian product") {
     val p = plan(graft.ops.Dedup.queries("c20_dedup_embedding_lsh")(s, sf))
     assert(!p.contains("CartesianProduct"), p)
