@@ -4,8 +4,8 @@ import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.DotProduct
-import graft.spatial.PointInPolygon
+import graft.functions.{DotProduct, RollingHash}
+import graft.spatial.{BoxIntersectsGeom, PointInGeom, PointInPolygon}
 
 /** SQL-surface registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT dot_product(a, b) ...")` works:
@@ -16,9 +16,14 @@ import graft.spatial.PointInPolygon
   *
   * Functions:
   *  - `dot_product(array<double>, array<double>) -> double`
+  *  - `rolling_hash(string) -> bigint` — polynomial char hash (c11 kernel)
   *  - `point_in_polygon(lon, lat, array<double> ring) -> boolean` — the
   *    ring must be a foldable literal (a per-query constant, like the
   *    reference's search polygon)
+  *  - `point_in_geom(lon, lat, array<array<array<double>>>) -> boolean` —
+  *    arbitrary geometry (polygons w/ holes, MultiPolygon), literal
+  *  - `box_intersects_geom(xmin, ymin, xmax, ymax, geom) -> boolean` —
+  *    exact footprint-box ∩ geometry, literal geometry
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -37,14 +42,37 @@ object GraftFunctions {
     e.eval().asInstanceOf[ArrayData].toDoubleArray()
   }
 
+  /** Literal GeoJSON-shaped geometry: array(polys → rings → flat coords). */
+  private def geomOf(e: Expression, fn: String): Array[Array[Array[Double]]] = {
+    require(e.foldable, s"$fn geometry must be a literal")
+    val polys = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(polys.numElements()) { p =>
+      val rings = polys.getArray(p)
+      Array.tabulate(rings.numElements())(r => rings.getArray(r).toDoubleArray())
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> { args =>
       require(args.length == 2, "dot_product(a, b)")
       DotProduct(args(0), args(1))
     },
+    "rolling_hash" -> { args =>
+      require(args.length == 1, "rolling_hash(text)")
+      RollingHash(args(0))
+    },
     "point_in_polygon" -> { args =>
       require(args.length == 3, "point_in_polygon(lon, lat, ring)")
       PointInPolygon(args(0), args(1), polyOf(args(2)))
+    },
+    "point_in_geom" -> { args =>
+      require(args.length == 3, "point_in_geom(lon, lat, geom)")
+      PointInGeom(args(0), args(1), geomOf(args(2), "point_in_geom"))
+    },
+    "box_intersects_geom" -> { args =>
+      require(args.length == 5, "box_intersects_geom(xmin, ymin, xmax, ymax, geom)")
+      BoxIntersectsGeom(args(0), args(1), args(2), args(3),
+        geomOf(args(4), "box_intersects_geom"))
     }
   )
 

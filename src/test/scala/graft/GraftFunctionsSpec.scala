@@ -38,7 +38,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
 
   test("extensions class wires the same builders") {
     assert(GraftFunctions.builders.map(_._1).toSet ==
-      Set("dot_product", "point_in_polygon"))
+      Set("dot_product", "rolling_hash", "point_in_polygon",
+        "point_in_geom", "box_intersects_geom"))
     new GraftExtensions() // constructible for spark.sql.extensions
+  }
+
+  test("geometry + hash kernels usable from SQL") {
+    GraftFunctions.register(s)
+    // square with a hole, as a nested literal geometry
+    val geom = "array(array(array(0d,0d, 20d,0d, 20d,20d, 0d,20d), " +
+      "array(5d,5d, 15d,5d, 15d,15d, 5d,15d)))"
+    val inShell = s.sql(s"SELECT point_in_geom(2.0d, 2.0d, $geom) AS p")
+      .collect()(0).getBoolean(0)
+    val inHole = s.sql(s"SELECT point_in_geom(10.0d, 10.0d, $geom) AS p")
+      .collect()(0).getBoolean(0)
+    assert(inShell && !inHole)
+    val boxInHole = s.sql(s"SELECT box_intersects_geom(8d, 8d, 12d, 12d, $geom) AS p")
+      .collect()(0).getBoolean(0)
+    val boxOnEdge = s.sql(s"SELECT box_intersects_geom(-2d, -2d, 1d, 1d, $geom) AS p")
+      .collect()(0).getBoolean(0)
+    assert(!boxInHole && boxOnEdge)
+    val rh = s.sql("SELECT rolling_hash('ab') AS h").collect()(0).getLong(0)
+    assert(rh == (97L * 31 + 98) % 1000000007L)
   }
 }

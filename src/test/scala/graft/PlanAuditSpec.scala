@@ -116,6 +116,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
   }
 
+  test("a23 keyset: the continuation predicate reaches the scan's pushed filters") {
+    val p = plan(StacSearch.queries("a23_keyset_paginate")(s, sf))
+    // value > 250.0 must be pushable (events.value is the source column)
+    assert(p.split('\n').exists(l => l.contains("PushedFilters") && l.contains("value")), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("c20: bucketed embedding near-dup plans with NO cartesian product") {
     val p = plan(graft.ops.Dedup.queries("c20_dedup_embedding_lsh")(s, sf))
     assert(!p.contains("CartesianProduct"), p)
