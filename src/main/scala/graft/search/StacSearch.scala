@@ -773,6 +773,34 @@ object StacSearch {
     """SELECT id, collection, value, datetime FROM items
       |WHERE collection = 'view' ORDER BY id""".stripMargin)
 
+  // ----------------------------------- A39 footprint s_intersects via CQL2
+  /** A39: s_intersects against the item's FOOTPRINT (envelope box) through
+    * the CQL2 filter tree — `{"property":"footprint"}` routes to the exact
+    * box∩geometry kernel. Query = MultiPolygon of two convex quads; oracle
+    * = the independent separating-axis form rendered by the SQL backend.
+    */
+  private val a39Ast = Cql.parseJson(
+    """{"and":[
+      |  {"s_intersects":[{"property":"footprint"},
+      |    {"type":"MultiPolygon","coordinates":[
+      |      [[[-70.137,-30.223],[-10.139,-45.177],[5.141,10.223],[-55.137,25.177],[-70.137,-30.223]]],
+      |      [[[60.137,20.223],[120.139,20.223],[120.139,70.177],[60.137,70.177],[60.137,20.223]]]]}]},
+      |  {">":[{"property":"value"},25.5]}
+      |]}""".stripMargin)
+
+  def a39FootprintCql(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d))
+      .where(a39Ast.toColumn)
+      .select(col("id"), col("collection"), col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"), col("value"))
+      .orderBy(col("id"))
+
+  val a39Sql: String = Tables.withItems(
+    s"""SELECT id, collection, xmin, ymin, xmax, ymax, value FROM (
+       |  SELECT id, collection, value, $envelopeSqlCols FROM items)
+       |WHERE ${a39Ast.toSql}
+       |ORDER BY id""".stripMargin)
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -866,7 +894,8 @@ object StacSearch {
     "a35_footprint_intersects"    -> (a35FootprintIntersects _),
     "a36_cql2_s_intersects_multi" -> a36Fn,
     "a37_cql2_property_resolve"   -> (a37CqlPropertyResolve _),
-    "a38_fields"                  -> (a38Fields _)
+    "a38_fields"                  -> (a38Fields _),
+    "a39_footprint_cql"           -> (a39FootprintCql _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -904,6 +933,7 @@ object StacSearch {
     "a35_footprint_intersects"    -> a35Sql,
     "a36_cql2_s_intersects_multi" -> a36Sql,
     "a37_cql2_property_resolve"   -> a37Sql,
-    "a38_fields"                  -> a38Sql
+    "a38_fields"                  -> a38Sql,
+    "a39_footprint_cql"           -> a39Sql
   )
 }
