@@ -264,6 +264,51 @@ object Events {
         sessionFlatMap(streaming = true))
   }
 
+  // ---------------------- D7 transformWithState running aggregates
+  /** D7: per-user RUNNING totals on Spark 4's transformWithState API (the
+    * successor to flatMapGroupsWithState: typed state handles, TTL,
+    * timers, RocksDB-backed). Each micro-batch emits the user's updated
+    * lifetime (count, total) — the "live counters" shape. Totals are kept
+    * in CENTS (long) so the running sum is exact and order-independent,
+    * matching a batch decimal aggregate.
+    */
+  case class EvV(user_id: Long, value: Double)
+  case class RunningTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvV, RunningTotal] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var st: ValueState[RunningTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RunningTotal]("totals",
+        E.product[RunningTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EvV],
+                                 tv: TimerValues): Iterator[RunningTotal] = {
+      val prev = if (st.exists()) st.get() else RunningTotal(key, 0L, 0L)
+      var n = prev.n_events
+      var cents = prev.total_cents
+      rows.foreach { r => n += 1; cents += math.rint(r.value * 100.0).toLong }
+      val next = RunningTotal(key, n, cents)
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Streaming entry: requires the RocksDB state store provider (set by
+    * the caller/test: spark.sql.streaming.stateStore.providerClass).
+    */
+  def runningTotalsStream(s: SparkSession, stream: DataFrame): Dataset[RunningTotal] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    stream.select(col("user_id"), col("value")).as[EvV]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** D3: streaming dedup — watermark-bounded state keyed on event_id. */
   def dedupStream(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "1 hour").dropDuplicates("event_id")

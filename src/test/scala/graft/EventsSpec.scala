@@ -221,6 +221,38 @@ class EventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals: state persists across micro-batches (RocksDB)") {
+    import s.implicits._
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[graft.streaming.Events.EvV](s)
+      val q = graft.streaming.Events.runningTotalsStream(s, mem.toDF())
+        .writeStream.format("memory").queryName("d7_stream")
+        .outputMode("update").start()
+      try {
+        import graft.streaming.Events.EvV
+        mem.addData(EvV(1, 10.25), EvV(1, 0.75), EvV(2, 3.50))
+        q.processAllAvailable()
+        mem.addData(EvV(1, 5.00), EvV(3, 1.10))
+        q.processAllAvailable()
+        // LAST emission per user = lifetime totals across both batches
+        val latest = s.table("d7_stream")
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("total_cents"))).as("t"))
+          .select(col("user_id"), col("t.n_events"), col("t.total_cents"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(latest == Set((1L, 3L, 1600L), (2L, 1L, 350L), (3L, 1L, 110L)), latest)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import s.implicits._
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
