@@ -36,6 +36,25 @@ class DedupQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("c20 LSH-table near-dup ≡ the all-pairs threshold join (cover proof)") {
+    val allPairs = Dedup.queries("c5_dedup_embedding")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.queries("c20_dedup_embedding_lsh")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == allPairs, s"missed: ${allPairs.diff(bucketed)}")
+    assert(allPairs.nonEmpty)
+  }
+
+  test("c20 plane-count policy keeps bucket occupancy constant as n grows") {
+    assert(Dedup.c20PlanesFor(500) == 3)
+    assert(Dedup.c20PlanesFor(64L * 1024) == 10)       // 2^16 / 64 = 2^10
+    assert(Dedup.c20PlanesFor(1L << 30) == 24)         // 2^30 / 64 = 2^24
+    // monotone non-decreasing
+    val ns = Seq(100L, 1000L, 100000L, 10000000L, 1000000000L)
+    val ps = ns.map(Dedup.c20PlanesFor(_))
+    assert(ps == ps.sorted, ps.toString)
+  }
+
   test("z-range cover is consistent with the z-cell cover (both equal plain bbox)") {
     val viaRanges = StacSearch.queries("a30_zrange_scan")(s, sf)
       .select("id").collect().map(_.getLong(0)).toSet
