@@ -77,10 +77,15 @@ object Cql {
     * if present, else the stripped bare name; unknown names keep the bare
     * form (and fail analysis with a clear missing-column error).
     */
-  def resolveProp(name: String, schema: Seq[String]): String = {
-    val bare = name.stripPrefix("properties.").stripPrefix("properties__")
-    Seq(name, bare).find(schema.contains).getOrElse(bare)
-  }
+  /** The candidate names a field reference may resolve to, exact name
+    * first — THE single copy of the variant-stripping rule (StacSearch's
+    * sort-path resolver delegates here).
+    */
+  def nameVariants(name: String): Seq[String] =
+    Seq(name, name.stripPrefix("properties.").stripPrefix("properties__")).distinct
+
+  def resolveProp(name: String, schema: Seq[String]): String =
+    nameVariants(name).find(schema.contains).getOrElse(nameVariants(name).last)
 
   /** Rewrite every property reference in the AST against `schema`. */
   def resolve(e: Cql, schema: Seq[String]): Cql = {
@@ -226,17 +231,31 @@ object Cql {
     * reference accepts via ST_GeomFromGeoJSON (database_logic.py:418-448).
     */
   private def parseGeoJson(g: JsonNode): Array[Array[Array[Double]]] = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"cql2 s_intersects: $msg (got: $g)")
+    if (g == null || !g.isObject || g.get("type") == null || !g.get("type").isTextual)
+      bad("geometry must be a GeoJSON object with a \"type\"")
+    val coords = g.get("coordinates")
+    if (coords == null || !coords.isArray) bad("geometry needs array \"coordinates\"")
     def ring(rn: JsonNode): Array[Double] = {
-      val pts = rn.elements().asScala
-        .map(p => (p.get(0).asDouble(), p.get(1).asDouble())).toSeq
+      if (!rn.isArray || rn.size() < 3) bad("each ring needs >= 3 [x, y] points")
+      val pts = rn.elements().asScala.map { p =>
+        if (!p.isArray || p.size() < 2 || !p.get(0).isNumber || !p.get(1).isNumber)
+          bad("ring points must be numeric [x, y]")
+        (p.get(0).asDouble(), p.get(1).asDouble())
+      }.toSeq
       val open = if (pts.length > 1 && pts.head == pts.last) pts.init else pts
       open.flatMap(p => Seq(p._1, p._2)).toArray
     }
-    def poly(pn: JsonNode): Array[Array[Double]] =
+    def poly(pn: JsonNode): Array[Array[Double]] = {
+      if (!pn.isArray || pn.size() == 0) bad("polygon needs >= 1 ring")
       pn.elements().asScala.map(ring).toArray
+    }
     g.get("type").asText() match {
-      case "Polygon"      => Array(poly(g.get("coordinates")))
-      case "MultiPolygon" => g.get("coordinates").elements().asScala.map(poly).toArray
+      case "Polygon"      => Array(poly(coords))
+      case "MultiPolygon" =>
+        if (coords.size() == 0) bad("MultiPolygon needs >= 1 polygon")
+        coords.elements().asScala.map(poly).toArray
       case other => throw new IllegalArgumentException(s"unsupported geometry type: $other")
     }
   }

@@ -77,15 +77,23 @@ object StacApi {
     * continuation tokens stay well-defined (the spec allows returning more
     * than asked).
     */
-  def applyFields(df: DataFrame, p: SearchParams): DataFrame = {
+  def applyFields(df: DataFrame, p: SearchParams): DataFrame =
+    applyFields(df, p, sortCols(df, p))
+
+  private def applyFields(df: DataFrame, p: SearchParams,
+                          sorts: Seq[(String, Boolean)]): DataFrame = {
     if (p.include.isEmpty && p.exclude.isEmpty) df
     else {
       val schema = df.schema.fieldNames.toSeq
       val inc = p.include.flatMap(f => StacSearch.resolveField(f, schema))
+      // include WINS over exclude on conflict (STAC Fields extension
+      // semantics), and id/collection are never excludable (STAC minimum)
+      val protectedFields = Set("id", "collection") ++ inc
       val exc = p.exclude.flatMap(f => StacSearch.resolveField(f, schema)).toSet
-      val sortFields = sortCols(df, p).map(_._1)
+        .diff(protectedFields)
+      val sortFields = sorts.map(_._1)
       val base = if (inc.nonEmpty) Seq("id", "collection") ++ inc else schema
-      val kept = (base.filterNot(f => exc.contains(f) && f != "id") ++ sortFields)
+      val kept = (base.filterNot(exc.contains) ++ sortFields)
         .distinct.filter(schema.contains)
       df.select(kept.map(col): _*)
     }
@@ -151,7 +159,7 @@ object StacApi {
   def search(spark: SparkSession, dir: String, p: SearchParams): SearchResult = {
     val filtered = plan(Tables.items(spark, dir), p)
     val sorts = sortCols(filtered, p)
-    val sorted = applyFields(filtered, p).orderBy(orderCols(sorts): _*)
+    val sorted = applyFields(filtered, p, sorts).orderBy(orderCols(sorts): _*)
 
     val numMatched = if (p.withCount) filtered.count() else -1L
 

@@ -72,12 +72,11 @@ object StacSearch {
     s"(datetime <= TIMESTAMP '$t' OR (datetime IS NULL AND start_datetime <= TIMESTAMP '$t'))"
 
   /** properties.x / properties__x / x name variants → schema name
-    * (database_logic.py:856-919).
+    * (database_logic.py:856-919). Variant rule lives in
+    * [[Cql.nameVariants]] — one copy for both the filter and sort paths.
     */
-  def resolveField(name: String, schema: Seq[String]): Option[String] = {
-    val bare = name.stripPrefix("properties.").stripPrefix("properties__")
-    Seq(name, bare).find(schema.contains)
-  }
+  def resolveField(name: String, schema: Seq[String]): Option[String] =
+    Cql.nameVariants(name).find(schema.contains)
 
   /** A21 queryables: JSON-schema of filterable fields, derived from the
     * live DataFrame schema instead of the reference's static hand-written

@@ -192,8 +192,18 @@ object Geo {
     if (v > 0) 1 else if (v < 0) -1 else 0
   }
 
-  /** Proper segment intersection (shared-endpoint / collinear-overlap
-    * cases are excluded by construction — gate coords are off-grid).
+  /** Is point (px, py) on segment a→b, GIVEN it is collinear with it? */
+  private def onSegment(ax: Double, ay: Double, bx: Double, by: Double,
+                        px: Double, py: Double): Boolean =
+    px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+      py >= math.min(ay, by) && py <= math.max(ay, by)
+
+  /** Segment intersection INCLUDING boundary touches (shared endpoints,
+    * an endpoint interior to the other segment, collinear overlap) —
+    * ST_Intersects counts touching geometries as intersecting, and the
+    * kernel is reachable with arbitrary user geometry via the CQL2
+    * footprint target and the `box_intersects_geom` SQL function, so the
+    * off-grid-gate assumption can't be relied on.
     */
   def segmentsCross(ax: Double, ay: Double, bx: Double, by: Double,
                     cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
@@ -201,7 +211,11 @@ object Geo {
     val o2 = orient(ax, ay, bx, by, dx, dy)
     val o3 = orient(cx, cy, dx, dy, ax, ay)
     val o4 = orient(cx, cy, dx, dy, bx, by)
-    o1 != o2 && o3 != o4
+    if (o1 != o2 && o3 != o4) true
+    else (o1 == 0 && onSegment(ax, ay, bx, by, cx, cy)) ||
+      (o2 == 0 && onSegment(ax, ay, bx, by, dx, dy)) ||
+      (o3 == 0 && onSegment(cx, cy, dx, dy, ax, ay)) ||
+      (o4 == 0 && onSegment(cx, cy, dx, dy, bx, by))
   }
 
   /** Exact axis-aligned-box ∩ geometry test: (a) a box corner inside the

@@ -64,6 +64,19 @@ class CqlSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed s_intersects geometry gets a clear error, not an NPE") {
+    val cases = Seq(
+      """{"s_intersects":[{"property":"geometry"},{"coordinates":[]}]}""",      // no type
+      """{"s_intersects":[{"property":"geometry"},{"type":"Polygon"}]}""",      // no coords
+      """{"s_intersects":[{"property":"geometry"},{"type":"Polygon","coordinates":[[[1,2],[3,4]]]}]}""", // 2-pt ring
+      """{"s_intersects":[{"property":"geometry"},{"type":"Polygon","coordinates":[[[1,"x"],[3,4],[5,6]]]}]}""", // non-numeric
+      """{"s_intersects":[{"property":"geometry"},{"type":"MultiPolygon","coordinates":[]}]}""")
+    cases.foreach { json =>
+      val e = intercept[IllegalArgumentException](Cql.parseJson(json))
+      assert(e.getMessage.contains("cql2"), s"$json → ${e.getMessage}")
+    }
+  }
+
   test("property resolution rewrites name variants across the whole AST") {
     val ast = Cql.parseJson(
       """{"and":[{">":[{"property":"properties.value"},1.0]},

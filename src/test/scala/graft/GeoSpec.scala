@@ -129,6 +129,19 @@ class GeoSpec extends AnyFunSuite {
     assert(Geo.boxIntersectsGeom(8.0, 8.0, 12.0, 12.0, Array(Array(outer))))
   }
 
+  test("boxIntersectsGeom: boundary TOUCHES count as intersecting (ST_Intersects semantics)") {
+    val tri = Array(10.0, 0.0, 20.0, 0.0, 15.0, 10.0)
+    val geom = Array(Array(tri))
+    // box corner exactly ON a polygon edge (no vertex containment either way)
+    assert(Geo.boxIntersectsGeom(5.0, -5.0, 12.5, 5.0, geom))
+    // box edge sharing exactly one point with a polygon vertex
+    assert(Geo.boxIntersectsGeom(15.0, 10.0, 25.0, 20.0, geom))
+    // collinear edge overlap along the base
+    assert(Geo.boxIntersectsGeom(12.0, -3.0, 18.0, 0.0, geom))
+    // clearly separated stays false
+    assert(!Geo.boxIntersectsGeom(30.0, 30.0, 40.0, 40.0, geom))
+  }
+
   test("codegen'd PointInGeom agrees with interpreted kernel on data") {
     val s = TestSpark.spark
     val items = Tables.items(s, TestSpark.sf)

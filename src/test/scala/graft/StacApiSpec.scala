@@ -122,6 +122,14 @@ class StacApiSpec extends AnyFunSuite {
     val keep = StacApi.search(s, sf, SearchParams(collections = Seq("view"),
       sortBy = Seq(SortBy("value")), exclude = Seq("value"), limit = 5))
     assert(keep.items.head.schema.fieldNames.contains("value"))
+    // include WINS over exclude on conflict (STAC Fields extension)
+    val conflict = StacApi.search(s, sf, SearchParams(collections = Seq("view"),
+      include = Seq("value"), exclude = Seq("value"), limit = 5))
+    assert(conflict.items.head.schema.fieldNames.contains("value"))
+    // collection is never excludable (STAC minimum)
+    val minimum = StacApi.search(s, sf, SearchParams(collections = Seq("view"),
+      exclude = Seq("collection"), limit = 5))
+    assert(minimum.items.head.schema.fieldNames.contains("collection"))
   }
 
   test("cql2 filters resolve properties.x name variants like the reference") {
