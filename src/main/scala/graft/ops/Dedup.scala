@@ -17,6 +17,15 @@ import TextExprs._
   */
 object Dedup {
 
+  /** Ordered-pair expansion of a sorted id array `ds` — the shared
+    * in-bucket candidate generator (c2/c4/c20): emits struct(d1, d2) for
+    * every i < j pair, evaluated once per bucket inside the Generate.
+    */
+  private[ops] val pairExpansion: String =
+    "flatten(transform(sequence(1, size(ds) - 1), i -> " +
+      "transform(slice(ds, i + 1, size(ds) - i), y -> " +
+      "struct(element_at(ds, i) AS d1, y AS d2))))"
+
   /** One row per gram occurrence. The array expression is INLINED into the
     * explode: Generate over a PROJECTED array column doesn't collapse the
     * intermediate Project, and the un-collapsed shape measured 12× slower
@@ -92,10 +101,7 @@ object Dedup {
     val buckets = bands.groupBy(col("band"), col("bkey"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) >= 2)
-    buckets.select(explode(expr(
-        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
-          "transform(slice(ds, i + 1, size(ds) - i), y -> " +
-          "struct(element_at(ds, i) AS d1, y AS d2))))")).as("p"))
+    buckets.select(explode(expr(pairExpansion)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
       .orderBy(col("d1"), col("d2"))
@@ -229,10 +235,7 @@ object Dedup {
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) <= dfCap)
     val inter = posting.where(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
-          "transform(slice(ds, i + 1, size(ds) - i), y -> " +
-          "struct(element_at(ds, i) AS d1, y AS d2))))")).as("p"))
+      .select(explode(expr(pairExpansion)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     val sizes = posting.select(explode(col("ds")).as("doc_id"))
@@ -345,11 +348,8 @@ object Dedup {
     val buckets = bands.groupBy(col("tb"), col("bkey"))
       .agg(array_sort(collect_list(col("vec_id"))).as("ds"))
       .where(size(col("ds")) >= 2)
-    val cands = buckets.select(explode(expr(
-        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
-          "transform(slice(ds, i + 1, size(ds) - i), y -> " +
-          "struct(element_at(ds, i) AS v1, y AS v2))))")).as("p"))
-      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
+    val cands = buckets.select(explode(expr(pairExpansion)).as("p"))
+      .select(col("p.d1").as("v1"), col("p.d2").as("v2"))
       .distinct()
     cands
       .join(e.select(col("vec_id").as("v1"), col("nv").as("nv1")), "v1")
