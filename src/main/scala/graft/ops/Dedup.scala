@@ -365,6 +365,75 @@ object Dedup {
     */
   val c20Sql: String = c5Sql
 
+  // ------------------------------- C24 duplicated-passage detection
+  /** Duplicate-PASSAGE detection (the substring-dedup primitive of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): an 8-word shingle occurring in ≥2 documents marks a
+    * copied passage; per doc we report how many shingles and how many
+    * token positions lie inside such passages (the mask a trainer would
+    * cut). Shapes: positional shingle explode → hash df → flagged
+    * occurrences → span-union via position explode + distinct — all
+    * partial-agg'd equi-joins on the shingle hash, O(occurrences), no
+    * pairwise comparisons at any point.
+    */
+  private val passageLen = 8
+
+  def c24DupPassages(s: SparkSession, d: String): DataFrame = {
+    val gram8 = (0 until passageLen)
+      .map(k => s"element_at(w, i + $k)").mkString("concat_ws(' ', ", ", ", ")")
+    val g8 = Tables.documents(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr(s"size(w) >= $passageLen"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${passageLen - 1}), i -> $gram8)"))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), expr(h64Spark("concat('p8:', g)")).as("gh"))
+    val dupHashes = g8.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select(col("gh"))
+    val flagged = g8.join(dupHashes, "gh")
+    val totals = g8.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dupGrams = flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+    val dupTokens = flagged
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${passageLen - 1})")).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+    totals
+      .join(dupGrams, Seq("doc_id"), "left")
+      .join(dupTokens, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c24Sql: String = {
+    val gram8 = (1 until passageLen)
+      .foldLeft("w[i]") { case (acc, k) => s"$acc||' '||w[i + $k]" }
+    s"""WITH base AS (
+       |  SELECT doc_id, w FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= $passageLen),
+       |g8 AS (
+       |  SELECT doc_id, i - 1 AS pos, ${h64Duck(s"'p8:'||($gram8)")} AS gh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${passageLen - 2})) AS i FROM base)),
+       |dup AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g8 GROUP BY gh)
+       |        WHERE nd >= 2),
+       |flagged AS (SELECT g8.* FROM g8 JOIN dup USING (gh)),
+       |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM g8 GROUP BY doc_id),
+       |dg AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM flagged GROUP BY doc_id),
+       |dt AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM (
+       |  SELECT DISTINCT doc_id, tp FROM (
+       |    SELECT doc_id, unnest(range(pos, pos + $passageLen)) AS tp FROM flagged))
+       |  GROUP BY doc_id)
+       |SELECT totals.doc_id AS doc_id, n_grams,
+       |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+       |  COALESCE(dup_tokens, 0) AS dup_tokens
+       |FROM totals
+       |LEFT JOIN dg ON totals.doc_id = dg.doc_id
+       |LEFT JOIN dt ON totals.doc_id = dt.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------- C18 duplicate clusters (CC)
   /** Connected components over the C2 candidate graph — the correct
     * canonicalization when duplicates chain (A≈B≈C must collapse to ONE
@@ -422,7 +491,8 @@ object Dedup {
     "c4_dedup_jaccard"   -> (c4DedupJaccard _),
     "c5_dedup_embedding" -> (c5DedupEmbedding _),
     "c18_dup_clusters"   -> (c18DupClusters _),
-    "c20_dedup_embedding_lsh" -> (c20DedupEmbeddingLsh _)
+    "c20_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => c20DedupEmbeddingLsh(s, d)),
+    "c24_dup_passages"   -> (c24DupPassages _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -432,6 +502,7 @@ object Dedup {
     "c4_dedup_jaccard"   -> c4Sql,
     "c5_dedup_embedding" -> c5Sql,
     "c18_dup_clusters"   -> c18Sql,
-    "c20_dedup_embedding_lsh" -> c20Sql
+    "c20_dedup_embedding_lsh" -> c20Sql,
+    "c24_dup_passages"   -> c24Sql
   )
 }
