@@ -439,6 +439,53 @@ object Analytics {
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
+  // ------------------------------------------------------------------ B19
+  /** TPC-H Q14 shape (promo-revenue share): broadcast dim join + GLOBAL
+    * conditional aggregation — the share numerator is a filtered sum over
+    * the joined stream, computed in the same partial-agg pass as the
+    * denominator (no second scan). Exact decimal sums; the final ratio is
+    * one deterministic double division.
+    */
+  def b19PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(28,4)")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(28,4)")))
+          .as("promo"),
+        sum(rev).as("total"),
+        count(lit(1)).as("n_items"))
+      .select(
+        expr("CAST(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS DECIMAL(18,6))")
+          .cast("double").as("promo_pct"),
+        col("promo").cast("double").as("promo_rev"),
+        col("total").cast("double").as("total_rev"),
+        col("n_items"))
+  }
+
+  val b19PromoShareSql: String =
+    """SELECT
+      |  CAST(CAST(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS promo_pct,
+      |  CAST(promo AS DOUBLE) AS promo_rev,
+      |  CAST(total AS DOUBLE) AS total_rev,
+      |  n_items
+      |FROM (
+      |  SELECT
+      |    SUM(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))
+      |        ELSE CAST(0 AS DECIMAL(28,4)) END) AS promo,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS total,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')""".stripMargin
+
   // ------------------------------------------------------------------ B18
   /** AS-OF join: each event matched to the user's most recent order
     * at-or-before the event time. Spark lacks a native as-of join; the
@@ -504,7 +551,8 @@ object Analytics {
     "b15_stats"          -> (b15Stats _),
     "b16_quantiles"      -> (b16Quantiles _),
     "b17_pivot"          -> (b17Pivot _),
-    "b18_asof_join"      -> (b18AsofJoin _)
+    "b18_asof_join"      -> (b18AsofJoin _),
+    "b19_promo_share"    -> (b19PromoShare _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -524,6 +572,7 @@ object Analytics {
     "b15_stats"          -> b15StatsSql,
     "b16_quantiles"      -> b16QuantilesSql,
     "b17_pivot"          -> b17PivotSql,
-    "b18_asof_join"      -> b18AsofJoinSql
+    "b18_asof_join"      -> b18AsofJoinSql,
+    "b19_promo_share"    -> b19PromoShareSql
   )
 }
