@@ -381,6 +381,9 @@ object Dedup {
   def c24DupPassages(s: SparkSession, d: String): DataFrame = {
     val gram8 = (0 until passageLen)
       .map(k => s"element_at(w, i + $k)").mkString("concat_ws(' ', ", ", ", ")")
+    // three consumers (df count, flagged join, per-doc totals) read the
+    // shingle stream — materialize it ONCE instead of recomputing the
+    // concat+md5 projection per branch (at scale: a staged shingle table)
     val g8 = Tables.documents(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr(s"size(w) >= $passageLen"))
@@ -388,6 +391,7 @@ object Dedup {
         s"transform(sequence(1, size(w) - ${passageLen - 1}), i -> $gram8)"))
         .as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), expr(h64Spark("concat('p8:', g)")).as("gh"))
+      .localCheckpoint(true)
     val dupHashes = g8.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select(col("gh"))
