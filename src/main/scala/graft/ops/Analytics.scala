@@ -249,19 +249,30 @@ object Analytics {
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("o_totalprice") > 100000.0, 1).otherwise(0)).as("n_high"),
-        // Exact-decimal mean (B15 pattern) — avg() over doubles is
-        // partition-order-dependent and flaked the round-1 oracle hash.
-        // Exact sum → one deterministic double division.
-        (dsum("o_totalprice") / count(lit(1)).cast("double"))
-          .cast("decimal(18,4)").cast("double").as("avg_price"))
+        // Mean with NO floating point anywhere: o_totalprice has exactly 2
+        // decimals, so decimal(18,2)*100 is an integral cents value; sum the
+        // cents as BIGINT, then floor-divide to 1e-4 precision. The previous
+        // double→DECIMAL(18,4) round-trip rounds the shortest decimal repr
+        // in Spark but the exact binary value in DuckDB — at a rounding
+        // boundary the two differ in the last digit, which failed this
+        // gate's hash in rounds 1 and 2.
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("sum_cents"))
+      .select(
+        col("o_orderpriority"), col("n"), col("n_high"),
+        expr("(sum_cents * 100) div n").as("avg_price_e4"))
       .orderBy(col("o_orderpriority"))
   }
 
   val b11ConditionalAggSql: String =
-    """SELECT o_orderpriority, COUNT(*) AS n,
-      |  SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_high,
-      |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS avg_price
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    """SELECT o_orderpriority, n, n_high,
+      |  CAST((sum_cents * 100) // n AS BIGINT) AS avg_price_e4
+      |FROM (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_high,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders GROUP BY o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
 
   // ------------------------------------------------------------------ B12
   /** UNION ALL + deduplicating UNION over heterogeneous account sources. */

@@ -4,7 +4,8 @@
 Reads the Verify.scala output directory (one parquet dir per query +
 oracle_sql.json), replays each oracle SQL in DuckDB with the fixture tables
 registered by name, and compares: column names (sorted), row count, and
-values (rows sorted for stability). Exact equality except tiny float slack.
+values (rows sorted for stability). Exact equality, floats included — the
+driver's gate is an exact hash, so the local gate must be too.
 
 Usage: verify_local.py <sf_dir> <verify_out_dir>
 """
@@ -48,7 +49,9 @@ def cells_equal(a, b):
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        # EXACT — the driver's gate hashes values bit-for-bit; any slack here
+        # lets a row pass locally that the driver will fail (round-2 lesson).
+        return a == b
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
     # int vs float numeric equality
