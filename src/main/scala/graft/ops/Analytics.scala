@@ -264,12 +264,16 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  // n_high MUST be cast: DuckDB's SUM over INTEGER returns HUGEINT
+  // (int128), which reaches the driver's comparison as float64 while Spark
+  // writes int64 — values equal, dtype different, hash mismatch. This, not
+  // the avg rounding, is what kept this gate red in rounds 1-3.
   val b11ConditionalAggSql: String =
     """SELECT o_orderpriority, n, n_high,
       |  CAST((sum_cents * 100) // n AS BIGINT) AS avg_price_e4
       |FROM (
       |  SELECT o_orderpriority, COUNT(*) AS n,
-      |    SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_high,
+      |    CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
       |  FROM orders GROUP BY o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin

@@ -45,18 +45,36 @@ def frame_key(df):
     return cols, rows
 
 
+def kind(v):
+    """Type *kind* of a cell — int-like vs float-like must NOT cross-match:
+    DuckDB returns HUGEINT (e.g. from SUM over INTEGER) as float64 while
+    Spark writes int64; values compare equal but the driver's hash differs.
+    That slack hid the b11 failure for three rounds. Integer width (int32 vs
+    int64) is intentionally NOT distinguished.
+    """
+    import numpy as np
+    if v is None:
+        return "null"
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, tuple):
+        return "tuple"
+    return type(v).__name__
+
+
 def cells_equal(a, b):
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        # EXACT — the driver's gate hashes values bit-for-bit; any slack here
-        # lets a row pass locally that the driver will fail (round-2 lesson).
-        return a == b
+    if kind(a) != kind(b):
+        return False
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
-    # int vs float numeric equality
-    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not isinstance(a, bool) and not isinstance(b, bool):
-        return float(a) == float(b)
+    # EXACT — the driver's gate hashes values bit-for-bit; any slack here
+    # lets a row pass locally that the driver will fail (round-2/3 lesson).
     return a == b
 
 
