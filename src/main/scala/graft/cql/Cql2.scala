@@ -52,22 +52,24 @@ object Cql {
     * op ∈ t_before, t_after, t_during.
     */
   final case class Temporal(op: String, l: Operand, lo: Ts, hi: Option[Ts]) extends Cql
-  /** CQL2 s_intersects (extension), accepting ANY GeoJSON Polygon (with
-    * holes) or MultiPolygon — the reference accepts arbitrary GeoJSON
-    * (database_logic.py:418-448). `geom(p)` = polygon p's rings (outer
-    * first, then holes), each an open flat [x0,y0,…].
+  /** CQL2 s_intersects (extension), accepting ANY GeoJSON geometry —
+    * Point, MultiPoint, LineString, MultiLineString, Polygon (with
+    * holes), MultiPolygon, GeometryCollection — like the reference via
+    * ST_GeomFromGeoJSON (database_logic.py:418-448). Parsed into the
+    * [[graft.spatial.Shape]] ADT.
     *
     * `target` picks the item-side geometry:
     *  - `"geometry"` (default): the point (lon, lat) — envelope prune +
-    *    codegen'd ray cast; SQL renders the independent convex half-plane
-    *    form when the geometry is one convex ring, else the general
-    *    even-odd parity form.
+    *    codegen'd exact kernel; SQL renders the independent convex
+    *    half-plane form for one convex ring, the general even-odd parity
+    *    form for other polygons, and collinearity-bounds forms for
+    *    points/lines.
     *  - `"footprint"`: the item's envelope-box footprint
-    *    (xmin/ymin/xmax/ymax columns) — exact box∩geometry kernel; SQL
-    *    renders per-polygon separating-axis tests (convex rings only —
+    *    (xmin/ymin/xmax/ymax columns) — exact box∩shape kernel; SQL
+    *    renders separating-axis tests (polygon rings must be convex —
     *    decompose concave query shapes before filtering).
     */
-  final case class SIntersects(geom: Array[Array[Array[Double]]],
+  final case class SIntersects(shape: graft.spatial.Shape,
                                target: String = "geometry") extends Cql
 
   // ------------------------------------------------- property resolution
@@ -150,11 +152,11 @@ object Cql {
       opCol(l) >= opCol(lo) && opCol(l) <= opCol(hi)
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
-    case SIntersects(geom, "geometry") =>
-      graft.spatial.Geo.intersectsGeom(col("lon"), col("lat"), geom)
-    case SIntersects(geom, "footprint") =>
-      graft.spatial.Geo.footprintIntersectsGeom(
-        col("xmin"), col("ymin"), col("xmax"), col("ymax"), geom)
+    case SIntersects(shape, "geometry") =>
+      graft.spatial.Geo.intersectsShape(col("lon"), col("lat"), shape)
+    case SIntersects(shape, "footprint") =>
+      graft.spatial.Geo.footprintIntersectsShape(
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"), shape)
     case SIntersects(_, other) =>
       throw new IllegalArgumentException(s"bad s_intersects target: $other")
   }
@@ -192,17 +194,10 @@ object Cql {
       s"(${opSql(l)} >= ${opSql(lo)} AND ${opSql(l)} <= ${opSql(hi)})"
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
-    case SIntersects(geom, "geometry") =>
-      if (geom.length == 1 && geom(0).length == 1 && graft.spatial.Geo.isConvexCcw(geom(0)(0)))
-        graft.spatial.Geo.convexIntersectsSql("lon", "lat", geom(0)(0))
-      else
-        graft.spatial.Geo.pointInGeomSql("lon", "lat", geom)
-    case SIntersects(geom, "footprint") =>
-      require(geom.forall(p => p.length == 1 && graft.spatial.Geo.isConvexCcw(p(0))),
-        "footprint s_intersects SQL backend needs convex single-ring polygons " +
-          "(decompose concave shapes)")
-      geom.map(p => graft.spatial.Geo.boxConvexSatSql("xmin", "ymin", "xmax", "ymax", p(0)))
-        .mkString("(", " OR ", ")")
+    case SIntersects(shape, "geometry") =>
+      graft.spatial.Geo.pointShapeSql("lon", "lat", shape)
+    case SIntersects(shape, "footprint") =>
+      graft.spatial.Geo.boxShapeSql("xmin", "ymin", "xmax", "ymax", shape)
     case SIntersects(_, other) =>
       throw new IllegalArgumentException(s"bad s_intersects target: $other")
   }
@@ -226,24 +221,34 @@ object Cql {
     else if (n.isNumber) Num(n.asDouble())
     else throw new IllegalArgumentException(s"bad cql2 operand: $n")
 
-  /** GeoJSON Polygon / MultiPolygon → ring arrays (outer first, holes
-    * after; closure vertex dropped). Matches the geometry surface the
-    * reference accepts via ST_GeomFromGeoJSON (database_logic.py:418-448).
+  /** ANY GeoJSON geometry → [[graft.spatial.Shape]] (polygon-ring closure
+    * vertex dropped). Matches the geometry surface the reference accepts
+    * via ST_GeomFromGeoJSON (database_logic.py:418-448).
     */
-  private def parseGeoJson(g: JsonNode): Array[Array[Array[Double]]] = {
+  private def parseGeoJson(g: JsonNode): graft.spatial.Shape = {
+    import graft.spatial.Shape._
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"cql2 s_intersects: $msg (got: $g)")
     if (g == null || !g.isObject || g.get("type") == null || !g.get("type").isTextual)
       bad("geometry must be a GeoJSON object with a \"type\"")
-    val coords = g.get("coordinates")
-    if (coords == null || !coords.isArray) bad("geometry needs array \"coordinates\"")
+    val typ = g.get("type").asText()
+    def coords: JsonNode = {
+      val c = g.get("coordinates")
+      if (c == null || !c.isArray) bad("geometry needs array \"coordinates\"")
+      c
+    }
+    def pt(p: JsonNode): (Double, Double) = {
+      if (!p.isArray || p.size() < 2 || !p.get(0).isNumber || !p.get(1).isNumber)
+        bad("points must be numeric [x, y]")
+      (p.get(0).asDouble(), p.get(1).asDouble())
+    }
+    def flat(pn: JsonNode, minPts: Int, what: String): Array[Double] = {
+      if (!pn.isArray || pn.size() < minPts) bad(s"$what needs >= $minPts [x, y] points")
+      pn.elements().asScala.flatMap { p => val (x, y) = pt(p); Seq(x, y) }.toArray
+    }
     def ring(rn: JsonNode): Array[Double] = {
       if (!rn.isArray || rn.size() < 3) bad("each ring needs >= 3 [x, y] points")
-      val pts = rn.elements().asScala.map { p =>
-        if (!p.isArray || p.size() < 2 || !p.get(0).isNumber || !p.get(1).isNumber)
-          bad("ring points must be numeric [x, y]")
-        (p.get(0).asDouble(), p.get(1).asDouble())
-      }.toSeq
+      val pts = rn.elements().asScala.map(pt).toSeq
       val open = if (pts.length > 1 && pts.head == pts.last) pts.init else pts
       open.flatMap(p => Seq(p._1, p._2)).toArray
     }
@@ -251,11 +256,22 @@ object Cql {
       if (!pn.isArray || pn.size() == 0) bad("polygon needs >= 1 ring")
       pn.elements().asScala.map(ring).toArray
     }
-    g.get("type").asText() match {
-      case "Polygon"      => Array(poly(coords))
+    typ match {
+      case "Point" => val (x, y) = pt(coords); PointS(x, y)
+      case "MultiPoint" => MultiPointS(flat(coords, 1, "MultiPoint"))
+      case "LineString" => LinesS(Array(flat(coords, 2, "LineString")))
+      case "MultiLineString" =>
+        if (coords.size() == 0) bad("MultiLineString needs >= 1 line")
+        LinesS(coords.elements().asScala.map(flat(_, 2, "each line")).toArray)
+      case "Polygon"      => PolyS(Array(poly(coords)))
       case "MultiPolygon" =>
         if (coords.size() == 0) bad("MultiPolygon needs >= 1 polygon")
-        coords.elements().asScala.map(poly).toArray
+        PolyS(coords.elements().asScala.map(poly).toArray)
+      case "GeometryCollection" =>
+        val gs = g.get("geometries")
+        if (gs == null || !gs.isArray || gs.size() == 0)
+          bad("GeometryCollection needs array \"geometries\"")
+        CollS(gs.elements().asScala.map(parseGeoJson).toArray)
       case other => throw new IllegalArgumentException(s"unsupported geometry type: $other")
     }
   }

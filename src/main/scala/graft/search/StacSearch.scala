@@ -800,6 +800,55 @@ object StacSearch {
        |WHERE ${a39Ast.toSql}
        |ORDER BY id""".stripMargin)
 
+  // --------------------- A40/A41 non-polygon GeoJSON types in s_intersects
+  /** A40: s_intersects with a GeometryCollection mixing a convex Polygon,
+    * a LineString and a Point against item POINT geometry — the reference
+    * accepts any GeoJSON via ST_GeomFromGeoJSON (database_logic.py:437-441).
+    * The polygon member contributes the row mass; line/point members are
+    * exact-contact predicates that exercise the full parser + kernel + SQL
+    * renderer surface (collinearity-bounds / equality forms).
+    */
+  private val (a40Fn, a40Sql) = cqlQuery(
+    """{"and":[
+      |  {"s_intersects":[{"property":"geometry"},
+      |    {"type":"GeometryCollection","geometries":[
+      |      {"type":"Polygon","coordinates":[[[-120.137,-55.223],[-60.139,-55.223],[-60.139,-5.177],[-120.137,-5.177],[-120.137,-55.223]]]},
+      |      {"type":"LineString","coordinates":[[10.137,-80.223],[20.139,80.177]]},
+      |      {"type":"Point","coordinates":[50.141,10.177]}]}]},
+      |  {"<":[{"property":"value"},400.5]}
+      |]}""".stripMargin)
+
+  /** A41: s_intersects with MultiLineString + MultiPoint + Point members
+    * against item FOOTPRINTS (envelope boxes): boxes crossed by a polyline
+    * or containing a point match. Spark kernel = endpoint-in-box + edge
+    * crossings; oracle = INDEPENDENT separating-axis form
+    * ([[Geo.segBoxSatSql]]), so kernel bugs can't hide.
+    */
+  private val a41Ast = Cql.parseJson(
+    """{"and":[
+      |  {"s_intersects":[{"property":"footprint"},
+      |    {"type":"GeometryCollection","geometries":[
+      |      {"type":"MultiLineString","coordinates":[
+      |        [[-150.137,-70.223],[-100.139,70.177],[-60.137,-50.223]],
+      |        [[100.141,-60.223],[100.141,60.177]]]},
+      |      {"type":"MultiPoint","coordinates":[[30.141,20.177],[-20.139,-30.223]]},
+      |      {"type":"Point","coordinates":[60.141,-10.223]}]}]},
+      |  {">":[{"property":"value"},20.5]}
+      |]}""".stripMargin)
+
+  def a41FootprintShapes(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d))
+      .where(a41Ast.toColumn)
+      .select(col("id"), col("collection"), col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"), col("value"))
+      .orderBy(col("id"))
+
+  val a41Sql: String = Tables.withItems(
+    s"""SELECT id, collection, xmin, ymin, xmax, ymax, value FROM (
+       |  SELECT id, collection, value, $envelopeSqlCols FROM items)
+       |WHERE ${a41Ast.toSql}
+       |ORDER BY id""".stripMargin)
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -894,7 +943,9 @@ object StacSearch {
     "a36_cql2_s_intersects_multi" -> a36Fn,
     "a37_cql2_property_resolve"   -> (a37CqlPropertyResolve _),
     "a38_fields"                  -> (a38Fields _),
-    "a39_footprint_cql"           -> (a39FootprintCql _)
+    "a39_footprint_cql"           -> (a39FootprintCql _),
+    "a40_intersects_shapes"       -> a40Fn,
+    "a41_footprint_shapes"        -> (a41FootprintShapes _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -933,6 +984,8 @@ object StacSearch {
     "a36_cql2_s_intersects_multi" -> a36Sql,
     "a37_cql2_property_resolve"   -> a37Sql,
     "a38_fields"                  -> a38Sql,
-    "a39_footprint_cql"           -> a39Sql
+    "a39_footprint_cql"           -> a39Sql,
+    "a40_intersects_shapes"       -> a40Sql,
+    "a41_footprint_shapes"        -> a41Sql
   )
 }

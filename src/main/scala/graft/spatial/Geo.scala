@@ -268,6 +268,204 @@ object Geo {
         GraftBridge.expression(ymax.cast("double")), geom))
   }
 
+  // =================================================================
+  // Arbitrary GeoJSON geometry TYPES (Point, MultiPoint, LineString,
+  // MultiLineString, GeometryCollection — beyond the polygon family):
+  // the reference accepts ANY GeoJSON via ST_GeomFromGeoJSON
+  // (database_logic.py:437-441). Same design as the polygon kernels:
+  // envelope prune (pushdown-able ranges) + an exact codegen'd kernel.
+  // =================================================================
+
+  /** Is (px, py) exactly on segment a→b (collinear and within bounds)?
+    * ST_Intersects(point, line) counts boundary contact. Static — called
+    * from generated code via [[pointIntersectsShape]].
+    */
+  def pointOnSeg(px: Double, py: Double, ax: Double, ay: Double,
+                 bx: Double, by: Double): Boolean =
+    orient(ax, ay, bx, by, px, py) == 0 && onSegment(ax, ay, bx, by, px, py)
+
+  /** Point ∩ arbitrary shape. Static — called from generated code. */
+  def pointIntersectsShape(x: Double, y: Double, s: Shape): Boolean = s match {
+    case Shape.PointS(px, py)  => x == px && y == py
+    case Shape.MultiPointS(ps) =>
+      var i = 0
+      while (i < ps.length) { if (ps(i) == x && ps(i + 1) == y) return true; i += 2 }
+      false
+    case Shape.LinesS(paths) =>
+      var p = 0
+      while (p < paths.length) {
+        val path = paths(p)
+        var i = 0
+        while (i + 3 < path.length) {
+          if (pointOnSeg(x, y, path(i), path(i + 1), path(i + 2), path(i + 3)))
+            return true
+          i += 2
+        }
+        p += 1
+      }
+      false
+    case Shape.PolyS(geom)  => containsGeom(x, y, geom)
+    case Shape.CollS(parts) => parts.exists(pointIntersectsShape(x, y, _))
+  }
+
+  /** Segment ∩ axis-aligned box, boundary-inclusive: an endpoint inside
+    * the box, or the segment crossing one of the four box edges. (The SQL
+    * oracle uses the INDEPENDENT separating-axis form — see
+    * [[segBoxSatSql]].) Static — called from generated code.
+    */
+  def segIntersectsBox(ax: Double, ay: Double, bx: Double, by: Double,
+                       xmin: Double, ymin: Double, xmax: Double, ymax: Double): Boolean =
+    (ax >= xmin && ax <= xmax && ay >= ymin && ay <= ymax) ||
+      (bx >= xmin && bx <= xmax && by >= ymin && by <= ymax) ||
+      segmentsCross(ax, ay, bx, by, xmin, ymin, xmax, ymin) ||
+      segmentsCross(ax, ay, bx, by, xmax, ymin, xmax, ymax) ||
+      segmentsCross(ax, ay, bx, by, xmax, ymax, xmin, ymax) ||
+      segmentsCross(ax, ay, bx, by, xmin, ymax, xmin, ymin)
+
+  /** Footprint box ∩ arbitrary shape. Static — called from generated code. */
+  def boxIntersectsShape(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                         s: Shape): Boolean = s match {
+    case Shape.PointS(px, py) =>
+      px >= xmin && px <= xmax && py >= ymin && py <= ymax
+    case Shape.MultiPointS(ps) =>
+      var i = 0
+      while (i < ps.length) {
+        if (ps(i) >= xmin && ps(i) <= xmax && ps(i + 1) >= ymin && ps(i + 1) <= ymax)
+          return true
+        i += 2
+      }
+      false
+    case Shape.LinesS(paths) =>
+      var p = 0
+      while (p < paths.length) {
+        val path = paths(p)
+        var i = 0
+        while (i + 3 < path.length) {
+          if (segIntersectsBox(path(i), path(i + 1), path(i + 2), path(i + 3),
+              xmin, ymin, xmax, ymax)) return true
+          i += 2
+        }
+        p += 1
+      }
+      false
+    case Shape.PolyS(geom)  => boxIntersectsGeom(xmin, ymin, xmax, ymax, geom)
+    case Shape.CollS(parts) => parts.exists(boxIntersectsShape(xmin, ymin, xmax, ymax, _))
+  }
+
+  /** Envelope of an arbitrary shape (for the pushdown-able prune). */
+  def shapeEnvelope(s: Shape): (Double, Double, Double, Double) = s match {
+    case Shape.PointS(x, y)    => (x, y, x, y)
+    case Shape.MultiPointS(ps) => envelope(ps)
+    case Shape.LinesS(paths)   =>
+      val envs = paths.map(envelope)
+      (envs.map(_._1).min, envs.map(_._2).min, envs.map(_._3).max, envs.map(_._4).max)
+    case Shape.PolyS(geom)  => geomEnvelope(geom)
+    case Shape.CollS(parts) =>
+      val envs = parts.map(shapeEnvelope)
+      (envs.map(_._1).min, envs.map(_._2).min, envs.map(_._3).max, envs.map(_._4).max)
+  }
+
+  /** Exact point ∩ shape with the envelope pre-filter AND'd in front of
+    * the codegen'd kernel. Polygon-family shapes route to the established
+    * [[PointInGeom]] kernel (identical plan to the pre-Shape path).
+    */
+  def intersectsShape(lon: Column, lat: Column, s: Shape): Column = s match {
+    case Shape.PolyS(geom) => intersectsGeom(lon, lat, geom)
+    case _ =>
+      val (w, so, e, n) = shapeEnvelope(s)
+      bboxContains(lon, lat, w, so, e, n) &&
+        GraftBridge.column(PointIntersectsShape(
+          GraftBridge.expression(lon.cast("double")),
+          GraftBridge.expression(lat.cast("double")), s))
+  }
+
+  /** Footprint box ∩ shape: envelope prune + codegen'd kernel. */
+  def footprintIntersectsShape(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+                               s: Shape): Column = s match {
+    case Shape.PolyS(geom) => footprintIntersectsGeom(xmin, ymin, xmax, ymax, geom)
+    case _ =>
+      val (w, so, e, n) = shapeEnvelope(s)
+      xmin <= e && xmax >= w && ymin <= n && ymax >= so &&
+        GraftBridge.column(BoxIntersectsShape(
+          GraftBridge.expression(xmin.cast("double")),
+          GraftBridge.expression(ymin.cast("double")),
+          GraftBridge.expression(xmax.cast("double")),
+          GraftBridge.expression(ymax.cast("double")), s))
+  }
+
+  /** Point ∩ shape as oracle SQL. Point/line forms: exact cross-product
+    * collinearity + coordinate bounds (constants folded here). The
+    * polygon family keeps the established convex-half-plane / parity
+    * forms so existing gates' oracles are unchanged.
+    */
+  def pointShapeSql(lonC: String, latC: String, s: Shape): String = s match {
+    case Shape.PointS(px, py) => s"($lonC = $px AND $latC = $py)"
+    case Shape.MultiPointS(ps) =>
+      ps.grouped(2).map { case Array(px, py) => s"($lonC = $px AND $latC = $py)" }
+        .mkString("(", " OR ", ")")
+    case Shape.LinesS(paths) =>
+      paths.flatMap { path =>
+        path.grouped(2).toSeq.sliding(2).map { case Seq(Array(ax, ay), Array(bx, by)) =>
+          s"((($bx - $ax) * ($latC - $ay) - ($by - $ay) * ($lonC - $ax)) = 0" +
+            s" AND $lonC >= ${math.min(ax, bx)} AND $lonC <= ${math.max(ax, bx)}" +
+            s" AND $latC >= ${math.min(ay, by)} AND $latC <= ${math.max(ay, by)})"
+        }
+      }.mkString("(", " OR ", ")")
+    case Shape.PolyS(geom) =>
+      if (geom.length == 1 && geom(0).length == 1 && isConvexCcw(geom(0)(0)))
+        convexIntersectsSql(lonC, latC, geom(0)(0))
+      else pointInGeomSql(lonC, latC, geom)
+    case Shape.CollS(parts) =>
+      parts.map(pointShapeSql(lonC, latC, _)).mkString("(", " OR ", ")")
+  }
+
+  /** Segment ∩ box as SQL via the separating-axis theorem — INDEPENDENT of
+    * the kernel's endpoint-in-box + edge-crossing decomposition: the two
+    * convex shapes are disjoint iff separated along x, y (segment bbox vs
+    * box, constants folded) or the segment's normal (all four box corners
+    * strictly one side of the segment's supporting line).
+    */
+  def segBoxSatSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                   ax: Double, ay: Double, bx: Double, by: Double): String = {
+    val bboxTest =
+      s"$xminC <= ${math.max(ax, bx)} AND $xmaxC >= ${math.min(ax, bx)}" +
+        s" AND $yminC <= ${math.max(ay, by)} AND $ymaxC >= ${math.min(ay, by)}"
+    def sign(cx: String, cy: String) =
+      s"(($bx - $ax) * ($cy - $ay) - ($by - $ay) * ($cx - $ax))"
+    val signs = Seq(sign(xminC, yminC), sign(xmaxC, yminC),
+      sign(xmaxC, ymaxC), sign(xminC, ymaxC))
+    s"($bboxTest AND least(${signs.mkString(", ")}) <= 0" +
+      s" AND greatest(${signs.mkString(", ")}) >= 0)"
+  }
+
+  /** Footprint box ∩ shape as oracle SQL. The polygon family keeps the
+    * established convex-SAT form (convex single-ring polygons only, as
+    * before — decompose concave query shapes first).
+    */
+  def boxShapeSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                  s: Shape): String = s match {
+    case Shape.PointS(px, py) =>
+      s"($px >= $xminC AND $px <= $xmaxC AND $py >= $yminC AND $py <= $ymaxC)"
+    case Shape.MultiPointS(ps) =>
+      ps.grouped(2).map { case Array(px, py) =>
+        s"($px >= $xminC AND $px <= $xmaxC AND $py >= $yminC AND $py <= $ymaxC)"
+      }.mkString("(", " OR ", ")")
+    case Shape.LinesS(paths) =>
+      paths.flatMap { path =>
+        path.grouped(2).toSeq.sliding(2).map { case Seq(Array(ax, ay), Array(bx, by)) =>
+          segBoxSatSql(xminC, yminC, xmaxC, ymaxC, ax, ay, bx, by)
+        }
+      }.mkString("(", " OR ", ")")
+    case Shape.PolyS(geom) =>
+      require(geom.forall(p => p.length == 1 && isConvexCcw(p(0))),
+        "footprint-vs-polygon SQL oracle needs convex single-ring polygons " +
+          "(decompose concave shapes)")
+      geom.map(p => boxConvexSatSql(xminC, yminC, xmaxC, ymaxC, p(0)))
+        .mkString("(", " OR ", ")")
+    case Shape.CollS(parts) =>
+      parts.map(boxShapeSql(xminC, yminC, xmaxC, ymaxC, _)).mkString("(", " OR ", ")")
+  }
+
   /** Independent SQL oracle for box ∩ CONVEX CCW ring: separating-axis
     * test. Box axes = envelope interval overlap; each ring edge normal =
     * projection interval overlap, with the ring's projection bounds
@@ -376,5 +574,76 @@ case class BoxIntersectsGeom(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
       newThird: Expression, newFourth: Expression): BoxIntersectsGeom =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** Arbitrary GeoJSON geometry beyond the polygon family — the internal
+  * form [[graft.cql.Cql.SIntersects]] carries (the reference accepts any
+  * GeoJSON type via ST_GeomFromGeoJSON, database_logic.py:437-441).
+  * Coordinates are flat [x0,y0,x1,y1,…] like the polygon-ring form.
+  */
+sealed trait Shape extends Serializable
+
+object Shape {
+  final case class PointS(x: Double, y: Double) extends Shape
+  /** MultiPoint, flat pairs. */
+  final case class MultiPointS(pts: Array[Double]) extends Shape
+  /** LineString (one path) / MultiLineString (several) — open polylines. */
+  final case class LinesS(paths: Array[Array[Double]]) extends Shape
+  /** Polygon / MultiPolygon in the established rings form
+    * (polygon → rings, ring 0 outer shell, 1.. holes).
+    */
+  final case class PolyS(geom: Array[Array[Array[Double]]]) extends Shape
+  /** GeometryCollection. */
+  final case class CollS(parts: Array[Shape]) extends Shape
+}
+
+/** Codegen'd exact point ∩ arbitrary-shape test (Point/MultiPoint equality,
+  * on-segment for lines, shell-minus-holes parity for polygons). The shape
+  * is a per-query constant reference object; one static call per row
+  * inside whole-stage codegen.
+  */
+case class PointIntersectsShape(left: Expression, right: Expression, shape: Shape)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_intersects_shape"
+
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    Geo.pointIntersectsShape(lon.asInstanceOf[Double], lat.asInstanceOf[Double], shape)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val shapeRef = ctx.addReferenceObj("shape", shape, "graft.spatial.Shape")
+    nullSafeCodeGen(ctx, ev, (lonCode, latCode) =>
+      s"${ev.value} = graft.spatial.Geo.pointIntersectsShape($lonCode, $latCode, $shapeRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PointIntersectsShape =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd exact footprint-box ∩ arbitrary-shape test. */
+case class BoxIntersectsShape(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression,
+                              shape: Shape)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "box_intersects_shape"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Geo.boxIntersectsShape(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double], shape)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val shapeRef = ctx.addReferenceObj("shape", shape, "graft.spatial.Shape")
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.spatial.Geo.boxIntersectsShape($a, $b, $c, $d, $shapeRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): BoxIntersectsShape =
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }

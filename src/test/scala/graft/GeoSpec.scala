@@ -155,4 +155,93 @@ class GeoSpec extends AnyFunSuite {
     assert(viaExpr == viaDriver)
     assert(viaExpr.nonEmpty)
   }
+
+  // ---------------------------------------- non-polygon Shape kernels
+
+  import graft.spatial.Shape
+
+  test("pointIntersectsShape: Point/MultiPoint equality, on-segment, collection") {
+    assert(Geo.pointIntersectsShape(1.5, 2.5, Shape.PointS(1.5, 2.5)))
+    assert(!Geo.pointIntersectsShape(1.5, 2.5001, Shape.PointS(1.5, 2.5)))
+    assert(Geo.pointIntersectsShape(3.0, 4.0, Shape.MultiPointS(Array(9.0, 9.0, 3.0, 4.0))))
+    // midpoint and endpoint of a segment are ON it; off-line point is not
+    val line = Shape.LinesS(Array(Array(0.0, 0.0, 10.0, 10.0, 20.0, 10.0)))
+    assert(Geo.pointIntersectsShape(5.0, 5.0, line))
+    assert(Geo.pointIntersectsShape(10.0, 10.0, line))
+    assert(Geo.pointIntersectsShape(15.0, 10.0, line))
+    assert(!Geo.pointIntersectsShape(5.0, 5.1, line))
+    assert(!Geo.pointIntersectsShape(25.0, 10.0, line)) // past the last vertex
+    val coll = Shape.CollS(Array(Shape.PointS(-1.0, -1.0), line))
+    assert(Geo.pointIntersectsShape(5.0, 5.0, coll))
+    assert(Geo.pointIntersectsShape(-1.0, -1.0, coll))
+    assert(!Geo.pointIntersectsShape(-1.0, 1.0, coll))
+  }
+
+  test("segIntersectsBox == independent SAT formulation on random segment/box pairs") {
+    // SAT reference: disjoint iff separated along x, y, or the segment's
+    // normal — the same maths the SQL oracle renders (segBoxSatSql), so
+    // the kernel's endpoint+edge-crossing decomposition is cross-checked
+    // against an independent formulation.
+    def sat(ax: Double, ay: Double, bx: Double, by: Double,
+            xmin: Double, ymin: Double, xmax: Double, ymax: Double): Boolean = {
+      val bboxOk = xmin <= math.max(ax, bx) && xmax >= math.min(ax, bx) &&
+        ymin <= math.max(ay, by) && ymax >= math.min(ay, by)
+      val signs = Seq((xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax))
+        .map { case (cx, cy) => (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) }
+      bboxOk && signs.min <= 0 && signs.max >= 0
+    }
+    val rnd = new scala.util.Random(4242)
+    var disagreements = 0
+    var hits = 0
+    (1 to 4000).foreach { _ =>
+      val (ax, ay, bx, by) = (rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10,
+        rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10)
+      val (cx, cy) = (rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10)
+      val (w, h) = (rnd.nextDouble() * 5, rnd.nextDouble() * 5)
+      val got = Geo.segIntersectsBox(ax, ay, bx, by, cx - w, cy - h, cx + w, cy + h)
+      if (got) hits += 1
+      if (got != sat(ax, ay, bx, by, cx - w, cy - h, cx + w, cy + h)) disagreements += 1
+    }
+    assert(disagreements == 0)
+    assert(hits > 100) // the sample actually exercises both outcomes
+  }
+
+  test("boxIntersectsShape: line crossing a box with no endpoint inside") {
+    val diag = Shape.LinesS(Array(Array(-10.0, -10.0, 10.0, 10.0)))
+    assert(Geo.boxIntersectsShape(-1.0, -1.0, 1.0, 1.0, diag))
+    assert(!Geo.boxIntersectsShape(5.0, -5.0, 8.0, -2.0, diag))
+    assert(Geo.boxIntersectsShape(0.5, 0.5, 3.0, 1.5, Shape.PointS(1.0, 1.0)))
+    assert(!Geo.boxIntersectsShape(0.5, 0.5, 3.0, 1.5, Shape.PointS(0.0, 1.0)))
+  }
+
+  test("codegen'd PointIntersectsShape / BoxIntersectsShape agree with driver kernels on data") {
+    val s = TestSpark.spark
+    val items = Tables.items(s, TestSpark.sf)
+    // vertical strip polyline + the concave polygon in one collection
+    val shape = Shape.CollS(Array(
+      Shape.LinesS(Array(Array(-150.0, -80.0, -100.0, 80.0, -60.0, -50.0))),
+      Shape.PolyS(Array(Array(concaveRing)))))
+    val viaExpr = items
+      .where(Geo.intersectsShape(col("lon"), col("lat"), shape))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaDriver = items.select("id", "lon", "lat").collect()
+      .filter(r => Geo.pointIntersectsShape(r.getDouble(1), r.getDouble(2), shape))
+      .map(_.getLong(0)).toSet
+    assert(viaExpr == viaDriver)
+    assert(viaExpr.nonEmpty)
+
+    val boxes = items
+      .withColumn("xmin", col("lon") - 1.5).withColumn("xmax", col("lon") + 1.5)
+      .withColumn("ymin", col("lat") - 0.8).withColumn("ymax", col("lat") + 0.8)
+    val viaBoxExpr = boxes
+      .where(Geo.footprintIntersectsShape(
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"), shape))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaBoxDriver = boxes.select("id", "xmin", "ymin", "xmax", "ymax").collect()
+      .filter(r => Geo.boxIntersectsShape(
+        r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), shape))
+      .map(_.getLong(0)).toSet
+    assert(viaBoxExpr == viaBoxDriver)
+    assert(viaBoxExpr.nonEmpty)
+  }
 }
