@@ -333,17 +333,31 @@ object StacSearch {
     * the same values directly. A wrong key, path, or value in the
     * serialized Feature surfaces as a column mismatch.
     */
+  /** Per-item WKB geometry (the reference's storage format): point items
+    * (even id) carry Point WKB; area items (odd id) carry their Polygon
+    * footprint as WKB — requires the [[withEnvelope]] columns.
+    */
+  private def wkbCol: Column =
+    when(col("id") % 2 === 0, graft.spatial.WkbPoint(col("lon"), col("lat")))
+      .otherwise(graft.spatial.WkbBox(
+        col("xmin"), col("ymin"), col("xmax"), col("ymax")))
+
+  /** Feature JSON with geometry decoded from WKB (utilities.py:139-147
+    * decodes WKB → GeoJSON per row; here [[graft.spatial.WkbGeoJson]] is a
+    * codegen'd expression). `to_json` can't hold a per-row variant struct
+    * (Point vs Polygon coordinates differ in shape), so the geometry
+    * member is spliced in as raw JSON text ahead of the uniform remainder.
+    */
   private def featureJsonCol: Column = {
     val selfHref = concat(lit("https://example.com/collections/"), col("collection"),
       lit("/items/"), col("id").cast("string"))
-    to_json(struct(
+    val rest = to_json(struct(
       lit("Feature").as("type"),
       lit("1.0.0").as("stac_version"),
       col("id").cast("string").as("id"),
       col("collection"),
-      struct(lit("Point").as("type"),
-        array(col("lon"), col("lat")).as("coordinates")).as("geometry"),
-      array(col("lon"), col("lat"), col("lon"), col("lat")).as("bbox"),
+      when(col("id") % 2 === 0, array(col("lon"), col("lat"), col("lon"), col("lat")))
+        .otherwise(array(col("xmin"), col("ymin"), col("xmax"), col("ymax"))).as("bbox"),
       struct(
         struct(concat(selfHref, lit("/data.tif")).as("href"),
           lit("image/tiff").as("type")).as("data")).as("assets"),
@@ -357,15 +371,17 @@ object StacSearch {
           .as("datetime"),
         col("value"), col("user_id")).as("properties")
     ))
+    concat(lit("{\"geometry\":"), graft.spatial.WkbGeoJson(wkbCol),
+      lit(","), substring(rest, 2, Int.MaxValue))
   }
 
   /** Raw Feature JSON (unit-tested by parsing in StacSearchSpec). */
   def a20FeatureJson(s: SparkSession, d: String): DataFrame =
-    items(s, d).orderBy(col("id")).limit(20)
+    withEnvelope(items(s, d)).orderBy(col("id")).limit(20)
       .select(col("id"), featureJsonCol.as("feature"))
 
   def a20Serialize(s: SparkSession, d: String): DataFrame =
-    items(s, d).orderBy(col("id")).limit(20)
+    withEnvelope(items(s, d)).orderBy(col("id")).limit(20)
       .select(col("id"), featureJsonCol.as("f"))
       .select(col("id"),
         get_json_object(col("f"), "$.type").as("f_type"),
@@ -373,8 +389,16 @@ object StacSearch {
         get_json_object(col("f"), "$.id").as("f_id"),
         get_json_object(col("f"), "$.collection").as("f_collection"),
         get_json_object(col("f"), "$.geometry.type").as("f_geom_type"),
-        get_json_object(col("f"), "$.geometry.coordinates[0]").cast("double").as("f_lon"),
-        get_json_object(col("f"), "$.geometry.coordinates[1]").cast("double").as("f_lat"),
+        // Point rows: coordinates[0/1]; Polygon rows: first ring vertex =
+        // (xmin, ymin) of the footprint box
+        when(col("id") % 2 === 0,
+          get_json_object(col("f"), "$.geometry.coordinates[0]"))
+          .otherwise(get_json_object(col("f"), "$.geometry.coordinates[0][0][0]"))
+          .cast("double").as("f_gx"),
+        when(col("id") % 2 === 0,
+          get_json_object(col("f"), "$.geometry.coordinates[1]"))
+          .otherwise(get_json_object(col("f"), "$.geometry.coordinates[0][0][1]"))
+          .cast("double").as("f_gy"),
         get_json_object(col("f"), "$.bbox[2]").cast("double").as("f_bbox_e"),
         get_json_object(col("f"), "$.assets.data.href").as("f_asset_href"),
         get_json_object(col("f"), "$.assets.data.type").as("f_asset_type"),
@@ -390,9 +414,12 @@ object StacSearch {
     * right paths with the right types.
     */
   val a20Sql: String = Tables.withItems(
-    """SELECT id, 'Feature' AS f_type, '1.0.0' AS f_version,
+    s"""SELECT id, 'Feature' AS f_type, '1.0.0' AS f_version,
       |  CAST(id AS VARCHAR) AS f_id, collection AS f_collection,
-      |  'Point' AS f_geom_type, lon AS f_lon, lat AS f_lat, lon AS f_bbox_e,
+      |  CASE WHEN id % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS f_geom_type,
+      |  CASE WHEN id % 2 = 0 THEN lon ELSE xmin END AS f_gx,
+      |  CASE WHEN id % 2 = 0 THEN lat ELSE ymin END AS f_gy,
+      |  CASE WHEN id % 2 = 0 THEN lon ELSE xmax END AS f_bbox_e,
       |  'https://example.com/collections/'||collection||'/items/'||CAST(id AS VARCHAR)||'/data.tif' AS f_asset_href,
       |  'image/tiff' AS f_asset_type,
       |  'self' AS f_link0_rel,
@@ -400,7 +427,9 @@ object StacSearch {
       |  CASE WHEN datetime IS NULL THEN NULL
       |       ELSE strftime(datetime, '%Y-%m-%dT%H:%M:%S.%f')||'Z' END AS f_datetime,
       |  value AS f_value, user_id AS f_user_id
-      |FROM items ORDER BY id LIMIT 20""".stripMargin)
+      |FROM (SELECT id, collection, datetime, value, user_id, lon, lat,
+      |  $envelopeSqlCols FROM items)
+      |ORDER BY id LIMIT 20""".stripMargin)
 
   // ---------------------------------------------------- A22 flagship
   /** Combined search: collections + datetime + bbox + CQL2 + sort + page —
@@ -613,7 +642,8 @@ object StacSearch {
       .withColumn("ymax", col("lat") + halfH)
   }
 
-  private val envelopeSqlCols =
+  // lazy: referenced by a20Sql, which is declared earlier in the object
+  private lazy val envelopeSqlCols =
     """lon - (CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1) AS xmin,
       |lon + (CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1) AS xmax,
       |lat - (CAST(id % 7 AS DOUBLE) / 10.0 + 0.1) AS ymin,
@@ -849,6 +879,37 @@ object StacSearch {
        |WHERE ${a41Ast.toSql}
        |ORDER BY id""".stripMargin)
 
+  // ------------------------------------------------ A42 WKB ingestion
+  /** A42: WKB geometry ingestion — the reference's rows carry WKB decoded
+    * on output (utilities.py:13-22). Synthesizes the storage format
+    * per row (Point WKB for even ids, Polygon-footprint WKB for odd ids),
+    * then derives the geometry type and the envelope columns the whole
+    * spatial design keys on via codegen'd decode expressions. Oracle =
+    * the same values computed WKB-FREE from the source columns, so an
+    * encode or decode bug surfaces as a value mismatch.
+    */
+  def a42WkbRoundtrip(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d))
+      .withColumn("wkb", wkbCol)
+      .withColumn("env", graft.spatial.WkbEnvelope(col("wkb")))
+      .select(col("id"), col("collection"),
+        graft.spatial.WkbType(col("wkb")).as("g_type"),
+        col("env").getItem(0).as("g_xmin"), col("env").getItem(1).as("g_ymin"),
+        col("env").getItem(2).as("g_xmax"), col("env").getItem(3).as("g_ymax"),
+        graft.spatial.WkbNumPoints(col("wkb")).as("g_npoints"))
+      .orderBy(col("id"))
+
+  val a42Sql: String = Tables.withItems(
+    s"""SELECT id, collection,
+       |  CASE WHEN id % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS g_type,
+       |  CASE WHEN id % 2 = 0 THEN lon ELSE xmin END AS g_xmin,
+       |  CASE WHEN id % 2 = 0 THEN lat ELSE ymin END AS g_ymin,
+       |  CASE WHEN id % 2 = 0 THEN lon ELSE xmax END AS g_xmax,
+       |  CASE WHEN id % 2 = 0 THEN lat ELSE ymax END AS g_ymax,
+       |  CASE WHEN id % 2 = 0 THEN 1 ELSE 5 END AS g_npoints
+       |FROM (SELECT id, collection, lon, lat, $envelopeSqlCols FROM items)
+       |ORDER BY id""".stripMargin)
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -945,7 +1006,8 @@ object StacSearch {
     "a38_fields"                  -> (a38Fields _),
     "a39_footprint_cql"           -> (a39FootprintCql _),
     "a40_intersects_shapes"       -> a40Fn,
-    "a41_footprint_shapes"        -> (a41FootprintShapes _)
+    "a41_footprint_shapes"        -> (a41FootprintShapes _),
+    "a42_wkb_roundtrip"           -> (a42WkbRoundtrip _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -986,6 +1048,7 @@ object StacSearch {
     "a38_fields"                  -> a38Sql,
     "a39_footprint_cql"           -> a39Sql,
     "a40_intersects_shapes"       -> a40Sql,
-    "a41_footprint_shapes"        -> a41Sql
+    "a41_footprint_shapes"        -> a41Sql,
+    "a42_wkb_roundtrip"           -> a42Sql
   )
 }

@@ -22,16 +22,24 @@ class StacSearchSpec extends AnyFunSuite {
       val f = om.readTree(r.getString(1))
       assert(f.get("type").asText() == "Feature")
       assert(f.get("stac_version").asText() == "1.0.0")
-      assert(f.get("geometry").get("type").asText() == "Point")
-      assert(f.get("geometry").get("coordinates").size() == 2)
+      // even ids: Point; odd ids: Polygon footprint decoded from WKB
+      val gtype = f.get("geometry").get("type").asText()
+      if (r.getLong(0) % 2 == 0) {
+        assert(gtype == "Point")
+        val c = f.get("geometry").get("coordinates")
+        assert(c.size() == 2)
+        assert(c.get(0).asDouble() >= -180.0 && c.get(0).asDouble() < 180.0)
+      } else {
+        assert(gtype == "Polygon")
+        val ring = f.get("geometry").get("coordinates").get(0)
+        assert(ring.size() == 5) // closed box ring
+        assert(ring.get(0).get(0).asDouble() == f.get("bbox").get(0).asDouble())
+      }
       assert(f.get("bbox").size() == 4)
       assert(f.has("properties") && f.get("properties").has("value"))
       assert(f.get("assets").get("data").get("href").asText().endsWith("/data.tif"))
       assert(f.get("links").size() == 2)
       assert(f.get("links").get(0).get("rel").asText() == "self")
-      // interval-only items have no datetime key (null dropped by to_json)
-      val c = f.get("geometry").get("coordinates")
-      assert(c.get(0).asDouble() >= -180.0 && c.get(0).asDouble() < 180.0)
     }
   }
 
