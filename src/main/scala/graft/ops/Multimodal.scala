@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,55 +13,95 @@ import graft.core.Tables
   *
   * Media is carried as an opaque `binary` payload column with a typed
   * metadata struct — never parsed by the engine, so scans of non-media
-  * columns prune it away entirely (parquet column pruning). The decode /
-  * feature-extract step is STUBBED deterministically (no image/audio libs
-  * in this environment); the Spark-side plumbing — schema, per-partition
-  * batching, feature vector shape — is real and unit-tested
-  * (MultimodalSpec).
+  * columns prune it away entirely (parquet column pruning). The payload is
+  * REAL media: a deterministic PNG per document (encoded with
+  * `javax.imageio`, pure JVM), and the decode / feature-extract step is a
+  * REAL codec call — `ImageIO.read` — inside the partition-local batched
+  * `mapPartitions` plumbing (the shape a vectorized codec / model-
+  * inference call needs; a codec call is not expressible as a Catalyst
+  * expression).
   *
-  * The gate query `c12_multimodal` verifies the relational half against
-  * the DuckDB oracle: payload byte length, metadata derivation, content
-  * hash, and a byte-statistic "feature" — everything except the faked
-  * codec call.
+  * The gate query `c12_multimodal` checks the decode END TO END: each
+  * image's pixel pattern is an arithmetic function of (doc_id, y), so the
+  * decoded width/height/pixel-sum have closed forms the DuckDB oracle
+  * computes image-free — a wrong decode surfaces as a value mismatch.
   */
 object Multimodal {
 
   /** A media row: payload + typed metadata. */
   case class Media(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
 
-  /** Extracted features per media row. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Int, feature: Array[Float])
+  /** Extracted features per media row: decoded dimensions, exact pixel
+    * sum (red channel), and a fixed-width embedding-ish vector.
+    */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, dec_width: Int,
+                           dec_height: Int, pixel_sum: Long, feature: Array[Float])
 
   private val featDim = 8
 
-  /** STUB decode/feature-extract: a real build would call an image/audio
-    * codec here (???). Deterministic fake: folds payload bytes into a
-    * fixed-width feature vector — stable across runs and partitionings.
+  /** Deterministic image metadata from the id (mirrored in the oracle). */
+  def widthOf(docId: Long): Int = ((docId % 64) + 16).toInt
+  def heightOf(docId: Long): Int = (((docId * 7) % 64) + 16).toInt
+
+  /** Synthesize the payload: a real PNG whose row y is the constant gray
+    * value (doc_id + y) % 256 — decodable by any codec, pixel stats in
+    * closed form.
     */
-  def decodeStub(m: Media): MediaFeatures = {
-    val acc = new Array[Long](featDim)
-    var i = 0
-    while (i < m.payload.length) {
-      acc(i % featDim) += (m.payload(i) & 0xff).toLong
-      i += 1
+  def makePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val v = ((docId + y) % 256).toInt
+      val rgb = (v << 16) | (v << 8) | v
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
     }
-    MediaFeatures(m.doc_id, m.payload.length,
-      acc.map(v => (v % 1000L).toFloat / 1000f))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Media table: documents with the text re-cast as the binary payload
-    * plus deterministic metadata. In production this is the parquet schema
-    * itself — payload column written as BYTE_ARRAY with metadata columns
-    * beside it.
+  /** REAL decode + feature extraction: `ImageIO.read` the payload, read
+    * dimensions and red-channel stats off the decoded raster. The feature
+    * vector folds per-row means into `featDim` buckets.
+    */
+  def decode(m: Media): MediaFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+    require(img != null, s"undecodable payload for doc ${m.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    val bucket = new Array[Long](featDim)
+    var y = 0
+    while (y < h) {
+      var rowSum = 0L
+      var x = 0
+      while (x < w) {
+        rowSum += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      sum += rowSum
+      bucket(y % featDim) += rowSum
+      y += 1
+    }
+    MediaFeatures(m.doc_id, m.payload.length, w, h, sum,
+      bucket.map(v => v.toFloat / (w * h)))
+  }
+
+  /** Media table: one deterministic PNG payload per document, metadata
+    * beside it. In production this is the parquet schema itself — payload
+    * column written as BYTE_ARRAY with metadata columns beside it.
     */
   def mediaTable(s: SparkSession, d: String): Dataset[Media] = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        ((col("doc_id") % 64) + 16).cast("int").as("width"),
-        (((col("doc_id") * 7) % 64) + 16).cast("int").as("height"))
-      .as[Media]
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = widthOf(id)
+        val h = heightOf(id)
+        Media(id, makePng(id, w, h), w, h)
+      }
+    }
   }
 
   /** The batched decode pipeline: partition-local batching (the shape a
@@ -68,37 +112,36 @@ object Multimodal {
     import s.implicits._
     mediaTable(s, d).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // a real codec would process `batch` as one vectorized call
-        batch.iterator.map(decodeStub)
+        // each batch is one codec pass; ImageIO decodes per element
+        batch.iterator.map(decode)
       }
     }
   }
 
-  /** Gate query: the oracle-checkable relational half of the pipeline. */
+  /** Gate query: encode → decode end-to-end. Decoded width/height must
+    * equal the metadata, and the decoded pixel sum must equal the closed
+    * form the oracle computes image-free.
+    */
   def c12Multimodal(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        octet_length(col("text").cast("binary")).as("n_bytes"),
-        ((col("doc_id") % 64) + 16).as("width"),
-        (((col("doc_id") * 7) % 64) + 16).as("height"),
-        md5(col("text")).as("content_hash"),
-        expr("CAST(aggregate(filter(split(text, ''), c -> c <> ''), " +
-          "CAST(0 AS BIGINT), (a, c) -> a + ascii(c)) AS DOUBLE) / " +
-          "CAST(length(text) AS DOUBLE)").as("mean_byte"))
+    featurize(s, d).toDF()
+      .select(col("doc_id"),
+        col("dec_width"), col("dec_height"), col("pixel_sum"))
       .orderBy(col("doc_id"))
 
+  /** Row y of image doc_id is w pixels of value (a + y) % 256 with
+    * a = doc_id % 256 and h < 256, so the wrap happens at most once:
+    * Σ_y (a+y) % 256 = h·a + h(h−1)/2 − 256·max(0, a+h−256).
+    */
   val c12Sql: String =
     """SELECT doc_id,
-      |  octet_length(encode(text)) AS n_bytes,
-      |  (doc_id % 64) + 16 AS width,
-      |  ((doc_id * 7) % 64) + 16 AS height,
-      |  md5(text) AS content_hash,
-      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-      |      c -> CAST(ascii(c) AS BIGINT))), (a, c) -> a + c) AS DOUBLE) /
-      |    CAST(length(text) AS DOUBLE) AS mean_byte
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |  CAST(w AS INTEGER) AS dec_width,
+      |  CAST(h AS INTEGER) AS dec_height,
+      |  CAST(w * (h * a + h * (h - 1) // 2
+      |            - 256 * GREATEST(0, a + h - 256)) AS BIGINT) AS pixel_sum
+      |FROM (SELECT doc_id, (doc_id % 64) + 16 AS w, ((doc_id * 7) % 64) + 16 AS h,
+      |        doc_id % 256 AS a
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

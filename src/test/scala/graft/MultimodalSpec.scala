@@ -8,28 +8,42 @@ class MultimodalSpec extends AnyFunSuite {
   private def s = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("featurize: deterministic across partitionings and batch sizes") {
+  test("makePng produces a real PNG that ImageIO round-trips") {
+    val bytes = Multimodal.makePng(42L, 20, 10)
+    // PNG magic
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val f = Multimodal.decode(Multimodal.Media(42L, bytes, 20, 10))
+    assert(f.dec_width == 20 && f.dec_height == 10)
+    // row y is 20 pixels of (42 + y) % 256
+    val expected = (0 until 10).map(y => 20L * ((42 + y) % 256)).sum
+    assert(f.pixel_sum == expected)
+  }
+
+  test("decode handles the mod-256 wrap (closed form's GREATEST branch)") {
+    val id = 250L
+    val w = Multimodal.widthOf(id)
+    val h = Multimodal.heightOf(id)
+    val f = Multimodal.decode(Multimodal.Media(id, Multimodal.makePng(id, w, h), w, h))
+    val a = id % 256
+    val expected = w * (h * a + h.toLong * (h - 1) / 2 - 256L * math.max(0, a + h - 256))
+    assert(f.pixel_sum == expected)
+  }
+
+  test("featurize: real decode, deterministic across partitionings and batch sizes") {
     val a = Multimodal.featurize(s, sf, batchSize = 64).collect()
-      .map(f => f.doc_id -> (f.n_bytes, f.feature.toSeq)).toMap
+      .map(f => f.doc_id -> (f.dec_width, f.dec_height, f.pixel_sum, f.feature.toSeq)).toMap
     val b = Multimodal.featurize(s, sf, batchSize = 7).collect()
-      .map(f => f.doc_id -> (f.n_bytes, f.feature.toSeq)).toMap
+      .map(f => f.doc_id -> (f.dec_width, f.dec_height, f.pixel_sum, f.feature.toSeq)).toMap
     assert(a == b)
     assert(a.nonEmpty)
-    assert(a.values.forall(_._2.length == 8))
+    assert(a.values.forall(_._4.length == 8))
   }
 
-  test("payload byte length matches source text length (plumbing intact)") {
-    import org.apache.spark.sql.functions._
-    val docs = graft.core.Tables.documents(s, sf)
-      .select(col("doc_id"), length(col("text")).cast("int").as("n"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  test("decoded dimensions equal the metadata for every row") {
     val feats = Multimodal.featurize(s, sf).collect()
-    feats.foreach(f => assert(f.n_bytes == docs(f.doc_id)))
-  }
-
-  test("decodeStub is a pure function of payload") {
-    val m1 = Multimodal.Media(1L, "hello world".getBytes, 16, 16)
-    val m2 = Multimodal.Media(1L, "hello world".getBytes, 16, 16)
-    assert(Multimodal.decodeStub(m1).feature.toSeq == Multimodal.decodeStub(m2).feature.toSeq)
+    feats.foreach { f =>
+      assert(f.dec_width == Multimodal.widthOf(f.doc_id))
+      assert(f.dec_height == Multimodal.heightOf(f.doc_id))
+    }
   }
 }
