@@ -50,6 +50,14 @@ final case class SearchResult(
 
 object StacApi {
 
+  /** /collections: the static catalog (title/license/description/links)
+    * broadcast-joined onto derived counts + extents — the reference's
+    * collections directory (database_logic.py:58-138) with computed
+    * extents instead of hand-maintained ones.
+    */
+  def collections(spark: SparkSession, dir: String): DataFrame =
+    StacSearch.a26Collections(spark, dir)
+
   /** Filter-only plan: every search parameter as a Catalyst predicate. */
   def plan(items: DataFrame, p: SearchParams): DataFrame = {
     var df = items

@@ -946,26 +946,61 @@ object StacSearch {
        |ORDER BY facet, bucket""".stripMargin)
 
   // ---------------------------------------------- A26 collections summary
+  /** Static per-collection metadata — the reference's collection.json
+    * files (title/description/license/links, database_logic.py:58-138)
+    * as a tiny catalog table. One source of truth: the Spark frame and
+    * the oracle VALUES list both render from this Seq.
+    */
+  val collectionMeta: Seq[(String, String, String, String)] = Seq(
+    ("click", "Click events", "CC-BY-4.0", "Clickstream interaction items"),
+    ("error", "Error events", "MIT", "Client and server error items"),
+    ("purchase", "Purchase events", "proprietary", "Completed purchase items"),
+    ("signup", "Signup events", "CC0-1.0", "Account creation items"),
+    ("view", "View events", "CC-BY-4.0", "Page and item view items"))
+
   /** The reference's /collections endpoint serves static metadata files
     * (database_logic.py:58-138). Spark-first: the collection directory is
-    * DERIVED — per-collection counts plus temporal and spatial extents in
-    * one aggregation pass (at scale: one map-side-combined shuffle over
-    * the partition column, or free from partition-level stats).
+    * the static catalog BROADCAST-joined onto DERIVED per-collection
+    * counts plus temporal and spatial extents computed in one aggregation
+    * pass (at scale: one map-side-combined shuffle over the partition
+    * column, or free from partition-level stats; the catalog side is a
+    * handful of rows — always broadcast). Collections missing from the
+    * catalog still appear, metadata-null (left join), like the
+    * reference's fallback for absent collection.json files.
     */
-  def a26Collections(s: SparkSession, d: String): DataFrame =
+  def a26Collections(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val meta = collectionMeta.toDF("collection", "title", "license", "description")
     items(s, d).groupBy(col("collection"))
       .agg(count(lit(1)).as("n_items"),
         min(col("datetime")).as("t_min"), max(col("datetime")).as("t_max"),
         min(col("lon")).as("west"), max(col("lon")).as("east"),
         min(col("lat")).as("south"), max(col("lat")).as("north"))
+      .join(broadcast(meta), Seq("collection"), "left")
+      .withColumn("self_href",
+        concat(lit("https://example.com/collections/"), col("collection")))
       .orderBy(col("collection"))
+  }
+
+  private val collectionMetaValuesSql: String =
+    collectionMeta.map { case (c, t, l, de) => s"('$c', '$t', '$l', '$de')" }
+      .mkString(",\n      ")
 
   val a26Sql: String = Tables.withItems(
-    """SELECT collection, COUNT(*) AS n_items,
-      |  min(datetime) AS t_min, max(datetime) AS t_max,
-      |  min(lon) AS west, max(lon) AS east,
-      |  min(lat) AS south, max(lat) AS north
-      |FROM items GROUP BY collection ORDER BY collection""".stripMargin)
+    s"""SELECT d.collection, n_items, t_min, t_max, west, east, south, north,
+       |  m.title, m.license, m.description,
+       |  'https://example.com/collections/' || d.collection AS self_href
+       |FROM (
+       |  SELECT collection, COUNT(*) AS n_items,
+       |    min(datetime) AS t_min, max(datetime) AS t_max,
+       |    min(lon) AS west, max(lon) AS east,
+       |    min(lat) AS south, max(lat) AS north
+       |  FROM items GROUP BY collection) d
+       |LEFT JOIN (VALUES
+       |      $collectionMetaValuesSql)
+       |  AS m(collection, title, license, description)
+       |  ON d.collection = m.collection
+       |ORDER BY d.collection""".stripMargin)
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

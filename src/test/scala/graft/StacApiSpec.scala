@@ -190,4 +190,20 @@ class StacApiSpec extends AnyFunSuite {
     val ids = StacApi.search(s, sf, SearchParams(ids = Seq(1L, 2L, 3L)))
     assert(ids.numMatched <= 3 && ids.numMatched > 0)
   }
+
+  test("collections directory: static metadata broadcast-joined onto derived extents") {
+    val dir = StacApi.collections(s, sf)
+    val rows = dir.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[String]("title") != null, s"missing title for ${r.getAs[String]("collection")}")
+      assert(r.getAs[String]("license") != null)
+      assert(r.getAs[Long]("n_items") > 0)
+      assert(r.getAs[String]("self_href").endsWith(r.getAs[String]("collection")))
+      assert(r.getAs[Double]("west") <= r.getAs[Double]("east"))
+    }
+    // the catalog side must broadcast, never shuffle
+    val plan = dir.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
