@@ -79,7 +79,11 @@ object Tables {
     val e = events(spark, dir)
     val interval = (col("event_id") % 7) === 0
     e.select(
-      col("event_id").as("id"),
+      // STAC item ids are STRINGS (reference: database_logic.py:211-215);
+      // id_num keeps the numeric form for derived columns (envelopes,
+      // even/odd media splits) without re-parsing
+      col("event_id").cast("string").as("id"),
+      col("event_id").as("id_num"),
       col("event_type").as("collection"),
       when(interval, lit(null)).otherwise(col("ts")).as("datetime"),
       when(interval, col("ts") - expr("INTERVAL '1' HOUR")).as("start_datetime"),
@@ -99,7 +103,8 @@ object Tables {
     */
   val itemsSql: String =
     """items AS (
-      |  SELECT event_id AS id,
+      |  SELECT CAST(event_id AS VARCHAR) AS id,
+      |         event_id AS id_num,
       |         event_type AS collection,
       |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS datetime,
       |         CASE WHEN event_id % 7 = 0 THEN ts - INTERVAL 1 HOUR END AS start_datetime,

@@ -175,68 +175,103 @@ object Similarity {
   }
 
   // ------------------------------------------------- C14 IVF-flat ANN
-  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
-    * of [[nCentroids]] seed centroids (vectors 100..115 of the corpus —
-    * deterministic, no k-means iterations so both engines agree exactly);
-    * a query probes its [[nProbe]] nearest centroid lists and ranks only
-    * those. At scale the centroid id is the partition key: each query
-    * touches nProbe/nCentroids of the corpus.
+  /** IVF (inverted-file) ANN with TRAINED centroids: a deterministic
+    * spherical k-means (fixed sample, fixed init, [[kmIters]] Lloyd
+    * iterations) learns [[nCentroids]] centroids; corpus vectors are
+    * assigned to their nearest centroid; a query probes its [[nProbe]]
+    * nearest centroid lists and ranks only those. At scale the centroid
+    * id is the partition key: each query touches nProbe/nCentroids of
+    * the corpus.
+    *
+    * Training is driver-side over a deterministic sample (every
+    * [[kmSampleMod]]-th vector — the standard IVF practice of training on
+    * O(k·1000) sampled rows, tiny at any corpus size), with strictly
+    * sequential vec_id-ordered accumulation. The ORACLE re-trains the
+    * SAME algorithm in unrolled SQL CTEs whose sums are list_reduce folds
+    * over vec_id-ordered lists — an independent implementation that must
+    * agree bit-for-bit, so an off-by-one in either training loop fails
+    * the gate.
     */
   private val nCentroids = 16
-  private val centroidBase = 100 // vec_ids [100, 116) serve as seeds
   private val nProbe = 2
   private val kIvf = 5
+  private val kmIters = 3
+  private val kmSampleMod = 4
 
-  /** (vec_id, nv, cent) — every vector tagged with its nearest seed.
-    *
-    * ZERO-exchange assignment: the 16 seed vectors are a driver-side
-    * constant (one 16-row pushdown-filtered lookup, like a page fetch),
-    * inlined as literals so the argmax is a single narrow projection —
-    * all 16 dot products + first-position-of-max computed per row inside
-    * codegen. (The previous form crossJoined the corpus with the seeds
-    * and ranked through a Window: a 16×-expanded corpus shuffled to
-    * compute an argmin that needs no shuffle.) `array_position` returns
-    * the FIRST max index, and the seed array is sid-ascending, so ties
-    * break exactly like the oracle's ORDER BY sim DESC, sid.
+  /** Deterministic spherical k-means over the sample. Init = first
+    * [[nCentroids]] sample vectors (vec_id order); assignment = max
+    * cosine, first-lowest-cid on ties; update = mean of assigned vectors
+    * accumulated in vec_id order, renormalized; empty cluster keeps its
+    * previous centroid.
     */
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
-    val e = prepared(s, d)
-    val seedRows = e.where(col("vec_id") >= centroidBase &&
-        col("vec_id") < centroidBase + nCentroids)
+  private[ops] def trainCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val sample = prepared(s, d)
+      .where(col("vec_id") % kmSampleMod === 0)
       .select(col("vec_id"), col("nv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val simCols = seedRows.map { case (_, sv) =>
-      DotProduct(col("nv"), array(sv.map(lit).toIndexedSeq: _*))
+    var cents = sample.take(nCentroids).map(_._2)
+    var it = 0
+    while (it < kmIters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](64))
+      val counts = new Array[Long](nCentroids)
+      sample.foreach { case (_, v) =>
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < nCentroids) {
+          val sim = DotProduct.dot(v, cents(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < 64) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(nCentroids) { c =>
+        if (counts(c) == 0L) cents(c)
+        else {
+          val m = Array.tabulate(64)(i => sums(c)(i) / counts(c))
+          val nrm = math.sqrt(DotProduct.dot(m, m))
+          m.map(_ / nrm)
+        }
+      }
+      it += 1
     }
-    val sids = array(seedRows.map(s => lit(s._1)).toIndexedSeq: _*)
+    cents
+  }
+
+  /** (vec_id, nv, cent) — every vector tagged with its nearest trained
+    * centroid.
+    *
+    * ZERO-exchange assignment: the trained centroids are driver-side
+    * constants inlined as literals, so the argmax is a single narrow
+    * projection — all 16 dot products + first-position-of-max computed
+    * per row inside codegen, no join, no shuffle. `array_position`
+    * returns the FIRST max index and the centroid array is cid-ascending,
+    * so ties break exactly like the oracle's ORDER BY sim DESC, cid.
+    */
+  private def ivfAssigned(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val simCols = cents.map(cv => DotProduct(col("nv"), array(cv.map(lit).toIndexedSeq: _*)))
     e.select(col("vec_id"), col("nv"),
         array(simCols.toIndexedSeq: _*).as("sims"))
       .select(col("vec_id"), col("nv"),
-        element_at(sids, array_position(col("sims"), array_max(col("sims"))).cast("int"))
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("bigint")
           .as("cent"))
   }
 
-  private val ivfAssignedDuck: String =
-    s"""seeds AS (SELECT vec_id AS sid, nv AS sv FROM prep
-       |          WHERE vec_id >= $centroidBase AND vec_id < ${centroidBase + nCentroids}),
-       |assigned AS (
-       |  SELECT vec_id, nv, sid AS cent FROM (
-       |    SELECT prep.vec_id AS vec_id, nv, sid,
-       |      ROW_NUMBER() OVER (PARTITION BY prep.vec_id
-       |        ORDER BY ${nvDotDuck("nv", "sv")} DESC, sid) AS rk
-       |    FROM prep CROSS JOIN seeds)
-       |  WHERE rk = 1)""".stripMargin
-
   def c14AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val assigned = ivfAssigned(s, d)
+    val cents = trainCentroids(s, d)
+    val e = prepared(s, d)
+    val assigned = ivfAssigned(e, cents)
+    // per-query probe list: its nProbe nearest trained centroids, via the
+    // same literal-inlined dot products (shuffle-free; the probe set is a
+    // k-row frame that broadcasts into the candidate join)
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("qsim").desc, col("cent"))
-    // per-query probe list: its nProbe nearest centroids
-    val e = prepared(s, d)
-    val seeds = e.where(col("vec_id") >= centroidBase &&
-        col("vec_id") < centroidBase + nCentroids)
-      .select(col("vec_id").as("cent"), col("nv").as("sv"))
+    import s.implicits._
+    val seeds = cents.toSeq.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv.toSeq) }.toDF("cent", "sv")
     val probes = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("nv").as("qnv"))
       .crossJoin(broadcast(seeds))
@@ -257,15 +292,59 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** The oracle's k-means: [[kmIters]] unrolled iterations. Every sum is
+    * a sequential list_reduce fold over a vec_id-ordered (or
+    * position-ordered) list, matching the Scala loop's accumulation order
+    * exactly — bit-identical doubles by construction, independently
+    * implemented.
+    */
+  private val kmeansDuck: String = {
+    val init =
+      s"""kc0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, nv AS cv
+         |  FROM (SELECT vec_id, nv FROM ksample ORDER BY vec_id LIMIT $nCentroids))"""
+        .stripMargin
+    val iters = (1 to kmIters).map { t =>
+      val prev = s"kc${t - 1}"
+      s"""ka$t AS (
+         |  SELECT vec_id, nv, cid FROM (
+         |    SELECT s.vec_id, s.nv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${nvDotDuck("s.nv", "c.cv")} DESC, c.cid) AS rk
+         |    FROM ksample s CROSS JOIN $prev c) WHERE rk = 1),
+         |km$t AS (
+         |  SELECT cid, list(m ORDER BY i) AS mv FROM (
+         |    SELECT cid, i,
+         |      list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x)
+         |        / COUNT(*) AS m
+         |    FROM (SELECT cid, vec_id, i, nv[i] AS val FROM ka$t, range(1, 65) t(i))
+         |    GROUP BY cid, i)
+         |  GROUP BY cid),
+         |kc$t AS (
+         |  SELECT c.cid,
+         |    COALESCE(list_transform(n.mv, x -> x / sqrt(${nvDotDuck("n.mv", "n.mv")})), c.cv) AS cv
+         |  FROM kc${t - 1} c LEFT JOIN km$t n ON c.cid = n.cid)""".stripMargin
+    }
+    (s"ksample AS (SELECT vec_id, nv FROM prep WHERE vec_id % $kmSampleMod = 0)" +:
+      init +: iters).mkString(",\n")
+  }
+
   val c14Sql: String =
     s"""WITH $preparedDuck,
-       |$ivfAssignedDuck,
+       |$kmeansDuck,
+       |assigned AS (
+       |  SELECT vec_id, nv, cid AS cent FROM (
+       |    SELECT p.vec_id AS vec_id, p.nv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${nvDotDuck("p.nv", "c.cv")} DESC, c.cid) AS rk
+       |    FROM prep p CROSS JOIN kc$kmIters c)
+       |  WHERE rk = 1),
        |probes AS (
        |  SELECT q_id, qnv, cent FROM (
-       |    SELECT prep.vec_id AS q_id, nv AS qnv, sid AS cent,
-       |      ROW_NUMBER() OVER (PARTITION BY prep.vec_id
-       |        ORDER BY ${nvDotDuck("nv", "sv")} DESC, sid) AS prk
-       |    FROM prep CROSS JOIN seeds WHERE prep.vec_id < $nQueries)
+       |    SELECT p.vec_id AS q_id, p.nv AS qnv, c.cid AS cent,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${nvDotDuck("p.nv", "c.cv")} DESC, c.cid) AS prk
+       |    FROM prep p CROSS JOIN kc$kmIters c WHERE p.vec_id < $nQueries)
        |  WHERE prk <= $nProbe),
        |scored AS (
        |  SELECT q_id, assigned.vec_id AS vec_id, ${nvDotDuck("qnv", "nv")} AS cos_sim

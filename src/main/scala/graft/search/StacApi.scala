@@ -26,7 +26,7 @@ final case class SortBy(field: String, desc: Boolean = false)
 
 final case class SearchParams(
     collections: Seq[String] = Nil,
-    ids: Seq[Long] = Nil,
+    ids: Seq[String] = Nil,
     bbox: Option[(Double, Double, Double, Double)] = None,
     intersects: Option[Array[Double]] = None, // closed convex/concave ring
     datetime: Option[String] = None,          // "t" | "a/b" | "t/.." | "../t"

@@ -122,14 +122,14 @@ object StacSearch {
   val a2Sql: String = Tables.withItems(
     s"SELECT $projSql FROM items WHERE collection IN ('click', 'error') ORDER BY id")
 
-  private val idList = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L)
+  private val idList = Seq("1", "2", "3", "5", "8", "13", "21", "34", "55", "89")
 
   def a3IdsFilter(s: SparkSession, d: String): DataFrame =
     items(s, d).where(col("id").isin(idList: _*))
       .select(projCols: _*).orderBy(col("id"))
 
   val a3Sql: String = Tables.withItems(
-    s"SELECT $projSql FROM items WHERE id IN (${idList.mkString(", ")}) ORDER BY id")
+    s"SELECT $projSql FROM items WHERE id IN (${idList.map(i => s"'$i'").mkString(", ")}) ORDER BY id")
 
   // ------------------------------------------------------- A5/A6/A7
   private val tExact = "2024-01-15 12:00:00"
@@ -315,11 +315,11 @@ object StacSearch {
     * partition-pruned collection scan; LIMIT 1.
     */
   def a19ItemLookup(s: SparkSession, d: String): DataFrame =
-    items(s, d).where(col("id") === 43L)
+    items(s, d).where(col("id") === "43")
       .select(projCols: _*).limit(1)
 
   val a19Sql: String = Tables.withItems(
-    s"SELECT $projSql FROM items WHERE id = 43 LIMIT 1")
+    s"SELECT $projSql FROM items WHERE id = '43' LIMIT 1")
 
   // ------------------------------------------------------ A20 serialize
   /** Row → STAC Feature JSON as a distributed projection
@@ -338,7 +338,7 @@ object StacSearch {
     * footprint as WKB — requires the [[withEnvelope]] columns.
     */
   private def wkbCol: Column =
-    when(col("id") % 2 === 0, graft.spatial.WkbPoint(col("lon"), col("lat")))
+    when(col("id_num") % 2 === 0, graft.spatial.WkbPoint(col("lon"), col("lat")))
       .otherwise(graft.spatial.WkbBox(
         col("xmin"), col("ymin"), col("xmax"), col("ymax")))
 
@@ -354,9 +354,9 @@ object StacSearch {
     val rest = to_json(struct(
       lit("Feature").as("type"),
       lit("1.0.0").as("stac_version"),
-      col("id").cast("string").as("id"),
+      col("id"),
       col("collection"),
-      when(col("id") % 2 === 0, array(col("lon"), col("lat"), col("lon"), col("lat")))
+      when(col("id_num") % 2 === 0, array(col("lon"), col("lat"), col("lon"), col("lat")))
         .otherwise(array(col("xmin"), col("ymin"), col("xmax"), col("ymax"))).as("bbox"),
       struct(
         struct(concat(selfHref, lit("/data.tif")).as("href"),
@@ -382,7 +382,7 @@ object StacSearch {
 
   def a20Serialize(s: SparkSession, d: String): DataFrame =
     withEnvelope(items(s, d)).orderBy(col("id")).limit(20)
-      .select(col("id"), featureJsonCol.as("f"))
+      .select(col("id"), col("id_num"), featureJsonCol.as("f"))
       .select(col("id"),
         get_json_object(col("f"), "$.type").as("f_type"),
         get_json_object(col("f"), "$.stac_version").as("f_version"),
@@ -391,11 +391,11 @@ object StacSearch {
         get_json_object(col("f"), "$.geometry.type").as("f_geom_type"),
         // Point rows: coordinates[0/1]; Polygon rows: first ring vertex =
         // (xmin, ymin) of the footprint box
-        when(col("id") % 2 === 0,
+        when(col("id_num") % 2 === 0,
           get_json_object(col("f"), "$.geometry.coordinates[0]"))
           .otherwise(get_json_object(col("f"), "$.geometry.coordinates[0][0][0]"))
           .cast("double").as("f_gx"),
-        when(col("id") % 2 === 0,
+        when(col("id_num") % 2 === 0,
           get_json_object(col("f"), "$.geometry.coordinates[1]"))
           .otherwise(get_json_object(col("f"), "$.geometry.coordinates[0][0][1]"))
           .cast("double").as("f_gy"),
@@ -415,19 +415,19 @@ object StacSearch {
     */
   val a20Sql: String = Tables.withItems(
     s"""SELECT id, 'Feature' AS f_type, '1.0.0' AS f_version,
-      |  CAST(id AS VARCHAR) AS f_id, collection AS f_collection,
-      |  CASE WHEN id % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS f_geom_type,
-      |  CASE WHEN id % 2 = 0 THEN lon ELSE xmin END AS f_gx,
-      |  CASE WHEN id % 2 = 0 THEN lat ELSE ymin END AS f_gy,
-      |  CASE WHEN id % 2 = 0 THEN lon ELSE xmax END AS f_bbox_e,
-      |  'https://example.com/collections/'||collection||'/items/'||CAST(id AS VARCHAR)||'/data.tif' AS f_asset_href,
+      |  id AS f_id, collection AS f_collection,
+      |  CASE WHEN id_num % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS f_geom_type,
+      |  CASE WHEN id_num % 2 = 0 THEN lon ELSE xmin END AS f_gx,
+      |  CASE WHEN id_num % 2 = 0 THEN lat ELSE ymin END AS f_gy,
+      |  CASE WHEN id_num % 2 = 0 THEN lon ELSE xmax END AS f_bbox_e,
+      |  'https://example.com/collections/'||collection||'/items/'||id||'/data.tif' AS f_asset_href,
       |  'image/tiff' AS f_asset_type,
       |  'self' AS f_link0_rel,
       |  'https://example.com/collections/'||collection AS f_link1_href,
       |  CASE WHEN datetime IS NULL THEN NULL
       |       ELSE strftime(datetime, '%Y-%m-%dT%H:%M:%S.%f')||'Z' END AS f_datetime,
       |  value AS f_value, user_id AS f_user_id
-      |FROM (SELECT id, collection, datetime, value, user_id, lon, lat,
+      |FROM (SELECT id, id_num, collection, datetime, value, user_id, lon, lat,
       |  $envelopeSqlCols FROM items)
       |ORDER BY id LIMIT 20""".stripMargin)
 
@@ -459,21 +459,26 @@ object StacSearch {
 
   // ------------------------------------------------------- A23 keyset
   /** Keyset (search-after) pagination — the 100 TB replacement for OFFSET:
-    * token = last (value, id); next page = lexicographic predicate that
-    * pushes down, then top-k. No offset scan of skipped rows.
+    * token = last (value, id_num); next page = lexicographic predicate
+    * that pushes down, then top-k. No offset scan of skipped rows. The
+    * tiebreak is id_num (a PHYSICAL column, so the predicate reaches
+    * PushedFilters — audited in PlanAuditSpec): any unique stored column
+    * is a valid keyset tiebreak, and the view's string `id` is a derived
+    * cast that can never push. In a real catalog the string id is stored
+    * and pushes directly.
     */
   def a23KeysetPaginate(s: SparkSession, d: String): DataFrame = {
     val (v0, id0) = (250.0, 0L)
     items(s, d)
-      .where(col("value") > v0 || (col("value") === v0 && col("id") > id0))
+      .where(col("value") > v0 || (col("value") === v0 && col("id_num") > id0))
       .select(projCols: _*)
-      .orderBy(col("value").asc, col("id").asc).limit(25)
+      .orderBy(col("value").asc, col("id_num").asc).limit(25)
   }
 
   val a23Sql: String = Tables.withItems(
     s"""SELECT $projSql FROM items
-       |WHERE value > 250.0 OR (value = 250.0 AND id > 0)
-       |ORDER BY value ASC, id ASC LIMIT 25""".stripMargin)
+       |WHERE value > 250.0 OR (value = 250.0 AND id_num > 0)
+       |ORDER BY value ASC, id_num ASC LIMIT 25""".stripMargin)
 
   // ------------------------------------------------- A24 z-curve cells
   /** Z-order (Morton) spatial bucketing — the 100 TB spatial-pruning
@@ -635,7 +640,7 @@ object StacSearch {
     */
   private def withEnvelope(df: DataFrame): DataFrame = {
     val halfW = (col("user_id") % 10).cast("double") / 10.0 + 0.1
-    val halfH = (col("id") % 7).cast("double") / 10.0 + 0.1
+    val halfH = (col("id_num") % 7).cast("double") / 10.0 + 0.1
     df.withColumn("xmin", col("lon") - halfW)
       .withColumn("xmax", col("lon") + halfW)
       .withColumn("ymin", col("lat") - halfH)
@@ -646,8 +651,8 @@ object StacSearch {
   private lazy val envelopeSqlCols =
     """lon - (CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1) AS xmin,
       |lon + (CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1) AS xmax,
-      |lat - (CAST(id % 7 AS DOUBLE) / 10.0 + 0.1) AS ymin,
-      |lat + (CAST(id % 7 AS DOUBLE) / 10.0 + 0.1) AS ymax""".stripMargin
+      |lat - (CAST(id_num % 7 AS DOUBLE) / 10.0 + 0.1) AS ymin,
+      |lat + (CAST(id_num % 7 AS DOUBLE) / 10.0 + 0.1) AS ymax""".stripMargin
 
   def a29EnvelopeOverlap(s: SparkSession, d: String): DataFrame = {
     val (w, so, e, n) = bbox
@@ -764,7 +769,7 @@ object StacSearch {
   /** The items view's column names — static (used to resolve oracle SQL at
     * object init; the Spark side resolves against the live schema).
     */
-  private val itemsSchema = Seq("id", "collection", "datetime", "start_datetime",
+  private val itemsSchema = Seq("id", "id_num", "collection", "datetime", "start_datetime",
     "end_datetime", "lon", "lat", "value", "user_id", "props")
 
   /** A37: CQL2 filters referencing `properties.value` / `properties__user_id`
@@ -901,13 +906,13 @@ object StacSearch {
 
   val a42Sql: String = Tables.withItems(
     s"""SELECT id, collection,
-       |  CASE WHEN id % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS g_type,
-       |  CASE WHEN id % 2 = 0 THEN lon ELSE xmin END AS g_xmin,
-       |  CASE WHEN id % 2 = 0 THEN lat ELSE ymin END AS g_ymin,
-       |  CASE WHEN id % 2 = 0 THEN lon ELSE xmax END AS g_xmax,
-       |  CASE WHEN id % 2 = 0 THEN lat ELSE ymax END AS g_ymax,
-       |  CASE WHEN id % 2 = 0 THEN 1 ELSE 5 END AS g_npoints
-       |FROM (SELECT id, collection, lon, lat, $envelopeSqlCols FROM items)
+       |  CASE WHEN id_num % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS g_type,
+       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE xmin END AS g_xmin,
+       |  CASE WHEN id_num % 2 = 0 THEN lat ELSE ymin END AS g_ymin,
+       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE xmax END AS g_xmax,
+       |  CASE WHEN id_num % 2 = 0 THEN lat ELSE ymax END AS g_ymax,
+       |  CASE WHEN id_num % 2 = 0 THEN 1 ELSE 5 END AS g_npoints
+       |FROM (SELECT id, id_num, collection, lon, lat, $envelopeSqlCols FROM items)
        |ORDER BY id""".stripMargin)
 
   // --------------------------------------------------- A31 facets

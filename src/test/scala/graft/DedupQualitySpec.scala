@@ -57,11 +57,11 @@ class DedupQualitySpec extends AnyFunSuite {
 
   test("z-range cover is consistent with the z-cell cover (both equal plain bbox)") {
     val viaRanges = StacSearch.queries("a30_zrange_scan")(s, sf)
-      .select("id").collect().map(_.getLong(0)).toSet
+      .select("id").collect().map(_.getString(0)).toSet
     val viaCells = StacSearch.queries("a24_zcurve_cells")(s, sf)
-      .select("id").collect().map(_.getLong(0)).toSet
+      .select("id").collect().map(_.getString(0)).toSet
     val plain = StacSearch.queries("a8_bbox")(s, sf)
-      .select("id").collect().map(_.getLong(0)).toSet
+      .select("id").collect().map(_.getString(0)).toSet
     assert(viaRanges == plain && viaCells == plain)
   }
 }

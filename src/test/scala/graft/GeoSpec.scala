@@ -27,10 +27,10 @@ class GeoSpec extends AnyFunSuite {
       -39.859, 10.223, -9.861, -34.731, 50.139, -34.731)
     val viaRayCast = items
       .where(Geo.intersectsPolygon(col("lon"), col("lat"), hex))
-      .select("id").collect().map(_.getLong(0)).toSet
+      .select("id").collect().map(_.getString(0)).toSet
     val viaHalfPlanes = items
       .where(Geo.convexIntersectsColumn(col("lon"), col("lat"), hex))
-      .select("id").collect().map(_.getLong(0)).toSet
+      .select("id").collect().map(_.getString(0)).toSet
     assert(viaRayCast == viaHalfPlanes)
     assert(viaRayCast.nonEmpty)
   }
@@ -148,10 +148,10 @@ class GeoSpec extends AnyFunSuite {
     val geom = Array(Array(concaveRing))
     val viaExpr = items
       .where(Geo.intersectsGeom(col("lon"), col("lat"), geom))
-      .select("id").collect().map(_.getLong(0)).toSet
+      .select("id").collect().map(_.getString(0)).toSet
     val viaDriver = items.select("id", "lon", "lat").collect()
       .filter(r => Geo.containsGeom(r.getDouble(1), r.getDouble(2), geom))
-      .map(_.getLong(0)).toSet
+      .map(_.getString(0)).toSet
     assert(viaExpr == viaDriver)
     assert(viaExpr.nonEmpty)
   }
@@ -223,10 +223,10 @@ class GeoSpec extends AnyFunSuite {
       Shape.PolyS(Array(Array(concaveRing)))))
     val viaExpr = items
       .where(Geo.intersectsShape(col("lon"), col("lat"), shape))
-      .select("id").collect().map(_.getLong(0)).toSet
+      .select("id").collect().map(_.getString(0)).toSet
     val viaDriver = items.select("id", "lon", "lat").collect()
       .filter(r => Geo.pointIntersectsShape(r.getDouble(1), r.getDouble(2), shape))
-      .map(_.getLong(0)).toSet
+      .map(_.getString(0)).toSet
     assert(viaExpr == viaDriver)
     assert(viaExpr.nonEmpty)
 
@@ -236,11 +236,11 @@ class GeoSpec extends AnyFunSuite {
     val viaBoxExpr = boxes
       .where(Geo.footprintIntersectsShape(
         col("xmin"), col("ymin"), col("xmax"), col("ymax"), shape))
-      .select("id").collect().map(_.getLong(0)).toSet
+      .select("id").collect().map(_.getString(0)).toSet
     val viaBoxDriver = boxes.select("id", "xmin", "ymin", "xmax", "ymax").collect()
       .filter(r => Geo.boxIntersectsShape(
         r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), shape))
-      .map(_.getLong(0)).toSet
+      .map(_.getString(0)).toSet
     assert(viaBoxExpr == viaBoxDriver)
     assert(viaBoxExpr.nonEmpty)
   }

@@ -31,8 +31,8 @@ class ItemsLayoutSpec extends AnyFunSuite {
       val expected = Tables.items(s, sf)
         .where(col("collection") === "click")
         .where(col("datetime") >= lit("2024-01-10 00:00:00").cast("timestamp"))
-        .select("id").collect().map(_.getLong(0)).toSet
-      val got = q.select("id").collect().map(_.getLong(0)).toSet
+        .select("id").collect().map(_.getString(0)).toSet
+      val got = q.select("id").collect().map(_.getString(0)).toSet
       assert(got == expected)
     } finally {
       new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
@@ -79,8 +79,8 @@ class ItemsLayoutSpec extends AnyFunSuite {
       val expected = items
         .where(col("lon") >= bbox._1 && col("lon") <= bbox._3 &&
           col("lat") >= bbox._2 && col("lat") <= bbox._4)
-        .select("id").collect().map(_.getLong(0)).toSet
-      val got = q.select("id").collect().map(_.getLong(0)).toSet
+        .select("id").collect().map(_.getString(0)).toSet
+      val got = q.select("id").collect().map(_.getString(0)).toSet
       assert(got == expected)
     } finally {
       new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()

@@ -34,14 +34,14 @@ class StacApiSpec extends AnyFunSuite {
     val p0 = SearchParams(collections = Seq("click"),
       sortBy = Seq(SortBy("properties.value", desc = true)), limit = 7)
     var token: Option[String] = None
-    var seen = Vector.empty[Long]
+    var seen = Vector.empty[String]
     var pages = 0
     var matched = -1L
     var done = false
     while (!done) {
       val r = StacApi.search(s, sf, p0.copy(token = token))
       matched = r.numMatched
-      seen = seen ++ r.items.map(row => row.getLong(row.fieldIndex("id")))
+      seen = seen ++ r.items.map(row => row.getString(row.fieldIndex("id")))
       pages += 1
       token = r.nextToken
       done = token.isEmpty
@@ -53,7 +53,7 @@ class StacApiSpec extends AnyFunSuite {
     // order check: value desc, id asc — recompute expected
     val expected = Tables.items(s, sf).where(col("collection") === "click")
       .orderBy(col("value").desc, col("id"))
-      .select("id").collect().map(_.getLong(0)).toVector
+      .select("id").collect().map(_.getString(0)).toVector
     assert(seen == expected)
   }
 
@@ -63,14 +63,14 @@ class StacApiSpec extends AnyFunSuite {
     // through the null run without dropping or re-reading rows
     val p0 = SearchParams(sortBy = Seq(SortBy("datetime", desc = true)), limit = 13)
     var token: Option[String] = None
-    var seen = Vector.empty[Long]
+    var seen = Vector.empty[String]
     var matched = -1L
     var done = false
     var pages = 0
     while (!done) {
       val r = StacApi.search(s, sf, p0.copy(token = token))
       matched = r.numMatched
-      seen = seen ++ r.items.map(row => row.getLong(row.fieldIndex("id")))
+      seen = seen ++ r.items.map(row => row.getString(row.fieldIndex("id")))
       token = r.nextToken
       pages += 1
       done = token.isEmpty
@@ -80,7 +80,7 @@ class StacApiSpec extends AnyFunSuite {
     assert(seen.distinct.length == seen.length, "no row visited twice")
     val expected = Tables.items(s, sf)
       .orderBy(col("datetime").desc, col("id"))
-      .select("id").collect().map(_.getLong(0)).toVector
+      .select("id").collect().map(_.getString(0)).toVector
     assert(seen == expected)
     // sanity: the walk actually crossed null sort keys
     val nNull = Tables.items(s, sf).where(col("datetime").isNull).count()
@@ -91,20 +91,20 @@ class StacApiSpec extends AnyFunSuite {
     val p0 = SearchParams(collections = Seq("click", "error"),
       sortBy = Seq(SortBy("datetime"), SortBy("value", desc = true)), limit = 17)
     var token: Option[String] = None
-    var seen = Vector.empty[Long]
+    var seen = Vector.empty[String]
     var matched = -1L
     var done = false
     while (!done) {
       val r = StacApi.search(s, sf, p0.copy(token = token))
       matched = r.numMatched
-      seen = seen ++ r.items.map(row => row.getLong(row.fieldIndex("id")))
+      seen = seen ++ r.items.map(row => row.getString(row.fieldIndex("id")))
       token = r.nextToken
       done = token.isEmpty
     }
     assert(seen.length == matched)
     val expected = Tables.items(s, sf).where(col("collection").isin("click", "error"))
       .orderBy(col("datetime").asc, col("value").desc, col("id"))
-      .select("id").collect().map(_.getLong(0)).toVector
+      .select("id").collect().map(_.getString(0)).toVector
     assert(seen == expected)
   }
 
@@ -154,16 +154,16 @@ class StacApiSpec extends AnyFunSuite {
     val viaOffset = Iterator.iterate(Option("off:0"): Option[String]) { tk =>
       StacApi.search(s, sf, base.copy(token = tk)).nextToken
     }.takeWhile(_.isDefined).flatMap { tk =>
-      StacApi.search(s, sf, base.copy(token = tk)).items.map(r => r.getLong(r.fieldIndex("id")))
+      StacApi.search(s, sf, base.copy(token = tk)).items.map(r => r.getString(r.fieldIndex("id")))
     }.toVector
     val viaKeyset = {
       var token: Option[String] = None
-      var out = Vector.empty[Long]
+      var out = Vector.empty[String]
       var first = true
       while (first || token.isDefined) {
         first = false
         val r = StacApi.search(s, sf, base.copy(token = token))
-        out ++= r.items.map(row => row.getLong(row.fieldIndex("id")))
+        out ++= r.items.map(row => row.getString(row.fieldIndex("id")))
         token = r.nextToken
       }
       out
@@ -187,7 +187,7 @@ class StacApiSpec extends AnyFunSuite {
       -39.859, 10.223, -9.861, -34.731, 50.139, -34.731)
     val r = StacApi.search(s, sf, SearchParams(intersects = Some(hex), limit = 10_000))
     assert(r.numMatched > 0)
-    val ids = StacApi.search(s, sf, SearchParams(ids = Seq(1L, 2L, 3L)))
+    val ids = StacApi.search(s, sf, SearchParams(ids = Seq("1", "2", "3")))
     assert(ids.numMatched <= 3 && ids.numMatched > 0)
   }
 
