@@ -457,19 +457,30 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      // hop: pull the min label across one edge
       val prop = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("lab")).as("cand"))
-      // keep old AND new label through the checkpoint: the changed-count
-      // then reads the materialized rows instead of re-running the join
-      // (halves the jobs per round vs a separate next⋈labels count)
-      val step = labels.join(prop, col("node") === col("dst"), "left")
+      val hopped = labels.join(prop, col("node") === col("dst"), "left")
         .select(col("node"), col("lab").as("old_lab"),
-          least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab1"))
+      // pointer-doubling shortcut: follow the label's own label
+      // (lab := lab(lab)), so label distances halve each round — hop +
+      // shortcut converges in O(log diameter) rounds instead of
+      // O(diameter) (the chainy-corpus risk the round-2 verdict flagged)
+      val l2 = hopped.select(col("node").as("pnode"), col("lab1").as("plab"))
+      // keep old AND new label through the checkpoint: the changed-count
+      // then reads the materialized rows instead of re-running the joins
+      val step = hopped.join(l2, hopped("lab1") === l2("pnode"), "left")
+        .select(hopped("node"), hopped("old_lab"),
+          least(hopped("lab1"), coalesce(l2("plab"), hopped("lab1"))).as("lab"))
         .localCheckpoint(true)
       changed = step.where(col("lab") < col("old_lab")).count()
+      rounds += 1
       labels = step.select(col("node"), col("lab"))
     }
+    System.err.println(s"[c18] connected components converged in $rounds rounds")
     val out = labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
       .orderBy(col("doc_id"))
     edges.unpersist()
