@@ -277,7 +277,7 @@ object Dedup {
     * join is the correctness baseline; the scale path is C7's LSH
     * bucketing.
     */
-  private val cosMin = 0.45
+  private[graft] val cosMin = 0.45
 
   def c5DedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = Similarity.prepared(s, d).select(col("vec_id"), col("nv"))
@@ -310,8 +310,8 @@ object Dedup {
     * (table, bucket) key is the shuffle key and candidate count is
     * O(Σ bucket²), never O(n²).)
     */
-  private val c20Tables = 12
-  private val c20Planes = 3
+  private[graft] val c20Tables = 12
+  private[graft] val c20Planes = 3
 
   /** Plane count policy at scale: buckets per table should track corpus
     * size so candidate volume stays O(n · bucket-size) — planes ≈
@@ -323,7 +323,7 @@ object Dedup {
   def c20PlanesFor(n: Long, targetBucket: Int = 64): Int =
     math.max(3, (math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).round.toInt)
 
-  private def c20Plane(t: Int, j: Int): Array[Double] =
+  private[graft] def c20Plane(t: Int, j: Int): Array[Double] =
     Array.tabulate(64)(i => ((TextExprs.h64Local(s"tb${t}_$j:$i") % 2001L) - 1000L) / 1000.0)
 
   def c20DedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.DotProduct
+import graft.ops.Dedup
+
+/** D8: STREAMING near-duplicate detection — C20's bucketed embedding LSH
+  * over a document stream (SURVEY.md §2.C/D).
+  *
+  * Each arriving vector is normalized and hashed into [[Dedup.c20Tables]]
+  * LSH bucket keys (the same hyperplane tables as the batch operator);
+  * per (table, bucket) a stateful operator keeps the members seen inside
+  * the watermark horizon and emits verified candidate pairs (cosine ≥
+  * [[Dedup.cosMin]]) as they form. State is watermark-bounded: members
+  * older than the event-time horizon are evicted on timeout, so a bucket's
+  * state is O(recent occupants), never O(history) — the streaming
+  * semantic is "near-dups against the recent window"; full-history dedup
+  * stays a batch job (C20).
+  *
+  * Stream ≡ batch: the normalization and bucket-key expressions are the
+  * SAME Catalyst expressions as the batch path, and the in-state cosine
+  * uses the same sequential kernel ([[DotProduct.dot]]) as the batch
+  * verify join — with an un-expiring watermark the emitted pair set equals
+  * batch C20 exactly (asserted in StreamDedupSpec).
+  */
+object StreamDedup {
+
+  /** A banded stream row: one vector occurrence in one LSH table. */
+  case class BandIn(tb: Int, bkey: Int, vec_id: Long,
+                    ts: java.sql.Timestamp, nv: Seq[Double])
+
+  /** An emitted near-dup pair (v1 < v2). `ts` is the later of the two
+    * member times — the pair's event time for downstream watermarking.
+    */
+  case class PairOut(v1: Long, v2: Long, cos_sim: Double, ts: java.sql.Timestamp)
+
+  /** Bucket state: members within the watermark horizon. */
+  case class BucketState(members: List[(Long, Seq[Double], Long)])
+
+  /** Normalize + band a raw vector stream (vec_id, ts, v: array<double>)
+    * with the batch operator's exact expressions.
+    */
+  def banded(stream: DataFrame, nTables: Int, nPlanes: Int): DataFrame = {
+    val tableKeys = (0 until nTables).map { t =>
+      (0 until nPlanes).map { j =>
+        val p = array(Dedup.c20Plane(t, j).map(lit).toIndexedSeq: _*)
+        when(DotProduct(col("nv"), p) >= 0.0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    stream
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+      .select(col("vec_id"), col("ts"), expr("transform(v, x -> x / nrm)").as("nv"))
+      .select(col("vec_id"), col("ts"), col("nv"),
+        posexplode(array(tableKeys: _*)).as(Seq("tb", "bkey")))
+  }
+
+  private def stateFlat(cosMin: Double, horizon: Long)(
+      key: (Int, Int), rows: Iterator[BandIn],
+      state: GroupState[BucketState]): Iterator[PairOut] = {
+    val wmMs = state.getCurrentWatermarkMs()
+    var members = state.getOption.map(_.members).getOrElse(Nil)
+      .filter(_._3 >= wmMs - horizon)
+    if (state.hasTimedOut) {
+      if (members.isEmpty) state.remove()
+      else {
+        state.update(BucketState(members))
+        state.setTimeoutTimestamp(members.map(_._3).max + horizon)
+      }
+      Iterator.empty
+    } else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+      // process deterministically (vec_id order) so same-batch pairs are
+      // independent of shuffle arrival order
+      rows.toSeq.sortBy(_.vec_id).foreach { r =>
+        val rv = r.nv.toArray
+        val rMs = r.ts.getTime
+        members.foreach { case (mid, mnv, mMs) =>
+          if (mid != r.vec_id) {
+            // same sequential kernel as the batch verify join; x·y ≡ y·x
+            // bit-for-bit (per-element products commute, same sum order)
+            val cos = DotProduct.dot(rv, mnv.toArray)
+            if (cos >= cosMin) {
+              val (a, b) = if (r.vec_id < mid) (r.vec_id, mid) else (mid, r.vec_id)
+              out += PairOut(a, b, cos, new java.sql.Timestamp(math.max(rMs, mMs)))
+            }
+          }
+        }
+        members = (r.vec_id, r.nv, rMs) :: members
+      }
+      state.update(BucketState(members))
+      state.setTimeoutTimestamp(members.map(_._3).max + horizon)
+      out.iterator
+    }
+  }
+
+  /** The streaming near-dup operator. `watermarkDelay` bounds both late
+    * data and the dedup window (members older than the watermark minus
+    * `horizonMs` are evicted).
+    */
+  def nearDupStream(s: SparkSession, stream: DataFrame,
+                    nTables: Int = Dedup.c20Tables,
+                    nPlanes: Int = Dedup.c20Planes,
+                    cosMin: Double = Dedup.cosMin,
+                    watermarkDelay: String = "1 hour",
+                    horizonMs: Long = 3600L * 1000): Dataset[PairOut] = {
+    import s.implicits._
+    banded(stream, nTables, nPlanes)
+      .withWatermark("ts", watermarkDelay)
+      .as[BandIn]
+      .groupByKey(b => (b.tb, b.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        stateFlat(cosMin, horizonMs))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamDedup
+
+// top-level so Spark derives the Encoder
+case class VecIn(vec_id: Long, ts: java.sql.Timestamp, v: Seq[Double])
+
+class StreamDedupSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def t(min: Int) = new java.sql.Timestamp(
+    java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+
+  private def corpus(): Array[(Long, Seq[Double])] =
+    graft.core.Tables.embeddings(s, sf)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  test("streaming near-dup over micro-batches ≡ batch C20 (no eviction)") {
+    import s.implicits._
+    val vecs = corpus()
+    val mem = MemoryStream[VecIn](s)
+    val q = StreamDedup.nearDupStream(s, mem.toDF(),
+        watermarkDelay = "2 hours", horizonMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("d8_pairs")
+      .outputMode("append").start()
+    try {
+      // three micro-batches, interleaved by vec_id; all within the horizon
+      (0 until 3).foreach { b =>
+        mem.addData(vecs.filter(_._1 % 3 == b).map { case (id, v) =>
+          VecIn(id, t(b * 5), v)
+        }.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = s.sql("SELECT v1, v2, cos_sim FROM d8_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.ops.Dedup.c20DedupEmbeddingLsh(s, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("watermark bounds state: members beyond the horizon are evicted, not paired") {
+    import s.implicits._
+    // two identical vectors far apart in event time + a fresh one close by
+    val v = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    val mem = MemoryStream[VecIn](s)
+    val q = StreamDedup.nearDupStream(s, mem.toDF(),
+        watermarkDelay = "1 minute", horizonMs = 60L * 1000)
+      .writeStream.format("memory").queryName("d8_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(VecIn(1L, t(0), v))
+      q.processAllAvailable()
+      // push the watermark far past vec 1's horizon
+      mem.addData(VecIn(99L, t(600), Seq.tabulate(64)(i => math.cos(i + 1.0))))
+      q.processAllAvailable()
+      // identical twin arrives long after vec 1 expired → no pair
+      mem.addData(VecIn(2L, t(601), v))
+      q.processAllAvailable()
+      // a near-in-time twin DOES pair
+      mem.addData(VecIn(3L, t(602), v))
+      q.processAllAvailable()
+      val pairs = s.sql("SELECT v1, v2 FROM d8_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((2L, 3L)), s"expected fresh twin pair, got $pairs")
+      assert(!pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)),
+        s"expired member must not pair: $pairs")
+    } finally q.stop()
+  }
+}
