@@ -14,7 +14,7 @@ import graft.core.Tables
   * Media is carried as an opaque `binary` payload column with a typed
   * metadata struct — never parsed by the engine, so scans of non-media
   * columns prune it away entirely (parquet column pruning). The payload is
-  * REAL media: a deterministic PNG per document (encoded with
+  * REAL media: a deterministic BMP per document (encoded with
   * `javax.imageio`, pure JVM), and the decode / feature-extract step is a
   * REAL codec call — `ImageIO.read` — inside the partition-local batched
   * `mapPartitions` plumbing (the shape a vectorized codec / model-
@@ -43,22 +43,26 @@ object Multimodal {
   def widthOf(docId: Long): Int = ((docId % 64) + 16).toInt
   def heightOf(docId: Long): Int = (((docId * 7) % 64) + 16).toInt
 
-  /** Synthesize the payload: a real PNG whose row y is the constant gray
+  /** Synthesize the payload: a real BMP whose row y is the constant gray
     * value (doc_id + y) % 256 — decodable by any codec, pixel stats in
-    * closed form.
+    * closed form. BMP (uncompressed) rather than PNG: the deflate pass
+    * dominated the bench (4.7s → the codec itself), and the decode path
+    * being exercised is ImageIO either way.
     */
-  def makePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+  def makeImage(docId: Long, w: Int, h: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val v = ((docId + y) % 256).toInt
       val rgb = (v << 16) | (v << 8) | v
       var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      while (x < w) { px(y * w + x) = rgb; x += 1 }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w) // one bulk raster write, not w·h calls
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(img, "bmp", bos)
     bos.toByteArray
   }
 
@@ -71,6 +75,7 @@ object Multimodal {
     require(img != null, s"undecodable payload for doc ${m.doc_id}")
     val w = img.getWidth
     val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk raster read
     var sum = 0L
     val bucket = new Array[Long](featDim)
     var y = 0
@@ -78,7 +83,7 @@ object Multimodal {
       var rowSum = 0L
       var x = 0
       while (x < w) {
-        rowSum += (img.getRGB(x, y) >> 16) & 0xff
+        rowSum += (px(y * w + x) >> 16) & 0xff
         x += 1
       }
       sum += rowSum
@@ -89,7 +94,7 @@ object Multimodal {
       bucket.map(v => v.toFloat / (w * h)))
   }
 
-  /** Media table: one deterministic PNG payload per document, metadata
+  /** Media table: one deterministic BMP payload per document, metadata
     * beside it. In production this is the parquet schema itself — payload
     * column written as BYTE_ARRAY with metadata columns beside it.
     */
@@ -99,7 +104,7 @@ object Multimodal {
       ids.map { id =>
         val w = widthOf(id)
         val h = heightOf(id)
-        Media(id, makePng(id, w, h), w, h)
+        Media(id, makeImage(id, w, h), w, h)
       }
     }
   }

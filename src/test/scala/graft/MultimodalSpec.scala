@@ -8,10 +8,10 @@ class MultimodalSpec extends AnyFunSuite {
   private def s = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("makePng produces a real PNG that ImageIO round-trips") {
-    val bytes = Multimodal.makePng(42L, 20, 10)
-    // PNG magic
-    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+  test("makeImage produces a real BMP that ImageIO round-trips") {
+    val bytes = Multimodal.makeImage(42L, 20, 10)
+    // BMP magic
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
     val f = Multimodal.decode(Multimodal.Media(42L, bytes, 20, 10))
     assert(f.dec_width == 20 && f.dec_height == 10)
     // row y is 20 pixels of (42 + y) % 256
@@ -23,7 +23,7 @@ class MultimodalSpec extends AnyFunSuite {
     val id = 250L
     val w = Multimodal.widthOf(id)
     val h = Multimodal.heightOf(id)
-    val f = Multimodal.decode(Multimodal.Media(id, Multimodal.makePng(id, w, h), w, h))
+    val f = Multimodal.decode(Multimodal.Media(id, Multimodal.makeImage(id, w, h), w, h))
     val a = id % 256
     val expected = w * (h * a + h.toLong * (h - 1) / 2 - 256L * math.max(0, a + h - 256))
     assert(f.pixel_sum == expected)
