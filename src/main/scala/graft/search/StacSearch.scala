@@ -351,9 +351,18 @@ object StacSearch {
   private def featureJsonCol: Column = {
     val selfHref = concat(lit("https://example.com/collections/"), col("collection"),
       lit("/items/"), col("id").cast("string"))
+    // stac_extensions passthrough (utilities.py:224 — defaults to []) and
+    // proj:* fields in properties (utilities.py:177-205): area items (odd
+    // id) declare the projection extension and carry proj:epsg/proj:shape;
+    // point items carry neither (nulls drop out of to_json, mirroring the
+    // reference's skip-None loop).
+    val isArea = col("id_num") % 2 === 1
     val rest = to_json(struct(
       lit("Feature").as("type"),
       lit("1.0.0").as("stac_version"),
+      when(isArea, array(
+        lit("https://stac-extensions.github.io/projection/v1.1.0/schema.json")))
+        .otherwise(array().cast("array<string>")).as("stac_extensions"),
       col("id"),
       col("collection"),
       when(col("id_num") % 2 === 0, array(col("lon"), col("lat"), col("lon"), col("lat")))
@@ -369,7 +378,11 @@ object StacSearch {
       struct(
         concat(date_format(col("datetime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z"))
           .as("datetime"),
-        col("value"), col("user_id")).as("properties")
+        col("value"), col("user_id"),
+        when(isArea, lit(4326)).as("proj:epsg"),
+        // proj:shape is [height, width] (row-major raster convention)
+        when(isArea, array(((col("id_num") * 7) % 64 + 16).cast("int"),
+          (col("id_num") % 64 + 16).cast("int"))).as("proj:shape")).as("properties")
     ))
     concat(lit("{\"geometry\":"), graft.spatial.WkbGeoJson(wkbCol),
       lit(","), substring(rest, 2, Int.MaxValue))
@@ -400,6 +413,9 @@ object StacSearch {
           .otherwise(get_json_object(col("f"), "$.geometry.coordinates[0][0][1]"))
           .cast("double").as("f_gy"),
         get_json_object(col("f"), "$.bbox[2]").cast("double").as("f_bbox_e"),
+        get_json_object(col("f"), "$.stac_extensions[0]").as("f_ext0"),
+        get_json_object(col("f"), "$.properties['proj:epsg']").cast("int").as("f_proj_epsg"),
+        get_json_object(col("f"), "$.properties['proj:shape'][0]").cast("int").as("f_proj_h"),
         get_json_object(col("f"), "$.assets.data.href").as("f_asset_href"),
         get_json_object(col("f"), "$.assets.data.type").as("f_asset_type"),
         get_json_object(col("f"), "$.links[0].rel").as("f_link0_rel"),
@@ -420,6 +436,11 @@ object StacSearch {
       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE xmin END AS f_gx,
       |  CASE WHEN id_num % 2 = 0 THEN lat ELSE ymin END AS f_gy,
       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE xmax END AS f_bbox_e,
+      |  CASE WHEN id_num % 2 = 1
+      |       THEN 'https://stac-extensions.github.io/projection/v1.1.0/schema.json'
+      |       END AS f_ext0,
+      |  CASE WHEN id_num % 2 = 1 THEN 4326 END AS f_proj_epsg,
+      |  CASE WHEN id_num % 2 = 1 THEN CAST((id_num * 7) % 64 + 16 AS INTEGER) END AS f_proj_h,
       |  'https://example.com/collections/'||collection||'/items/'||id||'/data.tif' AS f_asset_href,
       |  'image/tiff' AS f_asset_type,
       |  'self' AS f_link0_rel,

@@ -34,6 +34,15 @@ class StacSearchSpec extends AnyFunSuite {
         val ring = f.get("geometry").get("coordinates").get(0)
         assert(ring.size() == 5) // closed box ring
         assert(ring.get(0).get(0).asDouble() == f.get("bbox").get(0).asDouble())
+        // area items declare the projection extension + proj:* properties
+        assert(f.get("stac_extensions").size() == 1)
+        assert(f.get("stac_extensions").get(0).asText().contains("projection"))
+        assert(f.get("properties").get("proj:epsg").asInt() == 4326)
+        assert(f.get("properties").get("proj:shape").size() == 2)
+      }
+      if (r.getString(0).toLong % 2 == 0) {
+        assert(f.get("stac_extensions").size() == 0)
+        assert(!f.get("properties").has("proj:epsg"))
       }
       assert(f.get("bbox").size() == 4)
       assert(f.has("properties") && f.get("properties").has("value"))
