@@ -110,3 +110,35 @@ object RollingHash {
   def apply(c: Column): Column =
     GraftBridge.column(RollingHash(GraftBridge.expression(c)))
 }
+
+/** Codegen'd Bloom-filter membership probe over a long column. The filter
+  * (org.apache.spark.util.sketch.BloomFilter, built once via
+  * Dataset.stat.bloomFilter) rides as a generated-class reference object —
+  * one in-memory probe per row inside whole-stage codegen, no UDF boxing.
+  * The pre-filter shape for decontamination at scale: rows failing the
+  * probe are definitively clean; only probable hits pay the exact
+  * anti-join.
+  */
+case class BloomMightContainLong(child: Expression,
+                                 bf: org.apache.spark.util.sketch.BloomFilter)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(v: Any): Any =
+    bf.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bf", bf, "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bfRef.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
+object BloomMightContainLong {
+  def apply(c: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftBridge.column(BloomMightContainLong(GraftBridge.expression(c), bf))
+}

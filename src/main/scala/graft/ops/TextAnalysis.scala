@@ -346,6 +346,33 @@ object TextAnalysis {
        |  AND fp NOT IN (SELECT fp FROM fps WHERE doc_id % 97 = 0)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------- C25 Bloom-filter decontamination
+  /** The 100 TB decontamination shape: a Bloom filter over the eval-set
+    * fingerprints (built once, a few MB, broadcast as a codegen reference
+    * object) pre-filters the corpus — rows failing the probe are
+    * DEFINITIVELY clean and never touch a join; only probable hits
+    * (|eval| + fpp·|corpus|) pay the exact broadcast anti-join, so false
+    * positives cannot leak into the output. Same result set as C19's
+    * plain anti-join by construction; same oracle proves it.
+    */
+  def c25DecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val fps = docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"),
+        expr(s"array_min(transform($trigramsSpark, g -> ${h64Spark("g")}))").as("fp"))
+    val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
+    val bf = evalFps.stat.bloomFilter("fp", 4096L, 0.01)
+    val corpus = fps.where(col("doc_id") % 97 =!= 0)
+    val might = graft.functions.BloomMightContainLong(col("fp"), bf)
+    val clean = corpus.where(!might)
+    val verified = corpus.where(might)
+      .join(broadcast(evalFps), Seq("fp"), "left_anti")
+    clean.unionByName(verified)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------- C22 deterministic stratified sample
   /** Per-source deterministic sampling — the domain-mixing primitive of a
     * training-data pipeline (e.g. downweight a crawl source, keep all of a
@@ -422,6 +449,7 @@ object TextAnalysis {
     "c15_top_ngrams"  -> (c15TopNgrams _),
     "c17_keyword_search" -> (c17KeywordSearch _),
     "c19_decontaminate"  -> (c19Decontaminate _),
+    "c25_decontaminate_bloom" -> (c25DecontaminateBloom _),
     "c21_repetition_stats" -> (c21RepetitionStats _),
     "c22_stratified_sample" -> (c22StratifiedSample _),
     "c23_sequence_packing"  -> (c23SequencePacking _)
@@ -435,6 +463,7 @@ object TextAnalysis {
     "c15_top_ngrams"  -> c15Sql,
     "c17_keyword_search" -> c17Sql,
     "c19_decontaminate"  -> c19Sql,
+    "c25_decontaminate_bloom" -> c19Sql,
     "c21_repetition_stats" -> c21Sql,
     "c22_stratified_sample" -> c22Sql,
     "c23_sequence_packing"  -> c23Sql

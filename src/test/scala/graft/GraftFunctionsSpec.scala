@@ -61,4 +61,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val rh = s.sql("SELECT rolling_hash('ab') AS h").collect()(0).getLong(0)
     assert(rh == (97L * 31 + 98) % 1000000007L)
   }
+
+  test("c25 bloom decontamination == c19 exact anti-join, and the bloom actually prunes") {
+    val sf = TestSpark.sf
+    val exact = graft.ops.TextAnalysis.queries("c19_decontaminate")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = graft.ops.TextAnalysis.queries("c25_decontaminate_bloom")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloomed == exact)
+    assert(exact.nonEmpty)
+    // the probe itself: members always hit; selectivity on the corpus is
+    // near the eval fraction (1/97) plus the 1% fpp, far below 1.0
+    import org.apache.spark.sql.functions._
+    val fps = graft.core.Tables.documents(s, sf)
+      .withColumn("w", expr(graft.ops.TextExprs.wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"),
+        expr(s"array_min(transform(${graft.ops.TextExprs.trigramsSpark}, g -> ${graft.ops.TextExprs.h64Spark("g")}))").as("fp"))
+    val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
+    val bf = evalFps.stat.bloomFilter("fp", 4096L, 0.01)
+    val corpus = fps.where(col("doc_id") % 97 =!= 0)
+    val hits = corpus.where(graft.functions.BloomMightContainLong(col("fp"), bf)).count()
+    val total = corpus.count()
+    assert(hits.toDouble / total < 0.2, s"bloom pruned nothing: $hits/$total")
+    val evalHits = evalFps.where(graft.functions.BloomMightContainLong(col("fp"), bf)).count()
+    assert(evalHits == evalFps.count(), "bloom must never false-negative")
+  }
 }
