@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 import graft.functions.{DotProduct, RollingHash}
-import graft.spatial.{BoxIntersectsGeom, PointInGeom, PointInPolygon}
+import graft.spatial.{BoxIntersectsGeom, PointInGeom, PointInPolygon,
+  WkbEnvelope, WkbGeoJson, WkbNumPoints, WkbPoint, WkbType}
 
 /** SQL-surface registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT dot_product(a, b) ...")` works:
@@ -24,6 +25,10 @@ import graft.spatial.{BoxIntersectsGeom, PointInGeom, PointInPolygon}
   *    arbitrary geometry (polygons w/ holes, MultiPolygon), literal
   *  - `box_intersects_geom(xmin, ymin, xmax, ymax, geom) -> boolean` —
   *    exact footprint-box ∩ geometry, literal geometry
+  *  - `wkb_envelope(binary) -> array<double>` — [xmin, ymin, xmax, ymax]
+  *  - `wkb_type(binary) -> string`, `wkb_num_points(binary) -> int`
+  *  - `wkb_geojson(binary) -> string` — WKB → GeoJSON text
+  *  - `wkb_point(x, y) -> binary` — Point WKB encoder
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -73,6 +78,26 @@ object GraftFunctions {
       require(args.length == 5, "box_intersects_geom(xmin, ymin, xmax, ymax, geom)")
       BoxIntersectsGeom(args(0), args(1), args(2), args(3),
         geomOf(args(4), "box_intersects_geom"))
+    },
+    "wkb_envelope" -> { args =>
+      require(args.length == 1, "wkb_envelope(wkb)")
+      WkbEnvelope(args(0))
+    },
+    "wkb_type" -> { args =>
+      require(args.length == 1, "wkb_type(wkb)")
+      WkbType(args(0))
+    },
+    "wkb_num_points" -> { args =>
+      require(args.length == 1, "wkb_num_points(wkb)")
+      WkbNumPoints(args(0))
+    },
+    "wkb_geojson" -> { args =>
+      require(args.length == 1, "wkb_geojson(wkb)")
+      WkbGeoJson(args(0))
+    },
+    "wkb_point" -> { args =>
+      require(args.length == 2, "wkb_point(x, y)")
+      WkbPoint(args(0), args(1))
     }
   )
 

@@ -39,7 +39,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
   test("extensions class wires the same builders") {
     assert(GraftFunctions.builders.map(_._1).toSet ==
       Set("dot_product", "rolling_hash", "point_in_polygon",
-        "point_in_geom", "box_intersects_geom"))
+        "point_in_geom", "box_intersects_geom",
+        "wkb_envelope", "wkb_type", "wkb_num_points", "wkb_geojson", "wkb_point"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 
@@ -86,5 +87,14 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(hits.toDouble / total < 0.2, s"bloom pruned nothing: $hits/$total")
     val evalHits = evalFps.where(graft.functions.BloomMightContainLong(col("fp"), bf)).count()
     assert(evalHits == evalFps.count(), "bloom must never false-negative")
+  }
+
+  test("wkb_* SQL functions round-trip through the SQL surface") {
+    val gj = s.sql("SELECT wkb_geojson(wkb_point(1.5d, -2.5d)) AS g").collect()(0).getString(0)
+    assert(gj == """{"type":"Point","coordinates":[1.5,-2.5]}""")
+    val env = s.sql("SELECT wkb_envelope(wkb_point(3d, 4d)) AS e").collect()(0).getSeq[Double](0)
+    assert(env == Seq(3.0, 4.0, 3.0, 4.0))
+    val t = s.sql("SELECT wkb_type(wkb_point(0d, 0d)) AS t, wkb_num_points(wkb_point(0d, 0d)) AS n").collect()(0)
+    assert(t.getString(0) == "Point" && t.getInt(1) == 1)
   }
 }
