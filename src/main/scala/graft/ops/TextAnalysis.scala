@@ -356,11 +356,16 @@ object TextAnalysis {
     * plain anti-join by construction; same oracle proves it.
     */
   def c25DecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    // materialize the fingerprints ONCE (2 longs/doc): four consumers
+    // (bloom build, eval side, clean branch, verify branch) read the
+    // staged result instead of re-deriving trigram minhashes per branch —
+    // at scale this is the staged fingerprint table
     val fps = docs(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"),
         expr(s"array_min(transform($trigramsSpark, g -> ${h64Spark("g")}))").as("fp"))
+      .localCheckpoint(true)
     val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
     val bf = evalFps.stat.bloomFilter("fp", 4096L, 0.01)
     val corpus = fps.where(col("doc_id") % 97 =!= 0)

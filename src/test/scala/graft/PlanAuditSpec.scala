@@ -128,4 +128,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("a40: shape-intersects envelope prune reaches the scan's pushed filters") {
+    val p = plan(StacSearch.queries("a40_intersects_shapes")(s, sf))
+    // the collection envelope is a lon/lat range over source `value` /
+    // derived lat — at minimum the value-range CQL conjunct must push
+    assert(p.split('\n').exists(l => l.contains("PushedFilters") && l.contains("value")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("a42: WKB round-trip is a single scan, no join, no shuffle before the sort") {
+    val p = plan(StacSearch.queries("a42_wkb_roundtrip")(s, sf))
+    val scans = p.split('\n').count(l => l.contains("Location") && l.contains("events.parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("c25: bloom decontamination broadcasts the verify side, no cartesian") {
+    val p = plan(graft.ops.TextAnalysis.queries("c25_decontaminate_bloom")(s, sf))
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("a26: collections metadata joins as a broadcast onto one aggregation pass") {
+    val p = plan(StacSearch.queries("a26_collections")(s, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    val scans = p.split('\n').count(l => l.contains("Location") && l.contains("events.parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
+  }
 }
