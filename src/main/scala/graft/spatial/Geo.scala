@@ -394,9 +394,14 @@ object Geo {
   }
 
   /** Point ∩ shape as oracle SQL. Point/line forms: exact cross-product
-    * collinearity + coordinate bounds (constants folded here). The
-    * polygon family keeps the established convex-half-plane / parity
-    * forms so existing gates' oracles are unchanged.
+    * collinearity + coordinate bounds (constants folded here). Polygons
+    * ALWAYS render the even-odd parity form ([[pointInGeomSql]]) — the
+    * same IEEE 754 arithmetic as the Spark kernel's ray cast — so the
+    * oracle and the kernel agree even for data points exactly on a
+    * polygon edge, including polygon members inside GeometryCollections.
+    * (The boundary-inclusive convex-half-plane form lives on only in the
+    * deliberately-independent a9/a33/a34 gate oracles, whose fixture
+    * polygons are chosen off the data grid.)
     */
   def pointShapeSql(lonC: String, latC: String, s: Shape): String = s match {
     case Shape.PointS(px, py) => s"($lonC = $px AND $latC = $py)"
@@ -411,10 +416,7 @@ object Geo {
             s" AND $latC >= ${math.min(ay, by)} AND $latC <= ${math.max(ay, by)})"
         }
       }.mkString("(", " OR ", ")")
-    case Shape.PolyS(geom) =>
-      if (geom.length == 1 && geom(0).length == 1 && isConvexCcw(geom(0)(0)))
-        convexIntersectsSql(lonC, latC, geom(0)(0))
-      else pointInGeomSql(lonC, latC, geom)
+    case Shape.PolyS(geom) => pointInGeomSql(lonC, latC, geom)
     case Shape.CollS(parts) =>
       parts.map(pointShapeSql(lonC, latC, _)).mkString("(", " OR ", ")")
   }

@@ -14,7 +14,9 @@ import graft.ops.Dedup
   * LSH bucket keys (the same hyperplane tables as the batch operator);
   * per (table, bucket) a stateful operator keeps the members seen inside
   * the watermark horizon and emits verified candidate pairs (cosine ≥
-  * [[Dedup.cosMin]]) as they form. State is watermark-bounded: members
+  * [[Dedup.cosMin]]) as they form — each pair EXACTLY once: only the
+  * lowest-index table where both members collide emits it, mirroring the
+  * batch operator's `.distinct()` on candidates. State is watermark-bounded: members
   * older than the event-time horizon are evicted on timeout, so a bucket's
   * state is O(recent occupants), never O(history) — the streaming
   * semantic is "near-dups against the recent window"; full-history dedup
@@ -28,17 +30,23 @@ import graft.ops.Dedup
   */
 object StreamDedup {
 
-  /** A banded stream row: one vector occurrence in one LSH table. */
+  /** A banded stream row: one vector occurrence in one LSH table.
+    * `keys` carries the vector's bucket key for EVERY table so the state
+    * operator can tell whether a colliding pair also collides in a lower
+    * table (and emit from the lowest-index one only).
+    */
   case class BandIn(tb: Int, bkey: Int, vec_id: Long,
-                    ts: java.sql.Timestamp, nv: Seq[Double])
+                    ts: java.sql.Timestamp, nv: Seq[Double], keys: Seq[Int])
 
   /** An emitted near-dup pair (v1 < v2). `ts` is the later of the two
     * member times — the pair's event time for downstream watermarking.
     */
   case class PairOut(v1: Long, v2: Long, cos_sim: Double, ts: java.sql.Timestamp)
 
-  /** Bucket state: members within the watermark horizon. */
-  case class BucketState(members: List[(Long, Seq[Double], Long)])
+  /** Bucket state: members within the watermark horizon
+    * (id, normalized vector, event-time ms, all-table bucket keys).
+    */
+  case class BucketState(members: List[(Long, Seq[Double], Long, Seq[Int])])
 
   /** Normalize + band a raw vector stream (vec_id, ts, v: array<double>)
     * with the batch operator's exact expressions.
@@ -53,8 +61,20 @@ object StreamDedup {
     stream
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
       .select(col("vec_id"), col("ts"), expr("transform(v, x -> x / nrm)").as("nv"))
-      .select(col("vec_id"), col("ts"), col("nv"),
-        posexplode(array(tableKeys: _*)).as(Seq("tb", "bkey")))
+      .withColumn("keys", array(tableKeys: _*))
+      .select(col("vec_id"), col("ts"), col("nv"), col("keys"),
+        posexplode(col("keys")).as(Seq("tb", "bkey")))
+  }
+
+  /** True iff `tb` is the LOWEST table index where the two key vectors
+    * collide — the one group allowed to emit the pair, so a pair landing
+    * in k of the LSH tables is emitted exactly once (matching the batch
+    * operator's `.distinct()` on candidates).
+    */
+  private def lowestSharedTable(tb: Int, a: Seq[Int], b: Seq[Int]): Boolean = {
+    var t = 0
+    while (t < tb) { if (a(t) == b(t)) return false; t += 1 }
+    true
   }
 
   private def stateFlat(cosMin: Double, horizon: Long)(
@@ -77,8 +97,8 @@ object StreamDedup {
       rows.toSeq.sortBy(_.vec_id).foreach { r =>
         val rv = r.nv.toArray
         val rMs = r.ts.getTime
-        members.foreach { case (mid, mnv, mMs) =>
-          if (mid != r.vec_id) {
+        members.foreach { case (mid, mnv, mMs, mkeys) =>
+          if (mid != r.vec_id && lowestSharedTable(key._1, r.keys, mkeys)) {
             // same sequential kernel as the batch verify join; x·y ≡ y·x
             // bit-for-bit (per-element products commute, same sum order)
             val cos = DotProduct.dot(rv, mnv.toArray)
@@ -88,7 +108,10 @@ object StreamDedup {
             }
           }
         }
-        members = (r.vec_id, r.nv, rMs) :: members
+        // re-arrival of a vec_id replaces its entry (latest ts wins) so a
+        // member is never represented twice in one bucket
+        members = (r.vec_id, r.nv, rMs, r.keys) ::
+          members.filterNot(_._1 == r.vec_id)
       }
       state.update(BucketState(members))
       state.setTimeoutTimestamp(members.map(_._3).max + horizon)

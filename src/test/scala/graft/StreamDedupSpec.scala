@@ -37,13 +37,38 @@ class StreamDedupSpec extends AnyFunSuite {
         }.toIndexedSeq)
         q.processAllAvailable()
       }
+      // multiset comparison: a pair colliding in k LSH tables must still be
+      // emitted exactly once (batch C20 distinct()s candidates; the stream
+      // emits from the lowest shared table only)
       val streamed = s.sql("SELECT v1, v2, cos_sim FROM d8_pairs").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
       val batch = graft.ops.Dedup.c20DedupEmbeddingLsh(s, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
       assert(streamed == batch,
-        s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
+        s"stream-only: ${(streamed.diff(batch)).take(5)}; batch-only: ${(batch.diff(streamed)).take(5)}")
       assert(batch.nonEmpty)
+      assert(streamed.distinct == streamed, "stream emitted a pair more than once")
+    } finally q.stop()
+  }
+
+  test("re-arrival of a vec_id replaces its state entry — pairs are not re-multiplied") {
+    import s.implicits._
+    val v = Seq.tabulate(64)(i => math.sin(i * 0.7 + 1.0))
+    val mem = MemoryStream[VecIn](s)
+    val q = StreamDedup.nearDupStream(s, mem.toDF(),
+        watermarkDelay = "2 hours", horizonMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("d8_rearrive")
+      .outputMode("append").start()
+    try {
+      mem.addData(VecIn(1L, t(0), v))
+      q.processAllAvailable()
+      mem.addData(VecIn(1L, t(1), v)) // same id re-arrives: replace, don't append
+      q.processAllAvailable()
+      mem.addData(VecIn(2L, t(2), v)) // twin joins: must pair against ONE copy of 1
+      q.processAllAvailable()
+      val pairs = s.sql("SELECT v1, v2 FROM d8_rearrive").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs == Seq((1L, 2L)), s"expected exactly one (1,2) pair, got $pairs")
     } finally q.stop()
   }
 
