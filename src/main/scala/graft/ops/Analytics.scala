@@ -548,6 +548,48 @@ object Analytics {
       |ASOF LEFT JOIN od ON CAST(e.user_id AS BIGINT) = od.k AND e.ts >= od.t
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------------------------ B20
+  /** KEYLESS range join — points (purchases) matched to every overlapping
+    * time window (views ± 10 min), with NO equality key: the case Spark
+    * would otherwise plan as a BroadcastNestedLoopJoin (candidates =
+    * |L|×|R|, dead at scale). Re-expression: quantize time into fixed
+    * bins, explode each window onto the bins it covers (≤ 2 here), tag
+    * each point with its single bin, shuffle equi-join on the bin, then
+    * apply the true interval predicate as a residual filter. Candidate
+    * pairs are Σ_bin |windows∩bin|·|points∩bin| — proportional to real
+    * temporal locality, not |L|×|R| — and because a point owns exactly ONE
+    * bin, no pair can match twice, so no post-join dedup is needed. Both
+    * sides hash-partition on the bin; AQE's skew-join split handles a hot
+    * bin. Checksum column is an exact BIGINT sum (no float accumulation);
+    * DuckDB's HUGEINT sum is cast back to BIGINT in the oracle.
+    */
+  private val b20BinUs = 600000000L // 10-minute bins = the window width
+
+  def b20RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val windows = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("t0"),
+        expr("ts + INTERVAL 10 MINUTES").as("t1"))
+      .withColumn("bin",
+        explode(expr(s"sequence(unix_micros(t0) div $b20BinUs, unix_micros(t1) div $b20BinUs)")))
+    val points = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("pt"),
+        expr(s"unix_micros(ts) div $b20BinUs").as("bin"))
+    windows.join(points, windows("bin") === points("bin") &&
+        col("pt") >= col("t0") && col("pt") < col("t1"))
+      .groupBy(col("view_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("p_id")).as("id_sum"))
+      .orderBy(col("view_id"))
+  }
+
+  val b20RangeJoinSql: String =
+    """SELECT v.event_id AS view_id, COUNT(*) AS n_hits,
+      |  CAST(SUM(p.event_id) AS BIGINT) AS id_sum
+      |FROM events v JOIN events p
+      |  ON p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTE
+      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      |GROUP BY 1 ORDER BY view_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_pushdown_scan"   -> (b1PushdownScan _),
@@ -567,7 +609,8 @@ object Analytics {
     "b16_quantiles"      -> (b16Quantiles _),
     "b17_pivot"          -> (b17Pivot _),
     "b18_asof_join"      -> (b18AsofJoin _),
-    "b19_promo_share"    -> (b19PromoShare _)
+    "b19_promo_share"    -> (b19PromoShare _),
+    "b20_range_join"     -> (b20RangeJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -588,6 +631,7 @@ object Analytics {
     "b16_quantiles"      -> b16QuantilesSql,
     "b17_pivot"          -> b17PivotSql,
     "b18_asof_join"      -> b18AsofJoinSql,
-    "b19_promo_share"    -> b19PromoShareSql
+    "b19_promo_share"    -> b19PromoShareSql,
+    "b20_range_join"     -> b20RangeJoinSql
   )
 }

@@ -151,6 +151,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("b20: keyless range join plans as a bin equi-join — no nested loop, no cartesian") {
+    val p = plan(Analytics.queries("b20_range_join")(s, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the residual interval predicate rides the equi-join, it doesn't
+    // become a post-join Filter-over-cartesian
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("a26: collections metadata joins as a broadcast onto one aggregation pass") {
     val p = plan(StacSearch.queries("a26_collections")(s, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
