@@ -328,7 +328,7 @@ object TextAnalysis {
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"),
-        expr(s"array_min(transform($trigramsSpark, g -> ${h64Spark("g")}))").as("fp"))
+        expr(fpSpark).as("fp"))
     val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
     fps.where(col("doc_id") % 97 =!= 0)
       .join(broadcast(evalFps), Seq("fp"), "left_anti")
@@ -364,7 +364,7 @@ object TextAnalysis {
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"),
-        expr(s"array_min(transform($trigramsSpark, g -> ${h64Spark("g")}))").as("fp"))
+        expr(fpSpark).as("fp"))
       .localCheckpoint(true)
     val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
     val bf = evalFps.stat.bloomFilter("fp", 4096L, 0.01)
@@ -446,7 +446,150 @@ object TextAnalysis {
        |ORDER BY source, doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // ------------------------------------------------------------ C26 PII
+  /** C26: PII detection + redaction. The fixture corpus is synthetic and
+    * PII-free, so the gate INJECTS deterministic PII — emails, phone
+    * numbers, IPv4 hosts derived from doc_id, via the SAME SQL expression
+    * evaluated in both engines — then the operator redacts and counts.
+    * Patterns live in the RE2 ∩ java.util.regex common subset (character
+    * classes, bounded repetition, \b, non-capturing groups; no
+    * lookaround) so both engines implement identical match semantics.
+    * The Spark side applies them through the DataFrame API — NOT SQL
+    * string literals, whose backslash escaping differs between engines —
+    * and DuckDB replaces with the 'g' flag to match Spark's replace-all.
+    * One projection pass, fully codegen'd, no shuffle except the gate's
+    * ORDER BY; the md5 of the redacted text makes the gate sensitive to
+    * every byte of the replacement output.
+    */
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val piiIpRe    = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Deterministic PII injection — identical text in both engines. */
+  private val piiInjectSql: String =
+    "text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS STRING) || '@example.com now.' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' Call +1-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' today.' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' Host 10.' || CAST(doc_id % 256 AS STRING) || '.0.' || CAST(doc_id % 100 AS STRING) || ' up.' ELSE '' END"
+
+  def c26PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val red = regexp_replace(regexp_replace(regexp_replace(col("pt"),
+      piiEmailRe, "<EMAIL>"), piiPhoneRe, "<PHONE>"), piiIpRe, "<IP>")
+    docs(s, d)
+      .withColumn("pt", expr(piiInjectSql))
+      .select(col("doc_id"),
+        regexp_count(col("pt"), lit(piiEmailRe)).cast("int").as("n_emails"),
+        regexp_count(col("pt"), lit(piiPhoneRe)).cast("int").as("n_phones"),
+        regexp_count(col("pt"), lit(piiIpRe)).cast("int").as("n_ips"),
+        length(red).cast("bigint").as("red_len"),
+        md5(red).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c26Sql: String =
+    s"""WITH p AS (SELECT doc_id, $piiInjectSql AS pt FROM documents),
+       |r AS (SELECT doc_id, pt,
+       |  regexp_replace(regexp_replace(regexp_replace(pt,
+       |    '$piiEmailRe', '<EMAIL>', 'g'),
+       |    '$piiPhoneRe', '<PHONE>', 'g'),
+       |    '$piiIpRe', '<IP>', 'g') AS red FROM p)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pt, '$piiEmailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(pt, '$piiPhoneRe')) AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(pt, '$piiIpRe')) AS INTEGER) AS n_ips,
+       |  CAST(length(red) AS BIGINT) AS red_len,
+       |  md5(red) AS red_md5
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------- C27 corpus-frequency score
+  /** C27: corpus-typicality scoring, the integer-exact cousin of a
+    * unigram-LM perplexity filter (rare/garbled text scores low). Two
+    * passes: (1) global token occurrence counts via a map-side-combined
+    * groupBy, thresholded into a vocabulary (at 100 TB the vocab
+    * aggregate is tiny next to the corpus and broadcastable — the same
+    * "aggregate, then broadcast back" shape as C17's tf-idf); (2) each
+    * token occurrence left-joins the broadcast vocab and docs aggregate
+    * the EXACT INTEGER sum of their tokens' corpus frequencies plus the
+    * out-of-vocabulary count. No floats anywhere, so the gate is
+    * hash-exact (the b11 lesson: a log-prob double sum would be
+    * partition-order-dependent).
+    */
+  private val c27MinCount = 50L
+
+  def c27RareTokenScore(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d).select(col("doc_id"), explode(expr(wordsSpark)).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= c27MinCount)
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("cnt"), lit(0L))).as("freq_sum"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c27Sql: String =
+    s"""WITH w AS (SELECT doc_id, unnest($wordsDuck) AS w FROM documents),
+       |v AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w HAVING COUNT(*) >= $c27MinCount)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS freq_sum,
+       |  CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |FROM w LEFT JOIN v USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------- C28 domain mixture planning
+  /** C28: training-mix planning — given target mixture weights over
+    * domains (web 50%, code 20%, books 20%, wiki 10%), compute each
+    * domain's available tokens, the largest total token budget whose
+    * per-domain demand fits what's available (the binding domain caps the
+    * mix), and per-domain take counts + keep rates. The corpus pass is
+    * one map-side-combined aggregation; the plan math runs on the tiny
+    * per-domain aggregate (a window over a handful of rows — at 100 TB
+    * domains number dozens, not millions). ALL-INTEGER arithmetic
+    * (weights as tenths, rates as basis points, floor division) so both
+    * engines produce bit-identical plans — no float shares.
+    */
+  private val c28Weights = Seq("web" -> 5L, "code" -> 2L, "books" -> 2L, "wiki" -> 1L)
+
+  private val c28DomainSql: String =
+    "CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 0 THEN 'web' " +
+      "WHEN CAST(substr(source, 4) AS INT) % 4 = 1 THEN 'code' " +
+      "WHEN CAST(substr(source, 4) AS INT) % 4 = 2 THEN 'books' ELSE 'wiki' END"
+
+  private val c28WtSql: String =
+    "CASE " + c28Weights.init.map { case (d, w) => s"WHEN domain = '$d' THEN ${w}" }
+      .mkString(" ") + s" ELSE ${c28Weights.last._2} END"
+
+  def c28MixturePlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d)
+      .select(expr(c28DomainSql).as("domain"), expr(s"size($wordsSpark)").as("nt"))
+      .groupBy(col("domain")).agg(sum(col("nt")).as("avail_tokens"))
+      .withColumn("wt", expr(c28WtSql).cast("bigint"))
+      // the binding constraint: total budget T satisfies T*wt/10 <= avail
+      .withColumn("t_total", min(expr("avail_tokens * 10 DIV wt"))
+        .over(Window.partitionBy()))
+      .select(col("domain"), col("wt"), col("avail_tokens"),
+        expr("t_total * wt DIV 10").as("take_tokens"),
+        expr("(t_total * wt DIV 10) * 10000 DIV avail_tokens").as("rate_bp"))
+      .orderBy(col("domain"))
+  }
+
+  val c28Sql: String =
+    s"""WITH t AS (SELECT $c28DomainSql AS domain, len($wordsDuck) AS nt FROM documents),
+       |a AS (SELECT domain, CAST(SUM(nt) AS BIGINT) AS avail_tokens FROM t GROUP BY domain),
+       |w AS (SELECT domain, avail_tokens, CAST($c28WtSql AS BIGINT) AS wt FROM a),
+       |m AS (SELECT *, MIN(avail_tokens * 10 // wt) OVER () AS t_total FROM w)
+       |SELECT domain, wt, avail_tokens,
+       |  CAST(t_total * wt // 10 AS BIGINT) AS take_tokens,
+       |  CAST((t_total * wt // 10) * 10000 // avail_tokens AS BIGINT) AS rate_bp
+       |FROM m ORDER BY domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c28_mixture_plan" -> (c28MixturePlan _),
+    "c26_pii_redact"  -> (c26PiiRedact _),
+    "c27_rare_token_score" -> (c27RareTokenScore _),
     "c8_lang_id"      -> (c8LangId _),
     "c9_text_quality" -> (c9TextQuality _),
     "c10_token_count" -> (c10TokenCount _),
@@ -461,6 +604,9 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c28_mixture_plan" -> c28Sql,
+    "c26_pii_redact"  -> c26Sql,
+    "c27_rare_token_score" -> c27Sql,
     "c8_lang_id"      -> c8Sql,
     "c9_text_quality" -> c9Sql,
     "c10_token_count" -> c10Sql,

@@ -23,6 +23,12 @@ object TextExprs {
   val wordsSpark = "split(text, ' ')"
   val wordsDuck = "string_split(text, ' ')"
 
+  /** Document fingerprint over a tokenized column `w`: minimum trigram
+    * shingle hash — shared by C19/C25 and the D9 streaming form so batch
+    * and stream decontaminate with bit-identical fingerprints.
+    */
+  def fpSpark: String = s"array_min(transform($trigramsSpark, g -> ${h64Spark("g")}))"
+
   /** Word trigram shingles over a column named `w` (guard `size >= 3`
     * at the query level — Spark's `sequence` runs DESCENDING when
     * stop < start).

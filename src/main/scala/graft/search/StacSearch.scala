@@ -936,6 +936,89 @@ object StacSearch {
        |FROM (SELECT id, id_num, collection, lon, lat, $envelopeSqlCols FROM items)
        |ORDER BY id""".stripMargin)
 
+  // ------------------------------------------- A43 JSON item ingestion
+  /** A43: STAC Item JSON INGESTION — the inverse of A20. A20's gate
+    * proves values land at the right JSON paths via path extraction;
+    * this one proves a full TYPED parse: `from_json` with an explicit
+    * item schema (assets map, links struct array, extension fields),
+    * ISO-8601 → native timestamp, and the per-row VARIANT geometry
+    * (Point coords are `array<double>`, Polygon's are
+    * `array<array<array<double>>>` — one schema can't hold both, so the
+    * geometry member is parsed twice under the two shapes and selected
+    * by `geometry.type`, each a plan-level `from_json`, no UDF). The
+    * parsed geometry is re-encoded to WKB — the catalog storage format —
+    * and the envelope columns every spatial operator keys on are derived
+    * from THAT blob, so the gate covers the entire ingest path:
+    * JSON → typed row → WKB → envelope. Oracle computes every output
+    * JSON-free from the source columns (a42's pattern).
+    */
+  private val a43ItemDdl =
+    "type string, stac_version string, stac_extensions array<string>, " +
+      "id string, collection string, bbox array<double>, " +
+      "assets map<string,struct<href:string,type:string>>, " +
+      "links array<struct<rel:string,href:string>>, " +
+      "properties struct<datetime:string, value:double, user_id:bigint, " +
+      "`proj:epsg`:int, `proj:shape`:array<int>>"
+
+  def a43ItemIngest(s: SparkSession, d: String): DataFrame = {
+    val src = withEnvelope(items(s, d)).select(featureJsonCol.as("f"))
+    src
+      .withColumn("it", from_json(col("f"), org.apache.spark.sql.types.StructType.fromDDL(a43ItemDdl)))
+      .withColumn("g", get_json_object(col("f"), "$.geometry"))
+      .withColumn("gpt", from_json(col("g"), org.apache.spark.sql.types.StructType.fromDDL(
+        "type string, coordinates array<double>")))
+      .withColumn("gpoly", from_json(col("g"), org.apache.spark.sql.types.StructType.fromDDL(
+        "type string, coordinates array<array<array<double>>>")))
+      // re-encode to the storage format; the box footprint's envelope is
+      // the first ring's coordinate extremes
+      .withColumn("ring", col("gpoly.coordinates").getItem(0))
+      .withColumn("wkb",
+        when(col("gpt.type") === "Point",
+          graft.spatial.WkbPoint(col("gpt.coordinates").getItem(0),
+            col("gpt.coordinates").getItem(1)))
+          .otherwise(graft.spatial.WkbBox(
+            expr("array_min(transform(ring, p -> p[0]))"),
+            expr("array_min(transform(ring, p -> p[1]))"),
+            expr("array_max(transform(ring, p -> p[0]))"),
+            expr("array_max(transform(ring, p -> p[1]))"))))
+      .withColumn("env", graft.spatial.WkbEnvelope(col("wkb")))
+      .select(
+        col("it.id").as("id"),
+        col("it.type").as("i_type"),
+        col("it.stac_version").as("i_version"),
+        col("it.collection").as("i_collection"),
+        graft.spatial.WkbType(col("wkb")).as("i_geom_type"),
+        col("env").getItem(0).as("i_xmin"), col("env").getItem(1).as("i_ymin"),
+        col("env").getItem(2).as("i_xmax"), col("env").getItem(3).as("i_ymax"),
+        graft.spatial.WkbNumPoints(col("wkb")).as("i_npoints"),
+        to_timestamp(col("it.properties.datetime"),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("i_datetime"),
+        col("it.properties.value").as("i_value"),
+        col("it.properties.user_id").as("i_user_id"),
+        col("it.properties.`proj:epsg`").as("i_proj_epsg"),
+        size(col("it.links")).as("i_n_links"),
+        element_at(col("it.assets"), "data").getField("type").as("i_asset_type"),
+        col("it.bbox").getItem(0).as("i_bbox_w"))
+      .orderBy(col("id"))
+  }
+
+  val a43Sql: String = Tables.withItems(
+    s"""SELECT id, 'Feature' AS i_type, '1.0.0' AS i_version,
+       |  collection AS i_collection,
+       |  CASE WHEN id_num % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS i_geom_type,
+       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE xmin END AS i_xmin,
+       |  CASE WHEN id_num % 2 = 0 THEN lat ELSE ymin END AS i_ymin,
+       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE xmax END AS i_xmax,
+       |  CASE WHEN id_num % 2 = 0 THEN lat ELSE ymax END AS i_ymax,
+       |  CASE WHEN id_num % 2 = 0 THEN 1 ELSE 5 END AS i_npoints,
+       |  datetime AS i_datetime, value AS i_value, user_id AS i_user_id,
+       |  CASE WHEN id_num % 2 = 1 THEN 4326 END AS i_proj_epsg,
+       |  2 AS i_n_links, 'image/tiff' AS i_asset_type,
+       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE xmin END AS i_bbox_w
+       |FROM (SELECT id, id_num, collection, datetime, value, user_id, lon, lat,
+       |  $envelopeSqlCols FROM items)
+       |ORDER BY id""".stripMargin)
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -1068,7 +1151,8 @@ object StacSearch {
     "a39_footprint_cql"           -> (a39FootprintCql _),
     "a40_intersects_shapes"       -> a40Fn,
     "a41_footprint_shapes"        -> (a41FootprintShapes _),
-    "a42_wkb_roundtrip"           -> (a42WkbRoundtrip _)
+    "a42_wkb_roundtrip"           -> (a42WkbRoundtrip _),
+    "a43_item_ingest"             -> (a43ItemIngest _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1110,6 +1194,7 @@ object StacSearch {
     "a39_footprint_cql"           -> a39Sql,
     "a40_intersects_shapes"       -> a40Sql,
     "a41_footprint_shapes"        -> a41Sql,
-    "a42_wkb_roundtrip"           -> a42Sql
+    "a42_wkb_roundtrip"           -> a42Sql,
+    "a43_item_ingest"             -> a43Sql
   )
 }
