@@ -221,6 +221,15 @@ object Cql {
     else if (n.isNumber) Num(n.asDouble())
     else throw new IllegalArgumentException(s"bad cql2 operand: $n")
 
+  /** GeoJSON geometry STRING → [[graft.spatial.Shape]] — the public entry
+    * the typed search API ([[graft.search.SearchParams]]) uses for its
+    * `intersects` parameter, so the REST-param path accepts exactly the
+    * geometry surface the CQL2 `s_intersects` path does (the reference's
+    * search intersects is arbitrary GeoJSON, database_logic.py:418-448).
+    */
+  def parseGeoJsonShape(json: String): graft.spatial.Shape =
+    parseGeoJson(new ObjectMapper().readTree(json))
+
   /** ANY GeoJSON geometry → [[graft.spatial.Shape]] (polygon-ring closure
     * vertex dropped). Matches the geometry surface the reference accepts
     * via ST_GeomFromGeoJSON (database_logic.py:418-448).

@@ -28,7 +28,11 @@ final case class SearchParams(
     collections: Seq[String] = Nil,
     ids: Seq[String] = Nil,
     bbox: Option[(Double, Double, Double, Double)] = None,
-    intersects: Option[Array[Double]] = None, // closed convex/concave ring
+    // ANY GeoJSON geometry (Point/MultiPoint/LineString/MultiLineString/
+    // Polygon incl. holes/MultiPolygon/GeometryCollection) — the same
+    // Shape ADT the CQL2 s_intersects path compiles; construct with
+    // SearchParams.geoJson(...) or SearchParams.ring(...).
+    intersects: Option[graft.spatial.Shape] = None,
     datetime: Option[String] = None,          // "t" | "a/b" | "t/.." | "../t"
     filter: Option[String] = None,            // cql2-json
     sortBy: Seq[SortBy] = Nil,
@@ -43,6 +47,28 @@ final case class SearchParams(
     // pay it unless asked (STAC's context extension treats `matched` as
     // optional).
     withCount: Boolean = true)
+
+object SearchParams {
+  /** GeoJSON geometry string → `intersects` value — accepts every GeoJSON
+    * type, matching the reference's REST intersects
+    * (database_logic.py:419-448).
+    */
+  def geoJson(json: String): Option[graft.spatial.Shape] =
+    Some(Cql.parseGeoJsonShape(json))
+
+  /** Flat polygon ring [x0,y0,x1,y1,…] (closure vertex optional) →
+    * `intersects` value — the pre-round-6 single-ring form, kept as a
+    * convenience.
+    */
+  def ring(flat: Array[Double]): Option[graft.spatial.Shape] = {
+    val n = flat.length
+    val open =
+      if (n >= 4 && flat(0) == flat(n - 2) && flat(1) == flat(n - 1))
+        flat.dropRight(2)
+      else flat
+    Some(graft.spatial.Shape.PolyS(Array(Array(open))))
+  }
+}
 
 /** `numMatched` is -1 when the search ran with `withCount = false`. */
 final case class SearchResult(
@@ -66,8 +92,8 @@ object StacApi {
     p.bbox.foreach { case (w, s, e, n) =>
       df = df.where(Geo.bboxContains(col("lon"), col("lat"), w, s, e, n))
     }
-    p.intersects.foreach { poly =>
-      df = df.where(Geo.intersectsPolygon(col("lon"), col("lat"), poly))
+    p.intersects.foreach { shape =>
+      df = df.where(Geo.intersectsShape(col("lon"), col("lat"), shape))
     }
     p.datetime.foreach { dt => df = df.where(datetimePredicate(dt)) }
     // CQL2 property refs resolve properties.x / properties__x / x against

@@ -1019,6 +1019,48 @@ object StacSearch {
        |  $envelopeSqlCols FROM items)
        |ORDER BY id""".stripMargin)
 
+  // -------------------- A44/A45 GeoJSON through the typed search param
+  /** A44: arbitrary GeoJSON (GeometryCollection of Polygon-with-hole +
+    * MultiPoint + LineString) through the TYPED SEARCH PARAM path —
+    * `SearchParams.intersects` now carries the full Shape ADT, matching
+    * the reference's REST intersects which accepts any GeoJSON
+    * (database_logic.py:419-448). The CQL2 path proved the kernel (a40);
+    * this gate proves the param path compiles the identical predicate.
+    */
+  private val a44Shape: graft.spatial.Shape = Cql.parseGeoJsonShape(
+    """{"type":"GeometryCollection","geometries":[
+      |  {"type":"Polygon","coordinates":[
+      |    [[-100.137,-40.223],[20.141,-70.177],[60.141,20.223],[-40.139,60.177],[-100.137,-40.223]],
+      |    [[-50.139,-20.223],[-10.139,-20.223],[-10.139,10.177],[-50.139,10.177],[-50.139,-20.223]]]},
+      |  {"type":"MultiPoint","coordinates":[[30.141,20.177],[-170.139,-80.223]]},
+      |  {"type":"LineString","coordinates":[[120.141,-70.223],[150.139,75.177]]}]}""".stripMargin)
+
+  def a44ParamIntersects(s: SparkSession, d: String): DataFrame =
+    StacApi.plan(items(s, d), SearchParams(intersects = Some(a44Shape)))
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a44Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE ${Geo.pointShapeSql("lon", "lat", a44Shape)} ORDER BY id")
+
+  /** A45: CONVEX pentagon off the data grid through the param path.
+    * Spark runs the general ray-cast (even-odd parity) kernel; the oracle
+    * is the INDEPENDENT convex half-plane form ([[Geo.convexIntersectsSql]])
+    * — an algorithm-independent check of the parity kernel on convex input
+    * (the general pointShapeSql oracle renders parity for ALL polygons
+    * since r4, so without this gate a parity bug on convex rings could
+    * hide; cf. round-5 ADVICE).
+    */
+  private val a45Pentagon = Array(
+    -60.137, -50.223, 40.141, -50.223, 70.141, 10.177,
+    0.141, 60.177, -80.137, 20.177)
+
+  def a45IntersectsConvex(s: SparkSession, d: String): DataFrame =
+    StacApi.plan(items(s, d), SearchParams(intersects = SearchParams.ring(a45Pentagon)))
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a45Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE ${Geo.convexIntersectsSql("lon", "lat", a45Pentagon)} ORDER BY id")
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -1152,7 +1194,9 @@ object StacSearch {
     "a40_intersects_shapes"       -> a40Fn,
     "a41_footprint_shapes"        -> (a41FootprintShapes _),
     "a42_wkb_roundtrip"           -> (a42WkbRoundtrip _),
-    "a43_item_ingest"             -> (a43ItemIngest _)
+    "a43_item_ingest"             -> (a43ItemIngest _),
+    "a44_param_intersects"        -> (a44ParamIntersects _),
+    "a45_intersects_convex"       -> (a45IntersectsConvex _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1195,6 +1239,8 @@ object StacSearch {
     "a40_intersects_shapes"       -> a40Sql,
     "a41_footprint_shapes"        -> a41Sql,
     "a42_wkb_roundtrip"           -> a42Sql,
-    "a43_item_ingest"             -> a43Sql
+    "a43_item_ingest"             -> a43Sql,
+    "a44_param_intersects"        -> a44Sql,
+    "a45_intersects_convex"       -> a45Sql
   )
 }

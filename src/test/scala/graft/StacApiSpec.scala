@@ -185,7 +185,7 @@ class StacApiSpec extends AnyFunSuite {
   test("ids + intersects + sort-field resolution") {
     val hex = Array(80.137, 10.223, 50.139, 55.177, -9.861, 55.177,
       -39.859, 10.223, -9.861, -34.731, 50.139, -34.731)
-    val r = StacApi.search(s, sf, SearchParams(intersects = Some(hex), limit = 10_000))
+    val r = StacApi.search(s, sf, SearchParams(intersects = SearchParams.ring(hex), limit = 10_000))
     assert(r.numMatched > 0)
     val ids = StacApi.search(s, sf, SearchParams(ids = Seq("1", "2", "3")))
     assert(ids.numMatched <= 3 && ids.numMatched > 0)
@@ -205,5 +205,66 @@ class StacApiSpec extends AnyFunSuite {
     // the catalog side must broadcast, never shuffle
     val plan = dir.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // -------- round 6: arbitrary GeoJSON through the typed search param path
+  // (reference parity: REST intersects accepts any GeoJSON geometry,
+  // database_logic.py:419-448). Equality vs the oracle-verified CQL2 gates
+  // proves the param path routes through the identical Shape kernel.
+
+  private def gateIds(key: String): Seq[String] =
+    SparkEntry.queries(key)(s, sf).select("id").collect().map(_.getString(0)).toSeq
+
+  private def paramIds(geoJson: String, valueFilter: String): Seq[String] = {
+    val r = StacApi.search(s, sf, SearchParams(
+      intersects = SearchParams.geoJson(geoJson),
+      filter = Some(valueFilter), limit = 1_000_000, withCount = false))
+    r.items.map(_.getAs[String]("id")).toSeq.sorted
+  }
+
+  test("intersects param: MultiPolygon with hole ≡ a36 CQL2 gate") {
+    val mp =
+      """{"type":"MultiPolygon","coordinates":[
+        |  [[[-80.137,-20.223],[-20.139,-50.177],[40.141,-20.223],[20.139,40.177],[-60.137,40.177],[-80.137,-20.223]],
+        |   [[-30.139,-10.223],[0.141,-10.223],[0.141,15.177],[-30.139,15.177],[-30.139,-10.223]]],
+        |  [[[80.137,-60.223],[140.139,-60.223],[140.139,0.177],[80.137,0.177],[80.137,-60.223]]]]}""".stripMargin
+    val got = paramIds(mp, """{">":[{"property":"value"},30.5]}""")
+    assert(got.nonEmpty && got == gateIds("a36_cql2_s_intersects_multi").sorted)
+  }
+
+  test("intersects param: Polygon with hole ≡ CQL2 s_intersects on the same geometry") {
+    val poly =
+      """{"type":"Polygon","coordinates":[
+        |  [[-80.137,-20.223],[-20.139,-50.177],[40.141,-20.223],[20.139,40.177],[-60.137,40.177],[-80.137,-20.223]],
+        |  [[-30.139,-10.223],[0.141,-10.223],[0.141,15.177],[-30.139,15.177],[-30.139,-10.223]]]}""".stripMargin
+    val viaParam = paramIds(poly, """{">":[{"property":"value"},30.5]}""")
+    val it = Tables.items(s, sf)
+    val viaCql = it.where(graft.cql.Cql.resolve(graft.cql.Cql.parseJson(
+      s"""{"and":[{"s_intersects":[{"property":"geometry"},$poly]},
+         |{">":[{"property":"value"},30.5]}]}""".stripMargin), it.columns.toSeq).toColumn)
+      .select("id").collect().map(_.getString(0)).toSeq.sorted
+    assert(viaParam.nonEmpty && viaParam == viaCql)
+  }
+
+  test("intersects param: GeometryCollection ≡ a40 CQL2 gate") {
+    val coll =
+      """{"type":"GeometryCollection","geometries":[
+        |  {"type":"Polygon","coordinates":[[[-120.137,-55.223],[-60.139,-55.223],[-60.139,-5.177],[-120.137,-5.177],[-120.137,-55.223]]]},
+        |  {"type":"LineString","coordinates":[[10.137,-80.223],[20.139,80.177]]},
+        |  {"type":"Point","coordinates":[50.141,10.177]}]}""".stripMargin
+    val got = paramIds(coll, """{"<":[{"property":"value"},400.5]}""")
+    assert(got.nonEmpty && got == gateIds("a40_intersects_shapes").sorted)
+  }
+
+  test("intersects param: ring() convenience ≡ geoJson() Polygon of the same ring") {
+    val hex = Array(80.137, 10.223, 50.139, 55.177, -9.861, 55.177,
+      -39.859, 10.223, -9.861, -34.731, 50.139, -34.731)
+    val closed = hex ++ Array(hex(0), hex(1))
+    val gj = "{\"type\":\"Polygon\",\"coordinates\":[[" +
+      closed.grouped(2).map(p => s"[${p(0)},${p(1)}]").mkString(",") + "]]}"
+    val a = StacApi.search(s, sf, SearchParams(intersects = SearchParams.ring(hex), limit = 1_000_000, withCount = false))
+    val b = StacApi.search(s, sf, SearchParams(intersects = SearchParams.geoJson(gj), limit = 1_000_000, withCount = false))
+    val idsA = a.items.map(_.getAs[String]("id")).toSeq
+    assert(idsA.nonEmpty && idsA == b.items.map(_.getAs[String]("id")).toSeq)
   }
 }
