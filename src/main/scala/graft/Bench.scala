@@ -43,7 +43,12 @@ object Bench {
     // is reported as -1 in a separate `failures` list and excluded from
     // the total, so crashes can't flatter the numbers.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // SPARK_GRAFT_BENCH_ONLY=a43_item_ingest,b2_agg → time a subset
+    // (local iteration aid; the driver runs the full set).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { exec(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }

@@ -944,8 +944,11 @@ object StacSearch {
     * ISO-8601 → native timestamp, and the per-row VARIANT geometry
     * (Point coords are `array<double>`, Polygon's are
     * `array<array<array<double>>>` — one schema can't hold both, so the
-    * geometry member is parsed twice under the two shapes and selected
-    * by `geometry.type`, each a plan-level `from_json`, no UDF). The
+    * full-schema parse carries `geometry` as a RAW JSON STRING member —
+    * Jackson's copy-current-structure, no re-tokenization of the rest of
+    * the feature — and only that small string is parsed under the two
+    * coordinate shapes, selected by `geometry.type`; each a plan-level
+    * `from_json`, no UDF, ONE parse of the full feature text). The
     * parsed geometry is re-encoded to WKB — the catalog storage format —
     * and the envelope columns every spatial operator keys on are derived
     * from THAT blob, so the gate covers the entire ingest path:
@@ -955,42 +958,43 @@ object StacSearch {
   private val a43ItemDdl =
     "type string, stac_version string, stac_extensions array<string>, " +
       "id string, collection string, bbox array<double>, " +
+      "geometry string, " + // nested object captured as its raw JSON text
       "assets map<string,struct<href:string,type:string>>, " +
       "links array<struct<rel:string,href:string>>, " +
       "properties struct<datetime:string, value:double, user_id:bigint, " +
       "`proj:epsg`:int, `proj:shape`:array<int>>"
 
+  /** a43's serialized source, exposed for perf probes/specs. Carries the
+    * source `id` alongside the feature text so the gate's deterministic
+    * ORDER BY can run on the CHEAP side of the parse: a global sort's
+    * range exchange executes its child twice (a sampling pass to pick the
+    * range bounds, then the real pass), so sorting after the parse chain
+    * would run every from_json/WKB expression twice. Projections preserve
+    * ordering, so sorting here and parsing above yields the same
+    * globally-ordered output for half the work (it.id == id by
+    * construction; measured 9.9 s → 2.6 s at sf0.1). Serialization also
+    * runs ABOVE the exchange — the range shuffle then moves 8 narrow
+    * source columns instead of the ~600 B feature string, and the
+    * bounds-sampling pass skips the serialize entirely.
+    */
+  private[graft] def a43Source(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d)).orderBy(col("id"))
+      .select(col("id"), featureJsonCol.as("f"))
+
   def a43ItemIngest(s: SparkSession, d: String): DataFrame = {
-    val src = withEnvelope(items(s, d)).select(featureJsonCol.as("f"))
+    val src = a43Source(s, d)
     src
       .withColumn("it", from_json(col("f"), org.apache.spark.sql.types.StructType.fromDDL(a43ItemDdl)))
-      .withColumn("g", get_json_object(col("f"), "$.geometry"))
-      .withColumn("gpt", from_json(col("g"), org.apache.spark.sql.types.StructType.fromDDL(
-        "type string, coordinates array<double>")))
-      .withColumn("gpoly", from_json(col("g"), org.apache.spark.sql.types.StructType.fromDDL(
-        "type string, coordinates array<array<array<double>>>")))
-      // re-encode to the storage format; the box footprint's envelope is
-      // the first ring's coordinate extremes
-      .withColumn("ring", col("gpoly.coordinates").getItem(0))
-      .withColumn("wkb",
-        when(col("gpt.type") === "Point",
-          graft.spatial.WkbPoint(col("gpt.coordinates").getItem(0),
-            col("gpt.coordinates").getItem(1)))
-          .otherwise(graft.spatial.WkbBox(
-            expr("array_min(transform(ring, p -> p[0]))"),
-            expr("array_min(transform(ring, p -> p[1]))"),
-            expr("array_max(transform(ring, p -> p[0]))"),
-            expr("array_max(transform(ring, p -> p[1]))"))))
-      .withColumn("env", graft.spatial.WkbEnvelope(col("wkb")))
+      // extract every needed leaf IMMEDIATELY: from_json is codegen
+      // fallback, so the layers below run as interpreted Projects that
+      // copy their full input row per row — carrying the wide nested `it`
+      // struct through them would memcpy ~700 B of map/array/struct per
+      // layer. Narrow first, then do the geometry work on small rows.
       .select(
         col("it.id").as("id"),
         col("it.type").as("i_type"),
         col("it.stac_version").as("i_version"),
         col("it.collection").as("i_collection"),
-        graft.spatial.WkbType(col("wkb")).as("i_geom_type"),
-        col("env").getItem(0).as("i_xmin"), col("env").getItem(1).as("i_ymin"),
-        col("env").getItem(2).as("i_xmax"), col("env").getItem(3).as("i_ymax"),
-        graft.spatial.WkbNumPoints(col("wkb")).as("i_npoints"),
         to_timestamp(col("it.properties.datetime"),
           "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("i_datetime"),
         col("it.properties.value").as("i_value"),
@@ -998,8 +1002,36 @@ object StacSearch {
         col("it.properties.`proj:epsg`").as("i_proj_epsg"),
         size(col("it.links")).as("i_n_links"),
         element_at(col("it.assets"), "data").getField("type").as("i_asset_type"),
-        col("it.bbox").getItem(0).as("i_bbox_w"))
-      .orderBy(col("id"))
+        col("it.bbox").getItem(0).as("i_bbox_w"),
+        col("it.geometry").as("g"))
+      .withColumn("gpt", from_json(col("g"), org.apache.spark.sql.types.StructType.fromDDL(
+        "type string, coordinates array<double>")))
+      .withColumn("gpoly", from_json(col("g"), org.apache.spark.sql.types.StructType.fromDDL(
+        "type string, coordinates array<array<array<double>>>")))
+      // re-encode to the storage format; the box footprint's envelope is
+      // the first ring's coordinate extremes. The x/y arrays are hoisted
+      // so the (codegen-fallback) higher-order transform runs twice per
+      // row, not four times.
+      .withColumn("ring", col("gpoly.coordinates").getItem(0))
+      .withColumn("xs", expr("transform(ring, p -> p[0])"))
+      .withColumn("ys", expr("transform(ring, p -> p[1])"))
+      .withColumn("wkb",
+        when(col("gpt.type") === "Point",
+          graft.spatial.WkbPoint(col("gpt.coordinates").getItem(0),
+            col("gpt.coordinates").getItem(1)))
+          .otherwise(graft.spatial.WkbBox(
+            array_min(col("xs")), array_min(col("ys")),
+            array_max(col("xs")), array_max(col("ys")))))
+      .withColumn("env", graft.spatial.WkbEnvelope(col("wkb")))
+      .select(
+        col("id"), col("i_type"), col("i_version"), col("i_collection"),
+        graft.spatial.WkbType(col("wkb")).as("i_geom_type"),
+        col("env").getItem(0).as("i_xmin"), col("env").getItem(1).as("i_ymin"),
+        col("env").getItem(2).as("i_xmax"), col("env").getItem(3).as("i_ymax"),
+        graft.spatial.WkbNumPoints(col("wkb")).as("i_npoints"),
+        col("i_datetime"), col("i_value"), col("i_user_id"),
+        col("i_proj_epsg"), col("i_n_links"), col("i_asset_type"),
+        col("i_bbox_w"))
   }
 
   val a43Sql: String = Tables.withItems(
