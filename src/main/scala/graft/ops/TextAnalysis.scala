@@ -516,11 +516,37 @@ object TextAnalysis {
     */
   private val c27MinCount = 50L
 
-  def c27RareTokenScore(s: SparkSession, d: String): DataFrame = {
+  /** Broadcast the vocab only while it fits an executor comfortably.
+    * ~10⁷ entries ≈ a few hundred MB of broadcast hash map; above that a
+    * driver OOM or per-executor memory blowout is the failure mode, so
+    * the join falls back to a shuffle on `w`.
+    */
+  private[graft] val c27BroadcastMaxVocab = 10_000_000L
+
+  def c27RareTokenScore(s: SparkSession, d: String): DataFrame =
+    c27ScoreWith(s, d, c27BroadcastMaxVocab)
+
+  /** C27 with an explicit vocab-size ceiling for the broadcast path. The
+    * vocabulary is tiny relative to the corpus but UNBOUNDED (it grows
+    * with corpus diversity), so the join side is picked from the
+    * MEASURED vocab size, not hoped: `limit(max+1).count()` touches at
+    * most max+1 aggregated rows to decide. That decision is one extra
+    * aggregate pass here; at 100 TB the vocab would be persisted before
+    * reuse and the count comes free from that materialization. Above the
+    * ceiling the vocab is pinned to a shuffle join (`hint("merge")`) so
+    * the planner's size guess for the aggregate can't sneak the
+    * broadcast back in. `max == Long.MaxValue` / `max == 0` short-circuit
+    * the measurement (always / never broadcast).
+    */
+  private[graft] def c27ScoreWith(s: SparkSession, d: String, maxVocab: Long): DataFrame = {
     val words = docs(s, d).select(col("doc_id"), explode(expr(wordsSpark)).as("w"))
     val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= c27MinCount)
-    words.join(broadcast(vocab), Seq("w"), "left")
+    val fits = maxVocab == Long.MaxValue ||
+      (maxVocab > 0 &&
+        vocab.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).count() <= maxVocab)
+    val v = if (fits) broadcast(vocab) else vocab.hint("merge")
+    words.join(v, Seq("w"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),

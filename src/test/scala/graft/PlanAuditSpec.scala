@@ -167,4 +167,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = p.split('\n').count(l => l.contains("Location") && l.contains("events.parquet"))
     assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
   }
+
+  test("c27: vocab joins broadcast under the size ceiling, shuffle above it — " +
+      "same results either way") {
+    import graft.ops.TextAnalysis
+    val under = TextAnalysis.c27ScoreWith(s, sf, Long.MaxValue)
+    val over = TextAnalysis.c27ScoreWith(s, sf, 0L) // every vocab exceeds 0
+    val pUnder = plan(under)
+    val pOver = plan(over)
+    assert(pUnder.contains("BroadcastHashJoin"), pUnder)
+    assert(!pOver.contains("BroadcastHashJoin"), pOver)
+    assert(pOver.contains("SortMergeJoin") || pOver.contains("ShuffledHashJoin"), pOver)
+    assert(under.collect().toSeq == over.collect().toSeq)
+    // a real finite ceiling measures the vocab and still picks broadcast
+    // when it genuinely fits
+    assert(plan(TextAnalysis.c27ScoreWith(s, sf, TextAnalysis.c27BroadcastMaxVocab))
+      .contains("BroadcastHashJoin"))
+  }
 }
