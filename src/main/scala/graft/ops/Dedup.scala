@@ -323,6 +323,34 @@ object Dedup {
   def c20PlanesFor(n: Long, targetBucket: Int = 64): Int =
     math.max(3, (math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).round.toInt)
 
+  /** Table-count policy — the other half of the scale story. Planes come
+    * from [[c20PlanesFor]] (bucket occupancy); the number of
+    * OR-construction tables must then GROW with them to hold recall,
+    * because each added plane cuts a pair's per-table collision odds. A
+    * pair at cosine c collides under one random hyperplane with
+    * probability 1 - acos(c)/π, so one table of k planes catches it with
+    * p = (1 - acos(c)/π)^k and b tables reach recall 1 - (1-p)^b ⇒
+    * b = ⌈ln(1-recall) / ln(1-p)⌉. At the gate's design point
+    * (c = cosMin = 0.45, k = 3, recall 0.975) this reproduces the pinned
+    * 12 tables exactly; the measured recall-vs-b curve is in
+    * SimilaritySpec. Growth is steep at this hard ~63° threshold — the
+    * honest cost of the OR-construction; at realistic near-dup
+    * thresholds (c ≥ 0.8) b stays modest, and C13's multi-probe is the
+    * lever when b gets expensive.
+    */
+  def c20TablesFor(planes: Int, designCos: Double = cosMin,
+                   targetRecall: Double = 0.975): Int = {
+    val pPlane = 1.0 - math.acos(designCos) / math.Pi
+    val pTable = math.pow(pPlane, planes.toDouble)
+    math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt)
+  }
+
+  /** Fully adaptive form: both knobs derived from the corpus size. */
+  def c20DedupEmbeddingLshAdaptive(s: SparkSession, d: String, n: Long): DataFrame = {
+    val planes = c20PlanesFor(n)
+    c20DedupEmbeddingLsh(s, d, c20TablesFor(planes), planes)
+  }
+
   private[graft] def c20Plane(t: Int, j: Int): Array[Double] =
     Array.tabulate(64)(i => ((TextExprs.h64Local(s"tb${t}_$j:$i") % 2001L) - 1000L) / 1000.0)
 

@@ -35,6 +35,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf > 0.0)
   }
 
+  test("c20 recall vs table count at two corpus sizes; table policy reproduces the pinned config") {
+    import graft.ops.Dedup
+    val bs = Seq(1, 3, 6, Dedup.c20Tables)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val truth = Dedup.queries("c5_dedup_embedding")(s, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rs = bs.map { b =>
+        val got = Dedup.c20DedupEmbeddingLsh(s, d, b, Dedup.c20Planes).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.intersect(truth).size.toDouble / truth.size
+      }
+      info(s"$d recall vs tables: " +
+        bs.zip(rs).map { case (b, r) => f"b=$b:$r%.2f" }.mkString(" "))
+      // tables 0..b-1 are prefixes of one deterministic sequence, so the
+      // candidate set — and recall — is non-decreasing in b
+      assert(rs.zip(rs.drop(1)).forall { case (a, c) => c >= a - 1e-9 }, rs.toString)
+      assert(rs.last == 1.0, s"pinned config must fully cover, got ${rs.last}")
+    }
+    assert(Dedup.c20TablesFor(Dedup.c20Planes) == Dedup.c20Tables)
+    // more planes (bigger corpus) ⇒ the policy demands more tables
+    assert(Dedup.c20TablesFor(4) > Dedup.c20TablesFor(3))
+    assert(Dedup.c20TablesFor(10) > Dedup.c20TablesFor(4))
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf").foreach { name =>
       Similarity.queries(name)(s, sf).collect()
