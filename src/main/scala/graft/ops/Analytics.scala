@@ -563,13 +563,20 @@ object Analytics {
     * bin. Checksum column is an exact BIGINT sum (no float accumulation);
     * DuckDB's HUGEINT sum is cast back to BIGINT in the oracle.
     */
-  private val b20BinUs = 600000000L // 10-minute bins = the window width
+  // Bin width MUST equal the window width: that equality is what bounds a
+  // window to <=2 exploded bins, gives each point a single bin, and makes
+  // post-join dedup unnecessary. Both engines' interval literals derive
+  // from this one constant so a width edit can't desynchronize them.
+  private val b20BinUs = 600000000L
+  private val b20BinMinutes = b20BinUs / 60000000L
+  require(b20BinMinutes * 60000000L == b20BinUs,
+    s"b20 bin width must be whole minutes, got $b20BinUs us")
 
   def b20RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val windows = e.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("ts").as("t0"),
-        expr("ts + INTERVAL 10 MINUTES").as("t1"))
+        expr(s"ts + INTERVAL $b20BinMinutes MINUTES").as("t1"))
       .withColumn("bin",
         explode(expr(s"sequence(unix_micros(t0) div $b20BinUs, unix_micros(t1) div $b20BinUs)")))
     val points = e.where(col("event_type") === "purchase")
@@ -583,12 +590,12 @@ object Analytics {
   }
 
   val b20RangeJoinSql: String =
-    """SELECT v.event_id AS view_id, COUNT(*) AS n_hits,
-      |  CAST(SUM(p.event_id) AS BIGINT) AS id_sum
-      |FROM events v JOIN events p
-      |  ON p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTE
-      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
-      |GROUP BY 1 ORDER BY view_id""".stripMargin
+    s"""SELECT v.event_id AS view_id, COUNT(*) AS n_hits,
+       |  CAST(SUM(p.event_id) AS BIGINT) AS id_sum
+       |FROM events v JOIN events p
+       |  ON p.ts >= v.ts AND p.ts < v.ts + INTERVAL $b20BinMinutes MINUTE
+       |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+       |GROUP BY 1 ORDER BY view_id""".stripMargin
 
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -477,6 +477,13 @@ object TextAnalysis {
       piiEmailRe, "<EMAIL>"), piiPhoneRe, "<PHONE>"), piiIpRe, "<IP>")
     docs(s, d)
       .withColumn("pt", expr(piiInjectSql))
+      // n_* are RAW-MATCH counts on the pre-redaction text, not
+      // replacement counts: redaction runs sequentially (email→phone→IP),
+      // so on adversarial text a match overlapping an earlier replacement
+      // (a phone-shaped substring inside an email local part) is counted
+      // here but never replaced. Both engines count identically so the
+      // gate is unaffected; consumers wanting replacement counts should
+      // diff lengths per stage.
       .select(col("doc_id"),
         regexp_count(col("pt"), lit(piiEmailRe)).cast("int").as("n_emails"),
         regexp_count(col("pt"), lit(piiPhoneRe)).cast("int").as("n_phones"),

@@ -14,9 +14,14 @@ import graft.ops.Dedup
   * LSH bucket keys (the same hyperplane tables as the batch operator);
   * per (table, bucket) a stateful operator keeps the members seen inside
   * the watermark horizon and emits verified candidate pairs (cosine ≥
-  * [[Dedup.cosMin]]) as they form — each pair EXACTLY once: only the
-  * lowest-index table where both members collide emits it, mirroring the
-  * batch operator's `.distinct()` on candidates. State is watermark-bounded: members
+  * [[Dedup.cosMin]]) as they form — each pair exactly once PER
+  * (pair, residency window): only the lowest-index table where both
+  * members collide emits it, mirroring the batch operator's
+  * `.distinct()` on candidates, but a vec_id that RE-ARRIVES after the
+  * pair was emitted re-pairs against still-resident members and emits
+  * the pair again — the intended recent-window semantics (the new
+  * occurrence IS a fresh near-dup event against the window), not a
+  * global exactly-once. State is watermark-bounded: members
   * older than the event-time horizon are evicted on timeout, so a bucket's
   * state is O(recent occupants), never O(history) — the streaming
   * semantic is "near-dups against the recent window"; full-history dedup
