@@ -378,43 +378,68 @@ object Analytics {
     * mergeable sketch.
     */
   def b16Quantiles(spark: SparkSession, dir: String): DataFrame = {
-    // Sort-based exact quantiles instead of the `percentile` aggregate:
-    // Percentile buffers a per-group value→count map through an
-    // OBJECT-hash aggregate (no codegen, 2.5s at sf0.1); a window
-    // row_number + the two bracketing ranks + linear interpolation is the
-    // same exact math (lo + frac·(hi−lo), identical to quantile_cont) on
-    // a codegen'd sort — 5× faster here and spill-safe at scale.
+    // EXACT quantiles via two-level bin SELECTION, not a full sort. The
+    // previous shape (row_number window partitioned by l_linestatus) was
+    // exact but its parallelism equaled the group count — 2-3 tasks would
+    // own the whole corpus at scale. Here no full-data sort ever happens:
+    //   1. per-group min/max/count (one codegen'd aggregate pass);
+    //   2. per-group histogram over 1024 value bins (second pass, partial
+    //      agg) + cumulative counts over the TINY histogram → each
+    //      bracketing rank k is located in exactly one bin, along with
+    //      its rank WITHIN that bin;
+    //   3. third pass keeps only rows falling in a target bin (~n/1024
+    //      rows, broadcast-joined bin list) and sorts per (group, mark) —
+    //      partitions of ~hundreds of rows at any corpus size.
+    // The interpolation math on the two bracketing VALUES (lo + frac·
+    // (hi−lo), identical to quantile_cont) is unchanged, so results are
+    // bit-identical to the sort-based form; bin boundaries only steer
+    // WHERE the candidates are, never the answer.
     import org.apache.spark.sql.expressions.Window
-    // one window sort per value column; ALL percentiles of that column
-    // come from the same pass via conditional aggregation over the
-    // bracketing ranks
+    val nBins = 1024
     def q(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
-      val w = Window.partitionBy(col("l_linestatus")).orderBy(col(valueCol))
-      var ranked = Tables.lineitem(spark, dir)
-        .select(col("l_linestatus"), col(valueCol))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_linestatus"))))
-      ps.zipWithIndex.foreach { case ((_, p), i) =>
-        // target index (0-based) = (n-1)·p; bracket ranks floor+1, ceil+1
-        ranked = ranked.withColumn(s"idx$i", (col("n") - 1).cast("double") * lit(p))
+      val base = Tables.lineitem(spark, dir)
+        .select(col("l_linestatus").as("g"), col(valueCol).cast("double").as("v"))
+      val ext = base.groupBy(col("g")).agg(
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        count(lit(1)).as("n"))
+      val width = (col("vmax") - col("vmin")) / nBins
+      val binned = base.join(broadcast(ext), "g")
+        .withColumn("bin",
+          when(col("vmax") === col("vmin"), lit(0)).otherwise(
+            least(lit(nBins - 1),
+              floor((col("v") - col("vmin")) / width).cast("int"))))
+      val hist = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(ext.select(col("g"), col("n"))), "g")
+        .withColumn("hi_rank",
+          sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
+        .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
+      // each percentile contributes two marks (floor and ceil rank); a
+      // histogram row emits the marks whose rank lands inside it
+      val marks = ps.zipWithIndex.flatMap { case ((_, p), i) =>
+        val idx = (col("n") - 1).cast("double") * lit(p)
+        Seq(struct(lit(2 * i).as("mid"), (floor(idx).cast("bigint") + 1).as("k")),
+          struct(lit(2 * i + 1).as("mid"), (ceil(idx).cast("bigint") + 1).as("k")))
       }
-      def bracket(i: Int) =
-        col("rn") === floor(col(s"idx$i")).cast("bigint") + 1 ||
-          col("rn") === ceil(col(s"idx$i")).cast("bigint") + 1
+      val tbins = hist.select(col("g"), col("bin"), col("lo_rank"),
+          explode(filter(array(marks: _*),
+            m => m.getField("k").between(col("lo_rank"), col("hi_rank")))).as("m"))
+        .select(col("g"), col("bin"), col("m.mid").as("mid"),
+          (col("m.k") - col("lo_rank") + 1).as("rk"))
+      val wv = Window.partitionBy(col("g"), col("mid")).orderBy(col("v"))
+      val vals = binned.join(broadcast(tbins), Seq("g", "bin"))
+        .withColumn("rn", row_number().over(wv))
+        .where(col("rn") === col("rk"))
       val aggs = ps.indices.flatMap { i =>
-        Seq(min(when(bracket(i), col(valueCol))).as(s"lo$i"),
-          max(when(bracket(i), col(valueCol))).as(s"hi$i"),
-          first(col(s"idx$i")).as(s"i$i"))
+        Seq(min(when(col("mid") === 2 * i, col("v"))).as(s"lo$i"),
+          min(when(col("mid") === 2 * i + 1, col("v"))).as(s"hi$i"))
       }
-      val outs = ps.zipWithIndex.map { case ((name, _), i) =>
-        round(col(s"lo$i") +
-          (col(s"i$i") - floor(col(s"i$i"))) * (col(s"hi$i") - col(s"lo$i")), 6).as(name)
+      val outs = ps.zipWithIndex.map { case ((name, p), i) =>
+        val idx = (col("n") - 1).cast("double") * lit(p)
+        round(col(s"lo$i") + (idx - floor(idx)) * (col(s"hi$i") - col(s"lo$i")), 6).as(name)
       }
-      ranked
-        .where(ps.indices.map(bracket).reduce(_ || _))
-        .groupBy(col("l_linestatus"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("l_linestatus") +: outs: _*)
+      vals.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+        .join(broadcast(ext.select(col("g"), col("n"))), "g")
+        .select(col("g").as("l_linestatus") +: outs: _*)
     }
     q("l_quantity", Seq("median_qty" -> 0.5, "p95_qty" -> 0.95))
       .join(q("l_extendedprice", Seq("median_price" -> 0.5)), "l_linestatus")
