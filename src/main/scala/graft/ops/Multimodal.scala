@@ -148,12 +148,51 @@ object Multimodal {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** C29: EXIF-style metadata extraction — typed header fields
+    * (file size, pixel-data offset, dimensions, bits-per-pixel) read
+    * straight off the binary payload's container header by the codegen'd
+    * [[graft.functions.BmpMeta]] expression. NO raster decode: where C12
+    * is the codec pass (mapPartitions, ~ms per image), this is a
+    * projection at scan speed — the plan difference between "decode the
+    * corpus" and "read 54 bytes per payload". The oracle computes every
+    * field in closed form from the BMP spec (row stride padded to 4
+    * bytes), so a mis-read offset or endianness bug surfaces as a value
+    * mismatch; MultimodalSpec cross-checks the same fields against the
+    * full ImageIO decode.
+    */
+  def c29MediaMetadata(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).toDF()
+      .select(col("doc_id"), length(col("payload")).cast("int").as("n_bytes"),
+        graft.functions.BmpMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("m").getItem(0).as("file_size"),
+        col("m").getItem(1).as("px_offset"),
+        col("m").getItem(2).as("px_width"),
+        col("m").getItem(3).as("px_height"),
+        col("m").getItem(4).as("bpp"))
+      .orderBy(col("doc_id"))
+
+  /** 24bpp BMP: stride = ceil(3w/4)·4, file = 54-byte headers + h·stride. */
+  val c29Sql: String =
+    """SELECT doc_id,
+      |  CAST(54 + h * ((3 * w + 3) // 4 * 4) AS INTEGER) AS n_bytes,
+      |  CAST(54 + h * ((3 * w + 3) // 4 * 4) AS INTEGER) AS file_size,
+      |  CAST(54 AS INTEGER) AS px_offset,
+      |  CAST(w AS INTEGER) AS px_width,
+      |  CAST(h AS INTEGER) AS px_height,
+      |  CAST(24 AS INTEGER) AS bpp
+      |FROM (SELECT doc_id, (doc_id % 64) + 16 AS w, ((doc_id * 7) % 64) + 16 AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c12_multimodal" -> (c12Multimodal _)
+    "c12_multimodal" -> (c12Multimodal _),
+    "c29_media_metadata" -> (c29MediaMetadata _)
   )
 
   val oracle: Map[String, String] = Map(
-    "c12_multimodal" -> c12Sql
+    "c12_multimodal" -> c12Sql,
+    "c29_media_metadata" -> c29Sql
   )
 }

@@ -46,4 +46,26 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.dec_height == Multimodal.heightOf(f.doc_id))
     }
   }
+
+  test("c29 header-only metadata agrees with the full ImageIO decode; non-BMP → null") {
+    import org.apache.spark.sql.functions._
+    // header fields vs the decoded raster, joined per doc
+    val meta = Multimodal.queries("c29_media_metadata")(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    val full = Multimodal.featurize(s, sf).collect()
+    assert(full.nonEmpty)
+    full.foreach { f =>
+      val (size, w, h, bpp) = meta(f.doc_id)
+      assert(size == f.n_bytes, s"doc ${f.doc_id}")
+      assert(w == f.dec_width && h == f.dec_height, s"doc ${f.doc_id}")
+      assert(bpp == 24)
+    }
+    // corrupt / non-BMP payloads surface as null metadata, not a crash
+    val spark = s
+    import spark.implicits._
+    val bad: Seq[Array[Byte]] = Seq(Array[Byte](0x42, 0x41, 0x44), Array.emptyByteArray, null)
+    val rows = bad.toDF("payload")
+      .select(graft.functions.BmpMeta(col("payload")).as("m")).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
 }
