@@ -142,4 +142,95 @@ object StreamDedup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         stateFlat(cosMin, horizonMs))
   }
+
+  // --------------- D9: transformWithState (RocksDB ListState) variant
+  /** One resident bucket member, as a row of the typed ListState. */
+  case class Member(vec_id: Long, nv: Seq[Double], tsMs: Long, keys: Seq[Int])
+
+  /** D9: the same near-dup operator on Spark 4's transformWithState API.
+    * The scale win over [[nearDupStream]]'s flatMapGroupsWithState is the
+    * STATE LAYOUT: fmGWS serializes the whole bucket as one blob, so
+    * admitting a member rewrites O(bucket) state per batch; here members
+    * live in a typed `ListState`, and the common path (no eviction, no
+    * re-arrival) is `appendValue` — an O(1) RocksDB append per new
+    * member. The list is rewritten only when a member is evicted or
+    * replaced. Eviction runs on event-time TIMERS (registered at
+    * newest-member + horizon) instead of fmGWS timeouts. Emission
+    * semantics are IDENTICAL to D8 — same lowest-shared-table rule, same
+    * sequential kernel — asserted stream ≡ stream ≡ batch in
+    * StreamDedupSpec.
+    */
+  class NearDupProcessor(cosMin: Double, horizon: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Int), BandIn, PairOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var members: ListState[Member] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Member]("members", E.product[Member], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Int), rows: Iterator[BandIn],
+                                 tv: TimerValues): Iterator[PairOut] = {
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val resident = members.get().toList
+      var cur = resident.filter(_.tsMs >= wmMs - horizon)
+      var rewrite = cur.size != resident.size
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[Member]
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+      rows.toSeq.sortBy(_.vec_id).foreach { r =>
+        val rv = r.nv.toArray
+        val rMs = r.ts.getTime
+        cur.foreach { m =>
+          if (m.vec_id != r.vec_id && lowestSharedTable(key._1, r.keys, m.keys)) {
+            val cos = DotProduct.dot(rv, m.nv.toArray)
+            if (cos >= cosMin) {
+              val (a, b) =
+                if (r.vec_id < m.vec_id) (r.vec_id, m.vec_id) else (m.vec_id, r.vec_id)
+              out += PairOut(a, b, cos, new java.sql.Timestamp(math.max(rMs, m.tsMs)))
+            }
+          }
+        }
+        val me = Member(r.vec_id, r.nv, rMs, r.keys)
+        if (cur.exists(_.vec_id == r.vec_id)) {
+          rewrite = true
+          cur = me :: cur.filterNot(_.vec_id == r.vec_id)
+        } else {
+          cur = me :: cur
+          fresh += me
+        }
+      }
+      if (rewrite) members.put(cur.reverse.toArray)
+      else fresh.foreach(members.appendValue)
+      if (cur.nonEmpty) getHandle.registerTimer(cur.map(_.tsMs).max + horizon)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, Int), tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[PairOut] = {
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val live = members.get().filter(_.tsMs >= wmMs - horizon).toArray
+      if (live.isEmpty) members.clear() else members.put(live)
+      Iterator.empty
+    }
+  }
+
+  /** D9 entry point — requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which is what
+    * makes the ListState append path an actual RocksDB merge.
+    */
+  def nearDupStreamTws(s: SparkSession, stream: DataFrame,
+                       nTables: Int = Dedup.c20Tables,
+                       nPlanes: Int = Dedup.c20Planes,
+                       cosMin: Double = Dedup.cosMin,
+                       watermarkDelay: String = "1 hour",
+                       horizonMs: Long = 3600L * 1000): Dataset[PairOut] = {
+    import s.implicits._
+    banded(stream, nTables, nPlanes)
+      .withWatermark("ts", watermarkDelay)
+      .as[BandIn]
+      .groupByKey(b => (b.tb, b.bkey))
+      .transformWithState(new NearDupProcessor(cosMin, horizonMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -72,6 +72,76 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(k, p)
+      case None => s.conf.unset(k)
+    }
+  }
+
+  test("D9 transformWithState near-dup (RocksDB ListState) ≡ batch C20 ≡ D8 stream") {
+    import s.implicits._
+    withRocksDb {
+      val vecs = corpus()
+      val mem = MemoryStream[VecIn](s)
+      val q = StreamDedup.nearDupStreamTws(s, mem.toDF(),
+          watermarkDelay = "2 hours", horizonMs = 24L * 3600 * 1000)
+        .writeStream.format("memory").queryName("d9_pairs")
+        .outputMode("append").start()
+      try {
+        (0 until 3).foreach { b =>
+          mem.addData(vecs.filter(_._1 % 3 == b).map { case (id, v) =>
+            VecIn(id, t(b * 5), v)
+          }.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val streamed = s.sql("SELECT v1, v2, cos_sim FROM d9_pairs").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+        val batch = graft.ops.Dedup.c20DedupEmbeddingLsh(s, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+        assert(streamed == batch,
+          s"stream-only: ${streamed.diff(batch).take(5)}; batch-only: ${batch.diff(streamed).take(5)}")
+        assert(batch.nonEmpty)
+        assert(streamed.distinct == streamed, "stream emitted a pair more than once")
+      } finally q.stop()
+    }
+  }
+
+  test("D9 timers evict expired members; re-arrival replaces, append path stays green") {
+    import s.implicits._
+    withRocksDb {
+      val v = Seq.tabulate(64)(i => math.sin(i + 1.0))
+      val mem = MemoryStream[VecIn](s)
+      val q = StreamDedup.nearDupStreamTws(s, mem.toDF(),
+          watermarkDelay = "1 minute", horizonMs = 60L * 1000)
+        .writeStream.format("memory").queryName("d9_evict")
+        .outputMode("append").start()
+      try {
+        mem.addData(VecIn(1L, t(0), v))
+        q.processAllAvailable()
+        mem.addData(VecIn(1L, t(1), v)) // re-arrival: replace, don't append
+        q.processAllAvailable()
+        // push the watermark far past vec 1's horizon (timer fires)
+        mem.addData(VecIn(99L, t(600), Seq.tabulate(64)(i => math.cos(i + 1.0))))
+        q.processAllAvailable()
+        mem.addData(VecIn(2L, t(601), v)) // expired twin: must not pair with 1
+        q.processAllAvailable()
+        mem.addData(VecIn(3L, t(602), v)) // fresh twin: pairs with 2
+        q.processAllAvailable()
+        val pairs = s.sql("SELECT v1, v2 FROM d9_evict").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(pairs.count(_ == ((2L, 3L))) == 1, s"expected one fresh twin pair: $pairs")
+        assert(!pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)),
+          s"expired/duplicated member must not pair: $pairs")
+      } finally q.stop()
+    }
+  }
+
   test("watermark bounds state: members beyond the horizon are evicted, not paired") {
     import s.implicits._
     // two identical vectors far apart in event time + a fresh one close by
