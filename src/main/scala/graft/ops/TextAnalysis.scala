@@ -619,7 +619,46 @@ object TextAnalysis {
        |  CAST((t_total * wt // 10) * 10000 // avail_tokens AS BIGINT) AS rate_bp
        |FROM m ORDER BY domain""".stripMargin
 
+  // ---------------------------------------- C30 BPE merge-step counts
+  /** C30: BPE merge-step candidate counting — the tokenizer-training
+    * primitive (Sennrich et al. 2016, "Neural Machine Translation of Rare
+    * Words with Subword Units"): count adjacent character-pair
+    * occurrences across the corpus and rank merge candidates. The scale
+    * shape is the VOCABULARY TRICK production BPE trainers use: aggregate
+    * identical words FIRST (vocab rows ≪ corpus tokens), then explode
+    * each DISTINCT word's character pairs weighted by the word's corpus
+    * count — pair counting costs O(vocab · word length), not O(corpus
+    * tokens), and re-runs per merge iteration touch only the vocab.
+    * All-integer counts (hash-exact), top-50 by (count desc, pair asc) —
+    * a deterministic total order, planned as TakeOrderedAndProject.
+    */
+  def c30BpePairs(s: SparkSession, d: String): DataFrame = {
+    val vocab = docs(s, d).select(explode(expr(wordsSpark)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    vocab
+      .where(length(col("w")) >= 2)
+      .select(col("w"), col("wc"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(concat(expr("substr(w, i, 1)"), lit(" "),
+        expr("substr(w, i + 1, 1)")).as("pair"), col("wc"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+  }
+
+  val c30Sql: String =
+    s"""WITH v AS (
+       |  SELECT w, COUNT(*) AS wc
+       |  FROM (SELECT unnest($wordsDuck) AS w FROM documents) GROUP BY w),
+       |p AS (
+       |  SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, wc
+       |  FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+       |        FROM v WHERE length(w) >= 2))
+       |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+       |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c30_bpe_pairs" -> (c30BpePairs _),
     "c28_mixture_plan" -> (c28MixturePlan _),
     "c26_pii_redact"  -> (c26PiiRedact _),
     "c27_rare_token_score" -> (c27RareTokenScore _),
@@ -637,6 +676,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c30_bpe_pairs" -> c30Sql,
     "c28_mixture_plan" -> c28Sql,
     "c26_pii_redact"  -> c26Sql,
     "c27_rare_token_score" -> c27Sql,

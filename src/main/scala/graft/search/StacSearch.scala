@@ -1093,6 +1093,47 @@ object StacSearch {
   val a45Sql: String = Tables.withItems(
     s"SELECT $projSql FROM items WHERE ${Geo.convexIntersectsSql("lon", "lat", a45Pentagon)} ORDER BY id")
 
+  // ------------------------------------------- A46 grid aggregation
+  /** A46: STAC Aggregations-extension GRID aggregation (the
+    * `grid_code_frequency` / geohash-grid shape): per level-6 Z-cell
+    * bucket of a bbox-filtered search — item count, distinct collections,
+    * exact value sum. ONE map-side-combined aggregation pass over the
+    * pruned scan; the bucket key is the same integer Z-cell the physical
+    * layout sorts by (ItemsLayout.materializeZOrdered), so at scale the
+    * shuffle carries |cells| partial rows, never items, and the bbox
+    * filter prunes row groups before any aggregation happens.
+    */
+  def a46GridAgg(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(Geo.bboxContains(col("lon"), col("lat"), bbox._1, bbox._2, bbox._3, bbox._4))
+      .withColumn("zcell", zCellColumn)
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("collection")).as("n_collections"),
+        // exact decimal accumulation, double on the wire (b2's pattern)
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy(col("zcell"))
+
+  /** DuckDB rendering of the level-6 Morton cell (same bit math as
+    * [[zrCellExpr]], `<<`/`>>`/`&` operator syntax).
+    */
+  private def zrCellSqlDuck: String = {
+    val size = 1 << zrLevel
+    val ix = s"CAST(least(greatest(floor((lon + 180.0) / 360.0 * $size.0), 0.0), ${size - 1}.0) AS INT)"
+    val iy = s"CAST(least(greatest(floor((lat + 90.0) / 180.0 * $size.0), 0.0), ${size - 1}.0) AS INT)"
+    (0 until zrLevel).map(k =>
+      s"(((($ix >> $k) & 1) << ${2 * k + 1}) + ((($iy >> $k) & 1) << ${2 * k}))")
+      .mkString(" + ")
+  }
+
+  val a46Sql: String = Tables.withItems(
+    s"""SELECT ($zrCellSqlDuck) AS zcell, COUNT(*) AS n_items,
+       |  COUNT(DISTINCT collection) AS n_collections,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       |FROM items
+       |WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)}
+       |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -1228,7 +1269,8 @@ object StacSearch {
     "a42_wkb_roundtrip"           -> (a42WkbRoundtrip _),
     "a43_item_ingest"             -> (a43ItemIngest _),
     "a44_param_intersects"        -> (a44ParamIntersects _),
-    "a45_intersects_convex"       -> (a45IntersectsConvex _)
+    "a45_intersects_convex"       -> (a45IntersectsConvex _),
+    "a46_grid_agg"                -> (a46GridAgg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1273,6 +1315,7 @@ object StacSearch {
     "a42_wkb_roundtrip"           -> a42Sql,
     "a43_item_ingest"             -> a43Sql,
     "a44_param_intersects"        -> a44Sql,
-    "a45_intersects_convex"       -> a45Sql
+    "a45_intersects_convex"       -> a45Sql,
+    "a46_grid_agg"                -> a46Sql
   )
 }

@@ -168,6 +168,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
   }
 
+  test("a46: grid aggregation is one scan with partial aggregation; " +
+      "c30: top pairs plan as TakeOrderedAndProject") {
+    val p46 = plan(StacSearch.queries("a46_grid_agg")(s, sf))
+    val scans = p46.split('\n').count(l => l.contains("Location") && l.contains("events.parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p46")
+    assert(p46.contains("HashAggregate"), p46)
+    val p30 = plan(graft.ops.TextAnalysis.queries("c30_bpe_pairs")(s, sf))
+    assert(p30.contains("TakeOrderedAndProject"), p30)
+    // the vocabulary trick: pairs explode off the aggregated vocab, so the
+    // plan has the word aggregate BELOW the pair generate
+    assert(p30.contains("Generate"), p30)
+  }
+
   test("c27: vocab joins broadcast under the size ceiling, shuffle above it — " +
       "same results either way") {
     import graft.ops.TextAnalysis
