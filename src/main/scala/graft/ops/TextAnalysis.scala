@@ -619,6 +619,55 @@ object TextAnalysis {
        |  CAST((t_total * wt // 10) * 10000 // avail_tokens AS BIGINT) AS rate_bp
        |FROM m ORDER BY domain""".stripMargin
 
+  // ------------------------------- C31 n-gram overlap contamination score
+  /** C31: GRADED contamination scoring — where C19/C25 REMOVE exact
+    * fingerprint collisions, this measures per-document overlap with the
+    * eval set as the fraction of its 8-gram shingles that appear anywhere
+    * in the eval corpus (the n-gram-overlap contamination metric of the
+    * GPT-3/PaLM eval-contamination appendices). Output is integer basis
+    * points (n_hits·10⁴ ÷ n_grams, floor) so the gate is hash-exact.
+    * Shapes: one shingle explode per side, distinct eval grams broadcast
+    * (eval sets are small by definition — above broadcast size the same
+    * plan shuffle-joins on the gram, C27's fallback pattern), one
+    * map-side-combined per-doc aggregate. No pairwise doc comparisons
+    * anywhere.
+    */
+  private val c31GramLen = 8
+
+  def c31OverlapScore(s: SparkSession, d: String): DataFrame = {
+    val gram = (0 until c31GramLen).map(k => s"element_at(w, i + $k)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    def grams(src: DataFrame) = src
+      .withColumn("w", expr(wordsSpark))
+      .where(expr(s"size(w) >= $c31GramLen"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(w) - ${c31GramLen - 1}), i -> $gram)")).as("g"))
+    val all = grams(docs(s, d))
+    val evalGrams = all.where(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    all.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .withColumn("overlap_bp", expr("n_hits * 10000 DIV n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c31Sql: String =
+    s"""WITH d0 AS (SELECT doc_id, $wordsDuck AS ws FROM documents),
+       |g AS (SELECT doc_id, array_to_string(ws[i:i+${c31GramLen - 1}], ' ') AS g
+       |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${c31GramLen - 2})) AS i
+       |            FROM d0 WHERE len(ws) >= $c31GramLen)),
+       |e AS (SELECT DISTINCT g, 1 AS hit FROM g WHERE doc_id % 97 = 0)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(hit, 0)) * 10000 // COUNT(*) AS BIGINT) AS overlap_bp
+       |FROM (SELECT g.doc_id, e.hit FROM g LEFT JOIN e ON g.g = e.g
+       |      WHERE g.doc_id % 97 <> 0)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------- C30 BPE merge-step counts
   /** C30: BPE merge-step candidate counting — the tokenizer-training
     * primitive (Sennrich et al. 2016, "Neural Machine Translation of Rare
@@ -658,6 +707,7 @@ object TextAnalysis {
        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c31_overlap_score" -> (c31OverlapScore _),
     "c30_bpe_pairs" -> (c30BpePairs _),
     "c28_mixture_plan" -> (c28MixturePlan _),
     "c26_pii_redact"  -> (c26PiiRedact _),
@@ -676,6 +726,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c31_overlap_score" -> c31Sql,
     "c30_bpe_pairs" -> c30Sql,
     "c28_mixture_plan" -> c28Sql,
     "c26_pii_redact"  -> c26Sql,
