@@ -622,6 +622,46 @@ object Analytics {
        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
        |GROUP BY 1 ORDER BY view_id""".stripMargin
 
+  // ------------------------------------------------------------------ B21
+  /** MERGEABLE incremental aggregation — the 100 TB pipeline primitive:
+    * yesterday's aggregate state + today's partition, never a recompute
+    * of history. The query computes per-status partial states (count,
+    * exact cents sum, min/max date — every one a commutative monoid) over
+    * two date-disjoint slices of `orders` SEPARATELY, then MERGES the
+    * partial states (sum of counts, sum of sums, min of mins, max of
+    * maxes) and derives the average from the merged sums. The oracle is
+    * the direct single-pass aggregate over everything — equality IS the
+    * mergeability proof (merge ∘ partial ≡ aggregate). Derived metrics
+    * (avg) are computed only after the merge, from exact integers, which
+    * is what makes the state re-usable: avg itself doesn't merge, its
+    * numerator and denominator do.
+    */
+  def b21IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderstatus").as("st"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+      col("o_orderdate").as("d"))
+    def partial(slice: DataFrame): DataFrame = slice.groupBy(col("st")).agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("c"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    partial(o.where(col("d") < cut))
+      .unionByName(partial(o.where(col("d") >= cut)))
+      .groupBy(col("st"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("total_cents"),
+        min(col("dmin")).as("first_date"), max(col("dmax")).as("last_date"))
+      .withColumn("avg_cents", expr("total_cents DIV n_orders"))
+      .orderBy(col("st"))
+  }
+
+  val b21IncrementalAggSql: String =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+      |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    // COUNT(*) AS avg_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_pushdown_scan"   -> (b1PushdownScan _),
@@ -642,7 +682,8 @@ object Analytics {
     "b17_pivot"          -> (b17Pivot _),
     "b18_asof_join"      -> (b18AsofJoin _),
     "b19_promo_share"    -> (b19PromoShare _),
-    "b20_range_join"     -> (b20RangeJoin _)
+    "b20_range_join"     -> (b20RangeJoin _),
+    "b21_incremental_agg" -> (b21IncrementalAgg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -664,6 +705,7 @@ object Analytics {
     "b17_pivot"          -> b17PivotSql,
     "b18_asof_join"      -> b18AsofJoinSql,
     "b19_promo_share"    -> b19PromoShareSql,
-    "b20_range_join"     -> b20RangeJoinSql
+    "b20_range_join"     -> b20RangeJoinSql,
+    "b21_incremental_agg" -> b21IncrementalAggSql
   )
 }
