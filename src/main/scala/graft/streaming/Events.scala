@@ -313,6 +313,28 @@ object Events {
   def dedupStream(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  // ------------------------- D10 streaming grid aggregation (A46 live)
+  /** D10: A46's Z-cell grid aggregation over an ITEM STREAM — the live
+    * dashboard shape (tiles updating as items land). Tumbling windows ×
+    * Z-cells, watermark-bounded state: a (window, cell) bucket finalizes
+    * and emits once the watermark passes its window end, so state is
+    * O(cells per open window), never O(history). Counts and exact cent
+    * sums only — monoid partials (B21's rule), so the streaming aggregate
+    * is map-side-combined per micro-batch exactly like the batch plan.
+    * EventsSpec asserts stream ≡ the same groupBy run as a batch query.
+    */
+  def gridAggStream(s: SparkSession, stream: DataFrame,
+                    watermarkDelay: String = "1 hour",
+                    windowDur: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("zcell", graft.search.StacSearch.zCellColumn)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("zcell"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+      .select(col("window.start").as("w_start"), col("zcell"),
+        col("n_items"), col("cents"))
+
   /** File-source stream over an events parquet directory: the real
     * `readStream` entry point. Same TIMESTAMP(NANOS) workaround as the
     * batch loader (Spark 4 rejects nanos parquet): read ts as raw nanos

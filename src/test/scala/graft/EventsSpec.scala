@@ -11,6 +11,7 @@ import graft.streaming.Events
 case class EvIn(ts: java.sql.Timestamp, event_type: String, value: Double)
 case class EvDup(event_id: Long, ts: java.sql.Timestamp, v: Double)
 case class EvJ(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+case class GridIn(ts: java.sql.Timestamp, lon: Double, lat: Double, value: Double)
 
 class EventsSpec extends AnyFunSuite {
   private val s = TestSpark.spark
@@ -251,6 +252,40 @@ class EventsSpec extends AnyFunSuite {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("D10 streaming grid aggregation (append mode) ≡ the same groupBy as a batch query") {
+    import s.implicits._
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val rows = Seq(
+      GridIn(t("00:05"), 10.0, 10.0, 5.25), GridIn(t("00:15"), 10.2, 10.1, 1.75),
+      GridIn(t("00:20"), -120.0, 45.0, 2.00), GridIn(t("01:10"), 10.0, 10.0, 3.00),
+      GridIn(t("01:30"), 170.5, -60.0, 0.50))
+    val mem = MemoryStream[GridIn](s)
+    val q = Events.gridAggStream(s, mem.toDF(), watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("d10_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3))
+      q.processAllAvailable()
+      // sentinel far in the future finalizes every real window; its own
+      // window stays open and must NOT appear in the append output
+      mem.addData(GridIn(t("09:00"), 0.0, 0.0, 0.0))
+      q.processAllAvailable()
+      val got = s.table("d10_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = rows.toDF()
+        .withColumn("zcell", graft.search.StacSearch.zCellColumn)
+        .groupBy(window(col("ts"), "1 hour"), col("zcell"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+        .select(col("window.start"), col("zcell"), col("n_items"), col("cents"))
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got.nonEmpty && got.size >= 4) // distinct (window, cell) buckets
+    } finally q.stop()
   }
 
   test("streaming dedup drops duplicate event_ids within the watermark") {
