@@ -38,6 +38,12 @@ object Cql {
   /** CQL2 `casei` accessor: case-insensitive wrapper around an operand. */
   final case class CaseI(x: Operand) extends Operand
 
+  /** CQL2 arithmetic expression (OGC cql2-json `+ - * /`): an operand, so
+    * it composes anywhere a property or literal can appear inside
+    * comparisons/BETWEEN/IN — `{"+": [{"property":"value"}, 10.0]}`.
+    */
+  final case class Arith(op: String, l: Operand, r: Operand) extends Operand
+
   // ------------------------------------------------------------ operators
   final case class And(xs: Seq[Cql]) extends Cql
   final case class Or(xs: Seq[Cql]) extends Cql
@@ -94,6 +100,7 @@ object Cql {
     def ro(o: Operand): Operand = o match {
       case Prop(n)  => Prop(resolveProp(n, schema))
       case CaseI(x) => CaseI(ro(x))
+      case Arith(op, l, r) => Arith(op, ro(l), ro(r))
       case other    => other
     }
     e match {
@@ -119,6 +126,15 @@ object Cql {
     case Bool(v)   => lit(v)
     case Ts(v)     => lit(v).cast("timestamp")
     case CaseI(x)  => lower(opCol(x))
+    case Arith(op, l, r) =>
+      val (a, b) = (opCol(l), opCol(r))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case other => throw new IllegalArgumentException(s"bad arith op: $other")
+      }
   }
 
   def toColumn(e: Cql): Column = e match {
@@ -173,6 +189,7 @@ object Cql {
     case Bool(v)   => if (v) "TRUE" else "FALSE"
     case Ts(v)     => s"TIMESTAMP '$v'"
     case CaseI(x)  => s"LOWER(${opSql(x)})"
+    case Arith(op, l, r) => s"(${opSql(l)} $op ${opSql(r)})"
   }
 
   def toSql(e: Cql): String = e match {
@@ -212,9 +229,18 @@ object Cql {
     parseNode(root)
   }
 
+  private val arithOps = Set("+", "-", "*", "/")
+
   private def parseOperand(n: JsonNode): Operand =
     if (n.isObject && n.has("casei")) CaseI(parseOperand(n.get("casei")))
     else if (n.isObject && n.has("property")) Prop(n.get("property").asText())
+    else if (n.isObject && n.size() == 1 && arithOps.contains(n.fieldNames().next())) {
+      val op = n.fieldNames().next()
+      val v = n.get(op)
+      if (v == null || !v.isArray || v.size() != 2)
+        throw new IllegalArgumentException(s"cql2 '$op' expects [lhs, rhs] (got: $v)")
+      Arith(op, parseOperand(v.get(0)), parseOperand(v.get(1)))
+    }
     else if (n.isTextual) Str(n.asText())
     else if (n.isBoolean) Bool(n.asBoolean())
     else if (n.isIntegralNumber) IntNum(n.asLong())

@@ -1093,6 +1093,23 @@ object StacSearch {
   val a45Sql: String = Tables.withItems(
     s"SELECT $projSql FROM items WHERE ${Geo.convexIntersectsSql("lon", "lat", a45Pentagon)} ORDER BY id")
 
+  // ---------------------------------------- A47 CQL2 arithmetic
+  /** A47: CQL2 arithmetic expressions (OGC cql2-json `+ - * /`) —
+    * arithmetic operands compose anywhere a property/literal can appear,
+    * and because the one AST compiles to BOTH backends, the gate proves
+    * the Spark Column rendering and the oracle SQL rendering agree on
+    * evaluation order and numeric promotion (double × literal, double +
+    * bigint, bigint − int literal). All comparisons sit on non-boundary
+    * fractional literals so an ulp divergence would flip a row.
+    */
+  private val (a47Fn, a47Sql) = cqlQuery(
+    """{"and":[
+      |  {">=":[{"*":[{"property":"value"},2.0]},300.5]},
+      |  {"<":[{"/":[{"property":"value"},4.0]},80.25]},
+      |  {">":[{"+":[{"property":"value"},{"property":"user_id"}]},150.5]},
+      |  {"<>":[{"-":[{"property":"user_id"},10]},0]}
+      |]}""".stripMargin)
+
   // ------------------------------------------- A46 grid aggregation
   /** A46: STAC Aggregations-extension GRID aggregation (the
     * `grid_code_frequency` / geohash-grid shape): per level-6 Z-cell
@@ -1270,7 +1287,8 @@ object StacSearch {
     "a43_item_ingest"             -> (a43ItemIngest _),
     "a44_param_intersects"        -> (a44ParamIntersects _),
     "a45_intersects_convex"       -> (a45IntersectsConvex _),
-    "a46_grid_agg"                -> (a46GridAgg _)
+    "a46_grid_agg"                -> (a46GridAgg _),
+    "a47_cql2_arithmetic"         -> a47Fn
   )
 
   val oracle: Map[String, String] = Map(
@@ -1316,6 +1334,7 @@ object StacSearch {
     "a43_item_ingest"             -> a43Sql,
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
-    "a46_grid_agg"                -> a46Sql
+    "a46_grid_agg"                -> a46Sql,
+    "a47_cql2_arithmetic"         -> a47Sql
   )
 }

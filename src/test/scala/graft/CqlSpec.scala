@@ -96,4 +96,21 @@ class CqlSpec extends AnyFunSuite {
     val ids = df.where(ast.toColumn).select("id").as[Long].collect().toSet
     assert(ids == Set(3L))
   }
+
+  test("arithmetic operands parse, render to SQL, resolve, and filter") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ast = Cql.parseJson(
+      """{">=":[{"+":[{"*":[{"property":"properties.v"},2.0]},{"property":"u"}]},25.0]}""")
+    val resolved = Cql.resolve(ast, Seq("v", "u"))
+    assert(resolved.toSql == "((v * 2.0) + u) >= 25.0")
+    val df = Seq((1L, 5.0, 10L), (2L, 10.0, 10L), (3L, 2.0, 1L))
+      .toDF("id", "v", "u")
+    val ids = df.where(resolved.toColumn).select("id").as[Long].collect().toSet
+    assert(ids == Set(2L)) // 5*2+10=20 <25; 10*2+10=30 ≥25; 2*2+1=5 <25
+    // malformed arity fails with a clear message
+    val e = intercept[IllegalArgumentException](
+      Cql.parseJson("""{"=":[{"+":[1.0]},2.0]}"""))
+    assert(e.getMessage.contains("'+' expects"), e.getMessage)
+  }
 }
