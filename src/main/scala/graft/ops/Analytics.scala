@@ -683,7 +683,8 @@ object Analytics {
     "b18_asof_join"      -> (b18AsofJoin _),
     "b19_promo_share"    -> (b19PromoShare _),
     "b20_range_join"     -> (b20RangeJoin _),
-    "b21_incremental_agg" -> (b21IncrementalAgg _)
+    "b21_incremental_agg" -> (b21IncrementalAgg _),
+    "b22_bucketed_join"  -> (graft.core.BucketedLayout.b22BucketedJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -706,6 +707,7 @@ object Analytics {
     "b18_asof_join"      -> b18AsofJoinSql,
     "b19_promo_share"    -> b19PromoShareSql,
     "b20_range_join"     -> b20RangeJoinSql,
-    "b21_incremental_agg" -> b21IncrementalAggSql
+    "b21_incremental_agg" -> b21IncrementalAggSql,
+    "b22_bucketed_join"  -> graft.core.BucketedLayout.b22Sql
   )
 }
