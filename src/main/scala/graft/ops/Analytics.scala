@@ -345,9 +345,13 @@ object Analytics {
         expr("CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_qty"),
         expr("(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)").as("var_qty"),
         expr("sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))").as("stddev_qty"),
-        expr("(CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        // corr has the longest double op chain of the suite; its inputs
+        // are exact decimals but the ÷/sqrt cascade can land 1 ulp apart
+        // across engines (seen at sf0.001) — round to 12 dp (b2's
+        // decimal-round pattern) so the gate compares math, not ulps
+        expr("CAST(CAST((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) / " +
           "(sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) * " +
-          "sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)))").as("corr_qty_price"))
+          "sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))) AS DECIMAL(20,12)) AS DOUBLE)").as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
 
   val b15StatsSql: String =
@@ -355,9 +359,9 @@ object Analytics {
       |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
       |  (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_qty,
       |  sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS stddev_qty,
-      |  (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |  CAST(CAST((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) /
       |    (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) *
-      |     sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))) AS corr_qty_price
+      |     sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))) AS DECIMAL(20,12)) AS DOUBLE) AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag, COUNT(*) AS n,
       |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
