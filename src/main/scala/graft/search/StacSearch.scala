@@ -1243,6 +1243,67 @@ object StacSearch {
        |  ON d.collection = m.collection
        |ORDER BY d.collection""".stripMargin)
 
+  // ----------------------------------------- A48 per-collection queryables
+  /** A48: per-collection queryables STATS — A21's schema-derived
+    * queryables enriched with live property statistics (value ranges +
+    * non-null counts per collection), the data a client needs to render
+    * range pickers or plan filters. The reference serves one static
+    * queryables document for all collections (filter_client.py:15-58);
+    * deriving it from the data is the capability extension.
+    *
+    * Plan shape: ONE scan + ONE |collections|-row shuffle — all five
+    * properties' stats ride the same partial-aggregate pass (map-side
+    * combined), then a 5-way `stack` unpivots the tiny aggregate. At
+    * 100 TB the shuffle still carries |collections| rows, never items.
+    * Timestamps are compared as exact epoch microseconds (µs-granular
+    * fixture), numerics as doubles.
+    */
+  def a48Queryables(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .groupBy(col("collection"))
+      .agg(
+        min(expr("unix_micros(datetime)")).cast("double").as("dt_min"),
+        max(expr("unix_micros(datetime)")).cast("double").as("dt_max"),
+        count(col("datetime")).as("dt_n"),
+        min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+        count(col("lon")).as("lon_n"),
+        min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
+        count(col("lat")).as("lat_n"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+        count(col("value")).as("v_n"),
+        min(col("user_id")).cast("double").as("u_min"),
+        max(col("user_id")).cast("double").as("u_max"),
+        count(col("user_id")).as("u_n"))
+      .select(col("collection"), expr(
+        """stack(5,
+          |  'datetime', dt_min, dt_max, dt_n,
+          |  'lat', lat_min, lat_max, lat_n,
+          |  'lon', lon_min, lon_max, lon_n,
+          |  'user_id', u_min, u_max, u_n,
+          |  'value', v_min, v_max, v_n
+          |) AS (property, min_val, max_val, n_nonnull)""".stripMargin))
+      .orderBy(col("collection"), col("property"))
+
+  val a48Sql: String = Tables.withItems(
+    """SELECT collection, property, min_val, max_val, n_nonnull FROM (
+      |  SELECT collection,
+      |    CAST(MIN(epoch_us(datetime)) AS DOUBLE) AS dt_min,
+      |    CAST(MAX(epoch_us(datetime)) AS DOUBLE) AS dt_max,
+      |    COUNT(datetime) AS dt_n,
+      |    MIN(lon) AS lon_min, MAX(lon) AS lon_max, COUNT(lon) AS lon_n,
+      |    MIN(lat) AS lat_min, MAX(lat) AS lat_max, COUNT(lat) AS lat_n,
+      |    MIN(value) AS v_min, MAX(value) AS v_max, COUNT(value) AS v_n,
+      |    CAST(MIN(user_id) AS DOUBLE) AS u_min,
+      |    CAST(MAX(user_id) AS DOUBLE) AS u_max, COUNT(user_id) AS u_n
+      |  FROM items GROUP BY collection) g,
+      |LATERAL (VALUES
+      |  ('datetime', dt_min, dt_max, dt_n),
+      |  ('lat', lat_min, lat_max, lat_n),
+      |  ('lon', lon_min, lon_max, lon_n),
+      |  ('user_id', u_min, u_max, u_n),
+      |  ('value', v_min, v_max, v_n)) AS p(property, min_val, max_val, n_nonnull)
+      |ORDER BY collection, property""".stripMargin)
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_scan_collection"  -> (a1ScanCollection _),
@@ -1288,7 +1349,8 @@ object StacSearch {
     "a44_param_intersects"        -> (a44ParamIntersects _),
     "a45_intersects_convex"       -> (a45IntersectsConvex _),
     "a46_grid_agg"                -> (a46GridAgg _),
-    "a47_cql2_arithmetic"         -> a47Fn
+    "a47_cql2_arithmetic"         -> a47Fn,
+    "a48_queryables_stats"        -> (a48Queryables _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1335,6 +1397,7 @@ object StacSearch {
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,
-    "a47_cql2_arithmetic"         -> a47Sql
+    "a47_cql2_arithmetic"         -> a47Sql,
+    "a48_queryables_stats"        -> a48Sql
   )
 }
