@@ -706,7 +706,95 @@ object TextAnalysis {
        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
 
+  // ---------------------------------------------- C32 BPE merge loop
+  /** C32: the full BPE TRAINER (Sennrich et al. 2016) — C30 iterated:
+    * apply the top-ranked merge to the vocabulary, recount pairs, repeat.
+    * Output = the learned merge table (step, pair, count), the artifact a
+    * tokenizer trainer ships.
+    *
+    * Scale shape (the vocabulary trick, as C30): every iteration touches
+    * only the DISTINCT-word vocabulary (rows ≪ corpus tokens), cut from
+    * the corpus-scan lineage by one eager localCheckpoint; per iteration
+    * the driver collects exactly ONE row (the argmax pair — the same
+    * O(iterations) driver-action pattern as C18's pointer doubling; BPE
+    * training is inherently sequential in the merge order).
+    *
+    * Merge mechanics: words are held as marker-wrapped symbol strings,
+    * `hello` → `(h)(e)(l)(l)(o)`; merging pair (a, b) is the literal
+    * string replace `(a)(b)` → `(ab)`. Because each occurrence consumes
+    * exactly its own two symbols (no shared separator), left-to-right
+    * non-overlapping `replace` — identical semantics in both engines — IS
+    * canonical greedy BPE application: `(a)(a)(a)` merges once, and a
+    * symbol that PREFIXES another (`(a)(b)` vs `(a)(bc)`) can't false-
+    * match, since the closing marker pins the symbol end. Markers are
+    * safe: the fixture alphabet is lowercase a–y (asserted cheaply by the
+    * oracle agreeing on every merged pair).
+    *
+    * Oracle: DuckDB re-trains the same merges in unrolled CTEs (C14's
+    * re-train-in-SQL pattern) — bit-identical merge table.
+    */
+  val c32Merges = 8
+
+  private def c32Wrapped(w: String) = s"'(' || array_join(split($w, ''), ')(') || ')'"
+
+  def c32BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = docs(s, d)
+      .select(explode(expr(wordsSpark)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(expr(c32Wrapped("w")).as("ws"), col("wc"))
+      .localCheckpoint(true) // cut the corpus scan out of the loop lineage
+    var v = vocab
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (step <- 1 to c32Merges) {
+      val top = v
+        .select(col("wc"), expr("regexp_extract_all(ws, '\\\\(([^)]*)\\\\)', 1)").as("sy"))
+        .where(expr("size(sy) >= 2"))
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> " +
+            "concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()(0)
+      val Array(a, b) = top.getString(0).split(' ')
+      merges += ((step, top.getString(0), top.getLong(1)))
+      v = v.withColumn("ws", expr(s"replace(ws, '($a)($b)', '($a$b)')"))
+    }
+    merges.result().toDF("step", "pair", "n").orderBy(col("step"))
+  }
+
+  val c32Sql: String = {
+    val v0 =
+      s"""v0 AS (
+         |  SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS ws,
+         |         COUNT(*) AS wc
+         |  FROM (SELECT unnest($wordsDuck) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1)""".stripMargin
+    val steps = (1 to c32Merges).map { k =>
+      s"""p$k AS (
+         |  SELECT sy[i] || ' ' || sy[i+1] AS pair, wc
+         |  FROM (SELECT sy, wc, unnest(range(1, len(sy))) AS i
+         |        FROM (SELECT regexp_extract_all(ws, '\\(([^)]*)\\)', 1) AS sy, wc
+         |              FROM v${k - 1})
+         |        WHERE len(sy) >= 2)),
+         |t$k AS (
+         |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+         |  FROM p$k GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+         |v$k AS (
+         |  SELECT replace(ws,
+         |    '(' || split_part(pair, ' ', 1) || ')(' || split_part(pair, ' ', 2) || ')',
+         |    '(' || replace(pair, ' ', '') || ')') AS ws, wc
+         |  FROM v${k - 1}, t$k)""".stripMargin
+    }
+    val out = (1 to c32Merges)
+      .map(k => s"SELECT $k AS step, pair, n FROM t$k")
+      .mkString("\nUNION ALL\n")
+    s"WITH $v0,\n${steps.mkString(",\n")}\n$out\nORDER BY step"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c32_bpe_train" -> (c32BpeTrain _),
     "c31_overlap_score" -> (c31OverlapScore _),
     "c30_bpe_pairs" -> (c30BpePairs _),
     "c28_mixture_plan" -> (c28MixturePlan _),
@@ -726,6 +814,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c32_bpe_train" -> c32Sql,
     "c31_overlap_score" -> c31Sql,
     "c30_bpe_pairs" -> c30Sql,
     "c28_mixture_plan" -> c28Sql,
