@@ -260,19 +260,19 @@ object Similarity {
           .as("cent"))
   }
 
-  def c14AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val cents = trainCentroids(s, d)
-    val e = prepared(s, d)
-    val assigned = ivfAssigned(e, cents)
-    // per-query probe list: its nProbe nearest trained centroids, via the
-    // same literal-inlined dot products (shuffle-free; the probe set is a
-    // k-row frame that broadcasts into the candidate join)
+  /** Per-query probe list: its nProbe nearest trained centroids, via the
+    * same literal-inlined dot products (shuffle-free; the probe set is a
+    * k-row frame that broadcasts into the candidate join). Shared by C14
+    * and C33.
+    */
+  private def ivfProbes(s: SparkSession, e: DataFrame,
+                        cents: Array[Array[Double]]): DataFrame = {
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("qsim").desc, col("cent"))
     import s.implicits._
     val seeds = cents.toSeq.zipWithIndex
       .map { case (cv, i) => (i.toLong, cv.toSeq) }.toDF("cent", "sv")
-    val probes = e.where(col("vec_id") < nQueries)
+    e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("nv").as("qnv"))
       .crossJoin(broadcast(seeds))
       .select(col("q_id"), col("qnv"), col("cent"),
@@ -280,6 +280,13 @@ object Similarity {
       .withColumn("prk", row_number().over(wq))
       .where(col("prk") <= nProbe)
       .select(col("q_id"), col("qnv"), col("cent"))
+  }
+
+  def c14AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val cents = trainCentroids(s, d)
+    val e = prepared(s, d)
+    val assigned = ivfAssigned(e, cents)
+    val probes = ivfProbes(s, e, cents)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.where(col("vec_id") >= nQueries)
@@ -356,18 +363,215 @@ object Similarity {
        |SELECT q_id, vec_id AS n_id, rk, cos_sim FROM ranked
        |WHERE rk <= $kIvf ORDER BY q_id, rk""".stripMargin
 
+  // --------------------------------------------------- C33 IVF-PQ ANN
+  /** C33: IVF with PRODUCT-QUANTIZED codes (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the compressed-index
+    * scale path past C14's IVF-flat. The 64-dim vector splits into
+    * [[pqM]] subspaces of [[pqDim]] dims; per subspace a deterministic
+    * k-means (same Lloyd discipline as C14, L2 objective via the
+    * 2·q·c − |c|² expansion) learns [[kPq]] sub-centroids; a corpus
+    * vector is stored as its coarse IVF list id + [[pqM]] small codes.
+    *
+    * Why it matters at 100 TB: the candidate join moves 4 ints per
+    * corpus row instead of 64 doubles (the full vector is DROPPED after
+    * encoding — 128× less candidate traffic), and ranking is asymmetric
+    * distance computation (ADC): the query scores a candidate as
+    * Σₘ ⟨q_subₘ, codebookₘ[codeₘ]⟩ — dot products against sub-centroid
+    * literals inside codegen, never touching the original vector. No
+    * residual encoding (codes quantize raw vectors, not v − coarse), the
+    * standard simplification when the coarse grid is small.
+    *
+    * Oracle: re-trains all [[pqM]] codebooks AND the coarse k-means in
+    * unrolled SQL (C14's pattern) and must agree bit-for-bit on the ADC
+    * scores — an off-by-one in any of the 5 training loops fails the
+    * gate.
+    */
+  private val pqM = 4
+  private val pqDim = 16
+  private val kPq = 16
+
+  /** Deterministic per-subspace k-means over the C14 sample: init = first
+    * [[kPq]] sample subvectors (vec_id order); assignment = max
+    * 2·⟨v,c⟩ − |c|² (≡ min L2), first-lowest-cid on ties; update =
+    * arithmetic mean accumulated in vec_id order (no renormalization —
+    * sub-centroids are not unit vectors); empty cluster keeps its
+    * previous centroid.
+    */
+  private[ops] def trainPq(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
+    val sample = prepared(s, d)
+      .where(col("vec_id") % kmSampleMod === 0)
+      .select(col("vec_id"), col("nv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    Array.tabulate(pqM) { m =>
+      val sub = sample.map { case (id, v) => (id, v.slice(m * pqDim, (m + 1) * pqDim)) }
+      var cents = sub.take(kPq).map(_._2)
+      var it = 0
+      while (it < kmIters) {
+        val cc = cents.map(c => DotProduct.dot(c, c))
+        val sums = Array.fill(kPq)(new Array[Double](pqDim))
+        val counts = new Array[Long](kPq)
+        sub.foreach { case (_, v) =>
+          var best = 0
+          var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < kPq) {
+            val sc = 2.0 * DotProduct.dot(v, cents(c)) - cc(c)
+            if (sc > bestScore) { bestScore = sc; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < pqDim) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(kPq) { c =>
+          if (counts(c) == 0L) cents(c)
+          else Array.tabulate(pqDim)(i => sums(c)(i) / counts(c))
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  def c33AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val coarse = trainCentroids(s, d)
+    val cbs = trainPq(s, d)
+    val e = prepared(s, d)
+    // PQ-encode: argmax of 2·⟨v,c⟩ − |c|² per subspace, all sub-centroids
+    // inlined as literals — a zero-exchange projection; nv is DROPPED
+    val codeCols = (0 until pqM).map { m =>
+      val sub = slice(col("nv"), m * pqDim + 1, pqDim)
+      val scores = array(cbs(m).map { cv =>
+        lit(2.0) * DotProduct(sub, array(cv.map(lit).toIndexedSeq: _*)) -
+          lit(DotProduct.dot(cv, cv))
+      }.toIndexedSeq: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int").as(s"code$m")
+    }
+    val encoded = ivfAssigned(e, coarse)
+      .where(col("vec_id") >= nQueries)
+      .select(col("vec_id") +: col("cent") +: codeCols: _*)
+    val probes = ivfProbes(s, e, coarse)
+    // ADC: the query's subvector dotted with the candidate's decoded
+    // sub-centroid, summed across subspaces m = 0..3 (left-assoc, the
+    // oracle's + chain)
+    val adc = (0 until pqM).map { m =>
+      val qsub = slice(col("qnv"), m * pqDim + 1, pqDim)
+      val cbLit = array(cbs(m).map(cv =>
+        array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      DotProduct(qsub, element_at(cbLit, col(s"code$m") + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    encoded.join(broadcast(probes), "cent")
+      .select(col("q_id"), col("vec_id"), adc.as("adc_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= kIvf)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("adc_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** 16-dim sequential dot fold (subspace width). */
+  private def dot16Duck(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${pqDim + 1}), i -> $a[i] * $b[i])), (s, x) -> s + x)"
+
+  /** Unrolled per-subspace PQ k-means + cb0..cb3 codebook lists. */
+  private val pqKmeansDuck: String = (0 until pqM).map { m =>
+    val lo = m * pqDim + 1
+    val hi = (m + 1) * pqDim
+    val init =
+      s"""pqs$m AS (SELECT vec_id, nv[$lo:$hi] AS sub FROM ksample),
+         |pq${m}c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, sub AS cv
+         |  FROM (SELECT vec_id, sub FROM pqs$m ORDER BY vec_id LIMIT $kPq))""".stripMargin
+    val iters = (1 to kmIters).map { t =>
+      s"""pq${m}a$t AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT s.vec_id, s.sub, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |        ORDER BY 2.0 * ${dot16Duck("s.sub", "c.cv")} - ${dot16Duck("c.cv", "c.cv")} DESC, c.cid) AS rk
+         |    FROM pqs$m s CROSS JOIN pq${m}c${t - 1} c) WHERE rk = 1),
+         |pq${m}m$t AS (
+         |  SELECT cid, list(mn ORDER BY i) AS mv FROM (
+         |    SELECT cid, i,
+         |      list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x)
+         |        / COUNT(*) AS mn
+         |    FROM (SELECT cid, vec_id, i, sub[i] AS val FROM pq${m}a$t, range(1, ${pqDim + 1}) t(i))
+         |    GROUP BY cid, i)
+         |  GROUP BY cid),
+         |pq${m}c$t AS (
+         |  SELECT c.cid, COALESCE(n.mv, c.cv) AS cv
+         |  FROM pq${m}c${t - 1} c LEFT JOIN pq${m}m$t n ON c.cid = n.cid)""".stripMargin
+    }
+    (init +: iters).mkString(",\n") +
+      s",\ncb$m AS (SELECT list(cv ORDER BY cid) AS cb FROM pq${m}c$kmIters)"
+  }.mkString(",\n")
+
+  val c33Sql: String = {
+    val scoreLists = (0 until pqM).map { m =>
+      val lo = m * pqDim + 1
+      val hi = (m + 1) * pqDim
+      s"""list_transform(range(1, ${kPq + 1}), c ->
+         |        2.0 * ${dot16Duck(s"a.nv[$lo:$hi]", s"cb$m.cb[c]")} - ${dot16Duck(s"cb$m.cb[c]", s"cb$m.cb[c]")}) AS s$m""".stripMargin
+    }.mkString(",\n      ")
+    val codePick = (0 until pqM).map(m =>
+      s"list_indexof(s$m, list_aggregate(s$m, 'max')) - 1 AS code$m").mkString(",\n    ")
+    val adcTerms = (0 until pqM).map { m =>
+      val lo = m * pqDim + 1
+      val hi = (m + 1) * pqDim
+      dot16Duck(s"qnv[$lo:$hi]", s"cb$m.cb[code$m + 1]")
+    }.mkString("\n    + ")
+    s"""WITH $preparedDuck,
+       |$kmeansDuck,
+       |$pqKmeansDuck,
+       |assigned AS (
+       |  SELECT vec_id, nv, cid AS cent FROM (
+       |    SELECT p.vec_id AS vec_id, p.nv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${nvDotDuck("p.nv", "c.cv")} DESC, c.cid) AS rk
+       |    FROM prep p CROSS JOIN kc$kmIters c)
+       |  WHERE rk = 1),
+       |codes AS (
+       |  SELECT vec_id, cent,
+       |    $codePick
+       |  FROM (
+       |    SELECT a.vec_id, a.cent,
+       |      $scoreLists
+       |    FROM assigned a, cb0, cb1, cb2, cb3)
+       |  WHERE vec_id >= $nQueries),
+       |probes AS (
+       |  SELECT q_id, qnv, cent FROM (
+       |    SELECT p.vec_id AS q_id, p.nv AS qnv, c.cid AS cent,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${nvDotDuck("p.nv", "c.cv")} DESC, c.cid) AS prk
+       |    FROM prep p CROSS JOIN kc$kmIters c WHERE p.vec_id < $nQueries)
+       |  WHERE prk <= $nProbe),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS vec_id,
+       |    $adcTerms AS adc_sim
+       |  FROM codes c JOIN probes USING (cent), cb0, cb1, cb2, cb3),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id AS n_id, rk, adc_sim FROM ranked
+       |WHERE rk <= $kIvf ORDER BY q_id, rk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c6_ann_bruteforce"  -> (c6AnnBruteforce _),
     "c7_ann_lsh"         -> (c7AnnLsh _),
     "c13_ann_multiprobe" -> (c13AnnMultiprobe _),
-    "c14_ann_ivf"        -> (c14AnnIvf _)
+    "c14_ann_ivf"        -> (c14AnnIvf _),
+    "c33_ann_ivf_pq"     -> (c33AnnIvfPq _)
   )
 
   val oracle: Map[String, String] = Map(
     "c6_ann_bruteforce"  -> c6Sql,
     "c7_ann_lsh"         -> c7Sql,
     "c13_ann_multiprobe" -> c13Sql,
-    "c14_ann_ivf"        -> c14Sql
+    "c14_ann_ivf"        -> c14Sql,
+    "c33_ann_ivf_pq"     -> c33Sql
   )
 }

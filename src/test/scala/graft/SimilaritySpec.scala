@@ -59,8 +59,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Dedup.c20TablesFor(10) > Dedup.c20TablesFor(4))
   }
 
+  test("c33 IVF-PQ: ADC recall positive, candidates within C14's probe pool, broadcast plan") {
+    val truth = topsets("c6_ann_bruteforce", 5)
+    val pq = topsets("c33_ann_ivf_pq", 5)
+    val ivf = topsets("c14_ann_ivf", 5)
+    val rec = truth.map { case (q, t) =>
+      pq.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    val recAvg = rec.sum / rec.size
+    val agree = ivf.map { case (q, t) =>
+      pq.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    info(f"c33 recall@5 vs brute=$recAvg%.3f overlap with ivf-flat=${agree.sum / agree.size}%.3f")
+    assert(recAvg > 0.0)
+
+    val df = Similarity.queries("c33_ann_ivf_pq")(s, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p) // probes broadcast into codes
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("every ANN result is ranked by descending similarity") {
-    Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf").foreach { name =>
+    Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
+        "c33_ann_ivf_pq").foreach { name =>
       Similarity.queries(name)(s, sf).collect()
         .groupBy(_.getLong(0)).foreach { case (_, rows) =>
           val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
