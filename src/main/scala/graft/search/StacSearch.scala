@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.cql.Cql
+import graft.cql.{Cql, Cql2Text}
 import graft.spatial.Geo
 
 /** A-series: the reference's STAC search surface re-expressed Spark-first
@@ -1304,6 +1304,57 @@ object StacSearch {
       |  ('value', v_min, v_max, v_n)) AS p(property, min_val, max_val, n_nonnull)
       |ORDER BY collection, property""".stripMargin)
 
+  // ------------------------------------------------ A50 CQL2-text
+  /** A50: the OGC cql2-TEXT encoding — parsed by [[Cql2Text]] onto the
+    * SAME AST as cql2-json, so one filter language surface serves both
+    * encodings (the reference app's REST layer accepts
+    * `filter-lang=cql2-text`; its engine sees only the converted tree).
+    * The gate exercises grouping, arithmetic precedence, BETWEEN,
+    * NOT LIKE, casei, a TIMESTAMP comparison, and S_INTERSECTS with WKT —
+    * compiled to the Column backend, oracle-rendered from the same AST.
+    */
+  private val a50Text =
+    """(collection = 'click' OR collection = 'view' OR collection = 'error')
+      |AND value * 2.0 >= 100.5 AND value / 4.0 < 80.25
+      |AND user_id BETWEEN 5 AND 120
+      |AND id NOT LIKE '%7'
+      |AND CASEI(collection) <> CASEI('ERROR')
+      |AND datetime >= TIMESTAMP('2024-01-03 00:00:00')
+      |AND S_INTERSECTS(geometry, POLYGON((-100.137 -40.223, 20.141 -70.177,
+      |  60.141 20.223, -40.139 60.177, -100.137 -40.223)))""".stripMargin
+
+  private val (a50Fn, a50Sql) = {
+    val ast = Cql2Text.parse(a50Text)
+    val fn = (s: SparkSession, d: String) =>
+      items(s, d).where(ast.toColumn).select(projCols: _*).orderBy(col("id"))
+    (fn, Tables.withItems(
+      s"SELECT $projSql FROM items WHERE ${ast.toSql} ORDER BY id"))
+  }
+
+  // --------------------------------- A49 datetime-frequency histogram
+  /** A49: STAC Aggregations `datetime_frequency` — A46's temporal
+    * companion: monthly item counts + exact value sums per collection
+    * over a filtered search. Null-datetime (interval) items bucket by
+    * their interval start, the reference's datetime-or-range display
+    * convention. One map-side-combined pass; the shuffle carries
+    * |months × collections| partials, never items.
+    */
+  def a49DatetimeHistogram(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(col("collection").isin("click", "view", "error"))
+      .withColumn("month", expr("date_trunc('MONTH', coalesce(datetime, start_datetime))"))
+      .groupBy(col("month"), col("collection"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy(col("month"), col("collection"))
+
+  val a49Sql: String = Tables.withItems(
+    """SELECT date_trunc('month', coalesce(datetime, start_datetime)) AS month,
+      |  collection, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM items WHERE collection IN ('click', 'view', 'error')
+      |GROUP BY 1, 2 ORDER BY month, collection""".stripMargin)
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_scan_collection"  -> (a1ScanCollection _),
@@ -1350,7 +1401,9 @@ object StacSearch {
     "a45_intersects_convex"       -> (a45IntersectsConvex _),
     "a46_grid_agg"                -> (a46GridAgg _),
     "a47_cql2_arithmetic"         -> a47Fn,
-    "a48_queryables_stats"        -> (a48Queryables _)
+    "a48_queryables_stats"        -> (a48Queryables _),
+    "a49_datetime_histogram"      -> (a49DatetimeHistogram _),
+    "a50_cql2_text"               -> a50Fn
   )
 
   val oracle: Map[String, String] = Map(
@@ -1398,6 +1451,8 @@ object StacSearch {
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,
     "a47_cql2_arithmetic"         -> a47Sql,
-    "a48_queryables_stats"        -> a48Sql
+    "a48_queryables_stats"        -> a48Sql,
+    "a49_datetime_histogram"      -> a49Sql,
+    "a50_cql2_text"               -> a50Sql
   )
 }

@@ -113,4 +113,74 @@ class CqlSpec extends AnyFunSuite {
       Cql.parseJson("""{"=":[{"+":[1.0]},2.0]}"""))
     assert(e.getMessage.contains("'+' expects"), e.getMessage)
   }
+
+  test("cql2-text parses to the same AST as cql2-json (SQL renderings equal)") {
+    import graft.cql.Cql2Text
+    val text = Cql2Text.parse(
+      """(collection = 'click' OR collection = 'view') AND NOT value < 100.5
+        |AND user_id BETWEEN 5 AND 120 AND id LIKE 'a%'
+        |AND value IN (1.5, 2.5) AND datetime IS NULL
+        |AND value * 2.0 + user_id >= 25.0""".stripMargin)
+    val json = Cql.parseJson(
+      """{"and":[
+        |  {"or":[{"=":[{"property":"collection"},"click"]},
+        |         {"=":[{"property":"collection"},"view"]}]},
+        |  {"not":[{"<":[{"property":"value"},100.5]}]},
+        |  {"between":[{"property":"user_id"},5,120]},
+        |  {"like":[{"property":"id"},"a%"]},
+        |  {"in":[{"property":"value"},[1.5,2.5]]},
+        |  {"isNull":{"property":"datetime"}},
+        |  {">=":[{"+":[{"*":[{"property":"value"},2.0]},{"property":"user_id"}]},25.0]}
+        |]}""".stripMargin)
+    // text AND-chains flatten where json nests — compare via SQL rendering
+    assert(Cql.And(Seq(text)).toSql.replace("(", "").replace(")", "") ==
+      Cql.And(Seq(json)).toSql.replace("(", "").replace(")", ""))
+  }
+
+  test("cql2-text postfix forms: NOT LIKE, IS NOT NULL, ILIKE, casei, timestamps") {
+    import graft.cql.Cql2Text
+    assert(Cql2Text.parse("id NOT LIKE '%7'").toSql == "NOT (id LIKE '%7')")
+    assert(Cql2Text.parse("datetime IS NOT NULL").toSql == "NOT (datetime IS NULL)")
+    assert(Cql2Text.parse("collection ILIKE 'CL%'").toSql ==
+      "LOWER(collection) LIKE 'cl%'")
+    assert(Cql2Text.parse("CASEI(collection) = CASEI('Click')").toSql ==
+      "LOWER(collection) = LOWER('Click')")
+    assert(Cql2Text.parse("datetime >= TIMESTAMP('2024-01-03 00:00:00')").toSql ==
+      "datetime >= TIMESTAMP '2024-01-03 00:00:00'")
+    assert(Cql2Text.parse(
+      "T_DURING(datetime, INTERVAL(TIMESTAMP('2024-01-01 00:00:00'), TIMESTAMP('2024-02-01 00:00:00')))").toSql ==
+      "(datetime >= TIMESTAMP '2024-01-01 00:00:00' AND datetime <= TIMESTAMP '2024-02-01 00:00:00')")
+    // escaped quote in string literal
+    assert(Cql2Text.parse("id = 'o''brien'").toSql == "id = 'o''brien'")
+  }
+
+  test("cql2-text WKT geometries parse to the same Shape as GeoJSON") {
+    import graft.cql.Cql2Text
+    val t = Cql2Text.parse(
+      "S_INTERSECTS(geometry, GEOMETRYCOLLECTION(POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)), MULTIPOINT((30 20), (-17 -8)), LINESTRING(12 -7, 15 7)))")
+    val j = Cql.parseJson(
+      """{"s_intersects":[{"property":"geometry"},
+        |  {"type":"GeometryCollection","geometries":[
+        |    {"type":"Polygon","coordinates":[
+        |      [[0,0],[10,0],[10,10],[0,10],[0,0]],
+        |      [[2,2],[4,2],[4,4],[2,4],[2,2]]]},
+        |    {"type":"MultiPoint","coordinates":[[30,20],[-17,-8]]},
+        |    {"type":"LineString","coordinates":[[12,-7],[15,7]]}]}]}""".stripMargin)
+    assert(t.toSql == j.toSql) // identical Shape ⇒ identical rendered kernel SQL
+  }
+
+  test("cql2-text malformed input gets a clear error, not a crash") {
+    import graft.cql.Cql2Text
+    val cases = Seq(
+      "id = 'unterminated",
+      "value >",
+      "value ** 2 = 4",
+      "value = 1 extra_token",
+      "S_INTERSECTS(geometry, TRIANGLE((0 0, 1 1, 2 2)))",
+      "value BETWEEN 1 OR 2")
+    cases.foreach { c =>
+      val e = intercept[IllegalArgumentException](Cql2Text.parse(c))
+      assert(e.getMessage.contains("cql2-text"), s"$c → ${e.getMessage}")
+    }
+  }
 }
