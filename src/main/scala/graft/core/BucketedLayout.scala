@@ -86,6 +86,78 @@ object BucketedLayout {
   def b22BucketedJoin(spark: SparkSession, dir: String): DataFrame =
     joinAggregate(spark, dir).orderBy(col("o_orderkey"))
 
+  // ------------------------------------------------- B23 bucketed as-of
+  /** B23: ZERO-shuffle, ZERO-sort as-of join — B18's union-merge shape
+    * pushed into the storage layout. B18 pays one shuffle+sort per query
+    * to interleave events with orders on (key, time, side-tag); here the
+    * two sides are UNIONED AT WRITE TIME into one table bucketed by the
+    * key and sorted by (k, t, tag), so the as-of window (running
+    * last-non-null order id) runs directly over the sorted bucketed scan:
+    * no Exchange, no Sort, one streaming pass (asserted in
+    * BucketedLayoutSpec). This is the classic time-series-store shape
+    * (co-located per-key merge); at 100 TB the per-query cost is a scan,
+    * and appending a day of either side is a per-bucket merge rewrite.
+    *
+    * tag 0 (orders) sorts before tag 1 (events) at equal t, making the
+    * match inclusive (ts >= order time) — exactly ASOF `>=`; the right
+    * side is pre-deduped to one row per (k, t), as B18.
+    */
+  def materializeAsof(spark: SparkSession, dir: String): String = {
+    val mt = tableName("asof", dir)
+    if (!spark.catalog.tableExists(mt)) {
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+      val e = Tables.events(spark, dir)
+        .select(col("user_id").cast("bigint").as("k"), col("ts").as("t"),
+          lit(1).as("tag"), col("event_id"), lit(null).cast("bigint").as("ok"))
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey").cast("bigint").as("k"),
+          col("o_orderdate").cast("timestamp").as("t"), col("o_orderkey"))
+        .groupBy(col("k"), col("t")).agg(max(col("o_orderkey")).as("ok"))
+        .select(col("k"), col("t"), lit(0).as("tag"),
+          lit(null).cast("bigint").as("event_id"), col("ok"))
+      e.unionAll(o)
+        .repartition(buckets, col("k"))
+        .write.mode("overwrite")
+        .option("path", s"$base/$mt")
+        .bucketBy(buckets, "k").sortBy("k", "t", "tag")
+        .saveAsTable(mt)
+    }
+    mt
+  }
+
+  /** The audited as-of: window over the sorted bucketed scan. The final
+    * orderBy is the gate's determinism requirement only.
+    */
+  def asofWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mt = materializeAsof(spark, dir)
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.table(mt)
+      .withColumn("asof_ok", last(col("ok"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("k").as("user_id"), col("event_id"), col("t").as("ts"),
+        col("asof_ok").as("o_orderkey"))
+  }
+
+  def b23BucketedAsof(spark: SparkSession, dir: String): DataFrame =
+    asofWindow(spark, dir).orderBy(col("user_id"), col("event_id"))
+
+  /** Oracle: DuckDB's NATIVE ASOF LEFT JOIN on the raw parquet — an
+    * independent implementation of the semantics (b18's oracle), proving
+    * the write-time interleave changed the physics, not the answer.
+    */
+  val b23Sql: String =
+    """WITH od AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS k, CAST(o_orderdate AS TIMESTAMP) AS t,
+      |         max(o_orderkey) AS ok
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT CAST(e.user_id AS BIGINT) AS user_id, e.event_id, e.ts, od.ok AS o_orderkey
+      |FROM events e
+      |ASOF LEFT JOIN od ON CAST(e.user_id AS BIGINT) = od.k AND e.ts >= od.t
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Oracle: same join on the raw parquet — bucketing must not change
     * results, only the plan.
     */

@@ -688,7 +688,8 @@ object Analytics {
     "b19_promo_share"    -> (b19PromoShare _),
     "b20_range_join"     -> (b20RangeJoin _),
     "b21_incremental_agg" -> (b21IncrementalAgg _),
-    "b22_bucketed_join"  -> (graft.core.BucketedLayout.b22BucketedJoin _)
+    "b22_bucketed_join"  -> (graft.core.BucketedLayout.b22BucketedJoin _),
+    "b23_bucketed_asof"  -> (graft.core.BucketedLayout.b23BucketedAsof _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -712,6 +713,7 @@ object Analytics {
     "b19_promo_share"    -> b19PromoShareSql,
     "b20_range_join"     -> b20RangeJoinSql,
     "b21_incremental_agg" -> b21IncrementalAggSql,
-    "b22_bucketed_join"  -> graft.core.BucketedLayout.b22Sql
+    "b22_bucketed_join"  -> graft.core.BucketedLayout.b22Sql,
+    "b23_bucketed_asof"  -> graft.core.BucketedLayout.b23Sql
   )
 }

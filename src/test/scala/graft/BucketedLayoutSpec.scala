@@ -48,4 +48,18 @@ class BucketedLayoutSpec extends AnyFunSuite {
       assert(bucketed.sameElements(plain))
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bucketed as-of: window runs over the sorted bucketed scan — no Exchange, no Sort") {
+    val asof = BucketedLayout.asofWindow(s, sf)
+    val p = asof.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.split('\n').exists(_.trim.startsWith("Sort")), p)
+
+    // result equality with B18's one-shuffle union-merge as-of
+    val viaLayout = BucketedLayout.b23BucketedAsof(s, sf).collect()
+    val viaUnion = ops.Analytics.queries("b18_asof_join")(s, sf).collect()
+    assert(viaLayout.length == viaUnion.length)
+    assert(viaLayout.sameElements(viaUnion))
+  }
 }
