@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** B24: MATERIALIZED incremental aggregation state — B21 as a table
+  * layout. B21 proved merge ∘ partial ≡ aggregate in one plan; here the
+  * per-slice partial states actually live on disk as a parquet table
+  * PARTITIONED BY slice (month), which is how a 100 TB pipeline runs it:
+  *  - nightly: aggregate ONLY the new slice of raw data and write one
+  *    new partition of monoid state (count / exact cents sum / min / max
+  *    — never a derived metric);
+  *  - query: merge the state table — |slices × groups| rows, independent
+  *    of raw history size — and derive metrics (avg) after the merge.
+  * Raw history is never re-read; appending a slice is a directory add
+  * (IncrementalStateSpec proves slice-wise append ≡ full recompute).
+  */
+object IncrementalState {
+
+  /** Per-slice partial states for the orders aggregate (B21's monoids),
+    * slice = month of o_orderdate.
+    */
+  def partials(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+        col("o_orderstatus").as("st"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        col("o_orderdate").as("d"))
+      .withColumn("slice", date_format(col("d"), "yyyy-MM"))
+      .groupBy(col("slice"), col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+        min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+
+  /** Materialize the state table (idempotent per dir; tests pass their
+    * own path + slice filter to exercise the append path).
+    */
+  def materialize(spark: SparkSession, dir: String,
+                  path: String = null, slicePred: String = null): String = {
+    val p = Option(path).getOrElse {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      new java.io.File(sys.props("java.io.tmpdir"), s"graft_state_$key").getAbsolutePath
+    }
+    val exists = path == null && new java.io.File(p, "_SUCCESS").exists()
+    if (!exists) {
+      val st = partials(spark, dir)
+      val sliced = Option(slicePred).map(st.where).getOrElse(st)
+      sliced.write.mode(if (path == null) "overwrite" else "append")
+        .partitionBy("slice").parquet(p)
+    }
+    p
+  }
+
+  /** Merge-on-read: aggregate the state table's monoids, derive avg from
+    * the merged exact integers. Output ≡ B21 ≡ a direct aggregate over
+    * all of raw `orders` — that equality is the gate.
+    */
+  def mergedFrom(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy(col("st"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("total_cents"),
+        min(col("dmin")).as("first_date"), max(col("dmax")).as("last_date"))
+      .withColumn("avg_cents", expr("total_cents DIV n_orders"))
+      .orderBy(col("st"))
+
+  def b24MergeOnRead(spark: SparkSession, dir: String): DataFrame =
+    mergedFrom(spark, materialize(spark, dir))
+
+  /** Oracle: the direct single-pass aggregate over raw orders (B21's). */
+  val b24Sql: String =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+      |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    // COUNT(*) AS avg_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+}

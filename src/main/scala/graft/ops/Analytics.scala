@@ -689,7 +689,8 @@ object Analytics {
     "b20_range_join"     -> (b20RangeJoin _),
     "b21_incremental_agg" -> (b21IncrementalAgg _),
     "b22_bucketed_join"  -> (graft.core.BucketedLayout.b22BucketedJoin _),
-    "b23_bucketed_asof"  -> (graft.core.BucketedLayout.b23BucketedAsof _)
+    "b23_bucketed_asof"  -> (graft.core.BucketedLayout.b23BucketedAsof _),
+    "b24_incremental_state" -> (graft.core.IncrementalState.b24MergeOnRead _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -714,6 +715,7 @@ object Analytics {
     "b20_range_join"     -> b20RangeJoinSql,
     "b21_incremental_agg" -> b21IncrementalAggSql,
     "b22_bucketed_join"  -> graft.core.BucketedLayout.b22Sql,
-    "b23_bucketed_asof"  -> graft.core.BucketedLayout.b23Sql
+    "b23_bucketed_asof"  -> graft.core.BucketedLayout.b23Sql,
+    "b24_incremental_state" -> graft.core.IncrementalState.b24Sql
   )
 }
