@@ -434,7 +434,10 @@ object Similarity {
     }
   }
 
-  def c33AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+  /** The shared ADC-scored candidate frame: (q_id, qnv, vec_id,
+    * adc_sim) — probes broadcast into the encoded corpus.
+    */
+  private def pqAdcScored(s: SparkSession, d: String): DataFrame = {
     val coarse = trainCentroids(s, d)
     val cbs = trainPq(s, d)
     val e = prepared(s, d)
@@ -461,13 +464,50 @@ object Similarity {
         array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
       DotProduct(qsub, element_at(cbLit, col(s"code$m") + 1))
     }.reduce(_ + _)
+    encoded.join(broadcast(probes), "cent")
+      .select(col("q_id"), col("qnv"), col("vec_id"), adc.as("adc_sim"))
+  }
+
+  def c33AnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_sim").desc, col("vec_id"))
-    encoded.join(broadcast(probes), "cent")
-      .select(col("q_id"), col("vec_id"), adc.as("adc_sim"))
+    pqAdcScored(s, d)
+      .select(col("q_id"), col("vec_id"), col("adc_sim"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= kIvf)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("adc_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ------------------------------------------ C34 PQ + exact re-rank
+  /** C34: the production IVF-PQ query shape — ADC shortlists
+    * [[rerankR]] candidates per query from the compressed codes, then an
+    * EXACT re-rank recovers true cosine order for the final top-k
+    * (Jégou et al. 2011 §V; what faiss calls refine). The shortlist is
+    * |queries|·R rows, so it BROADCASTS back into one corpus probe that
+    * fetches exact vectors — the expensive full-precision read touches R
+    * rows per query, never a list, never the corpus. Recall vs brute
+    * force is then bounded only by the candidate stage (measured in
+    * SimilaritySpec), while the reported similarities are exact.
+    */
+  private val rerankR = 20
+
+  def c34AnnPqRerank(s: SparkSession, d: String): DataFrame = {
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    val shortlist = pqAdcScored(s, d)
+      .withColumn("ark", row_number().over(wAdc))
+      .where(col("ark") <= rerankR)
+      .select(col("q_id"), col("qnv"), col("vec_id"))
+    val wX = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    prepared(s, d).select(col("vec_id"), col("nv"))
+      .join(broadcast(shortlist), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        DotProduct(col("qnv"), col("nv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(wX))
+      .where(col("rk") <= kIvf)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("cos_sim"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -507,7 +547,10 @@ object Similarity {
       s",\ncb$m AS (SELECT list(cv ORDER BY cid) AS cb FROM pq${m}c$kmIters)"
   }.mkString(",\n")
 
-  val c33Sql: String = {
+  /** The shared WITH-prefix up to `scored` (ADC-scored candidates incl.
+    * the query vector), used by both the c33 and c34 oracles.
+    */
+  private val pqScoredDuck: String = {
     val scoreLists = (0 until pqM).map { m =>
       val lo = m * pqDim + 1
       val hi = (m + 1) * pqDim
@@ -521,7 +564,7 @@ object Similarity {
       val hi = (m + 1) * pqDim
       dot16Duck(s"qnv[$lo:$hi]", s"cb$m.cb[code$m + 1]")
     }.mkString("\n    + ")
-    s"""WITH $preparedDuck,
+    s"""$preparedDuck,
        |$kmeansDuck,
        |$pqKmeansDuck,
        |assigned AS (
@@ -547,16 +590,37 @@ object Similarity {
        |    FROM prep p CROSS JOIN kc$kmIters c WHERE p.vec_id < $nQueries)
        |  WHERE prk <= $nProbe),
        |scored AS (
-       |  SELECT q_id, c.vec_id AS vec_id,
+       |  SELECT q_id, qnv, c.vec_id AS vec_id,
        |    $adcTerms AS adc_sim
-       |  FROM codes c JOIN probes USING (cent), cb0, cb1, cb2, cb3),
+       |  FROM codes c JOIN probes USING (cent), cb0, cb1, cb2, cb3)""".stripMargin
+  }
+
+  val c33Sql: String =
+    s"""WITH $pqScoredDuck,
        |ranked AS (
        |  SELECT q_id, vec_id, adc_sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS INT) AS rk
        |  FROM scored)
        |SELECT q_id, vec_id AS n_id, rk, adc_sim FROM ranked
        |WHERE rk <= $kIvf ORDER BY q_id, rk""".stripMargin
-  }
+
+  val c34Sql: String =
+    s"""WITH $pqScoredDuck,
+       |shortlist AS (
+       |  SELECT q_id, qnv, vec_id FROM (
+       |    SELECT q_id, qnv, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS ark
+       |    FROM scored)
+       |  WHERE ark <= $rerankR),
+       |rerank AS (
+       |  SELECT q_id, s.vec_id AS vec_id, ${nvDotDuck("s.qnv", "p.nv")} AS cos_sim
+       |  FROM shortlist s JOIN prep p ON s.vec_id = p.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+       |  FROM rerank)
+       |SELECT q_id, vec_id AS n_id, rk, cos_sim FROM ranked
+       |WHERE rk <= $kIvf ORDER BY q_id, rk""".stripMargin
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -564,7 +628,8 @@ object Similarity {
     "c7_ann_lsh"         -> (c7AnnLsh _),
     "c13_ann_multiprobe" -> (c13AnnMultiprobe _),
     "c14_ann_ivf"        -> (c14AnnIvf _),
-    "c33_ann_ivf_pq"     -> (c33AnnIvfPq _)
+    "c33_ann_ivf_pq"     -> (c33AnnIvfPq _),
+    "c34_ann_pq_rerank"  -> (c34AnnPqRerank _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -572,6 +637,7 @@ object Similarity {
     "c7_ann_lsh"         -> c7Sql,
     "c13_ann_multiprobe" -> c13Sql,
     "c14_ann_ivf"        -> c14Sql,
-    "c33_ann_ivf_pq"     -> c33Sql
+    "c33_ann_ivf_pq"     -> c33Sql,
+    "c34_ann_pq_rerank"  -> c34Sql
   )
 }

@@ -71,6 +71,14 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"c33 recall@5 vs brute=$recAvg%.3f overlap with ivf-flat=${agree.sum / agree.size}%.3f")
     assert(recAvg > 0.0)
 
+    // exact re-rank of the ADC top-20 recovers at least ADC-top-5 recall
+    val rr = topsets("c34_ann_pq_rerank", 5)
+    val rrRec = truth.map { case (q, t) =>
+      rr.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    val rrAvg = rrRec.sum / rrRec.size
+    info(f"c34 rerank recall@5 vs brute=$rrAvg%.3f (adc-only=$recAvg%.3f)")
+    assert(rrAvg >= recAvg - 1e-9, s"rerank $rrAvg < adc-only $recAvg")
+
     val df = Similarity.queries("c33_ann_ivf_pq")(s, sf)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -80,7 +88,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
-        "c33_ann_ivf_pq").foreach { name =>
+        "c33_ann_ivf_pq", "c34_ann_pq_rerank").foreach { name =>
       Similarity.queries(name)(s, sf).collect()
         .groupBy(_.getLong(0)).foreach { case (_, rows) =>
           val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
