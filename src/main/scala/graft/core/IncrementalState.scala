@@ -17,18 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalState {
 
-  /** Per-slice partial states for the orders aggregate (B21's monoids),
-    * slice = month of o_orderdate.
-    */
-  def partials(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir).select(
-        col("o_orderstatus").as("st"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
-        col("o_orderdate").as("d"))
+  /** (st, cents, d) rows → (slice, st) monoid partials. */
+  private def aggPartials(rows: DataFrame): DataFrame =
+    rows
       .withColumn("slice", date_format(col("d"), "yyyy-MM"))
       .groupBy(col("slice"), col("st"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
         min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+
+  /** Per-slice partial states for the orders aggregate (B21's monoids),
+    * slice = month of o_orderdate.
+    */
+  def partials(spark: SparkSession, dir: String): DataFrame =
+    aggPartials(Tables.orders(spark, dir).select(
+      col("o_orderstatus").as("st"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+      col("o_orderdate").as("d")))
+
+  /** D11: the STREAMING feeder for the state table — called from a
+    * `foreachBatch` sink, it aggregates one micro-batch's (st, cents, d)
+    * rows to (slice, st) monoid partials and APPENDS them as-is. No
+    * watermark, no stateful operator, no cross-batch coordination:
+    * partials-of-partials merge on read by the same monoid ops, so the
+    * state TABLE is the only state (IncrementalStateSpec proves a
+    * two-batch stream merges to the direct aggregate even when batches
+    * split a slice).
+    */
+  def appendBatchPartials(batch: DataFrame, path: String): Unit =
+    aggPartials(batch).write.mode("append").partitionBy("slice").parquet(path)
 
   /** Materialize the state table (idempotent per dir; tests pass their
     * own path + slice filter to exercise the append path).

@@ -34,4 +34,32 @@ class IncrementalStateSpec extends AnyFunSuite {
     info(s"state rows=$stateRows raw rows=$rawRows")
     assert(stateRows < rawRows / 4, s"state ($stateRows) not small vs raw ($rawRows)")
   }
+
+  test("D11: streaming foreachBatch feed — partials-of-partials merge to the direct aggregate") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp)](s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state_stream").toString
+    val q = mem.toDF().toDF("st", "cents", "d")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalState.appendBatchPartials(b, tmp))
+      .start()
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    try {
+      // both batches write into the SAME January slice — the merge-on-read
+      // must combine partials of partials
+      mem.addData(("O", 100L, ts(1)), ("O", 250L, ts(5)), ("F", 40L, ts(3)))
+      q.processAllAvailable()
+      mem.addData(("O", 600L, ts(9)), ("F", 10L, ts(2)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val merged = IncrementalState.mergedFrom(s, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(merged.toSeq == Seq(("F", 2L, 50L, 25L), ("O", 3L, 950L, 316L)))
+    // the January slice holds one partial row per (batch, status)
+    val janRows = s.read.parquet(tmp).where(col("slice") === "2024-01").count()
+    assert(janRows == 4, s"expected 4 partial rows in the slice, got $janRows")
+  }
 }
