@@ -204,7 +204,7 @@ object Similarity {
     * accumulated in vec_id order, renormalized; empty cluster keeps its
     * previous centroid.
     */
-  private[ops] def trainCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+  private[graft] def trainCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
     val sample = prepared(s, d)
       .where(col("vec_id") % kmSampleMod === 0)
       .select(col("vec_id"), col("nv")).collect()
@@ -397,12 +397,23 @@ object Similarity {
     * sub-centroids are not unit vectors); empty cluster keeps its
     * previous centroid.
     */
-  private[ops] def trainPq(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
-    val sample = prepared(s, d)
+  /** The deterministic training sample (every [[kmSampleMod]]-th vector,
+    * vec_id order) all driver-side trainers share.
+    */
+  private[graft] def kmSample(s: SparkSession, d: String): Array[(Long, Array[Double])] =
+    prepared(s, d)
       .where(col("vec_id") % kmSampleMod === 0)
       .select(col("vec_id"), col("nv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+
+  private[ops] def trainPq(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    trainPqOn(kmSample(s, d))
+
+  /** The per-subspace Lloyd loop over an arbitrary 64-dim sample — raw
+    * vectors for C33, coarse-assignment residuals for C35.
+    */
+  private[ops] def trainPqOn(sample: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] = {
     Array.tabulate(pqM) { m =>
       val sub = sample.map { case (id, v) => (id, v.slice(m * pqDim, (m + 1) * pqDim)) }
       var cents = sub.take(kPq).map(_._2)
@@ -515,37 +526,47 @@ object Similarity {
   private def dot16Duck(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, ${pqDim + 1}), i -> $a[i] * $b[i])), (s, x) -> s + x)"
 
+  /** Unrolled per-subspace PQ k-means over `src`.`vcol` (a 64-dim list
+    * column) → codebook lists `$cbPfx<m>`. C33 trains on ksample.nv, C35
+    * on the residual sample — same loop, mirroring [[trainPqOn]].
+    */
+  private def pqKmeansDuckOn(src: String, vcol: String, pfx: String, cbPfx: String,
+                             materialized: Boolean = false): String = {
+    val mat = if (materialized) "MATERIALIZED " else ""
+    (0 until pqM).map { m =>
+      val lo = m * pqDim + 1
+      val hi = (m + 1) * pqDim
+      val init =
+        s"""${pfx}s$m AS $mat(SELECT vec_id, $vcol[$lo:$hi] AS sub FROM $src),
+           |$pfx${m}c0 AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, sub AS cv
+           |  FROM (SELECT vec_id, sub FROM ${pfx}s$m ORDER BY vec_id LIMIT $kPq))""".stripMargin
+      val iters = (1 to kmIters).map { t =>
+        s"""$pfx${m}a$t AS (
+           |  SELECT vec_id, sub, cid FROM (
+           |    SELECT s.vec_id, s.sub, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+           |        ORDER BY 2.0 * ${dot16Duck("s.sub", "c.cv")} - ${dot16Duck("c.cv", "c.cv")} DESC, c.cid) AS rk
+           |    FROM ${pfx}s$m s CROSS JOIN $pfx${m}c${t - 1} c) WHERE rk = 1),
+           |$pfx${m}m$t AS (
+           |  SELECT cid, list(mn ORDER BY i) AS mv FROM (
+           |    SELECT cid, i,
+           |      list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x)
+           |        / COUNT(*) AS mn
+           |    FROM (SELECT cid, vec_id, i, sub[i] AS val FROM $pfx${m}a$t, range(1, ${pqDim + 1}) t(i))
+           |    GROUP BY cid, i)
+           |  GROUP BY cid),
+           |$pfx${m}c$t AS (
+           |  SELECT c.cid, COALESCE(n.mv, c.cv) AS cv
+           |  FROM $pfx${m}c${t - 1} c LEFT JOIN $pfx${m}m$t n ON c.cid = n.cid)""".stripMargin
+      }
+      (init +: iters).mkString(",\n") +
+        s",\n$cbPfx$m AS $mat(SELECT list(cv ORDER BY cid) AS cb FROM $pfx${m}c$kmIters)"
+    }.mkString(",\n")
+  }
+
   /** Unrolled per-subspace PQ k-means + cb0..cb3 codebook lists. */
-  private val pqKmeansDuck: String = (0 until pqM).map { m =>
-    val lo = m * pqDim + 1
-    val hi = (m + 1) * pqDim
-    val init =
-      s"""pqs$m AS (SELECT vec_id, nv[$lo:$hi] AS sub FROM ksample),
-         |pq${m}c0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, sub AS cv
-         |  FROM (SELECT vec_id, sub FROM pqs$m ORDER BY vec_id LIMIT $kPq))""".stripMargin
-    val iters = (1 to kmIters).map { t =>
-      s"""pq${m}a$t AS (
-         |  SELECT vec_id, sub, cid FROM (
-         |    SELECT s.vec_id, s.sub, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
-         |        ORDER BY 2.0 * ${dot16Duck("s.sub", "c.cv")} - ${dot16Duck("c.cv", "c.cv")} DESC, c.cid) AS rk
-         |    FROM pqs$m s CROSS JOIN pq${m}c${t - 1} c) WHERE rk = 1),
-         |pq${m}m$t AS (
-         |  SELECT cid, list(mn ORDER BY i) AS mv FROM (
-         |    SELECT cid, i,
-         |      list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x)
-         |        / COUNT(*) AS mn
-         |    FROM (SELECT cid, vec_id, i, sub[i] AS val FROM pq${m}a$t, range(1, ${pqDim + 1}) t(i))
-         |    GROUP BY cid, i)
-         |  GROUP BY cid),
-         |pq${m}c$t AS (
-         |  SELECT c.cid, COALESCE(n.mv, c.cv) AS cv
-         |  FROM pq${m}c${t - 1} c LEFT JOIN pq${m}m$t n ON c.cid = n.cid)""".stripMargin
-    }
-    (init +: iters).mkString(",\n") +
-      s",\ncb$m AS (SELECT list(cv ORDER BY cid) AS cb FROM pq${m}c$kmIters)"
-  }.mkString(",\n")
+  private val pqKmeansDuck: String = pqKmeansDuckOn("ksample", "nv", "pq", "cb")
 
   /** The shared WITH-prefix up to `scored` (ADC-scored candidates incl.
     * the query vector), used by both the c33 and c34 oracles.
@@ -604,6 +625,158 @@ object Similarity {
        |SELECT q_id, vec_id AS n_id, rk, adc_sim FROM ranked
        |WHERE rk <= $kIvf ORDER BY q_id, rk""".stripMargin
 
+  // ------------------------------------ C35 residual-encoded IVF-PQ ANN
+  /** C35: IVF-PQ with RESIDUAL encoding (Jégou et al. 2011 §III.C — the
+    * full "IVFADC" construction C33 simplifies away): PQ codes quantize
+    * `v − coarse_centroid(v)` instead of `v`. When the coarse quantizer
+    * captures real cluster structure (cos-to-centroid near 1, the regime
+    * of production embedding corpora), residuals concentrate near the
+    * origin with far smaller per-subspace variance than raw vectors, so
+    * the same 4×16-centroid code budget quantizes finer and ADC tightens.
+    * The synthetic fixture corpus is near-uniform on the sphere (measured
+    * mean cos-to-nearest-coarse ≈ 0.29, so ‖residual‖² ≈ 2 − 2·0.29 ≈
+    * 1.4 > ‖v‖² = 1): residuals are the LARGER signal there and raw-code
+    * C33 wins instead. SimilaritySpec asserts exactly that invariant —
+    * whichever signal is smaller quantizes tighter — rather than an
+    * unconditional winner, which is the actual content of the IVFADC
+    * design.
+    *
+    * ADC decomposes exactly: ⟨q, c + r̂⟩ = ⟨q, c⟩ + Σₘ ⟨q_subₘ,
+    * cbₘ[codeₘ]⟩. The ⟨q, c⟩ term is per (query, probed list) — computed
+    * once on the tiny probe frame, NOT per candidate — so the candidate
+    * scan stays the same 4-codes-per-row ADC as C33 plus one constant.
+    * The corpus row still stores only (coarse id, 4 codes); the residual
+    * is a transient expression under the encode projection, never
+    * materialized.
+    *
+    * Oracle: re-trains the coarse k-means AND the 4 residual codebooks
+    * (residuals re-derived from ITS re-trained coarse centroids) in
+    * unrolled SQL, agreeing bit-for-bit on ADC scores.
+    */
+  private[graft] def residualSample(sample: Array[(Long, Array[Double])],
+                                    cents: Array[Array[Double]]): Array[(Long, Array[Double])] =
+    sample.map { case (id, v) =>
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < nCentroids) {
+        val sim = DotProduct.dot(v, cents(c))
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      (id, Array.tabulate(64)(i => v(i) - cents(best)(i)))
+    }
+
+  private def centArrLit(cents: Array[Array[Double]]): Column =
+    array(cents.map(cv => array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+
+  def c35AnnPqResidual(s: SparkSession, d: String): DataFrame = {
+    val coarse = trainCentroids(s, d)
+    val cbs = trainPqOn(residualSample(kmSample(s, d), coarse))
+    val e = prepared(s, d)
+    val cArr = centArrLit(coarse)
+    // residual under the encode projection only: rv = nv − coarse[cent]
+    val withRes = ivfAssigned(e, coarse)
+      .where(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("cent"),
+        zip_with(col("nv"),
+          element_at(cArr, (col("cent") + 1).cast("int")),
+          (a, b) => a - b).as("rv"))
+    val codeCols = (0 until pqM).map { m =>
+      val sub = slice(col("rv"), m * pqDim + 1, pqDim)
+      val scores = array(cbs(m).map { cv =>
+        lit(2.0) * DotProduct(sub, array(cv.map(lit).toIndexedSeq: _*)) -
+          lit(DotProduct.dot(cv, cv))
+      }.toIndexedSeq: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int").as(s"code$m")
+    }
+    val encoded = withRes.select(col("vec_id") +: col("cent") +: codeCols: _*)
+    // ⟨q, coarse[cent]⟩ once per probe pair, on the k-row probe frame
+    val probes = ivfProbes(s, e, coarse)
+      .select(col("q_id"), col("qnv"), col("cent"),
+        DotProduct(col("qnv"), element_at(cArr, (col("cent") + 1).cast("int")))
+          .as("qdotc"))
+    val adc = (0 until pqM).map { m =>
+      val qsub = slice(col("qnv"), m * pqDim + 1, pqDim)
+      val cbLit = array(cbs(m).map(cv =>
+        array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      DotProduct(qsub, element_at(cbLit, col(s"code$m") + 1))
+    }.foldLeft(col("qdotc"))(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    encoded.join(broadcast(probes), "cent")
+      .select(col("q_id"), col("vec_id"), adc.as("adc_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= kIvf)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("adc_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val c35Sql: String = {
+    val scoreLists = (0 until pqM).map { m =>
+      val lo = m * pqDim + 1
+      val hi = (m + 1) * pqDim
+      s"""list_transform(range(1, ${kPq + 1}), c ->
+         |        2.0 * ${dot16Duck(s"r.rv[$lo:$hi]", s"rcb$m.cb[c]")} - ${dot16Duck(s"rcb$m.cb[c]", s"rcb$m.cb[c]")}) AS s$m""".stripMargin
+    }.mkString(",\n      ")
+    val codePick = (0 until pqM).map(m =>
+      s"list_indexof(s$m, list_aggregate(s$m, 'max')) - 1 AS code$m").mkString(",\n    ")
+    val adcTerms = (0 until pqM).map { m =>
+      val lo = m * pqDim + 1
+      val hi = (m + 1) * pqDim
+      dot16Duck(s"qnv[$lo:$hi]", s"rcb$m.cb[code$m + 1]")
+    }.mkString("\n    + ")
+    s"""WITH $preparedDuck,
+       |$kmeansDuck,
+       |kcf AS MATERIALIZED (SELECT cid, cv FROM kc$kmIters),
+       |rsamp AS MATERIALIZED (
+       |  SELECT vec_id, nv, cid FROM (
+       |    SELECT s.vec_id, s.nv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${nvDotDuck("s.nv", "c.cv")} DESC, c.cid) AS rk
+       |    FROM ksample s CROSS JOIN kcf c) WHERE rk = 1),
+       |rres AS MATERIALIZED (
+       |  SELECT r.vec_id, list_transform(range(1, 65), i -> r.nv[i] - c.cv[i]) AS rv
+       |  FROM rsamp r JOIN kcf c ON r.cid = c.cid),
+       |${pqKmeansDuckOn("rres", "rv", "rq", "rcb", materialized = true)},
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, nv, cid AS cent FROM (
+       |    SELECT p.vec_id AS vec_id, p.nv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${nvDotDuck("p.nv", "c.cv")} DESC, c.cid) AS rk
+       |    FROM prep p CROSS JOIN kcf c)
+       |  WHERE rk = 1),
+       |rescorp AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cent, list_transform(range(1, 65), i -> a.nv[i] - c.cv[i]) AS rv
+       |  FROM assigned a JOIN kcf c ON a.cent = c.cid
+       |  WHERE a.vec_id >= $nQueries),
+       |rcodes AS (
+       |  SELECT vec_id, cent,
+       |    $codePick
+       |  FROM (
+       |    SELECT r.vec_id, r.cent,
+       |      $scoreLists
+       |    FROM rescorp r, rcb0, rcb1, rcb2, rcb3)),
+       |rprobes AS (
+       |  SELECT q_id, qnv, cent, qdotc FROM (
+       |    SELECT p.vec_id AS q_id, p.nv AS qnv, c.cid AS cent,
+       |      ${nvDotDuck("p.nv", "c.cv")} AS qdotc,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${nvDotDuck("p.nv", "c.cv")} DESC, c.cid) AS prk
+       |    FROM prep p CROSS JOIN kcf c WHERE p.vec_id < $nQueries)
+       |  WHERE prk <= $nProbe),
+       |rscored AS (
+       |  SELECT q_id, c.vec_id AS vec_id,
+       |    qdotc + $adcTerms AS adc_sim
+       |  FROM rcodes c JOIN rprobes USING (cent), rcb0, rcb1, rcb2, rcb3),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS INT) AS rk
+       |  FROM rscored)
+       |SELECT q_id, vec_id AS n_id, rk, adc_sim FROM ranked
+       |WHERE rk <= $kIvf ORDER BY q_id, rk""".stripMargin
+  }
+
   val c34Sql: String =
     s"""WITH $pqScoredDuck,
        |shortlist AS (
@@ -629,7 +802,8 @@ object Similarity {
     "c13_ann_multiprobe" -> (c13AnnMultiprobe _),
     "c14_ann_ivf"        -> (c14AnnIvf _),
     "c33_ann_ivf_pq"     -> (c33AnnIvfPq _),
-    "c34_ann_pq_rerank"  -> (c34AnnPqRerank _)
+    "c34_ann_pq_rerank"  -> (c34AnnPqRerank _),
+    "c35_ann_pq_residual" -> (c35AnnPqResidual _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -638,6 +812,7 @@ object Similarity {
     "c13_ann_multiprobe" -> c13Sql,
     "c14_ann_ivf"        -> c14Sql,
     "c33_ann_ivf_pq"     -> c33Sql,
-    "c34_ann_pq_rerank"  -> c34Sql
+    "c34_ann_pq_rerank"  -> c34Sql,
+    "c35_ann_pq_residual" -> c35Sql
   )
 }

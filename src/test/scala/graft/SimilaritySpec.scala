@@ -86,9 +86,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c35 IVFADC geometry: ADC error ordering tracks which signal is smaller") {
+    // exact unit-vector cosines recomputed independently in the spec
+    val vecs = s.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => r.getLong(0) -> {
+        val v = r.getSeq[Double](1).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }).toMap
+    def meanAdcErr(name: String): Double = {
+      val rows = Similarity.queries(name)(s, sf).collect()
+      val errs = rows.map { r =>
+        val q = vecs(r.getLong(0))
+        val n = vecs(r.getLong(1))
+        math.abs(r.getDouble(3) - q.zip(n).map { case (a, b) => a * b }.sum)
+      }
+      errs.sum / errs.length
+    }
+    // the residual signal magnitude relative to the raw unit signal (=1)
+    // decides which encoding quantizes tighter under the same code budget
+    val cents = Similarity.trainCentroids(s, sf)
+    val resNorm2 = vecs.values.map { v =>
+      val best = cents.maxBy(c => c.zip(v).map { case (a, b) => a * b }.sum)
+      v.zip(best).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum / vecs.size
+    val e33 = meanAdcErr("c33_ann_ivf_pq")
+    val e35 = meanAdcErr("c35_ann_pq_residual")
+    info(f"mean ||residual||²=$resNorm2%.3f (raw=1); |adc−cos|: c33(raw)=$e33%.4f c35(residual)=$e35%.4f")
+    if (resNorm2 < 1.0)
+      assert(e35 < e33, s"residual signal smaller but residual ADC err $e35 >= raw $e33")
+    else
+      assert(e33 < e35, s"raw signal smaller but raw ADC err $e33 >= residual $e35")
+    assert(e33 < 0.5 && e35 < 0.5, s"ADC errors out of range: $e33 / $e35")
+
+    val p = Similarity.queries("c35_ann_pq_residual")(s, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p) // probes broadcast into codes
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
-        "c33_ann_ivf_pq", "c34_ann_pq_rerank").foreach { name =>
+        "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual").foreach { name =>
       Similarity.queries(name)(s, sf).collect()
         .groupBy(_.getLong(0)).foreach { case (_, rows) =>
           val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
