@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -526,6 +527,58 @@ object Dedup {
        |SELECT src AS doc_id, min(dst) AS cluster
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // --------------------------- C36 cluster representative selection
+  /** C36: the dedup DECISION — C18's duplicate clusters joined with C9's
+    * quality scores, keeping the best-quality member per cluster
+    * (tie → lowest doc_id). This is the step production pipelines run
+    * between clustering and the write ("keep best, not keep first"):
+    * near-dup removal that never discards the highest-quality copy.
+    *
+    * Full-corpus semantics: documents outside the near-dup graph form
+    * their own singleton cluster (cluster = COALESCE(graph cluster,
+    * doc_id)) and are trivially kept, so the output is a per-document
+    * keep verdict over the WHOLE corpus, directly usable as a semi-join
+    * filter.
+    *
+    * Scale: the cluster frame holds only graph members (≪ corpus), the
+    * join shuffles on doc_id, and the argmax window partitions by
+    * cluster — millions of small partitions, never a global sort. The
+    * quality doubles are the same bit-identical expressions as the C9
+    * gate, so the argmax ordering agrees across engines.
+    */
+  def c36ClusterReps(s: SparkSession, d: String): DataFrame = {
+    val clusters = c18DupClusters(s, d) // doc_id, cluster (graph members only)
+    val quality = TextAnalysis.c9TextQuality(s, d)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    quality.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"), col("quality"))
+      .withColumn("keep",
+        (row_number().over(w) === 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c36Sql: String =
+    s"""WITH RECURSIVE $c2PairsCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM c2pairs
+       |          UNION SELECT d2, d1 FROM c2pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |clus AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+       |q AS (SELECT doc_id, quality FROM (
+       |${TextAnalysis.c9Sql.stripSuffix("ORDER BY doc_id")})),
+       |j AS (
+       |  SELECT q.doc_id AS doc_id, COALESCE(c.cluster, q.doc_id) AS cluster, q.quality
+       |  FROM q LEFT JOIN clus c ON q.doc_id = c.doc_id)
+       |SELECT doc_id, cluster, quality,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY cluster
+       |    ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact"     -> (c1DedupExact _),
@@ -534,6 +587,7 @@ object Dedup {
     "c4_dedup_jaccard"   -> (c4DedupJaccard _),
     "c5_dedup_embedding" -> (c5DedupEmbedding _),
     "c18_dup_clusters"   -> (c18DupClusters _),
+    "c36_cluster_reps"   -> (c36ClusterReps _),
     "c20_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => c20DedupEmbeddingLsh(s, d)),
     "c24_dup_passages"   -> (c24DupPassages _)
   )
@@ -545,6 +599,7 @@ object Dedup {
     "c4_dedup_jaccard"   -> c4Sql,
     "c5_dedup_embedding" -> c5Sql,
     "c18_dup_clusters"   -> c18Sql,
+    "c36_cluster_reps"   -> c36Sql,
     "c20_dedup_embedding_lsh" -> c20Sql,
     "c24_dup_passages"   -> c24Sql
   )

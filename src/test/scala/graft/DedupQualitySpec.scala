@@ -64,4 +64,26 @@ class DedupQualitySpec extends AnyFunSuite {
       .select("id").collect().map(_.getString(0)).toSet
     assert(viaRanges == plain && viaCells == plain)
   }
+
+  test("c36 keeps exactly one member per cluster, and it is the best-quality one") {
+    val rows = Dedup.queries("c36_cluster_reps")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // full corpus covered, one verdict per document
+    val corpus = graft.ops.TextAnalysis.c9TextQuality(s, sf).count()
+    assert(rows.length == corpus)
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val kept = members.filter(_._4 == 1)
+      assert(kept.length == 1, s"cluster $cluster kept ${kept.length}")
+      // the keeper dominates on (quality desc, doc_id asc)
+      val winner = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 == winner._1,
+        s"cluster $cluster kept ${kept.head._1}, best is ${winner._1}")
+    }
+    // docs outside the near-dup graph are singleton clusters and kept
+    val graph = Dedup.queries("c18_dup_clusters")(s, sf).collect()
+      .map(_.getLong(0)).toSet
+    rows.filterNot(r => graph.contains(r._1)).foreach { r =>
+      assert(r._2 == r._1 && r._4 == 1, s"singleton ${r._1} not kept as own cluster")
+    }
+  }
 }
