@@ -666,6 +666,56 @@ object Analytics {
       |    // COUNT(*) AS avg_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------ B25
+  /** CHANGELOG COMPACTION (the CDC merge-on-read primitive): latest row
+    * per key from an append-only changelog — here "current state per
+    * user" over the events stream, versioned by (ts, event_id).
+    *
+    * The 100 TB shape is the AGGREGATE form, not the window form:
+    * `max_by(payload, version)` is a commutative monoid, so the
+    * aggregate map-side-combines (struct-ordered max_by plans as
+    * SortAggregate — a LOCAL group-key sort per task, no exchange below
+    * it) — every task keeps ONE candidate row per key and the shuffle
+    * carries |keys| partials, never the changelog. The equivalent window
+    * (`row_number() OVER (PARTITION BY key ORDER BY version DESC) = 1`)
+    * shuffles EVERY changelog row and sorts each partition — unboundedly
+    * more traffic as history grows.
+    * The oracle deliberately uses the window form: two different
+    * algorithms agreeing on the same result, and the plan audit pins the
+    * aggregate shape (partial max_by, no Window, no pre-exchange Sort).
+    *
+    * Versions are totally ordered per key ((ts, event_id), event_id
+    * unique), so the argmax is deterministic in both engines.
+    */
+  def b25ChangelogCompact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    e.groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("n_versions"))
+      .orderBy(col("user_id"))
+  }
+
+  val b25ChangelogCompactSql: String =
+    """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |  event_type AS last_type, value AS last_value, n_versions
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+      |  FROM events)
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_pushdown_scan"   -> (b1PushdownScan _),
@@ -690,7 +740,8 @@ object Analytics {
     "b21_incremental_agg" -> (b21IncrementalAgg _),
     "b22_bucketed_join"  -> (graft.core.BucketedLayout.b22BucketedJoin _),
     "b23_bucketed_asof"  -> (graft.core.BucketedLayout.b23BucketedAsof _),
-    "b24_incremental_state" -> (graft.core.IncrementalState.b24MergeOnRead _)
+    "b24_incremental_state" -> (graft.core.IncrementalState.b24MergeOnRead _),
+    "b25_changelog_compact" -> (b25ChangelogCompact _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -716,6 +767,7 @@ object Analytics {
     "b21_incremental_agg" -> b21IncrementalAggSql,
     "b22_bucketed_join"  -> graft.core.BucketedLayout.b22Sql,
     "b23_bucketed_asof"  -> graft.core.BucketedLayout.b23Sql,
-    "b24_incremental_state" -> graft.core.IncrementalState.b24Sql
+    "b24_incremental_state" -> graft.core.IncrementalState.b24Sql,
+    "b25_changelog_compact" -> b25ChangelogCompactSql
   )
 }

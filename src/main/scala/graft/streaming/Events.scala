@@ -351,18 +351,61 @@ object Events {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  // ---------------- D12 native session windows (D2 via session_window)
+  /** D12: D2's sessionization through Spark's NATIVE `session_window`
+    * aggregation — the built-in merging-session state instead of D2's
+    * hand-rolled flatMapGroupsWithState machine. One expression serves
+    * batch and stream; in streaming mode the engine keeps per-key open
+    * sessions, merges them as events land, and append-mode emits each
+    * session once the watermark passes session_end + gap — semantically
+    * the machine D2 implements by hand, but with state merging,
+    * eviction, and output timing owned by the engine (and RocksDB-
+    * backable like any streaming aggregate).
+    *
+    * session_window's window.end is last_ts + gap, so session_end is the
+    * aggregate max(ts), not the window bound. Gap semantics match D2's
+    * gaps-and-islands exactly (an event AT prev + gap extends the
+    * session, strictly later breaks it); the gate runs the batch form
+    * against the SAME oracle as D2 — two algorithms, one result — and
+    * EventsSpec asserts stream ≡ batch across micro-batches.
+    */
+  private[streaming] def sessionWindowAgg(e: DataFrame): DataFrame =
+    e.groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("dur_us"))
+
+  def d12SessionWindow(s: SparkSession, d: String): DataFrame =
+    sessionWindowAgg(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Streaming form: watermark-bounded native session state, append mode
+    * emits each closed session exactly once.
+    */
+  def sessionWindowStream(stream: DataFrame,
+                          watermarkDelay: String = "1 hour"): DataFrame =
+    sessionWindowAgg(stream.withWatermark("ts", watermarkDelay))
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_event_window"  -> (d1EventWindow _),
     "d2_sessionize"    -> (d2Sessionize _),
     "d4_interval_join" -> (d4IntervalJoin _),
-    "d6_interval_join_outer" -> (d6IntervalJoinOuter _)
+    "d6_interval_join_outer" -> (d6IntervalJoinOuter _),
+    "d12_session_window" -> (d12SessionWindow _)
   )
 
   val oracle: Map[String, String] = Map(
     "d1_event_window"  -> d1Sql,
     "d2_sessionize"    -> d2Sql,
     "d4_interval_join" -> d4Sql,
-    "d6_interval_join_outer" -> d6Sql
+    "d6_interval_join_outer" -> d6Sql,
+    // deliberately the SAME oracle as d2: the native session_window
+    // aggregation and the gaps-and-islands window must agree row-for-row
+    "d12_session_window" -> d2Sql
   )
 }

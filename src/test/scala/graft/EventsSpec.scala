@@ -75,6 +75,42 @@ class EventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D12 native session_window stream: sessions merge across micro-batches, " +
+      "append output ≡ batch sessionization") {
+    import s.implicits._
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val mem = MemoryStream[EvJ](s)
+    val q = Events.sessionWindowStream(mem.toDF())
+      .writeStream.format("memory").queryName("d12_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(EvJ(1, t("00:00"), 1), EvJ(1, t("00:10"), 2), EvJ(2, t("00:05"), 3))
+      q.processAllAvailable()
+      // user 1's open session extends across the micro-batch boundary
+      mem.addData(EvJ(1, t("00:20"), 4), EvJ(3, t("01:30"), 5))
+      q.processAllAvailable()
+      // sentinel advances the watermark past everyone's (end + gap)
+      mem.addData(EvJ(999, t("09:00"), 6))
+      q.processAllAvailable()
+      val got = s.table("d12_stream").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // the engine-managed session state must produce EXACTLY the batch
+      // sessions (sentinel's own session is the only one still open)
+      val allButSentinel = Seq(
+        (1L, t("00:00"), 1L), (1L, t("00:10"), 2L), (2L, t("00:05"), 3L),
+        (1L, t("00:20"), 4L), (3L, t("01:30"), 5L))
+        .toDF("user_id", "ts", "event_id")
+      val batchExpected = Events.sessionizeBatch(allButSentinel)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == batchExpected, s"got=$got expected=$batchExpected")
+      // the cross-batch merge really happened: ONE user-1 session of 3 events
+      assert(got.count(_._1 == 1L) == 1)
+      assert(got.find(_._1 == 1L).get._4 == 3L)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg (watermark) ≡ batch on the same data") {
     import s.implicits._
     val batchExpected = Events.windowAggTransform(Tables.events(s, sf))

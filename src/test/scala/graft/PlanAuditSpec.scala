@@ -197,4 +197,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan(TextAnalysis.c27ScoreWith(s, sf, TextAnalysis.c27BroadcastMaxVocab))
       .contains("BroadcastHashJoin"))
   }
+
+  test("b25: changelog compaction is a partial-combining aggregate — " +
+      "no Window, no sort below the exchange") {
+    val p = plan(Analytics.queries("b25_changelog_compact")(s, sf))
+    assert(!p.contains("Window"), p) // the whole point vs row_number()=1
+    // partial (map-side) aggregation below the key exchange: the shuffle
+    // carries |keys| candidate rows, never the changelog
+    assert(p.contains("partial_max_by"), p)
+  }
 }
