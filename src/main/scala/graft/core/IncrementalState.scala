@@ -66,6 +66,38 @@ object IncrementalState {
     p
   }
 
+  /** B26: state COMPACTION — merge-at-rest, the small-files answer for
+    * this table. D11's streaming appends leave one partial file per
+    * micro-batch per slice; because the state rows are monoids,
+    * compaction is a SEMANTIC merge, not a byte-level file rewrite:
+    * re-aggregate each slice's partials-of-partials down to ONE row per
+    * (slice, group) and rewrite each slice directory with one file
+    * (`repartition(slice)` → one task owns a slice; dynamic partition
+    * overwrite swaps only the compacted slices). Merge-on-read results
+    * are unchanged — merge is associative, so merging at rest then at
+    * read ≡ merging everything at read (IncrementalStateSpec asserts
+    * it) — while per-query read fan-in drops from O(micro-batches)
+    * files to O(slices). The localCheckpoint materializes the compacted
+    * rows BEFORE the overwrite job, which is what makes read-then-
+    * overwrite-the-same-path safe.
+    */
+  def compactSlices(spark: SparkSession, statePath: String): Unit = {
+    val compacted = spark.read.parquet(statePath)
+      .groupBy(col("slice"), col("st"))
+      .agg(sum(col("n")).as("n"), sum(col("c")).as("c"),
+        min(col("dmin")).as("dmin"), max(col("dmax")).as("dmax"))
+      .repartition(col("slice"))
+      .localCheckpoint(true)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try compacted.write.mode("overwrite").partitionBy("slice").parquet(statePath)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Merge-on-read: aggregate the state table's monoids, derive avg from
     * the merged exact integers. Output ≡ B21 ≡ a direct aggregate over
     * all of raw `orders` — that equality is the gate.

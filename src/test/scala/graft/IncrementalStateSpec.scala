@@ -62,4 +62,38 @@ class IncrementalStateSpec extends AnyFunSuite {
     val janRows = s.read.parquet(tmp).where(col("slice") === "2024-01").count()
     assert(janRows == 4, s"expected 4 partial rows in the slice, got $janRows")
   }
+
+  test("B26: slice compaction — merge-at-rest ≡ merge-on-read, one file and " +
+      "one row per (slice, group)") {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state_compact").toString
+    def append(rows: (String, Long, java.sql.Timestamp)*): Unit =
+      IncrementalState.appendBatchPartials(rows.toDF("st", "cents", "d"), tmp)
+    def ts(month: Int, day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00")
+    // three appends into January, one into February — the D11 shape
+    append(("O", 100L, ts(1, 1)), ("F", 40L, ts(1, 3)))
+    append(("O", 250L, ts(1, 5)))
+    append(("O", 600L, ts(1, 9)), ("F", 10L, ts(1, 2)))
+    append(("O", 70L, ts(2, 1)))
+
+    def parquetFiles(slice: String): Int =
+      new java.io.File(tmp, s"slice=$slice").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    val before = IncrementalState.mergedFrom(s, tmp).collect().toSeq
+    assert(parquetFiles("2024-01") >= 3, "expected one file per append")
+
+    IncrementalState.compactSlices(s, tmp)
+
+    val after = IncrementalState.mergedFrom(s, tmp).collect().toSeq
+    assert(after == before, s"compaction changed results: $after vs $before")
+    assert(parquetFiles("2024-01") == 1 && parquetFiles("2024-02") == 1)
+    // semantic merge: exactly one state row per (slice, group) remains
+    val perGroup = s.read.parquet(tmp)
+      .groupBy(col("slice"), col("st")).count().collect()
+    assert(perGroup.forall(_.getLong(2) == 1L), perGroup.mkString(","))
+    // and a second compaction is a no-op fixpoint
+    IncrementalState.compactSlices(s, tmp)
+    assert(IncrementalState.mergedFrom(s, tmp).collect().toSeq == before)
+  }
 }
