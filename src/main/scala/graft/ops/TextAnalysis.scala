@@ -737,19 +737,28 @@ object TextAnalysis {
 
   private def c32Wrapped(w: String) = s"'(' || array_join(split($w, ''), ')(') || ')'"
 
-  def c32BpeTrain(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The marker-delimited symbols of a merged vocabulary string. */
+  private val c32Symbols = "regexp_extract_all(ws, '\\\\(([^)]*)\\\\)', 1)"
+
+  /** Shared C32/C37 training loop: learns the merge table AND returns the
+    * post-merge vocabulary `(w, ws, wc)` — which is exactly the encode
+    * dictionary a tokenizer ships (original word → its merged symbol
+    * string). Carrying `w` through the loop costs nothing: the pair
+    * counts group by `pair`, never by the carry columns.
+    */
+  private def c32Train(
+      s: SparkSession, d: String): (Seq[(Int, String, Long)], DataFrame) = {
     val vocab = docs(s, d)
       .select(explode(expr(wordsSpark)).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(expr(c32Wrapped("w")).as("ws"), col("wc"))
+      .select(col("w"), expr(c32Wrapped("w")).as("ws"), col("wc"))
       .localCheckpoint(true) // cut the corpus scan out of the loop lineage
     var v = vocab
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (step <- 1 to c32Merges) {
       val top = v
-        .select(col("wc"), expr("regexp_extract_all(ws, '\\\\(([^)]*)\\\\)', 1)").as("sy"))
+        .select(col("wc"), expr(c32Symbols).as("sy"))
         .where(expr("size(sy) >= 2"))
         .select(col("wc"), explode(expr(
           "transform(sequence(1, size(sy) - 1), i -> " +
@@ -761,16 +770,28 @@ object TextAnalysis {
       merges += ((step, top.getString(0), top.getLong(1)))
       v = v.withColumn("ws", expr(s"replace(ws, '($a)($b)', '($a$b)')"))
     }
-    merges.result().toDF("step", "pair", "n").orderBy(col("step"))
+    (merges.result(), v)
   }
 
-  val c32Sql: String = {
+  def c32BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = c32Train(s, d)
+    merges.toDF("step", "pair", "n").orderBy(col("step"))
+  }
+
+  /** The v0→v_k merge-chain CTEs, shared by the C32 and C37 oracles.
+    * `carryW = true` keeps the original word alongside the evolving
+    * symbol string (the C37 encode dictionary needs the word as the
+    * join key); the pair counting is identical either way.
+    */
+  private def c32SqlChain(carryW: Boolean): String = {
+    val w = if (carryW) "w, " else ""
     val v0 =
       s"""v0 AS (
-         |  SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS ws,
+         |  SELECT $w'(' || array_to_string(string_split(w, ''), ')(') || ')' AS ws,
          |         COUNT(*) AS wc
          |  FROM (SELECT unnest($wordsDuck) AS w FROM documents)
-         |  WHERE w <> '' GROUP BY 1)""".stripMargin
+         |  WHERE w <> '' GROUP BY ${if (carryW) "w" else "1"})""".stripMargin
     val steps = (1 to c32Merges).map { k =>
       s"""p$k AS (
          |  SELECT sy[i] || ' ' || sy[i+1] AS pair, wc
@@ -782,18 +803,75 @@ object TextAnalysis {
          |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
          |  FROM p$k GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
          |v$k AS (
-         |  SELECT replace(ws,
+         |  SELECT ${w}replace(ws,
          |    '(' || split_part(pair, ' ', 1) || ')(' || split_part(pair, ' ', 2) || ')',
          |    '(' || replace(pair, ' ', '') || ')') AS ws, wc
          |  FROM v${k - 1}, t$k)""".stripMargin
     }
+    s"$v0,\n${steps.mkString(",\n")}"
+  }
+
+  val c32Sql: String = {
     val out = (1 to c32Merges)
       .map(k => s"SELECT $k AS step, pair, n FROM t$k")
       .mkString("\nUNION ALL\n")
-    s"WITH $v0,\n${steps.mkString(",\n")}\n$out\nORDER BY step"
+    s"WITH ${c32SqlChain(carryW = false)}\n$out\nORDER BY step"
   }
 
+  // ---------------------------------------------- C37 BPE tokenization
+  /** C37: BPE tokenizer APPLICATION — encode the corpus with the merge
+    * table C32 just learned (train → SHIP → tokenize, the step a data
+    * pipeline actually runs per document). Per doc: whitespace words,
+    * base (character) token count, and the post-merge BPE token count +
+    * chars-per-token compression, all integers.
+    *
+    * Scale shape is the vocabulary trick INVERTED: the tokenizer runs
+    * once per DISTINCT word (the post-training vocabulary — rows ≪
+    * corpus tokens — already holds each word's merged symbol string, so
+    * "encoding" is `size(symbols)`), and per-document stats come from a
+    * BROADCAST join of the corpus' exploded words against that tiny
+    * dictionary + one map-side-combined per-doc aggregate. Documents
+    * never re-run the merge loop; at 100 TB the dictionary is a
+    * constant-size build side and the corpus is one pass.
+    *
+    * Oracle: re-trains the same merges (C32's unrolled chain, carrying
+    * the word) and re-joins — bit-identical integer stats.
+    */
+  def c37BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = c32Train(s, d)
+    val dict = vocab.select(col("w"),
+      expr(s"size($c32Symbols)").cast("long").as("n_tok"))
+    docs(s, d)
+      .select(col("doc_id"), explode(expr(wordsSpark)).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(dict), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(col("n_tok")).as("bpe_tokens"))
+      .withColumn("compression_centi", expr("n_chars * 100 DIV bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c37Sql: String =
+    s"""WITH ${c32SqlChain(carryW = true)},
+       |enc AS (
+       |  SELECT w, CAST(len(regexp_extract_all(ws, '\\(([^)]*)\\)', 1)) AS BIGINT) AS n_tok
+       |  FROM v$c32Merges),
+       |dw AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest($wordsDuck) AS w FROM documents)
+       |  WHERE w <> '')
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
+       |  CAST(CAST(SUM(length(w)) AS BIGINT) * 100 // CAST(SUM(n_tok) AS BIGINT) AS BIGINT)
+       |    AS compression_centi
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c37_bpe_encode" -> (c37BpeEncode _),
     "c32_bpe_train" -> (c32BpeTrain _),
     "c31_overlap_score" -> (c31OverlapScore _),
     "c30_bpe_pairs" -> (c30BpePairs _),
@@ -814,6 +892,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c37_bpe_encode" -> c37Sql,
     "c32_bpe_train" -> c32Sql,
     "c31_overlap_score" -> c31Sql,
     "c30_bpe_pairs" -> c30Sql,

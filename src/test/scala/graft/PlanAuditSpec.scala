@@ -181,6 +181,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p30.contains("Generate"), p30)
   }
 
+  test("c37: the encode dictionary broadcasts; the corpus is scanned once " +
+      "outside the merge loop") {
+    val p = plan(graft.ops.TextAnalysis.queries("c37_bpe_encode")(s, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-doc pass reads documents.parquet exactly once — the merge
+    // loop's vocabulary work is behind a localCheckpoint, not a rescan
+    val scans = p.split('\n').count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
+  }
+
   test("c27: vocab joins broadcast under the size ceiling, shuffle above it — " +
       "same results either way") {
     import graft.ops.TextAnalysis
