@@ -795,8 +795,88 @@ object Similarity {
        |SELECT q_id, vec_id AS n_id, rk, cos_sim FROM ranked
        |WHERE rk <= $kIvf ORDER BY q_id, rk""".stripMargin
 
+  // ------------------------------------------------- C38 SemDeDup
+  /** C38: SEMANTIC deduplication (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * k-means-cluster the embedding space (C14's trained centroids), then
+    * prune near-duplicates WITHIN each cluster — pairs with cosine ≥
+    * [[semEps]] — keeping, per the paper, the member with the LOWEST
+    * similarity to its cluster centroid (the most "marginal" example;
+    * ties break to the lowest vec_id). A vector is dropped iff some
+    * same-cluster semantic duplicate dominates it on (cent_sim, vec_id).
+    *
+    * Scale shape: this is the whole point of SemDeDup — the pair search
+    * is CLUSTER-LOCAL. k grows with the corpus (k ≈ n / target-cluster-
+    * size keeps cluster sizes bounded), the equi-join on the centroid id
+    * touches O(cluster²) pairs per cluster instead of O(n²), and the
+    * centroid id doubles as the partition key so the join never shuffles
+    * a vector to more than one cluster. Output is integer/boolean only
+    * (verdict + duplicate degree), so the gate is hash-exact; the oracle
+    * re-trains the same k-means (C14's unrolled CTEs) and re-derives the
+    * verdicts independently.
+    */
+  private val semEps = 0.3
+
+  /** (vec_id, nv, cent, cent_sim) — every vector with its cluster and its
+    * similarity to the cluster centroid. cent_sim = max over centroids;
+    * cent = first argmax (lowest cid), matching the oracle's
+    * `ORDER BY sim DESC, cid`.
+    */
+  private[graft] def c38Assigned(s: SparkSession, d: String): DataFrame = {
+    val cents = trainCentroids(s, d)
+    val simCols = cents.map(cv => DotProduct(col("nv"), array(cv.map(lit).toIndexedSeq: _*)))
+    prepared(s, d)
+      .select(col("vec_id"), col("nv"), array(simCols.toIndexedSeq: _*).as("sims"))
+      .select(col("vec_id"), col("nv"),
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("bigint")
+          .as("cent"),
+        array_max(col("sims")).as("cent_sim"))
+  }
+
+  def c38SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val asg = c38Assigned(s, d)
+    val other = asg.select(col("cent"), col("vec_id").as("y_id"),
+      col("nv").as("y_nv"), col("cent_sim").as("y_cent_sim"))
+    val dup = asg.join(other, Seq("cent"))
+      .where(col("vec_id") =!= col("y_id") &&
+        DotProduct(col("nv"), col("y_nv")) >= semEps)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        sum(when(col("y_cent_sim") < col("cent_sim") ||
+            (col("y_cent_sim") === col("cent_sim") && col("y_id") < col("vec_id")),
+          1L).otherwise(0L)).as("n_dom"))
+    asg.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dom"), lit(0L)) === 0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val c38Sql: String =
+    s"""WITH $preparedDuck,
+       |$kmeansDuck,
+       |asg AS (
+       |  SELECT vec_id, nv, cid AS cent, sim AS cent_sim FROM (
+       |    SELECT p.vec_id, p.nv, c.cid, ${nvDotDuck("p.nv", "c.cv")} AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${nvDotDuck("p.nv", "c.cv")} DESC, c.cid) AS rk
+       |    FROM prep p CROSS JOIN kc$kmIters c) WHERE rk = 1),
+       |dup AS (
+       |  SELECT x.vec_id AS vec_id, COUNT(*) AS n_dups,
+       |    CAST(SUM(CASE WHEN y.cent_sim < x.cent_sim
+       |      OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dom
+       |  FROM asg x JOIN asg y ON x.cent = y.cent AND x.vec_id <> y.vec_id
+       |    AND ${nvDotDuck("x.nv", "y.nv")} >= $semEps
+       |  GROUP BY x.vec_id)
+       |SELECT a.vec_id, a.cent, CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+       |  COALESCE(d.n_dom, 0) = 0 AS keep
+       |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c38_semantic_dedup" -> (c38SemanticDedup _),
     "c6_ann_bruteforce"  -> (c6AnnBruteforce _),
     "c7_ann_lsh"         -> (c7AnnLsh _),
     "c13_ann_multiprobe" -> (c13AnnMultiprobe _),
@@ -807,6 +887,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "c38_semantic_dedup" -> c38Sql,
     "c6_ann_bruteforce"  -> c6Sql,
     "c7_ann_lsh"         -> c7Sql,
     "c13_ann_multiprobe" -> c13Sql,

@@ -126,6 +126,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c38 SemDeDup: the most-marginal member of every cluster survives; " +
+      "drops only happen with a duplicate neighbor") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.queries("c38_semantic_dedup")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // some real pruning happened, and no drop without a semantic duplicate
+    assert(out.exists(!_._4), "expected at least one dropped vector")
+    assert(out.filter(!_._4).forall(_._3 > 0), "dropped without a duplicate")
+    // the paper keeps the LOWEST-cent_sim member: per cluster, the min
+    // (cent_sim, vec_id) row can never be dominated, so it must be kept
+    val asg = Similarity.c38Assigned(s, sf)
+      .select(col("vec_id"), col("cent"), col("cent_sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keepById = out.map(r => r._1 -> r._4).toMap
+    asg.groupBy(_._2).foreach { case (_, members) =>
+      val marginal = members.minBy(m => (m._3, m._1))
+      assert(keepById(marginal._1), s"cluster-marginal ${marginal._1} was dropped")
+    }
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
         "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual").foreach { name =>
