@@ -1243,6 +1243,70 @@ object StacSearch {
        |  ON d.collection = m.collection
        |ORDER BY d.collection""".stripMargin)
 
+  // ------------------------------------------- A51 collection search
+  /** A51: the STAC COLLECTION-SEARCH extension (`GET /collections?bbox=
+    * &datetime=&q=&limit=`) — search the collections THEMSELVES, not
+    * their items: spatial-extent bbox overlap, temporal-extent interval
+    * overlap, and free-text `q` over title+description, over the same
+    * derived directory A26 serves. The reference simulates collection
+    * listing with no filtering at all (database_logic.py:105,
+    * `next_token = None`); deriving a searchable directory is the
+    * capability extension.
+    *
+    * Scale shape = A26's: one map-side-combined aggregation pass to
+    * |collections| extent rows, then the search predicates evaluate on
+    * that TINY aggregate — the filter cost is independent of item count.
+    * Free-text matches `concat_ws`-joined title+description
+    * case-insensitively (null metadata skipped by concat_ws in both
+    * engines, so uncatalogued collections never match).
+    */
+  def a51CollectionSearchWith(
+      s: SparkSession, d: String,
+      bbox: (Double, Double, Double, Double),
+      t0: String, t1: String, q: String, limit: Int): DataFrame = {
+    val (qw, qs, qe, qn) = bbox
+    a26Collections(s, d)
+      .where(col("west") <= qe && col("east") >= qw &&
+        col("south") <= qn && col("north") >= qs)
+      .where(col("t_min") <= lit(t1).cast("timestamp") &&
+        col("t_max") >= lit(t0).cast("timestamp"))
+      .where(lower(concat_ws(" ", col("title"), col("description")))
+        .contains(q.toLowerCase))
+      .orderBy(col("collection"))
+      .limit(limit)
+  }
+
+  private val a51Bbox = (-120.0, -60.0, 150.0, 80.0)
+  private val a51T0 = "2024-01-03 00:00:00"
+  private val a51T1 = "2024-01-27 00:00:00"
+  private val a51Q = "Items" // case-insensitive over title+description
+
+  def a51CollectionSearch(s: SparkSession, d: String): DataFrame =
+    a51CollectionSearchWith(s, d, a51Bbox, a51T0, a51T1, a51Q, 3)
+
+  val a51Sql: String = {
+    val (qw, qs, qe, qn) = a51Bbox
+    Tables.withItems(
+      s"""SELECT * FROM (
+         |  SELECT d.collection, n_items, t_min, t_max, west, east, south, north,
+         |    m.title, m.license, m.description,
+         |    'https://example.com/collections/' || d.collection AS self_href
+         |  FROM (
+         |    SELECT collection, COUNT(*) AS n_items,
+         |      min(datetime) AS t_min, max(datetime) AS t_max,
+         |      min(lon) AS west, max(lon) AS east,
+         |      min(lat) AS south, max(lat) AS north
+         |    FROM items GROUP BY collection) d
+         |  LEFT JOIN (VALUES
+         |        $collectionMetaValuesSql)
+         |    AS m(collection, title, license, description)
+         |    ON d.collection = m.collection)
+         |WHERE west <= $qe AND east >= $qw AND south <= $qn AND north >= $qs
+         |  AND t_min <= TIMESTAMP '$a51T1' AND t_max >= TIMESTAMP '$a51T0'
+         |  AND contains(lower(concat_ws(' ', title, description)), '${a51Q.toLowerCase}')
+         |ORDER BY collection LIMIT 3""".stripMargin)
+  }
+
   // ----------------------------------------- A48 per-collection queryables
   /** A48: per-collection queryables STATS — A21's schema-derived
     * queryables enriched with live property statistics (value ranges +
@@ -1380,6 +1444,7 @@ object StacSearch {
     "a23_keyset_paginate" -> (a23KeysetPaginate _),
     "a24_zcurve_cells"    -> (a24ZcurveCells _),
     "a26_collections"     -> (a26Collections _),
+    "a51_collection_search" -> (a51CollectionSearch _),
     "a27_cql2_temporal"   -> a27Fn,
     "a28_cql2_spatial"    -> a28Fn,
     "a29_envelope_overlap" -> (a29EnvelopeOverlap _),
@@ -1430,6 +1495,7 @@ object StacSearch {
     "a23_keyset_paginate" -> a23Sql,
     "a24_zcurve_cells"    -> a24Sql,
     "a26_collections"     -> a26Sql,
+    "a51_collection_search" -> a51Sql,
     "a27_cql2_temporal"   -> a27Sql,
     "a28_cql2_spatial"    -> a28Sql,
     "a29_envelope_overlap" -> a29Sql,

@@ -52,6 +52,23 @@ class StacSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("a51 collection search: q is selective and case-insensitive; " +
+      "disjoint bbox and interval match nothing; uncatalogued never match q") {
+    import graft.search.StacSearch
+    val world = (-180.0, -90.0, 180.0, 90.0)
+    val t0 = "2024-01-01 00:00:00"; val t1 = "2024-02-01 00:00:00"
+    def run(bbox: (Double, Double, Double, Double), a: String, b: String,
+            q: String) =
+      StacSearch.a51CollectionSearchWith(s, sf, bbox, a, b, q, 100)
+        .select("collection").collect().map(_.getString(0)).toSeq
+    assert(run(world, t0, t1, "ERROR") == Seq("error"))       // case-insensitive
+    assert(run(world, t0, t1, "events").size == 5)            // matches all titles
+    assert(run(world, t0, t1, "no-such-term").isEmpty)
+    // a bbox that can't overlap any extent, and an interval before the data
+    assert(run((200.0, 91.0, 210.0, 95.0), t0, t1, "events").isEmpty)
+    assert(run(world, "2020-01-01 00:00:00", "2020-02-01 00:00:00", "events").isEmpty)
+  }
+
   test("a21 queryables: JSON-schema derived from live schema") {
     val q = StacSearch.queryables(Tables.items(s, sf))
     val om = new ObjectMapper()
