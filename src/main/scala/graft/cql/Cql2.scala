@@ -44,6 +44,11 @@ object Cql {
     */
   final case class Arith(op: String, l: Operand, r: Operand) extends Operand
 
+  /** CQL2 array literal (a bare JSON array in cql2-json), the usual rhs
+    * of the array predicates below.
+    */
+  final case class Arr(vs: Seq[Operand]) extends Operand
+
   // ------------------------------------------------------------ operators
   final case class And(xs: Seq[Cql]) extends Cql
   final case class Or(xs: Seq[Cql]) extends Cql
@@ -58,6 +63,11 @@ object Cql {
     * op ∈ t_before, t_after, t_during.
     */
   final case class Temporal(op: String, l: Operand, lo: Ts, hi: Option[Ts]) extends Cql
+  /** CQL2 array predicates (OGC 21-065 §4.10): op ∈ a_equals, a_contains,
+    * a_containedby, a_overlaps — SET semantics (element order and
+    * multiplicity irrelevant), per the spec.
+    */
+  final case class ArrayPred(op: String, l: Operand, r: Operand) extends Cql
   /** CQL2 s_intersects (extension), accepting ANY GeoJSON geometry —
     * Point, MultiPoint, LineString, MultiLineString, Polygon (with
     * holes), MultiPolygon, GeometryCollection — like the reference via
@@ -101,6 +111,7 @@ object Cql {
       case Prop(n)  => Prop(resolveProp(n, schema))
       case CaseI(x) => CaseI(ro(x))
       case Arith(op, l, r) => Arith(op, ro(l), ro(r))
+      case Arr(vs)  => Arr(vs.map(ro))
       case other    => other
     }
     e match {
@@ -113,6 +124,7 @@ object Cql {
       case Between(l, lo, hi) => Between(ro(l), ro(lo), ro(hi))
       case IsNull(l)          => IsNull(ro(l))
       case Temporal(op, l, lo, hi) => Temporal(op, ro(l), lo, hi)
+      case ArrayPred(op, l, r) => ArrayPred(op, ro(l), ro(r))
       case s: SIntersects     => s
     }
   }
@@ -135,6 +147,7 @@ object Cql {
         case "/" => a / b
         case other => throw new IllegalArgumentException(s"bad arith op: $other")
       }
+    case Arr(vs) => array(vs.map(opCol): _*)
   }
 
   def toColumn(e: Cql): Column = e match {
@@ -168,6 +181,18 @@ object Cql {
       opCol(l) >= opCol(lo) && opCol(l) <= opCol(hi)
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
+    // set semantics: "A contains B" = no element of B is missing from A —
+    // array_except dedups, which is exactly what the spec's set view wants
+    case ArrayPred("a_contains", l, r) =>
+      size(array_except(opCol(r), opCol(l))) === 0
+    case ArrayPred("a_containedby", l, r) =>
+      size(array_except(opCol(l), opCol(r))) === 0
+    case ArrayPred("a_overlaps", l, r) => arrays_overlap(opCol(l), opCol(r))
+    case ArrayPred("a_equals", l, r) =>
+      size(array_except(opCol(r), opCol(l))) === 0 &&
+        size(array_except(opCol(l), opCol(r))) === 0
+    case ArrayPred(op, _, _) =>
+      throw new IllegalArgumentException(s"bad array op: $op")
     case SIntersects(shape, "geometry") =>
       graft.spatial.Geo.intersectsShape(col("lon"), col("lat"), shape)
     case SIntersects(shape, "footprint") =>
@@ -190,6 +215,7 @@ object Cql {
     case Ts(v)     => s"TIMESTAMP '$v'"
     case CaseI(x)  => s"LOWER(${opSql(x)})"
     case Arith(op, l, r) => s"(${opSql(l)} $op ${opSql(r)})"
+    case Arr(vs)   => vs.map(opSql).mkString("[", ", ", "]")
   }
 
   def toSql(e: Cql): String = e match {
@@ -211,6 +237,16 @@ object Cql {
       s"(${opSql(l)} >= ${opSql(lo)} AND ${opSql(l)} <= ${opSql(hi)})"
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
+    case ArrayPred("a_contains", l, r) =>
+      s"list_has_all(${opSql(l)}, ${opSql(r)})"
+    case ArrayPred("a_containedby", l, r) =>
+      s"list_has_all(${opSql(r)}, ${opSql(l)})"
+    case ArrayPred("a_overlaps", l, r) =>
+      s"list_has_any(${opSql(l)}, ${opSql(r)})"
+    case ArrayPred("a_equals", l, r) =>
+      s"(list_has_all(${opSql(l)}, ${opSql(r)}) AND list_has_all(${opSql(r)}, ${opSql(l)}))"
+    case ArrayPred(op, _, _) =>
+      throw new IllegalArgumentException(s"bad array op: $op")
     case SIntersects(shape, "geometry") =>
       graft.spatial.Geo.pointShapeSql("lon", "lat", shape)
     case SIntersects(shape, "footprint") =>
@@ -241,6 +277,7 @@ object Cql {
         throw new IllegalArgumentException(s"cql2 '$op' expects [lhs, rhs] (got: $v)")
       Arith(op, parseOperand(v.get(0)), parseOperand(v.get(1)))
     }
+    else if (n.isArray) Arr(n.elements().asScala.map(parseOperand).toSeq)
     else if (n.isTextual) Str(n.asText())
     else if (n.isBoolean) Bool(n.asBoolean())
     else if (n.isIntegralNumber) IntNum(n.asLong())
@@ -351,6 +388,13 @@ object Cql {
           throw new IllegalArgumentException(s"cql2 't_during' expects [lo, hi] (got: $iv)")
         Temporal("t_during", parseOperand(arg(0, "[field, [lo, hi]]")),
           Ts(iv.get(0).asText()), Some(Ts(iv.get(1).asText())))
+      case op if op.toLowerCase.startsWith("a_") &&
+          Set("a_equals", "a_contains", "a_containedby", "a_overlaps")
+            .contains(op.toLowerCase) =>
+        // spec spells a_containedBy in text; cql2-json keys fold to lower
+        ArrayPred(op.toLowerCase,
+          parseOperand(arg(0, "[lhs-array, rhs-array]")),
+          parseOperand(arg(1, "[lhs-array, rhs-array]")))
       case "s_intersects" =>
         // args: [{"property":"geometry"|"footprint"}, <GeoJSON geometry>]
         val prop = arg(0, "[geometry-prop, GeoJSON geometry]")

@@ -153,7 +153,34 @@ object Cql2Text {
         temporalFn()
       case Some(t) if kw(t).contains("S_INTERSECTS") =>
         sIntersectsFn()
+      case Some(t) if kw(t).exists(
+        Set("A_EQUALS", "A_CONTAINS", "A_CONTAINEDBY", "A_OVERLAPS")) =>
+        arrayFn()
       case _ => comparison()
+    }
+
+    /** `A_CONTAINS(tags, ('a', 'b'))` — array predicates; an argument is
+      * a property name or a parenthesized literal list (the cql2-text
+      * array literal).
+      */
+    private def arrayFn(): Cql = {
+      val op = kw(next()).get.toLowerCase
+      expectSym("(")
+      val l = arrayOperand()
+      expectSym(",")
+      val r = arrayOperand()
+      expectSym(")")
+      ArrayPred(op, l, r)
+    }
+
+    private def arrayOperand(): Operand = peek match {
+      case Some(Sym("(")) =>
+        pos += 1
+        var vs = List(operand())
+        while (eatSym(",")) vs ::= operand()
+        expectSym(")")
+        Arr(vs.reverse)
+      case _ => operand()
     }
 
     private def temporalFn(): Cql = {

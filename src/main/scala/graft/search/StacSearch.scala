@@ -1093,6 +1093,50 @@ object StacSearch {
   val a45Sql: String = Tables.withItems(
     s"SELECT $projSql FROM items WHERE ${Geo.convexIntersectsSql("lon", "lat", a45Pentagon)} ORDER BY id")
 
+  // ---------------------------------------- A52 CQL2 array predicates
+  /** A52: CQL2 ARRAY predicates (OGC 21-065 §4.10 — a_equals, a_contains,
+    * a_containedBy, a_overlaps, set semantics) through the one AST. Items
+    * carry a derived `tags` array (collection + user parity + value
+    * bucket — the keywords/instruments shape real STAC items put in
+    * array-typed properties); the filter exercises all four operators
+    * plus their composition under and/or/not. Spark compiles to
+    * `array_except`-emptiness / `arrays_overlap` (codegen'd, no UDF);
+    * the oracle renders DuckDB `list_has_all` / `list_has_any` — two
+    * independent set-semantics implementations that must agree row-wise.
+    */
+  private val tagsSpark =
+    "array(concat('c:', collection), " +
+      "concat('p:', CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END), " +
+      "concat('v:', CAST(id_num % 5 AS STRING)))"
+
+  private val tagsDuck =
+    "['c:' || collection, " +
+      "'p:' || CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END, " +
+      "'v:' || CAST(id_num % 5 AS VARCHAR)]"
+
+  private val a52Ast = Cql.parseJson(
+    """{"and":[
+      |  {"a_overlaps":[{"property":"tags"},["v:1","v:3","v:4"]]},
+      |  {"not":[{"a_contains":[{"property":"tags"},["c:error","p:odd"]]}]},
+      |  {"or":[
+      |    {"a_containedBy":[{"property":"tags"},
+      |      ["c:click","c:view","p:even","p:odd","v:0","v:1","v:2","v:3","v:4"]]},
+      |    {"a_equals":[{"property":"tags"},["v:4","p:even","c:purchase"]]}
+      |  ]}
+      |]}""".stripMargin)
+
+  def a52CqlArrays(s: SparkSession, d: String): DataFrame =
+    items(s, d).withColumn("tags", expr(tagsSpark))
+      .where(a52Ast.toColumn)
+      .select(col("id"), col("collection"), col("tags"))
+      .orderBy(col("id"))
+
+  val a52Sql: String = Tables.withItems(
+    s"""SELECT id, collection, tags FROM (
+       |  SELECT id, collection, $tagsDuck AS tags FROM items)
+       |WHERE ${a52Ast.toSql}
+       |ORDER BY id""".stripMargin)
+
   // ---------------------------------------- A47 CQL2 arithmetic
   /** A47: CQL2 arithmetic expressions (OGC cql2-json `+ - * /`) —
     * arithmetic operands compose anywhere a property/literal can appear,
@@ -1445,6 +1489,7 @@ object StacSearch {
     "a24_zcurve_cells"    -> (a24ZcurveCells _),
     "a26_collections"     -> (a26Collections _),
     "a51_collection_search" -> (a51CollectionSearch _),
+    "a52_cql2_arrays"     -> (a52CqlArrays _),
     "a27_cql2_temporal"   -> a27Fn,
     "a28_cql2_spatial"    -> a28Fn,
     "a29_envelope_overlap" -> (a29EnvelopeOverlap _),
@@ -1496,6 +1541,7 @@ object StacSearch {
     "a24_zcurve_cells"    -> a24Sql,
     "a26_collections"     -> a26Sql,
     "a51_collection_search" -> a51Sql,
+    "a52_cql2_arrays"     -> a52Sql,
     "a27_cql2_temporal"   -> a27Sql,
     "a28_cql2_spatial"    -> a28Sql,
     "a29_envelope_overlap" -> a29Sql,

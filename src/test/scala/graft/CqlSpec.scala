@@ -114,6 +114,35 @@ class CqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("'+' expects"), e.getMessage)
   }
 
+  test("array predicates: json + text parse to one AST; both backends agree " +
+      "on set semantics") {
+    val ast = Cql.parseJson(
+      """{"a_contains":[{"property":"tags"},["a","b"]]}""")
+    assert(ast == ArrayPred("a_contains", Prop("tags"), Arr(Seq(Str("a"), Str("b")))))
+    assert(ast.toSql == "list_has_all(tags, ['a', 'b'])")
+    // text encoding (A_CONTAINEDBY spelled per spec) → same AST
+    val t = graft.cql.Cql2Text.parse("A_containedBy(tags, ('a', 'b'))")
+    assert(t == ArrayPred("a_containedby", Prop("tags"), Arr(Seq(Str("a"), Str("b")))))
+    // Column backend: set semantics on duplicated/reordered elements
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("b", "a", "a")),
+      (3L, Seq("c")),
+      (4L, Seq.empty[String])).toDF("id", "tags")
+    def ids(json: String): Seq[Long] =
+      df.where(Cql.parseJson(json).toColumn).select("id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids("""{"a_contains":[{"property":"tags"},["a","b"]]}""") == Seq(1, 2))
+    assert(ids("""{"a_containedBy":[{"property":"tags"},["a","b","c","d"]]}""") ==
+      Seq(1, 2, 3, 4)) // empty set is contained by anything
+    assert(ids("""{"a_overlaps":[{"property":"tags"},["c","zz"]]}""") == Seq(1, 3))
+    // order and multiplicity irrelevant for a_equals
+    assert(ids("""{"a_equals":[{"property":"tags"},["b","a"]]}""") == Seq(2))
+    assert(ids("""{"a_equals":[{"property":"tags"},["a","b","c"]]}""") == Seq(1))
+  }
+
   test("cql2-text parses to the same AST as cql2-json (SQL renderings equal)") {
     import graft.cql.Cql2Text
     val text = Cql2Text.parse(
