@@ -121,4 +121,52 @@ object IncrementalState {
       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
       |    // COUNT(*) AS avg_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- B27 sketch-typed state
+  /** B27: MERGEABLE DISTINCT-COUNT state — the one metric B24's monoid
+    * row (count/sum/min/max) cannot carry, because COUNT(DISTINCT) does
+    * not decompose over slices. The state-table answer is a SKETCH-typed
+    * partial: each (slice, group) row stores a Datasketches HLL sketch
+    * (`hll_sketch_agg`, a commutative monoid over BINARY — register-wise
+    * max), and merge-on-read is `hll_union_agg` → estimate. Appending a
+    * slice stays a directory add; the union is associative and
+    * order-insensitive like every other column in the state row, and at
+    * 100 TB the read still touches |slices × groups| rows — each carrying
+    * a ~KB sketch — never raw history.
+    *
+    * Exactness contract (IncrementalStateSpec): the merged estimate
+    * equals the DIRECT whole-corpus sketch estimate bit-for-bit — both
+    * paths hash the same values into register-wise max at the same lgK,
+    * so slicing cannot change the registers — and tracks exact
+    * COUNT(DISTINCT) within the configured accuracy.
+    */
+  private val hllLgK = 12
+
+  /** Per-(slice, st) sketch partials over orders' distinct customers. */
+  def sketchPartials(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("slice", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy(col("slice"), col("o_orderstatus").as("st"))
+      .agg(expr(s"hll_sketch_agg(o_custkey, $hllLgK)").as("cust_sketch"),
+        count(lit(1)).as("n"))
+
+  /** Merge-on-read over a materialized sketch-state table. */
+  def sketchMergedFrom(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy(col("st"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(cust_sketch))")
+          .as("approx_customers"),
+        sum(col("n")).as("n_orders"))
+      .orderBy(col("st"))
+
+  /** The direct (no state table) whole-corpus sketch — the equality
+    * target for [[sketchMergedFrom]].
+    */
+  def sketchDirect(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(o_custkey, $hllLgK))")
+          .as("approx_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("st"))
 }

@@ -35,6 +35,31 @@ class IncrementalStateSpec extends AnyFunSuite {
     assert(stateRows < rawRows / 4, s"state ($stateRows) not small vs raw ($rawRows)")
   }
 
+  test("B27: sketch-typed state — sliced HLL partials union to the direct " +
+      "whole-corpus sketch bit-for-bit, and track exact distinct counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state_sketch").toString
+    IncrementalState.sketchPartials(s, sf)
+      .write.mode("overwrite").partitionBy("slice").parquet(tmp)
+
+    val merged = IncrementalState.sketchMergedFrom(s, tmp).collect()
+    val direct = IncrementalState.sketchDirect(s, sf).collect()
+    // register-wise max is slice-invariant: merged ≡ direct, estimate bits included
+    assert(merged.sameElements(direct))
+
+    // the estimate tracks exact COUNT(DISTINCT) within HLL accuracy (lgK=12
+    // → rse ~0.8%; assert a loose 5% so the test pins accuracy, not luck)
+    val exact = core.Tables.orders(s, sf)
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { r =>
+      val (st, est) = (r.getString(0), r.getLong(1).toDouble)
+      val n = exact(st).toDouble
+      assert(math.abs(est - n) / n < 0.05, s"st=$st est=$est exact=$n")
+    }
+    info(merged.map(r => s"${r.getString(0)}: est=${r.getLong(1)} exact=${exact(r.getString(0))}").mkString("; "))
+  }
+
   test("D11: streaming foreachBatch feed — partials-of-partials merge to the direct aggregate") {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
