@@ -313,6 +313,68 @@ object Events {
   def dedupStream(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  // --------------------- D13 streaming CDC latest-per-key (B25 live)
+  /** D13: STREAMING changelog compaction — B25's "current state per key"
+    * maintained live over the changelog stream (the CDC upsert-view
+    * shape: each micro-batch emits the keys it touched with their new
+    * latest row, Update mode — exactly what a downstream MERGE/upsert
+    * sink consumes). State per key is ONE row: the (ts, event_id)-max
+    * version seen so far plus the version count — the same monoid B25's
+    * batch `max_by` folds, so arrival order and micro-batch boundaries
+    * cannot change the answer and the final state ≡ the batch compaction
+    * of the same rows (EventsSpec proves it, out-of-order arrivals
+    * included). No watermark: a changelog's latest-value view never
+    * expires; state is O(keys), the table's natural size.
+    */
+  case class CdcIn(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                   event_type: String, value: Double)
+  case class CdcLatest(user_id: Long, last_event_id: Long,
+                       last_ts: java.sql.Timestamp, last_type: String,
+                       last_value: Double, n_versions: Long)
+
+  class LatestPerKeyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CdcIn, CdcLatest] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var st: ValueState[CdcLatest] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CdcLatest]("latest",
+        E.product[CdcLatest], TTLConfig.NONE)
+
+    private def newer(aTs: java.sql.Timestamp, aId: Long,
+                      bTs: java.sql.Timestamp, bId: Long): Boolean = {
+      val c = aTs.compareTo(bTs)
+      c > 0 || (c == 0 && aId > bId)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcIn],
+                                 tv: TimerValues): Iterator[CdcLatest] = {
+      var cur = if (st.exists()) st.get() else null
+      rows.foreach { r =>
+        val replaces = cur == null ||
+          newer(r.ts, r.event_id, cur.last_ts, cur.last_event_id)
+        val n = if (cur == null) 1L else cur.n_versions + 1L
+        cur =
+          if (replaces) CdcLatest(key, r.event_id, r.ts, r.event_type, r.value, n)
+          else cur.copy(n_versions = n)
+      }
+      st.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Streaming entry (RocksDB-backable like any transformWithState op). */
+  def latestPerKeyStream(s: SparkSession, stream: DataFrame): Dataset[CdcLatest] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    stream.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")).as[CdcIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new LatestPerKeyProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   // ------------------------- D10 streaming grid aggregation (A46 live)
   /** D10: A46's Z-cell grid aggregation over an ITEM STREAM — the live
     * dashboard shape (tiles updating as items land). Tumbling windows ×

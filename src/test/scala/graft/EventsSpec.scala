@@ -290,6 +290,62 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("D13 streaming CDC latest-per-key (RocksDB) ≡ B25 batch compaction, " +
+      "out-of-order and same-ts versions included") {
+    import s.implicits._
+    import graft.streaming.Events.CdcIn
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val b1 = Seq(
+      CdcIn(1, 10, t("00:10"), "click", 1.0),
+      CdcIn(1, 11, t("00:20"), "view", 2.0),
+      CdcIn(2, 12, t("00:15"), "click", 3.0))
+    val b2 = Seq(
+      CdcIn(1, 9, t("00:05"), "signup", 9.0),   // out-of-order: older, must not replace
+      CdcIn(2, 14, t("00:15"), "purchase", 4.0), // same ts: higher event_id wins
+      CdcIn(3, 15, t("00:30"), "error", 5.0))
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[CdcIn](s)
+      val q = Events.latestPerKeyStream(s, mem.toDF())
+        .writeStream.format("memory").queryName("d13_stream")
+        .outputMode("update").start()
+      try {
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+        // final state per key = the max-n_versions emission
+        val got = s.table("d13_stream")
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_versions"), col("last_event_id"), col("last_ts"),
+            col("last_type"), col("last_value"))).as("t"))
+          .select(col("user_id"), col("t.last_event_id"), col("t.last_ts"),
+            col("t.last_type"), col("t.last_value"), col("t.n_versions"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+            r.getString(3), r.getDouble(4), r.getLong(5))).toSet
+        // B25's batch compaction of the same rows
+        val batch = (b1 ++ b2).toDF()
+          .groupBy(col("user_id"))
+          .agg(max_by(struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("last"),
+            count(lit(1)).as("n_versions"))
+          .select(col("user_id"), col("last.event_id"), col("last.ts"),
+            col("last.event_type"), col("last.value"), col("n_versions"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+            r.getString(3), r.getDouble(4), r.getLong(5))).toSet
+        assert(got == batch, s"stream=$got batch=$batch")
+        // the out-of-order pitfalls specifically
+        assert(got.exists(r => r._1 == 1L && r._2 == 11L && r._6 == 3L))
+        assert(got.exists(r => r._1 == 2L && r._2 == 14L && r._4 == "purchase"))
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("D10 streaming grid aggregation (append mode) ≡ the same groupBy as a batch query") {
     import s.implicits._
     def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
