@@ -870,7 +870,71 @@ object TextAnalysis {
        |FROM dw JOIN enc USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------ C39 hashed linear classifier
+  /** C39: hashed-linear-classifier INFERENCE at scan speed — the
+    * fastText-style quality/domain classifier every curation pipeline
+    * runs over the whole corpus (CCNet, LLaMA data prep). Features are
+    * word unigrams + adjacent bigrams; the weight table is IMPLICIT via
+    * the hashing trick (Weinberger et al. 2009): weight(class, feature) =
+    * h64("w<class>:" + feature) mapped to [-500, 500] — deterministic
+    * integers, so per-class scores are exact BIGINT sums and the argmax
+    * is hash-stable. (A TRAINED weight table would broadcast-join like
+    * C27's vocabulary; the hash-derived one keeps the gate free of a
+    * training loop while exercising the identical scoring plumbing.)
+    *
+    * Scale shape: ONE projection — no join, no shuffle, no UDF; the md5
+    * lanes and the sequential integer folds run inside codegen, and the
+    * oracle computes the same folds with DuckDB list primitives.
+    */
+  private val c39Classes = Seq("lo", "mid", "hi")
+
+  private def c39WUnit(c: String)(tok: String): (String, String) =
+    (s"(${h64Spark(s"concat('w$c:', $tok)")} % 1001) - 500",
+      s"(${h64Duck(s"'w$c:' || $tok")} % 1001) - 500")
+
+  def c39ClassifierScore(s: SparkSession, d: String): DataFrame = {
+    def score(c: String): String = {
+      val uni = c39WUnit(c)("t")._1
+      val bi = c39WUnit(c)("concat(element_at(w, i), '_', element_at(w, i + 1))")._1
+      s"aggregate(transform(w, t -> $uni), CAST(0 AS BIGINT), (s, x) -> s + x)" +
+        s" + (CASE WHEN size(w) >= 2 THEN aggregate(" +
+        s"transform(sequence(1, size(w) - 1), i -> $bi), " +
+        s"CAST(0 AS BIGINT), (s, x) -> s + x) ELSE CAST(0 AS BIGINT) END)"
+    }
+    docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .select(Seq(col("doc_id"),
+        expr("size(w) + greatest(size(w) - 1, 0)").cast("long").as("n_feats")) ++
+        c39Classes.map(c => expr(score(c)).as(s"s_$c")): _*)
+      .withColumn("pred", expr(c39ArgmaxSql))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-priority argmax — identical CASE text in both engines. */
+  private val c39ArgmaxSql =
+    "CASE WHEN s_lo >= s_mid AND s_lo >= s_hi THEN 'lo' " +
+      "WHEN s_mid >= s_hi THEN 'mid' ELSE 'hi' END"
+
+  val c39Sql: String = {
+    def score(c: String): String = {
+      val uni = c39WUnit(c)("t")._2
+      val bi = c39WUnit(c)("w[i] || '_' || w[i+1]")._2
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t -> $uni)), (s, x) -> s + x)" +
+        s" + (CASE WHEN len(w) >= 2 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, len(w)), i -> $bi)), (s, x) -> s + x) " +
+        s"ELSE CAST(0 AS BIGINT) END)"
+    }
+    val scores = c39Classes.map(c => s"${score(c)} AS s_$c").mkString(",\n  ")
+    s"""SELECT doc_id, n_feats, s_lo, s_mid, s_hi, $c39ArgmaxSql AS pred
+       |FROM (
+       |  SELECT doc_id, CAST(len(w) + greatest(len(w) - 1, 0) AS BIGINT) AS n_feats,
+       |  $scores
+       |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c39_classifier_score" -> (c39ClassifierScore _),
     "c37_bpe_encode" -> (c37BpeEncode _),
     "c32_bpe_train" -> (c32BpeTrain _),
     "c31_overlap_score" -> (c31OverlapScore _),
@@ -892,6 +956,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c39_classifier_score" -> c39Sql,
     "c37_bpe_encode" -> c37Sql,
     "c32_bpe_train" -> c32Sql,
     "c31_overlap_score" -> c31Sql,

@@ -191,6 +191,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
   }
 
+  test("c39: classifier inference is one scan, no join, no aggregate exchange") {
+    val p = plan(graft.ops.TextAnalysis.queries("c39_classifier_score")(s, sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    val scans = p.split('\n').count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
+  }
+
   test("c27: vocab joins broadcast under the size ceiling, shuffle above it — " +
       "same results either way") {
     import graft.ops.TextAnalysis
