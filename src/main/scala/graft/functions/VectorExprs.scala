@@ -142,3 +142,87 @@ object BloomMightContainLong {
   def apply(c: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
     GraftBridge.column(BloomMightContainLong(GraftBridge.expression(c), bf))
 }
+
+/** Codegen'd hashed-linear-classifier score (C39): per class, the exact
+  * BIGINT sum over word unigram + adjacent-bigram features of
+  * `h60(prefix ++ feature) % 1001 - 500`, where h60 is the first 15 hex
+  * digits of md5 as an integer — bit-identical to the SQL form
+  * `conv(substr(md5(concat(prefix, f)), 1, 15), 16, 10) % 1001 - 500`
+  * summed by `aggregate(transform(...))`. The HOF form evaluates its
+  * lambda INTERPRETED per feature (3 classes × ~600 features per doc =
+  * ~36M interpreted md5 expression trees at sf0.1, 5.0 s); this kernel is
+  * one static call per (row, class) with a tight digest loop (addition is
+  * commutative over exact longs, so fold order is irrelevant to parity).
+  */
+case class HashedClassScore(child: Expression, prefix: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hashed_class_score"
+
+  private lazy val prefixBytes =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedClassScore.score(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], prefixBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("prefix", prefixBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedClassScore.score($c, $pRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedClassScore =
+    copy(child = newChild)
+}
+
+object HashedClassScore {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Underscore = "_".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** First 15 hex digits of md5(prefix ++ a [++ '_' ++ b]) as a long:
+    * 15 nibbles = the big-endian first 8 digest bytes shifted right one
+    * nibble — exactly `conv(substr(md5(x), 1, 15), 16, 10)`.
+    */
+  private def h60(md: java.security.MessageDigest, pre: Array[Byte],
+                  a: Array[Byte], b: Array[Byte]): Long = {
+    md.reset()
+    md.update(pre)
+    md.update(a)
+    if (b != null) { md.update(Underscore); md.update(b) }
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Static — called from generated code. */
+  def score(text: org.apache.spark.unsafe.types.UTF8String,
+            prefix: Array[Byte]): Long = {
+    // limit -1 keeps trailing empty tokens, matching split(text, ' ')
+    val words = text.toString.split(" ", -1)
+    val wb = new Array[Array[Byte]](words.length)
+    var i = 0
+    while (i < words.length) {
+      wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = md5.get()
+    var s = 0L
+    i = 0
+    while (i < wb.length) {
+      s += h60(md, prefix, wb(i), null) % 1001L - 500L
+      if (i + 1 < wb.length) s += h60(md, prefix, wb(i), wb(i + 1)) % 1001L - 500L
+      i += 1
+    }
+    s
+  }
+
+  def apply(c: Column, prefix: String): Column =
+    GraftBridge.column(HashedClassScore(GraftBridge.expression(c), prefix))
+}

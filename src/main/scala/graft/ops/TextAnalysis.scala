@@ -892,23 +892,29 @@ object TextAnalysis {
     (s"(${h64Spark(s"concat('w$c:', $tok)")} % 1001) - 500",
       s"(${h64Duck(s"'w$c:' || $tok")} % 1001) - 500")
 
-  def c39ClassifierScore(s: SparkSession, d: String): DataFrame = {
-    def score(c: String): String = {
-      val uni = c39WUnit(c)("t")._1
-      val bi = c39WUnit(c)("concat(element_at(w, i), '_', element_at(w, i + 1))")._1
-      s"aggregate(transform(w, t -> $uni), CAST(0 AS BIGINT), (s, x) -> s + x)" +
-        s" + (CASE WHEN size(w) >= 2 THEN aggregate(" +
-        s"transform(sequence(1, size(w) - 1), i -> $bi), " +
-        s"CAST(0 AS BIGINT), (s, x) -> s + x) ELSE CAST(0 AS BIGINT) END)"
-    }
+  /** The interpreted HOF form of one class score — kept ONLY as the
+    * parity reference for the codegen'd kernel (GraftFunctionsSpec); the
+    * per-feature lambda is why it is 7× slower than the kernel.
+    */
+  private[graft] def c39ScoreHof(c: String): String = {
+    val uni = c39WUnit(c)("t")._1
+    val bi = c39WUnit(c)(
+      s"concat(element_at($wordsSpark, i), '_', element_at($wordsSpark, i + 1))")._1
+    s"aggregate(transform($wordsSpark, t -> $uni), CAST(0 AS BIGINT), (s, x) -> s + x)" +
+      s" + (CASE WHEN size($wordsSpark) >= 2 THEN aggregate(" +
+      s"transform(sequence(1, size($wordsSpark) - 1), i -> $bi), " +
+      s"CAST(0 AS BIGINT), (s, x) -> s + x) ELSE CAST(0 AS BIGINT) END)"
+  }
+
+  def c39ClassifierScore(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .withColumn("w", expr(wordsSpark))
       .select(Seq(col("doc_id"),
-        expr("size(w) + greatest(size(w) - 1, 0)").cast("long").as("n_feats")) ++
-        c39Classes.map(c => expr(score(c)).as(s"s_$c")): _*)
+        expr(s"size($wordsSpark) + greatest(size($wordsSpark) - 1, 0)")
+          .cast("long").as("n_feats")) ++
+        c39Classes.map(c =>
+          graft.functions.HashedClassScore(col("text"), s"w$c:").as(s"s_$c")): _*)
       .withColumn("pred", expr(c39ArgmaxSql))
       .orderBy(col("doc_id"))
-  }
 
   /** Fixed-priority argmax — identical CASE text in both engines. */
   private val c39ArgmaxSql =

@@ -36,6 +36,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("HashedClassScore kernel ≡ the interpreted HOF fold on real data") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(s, TestSpark.sf).limit(200)
+    val both = docs.select(
+      graft.functions.HashedClassScore(col("text"), "wmid:").as("k"),
+      expr(graft.ops.TextAnalysis.c39ScoreHof("mid")).as("h"))
+    assert(both.where(col("k") =!= col("h")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("extensions class wires the same builders") {
     assert(GraftFunctions.builders.map(_._1).toSet ==
       Set("dot_product", "rolling_hash", "point_in_polygon",
