@@ -407,13 +407,14 @@ object Dedup {
     */
   private val passageLen = 8
 
-  def c24DupPassages(s: SparkSession, d: String): DataFrame = {
+  /** The positional 8-gram shingle stream (doc_id, pos, gh), materialized
+    * once — several consumers (df count, flagged join, per-doc totals)
+    * read it (at scale: a staged shingle table). Shared by C24 and C40.
+    */
+  private def p8Grams(s: SparkSession, d: String): DataFrame = {
     val gram8 = (0 until passageLen)
       .map(k => s"element_at(w, i + $k)").mkString("concat_ws(' ', ", ", ", ")")
-    // three consumers (df count, flagged join, per-doc totals) read the
-    // shingle stream — materialize it ONCE instead of recomputing the
-    // concat+md5 projection per branch (at scale: a staged shingle table)
-    val g8 = Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr(s"size(w) >= $passageLen"))
       .select(col("doc_id"), posexplode(expr(
@@ -421,10 +422,19 @@ object Dedup {
         .as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), expr(h64Spark("concat('p8:', g)")).as("gh"))
       .localCheckpoint(true)
+  }
+
+  /** Occurrences of shingles seen in ≥2 documents (the copied passages). */
+  private def p8Flagged(g8: DataFrame): DataFrame = {
     val dupHashes = g8.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select(col("gh"))
-    val flagged = g8.join(dupHashes, "gh")
+    g8.join(dupHashes, "gh")
+  }
+
+  def c24DupPassages(s: SparkSession, d: String): DataFrame = {
+    val g8 = p8Grams(s, d)
+    val flagged = p8Flagged(g8)
     val totals = g8.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val dupGrams = flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
     val dupTokens = flagged
@@ -580,7 +590,70 @@ object Dedup {
        |FROM j ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // ------------------------------- C40 duplicated-passage REMOVAL
+  /** C40: duplicated-passage REMOVAL — C24's detection carried to the
+    * pipeline's actual output (Lee et al. 2022 §3: cut every substring
+    * duplicated across documents and TRAIN ON THE REST): per document,
+    * excise all tokens inside cross-document 8-gram spans and rebuild the
+    * cleaned text.
+    *
+    * Scale shape: the only token-level shuffle is the dup-position
+    * aggregate C24 already pays; reconstruction is NOT a token shuffle —
+    * the cut positions collapse to ONE sorted array per affected doc
+    * (rows ≪ corpus), left-join back onto documents, and a single
+    * index-aware `filter` lambda rebuilds the text in a projection.
+    * Documents with no copied passages pass through with an empty cut
+    * set; under-8-token documents never enter the shingle stream.
+    */
+  def c40PassageRemove(s: SparkSession, d: String): DataFrame = {
+    val cuts = p8Flagged(p8Grams(s, d))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${passageLen - 1})")).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tp"))).as("cut"))
+    Tables.documents(s, d)
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("w", expr(wordsSpark))
+      .withColumn("kept", expr(
+        "filter(w, (x, i) -> NOT array_contains(coalesce(cut, CAST(array() AS ARRAY<INT>)), i))"))
+      .select(col("doc_id"),
+        expr("size(w)").cast("long").as("n_tokens"),
+        expr("size(kept)").cast("long").as("kept_tokens"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c40Sql: String = {
+    val gram8 = (1 until passageLen)
+      .foldLeft("w[i]") { case (acc, k) => s"$acc||' '||w[i + $k]" }
+    s"""WITH base AS (
+       |  SELECT doc_id, w FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= $passageLen),
+       |g8 AS (
+       |  SELECT doc_id, i - 1 AS pos, ${h64Duck(s"'p8:'||($gram8)")} AS gh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${passageLen - 2})) AS i FROM base)),
+       |dup AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g8 GROUP BY gh)
+       |        WHERE nd >= 2),
+       |flagged AS (SELECT g8.* FROM g8 JOIN dup USING (gh)),
+       |cuts AS (
+       |  SELECT doc_id, list_sort(list(DISTINCT tp)) AS cut FROM (
+       |    SELECT doc_id, unnest(range(pos, pos + $passageLen)) AS tp FROM flagged)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(kept) AS BIGINT) AS kept_tokens,
+       |  -- DuckDB's array_to_string([]) is NULL; Spark's array_join([]) is ''
+       |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+       |FROM (
+       |  SELECT doc_id, w,
+       |    list_filter(w, (x, i) -> NOT list_contains(COALESCE(cut, CAST([] AS BIGINT[])), i - 1)) AS kept
+       |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
+       |  LEFT JOIN cuts USING (doc_id))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c40_passage_remove" -> (c40PassageRemove _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c2_dedup_minhash"   -> (c2DedupMinhash _),
     "c3_dedup_simhash"   -> (c3DedupSimhash _),
@@ -593,6 +666,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "c40_passage_remove" -> c40Sql,
     "c1_dedup_exact"     -> c1Sql,
     "c2_dedup_minhash"   -> c2Sql,
     "c3_dedup_simhash"   -> c3Sql,

@@ -65,6 +65,25 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(viaRanges == plain && viaCells == plain)
   }
 
+  test("c40 removal ≡ c24 mask: kept_tokens = n_tokens − dup_tokens, " +
+      "and cleaned text re-joins to exactly the kept token count") {
+    import graft.ops.Dedup
+    val mask = Dedup.queries("c24_dup_passages")(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> dup_tokens
+    val removed = Dedup.queries("c40_passage_remove")(s, sf).collect()
+    assert(removed.nonEmpty)
+    var fullyCut = 0
+    removed.foreach { r =>
+      val (id, n, kept, text) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(kept == n - mask.getOrElse(id, 0L), s"doc $id")
+      val rejoined = if (text.isEmpty) 0 else text.split(" ", -1).length
+      assert(rejoined == kept, s"doc $id: rejoined=$rejoined kept=$kept")
+      if (kept == 0) fullyCut += 1
+    }
+    assert(fullyCut > 0, "expected some fully-duplicated docs in the fixture")
+  }
+
   test("c36 keeps exactly one member per cluster, and it is the best-quality one") {
     val rows = Dedup.queries("c36_cluster_reps")(s, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
