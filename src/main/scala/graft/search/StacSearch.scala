@@ -1093,6 +1093,27 @@ object StacSearch {
   val a45Sql: String = Tables.withItems(
     s"SELECT $projSql FROM items WHERE ${Geo.convexIntersectsSql("lon", "lat", a45Pentagon)} ORDER BY id")
 
+  // ---------------------------------------- A53 free-text search (q=)
+  /** A53: the STAC FREE-TEXT SEARCH extension — `GET /search?q=...` with
+    * the advanced-class grammar (terms, "phrases", AND/OR/comma, -/NOT,
+    * parens) parsed by [[graft.cql.FreeText]] onto the one CQL AST, so
+    * the q parameter rides the same two-backend compilation as every
+    * CQL2 filter. Searchable item fields here: `collection` and `props`
+    * (the JSON properties blob — substring search over serialized
+    * properties is exactly what the extension's basic profile does).
+    * The gate's q exercises OR + phrase + grouping + negation at once.
+    */
+  private val a53Q = """(click OR view) AND -": 9}""""
+
+  private val a53Ast = graft.cql.FreeText.parse(a53Q, Seq("collection", "props"))
+
+  def a53FreeText(s: SparkSession, d: String): DataFrame =
+    items(s, d).where(a53Ast.toColumn)
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a53Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE ${a53Ast.toSql} ORDER BY id")
+
   // ---------------------------------------- A52 CQL2 array predicates
   /** A52: CQL2 ARRAY predicates (OGC 21-065 §4.10 — a_equals, a_contains,
     * a_containedBy, a_overlaps, set semantics) through the one AST. Items
@@ -1490,6 +1511,7 @@ object StacSearch {
     "a26_collections"     -> (a26Collections _),
     "a51_collection_search" -> (a51CollectionSearch _),
     "a52_cql2_arrays"     -> (a52CqlArrays _),
+    "a53_free_text"       -> (a53FreeText _),
     "a27_cql2_temporal"   -> a27Fn,
     "a28_cql2_spatial"    -> a28Fn,
     "a29_envelope_overlap" -> (a29EnvelopeOverlap _),
@@ -1542,6 +1564,7 @@ object StacSearch {
     "a26_collections"     -> a26Sql,
     "a51_collection_search" -> a51Sql,
     "a52_cql2_arrays"     -> a52Sql,
+    "a53_free_text"       -> a53Sql,
     "a27_cql2_temporal"   -> a27Sql,
     "a28_cql2_spatial"    -> a28Sql,
     "a29_envelope_overlap" -> a29Sql,

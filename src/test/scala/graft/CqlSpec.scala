@@ -143,6 +143,29 @@ class CqlSpec extends AnyFunSuite {
     assert(ids("""{"a_equals":[{"property":"tags"},["a","b","c"]]}""") == Seq(1))
   }
 
+  test("free-text q grammar: terms, phrases, comma-OR, adjacency-AND, " +
+      "-/NOT, parens, +required — onto the one AST") {
+    import graft.cql.FreeText
+    def p(q: String) = FreeText.parse(q, Seq("t"))
+    val like = (s: String) => Like(Prop("t"), s"%$s%", ci = true)
+    assert(p("cat") == like("cat"))
+    assert(p("cat,dog") == Or(Seq(like("cat"), like("dog"))))
+    assert(p("cat dog") == And(Seq(like("cat"), like("dog"))))
+    assert(p("cat AND dog OR fish") ==
+      Or(Seq(And(Seq(like("cat"), like("dog"))), like("fish"))))
+    assert(p("(cat OR dog) -fish") ==
+      And(Seq(Or(Seq(like("cat"), like("dog"))), Not(like("fish")))))
+    assert(p("""+cat NOT "hot dog"""") == And(Seq(like("cat"), Not(like("hot dog")))))
+    // multi-field: a term fans out to an OR across searchable fields
+    assert(FreeText.parse("x", Seq("a", "b")) ==
+      Or(Seq(Like(Prop("a"), "%x%", ci = true), Like(Prop("b"), "%x%", ci = true))))
+    // rejections: LIKE metacharacters, empty/unterminated input
+    assertThrows[IllegalArgumentException](p("100%"))
+    assertThrows[IllegalArgumentException](p("\"unterminated"))
+    assertThrows[IllegalArgumentException](p("(cat"))
+    assertThrows[IllegalArgumentException](p(""))
+  }
+
   test("cql2-text parses to the same AST as cql2-json (SQL renderings equal)") {
     import graft.cql.Cql2Text
     val text = Cql2Text.parse(
