@@ -169,4 +169,50 @@ object IncrementalState {
           .as("approx_customers"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("st"))
+
+  // --------------------------------------- B28 heavy-hitter summaries
+  /** B28: MERGEABLE HEAVY-HITTER state — Misra-Gries summaries as state
+    * rows (Agarwal et al. 2013, "Mergeable Summaries"): top-k frequent
+    * keys with guaranteed error, the second metric (after B27's distinct
+    * count) that doesn't decompose over slices as a plain monoid.
+    *
+    * Per slice: exact (key, count) group counts — a slice fits, that's
+    * the state-table premise — TRUNCATED to an MG summary: subtract the
+    * (k+1)-th largest count from everything, keep the ≤ k keys still
+    * positive. Merge-on-read: sum the summaries' counters per key
+    * (counter addition is the monoid part), then apply the SAME
+    * truncation once more — the Agarwal et al. merge, closed under
+    * slicing. Guarantee (spec-pinned): every surviving estimate is an
+    * UNDER-count by at most n/(k+1) of the TOTAL stream, and every key
+    * with true frequency > n/(k+1) survives. State per (slice, group) is
+    * ≤ k rows regardless of key cardinality — the compression that makes
+    * frequent-token tracking viable at 100 TB.
+    */
+  def mgTruncate(counts: DataFrame, k: Int, sliceCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = sliceCol.map(c => Window.partitionBy(col(c)))
+      .getOrElse(Window.partitionBy())
+      .orderBy(col("cnt").desc, col("key"))
+    val keep = Seq(col("key"), col("est")) ++ sliceCol.map(col)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("thr", max(when(col("rk") === k + 1, col("cnt"))
+        .otherwise(lit(0L))).over(
+        sliceCol.map(c => Window.partitionBy(col(c))).getOrElse(Window.partitionBy())))
+      .where(col("rk") <= k && col("cnt") > col("thr"))
+      .withColumn("est", col("cnt") - col("thr"))
+      .select(keep: _*)
+  }
+
+  /** Per-slice MG summaries from raw (slice, key) rows. */
+  def mgSummaries(rows: DataFrame, k: Int): DataFrame =
+    mgTruncate(
+      rows.groupBy(col("slice"), col("key")).agg(count(lit(1)).as("cnt")),
+      k, Some("slice"))
+
+  /** Merge-on-read: sum the per-slice counters, re-truncate. */
+  def mgMerged(summaries: DataFrame, k: Int): DataFrame =
+    mgTruncate(
+      summaries.groupBy(col("key")).agg(sum(col("est")).as("cnt")),
+      k, None)
 }

@@ -60,6 +60,53 @@ class IncrementalStateSpec extends AnyFunSuite {
     info(merged.map(r => s"${r.getString(0)}: est=${r.getLong(1)} exact=${exact(r.getString(0))}").mkString("; "))
   }
 
+  test("B28: Misra-Gries heavy-hitter state — merged summaries keep every " +
+      "true heavy hitter within the n/(k+1) bound, at ≤ k rows per slice") {
+    import s.implicits._
+    val k = 8
+    // synthetic Zipf-ish stream: key i appears ~60/i times — real skew,
+    // which the uniform fixtures don't have; 3 slices split round-robin
+    val stream = for {
+      i <- 1 to 40; r <- 1 to (60 / i).max(1)
+    } yield (s"slice${(i * 31 + r) % 3}", s"k$i")
+    val rows = stream.toDF("slice", "key")
+    val n = stream.size.toLong
+
+    val summaries = IncrementalState.mgSummaries(rows, k)
+    val perSlice = summaries.groupBy(col("slice")).count().collect()
+    perSlice.foreach(r => assert(r.getLong(1) <= k, s"slice ${r.getString(0)}"))
+
+    val merged = IncrementalState.mgMerged(summaries, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.size <= k)
+    val truth = stream.groupBy(_._2).map { case (key, xs) => key -> xs.size.toLong }
+    val bound = n / (k + 1)
+    // every estimate is an under-count by at most n/(k+1)
+    merged.foreach { case (key, est) =>
+      val t = truth(key)
+      assert(est <= t && t - est <= bound, s"$key est=$est true=$t bound=$bound")
+    }
+    // every TRUE heavy hitter (freq > n/(k+1)) survived the merge
+    val hh = truth.filter(_._2 > bound).keySet
+    assert(hh.nonEmpty, "fixture should produce true heavy hitters")
+    assert(hh.subsetOf(merged.keySet), s"missing: ${hh -- merged.keySet}")
+
+    // the bound also holds on real corpus words sliced by source
+    val words = core.Tables.documents(s, sf)
+      .select(col("source").as("slice"),
+        explode(expr("split(text, ' ')")).as("key"))
+    val wMerged = IncrementalState.mgMerged(
+      IncrementalState.mgSummaries(words, 64), 64).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wTruth = words.groupBy(col("key")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wBound = wTruth.values.sum / 65
+    wMerged.foreach { case (key, est) =>
+      val t = wTruth(key)
+      assert(est <= t && t - est <= wBound, s"$key est=$est true=$t bound=$wBound")
+    }
+  }
+
   test("D11: streaming foreachBatch feed — partials-of-partials merge to the direct aggregate") {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
