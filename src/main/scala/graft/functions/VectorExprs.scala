@@ -226,3 +226,84 @@ object HashedClassScore {
   def apply(c: Column, prefix: String): Column =
     GraftBridge.column(HashedClassScore(GraftBridge.expression(c), prefix))
 }
+
+/** Codegen'd positional word-shingle hashes (C24/C40): for text split on
+  * single spaces, every `n`-word window's 60-bit md5 lane —
+  * bit-identical to
+  * `transform(sequence(1, size(w)-n+1), i -> conv(substr(md5(concat(
+  * prefix, concat_ws(' ', w[i..i+n-1]))), 1, 15), 16, 10))` — as ONE
+  * array-returning call per row. The HOF form pays an interpreted
+  * expression tree per shingle (~1.5M at sf0.1, the dominant cost of the
+  * passage-dedup pipeline); this kernel digests each window in a tight
+  * loop, reusing the per-word byte arrays across the n windows that
+  * contain them. Returns an empty array when the text has fewer than n
+  * words.
+  */
+case class WordShingleHashes(child: Expression, n: Int, prefix: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  private lazy val prefixBytes =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingleHashes.hashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, prefixBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("prefix", prefixBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingleHashes.hashes($c, $n, $pRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Space = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Static — called from generated code. */
+  def hashes(text: org.apache.spark.unsafe.types.UTF8String,
+             n: Int, prefix: Array[Byte]): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val m = words.length - n + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val wb = new Array[Array[Byte]](words.length)
+    var i = 0
+    while (i < words.length) {
+      wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = md5.get()
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      md.reset()
+      md.update(prefix)
+      var k = 0
+      while (k < n) {
+        if (k > 0) md.update(Space)
+        md.update(wb(i + k))
+        k += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  def apply(c: Column, n: Int, prefix: String): Column =
+    GraftBridge.column(WordShingleHashes(GraftBridge.expression(c), n, prefix))
+}

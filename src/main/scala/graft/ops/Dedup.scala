@@ -411,18 +411,18 @@ object Dedup {
     * once — several consumers (df count, flagged join, per-doc totals)
     * read it (at scale: a staged shingle table). Shared by C24 and C40.
     */
-  private def p8Grams(s: SparkSession, d: String): DataFrame = {
-    val gram8 = (0 until passageLen)
-      .map(k => s"element_at(w, i + $k)").mkString("concat_ws(' ', ", ", ", ")")
+  private def p8Grams(s: SparkSession, d: String): DataFrame =
+    // the shingle hashes come from ONE codegen'd call per document
+    // (graft.functions.WordShingleHashes) — the equivalent
+    // transform-lambda form pays an interpreted md5 expression tree per
+    // shingle and was 2.6× the oracle at sf0.1 (parity asserted in
+    // GraftFunctionsSpec; the oracle still computes the HOF form)
     Tables.documents(s, d)
-      .withColumn("w", expr(wordsSpark))
-      .where(expr(s"size(w) >= $passageLen"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(w) - ${passageLen - 1}), i -> $gram8)"))
-        .as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), expr(h64Spark("concat('p8:', g)")).as("gh"))
+      .where(expr(s"size($wordsSpark) >= $passageLen"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.WordShingleHashes(col("text"), passageLen, "p8:"))
+        .as(Seq("pos", "gh")))
       .localCheckpoint(true)
-  }
 
   /** Occurrences of shingles seen in ≥2 documents (the copied passages). */
   private def p8Flagged(g8: DataFrame): DataFrame = {

@@ -46,6 +46,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("WordShingleHashes kernel ≡ the interpreted HOF form on real data") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextExprs._
+    val n = 8
+    val gram = (0 until n)
+      .map(k => s"element_at(w, i + $k)").mkString("concat_ws(' ', ", ", ", ")")
+    val hof = s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
+      s"${h64Spark(s"concat('p8:', $gram)")})"
+    val docs = graft.core.Tables.documents(s, TestSpark.sf).limit(200)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr(s"size(w) >= $n"))
+    val both = docs.select(
+      graft.functions.WordShingleHashes(col("text"), n, "p8:").as("k"),
+      expr(hof).as("h"))
+    assert(both.where(col("k") =!= col("h")).count() == 0)
+    assert(both.count() > 0)
+    // under-n-word text → empty array, not a crash or a descending sequence
+    val short = s.sql("SELECT 'one two three' AS text")
+    assert(short.select(graft.functions.WordShingleHashes(col("text"), n, "p8:"))
+      .collect()(0).getSeq[Long](0).isEmpty)
+  }
+
   test("extensions class wires the same builders") {
     assert(GraftFunctions.builders.map(_._1).toSet ==
       Set("dot_product", "rolling_hash", "point_in_polygon",
