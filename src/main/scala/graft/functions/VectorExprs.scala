@@ -307,3 +307,71 @@ object WordShingleHashes {
   def apply(c: Column, n: Int, prefix: String): Column =
     GraftBridge.column(WordShingleHashes(GraftBridge.expression(c), n, prefix))
 }
+
+/** Codegen'd per-document SimHash signature (C3): for text split on
+  * single spaces, hash every word (60-bit md5 lane, `prefix`-salted),
+  * accumulate the ±1 per-bit votes, and assemble the `bits`-bit
+  * signature — integer-exact equal to the explode → 32-column groupBy →
+  * assemble pipeline (addition is commutative), but computed in ONE
+  * projection: the signature never shuffles word rows, so the only
+  * exchange left in the near-dup operator is the tiny per-band bucket
+  * aggregation.
+  */
+case class SimHashSig(child: Expression, prefix: String, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_sig"
+
+  private lazy val prefixBytes =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashSig.sig(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], prefixBytes, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("prefix", prefixBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashSig.sig($c, $pRef, $bits);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static — called from generated code. */
+  def sig(text: org.apache.spark.unsafe.types.UTF8String,
+          prefix: Array[Byte], bits: Int): Long = {
+    val words = text.toString.split(" ", -1)
+    val votes = new Array[Long](bits)
+    val md = md5.get()
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      md.update(prefix)
+      md.update(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      h = h >>> 4
+      var k = 0
+      while (k < bits) { votes(k) += ((h >> k) & 1L) * 2L - 1L; k += 1 }
+      i += 1
+    }
+    var sh = 0L
+    var k = 0
+    while (k < bits) { if (votes(k) > 0L) sh |= 1L << k; k += 1 }
+    sh
+  }
+
+  def apply(c: Column, prefix: String, bits: Int): Column =
+    GraftBridge.column(SimHashSig(GraftBridge.expression(c), prefix, bits))
+}

@@ -158,23 +158,19 @@ object Dedup {
     terms.mkString("(", " + ", ")")
   }
 
-  /** Spark side: words explode to rows (codegen'd md5 projection), the 32
-    * per-bit ±1 sums are one partially-aggregated groupBy, and the final
-    * bit assembly is a scalar projection. Integer math throughout — equal
-    * to the oracle's list-fold form by exactness, no op-order caveats.
+  /** Spark side: the whole signature comes from ONE codegen'd projection
+    * ([[graft.functions.SimHashSig]] — word hashes, ±1 bit votes, and
+    * assembly in a single per-row pass), so word rows never shuffle and
+    * the only exchange left is the tiny per-band bucket aggregation.
+    * Integer math throughout — equal to the oracle's list-fold form (and
+    * to the former explode → 32-column groupBy pipeline, asserted in
+    * GraftFunctionsSpec) by exactness; vote addition is commutative so
+    * accumulation order is irrelevant.
     */
   def c3DedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val wh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(wordsSpark)).as("x"))
-      .select(col("doc_id"), expr(h64Spark("concat('sh:', x)")).as("h"))
-    val sums = wh.groupBy(col("doc_id"))
-      .agg(sum(expr("(shiftright(h, 0) & 1) * 2 - 1")).as("s0"),
-        (1 until simBits).map(k =>
-          sum(expr(s"(shiftright(h, $k) & 1) * 2 - 1")).as(s"s$k")): _*)
-    val assemble = (0 until simBits)
-      .map(k => s"(CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END)")
-      .mkString("(", " + ", ")")
-    val sim = sums.select(col("doc_id"), expr(assemble).as("sh"))
+    val sim = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.SimHashSig(col("text"), "sh:", simBits).as("sh"))
     val bandKeys = (0 until 4).map(b => expr(s"shiftright(sh, ${8 * b}) & 255"))
     val bands = sim.select(col("doc_id"), col("sh"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))

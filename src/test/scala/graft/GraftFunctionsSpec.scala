@@ -68,6 +68,29 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0).isEmpty)
   }
 
+  test("SimHashSig kernel ≡ the explode + 32-column groupBy pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextExprs._
+    val bits = 32
+    val docs = graft.core.Tables.documents(s, TestSpark.sf).limit(200)
+    val sums = docs
+      .select(col("doc_id"), explode(expr(wordsSpark)).as("x"))
+      .select(col("doc_id"), expr(h64Spark("concat('sh:', x)")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("(shiftright(h, 0) & 1) * 2 - 1")).as("s0"),
+        (1 until bits).map(k =>
+          sum(expr(s"(shiftright(h, $k) & 1) * 2 - 1")).as(s"s$k")): _*)
+    val assemble = (0 until bits)
+      .map(k => s"(CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val ref = sums.select(col("doc_id"), expr(assemble).as("h"))
+    val kern = docs.select(col("doc_id"),
+      graft.functions.SimHashSig(col("text"), "sh:", bits).as("k"))
+    val joined = kern.join(ref, "doc_id")
+    assert(joined.where(col("k") =!= col("h")).count() == 0)
+    assert(joined.count() > 0)
+  }
+
   test("extensions class wires the same builders") {
     assert(GraftFunctions.builders.map(_._1).toSet ==
       Set("dot_product", "rolling_hash", "point_in_polygon",
