@@ -939,7 +939,63 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------- C41 tokenizer-budget packing
+  /** C41: sequence packing by TOKENIZER budget — C23's prefix-sum binning
+    * where the budget counts the tokens that actually fill a context
+    * window: C37's BPE token counts (the trained tokenizer applied via
+    * the broadcast encode dictionary), not whitespace words. The plan
+    * composes the two proven shapes end to end: one corpus pass + a
+    * broadcast dictionary join + one map-side-combined per-doc aggregate
+    * (C37), then ONE shuffle+sort prefix-sum window per source (C23) —
+    * no driver loop anywhere; the merge training's O(iterations) driver
+    * argmaxes are a constant prefix, amortized over any number of
+    * downstream packings.
+    */
+  private val c41Budget = 4096
+
+  def c41BpePacking(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, vocab) = c32Train(s, d)
+    val dict = vocab.select(col("w"),
+      expr(s"size($c32Symbols)").cast("long").as("n_tok"))
+    val perDoc = docs(s, d)
+      .select(col("doc_id"), col("source"), explode(expr(wordsSpark)).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(dict), Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n_tok")).as("bpe_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .withColumn("cum", sum(col("bpe_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("bpe_tokens"),
+        ((col("cum") - col("bpe_tokens")) / c41Budget).cast("bigint").as("bin"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val c41Sql: String =
+    s"""WITH ${c32SqlChain(carryW = true)},
+       |enc AS (
+       |  SELECT w, CAST(len(regexp_extract_all(ws, '\\(([^)]*)\\)', 1)) AS BIGINT) AS n_tok
+       |  FROM v$c32Merges),
+       |dw AS (
+       |  SELECT doc_id, source, w
+       |  FROM (SELECT doc_id, source, unnest($wordsDuck) AS w FROM documents)
+       |  WHERE w <> ''),
+       |pd AS (
+       |  SELECT doc_id, source, CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens
+       |  FROM dw JOIN enc USING (w) GROUP BY doc_id, source)
+       |SELECT doc_id, source, bpe_tokens,
+       |  CAST(FLOOR(CAST(cum - bpe_tokens AS DOUBLE) / $c41Budget) AS BIGINT) AS bin
+       |FROM (
+       |  SELECT doc_id, source, bpe_tokens,
+       |    SUM(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM pd)
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c41_bpe_packing" -> (c41BpePacking _),
     "c39_classifier_score" -> (c39ClassifierScore _),
     "c37_bpe_encode" -> (c37BpeEncode _),
     "c32_bpe_train" -> (c32BpeTrain _),
@@ -962,6 +1018,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c41_bpe_packing" -> c41Sql,
     "c39_classifier_score" -> c39Sql,
     "c37_bpe_encode" -> c37Sql,
     "c32_bpe_train" -> c32Sql,
