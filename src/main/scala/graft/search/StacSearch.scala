@@ -1372,6 +1372,70 @@ object StacSearch {
          |ORDER BY collection LIMIT 3""".stripMargin)
   }
 
+  // ------------------------------- A54 incremental collection extents
+  /** A54: the collections directory MAINTAINED INCREMENTALLY — A26's
+    * derived extents as a slice-partitioned state table (B24's layout
+    * applied to the STAC surface): every extent field is already a
+    * monoid (count / min / max), so the nightly refresh aggregates ONLY
+    * the new month of items and adds a partition, and serving the
+    * directory merges |slices × collections| state rows — the full item
+    * history is never re-scanned. Items slice by their instant datetime
+    * or, for interval items, their start. The gate runs merge-on-read
+    * against A26's ORACLE (the direct aggregate over all raw items) —
+    * equality IS the incremental-maintenance proof; the spec additionally
+    * walks the nightly append path.
+    */
+  def a54ExtentPartials(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .withColumn("slice",
+        date_format(coalesce(col("datetime"), col("start_datetime")), "yyyy-MM"))
+      .groupBy(col("slice"), col("collection"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("datetime")).as("t_min"), max(col("datetime")).as("t_max"),
+        min(col("lon")).as("west"), max(col("lon")).as("east"),
+        min(col("lat")).as("south"), max(col("lat")).as("north"))
+
+  /** Materialize the extent-state table (idempotent per dir; the spec
+    * passes its own path + slice filter to drive the append path).
+    */
+  def a54Materialize(s: SparkSession, d: String,
+                     path: String = null, slicePred: String = null): String = {
+    val p = Option(path).getOrElse {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      new java.io.File(sys.props("java.io.tmpdir"), s"graft_extents_$key").getAbsolutePath
+    }
+    val exists = path == null && new java.io.File(p, "_SUCCESS").exists()
+    if (!exists) {
+      val st = a54ExtentPartials(s, d)
+      val sliced = Option(slicePred).map(st.where).getOrElse(st)
+      sliced.write.mode(if (path == null) "overwrite" else "append")
+        .partitionBy("slice").parquet(p)
+    }
+    p
+  }
+
+  /** Merge-on-read: the served directory — identical output (and oracle)
+    * to [[a26Collections]].
+    */
+  def a54MergedFrom(s: SparkSession, statePath: String): DataFrame = {
+    import s.implicits._
+    val meta = collectionMeta.toDF("collection", "title", "license", "description")
+    s.read.parquet(statePath)
+      .groupBy(col("collection"))
+      .agg(sum(col("n_items")).as("n_items"),
+        min(col("t_min")).as("t_min"), max(col("t_max")).as("t_max"),
+        min(col("west")).as("west"), max(col("east")).as("east"),
+        min(col("south")).as("south"), max(col("north")).as("north"))
+      .join(broadcast(meta), Seq("collection"), "left")
+      .withColumn("self_href",
+        concat(lit("https://example.com/collections/"), col("collection")))
+      .orderBy(col("collection"))
+  }
+
+  def a54CollectionsIncremental(s: SparkSession, d: String): DataFrame =
+    a54MergedFrom(s, a54Materialize(s, d))
+
   // ----------------------------------------- A48 per-collection queryables
   /** A48: per-collection queryables STATS — A21's schema-derived
     * queryables enriched with live property statistics (value ranges +
@@ -1512,6 +1576,7 @@ object StacSearch {
     "a51_collection_search" -> (a51CollectionSearch _),
     "a52_cql2_arrays"     -> (a52CqlArrays _),
     "a53_free_text"       -> (a53FreeText _),
+    "a54_collections_incremental" -> (a54CollectionsIncremental _),
     "a27_cql2_temporal"   -> a27Fn,
     "a28_cql2_spatial"    -> a28Fn,
     "a29_envelope_overlap" -> (a29EnvelopeOverlap _),
@@ -1565,6 +1630,7 @@ object StacSearch {
     "a51_collection_search" -> a51Sql,
     "a52_cql2_arrays"     -> a52Sql,
     "a53_free_text"       -> a53Sql,
+    "a54_collections_incremental" -> a26Sql, // merged state ≡ the direct directory
     "a27_cql2_temporal"   -> a27Sql,
     "a28_cql2_spatial"    -> a28Sql,
     "a29_envelope_overlap" -> a29Sql,

@@ -69,6 +69,22 @@ class StacSearchSpec extends AnyFunSuite {
     assert(run(world, "2020-01-01 00:00:00", "2020-02-01 00:00:00", "events").isEmpty)
   }
 
+  test("a54 nightly append: adding only the newest slice's extent partials " +
+      "serves the same directory as a full recompute") {
+    import graft.search.StacSearch
+    import org.apache.spark.sql.functions._
+    val direct = StacSearch.queries("a26_collections")(s, sf).collect()
+    val slices = StacSearch.a54ExtentPartials(s, sf)
+      .select(col("slice")).distinct().collect().map(_.getString(0)).sorted
+    assert(slices.size >= 2, s"need >= 2 slices, got ${slices.toSeq}")
+    val last = slices.last
+    val tmp = java.nio.file.Files.createTempDirectory("graft_extents_append").toString
+    StacSearch.a54Materialize(s, sf, tmp, s"slice < '$last'")   // day 1
+    StacSearch.a54Materialize(s, sf, tmp, s"slice = '$last'")   // day 2: append
+    val merged = StacSearch.a54MergedFrom(s, tmp).collect()
+    assert(merged.sameElements(direct))
+  }
+
   test("a21 queryables: JSON-schema derived from live schema") {
     val q = StacSearch.queryables(Tables.items(s, sf))
     val om = new ObjectMapper()
