@@ -215,4 +215,42 @@ object IncrementalState {
     mgTruncate(
       summaries.groupBy(col("key")).agg(sum(col("est")).as("cnt")),
       k, None)
+
+  /** The b28 gate: month-sliced MG summaries of orders' customers, merged
+    * — both the per-slice truncation and the Agarwal merge are pure
+    * relational algebra, so the ORACLE re-runs the whole algorithm in
+    * SQL (window rank + threshold join, twice) and must agree exactly,
+    * ties included (rank order (cnt DESC, key) is total).
+    */
+  private val mgK = 16
+
+  def b28HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir).select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("slice"),
+      col("o_custkey").cast("string").as("key"))
+    mgMerged(mgSummaries(rows, mgK), mgK)
+      .orderBy(col("est").desc, col("key"))
+  }
+
+  val b28Sql: String = {
+    val k = mgK
+    s"""WITH c AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS slice,
+       |    CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt
+       |  FROM orders GROUP BY 1, 2),
+       |r AS (SELECT slice, key, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY slice ORDER BY cnt DESC, key) AS rk FROM c),
+       |thr AS (SELECT slice, cnt AS thr FROM r WHERE rk = ${k + 1}),
+       |summ AS (
+       |  SELECT r.slice, r.key, r.cnt - COALESCE(thr, 0) AS est
+       |  FROM r LEFT JOIN thr USING (slice)
+       |  WHERE rk <= $k AND cnt > COALESCE(thr, 0)),
+       |m AS (SELECT key, CAST(SUM(est) AS BIGINT) AS cnt FROM summ GROUP BY key),
+       |r2 AS (SELECT key, cnt,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk FROM m),
+       |t2 AS (SELECT COALESCE(MAX(cnt), 0) AS thr FROM r2 WHERE rk = ${k + 1})
+       |SELECT key, CAST(cnt - thr AS BIGINT) AS est
+       |FROM r2, t2 WHERE rk <= $k AND cnt > thr
+       |ORDER BY est DESC, key""".stripMargin
+  }
 }

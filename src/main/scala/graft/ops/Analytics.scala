@@ -741,6 +741,7 @@ object Analytics {
     "b22_bucketed_join"  -> (graft.core.BucketedLayout.b22BucketedJoin _),
     "b23_bucketed_asof"  -> (graft.core.BucketedLayout.b23BucketedAsof _),
     "b24_incremental_state" -> (graft.core.IncrementalState.b24MergeOnRead _),
+    "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
     "b25_changelog_compact" -> (b25ChangelogCompact _)
   )
 
@@ -768,6 +769,7 @@ object Analytics {
     "b22_bucketed_join"  -> graft.core.BucketedLayout.b22Sql,
     "b23_bucketed_asof"  -> graft.core.BucketedLayout.b23Sql,
     "b24_incremental_state" -> graft.core.IncrementalState.b24Sql,
+    "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
     "b25_changelog_compact" -> b25ChangelogCompactSql
   )
 }

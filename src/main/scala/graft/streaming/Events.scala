@@ -313,6 +313,20 @@ object Events {
   def dedupStream(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  // ----------------------- D14 streaming free-text alerting (A53 live)
+  /** D14: A53's free-text q predicate over an ITEM STREAM — the saved-
+    * search alerting shape ("notify me when an item matching my query
+    * lands"). The q grammar parses ONCE to the shared CQL AST and its
+    * Catalyst Column drops into the stream as a stateless filter: no
+    * state store, no watermark, and the predicate sits in the same
+    * micro-batch projection a batch scan would run — so stream ≡ batch
+    * filter by construction (asserted in EventsSpec), and at scale the
+    * filter evaluates at ingest rate with zero shuffle.
+    */
+  def freeTextAlertStream(stream: DataFrame, q: String,
+                          fields: Seq[String]): DataFrame =
+    stream.where(graft.cql.FreeText.parse(q, fields).toColumn)
+
   // --------------------- D13 streaming CDC latest-per-key (B25 live)
   /** D13: STREAMING changelog compaction — B25's "current state per key"
     * maintained live over the changelog stream (the CDC upsert-view

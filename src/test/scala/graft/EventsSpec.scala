@@ -290,6 +290,34 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("D14 streaming free-text alerting ≡ the same q filter as a batch query") {
+    import s.implicits._
+    import graft.streaming.Events.CdcIn
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val rows = Seq(
+      CdcIn(1, 1, t("00:01"), "click", 1.0),
+      CdcIn(2, 2, t("00:02"), "purchase", 2.0),
+      CdcIn(3, 3, t("00:03"), "view", 3.0),
+      CdcIn(4, 4, t("00:04"), "error", 4.0),
+      CdcIn(5, 5, t("00:05"), "signup", 5.0))
+    val q = "(click OR view) -error"
+    val mem = MemoryStream[CdcIn](s)
+    val query = graft.streaming.Events
+      .freeTextAlertStream(mem.toDF(), q, Seq("event_type"))
+      .writeStream.format("memory").queryName("d14_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2)); query.processAllAvailable()
+      mem.addData(rows.drop(2)); query.processAllAvailable()
+      val got = s.table("d14_stream").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      val batch = rows.toDF()
+        .where(graft.cql.FreeText.parse(q, Seq("event_type")).toColumn)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got == batch && got == Set(1L, 3L), s"stream=$got batch=$batch")
+    } finally query.stop()
+  }
+
   test("D13 streaming CDC latest-per-key (RocksDB) ≡ B25 batch compaction, " +
       "out-of-order and same-ts versions included") {
     import s.implicits._
