@@ -238,6 +238,31 @@ object Analytics {
        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------------------------ B29
+  /** B29: full CUBE + grouping_id — B10's rollup widened to every
+    * grouping-set combination, with the standard GROUPING bit vector
+    * distinguishing "NULL because aggregated away" from a NULL group
+    * value (the OLAP-cube contract BI layers depend on). Same
+    * partial-aggregate shape as rollup: Spark expands the sets and
+    * map-side-combines each; the shuffle carries \|sets × groups\|
+    * partials. grouping_id bit order (first listed column = MSB) is the
+    * SQL standard in both engines — the gate would catch a divergence.
+    */
+  def b29Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum("o_totalprice").as("total"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val b29CubeSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  ${dsumSql("o_totalprice")} AS total, COUNT(*) AS n,
+       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------------ B11
   /** Conditional aggregation + scalar-subquery-style comparison: share of
     * high-value orders per priority vs the global mean price.
@@ -742,6 +767,7 @@ object Analytics {
     "b23_bucketed_asof"  -> (graft.core.BucketedLayout.b23BucketedAsof _),
     "b24_incremental_state" -> (graft.core.IncrementalState.b24MergeOnRead _),
     "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
+    "b29_cube"           -> (b29Cube _),
     "b25_changelog_compact" -> (b25ChangelogCompact _)
   )
 
@@ -770,6 +796,7 @@ object Analytics {
     "b23_bucketed_asof"  -> graft.core.BucketedLayout.b23Sql,
     "b24_incremental_state" -> graft.core.IncrementalState.b24Sql,
     "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
+    "b29_cube"           -> b29CubeSql,
     "b25_changelog_compact" -> b25ChangelogCompactSql
   )
 }
