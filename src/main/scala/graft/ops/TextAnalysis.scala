@@ -994,7 +994,43 @@ object TextAnalysis {
        |  FROM pd)
        |ORDER BY source, doc_id""".stripMargin
 
+  // ------------------------------- C42 training-sequence assembly
+  /** C42: training-SEQUENCE assembly — the step after C41's packing that
+    * actually produces model inputs: per (source, bin), concatenate the
+    * member documents in doc_id order with an EOS separator, carrying
+    * the bin's document count and BPE token total. The pipeline endpoint:
+    * C32 trains the tokenizer, C37 encodes, C41 packs, C42 emits the
+    * sequences a trainer reads.
+    *
+    * Scale shape: ONE groupBy over C41's output joined back to the text —
+    * the aggregate's group key is (source, bin) so the shuffle carries
+    * documents once; in-group order is pinned by sorting the collected
+    * (doc_id, text) structs, deterministic in both engines (the oracle
+    * uses `string_agg ... ORDER BY doc_id`).
+    */
+  private val c42Eos = " <eos> "
+
+  def c42SequenceAssemble(s: SparkSession, d: String): DataFrame =
+    c41BpePacking(s, d)
+      .join(docs(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe_tokens")).as("seq_tokens"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(doc_id, text))), x -> x.text)"),
+          c42Eos).as("seq_text"))
+      .orderBy(col("source"), col("bin"))
+
+  val c42Sql: String =
+    s"""WITH packed AS (${c41Sql.replace("ORDER BY source, doc_id", "")})
+       |SELECT source, bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(bpe_tokens) AS BIGINT) AS seq_tokens,
+       |  string_agg(text, '$c42Eos' ORDER BY doc_id) AS seq_text
+       |FROM packed JOIN (SELECT doc_id, text FROM documents) USING (doc_id)
+       |GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c42_sequence_assemble" -> (c42SequenceAssemble _),
     "c41_bpe_packing" -> (c41BpePacking _),
     "c39_classifier_score" -> (c39ClassifierScore _),
     "c37_bpe_encode" -> (c37BpeEncode _),
@@ -1018,6 +1054,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c42_sequence_assemble" -> c42Sql,
     "c41_bpe_packing" -> c41Sql,
     "c39_classifier_score" -> c39Sql,
     "c37_bpe_encode" -> c37Sql,
