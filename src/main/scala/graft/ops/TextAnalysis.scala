@@ -1029,7 +1029,61 @@ object TextAnalysis {
        |FROM packed JOIN (SELECT doc_id, text FROM documents) USING (doc_id)
        |GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
+  // ----------------------------------- C43 Gopher static quality rules
+  /** C43: the Gopher STATIC quality battery (Rae et al. 2021 §A1.1 —
+    * the rule set C21's repetition filters complement): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic-
+    * word fraction, stopword presence. (The line-shape rules are
+    * inapplicable: the fixture corpus is single-line.) Every threshold
+    * compares as INTEGER cross-multiplication (3 ≤ chars/words ≤ 10
+    * becomes `3·words ≤ chars AND chars ≤ 10·words`), so the verdict is
+    * hash-exact with no float anywhere; chars-of-words comes from
+    * `length(text) − (words − 1)` — exact for the single-space-joined
+    * corpus and computed identically in both engines. One projection, no
+    * shuffle, no join.
+    */
+  private val c43Stop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def c43GopherRules(s: SparkSession, d: String): DataFrame = {
+    val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
+    docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .select(col("doc_id"),
+        expr("CAST(size(w) AS BIGINT)").as("n_words"),
+        expr("CAST(length(text) - (size(w) - 1) AS BIGINT)").as("n_chars"),
+        expr("CAST(size(filter(w, t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT)")
+          .as("n_syms"),
+        expr("CAST(size(filter(w, t -> t RLIKE '[a-z]')) AS BIGINT)").as("n_alpha"),
+        expr(s"CAST(size(filter(w, t -> t IN $stopList)) AS BIGINT)").as("n_stop"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("n_chars") >= col("n_words") * 3 &&
+          col("n_chars") <= col("n_words") * 10 &&
+          col("n_syms") * 10 < col("n_words") &&
+          col("n_alpha") * 5 >= col("n_words") * 4 &&
+          col("n_stop") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
+  val c43Sql: String = {
+    val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""SELECT doc_id, n_words, n_chars, n_syms, n_alpha, n_stop,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND n_chars >= n_words * 3 AND n_chars <= n_words * 10
+       |   AND n_syms * 10 < n_words AND n_alpha * 5 >= n_words * 4
+       |   AND n_stop >= 2) AS keep
+       |FROM (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(length(text) - (len(w) - 1) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(w, t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT) AS n_syms,
+       |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(w, t -> t IN $stopList)) AS BIGINT) AS n_stop
+       |  FROM (SELECT doc_id, text, $wordsDuck AS w FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c43_gopher_rules" -> (c43GopherRules _),
     "c42_sequence_assemble" -> (c42SequenceAssemble _),
     "c41_bpe_packing" -> (c41BpePacking _),
     "c39_classifier_score" -> (c39ClassifierScore _),
@@ -1054,6 +1108,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c43_gopher_rules" -> c43Sql,
     "c42_sequence_assemble" -> c42Sql,
     "c41_bpe_packing" -> c41Sql,
     "c39_classifier_score" -> c39Sql,

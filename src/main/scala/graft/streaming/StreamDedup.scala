@@ -233,4 +233,53 @@ object StreamDedup {
       .transformWithState(new NearDupProcessor(cosMin, horizonMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // --------------------- D15 streaming sequence packing (C23 live)
+  /** D15: C23's token-budget packing over a DOCUMENT STREAM — the
+    * data-prep feeder shape: documents land, each is assigned its
+    * context-window bin the moment it arrives. State per source is ONE
+    * long (the running token total); bin = floor(tokens-before / budget),
+    * exactly C23's prefix-sum form, so for documents arriving in the
+    * batch job's (source, doc_id) order the stream assigns IDENTICAL
+    * bins (StreamDedupSpec proves stream ≡ batch across micro-batch
+    * splits). Within a micro-batch rows are doc_id-sorted before
+    * folding — cross-batch order is the stream's contract, in-batch
+    * order is not, so determinism is pinned where Spark doesn't pin it.
+    */
+  case class PackIn(doc_id: Long, source: String, n_tokens: Long)
+  case class PackOut(doc_id: Long, source: String, n_tokens: Long, bin: Long)
+
+  class PackingProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, PackIn, PackOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var cum: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum", E.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PackIn],
+                                 tv: TimerValues): Iterator[PackOut] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = rows.toArray.sortBy(_.doc_id).map { r =>
+        val bin = c / budget
+        c += r.n_tokens
+        PackOut(r.doc_id, r.source, r.n_tokens, bin)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** Streaming entry: stream carries (doc_id, source, n_tokens). */
+  def packingStream(s: SparkSession, stream: DataFrame,
+                    budget: Long): Dataset[PackOut] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    stream.select(col("doc_id"), col("source"), col("n_tokens")).as[PackIn]
+      .groupByKey(_.source)
+      .transformWithState(new PackingProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

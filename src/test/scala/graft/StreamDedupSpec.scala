@@ -142,6 +142,40 @@ class StreamDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("D15 streaming packing ≡ batch C23 when documents arrive in batch order") {
+    import s.implicits._
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.ops.TextAnalysis.queries("c23_sequence_packing")(s, sf)
+        .selectExpr("doc_id", "source", "CAST(n_tokens AS BIGINT)", "bin")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // feed the same docs in (source, doc_id) order, split across batches
+      val inOrder = batch.sortBy(x => (x._2, x._1))
+        .map(x => StreamDedup.PackIn(x._1, x._2, x._3))
+      val (b1, b2) = inOrder.splitAt(inOrder.length / 2)
+      val mem = MemoryStream[StreamDedup.PackIn](s)
+      val q = StreamDedup.packingStream(s, mem.toDF(), budget = 512L)
+        .writeStream.format("memory").queryName("d15_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        val got = s.table("d15_stream").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == batch.toSet, s"diff=${(got diff batch.toSet).take(5)}")
+        assert(got.exists(_._4 > 0)) // multiple bins actually assigned
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark bounds state: members beyond the horizon are evicted, not paired") {
     import s.implicits._
     // two identical vectors far apart in event time + a fresh one close by
