@@ -191,6 +191,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
   }
 
+  test("a54: serving the incremental directory reads ONLY the state table — " +
+      "no raw item scan in the plan") {
+    val p = plan(StacSearch.queries("a54_collections_incremental")(s, sf))
+    assert(!p.contains("events.parquet"), p) // raw items never re-read
+    assert(p.contains("graft_extents_"), p)  // the state table is the source
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c43: quality rules are one scan, no join, no shuffle before the sort") {
+    val p = plan(graft.ops.TextAnalysis.queries("c43_gopher_rules")(s, sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    val scans = p.split('\n').count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n$p")
+  }
+
+  test("c41/c42: the encode dictionary broadcasts into the packing pipeline") {
+    val p41 = plan(graft.ops.TextAnalysis.queries("c41_bpe_packing")(s, sf))
+    assert(p41.contains("BroadcastHashJoin"), p41)
+    val scans = p41.split('\n').count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 1, s"expected 1 corpus scan below the window, got $scans\n$p41")
+  }
+
   test("c39: classifier inference is one scan, no join, no aggregate exchange") {
     val p = plan(graft.ops.TextAnalysis.queries("c39_classifier_score")(s, sf))
     assert(!p.contains("Join"), p)
