@@ -1044,11 +1044,14 @@ object TextAnalysis {
     */
   private val c43Stop = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  def c43GopherRules(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc stats + verdict projection shared by C43 (the per-doc gate)
+    * and C44 (the datasheet rollup). Carries source/lang for grouping.
+    */
+  private def c43Scored(s: SparkSession, d: String): DataFrame = {
     val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
     docs(s, d)
       .withColumn("w", expr(wordsSpark))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"), col("lang"),
         expr("CAST(size(w) AS BIGINT)").as("n_words"),
         expr("CAST(length(text) - (size(w) - 1) AS BIGINT)").as("n_chars"),
         expr("CAST(size(filter(w, t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT)")
@@ -1062,8 +1065,13 @@ object TextAnalysis {
           col("n_syms") * 10 < col("n_words") &&
           col("n_alpha") * 5 >= col("n_words") * 4 &&
           col("n_stop") >= 2)
-      .orderBy(col("doc_id"))
   }
+
+  def c43GopherRules(s: SparkSession, d: String): DataFrame =
+    c43Scored(s, d)
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_syms"),
+        col("n_alpha"), col("n_stop"), col("keep"))
+      .orderBy(col("doc_id"))
 
   val c43Sql: String = {
     val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
@@ -1082,7 +1090,55 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------- C44 corpus datasheet rollup
+  /** C44: the corpus DATASHEET ("Datasheets for Datasets", Gebru et al.
+    * 2021 — the reporting pass every curated release ships): per
+    * (source, lang) plus rollup subtotals and the grand total, in ONE
+    * corpus pass — doc counts, word/char totals, quality-gate pass
+    * counts (C43's verdict), and integer words-per-doc. The rollup rides
+    * the same partial-aggregated scan as the leaf groups (B10's shape);
+    * at 100 TB the report costs one corpus read regardless of how many
+    * subtotal levels it carries.
+    */
+  def c44CorpusDatasheet(s: SparkSession, d: String): DataFrame =
+    c43Scored(s, d)
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        grouping_id().as("gid"))
+      .withColumn("words_per_doc", expr("total_words DIV n_docs"))
+      .orderBy(col("gid"),
+        col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
+  val c44Sql: String = {
+    val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH scored AS (
+       |  SELECT source, lang, n_words, n_chars,
+       |    (n_words >= 50 AND n_words <= 100000
+       |     AND n_chars >= n_words * 3 AND n_chars <= n_words * 10
+       |     AND n_syms * 10 < n_words AND n_alpha * 5 >= n_words * 4
+       |     AND n_stop >= 2) AS keep
+       |  FROM (
+       |    SELECT source, lang, CAST(len(w) AS BIGINT) AS n_words,
+       |      CAST(length(text) - (len(w) - 1) AS BIGINT) AS n_chars,
+       |      CAST(len(list_filter(w, t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT) AS n_syms,
+       |      CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |      CAST(len(list_filter(w, t -> t IN $stopList)) AS BIGINT) AS n_stop
+       |    FROM (SELECT source, lang, text, $wordsDuck AS w FROM documents)))
+       |SELECT source, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
+       |  CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       |  CAST(SUM(n_words) AS BIGINT) // COUNT(*) AS words_per_doc
+       |FROM scored GROUP BY ROLLUP (source, lang)
+       |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c44_corpus_datasheet" -> (c44CorpusDatasheet _),
     "c43_gopher_rules" -> (c43GopherRules _),
     "c42_sequence_assemble" -> (c42SequenceAssemble _),
     "c41_bpe_packing" -> (c41BpePacking _),
@@ -1108,6 +1164,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c44_corpus_datasheet" -> c44Sql,
     "c43_gopher_rules" -> c43Sql,
     "c42_sequence_assemble" -> c42Sql,
     "c41_bpe_packing" -> c41Sql,
