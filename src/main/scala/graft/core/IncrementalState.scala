@@ -150,6 +150,22 @@ object IncrementalState {
       .agg(expr(s"hll_sketch_agg(o_custkey, $hllLgK)").as("cust_sketch"),
         count(lit(1)).as("n"))
 
+  /** D16: the STREAMING feeder for the sketch-state table (D11's shape
+    * with a sketch-typed partial): each micro-batch aggregates its rows
+    * to (slice, st) HLL partials and appends them as-is — no watermark,
+    * no stateful operator; `hll_union_agg` is associative, so
+    * partials-of-partials union on read to exactly the direct
+    * whole-corpus sketch even when batches split a slice
+    * (IncrementalStateSpec proves bit-equality).
+    */
+  def appendBatchSketchPartials(batch: DataFrame, path: String): Unit =
+    batch
+      .withColumn("slice", date_format(col("d"), "yyyy-MM"))
+      .groupBy(col("slice"), col("st"))
+      .agg(expr(s"hll_sketch_agg(k, $hllLgK)").as("cust_sketch"),
+        count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("slice").parquet(path)
+
   /** Merge-on-read over a materialized sketch-state table. */
   def sketchMergedFrom(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(statePath)

@@ -135,6 +135,38 @@ class IncrementalStateSpec extends AnyFunSuite {
     assert(janRows == 4, s"expected 4 partial rows in the slice, got $janRows")
   }
 
+  test("D16: streaming sketch feed — per-batch HLL partials union to the " +
+      "direct whole-corpus sketch, batches splitting a slice included") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp)](s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_stream").toString
+    val q = mem.toDF().toDF("st", "k", "d")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalState.appendBatchSketchPartials(b, tmp))
+      .start()
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val rows = Seq(("O", 7L, ts(1)), ("O", 8L, ts(5)), ("F", 7L, ts(3)),
+      ("O", 7L, ts(9)), ("O", 9L, ts(11)), ("F", 12L, ts(2)))
+    try {
+      mem.addData(rows.take(3)); q.processAllAvailable()
+      mem.addData(rows.drop(3)); q.processAllAvailable() // same January slice
+    } finally q.stop()
+
+    val merged = IncrementalState.sketchMergedFrom(s, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // direct sketch over the same rows — union of partials must match bits
+    val direct = rows.toDF("st", "k", "d")
+      .groupBy(col("st"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("e"),
+        count(lit(1)).as("n"))
+      .orderBy(col("st"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(merged.sameElements(direct), s"merged=${merged.toSeq} direct=${direct.toSeq}")
+    assert(merged.toSeq == Seq(("F", 2L, 2L), ("O", 3L, 4L))) // exact at tiny n
+  }
+
   test("B26: slice compaction — merge-at-rest ≡ merge-on-read, one file and " +
       "one row per (slice, group)") {
     import s.implicits._
