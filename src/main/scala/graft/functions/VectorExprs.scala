@@ -375,3 +375,84 @@ object SimHashSig {
   def apply(c: Column, prefix: String, bits: Int): Column =
     GraftBridge.column(SimHashSig(GraftBridge.expression(c), prefix, bits))
 }
+
+/** Codegen'd MinHash signature (C2): the `lanes` Kirsch-Mitzenmacher
+  * minhash lanes over a document's word-trigram shingles — per shingle
+  * ONE md5 of `"mh:" + shingle`, h1 = hex digits 1-15, h2 = hex digits
+  * 17-31 mod 2⁵⁹, lane_j = min over shingles of h1 + j·h2 — exactly the
+  * explode → per-lane-min groupBy pipeline (min is order-insensitive),
+  * but in ONE projection: shingle rows never exist, so the signature
+  * costs no explode and no shuffle. Returns null-free array(lanes);
+  * callers filter under-3-word docs (the pipeline's where) — on shorter
+  * text the array is all Long.MaxValue, matching "no shingles".
+  */
+case class MinHashSig(child: Expression, lanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], lanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.sig($c, $lanes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Prefix = "mh:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val Space = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val H2Mod = 576460752303423488L // 2^59
+
+  /** Static — called from generated code. */
+  def sig(text: org.apache.spark.unsafe.types.UTF8String, lanes: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = Array.fill(lanes)(Long.MaxValue)
+    val m = words.length - 2
+    if (m > 0) {
+      val wb = new Array[Array[Byte]](words.length)
+      var i = 0
+      while (i < words.length) {
+        wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        i += 1
+      }
+      val md = md5.get()
+      i = 0
+      while (i < m) {
+        md.reset()
+        md.update(Prefix)
+        md.update(wb(i)); md.update(Space)
+        md.update(wb(i + 1)); md.update(Space)
+        md.update(wb(i + 2))
+        val d = md.digest()
+        var a = 0L; var b = 0L
+        var j = 0
+        while (j < 8) { a = (a << 8) | (d(j) & 0xffL); j += 1 }
+        while (j < 16) { b = (b << 8) | (d(j) & 0xffL); j += 1 }
+        val h1 = a >>> 4          // hex digits 1-15
+        val h2 = (b >>> 4) % H2Mod // hex digits 17-31, mod 2^59
+        j = 0
+        while (j < lanes) {
+          val v = h1 + j.toLong * h2
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  def apply(c: Column, lanes: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), lanes))
+}

@@ -81,18 +81,19 @@ object Dedup {
   private val h2Mod = 576460752303423488L // 2^59
 
   def c2DedupMinhash(s: SparkSession, d: String): DataFrame = {
-    // ONE md5 per shingle; h1/h2 are disjoint 15-hex-digit halves of the
-    // digest (md5 halves are independent enough for banding).
-    val sh = gramRows(s, d).withColumnRenamed("gram", "s")
-      .select(col("doc_id"), expr("md5(concat('mh:', s))").as("hex"))
+    // The whole signature comes from ONE codegen'd projection
+    // ([[graft.functions.MinHashSig]]: one md5 per shingle, h1/h2 =
+    // disjoint 15-hex-digit digest halves, per-lane running min) —
+    // shingle rows never exist, so the former explode → per-lane-min
+    // groupBy (and its shuffle) is gone; min is order-insensitive so the
+    // kernel is value-identical (asserted in GraftFunctionsSpec).
+    val sig = Tables.documents(s, d)
+      .where(expr(s"size($wordsSpark) >= 3"))
       .select(col("doc_id"),
-        expr("CAST(conv(substr(hex, 1, 15), 16, 10) AS BIGINT)").as("h1"),
-        (expr("CAST(conv(substr(hex, 17, 15), 16, 10) AS BIGINT)") % h2Mod).as("h2"))
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(min(col("h1") + lit(0L) * col("h2")).as("m0"),
-        (1 until nLanes).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j")): _*)
+        graft.functions.MinHashSig(col("text"), nLanes).as("mh"))
     val bandKeys = (0 until nBands).map { b =>
-      expr(s"concat(CAST(m${2 * b} AS STRING), '_', CAST(m${2 * b + 1} AS STRING))")
+      expr(s"concat(CAST(element_at(mh, ${2 * b + 1}) AS STRING), '_', " +
+        s"CAST(element_at(mh, ${2 * b + 2}) AS STRING))")
     }
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))

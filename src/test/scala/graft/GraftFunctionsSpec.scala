@@ -91,6 +91,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("MinHashSig kernel ≡ the explode + per-lane-min groupBy pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextExprs._
+    val lanes = 8
+    val h2Mod = 576460752303423488L
+    val docs = graft.core.Tables.documents(s, TestSpark.sf).limit(200)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+    val ref = docs
+      .select(col("doc_id"), explode(expr(trigramsSpark)).as("g"))
+      .select(col("doc_id"), expr("md5(concat('mh:', g))").as("hex"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(hex, 1, 15), 16, 10) AS BIGINT)").as("h1"),
+        (expr("CAST(conv(substr(hex, 17, 15), 16, 10) AS BIGINT)") % h2Mod).as("h2"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h1")).as("r0"),
+        (1 until lanes).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"r$j")): _*)
+    val kern = docs.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), lanes).as("mh"))
+    val joined = kern.join(ref, "doc_id")
+    val mismatch = (0 until lanes).map(j =>
+      joined.where(expr(s"element_at(mh, ${j + 1}) <> r$j")).count()).sum
+    assert(mismatch == 0)
+    assert(joined.count() > 0)
+  }
+
   test("extensions class wires the same builders") {
     assert(GraftFunctions.builders.map(_._1).toSet ==
       Set("dot_product", "rolling_hash", "point_in_polygon",
