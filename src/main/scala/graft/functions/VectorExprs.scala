@@ -456,3 +456,60 @@ object MinHashSig {
   def apply(c: Column, lanes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), lanes))
 }
+
+/** Codegen'd per-document repetition statistics (C21): `[top-word count,
+  * word count, top-bigram count, bigram count, distinct-bigram count]`
+  * in one pass over the text — value-identical to the two explode →
+  * (doc, token) count → per-doc roll-up rounds (max / sum / distinct are
+  * order-insensitive), but token rows never exist and nothing shuffles:
+  * the whole Gopher repetition profile is a projection.
+  */
+case class RepetitionStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStats.stats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RepetitionStats.stats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  /** Static — called from generated code. */
+  def stats(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val wc = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < words.length) {
+      wc.merge(words(i), 1L, java.lang.Long.sum _)
+      i += 1
+    }
+    var topW = 0L
+    val wIt = wc.values().iterator()
+    while (wIt.hasNext) { val v = wIt.next(); if (v > topW) topW = v }
+    val bc = new java.util.HashMap[String, Long]()
+    i = 0
+    while (i + 1 < words.length) {
+      bc.merge(words(i) + " " + words(i + 1), 1L, java.lang.Long.sum _)
+      i += 1
+    }
+    var topB = 0L
+    val bIt = bc.values().iterator()
+    while (bIt.hasNext) { val v = bIt.next(); if (v > topB) topB = v }
+    val nB = math.max(words.length - 1, 0).toLong
+    ArrayData.toArrayData(
+      Array(topW, words.length.toLong, topB, nB, bc.size().toLong))
+  }
+
+  def apply(c: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(c)))
+}

@@ -260,34 +260,26 @@ object TextAnalysis {
   private val topBigramMax = 0.18
   private val dupBigramMax = 0.30
 
-  def c21RepetitionStats(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).withColumn("w", expr(wordsSpark))
-    // array exprs INLINED into explode (Generate over a projected array
-    // column doesn't collapse the Project — measured 12× slower in c2)
-    val wordStats = docs(s, d)
-      .select(col("doc_id"), explode(expr(wordsSpark)).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_w"), sum(col("c")).as("n_w"))
-    val bigramStats = base.where(expr("size(w) >= 2"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> " +
-          "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_b"), sum(col("c")).as("n_b"),
-        count(lit(1)).as("distinct_b"))
-    wordStats.join(bigramStats, Seq("doc_id"), "left")
+  def c21RepetitionStats(s: SparkSession, d: String): DataFrame =
+    // the full repetition profile is ONE codegen'd projection
+    // ([[graft.functions.RepetitionStats]]) — token rows never exist;
+    // the former two explode → count → roll-up rounds (and their
+    // shuffles) are gone, value-identical because max/sum/distinct are
+    // order-insensitive (asserted in GraftFunctionsSpec). Single-word
+    // docs have no bigrams → null fractions, matching the old left join.
+    docs(s, d)
+      .select(col("doc_id"), graft.functions.RepetitionStats(col("text")).as("r"))
       .select(col("doc_id"),
-        expr("CAST(top_w AS DOUBLE) / CAST(n_w AS DOUBLE)").as("top_word_frac"),
-        expr("CAST(top_b AS DOUBLE) / CAST(n_b AS DOUBLE)").as("top_bigram_frac"),
-        expr("CAST(n_b - distinct_b AS DOUBLE) / CAST(n_b AS DOUBLE)").as("dup_bigram_frac"))
+        expr("CAST(r[0] AS DOUBLE) / CAST(r[1] AS DOUBLE)").as("top_word_frac"),
+        expr("CASE WHEN r[3] = 0 THEN NULL ELSE CAST(r[2] AS DOUBLE) / CAST(r[3] AS DOUBLE) END")
+          .as("top_bigram_frac"),
+        expr("CASE WHEN r[3] = 0 THEN NULL ELSE CAST(r[3] - r[4] AS DOUBLE) / CAST(r[3] AS DOUBLE) END")
+          .as("dup_bigram_frac"))
       .withColumn("keep",
         col("top_word_frac") <= topWordMax &&
           coalesce(col("top_bigram_frac") <= topBigramMax, lit(true)) &&
           coalesce(col("dup_bigram_frac") <= dupBigramMax, lit(true)))
       .orderBy(col("doc_id"))
-  }
 
   val c21Sql: String =
     s"""WITH base AS (SELECT doc_id, $wordsDuck AS w FROM documents),

@@ -117,6 +117,35 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("RepetitionStats kernel ≡ the explode + count + roll-up pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextExprs._
+    val docs = graft.core.Tables.documents(s, TestSpark.sf).limit(200)
+    val wordStats = docs
+      .select(col("doc_id"), explode(expr(wordsSpark)).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_w"), sum(col("c")).as("n_w"))
+    val bigramStats = docs.withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_b"), sum(col("c")).as("n_b"),
+        count(lit(1)).as("distinct_b"))
+    val ref = wordStats.join(bigramStats, Seq("doc_id"))
+    val kern = docs.select(col("doc_id"),
+      graft.functions.RepetitionStats(col("text")).as("r"))
+    val joined = kern.join(ref, "doc_id")
+    val bad = joined.where(
+      expr("r[0] <> top_w OR r[1] <> n_w OR r[2] <> top_b OR " +
+        "r[3] <> n_b OR r[4] <> distinct_b")).count()
+    assert(bad == 0)
+    assert(joined.count() > 0)
+  }
+
   test("extensions class wires the same builders") {
     assert(GraftFunctions.builders.map(_._1).toSet ==
       Set("dot_product", "rolling_hash", "point_in_polygon",
