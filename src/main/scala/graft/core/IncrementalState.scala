@@ -232,6 +232,61 @@ object IncrementalState {
       summaries.groupBy(col("key")).agg(sum(col("est")).as("cnt")),
       k, None)
 
+  // ------------------------------------ B30 histogram-state quantiles
+  /** B30: MERGEABLE QUANTILE state — the third non-monoid metric
+    * (after B27's distinct count and B28's heavy hitters), answered with
+    * the simplest summary that IS a monoid: a fixed-width histogram.
+    * Each (slice) partial is bin → count (pure counter addition under
+    * merge — no sketch algebra, no accuracy interaction across merges);
+    * a quantile reads off the merged histogram as the smallest bin whose
+    * cumulative count covers p% of the total, with error bounded by ONE
+    * BIN WIDTH — a bound that slicing provably cannot widen (counters
+    * add exactly). All-integer arithmetic (`cum·100 ≥ total·p`), so the
+    * gate is hash-exact; the spec pins the error bound against exact
+    * percentiles.
+    */
+  private val histWidth = 2500L // o_totalprice bin width
+  private val histPcts = Seq(50, 95, 99)
+
+  def b30HistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // per-slice monoid partials (the state rows)…
+    val partials = Tables.orders(spark, dir)
+      .withColumn("slice", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("bin", expr(s"CAST(FLOOR(o_totalprice / $histWidth) AS BIGINT)"))
+      .groupBy(col("slice"), col("bin")).agg(count(lit(1)).as("n"))
+    // …merged on read: plain counter addition, then the quantile read-off
+    val hist = partials.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+    val pcts = histPcts.toDF("p")
+    hist.crossJoin(broadcast(pcts))
+      .where(col("cum") * 100 >= col("total") * col("p"))
+      .groupBy(col("p")).agg(min(col("bin")).as("bin"))
+      .withColumn("est_lo", col("bin") * histWidth)
+      .orderBy(col("p"))
+  }
+
+  val b30Sql: String =
+    s"""WITH partials AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS slice,
+       |    CAST(FLOOR(o_totalprice / $histWidth) AS BIGINT) AS bin, COUNT(*) AS n
+       |  FROM orders GROUP BY 1, 2),
+       |hist AS (
+       |  SELECT bin, CAST(SUM(n) AS BIGINT) AS n FROM partials GROUP BY bin),
+       |c AS (
+       |  SELECT bin,
+       |    SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(n) OVER () AS total
+       |  FROM hist)
+       |SELECT p, CAST(MIN(bin) AS BIGINT) AS bin,
+       |  CAST(MIN(bin) * $histWidth AS BIGINT) AS est_lo
+       |FROM c, (VALUES (50), (95), (99)) AS pv(p)
+       |WHERE cum * 100 >= total * p
+       |GROUP BY p ORDER BY p""".stripMargin
+
   /** The b28 gate: month-sliced MG summaries of orders' customers, merged
     * — both the per-slice truncation and the Agarwal merge are pure
     * relational algebra, so the ORACLE re-runs the whole algorithm in

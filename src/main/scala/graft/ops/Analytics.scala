@@ -768,6 +768,7 @@ object Analytics {
     "b24_incremental_state" -> (graft.core.IncrementalState.b24MergeOnRead _),
     "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
     "b29_cube"           -> (b29Cube _),
+    "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
     "b25_changelog_compact" -> (b25ChangelogCompact _)
   )
 
@@ -797,6 +798,7 @@ object Analytics {
     "b24_incremental_state" -> graft.core.IncrementalState.b24Sql,
     "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
     "b29_cube"           -> b29CubeSql,
+    "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,
     "b25_changelog_compact" -> b25ChangelogCompactSql
   )
 }

@@ -107,6 +107,21 @@ class IncrementalStateSpec extends AnyFunSuite {
     }
   }
 
+  test("B30: histogram-state quantiles land within one bin width of the " +
+      "exact percentiles") {
+    val est = IncrementalState.b30HistQuantiles(s, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(est.keySet == Set(50, 95, 99))
+    val prices = core.Tables.orders(s, sf)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0)).sorted
+    est.foreach { case (p, lo) =>
+      // exact p-th percentile (same ceil-rank definition as the read-off)
+      val exact = prices((prices.length * p + 99) / 100 - 1)
+      assert(lo <= exact && exact < lo + 2500L,
+        s"p$p: est_lo=$lo exact=$exact (bin width 2500)")
+    }
+  }
+
   test("D11: streaming foreachBatch feed — partials-of-partials merge to the direct aggregate") {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
