@@ -100,11 +100,78 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------- C45 curation pipeline v2
+  /** C45: the MODERN curation chain — C16 rebuilt from this round's
+    * richer stages, end to end in one plan:
+    *
+    *   1. Gopher rule battery (C43's integer-exact verdict);
+    *   2. exact dedup (C1: smallest doc_id per content hash);
+    *   3. benchmark decontamination (C19's fingerprint anti-join against
+    *      the broadcast eval set — eval docs themselves leave the corpus);
+    *   4. deterministic stratified sampling (C22's hash-of-id decision
+    *      at per-source keep-rates).
+    *
+    * Each stage keeps its already-audited scale shape (projection /
+    * content-hash shuffle / broadcast anti-join / scalar predicate), and
+    * the oracle restates the identical chain from the SAME shared CTE
+    * bodies the stage oracles use — so the composition can't drift from
+    * the pieces.
+    */
+  def c45CurationV2(s: SparkSession, d: String): DataFrame = {
+    val quality = TextAnalysis.c43Scored(s, d)
+      .where(col("keep")).select(col("doc_id"), col("n_words"))
+    val base = Tables.documents(s, d).join(quality, "doc_id")
+    val keepExact = base
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = base.join(keepExact, "doc_id")
+    // full-corpus fingerprints (C19's definition: eval set = doc_id % 97)
+    val fps = Tables.documents(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), expr(fpSpark).as("fp"))
+    val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
+    deduped
+      .where(col("doc_id") % 97 =!= 0)
+      .join(fps, "doc_id")
+      .join(broadcast(evalFps), Seq("fp"), "left_anti")
+      .where(expr(s"${h64Spark("concat('samp:', CAST(doc_id AS STRING))")} % 1000")
+        < expr(TextAnalysis.rateCaseSpark))
+      .select(col("doc_id"), col("source"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c45Sql: String = {
+    val rateCase = TextAnalysis.sampleRates
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 100 END")
+    s"""WITH ${TextAnalysis.c43ScoredSqlCte},
+       |base AS (
+       |  SELECT d.doc_id, d.source, d.text, s.n_words
+       |  FROM documents d JOIN scored s ON d.doc_id = s.doc_id AND s.keep),
+       |keep_exact AS (
+       |  SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+       |deduped AS (SELECT base.* FROM base JOIN keep_exact USING (doc_id)),
+       |fps AS (
+       |  SELECT doc_id, list_min(list_transform($trigramsDuck, g -> ${h64Duck("g")})) AS fp
+       |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= 3)
+       |SELECT doc_id, source, n_words
+       |FROM deduped JOIN fps USING (doc_id)
+       |WHERE doc_id % 97 <> 0
+       |  AND fp NOT IN (SELECT fp FROM fps WHERE doc_id % 97 = 0)
+       |  AND ${h64Duck("'samp:'||CAST(doc_id AS VARCHAR)")} % 1000 < ($rateCase)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c16_curation_pipeline" -> (c16CurationPipeline _)
+    "c16_curation_pipeline" -> (c16CurationPipeline _),
+    "c45_curation_v2" -> (c45CurationV2 _)
   )
 
   val oracle: Map[String, String] = Map(
-    "c16_curation_pipeline" -> c16Sql
+    "c16_curation_pipeline" -> c16Sql,
+    "c45_curation_v2" -> c45Sql
   )
 }

@@ -380,10 +380,10 @@ object TextAnalysis {
     * projection like any scalar predicate. Output: per-source kept/total
     * counts plus the exact kept ids (oracle-checked).
     */
-  private val sampleRates: Seq[(String, Int)] = // ‰ keep-rates per source
+  private[ops] val sampleRates: Seq[(String, Int)] = // ‰ keep-rates per source
     Seq("src0" -> 1000, "src1" -> 500, "src2" -> 250, "src3" -> 125, "src4" -> 50)
 
-  private def rateCaseSpark: String =
+  private[ops] def rateCaseSpark: String =
     sampleRates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
       .mkString("CASE ", " ", " ELSE 100 END")
 
@@ -1054,10 +1054,11 @@ object TextAnalysis {
     */
   private val c43Stop = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Per-doc stats + verdict projection shared by C43 (the per-doc gate)
-    * and C44 (the datasheet rollup). Carries source/lang for grouping.
+  /** Per-doc stats + verdict projection shared by C43 (the per-doc gate),
+    * C44 (the datasheet rollup) and C45 (the curation pipeline). Carries
+    * source/lang for grouping.
     */
-  private def c43Scored(s: SparkSession, d: String): DataFrame = {
+  private[ops] def c43Scored(s: SparkSession, d: String): DataFrame = {
     val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
     docs(s, d)
       .withColumn("w", expr(wordsSpark))
@@ -1122,21 +1123,30 @@ object TextAnalysis {
       .orderBy(col("gid"),
         col("source").asc_nulls_first, col("lang").asc_nulls_first)
 
-  val c44Sql: String = {
+  /** The scored-documents CTE body (doc_id + grouping cols + verdict) —
+    * THE single SQL copy of the C43 rule battery, shared by the C44 and
+    * C45 oracles.
+    */
+  private[ops] def c43ScoredSqlCte: String = {
     val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
-    s"""WITH scored AS (
-       |  SELECT source, lang, n_words, n_chars,
+    s"""scored AS (
+       |  SELECT doc_id, source, lang, n_words, n_chars,
        |    (n_words >= 50 AND n_words <= 100000
        |     AND n_chars >= n_words * 3 AND n_chars <= n_words * 10
        |     AND n_syms * 10 < n_words AND n_alpha * 5 >= n_words * 4
        |     AND n_stop >= 2) AS keep
        |  FROM (
-       |    SELECT source, lang, CAST(len(w) AS BIGINT) AS n_words,
+       |    SELECT doc_id, source, lang, CAST(len(w) AS BIGINT) AS n_words,
        |      CAST(length(text) - (len(w) - 1) AS BIGINT) AS n_chars,
        |      CAST(len(list_filter(w, t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT) AS n_syms,
        |      CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
        |      CAST(len(list_filter(w, t -> t IN $stopList)) AS BIGINT) AS n_stop
-       |    FROM (SELECT source, lang, text, $wordsDuck AS w FROM documents)))
+       |    FROM (SELECT doc_id, source, lang, text, $wordsDuck AS w FROM documents)))"""
+      .stripMargin
+  }
+
+  val c44Sql: String =
+    s"""WITH $c43ScoredSqlCte
        |SELECT source, lang, COUNT(*) AS n_docs,
        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -1145,7 +1155,6 @@ object TextAnalysis {
        |  CAST(SUM(n_words) AS BIGINT) // COUNT(*) AS words_per_doc
        |FROM scored GROUP BY ROLLUP (source, lang)
        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c44_corpus_datasheet" -> (c44CorpusDatasheet _),
