@@ -1436,6 +1436,70 @@ object StacSearch {
   def a54CollectionsIncremental(s: SparkSession, d: String): DataFrame =
     a54MergedFrom(s, a54Materialize(s, d))
 
+  // ------------------------------- A55 incremental queryables stats
+  /** A55: A48's queryables statistics MAINTAINED INCREMENTALLY — the
+    * second STAC serving surface on the A54/B24 state-table pattern:
+    * every per-property statistic is a monoid (min / max / non-null
+    * count), so the state table holds one 15-stat row per (slice,
+    * collection), the nightly job aggregates only the new month, and
+    * serving merges the tiny state then unpivots — the corpus is never
+    * re-scanned. The gate runs merge-on-read against A48's ORACLE (the
+    * direct one-pass aggregate over all raw items).
+    */
+  private def a55Stats(df: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    df.agg(
+      min(expr("unix_micros(datetime)")).as("dt_min"),
+      max(expr("unix_micros(datetime)")).as("dt_max"),
+      count(col("datetime")).as("dt_n"),
+      min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+      count(col("lon")).as("lon_n"),
+      min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
+      count(col("lat")).as("lat_n"),
+      min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+      count(col("value")).as("v_n"),
+      min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+      count(col("user_id")).as("u_n"))
+
+  def a55StatPartials(s: SparkSession, d: String): DataFrame =
+    a55Stats(items(s, d)
+      .withColumn("slice",
+        date_format(coalesce(col("datetime"), col("start_datetime")), "yyyy-MM"))
+      .groupBy(col("slice"), col("collection")))
+
+  def a55Materialize(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_queryables_$key").getAbsolutePath
+    if (!new java.io.File(p, "_SUCCESS").exists())
+      a55StatPartials(s, d).write.mode("overwrite").partitionBy("slice").parquet(p)
+    p
+  }
+
+  def a55QueryablesIncremental(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(a55Materialize(s, d))
+      .groupBy(col("collection"))
+      .agg(
+        min(col("dt_min")).cast("double").as("dt_min"),
+        max(col("dt_max")).cast("double").as("dt_max"), sum(col("dt_n")).as("dt_n"),
+        min(col("lon_min")).as("lon_min"), max(col("lon_max")).as("lon_max"),
+        sum(col("lon_n")).as("lon_n"),
+        min(col("lat_min")).as("lat_min"), max(col("lat_max")).as("lat_max"),
+        sum(col("lat_n")).as("lat_n"),
+        min(col("v_min")).as("v_min"), max(col("v_max")).as("v_max"),
+        sum(col("v_n")).as("v_n"),
+        min(col("u_min")).cast("double").as("u_min"),
+        max(col("u_max")).cast("double").as("u_max"), sum(col("u_n")).as("u_n"))
+      .select(col("collection"), expr(
+        """stack(5,
+          |  'datetime', dt_min, dt_max, dt_n,
+          |  'lat', lat_min, lat_max, lat_n,
+          |  'lon', lon_min, lon_max, lon_n,
+          |  'user_id', u_min, u_max, u_n,
+          |  'value', v_min, v_max, v_n
+          |) AS (property, min_val, max_val, n_nonnull)""".stripMargin))
+      .orderBy(col("collection"), col("property"))
+
   // ----------------------------------------- A48 per-collection queryables
   /** A48: per-collection queryables STATS — A21's schema-derived
     * queryables enriched with live property statistics (value ranges +
@@ -1599,6 +1663,7 @@ object StacSearch {
     "a46_grid_agg"                -> (a46GridAgg _),
     "a47_cql2_arithmetic"         -> a47Fn,
     "a48_queryables_stats"        -> (a48Queryables _),
+    "a55_queryables_incremental"  -> (a55QueryablesIncremental _),
     "a49_datetime_histogram"      -> (a49DatetimeHistogram _),
     "a50_cql2_text"               -> a50Fn
   )
@@ -1653,6 +1718,7 @@ object StacSearch {
     "a46_grid_agg"                -> a46Sql,
     "a47_cql2_arithmetic"         -> a47Sql,
     "a48_queryables_stats"        -> a48Sql,
+    "a55_queryables_incremental"  -> a48Sql, // merged state ≡ the direct stats
     "a49_datetime_histogram"      -> a49Sql,
     "a50_cql2_text"               -> a50Sql
   )
