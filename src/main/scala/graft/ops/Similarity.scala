@@ -874,8 +874,71 @@ object Similarity {
        |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ------------------------------------------------- C46 SQ8 ANN
+  /** C46: SCALAR-QUANTIZED ANN (faiss SQ8): per-dimension symmetric int8
+    * codes — q_d = floor(v_d·127/maxabs_d + 0.5) with maxabs trained per
+    * dimension over the corpus — ranked by the INTEGER dot product. The
+    * third compression point after IVF-flat (C14, full vectors) and
+    * IVF-PQ (C33/C35, 4 codes): 4× smaller than float32 with no
+    * codebook, and the integer score is hash-exact (the one ANN gate
+    * with no doubles on the wire at all). Training is a single 64-value
+    * aggregate inlined as literals (C14's documented small-sample
+    * pattern, but over the full corpus — one tiny collect); encode is a
+    * `zip_with` projection; the floor(x+0.5) form is used in BOTH
+    * engines (their round() tie-break conventions differ, floor does
+    * not). Oracle re-derives maxabs, codes and integer scores in SQL.
+    */
+  def c46AnnSq8(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+    val maxabs = e.agg(array((1 to 64).map(i =>
+        max(abs(element_at(col("nv"), i)))): _*))
+      .collect()(0).getSeq[Double](0)
+    val mLit = array(maxabs.map(m => lit(math.max(m, 1e-12))): _*)
+    def withM(df: DataFrame) = df.withColumn("m", mLit)
+    val q = withM(e).where(col("vec_id") < nQueries)
+    val corpus = withM(e).where(col("vec_id") >= nQueries)
+    val qc = q.select(col("vec_id").as("q_id"),
+      expr("zip_with(nv, m, (x, v) -> CAST(FLOOR(x * 127.0 / v + 0.5) AS INT))").as("qc"))
+    val cc = corpus.select(col("vec_id"),
+      expr("zip_with(nv, m, (x, v) -> CAST(FLOOR(x * 127.0 / v + 0.5) AS INT))").as("cc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cc.crossJoin(broadcast(qc))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(zip_with(qc, cc, (a, b) -> CAST(a AS BIGINT) * b), " +
+          "CAST(0 AS BIGINT), (s, x) -> s + x)").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= kLsh)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val c46Sql: String =
+    s"""WITH $preparedDuck,
+       |m AS (
+       |  SELECT i, greatest(MAX(ABS(nv[i])), 1e-12) AS mv
+       |  FROM prep, range(1, 65) t(i) GROUP BY i),
+       |coded AS (
+       |  SELECT vec_id, list(CAST(FLOOR(nv[i] * 127.0 / mv + 0.5) AS INT) ORDER BY i) AS c
+       |  FROM (SELECT p.vec_id, p.nv, m.i, m.mv FROM prep p, m)
+       |  GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 65), i -> CAST(q.c[i] AS BIGINT) * c.c[i])),
+       |      (s, x) -> s + x) AS score
+       |  FROM coded q JOIN coded c
+       |    ON q.vec_id < $nQueries AND c.vec_id >= $nQueries),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id AS n_id, rk, score FROM ranked
+       |WHERE rk <= $kLsh ORDER BY q_id, rk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c46_ann_sq8" -> (c46AnnSq8 _),
     "c38_semantic_dedup" -> (c38SemanticDedup _),
     "c6_ann_bruteforce"  -> (c6AnnBruteforce _),
     "c7_ann_lsh"         -> (c7AnnLsh _),
@@ -887,6 +950,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "c46_ann_sq8" -> c46Sql,
     "c38_semantic_dedup" -> c38Sql,
     "c6_ann_bruteforce"  -> c6Sql,
     "c7_ann_lsh"         -> c7Sql,
