@@ -649,7 +649,73 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------ C47 incremental ingestion dedup
+  /** C47: INCREMENTAL exact dedup — dedup a nightly increment against
+    * the full historical corpus WITHOUT rescanning history: the state is
+    * a slice-partitioned table of DISTINCT content hashes (set union is
+    * a monoid, so appending a slice of new hashes is a directory add —
+    * B24's layout applied to dedup). An incoming document survives iff
+    * its hash is absent from the merged historical state AND it is the
+    * first occurrence within its own increment. The gate's oracle dedups
+    * the increment against ALL raw history directly — equality proves
+    * the incremental path sees exactly the full-history duplicates.
+    * History = doc_id < [[c47Split]] (the fixture's "already ingested"
+    * prefix); the dedup key is C11's document FINGERPRINT (min shingle
+    * hash — the key C19/C25 decontaminate on; the fixture's raw texts
+    * are all distinct, so a text hash would make the gate vacuous). At
+    * scale the anti-join broadcasts or buckets on the fingerprint.
+    */
+  private val c47Split = 400L
+
+  private def c47Fps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), col("source"), expr(fpSpark).as("fp"))
+
+  private def c47StatePath(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_dedupstate_$key").getAbsolutePath
+    if (!new java.io.File(p, "_SUCCESS").exists())
+      c47Fps(s, d)
+        .where(col("doc_id") < c47Split)
+        .select((col("doc_id") / 100).cast("bigint").as("slice"), col("fp"))
+        .distinct()
+        .write.mode("overwrite").partitionBy("slice").parquet(p)
+    p
+  }
+
+  def c47IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val histFps = s.read.parquet(c47StatePath(s, d)).select(col("fp")).distinct()
+    val increment = c47Fps(s, d).where(col("doc_id") >= c47Split)
+    val firstInIncrement = increment
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    increment
+      .join(firstInIncrement, "doc_id")
+      .join(broadcast(histFps), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c47Sql: String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, source,
+       |    list_min(list_transform($trigramsDuck, g -> ${h64Duck("g")})) AS fp
+       |  FROM (SELECT doc_id, source, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= 3)
+       |SELECT doc_id, source FROM fps d
+       |WHERE doc_id >= $c47Split
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM fps h
+       |    WHERE h.fp = d.fp
+       |      AND (h.doc_id < $c47Split OR h.doc_id < d.doc_id))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c47_incremental_dedup" -> (c47IncrementalDedup _),
     "c40_passage_remove" -> (c40PassageRemove _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c2_dedup_minhash"   -> (c2DedupMinhash _),
@@ -663,6 +729,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "c47_incremental_dedup" -> c47Sql,
     "c40_passage_remove" -> c40Sql,
     "c1_dedup_exact"     -> c1Sql,
     "c2_dedup_minhash"   -> c2Sql,
