@@ -282,4 +282,69 @@ object StreamDedup {
       .transformWithState(new PackingProcessor(budget),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ------------------- D17 streaming heavy hitters (B28 live)
+  /** D17: Misra-Gries heavy hitters maintained LIVE over a token stream —
+    * B28's summary as streaming state: per shard key, a MapState of at
+    * most k counters updated with the classic MG step (new token with a
+    * full table decrements EVERYTHING; zeros evict). The shard summaries
+    * merge downstream exactly like B28's slice summaries (same theorem —
+    * the spec feeds a skewed stream across micro-batches, merges the
+    * final shard states with `IncrementalState.mgMerged`, and pins the
+    * n/(k+1) under-count bound, heavy-hitter presence, and the ≤ k state
+    * size). Each batch re-emits the shard's summary with a version so a
+    * consumer reads the latest snapshot (Update-mode semantics).
+    */
+  case class MgIn(shard: String, word: String)
+  case class MgOut(shard: String, word: String, est: Long, version: Long)
+
+  class HeavyHitterProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, MgIn, MgOut] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var counters: MapState[String, Long] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, Long]("mg",
+        E.STRING, E.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[MgIn],
+                                 tv: TimerValues): Iterator[MgOut] = {
+      val m = scala.collection.mutable.Map[String, Long]()
+      counters.iterator().foreach { e => m(e._1) = e._2 }
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { r =>
+        n += 1
+        m.get(r.word) match {
+          case Some(c) => m(r.word) = c + 1
+          case None if m.size < k => m(r.word) = 1L
+          case None =>
+            // classic MG decrement: everyone pays one, zeros evict
+            m.keys.toSeq.foreach { w =>
+              val c = m(w) - 1
+              if (c == 0L) m.remove(w) else m(w) = c
+            }
+        }
+      }
+      counters.clear()
+      m.foreach { case (w, c) => counters.updateValue(w, c) }
+      seen.update(n)
+      m.iterator.map { case (w, c) => MgOut(key, w, c, n) }
+    }
+  }
+
+  /** Streaming entry: stream carries (shard, word). */
+  def heavyHitterStream(s: SparkSession, stream: DataFrame,
+                        k: Int): Dataset[MgOut] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    stream.select(col("shard"), col("word")).as[MgIn]
+      .groupByKey(_.shard)
+      .transformWithState(new HeavyHitterProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -176,6 +176,56 @@ class StreamDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("D17 streaming heavy hitters: merged shard states obey the MG theorem " +
+      "on a skewed stream across micro-batches") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 8
+    val stream = for {
+      i <- 1 to 40; r <- 1 to (60 / i).max(1)
+    } yield StreamDedup.MgIn(s"shard${(i * 31 + r) % 3}", s"k$i")
+    val n = stream.size.toLong
+    val (b1, b2) = stream.splitAt(stream.size / 2)
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamDedup.MgIn](s)
+      val q = StreamDedup.heavyHitterStream(s, mem.toDF(), k)
+        .writeStream.format("memory").queryName("d17_stream")
+        .outputMode("update").start()
+      try {
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        // latest snapshot per shard = rows at that shard's max version
+        val snap = s.table("d17_stream")
+          .withColumn("maxv", max(col("version"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))))
+          .where(col("version") === col("maxv"))
+          .select(col("shard").as("slice"), col("word").as("key"), col("est"))
+        snap.groupBy(col("slice")).count().collect()
+          .foreach(r => assert(r.getLong(1) <= k))
+        // merge the shard summaries like B28 merges slice summaries
+        val merged = graft.core.IncrementalState.mgMerged(snap, k).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val truth = stream.groupBy(_.word).map { case (w, xs) => w -> xs.size.toLong }
+        val bound = n / (k + 1)
+        merged.foreach { case (w, est) =>
+          val t = truth(w)
+          assert(est <= t && t - est <= bound, s"$w est=$est true=$t bound=$bound")
+        }
+        val hh = truth.filter(_._2 > bound).keySet
+        assert(hh.nonEmpty && hh.subsetOf(merged.keySet),
+          s"missing: ${hh -- merged.keySet}")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark bounds state: members beyond the horizon are evicted, not paired") {
     import s.implicits._
     // two identical vectors far apart in event time + a fresh one close by
