@@ -238,6 +238,47 @@ object Analytics {
        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------------------------ B31
+  /** B31: the WINDOW-FUNCTION battery beyond B6's rank — lag (delta vs
+    * previous order), lead (days until the next), running total, and
+    * ntile quartile, all over one (customer, date, key) window — the
+    * customer-timeline shape every activity feed / churn model computes.
+    * ONE shuffle + ONE sort serve all four functions (they share the
+    * window frame); money runs through exact cents (BIGINT), dates
+    * compare as DATE in both engines (their timestamp day-diff
+    * conventions differ; DATE does not). ntile is ANSI — both engines
+    * split remainders to the leading buckets.
+    */
+  def b31WindowBattery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("cents") - lag(col("cents"), 1).over(w)).as("delta_cents"),
+        datediff(lead(col("d"), 1).over(w), col("d")).cast("long").as("gap_days"),
+        sum(col("cents")).over(wr).as("run_cents"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val b31WindowBatterySql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  cents - LAG(cents, 1) OVER w AS delta_cents,
+      |  CAST(date_diff('day', d, LEAD(d, 1) OVER w) AS BIGINT) AS gap_days,
+      |  SUM(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS run_cents,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------ B29
   /** B29: full CUBE + grouping_id — B10's rollup widened to every
     * grouping-set combination, with the standard GROUPING bit vector
@@ -769,6 +810,7 @@ object Analytics {
     "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
     "b29_cube"           -> (b29Cube _),
     "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
+    "b31_window_battery" -> (b31WindowBattery _),
     "b25_changelog_compact" -> (b25ChangelogCompact _)
   )
 
@@ -799,6 +841,7 @@ object Analytics {
     "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
     "b29_cube"           -> b29CubeSql,
     "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,
+    "b31_window_battery" -> b31WindowBatterySql,
     "b25_changelog_compact" -> b25ChangelogCompactSql
   )
 }
