@@ -1156,7 +1156,71 @@ object TextAnalysis {
        |FROM scored GROUP BY ROLLUP (source, lang)
        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------- C48 datasheet quantiles under CUBE
+  /** C48: the corpus datasheet widened with DISTRIBUTION columns — per
+    * (source, lang) and every CUBE subtotal, median and p90 words-per-doc
+    * read off a fixed-width histogram (B30's bin-selection under C44's
+    * reporting rollup). One corpus pass: the grouping-set expansion and
+    * the histogram share a single partial-aggregated scan whose shuffle
+    * carries \|sets × groups × bins\| counter rows — never documents —
+    * and the quantile read-off is a window + aggregate over that tiny
+    * frame. `bin` rides INSIDE each grouping set (always grouped), so
+    * the same histogram rows serve every subtotal level. All-integer
+    * (`cum·100 ≥ total·p`, bin lower bounds), hash-exact gate; error ≤
+    * one bin width, a bound merging provably can't widen. grouping_id
+    * over (source, lang, bin) carries bin as the always-0 LSB —
+    * `gid = grouping_id() DIV 2` matches DuckDB's GROUPING(source, lang)
+    * (first column = MSB in both engines, pinned by B29).
+    */
+  private val c48BinW = 20L
+
+  def c48DatasheetQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = col("source"); val lng = col("lang"); val bin = col("bin")
+    val hist = c43Scored(s, d)
+      .withColumn("bin", expr(s"n_words DIV $c48BinW"))
+      .groupingSets(
+        Seq(Seq(src, lng, bin), Seq(src, bin), Seq(lng, bin), Seq(bin)),
+        src, lng, bin)
+      .agg(count(lit(1)).as("n"), (grouping_id() / 2).cast("long").as("gid"))
+    val w = Window.partitionBy(col("gid"), src, lng)
+    hist
+      .withColumn("cum", sum(col("n")).over(w.orderBy(bin)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(w))
+      .groupBy(col("gid"), src, lng)
+      .agg(max(col("total")).as("n_docs"),
+        (min(when(col("cum") * 100 >= col("total") * 50, bin)) * c48BinW)
+          .as("p50_words_lo"),
+        (min(when(col("cum") * 100 >= col("total") * 90, bin)) * c48BinW)
+          .as("p90_words_lo"))
+      .orderBy(col("gid"), src.asc_nulls_first, lng.asc_nulls_first)
+  }
+
+  val c48Sql: String =
+    s"""WITH $c43ScoredSqlCte,
+       |hist AS (
+       |  SELECT source, lang, bin, COUNT(*) AS n,
+       |    CAST(GROUPING(source, lang) AS BIGINT) AS gid
+       |  FROM (SELECT source, lang, n_words // $c48BinW AS bin FROM scored)
+       |  GROUP BY GROUPING SETS ((source, lang, bin), (source, bin),
+       |                          (lang, bin), (bin))),
+       |c AS (
+       |  SELECT *,
+       |    SUM(n) OVER (PARTITION BY gid, source, lang ORDER BY bin
+       |                 ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(n) OVER (PARTITION BY gid, source, lang) AS total
+       |  FROM hist)
+       |SELECT gid, source, lang, CAST(MAX(total) AS BIGINT) AS n_docs,
+       |  CAST(MIN(CASE WHEN cum * 100 >= total * 50 THEN bin END)
+       |       * $c48BinW AS BIGINT) AS p50_words_lo,
+       |  CAST(MIN(CASE WHEN cum * 100 >= total * 90 THEN bin END)
+       |       * $c48BinW AS BIGINT) AS p90_words_lo
+       |FROM c GROUP BY gid, source, lang
+       |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c48_datasheet_quantiles" -> (c48DatasheetQuantiles _),
     "c44_corpus_datasheet" -> (c44CorpusDatasheet _),
     "c43_gopher_rules" -> (c43GopherRules _),
     "c42_sequence_assemble" -> (c42SequenceAssemble _),
@@ -1183,6 +1247,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c48_datasheet_quantiles" -> c48Sql,
     "c44_corpus_datasheet" -> c44Sql,
     "c43_gopher_rules" -> c43Sql,
     "c42_sequence_assemble" -> c42Sql,

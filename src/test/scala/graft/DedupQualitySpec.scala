@@ -105,4 +105,32 @@ class DedupQualitySpec extends AnyFunSuite {
       assert(r._2 == r._1 && r._4 == 1, s"singleton ${r._1} not kept as own cluster")
     }
   }
+
+  test("c48 histogram quantiles land within one bin width of the exact " +
+      "per-group percentiles, at every CUBE level") {
+    import org.apache.spark.sql.functions._
+    val binW = 20L
+    val est = ops.TextAnalysis.queries("c48_datasheet_quantiles")(s, sf).collect()
+    // exact per-doc word counts, keyed the same way the cube groups them
+    val words = core.Tables.documents(s, sf)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    est.foreach { r =>
+      val gid = r.getLong(0)
+      val grp = words.filter { case (src, lng, _) =>
+        ((gid & 2L) != 0 || src == r.getString(1)) &&
+          ((gid & 1L) != 0 || lng == r.getString(2))
+      }.map(_._3).sorted
+      assert(grp.length == r.getLong(3), s"gid=$gid n_docs mismatch")
+      Seq(50 -> r.getLong(4), 90 -> r.getLong(5)).foreach { case (p, lo) =>
+        // same ceil-rank definition as the read-off
+        val exact = grp((grp.length * p + 99) / 100 - 1)
+        assert(lo <= exact && exact < lo + binW,
+          s"gid=$gid (${r.getString(1)},${r.getString(2)}) p$p: est_lo=$lo exact=$exact")
+      }
+    }
+    // all four grouping-set levels are present
+    assert(est.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+  }
 }
