@@ -234,6 +234,81 @@ object StreamDedup {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // ------------- D18 bucket-membership state TABLE + compaction
+  /** D18: the near-dup bucket state as a TABLE — B26's merge-at-rest
+    * applied to the streaming near-dup surface. D8/D9 keep the RECENT
+    * window in the state store; the index a pipeline keeps across runs
+    * is this table: every increment appends its banded members under
+    * their `tb` partition (a directory add — raw history never re-read;
+    * C47's ingestion shape with LSH bucket keys instead of exact
+    * fingerprints). Appends leave one file per increment per table, so
+    * read fan-in grows with ingest frequency; because the semantic
+    * content is LATEST-ROW-PER-MEMBER (B25's changelog monoid — max_by
+    * on ts, associative, so re-arrivals collapse deterministically),
+    * compaction is a semantic merge: re-aggregate each bucket to its
+    * latest member rows and rewrite each `tb` partition as ONE file via
+    * dynamic partition overwrite. Merge-on-read results are unchanged
+    * while per-table read fan-in drops to one file
+    * (StreamDedupSpec: pairs before ≡ after ≡ batch C20, file counts,
+    * and the compaction fixpoint).
+    */
+  def appendBatchMembers(batch: DataFrame, path: String,
+                         nTables: Int = Dedup.c20Tables,
+                         nPlanes: Int = Dedup.c20Planes): Unit =
+    banded(batch, nTables, nPlanes)
+      .select(col("tb"), col("bkey"), col("vec_id"), col("ts"),
+        col("nv"), col("keys"))
+      .write.mode("append").partitionBy("tb").parquet(path)
+
+  /** The merge: latest row per (tb, bucket, member) — applied at rest by
+    * [[compactMembers]] and at read by [[pairsFromMembers]]; associativity
+    * of latest-per-key is what makes merging at rest then at read ≡
+    * merging everything at read.
+    */
+  private def latestMembers(df: DataFrame): DataFrame =
+    df.groupBy(col("tb"), col("bkey"), col("vec_id"))
+      .agg(max_by(struct(col("ts"), col("nv"), col("keys")), col("ts")).as("m"))
+      .select(col("tb"), col("bkey"), col("vec_id"),
+        col("m.ts").as("ts"), col("m.nv").as("nv"), col("m.keys").as("keys"))
+
+  def compactMembers(s: SparkSession, path: String): Unit = {
+    // localCheckpoint materializes the merge BEFORE the overwrite job —
+    // what makes read-then-overwrite-the-same-path safe (B26's pattern)
+    val compacted = latestMembers(s.read.parquet(path))
+      .repartition(col("tb"))
+      .localCheckpoint(true)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try compacted.write.mode("overwrite").partitionBy("tb").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Merge-on-read: verified near-dup pairs from the state table — the
+    * same candidate-distinct + cosine-verify shape as batch C20 (bucket
+    * self-join candidates ∝ Σ bucket², distinct before the verify join
+    * so a pair colliding in k tables pays ONE dot product).
+    */
+  def pairsFromMembers(s: SparkSession, path: String,
+                       cosMin: Double = Dedup.cosMin): DataFrame = {
+    val m = latestMembers(s.read.parquet(path))
+    val vecs = m.select(col("vec_id"), col("nv")).dropDuplicates("vec_id")
+    val ids = m.select(col("tb"), col("bkey"), col("vec_id"))
+    val cands = ids.join(ids.withColumnRenamed("vec_id", "v2"), Seq("tb", "bkey"))
+      .where(col("vec_id") < col("v2"))
+      .select(col("vec_id").as("v1"), col("v2")).distinct()
+    cands
+      .join(vecs.select(col("vec_id").as("v1"), col("nv").as("nv1")), "v1")
+      .join(vecs.select(col("vec_id").as("v2"), col("nv").as("nv2")), "v2")
+      .select(col("v1"), col("v2"),
+        DotProduct(col("nv1"), col("nv2")).as("cos_sim"))
+      .where(col("cos_sim") >= cosMin)
+      .orderBy(col("v1"), col("v2"))
+  }
+
   // --------------------- D15 streaming sequence packing (C23 live)
   /** D15: C23's token-budget packing over a DOCUMENT STREAM — the
     * data-prep feeder shape: documents land, each is assigned its

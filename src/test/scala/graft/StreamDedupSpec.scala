@@ -254,4 +254,52 @@ class StreamDedupSpec extends AnyFunSuite {
         s"expired member must not pair: $pairs")
     } finally q.stop()
   }
+
+  test("D18: bucket-state table — compaction collapses files per table, " +
+      "preserves pairs exactly, and is a fixpoint; pairs ≡ batch C20") {
+    import s.implicits._
+    val vecs = corpus()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d18").toString
+    def inc(rows: Seq[(Long, Seq[Double])], min: Int) =
+      StreamDedup.appendBatchMembers(
+        rows.map { case (id, v) => VecIn(id, t(min), v) }.toDF(), tmp)
+    // two increments + a third re-arriving a subset with a later ts —
+    // the changelog case the latest-per-member merge must collapse
+    inc(vecs.filter(_._1 < 250).toSeq, 0)
+    inc(vecs.filter(_._1 >= 250).toSeq, 5)
+    inc(vecs.filter(_._1 % 50 == 0).toSeq, 10)
+
+    def files(): Map[String, Int] =
+      new java.io.File(tmp).listFiles().filter(_.getName.startsWith("tb="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    def pairs(): Seq[(Long, Long, Double)] =
+      StreamDedup.pairsFromMembers(s, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val before = pairs()
+    val filesBefore = files()
+    assert(filesBefore.values.forall(_ >= 2),
+      s"appends should leave one file per increment per table: $filesBefore")
+
+    StreamDedup.compactMembers(s, tmp)
+    assert(pairs() == before, "compaction changed the merged pair set")
+    val filesAfter = files()
+    assert(filesAfter.keySet == filesBefore.keySet &&
+      filesAfter.values.forall(_ == 1),
+      s"expected one file per table partition after compaction: $filesAfter")
+
+    // fixpoint: compacting a compacted table changes nothing
+    StreamDedup.compactMembers(s, tmp)
+    assert(pairs() == before && files().values.forall(_ == 1))
+
+    // merge-on-read off the state table ≡ the batch C20 operator (same
+    // tables/planes, same verify kernel) — the re-arrived members carry
+    // identical vectors, so latest-per-member collapses to the corpus
+    val batch = graft.ops.Dedup.c20DedupEmbeddingLsh(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(before == batch,
+      s"state-only: ${before.diff(batch).take(5)}; batch-only: ${batch.diff(before).take(5)}")
+    assert(before.nonEmpty)
+  }
 }
