@@ -739,8 +739,14 @@ object TextAnalysis {
     * counts group by `pair`, never by the carry columns.
     */
   private def c32Train(
-      s: SparkSession, d: String): (Seq[(Int, String, Long)], DataFrame) = {
-    val vocab = docs(s, d)
+      s: SparkSession, d: String): (Seq[(Int, String, Long)], DataFrame) =
+    c32TrainOn(docs(s, d))
+
+  /** Training entry over an arbitrary document frame (needs a `text`
+    * column) — the corpus-as-of-a-version input for C50's retrains.
+    */
+  private[graft] def c32TrainOn(corpus: DataFrame): (Seq[(Int, String, Long)], DataFrame) = {
+    val vocab = corpus
       .select(explode(expr(wordsSpark)).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
@@ -792,6 +798,66 @@ object TextAnalysis {
     }
     s.read.parquet(p)
   }
+
+  // ------------------- C50 versioned tokenizer artifact state table
+  /** C50: the tokenizer artifact as a VERSIONED state table — the
+    * pipeline contract for "retrain the tokenizer without breaking
+    * yesterday's runs". Each retrain appends the full encode dictionary
+    * (w → merged-token count) under a new `version` PARTITION: a
+    * directory add, old versions immutable (any past run stays exactly
+    * reproducible — the provenance requirement a training pipeline has
+    * that a mutable artifact can't meet). Serving reads ONLY the latest
+    * version — partition-pruned, so read cost is one dictionary
+    * regardless of retrain history (B25's latest-wins applied at
+    * partition granularity; the max-version probe touches the partition
+    * listing, not data). The gate materializes v1 (trained on the
+    * even-doc half corpus) then v2 (full corpus) and reads the latest —
+    * the oracle re-trains the full corpus from scratch, so equality IS
+    * the append-only-retrain maintenance proof (A54's pattern).
+    */
+  /** The shipped artifact row: word, its TRAINING-corpus frequency (what
+    * downstream rarity/sampling jobs read), and its post-merge token
+    * count (what the encoder reads).
+    */
+  private[graft] def c50Dict(vocab: DataFrame): DataFrame =
+    vocab.select(col("w"), col("wc"),
+      expr(s"size($c32Symbols)").cast("long").as("n_tok"))
+
+  private[graft] def c50Retrain(corpus: DataFrame): DataFrame =
+    c50Dict(c32TrainOn(corpus)._2)
+
+  private[graft] def c50Materialize(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_tokver1_$key").getAbsolutePath
+    if (!new java.io.File(p, "_SUCCESS").exists()) {
+      // v1: the corpus as of the first build; v2: a later full retrain.
+      // Each append is a new partition — nothing existing is rewritten.
+      Seq(1 -> docs(s, d).where(col("doc_id") % 2 === 0), 2 -> docs(s, d))
+        .foreach { case (v, corpus) =>
+          c50Retrain(corpus).withColumn("version", lit(v))
+            .write.mode("append").partitionBy("version").parquet(p)
+        }
+    }
+    p
+  }
+
+  def c50TokenizerVersions(s: SparkSession, d: String): DataFrame = {
+    val st = s.read.parquet(c50Materialize(s, d))
+    // scalar probe of the partition column — resolves from the listing
+    val latest = st.agg(max(col("version"))).collect()(0).getInt(0)
+    st.where(col("version") === latest)
+      .select(col("version").cast("int").as("version"), col("w"), col("wc"),
+        col("n_tok"))
+      .orderBy(col("w"))
+  }
+
+  val c50Sql: String =
+    s"""WITH ${c32SqlChain(carryW = true)}
+       |SELECT 2 AS version, w, CAST(wc AS BIGINT) AS wc,
+       |  CAST(len(regexp_extract_all(ws, '\\(([^)]*)\\)', 1)) AS BIGINT) AS n_tok
+       |FROM v$c32Merges ORDER BY w""".stripMargin
 
   /** The v0→v_k merge-chain CTEs, shared by the C32 and C37 oracles.
     * `carryW = true` keeps the original word alongside the evolving
@@ -1058,9 +1124,15 @@ object TextAnalysis {
     * C44 (the datasheet rollup) and C45 (the curation pipeline). Carries
     * source/lang for grouping.
     */
-  private[ops] def c43Scored(s: SparkSession, d: String): DataFrame = {
+  private[ops] def c43Scored(s: SparkSession, d: String): DataFrame =
+    c43ScoredOn(docs(s, d))
+
+  /** The rule battery over an arbitrary document frame (doc_id, source,
+    * lang, text) — D19's per-micro-batch scoring input.
+    */
+  private[graft] def c43ScoredOn(corpus: DataFrame): DataFrame = {
     val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
-    docs(s, d)
+    corpus
       .withColumn("w", expr(wordsSpark))
       .select(col("doc_id"), col("source"), col("lang"),
         expr("CAST(size(w) AS BIGINT)").as("n_words"),
@@ -1156,6 +1228,45 @@ object TextAnalysis {
        |FROM scored GROUP BY ROLLUP (source, lang)
        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
 
+  // ---------------- D19 streaming corpus-datasheet feeder (C44 live)
+  /** D19: C44's datasheet maintained LIVE — D11's foreachBatch shape on
+    * the documents surface: each micro-batch is C43-scored and reduced
+    * to (source, lang) MONOID partials (doc/word/char/kept counts),
+    * appended as-is under the source partition — no watermark, no
+    * stateful operator, no cross-batch coordination; the table is the
+    * state. The ROLLUP is deferred to read: every datasheet column is a
+    * sum over leaf groups, and sums of partial sums are the same sums,
+    * so rolling up merged partials ≡ C44's rollup over raw documents
+    * even when batches split a (source, lang) group — the derived
+    * words-per-doc is computed AFTER the merge (IncrementalStateSpec
+    * proves a two-batch stream serves the exact batch datasheet).
+    */
+  def appendBatchDatasheetPartials(batch: DataFrame, path: String): Unit =
+    c43ScoredOn(batch)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .write.mode("append").partitionBy("source").parquet(path)
+
+  /** Merge-on-read: the full C44 datasheet (rollup levels included) off
+    * \|batches × sources × langs\| partial rows — raw documents never
+    * re-read.
+    */
+  def datasheetFrom(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .rollup(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_words")).as("total_words"),
+        sum(col("total_chars")).as("total_chars"),
+        sum(col("n_kept")).as("n_kept"),
+        grouping_id().as("gid"))
+      .withColumn("words_per_doc", expr("total_words DIV n_docs"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_words"),
+        col("total_chars"), col("n_kept"), col("gid"), col("words_per_doc"))
+      .orderBy(col("gid"),
+        col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
   // ------------------------------- C48 datasheet quantiles under CUBE
   /** C48: the corpus datasheet widened with DISTRIBUTION columns — per
     * (source, lang) and every CUBE subtotal, median and p90 words-per-doc
@@ -1220,6 +1331,7 @@ object TextAnalysis {
        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c50_tokenizer_versions" -> (c50TokenizerVersions _),
     "c48_datasheet_quantiles" -> (c48DatasheetQuantiles _),
     "c44_corpus_datasheet" -> (c44CorpusDatasheet _),
     "c43_gopher_rules" -> (c43GopherRules _),
@@ -1247,6 +1359,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c50_tokenizer_versions" -> c50Sql,
     "c48_datasheet_quantiles" -> c48Sql,
     "c44_corpus_datasheet" -> c44Sql,
     "c43_gopher_rules" -> c43Sql,
