@@ -1612,8 +1612,55 @@ object StacSearch {
       |FROM items WHERE collection IN ('click', 'view', 'error')
       |GROUP BY 1, 2 ORDER BY month, collection""".stripMargin)
 
+  // ------------------------------ A56 item-changelog upsert search
+  /** A56: search over a RE-INGESTED item corpus — the CDC serving view
+    * of a STAC ingest pipeline (scenes get reprocessed; the catalog
+    * serves the latest revision). The changelog models each logical
+    * scene as (collection, id_num DIV 3) with ingest order id_num —
+    * later ingest wins. Serving is B25's AGGREGATE compaction on the
+    * items surface: `max_by(payload, version)` is a commutative monoid,
+    * so the merge map-side-combines and the shuffle carries \|logical
+    * scenes\| candidate rows, never the revision history (the window
+    * form shuffles every revision; the oracle uses exactly that form —
+    * two algorithms, one result).
+    *
+    * Predicate PLACEMENT is the scale story: the collections filter
+    * touches a KEY-STABLE column, so it evaluates below the merge and
+    * reaches the scan (partition pruning at 100 TB — PlanAuditSpec pins
+    * the pushdown); the bbox touches MUTABLE columns (a reprocessed
+    * scene can move), so it evaluates on the merged latest revision —
+    * pushing it below the merge could resurrect a superseded revision
+    * whose geometry happened to match.
+    */
+  def a56UpsertSearch(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(col("collection").isin("click", "view")) // key-stable: below
+      .groupBy(col("collection"), expr("id_num DIV 3").as("grp"))
+      .agg(max_by(
+          struct(col("id"), col("datetime"), col("lon"), col("lat"), col("value")),
+          col("id_num")).as("last"),
+        count(lit(1)).as("n_revisions"))
+      .select(col("collection"), col("grp"), col("last.id").as("id"),
+        col("last.datetime").as("datetime"), col("last.lon").as("lon"),
+        col("last.lat").as("lat"), col("last.value").as("value"),
+        col("n_revisions"))
+      .where(col("lon").between(-120, 60) && col("lat").between(-60, 60))
+      .orderBy(col("collection"), col("grp"))
+
+  val a56Sql: String = Tables.withItems(
+    """SELECT collection, grp, id, datetime, lon, lat, value, n_revisions
+      |FROM (
+      |  SELECT collection, id_num // 3 AS grp, id, datetime, lon, lat, value,
+      |    ROW_NUMBER() OVER (PARTITION BY collection, id_num // 3
+      |                       ORDER BY id_num DESC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY collection, id_num // 3) AS n_revisions
+      |  FROM items WHERE collection IN ('click', 'view'))
+      |WHERE rk = 1 AND lon BETWEEN -120 AND 60 AND lat BETWEEN -60 AND 60
+      |ORDER BY collection, grp""".stripMargin)
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a56_upsert_search"   -> (a56UpsertSearch _),
     "a1_scan_collection"  -> (a1ScanCollection _),
     "a2_multi_collection" -> (a2MultiCollection _),
     "a3_ids_filter"       -> (a3IdsFilter _),
@@ -1669,6 +1716,7 @@ object StacSearch {
   )
 
   val oracle: Map[String, String] = Map(
+    "a56_upsert_search"   -> a56Sql,
     "a1_scan_collection"  -> a1Sql,
     "a2_multi_collection" -> a2Sql,
     "a3_ids_filter"       -> a3Sql,

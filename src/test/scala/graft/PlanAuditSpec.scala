@@ -247,4 +247,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // carries |keys| candidate rows, never the changelog
     assert(p.contains("partial_max_by"), p)
   }
+
+  test("a56: upsert search — aggregate merge (no Window), key-stable " +
+      "collections filter pushed to the scan BELOW the merge") {
+    val p = plan(StacSearch.queries("a56_upsert_search")(s, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by"), p)
+    // the collections predicate (event_type pre-derivation) reaches
+    // PushedFilters; the bbox (mutable lon/lat) must NOT appear there
+    assert(p.split('\n').exists(l => l.contains("PushedFilters") &&
+      l.contains("event_type")), p)
+    assert(!p.split('\n').exists(l => l.contains("PushedFilters") &&
+      l.contains("value")), p)
+  }
 }
