@@ -80,7 +80,13 @@ object Dedup {
   private val nBands = 4
   private val h2Mod = 576460752303423488L // 2^59
 
-  def c2DedupMinhash(s: SparkSession, d: String): DataFrame = {
+  def c2DedupMinhash(s: SparkSession, d: String): DataFrame =
+    c2Pairs(s, d).orderBy(col("d1"), col("d2"))
+
+  /** The distinct C2 candidate-pair set, unordered — shared by the C2
+    * gate and C52's attribution matrix.
+    */
+  private def c2Pairs(s: SparkSession, d: String): DataFrame = {
     // The whole signature comes from ONE codegen'd projection
     // ([[graft.functions.MinHashSig]]: one md5 per shingle, h1/h2 =
     // disjoint 15-hex-digit digest halves, per-lane running min) —
@@ -106,8 +112,40 @@ object Dedup {
     buckets.select(explode(expr(pairExpansion)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-      .orderBy(col("d1"), col("d2"))
   }
+
+  // ----------------------- C52 cross-source duplication attribution
+  /** C52: WHERE the duplication comes from — the provenance matrix a
+    * curation team reads before setting per-source policy (which crawls
+    * mirror each other, which source self-duplicates): near-dup pair
+    * counts by UNORDERED source pair — C2's MinHash pairs joined to each
+    * side's source, least/greatest normalization so (a,b) ≡ (b,a), the
+    * diagonal counting within-source duplication. Scale shape: the pair
+    * frame ≪ corpus (near-dup pairs only), the doc→source map rides two
+    * equi-joins, and the matrix aggregate is \|sources²\| at most —
+    * constant-size output regardless of corpus size. The oracle
+    * restates the chain from the SAME c2pairs CTE the C2 gate uses, so
+    * the attribution can't drift from the gated pair set.
+    */
+  def c52DupAttribution(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    c2Pairs(s, d)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val c52Sql: String =
+    s"""WITH $c2PairsCtes
+       |SELECT least(a.source, b.source) AS src_a,
+       |  greatest(a.source, b.source) AS src_b, COUNT(*) AS n_pairs
+       |FROM c2pairs p
+       |JOIN documents a ON p.d1 = a.doc_id
+       |JOIN documents b ON p.d2 = b.doc_id
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
   val c2Sql: String = {
     val lanes = (0 until nLanes)
@@ -719,6 +757,7 @@ object Dedup {
     "c40_passage_remove" -> (c40PassageRemove _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c2_dedup_minhash"   -> (c2DedupMinhash _),
+    "c52_dup_attribution" -> (c52DupAttribution _),
     "c3_dedup_simhash"   -> (c3DedupSimhash _),
     "c4_dedup_jaccard"   -> (c4DedupJaccard _),
     "c5_dedup_embedding" -> (c5DedupEmbedding _),
@@ -733,6 +772,7 @@ object Dedup {
     "c40_passage_remove" -> c40Sql,
     "c1_dedup_exact"     -> c1Sql,
     "c2_dedup_minhash"   -> c2Sql,
+    "c52_dup_attribution" -> c52Sql,
     "c3_dedup_simhash"   -> c3Sql,
     "c4_dedup_jaccard"   -> c4Sql,
     "c5_dedup_embedding" -> c5Sql,

@@ -999,16 +999,20 @@ object TextAnalysis {
     "CASE WHEN s_lo >= s_mid AND s_lo >= s_hi THEN 'lo' " +
       "WHEN s_mid >= s_hi THEN 'mid' ELSE 'hi' END"
 
+  /** The DuckDB form of one class score (over a word-list column `w`) —
+    * shared by the C39 gate and C51's budget selection.
+    */
+  private def c39ScoreDuck(c: String): String = {
+    val uni = c39WUnit(c)("t")._2
+    val bi = c39WUnit(c)("w[i] || '_' || w[i+1]")._2
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t -> $uni)), (s, x) -> s + x)" +
+      s" + (CASE WHEN len(w) >= 2 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len(w)), i -> $bi)), (s, x) -> s + x) " +
+      s"ELSE CAST(0 AS BIGINT) END)"
+  }
+
   val c39Sql: String = {
-    def score(c: String): String = {
-      val uni = c39WUnit(c)("t")._2
-      val bi = c39WUnit(c)("w[i] || '_' || w[i+1]")._2
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t -> $uni)), (s, x) -> s + x)" +
-        s" + (CASE WHEN len(w) >= 2 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(range(1, len(w)), i -> $bi)), (s, x) -> s + x) " +
-        s"ELSE CAST(0 AS BIGINT) END)"
-    }
-    val scores = c39Classes.map(c => s"${score(c)} AS s_$c").mkString(",\n  ")
+    val scores = c39Classes.map(c => s"${c39ScoreDuck(c)} AS s_$c").mkString(",\n  ")
     s"""SELECT doc_id, n_feats, s_lo, s_mid, s_hi, $c39ArgmaxSql AS pred
        |FROM (
        |  SELECT doc_id, CAST(len(w) + greatest(len(w) - 1, 0) AS BIGINT) AS n_feats,
@@ -1267,6 +1271,103 @@ object TextAnalysis {
       .orderBy(col("gid"),
         col("source").asc_nulls_first, col("lang").asc_nulls_first)
 
+  // ----------------------- C51 budget-constrained corpus selection
+  /** C51: QUALITY-RANKED selection under a per-source token budget — the
+    * CCNet-style "keep the best documents until the budget runs out"
+    * step that turns classifier scores into an actual training set.
+    * Documents rank per source by the C39 classifier's `hi` score
+    * (desc, doc_id tiebreak); a document is kept iff the tokens of
+    * strictly better-ranked documents fit the budget (C23's
+    * tokens-before form — all-integer, guarantees at least one document
+    * per source, and the kept set is exactly the maximal quality-first
+    * prefix). Scale shape: one codegen'd projection (the
+    * HashedClassScore kernel) + ONE shuffle+sort window per source —
+    * rank and prefix sum come off the same sort, no join, no driver
+    * loop.
+    */
+  private val c51Budget = 600L // words per source — binds at every fixture SF
+
+  def c51BudgetSelect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("s_hi").desc, col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(size($wordsSpark) AS BIGINT)").as("n_words"),
+        graft.functions.HashedClassScore(col("text"), "whi:").as("s_hi"))
+      .withColumn("tokens_before", coalesce(sum(col("n_words")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("kept", col("tokens_before") < c51Budget)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val c51Sql: String =
+    s"""SELECT doc_id, source, n_words, s_hi,
+       |  CAST(COALESCE(SUM(n_words) OVER (PARTITION BY source
+       |    ORDER BY s_hi DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS tokens_before,
+       |  CAST(COALESCE(SUM(n_words) OVER (PARTITION BY source
+       |    ORDER BY s_hi DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    < $c51Budget AS kept
+       |FROM (
+       |  SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_words,
+       |    ${c39ScoreDuck("hi")} AS s_hi
+       |  FROM (SELECT doc_id, source, $wordsDuck AS w FROM documents))
+       |ORDER BY source, doc_id""".stripMargin
+
+  // ----------------------------- C53 vocabulary coverage curve
+  /** C53: vocabulary COVERAGE curve — the tokenizer-diagnostics readout
+    * (what vocab size covers what share of the corpus): for vocab sizes
+    * K ∈ {1, 2, 4, …, 32}, the fraction (basis points) of corpus token
+    * occurrences covered by the top-K words by frequency (ties broken
+    * lexically). One corpus scan to word counts (C15's partial-agg
+    * shape — the shuffle carries \|vocab\|), one \|vocab\|-row window
+    * for ranks, then a broadcast K-ladder join + conditional sums over
+    * the tiny ranked frame. All-integer (`covered·10⁴ DIV total`),
+    * hash-exact.
+    */
+  private val c53Ks = Seq(1, 2, 4, 8, 16, 32)
+
+  def c53CoverageCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val counts = docs(s, d)
+      .select(explode(expr(wordsSpark)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w"))))
+    ranked.crossJoin(broadcast(c53Ks.toDF("k")))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rk") <= col("k"), col("cnt")).otherwise(lit(0L)))
+          .as("covered_tokens"),
+        sum(col("cnt")).as("total_tokens"))
+      .withColumn("coverage_bp",
+        expr("covered_tokens * 10000 DIV total_tokens"))
+      .orderBy(col("k"))
+  }
+
+  val c53Sql: String = {
+    val ks = c53Ks.map(k => s"($k)").mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT w, COUNT(*) AS cnt
+       |  FROM (SELECT unnest($wordsDuck) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |ranked AS (
+       |  SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk
+       |  FROM counts)
+       |SELECT k,
+       |  CAST(SUM(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT) AS covered_tokens,
+       |  CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT) * 10000
+       |    // CAST(SUM(cnt) AS BIGINT) AS coverage_bp
+       |FROM ranked, (VALUES $ks) AS kv(k)
+       |GROUP BY k ORDER BY k""".stripMargin
+  }
+
   // ------------------------------- C48 datasheet quantiles under CUBE
   /** C48: the corpus datasheet widened with DISTRIBUTION columns — per
     * (source, lang) and every CUBE subtotal, median and p90 words-per-doc
@@ -1331,6 +1432,8 @@ object TextAnalysis {
        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c53_coverage_curve" -> (c53CoverageCurve _),
+    "c51_budget_select" -> (c51BudgetSelect _),
     "c50_tokenizer_versions" -> (c50TokenizerVersions _),
     "c48_datasheet_quantiles" -> (c48DatasheetQuantiles _),
     "c44_corpus_datasheet" -> (c44CorpusDatasheet _),
@@ -1359,6 +1462,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c53_coverage_curve" -> c53Sql,
+    "c51_budget_select" -> c51Sql,
     "c50_tokenizer_versions" -> c50Sql,
     "c48_datasheet_quantiles" -> c48Sql,
     "c44_corpus_datasheet" -> c44Sql,

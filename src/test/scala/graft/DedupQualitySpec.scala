@@ -133,4 +133,40 @@ class DedupQualitySpec extends AnyFunSuite {
     // all four grouping-set levels are present
     assert(est.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
   }
+
+  test("c51: the kept set is the maximal quality-first prefix per source — " +
+      "nothing kept below a dropped doc, at least one doc per source") {
+    val rows = ops.TextAnalysis.queries("c51_budget_select")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.exists(_._6) && rows.exists(!_._6), "budget should bind")
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      // re-derive the greedy prefix independently
+      val ranked = docs.sortBy(d => (-d._4, d._1))
+      var cum = 0L
+      ranked.foreach { d =>
+        assert(d._5 == cum, s"$src doc ${d._1}: tokens_before ${d._5} != $cum")
+        assert(d._6 == (cum < 600L), s"$src doc ${d._1} kept flag wrong")
+        cum += d._3
+      }
+      assert(docs.count(_._6) >= 1, s"$src kept nothing")
+      // prefix property: every kept doc ranks strictly above every dropped one
+      val worstKept = ranked.lastIndexWhere(_._6)
+      val firstDrop = ranked.indexWhere(!_._6)
+      assert(firstDrop == -1 || worstKept < firstDrop,
+        s"$src kept a doc ranked below a dropped doc")
+    }
+  }
+
+  test("c53: coverage is monotone in vocab size and saturates at the " +
+      "full vocabulary") {
+    val rows = ops.TextAnalysis.queries("c53_coverage_curve")(s, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16, 32))
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted, "not monotone")
+    assert(rows.forall(r => r._3 == rows.head._3), "total varies by k")
+    // the fixture vocabulary is 31 words → k=32 covers everything
+    assert(rows.last._2 == rows.last._3 && rows.last._4 == 10000L)
+    assert(rows.head._4 > 0L && rows.head._4 < 10000L)
+  }
 }
