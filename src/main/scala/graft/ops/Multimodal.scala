@@ -32,10 +32,13 @@ object Multimodal {
   case class Media(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
 
   /** Extracted features per media row: decoded dimensions, exact pixel
-    * sum (red channel), and a fixed-width embedding-ish vector.
+    * sum (red channel), a fixed-width embedding-ish vector, and the 8
+    * CONTIGUOUS row-block pixel sums (block of row y = `8·y DIV h`) that
+    * C54's perceptual hash reads.
     */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, dec_width: Int,
-                           dec_height: Int, pixel_sum: Long, feature: Array[Float])
+                           dec_height: Int, pixel_sum: Long, feature: Array[Float],
+                           row_blocks: Array[Long])
 
   private val featDim = 8
 
@@ -78,6 +81,7 @@ object Multimodal {
     val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk raster read
     var sum = 0L
     val bucket = new Array[Long](featDim)
+    val blocks = new Array[Long](8)
     var y = 0
     while (y < h) {
       var rowSum = 0L
@@ -88,10 +92,11 @@ object Multimodal {
       }
       sum += rowSum
       bucket(y % featDim) += rowSum
+      blocks(8 * y / h) += rowSum
       y += 1
     }
     MediaFeatures(m.doc_id, m.payload.length, w, h, sum,
-      bucket.map(v => v.toFloat / (w * h)))
+      bucket.map(v => v.toFloat / (w * h)), blocks)
   }
 
   /** Media table: one deterministic BMP payload per document, metadata
@@ -199,14 +204,76 @@ object Multimodal {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------- C54 perceptual-hash image near-dup
+  /** C54: perceptual NEAR-DUP detection on decoded media — the image
+    * analog of C3's SimHash: a dHash-style profile hash (bit i = "row
+    * block i+1 brighter than block i" over 8 contiguous row blocks of
+    * the DECODED raster), so re-encoded/resized copies of the same
+    * picture collide while different pictures split. Brightness
+    * comparisons are integer cross-multiplications of block pixel sums
+    * (block populations differ when 8 ∤ h — no division, no floats), so
+    * the hash is exact and the gate hash-checkable. Scale shape: the
+    * hash rides the same one-pass batched decode as C12 (no extra
+    * decode), grouping is a \|distinct hash\| aggregate — the candidate
+    * structure of a 100 TB image-dedup (bucket by hash, verify inside
+    * buckets) with the hash as the equi-join key.
+    *
+    * Oracle: the closed-form pixel model — block y-range is
+    * [ceil(i·h/8), ceil((i+1)·h/8)) (the inverse image of block(y) =
+    * 8y DIV h), block sum = w·(n·a + Σy − 256·wraps) — re-derives every
+    * bit image-free; a decode or blocking bug surfaces as a hash
+    * mismatch.
+    */
+  def c54PerceptualDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nOf = (i: Int) =>
+      expr(s"CAST((${i + 1} * dec_height + 7) DIV 8 - ($i * dec_height + 7) DIV 8 AS BIGINT)")
+    val phash = (0 until 7).map { i =>
+      when(col("row_blocks").getItem(i + 1) * nOf(i) >
+           col("row_blocks").getItem(i) * nOf(i + 1), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    featurize(s, d).toDF()
+      .select(col("doc_id"), phash.as("phash"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("phash"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val c54Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, (doc_id % 64) + 16 AS w, ((doc_id * 7) % 64) + 16 AS h,
+      |    doc_id % 256 AS a
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, a, i,
+      |    (i * h + 7) // 8 AS y0, ((i + 1) * h + 7) // 8 AS y1
+      |  FROM m, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS iv(i)),
+      |s AS (
+      |  SELECT doc_id, i, CAST(y1 - y0 AS BIGINT) AS n,
+      |    CAST(w * ((y1 - y0) * a + (y1 * (y1 - 1) - y0 * (y0 - 1)) // 2
+      |              - 256 * GREATEST(0, y1 - GREATEST(y0, 256 - a))) AS BIGINT)
+      |      AS bsum
+      |  FROM b),
+      |ph AS (
+      |  SELECT s1.doc_id,
+      |    CAST(SUM(CASE WHEN s2.bsum * s1.n > s1.bsum * s2.n
+      |                  THEN 1 << s1.i ELSE 0 END) AS BIGINT) AS phash
+      |  FROM s s1 JOIN s s2 ON s1.doc_id = s2.doc_id AND s2.i = s1.i + 1
+      |  GROUP BY s1.doc_id)
+      |SELECT doc_id, phash,
+      |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+      |FROM ph ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_multimodal" -> (c12Multimodal _),
-    "c29_media_metadata" -> (c29MediaMetadata _)
+    "c29_media_metadata" -> (c29MediaMetadata _),
+    "c54_perceptual_dedup" -> (c54PerceptualDedup _)
   )
 
   val oracle: Map[String, String] = Map(
     "c12_multimodal" -> c12Sql,
-    "c29_media_metadata" -> c29Sql
+    "c29_media_metadata" -> c29Sql,
+    "c54_perceptual_dedup" -> c54Sql
   )
 }

@@ -68,4 +68,32 @@ class MultimodalSpec extends AnyFunSuite {
       .select(graft.functions.BmpMeta(col("payload")).as("m")).collect()
     assert(rows.forall(_.isNullAt(0)))
   }
+
+  test("c54: perceptual hash groups collisions, and a re-rendered (wider) " +
+      "copy of the same picture collides — width invariance") {
+    val rows = Multimodal.queries("c54_perceptual_dedup")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.exists(_._3 > 1L), "no perceptual collisions found")
+    assert(rows.map(_._2).distinct.length > 1, "hash is degenerate")
+    // groups are consistent: n_same really is the hash-group size
+    rows.groupBy(_._2).foreach { case (ph, g) =>
+      assert(g.forall(_._3 == g.length), s"phash $ph group size mismatch")
+    }
+    // width-invariance: brightness-profile bits compare row MEANS, so the
+    // same picture rendered 3× wider must hash identically
+    def hashOf(m: Multimodal.Media): Long = {
+      val f = Multimodal.decode(m)
+      val h = f.dec_height
+      def n(i: Int) = (((i + 1) * h + 7) / 8 - (i * h + 7) / 8).toLong
+      (0 until 7).map { i =>
+        if (f.row_blocks(i + 1) * n(i) > f.row_blocks(i) * n(i + 1)) 1L << i
+        else 0L
+      }.sum
+    }
+    val id = 123L
+    val h = Multimodal.heightOf(id)
+    val narrow = hashOf(Multimodal.Media(id, Multimodal.makeImage(id, 20, h), 20, h))
+    val wide = hashOf(Multimodal.Media(id, Multimodal.makeImage(id, 60, h), 60, h))
+    assert(narrow == wide, "3x-wider rendering of the same picture must collide")
+  }
 }
