@@ -224,17 +224,23 @@ object Multimodal {
     * bit image-free; a decode or blocking bug surfaces as a hash
     * mismatch.
     */
-  def c54PerceptualDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The profile-hash Column over decoded (row_blocks, dec_height) —
+    * shared by the batch gate and D20's streaming image dedup.
+    */
+  def c54Phash: org.apache.spark.sql.Column = {
     val nOf = (i: Int) =>
       expr(s"CAST((${i + 1} * dec_height + 7) DIV 8 - ($i * dec_height + 7) DIV 8 AS BIGINT)")
-    val phash = (0 until 7).map { i =>
+    (0 until 7).map { i =>
       when(col("row_blocks").getItem(i + 1) * nOf(i) >
            col("row_blocks").getItem(i) * nOf(i + 1), lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  def c54PerceptualDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     featurize(s, d).toDF()
-      .select(col("doc_id"), phash.as("phash"))
+      .select(col("doc_id"), c54Phash.as("phash"))
       .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("phash"))))
       .orderBy(col("doc_id"))
   }

@@ -358,6 +358,43 @@ object StreamDedup {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ------------- D20 streaming perceptual image dedup (C54 live)
+  /** D20: C54's perceptual hash over an IMAGE STREAM — the multimodal
+    * ingest-dedup shape: each arriving payload is REALLY decoded
+    * (ImageIO in a stateless partition-local map, same kernel as the
+    * batch pipeline), profile-hashed with the SAME Column as the batch
+    * gate, and deduplicated with watermarked `dropDuplicates` on the
+    * hash (D3's engine-owned state shape): the first arrival of each
+    * perceptual class inside the horizon passes, re-encoded/resized
+    * copies are dropped, and state is ONE tiny row per distinct hash —
+    * never a decoded raster. Stream ≡ batch by construction (shared
+    * decode + shared hash expression; StreamDedupSpec proves the
+    * emitted classes match batch C54 and that a wider re-render of an
+    * already-seen picture is dropped across micro-batches).
+    */
+  case class MediaIn(doc_id: Long, payload: Array[Byte],
+                     ts: java.sql.Timestamp)
+
+  def perceptualDedupStream(s: SparkSession, stream: DataFrame,
+                            watermarkDelay: String = "1 hour"): DataFrame = {
+    import s.implicits._
+    val decoded = stream.as[MediaIn].mapPartitions { rows =>
+      rows.map { m =>
+        val f = graft.ops.Multimodal.decode(
+          graft.ops.Multimodal.Media(m.doc_id, m.payload, 0, 0))
+        (m.doc_id, m.ts, f.dec_height, f.row_blocks)
+      }
+    }.toDF("doc_id", "ts", "dec_height", "row_blocks")
+    decoded
+      .select(col("doc_id"), col("ts"),
+        graft.ops.Multimodal.c54Phash.as("phash"))
+      .withWatermark("ts", watermarkDelay)
+      // WithinWatermark: the engine DROPS a hash's state once the
+      // watermark passes its horizon — bounded state, D8's recent-window
+      // semantics (a copy landing after the horizon is a fresh class)
+      .dropDuplicatesWithinWatermark("phash")
+  }
+
   // ------------------- D17 streaming heavy hitters (B28 live)
   /** D17: Misra-Gries heavy hitters maintained LIVE over a token stream —
     * B28's summary as streaming state: per shard key, a MapState of at

@@ -255,6 +255,46 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D20: streaming perceptual image dedup — first arrival per class " +
+      "passes, a wider re-render of a seen picture is dropped cross-batch, " +
+      "classes ≡ batch C54") {
+    import s.implicits._
+    val mem = MemoryStream[graft.streaming.StreamDedup.MediaIn](s)
+    val q = graft.streaming.StreamDedup.perceptualDedupStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("d20_imgs")
+      .outputMode("append").start()
+    // two distinct pictures, then a 3x-wider re-render of the first in a
+    // LATER micro-batch — must be recognized as a dup via streaming state
+    def media(id: Long, w: Int) = graft.streaming.StreamDedup.MediaIn(
+      id, graft.ops.Multimodal.makeImage(id, w, graft.ops.Multimodal.heightOf(id)), t(1))
+    // the hash is only 7 bits (128 perceptual classes), so pick a second
+    // picture whose class provably differs from 123's via the same
+    // driver-side decode the batch spec pins
+    def hashOf(id: Long, w: Int): Long = {
+      val f = graft.ops.Multimodal.decode(graft.ops.Multimodal.Media(
+        id, graft.ops.Multimodal.makeImage(id, w, graft.ops.Multimodal.heightOf(id)), 0, 0))
+      def n(i: Int) = (((i + 1) * f.dec_height + 7) / 8 - (i * f.dec_height + 7) / 8).toLong
+      (0 until 7).map { i =>
+        if (f.row_blocks(i + 1) * n(i) > f.row_blocks(i) * n(i + 1)) 1L << i else 0L
+      }.sum
+    }
+    val other = (1L to 200L).find(id => id != 123L && hashOf(id, 30) != hashOf(123L, 20)).get
+    try {
+      mem.addData(media(123L, 20), media(other, 30))
+      q.processAllAvailable()
+      // the SAME picture re-rendered 3x wider (width-invariant hash,
+      // pinned in MultimodalSpec) arrives in a later micro-batch: the
+      // engine-owned hash state must recognize and drop it
+      mem.addData(media(123L, 60))
+      q.processAllAvailable()
+      val out = s.sql("SELECT doc_id, phash FROM d20_imgs").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.count(_._1 == 123L) == 1, s"dup not dropped: ${out.toSeq}")
+      assert(out.exists(_._1 == other))
+      assert(out.map(_._2).distinct.length == out.length, "emitted a class twice")
+    } finally q.stop()
+  }
+
   test("D18: bucket-state table — compaction collapses files per table, " +
       "preserves pairs exactly, and is a fixpoint; pairs ≡ batch C20") {
     import s.implicits._
