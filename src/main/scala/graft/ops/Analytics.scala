@@ -279,6 +279,46 @@ object Analytics {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------ B32
+  /** B32: skew-salted SHUFFLE JOIN — B13's salting rewrite applied to a
+    * join, the standard cure when one fact key is hot enough to pin a
+    * whole reducer and the dim side is too big to broadcast: the fact
+    * side spreads each key over 16 salted sub-keys (salt from a
+    * per-row column, so the hot key's rows land on 16 reducers), the
+    * dim side is replicated ×16 via `explode` so every (key, salt)
+    * partition holds its dim row, and the join runs on (key, salt).
+    * `shuffle_hash` hints pin the shuffled plan — a broadcast would
+    * mask what the rewrite demonstrates (PlanAuditSpec asserts the
+    * ShuffledHashJoin and the salt in the join keys). Each fact row
+    * meets its dim row exactly once (under its own salt), so the result
+    * is EXACTLY the plain join — which is what the oracle computes:
+    * equality proves the rewrite is semantics-preserving. At 100 TB the
+    * ×16 dim replication costs |dim|×16 shuffle bytes — the trade
+    * against a hot reducer that would otherwise run alone for hours.
+    */
+  def b32SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    val fact = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"),
+        pmod(col("event_id"), lit(salts)).as("salt"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("d_salt", explode(array((0 until salts).map(lit): _*)))
+    fact.hint("shuffle_hash")
+      .join(dim, col("user_id") === col("c_custkey") &&
+        col("salt") === col("d_salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val b32SaltedJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------------ B29
   /** B29: full CUBE + grouping_id — B10's rollup widened to every
     * grouping-set combination, with the standard GROUPING bit vector
@@ -811,6 +851,7 @@ object Analytics {
     "b29_cube"           -> (b29Cube _),
     "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
     "b31_window_battery" -> (b31WindowBattery _),
+    "b32_salted_join"    -> (b32SaltedJoin _),
     "b25_changelog_compact" -> (b25ChangelogCompact _)
   )
 
@@ -842,6 +883,7 @@ object Analytics {
     "b29_cube"           -> b29CubeSql,
     "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,
     "b31_window_battery" -> b31WindowBatterySql,
+    "b32_salted_join"    -> b32SaltedJoinSql,
     "b25_changelog_compact" -> b25ChangelogCompactSql
   )
 }

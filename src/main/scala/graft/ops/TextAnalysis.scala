@@ -1368,6 +1368,70 @@ object TextAnalysis {
        |GROUP BY k ORDER BY k""".stripMargin
   }
 
+  // ------------------------- C55 hashed importance weighting (DSIR)
+  /** C55: DSIR-shaped importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — score
+    * every corpus document by how much its hashed-feature profile looks
+    * like a TARGET domain's profile vs the corpus at large, the step
+    * that turns "we want more data like this" into per-document weights.
+    * Features are word unigrams hashed into 256 buckets (DSIR's hashed
+    * n-gram generative model); the target distribution is the `src0`
+    * slice (a stand-in for the downstream/eval corpus). Where DSIR
+    * scores log p_tgt(f) − p_corp(f), this keeps the repo's all-integer
+    * contract with the cross-multiplied linear contrast
+    * Σ_tokens (tgt(b)·N − corp(b)·T): same sign semantics (positive ⇔
+    * feature over-represented in the target), exact BIGINT, hash-stable
+    * across engines.
+    *
+    * Scale shape: ONE conditional-aggregate scan builds BOTH
+    * distributions (256 counter rows regardless of corpus size — the
+    * bucket stats are a BROADCAST side), then the scoring pass re-scans
+    * the corpus, equi-joins the broadcast frame, and map-side-combines
+    * the per-doc sum — the shuffle carries |docs| partials, never
+    * tokens. No collect, no driver loop; at 100 TB both passes stream.
+    */
+  private val c55Buckets = 256
+  private val c55Target = "src0"
+
+  def c55ImportanceWeight(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(expr(wordsSpark)).as("t"))
+      .where(col("t") =!= "")
+      .withColumn("bucket", expr(s"${h64Spark("t")} % $c55Buckets"))
+    // both distributions in ONE pass; totals via a window over 256 rows
+    val stats = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("corp_n"),
+        count(when(col("source") === c55Target, 1)).as("tgt_n"))
+      .withColumn("n_tot", sum(col("corp_n")).over(Window.partitionBy()))
+      .withColumn("t_tot", sum(col("tgt_n")).over(Window.partitionBy()))
+    toks.join(broadcast(stats), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        sum(col("tgt_n") * col("n_tot") - col("corp_n") * col("t_tot"))
+          .cast("long").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c55Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, ${h64Duck("t")} % $c55Buckets AS bucket
+       |  FROM (SELECT doc_id, source, unnest($wordsDuck) AS t FROM documents)
+       |  WHERE t <> ''),
+       |stats AS (
+       |  SELECT bucket, COUNT(*) AS corp_n,
+       |    COUNT(*) FILTER (WHERE source = '$c55Target') AS tgt_n
+       |  FROM toks GROUP BY bucket),
+       |tot AS (
+       |  SELECT bucket, corp_n, tgt_n,
+       |    SUM(corp_n) OVER () AS n_tot, SUM(tgt_n) OVER () AS t_tot
+       |  FROM stats)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |  CAST(SUM(tgt_n * n_tot - corp_n * t_tot) AS BIGINT) AS score
+       |FROM toks JOIN tot USING (bucket)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------- C48 datasheet quantiles under CUBE
   /** C48: the corpus datasheet widened with DISTRIBUTION columns — per
     * (source, lang) and every CUBE subtotal, median and p90 words-per-doc
@@ -1432,6 +1496,7 @@ object TextAnalysis {
        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c55_importance_weight" -> (c55ImportanceWeight _),
     "c53_coverage_curve" -> (c53CoverageCurve _),
     "c51_budget_select" -> (c51BudgetSelect _),
     "c50_tokenizer_versions" -> (c50TokenizerVersions _),
@@ -1462,6 +1527,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c55_importance_weight" -> c55Sql,
     "c53_coverage_curve" -> c53Sql,
     "c51_budget_select" -> c51Sql,
     "c50_tokenizer_versions" -> c50Sql,

@@ -395,6 +395,70 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark("phash")
   }
 
+  // ------------- D21 streaming histogram-quantile state (B30 live)
+  /** D21: B30's mergeable quantile summary maintained LIVE — the third
+    * non-monoid metric served from streaming state (after D16's HLL
+    * distinct and D17's Misra-Gries heavy hitters): per slice, a
+    * MapState of fixed-width histogram bin counters (bin =
+    * floorDiv(amount, width)). Counter addition is the monoid, so the
+    * per-slice states merge downstream by plain summation exactly like
+    * B30's slice partials — the spec merges the final slice states and
+    * pins equality with a batch histogram of the same rows plus the
+    * ≤-one-bin-width error bound against exact percentiles. Each batch
+    * re-emits the slice's full histogram with a version (rows seen) so a
+    * consumer reads the latest snapshot (Update-mode semantics, D17's
+    * contract). State is O(value range / bin width) per slice — never
+    * O(rows) — which is what lets a 100 TB stream serve live p95/p99
+    * from kilobytes of state.
+    */
+  case class HistIn(slice: String, amount: Long)
+  case class HistOut(slice: String, bin: Long, n: Long, version: Long)
+
+  class HistQuantileProcessor(width: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, HistIn, HistOut] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var bins: MapState[Long, Long] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      bins = getHandle.getMapState[Long, Long]("bins",
+        E.scalaLong, E.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[HistIn],
+                                 tv: TimerValues): Iterator[HistOut] = {
+      // touched bins this batch — read-modify-write only those
+      val delta = scala.collection.mutable.Map[Long, Long]()
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { r =>
+        n += 1
+        val b = java.lang.Math.floorDiv(r.amount, width)
+        delta(b) = delta.getOrElse(b, 0L) + 1L
+      }
+      delta.foreach { case (b, d) =>
+        val cur = if (bins.containsKey(b)) bins.getValue(b) else 0L
+        bins.updateValue(b, cur + d)
+      }
+      seen.update(n)
+      val v = n
+      bins.iterator().map { case (b, c) => HistOut(key, b, c, v) }
+    }
+  }
+
+  /** Streaming entry: stream carries (slice, amount). */
+  def histQuantileStream(s: SparkSession, stream: DataFrame,
+                         width: Long): Dataset[HistOut] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    stream.select(col("slice"), col("amount")).as[HistIn]
+      .groupByKey(_.slice)
+      .transformWithState(new HistQuantileProcessor(width),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ------------------- D17 streaming heavy hitters (B28 live)
   /** D17: Misra-Gries heavy hitters maintained LIVE over a token stream —
     * B28's summary as streaming state: per shard key, a MapState of at

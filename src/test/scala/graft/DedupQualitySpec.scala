@@ -169,4 +169,22 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(rows.last._2 == rows.last._3 && rows.last._4 == 10000L)
     assert(rows.head._4 > 0L && rows.head._4 < 10000L)
   }
+
+  test("c55: importance weights separate the target domain — target-source " +
+      "docs average a higher per-token score than the rest") {
+    val df = ops.TextAnalysis.queries("c55_importance_weight")(s, sf)
+    val srcs = core.Tables.documents(s, sf).select("doc_id", "source")
+    val rows = df.join(srcs, "doc_id").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_toks"), r.getAs[Long]("score")))
+    // Σ_docs score = Σ_buckets corp(b)·(tgt(b)·N − corp(b)·T); the
+    // contrast is zero-sum only in expectation, but target-vs-rest
+    // separation is the operator's point:
+    def meanPerTok(p: ((String, Long, Long)) => Boolean): Double = {
+      val xs = rows.filter(p)
+      xs.map(_._3.toDouble).sum / xs.map(_._2.toDouble).sum
+    }
+    val tgt = meanPerTok(_._1 == "src0")
+    val rest = meanPerTok(_._1 != "src0")
+    assert(tgt > rest, s"target mean/token $tgt !> rest $rest")
+  }
 }

@@ -35,6 +35,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p5.contains("BroadcastHashJoin"), p5)
   }
 
+  test("b32: salted join is a ShuffledHashJoin on (key, salt) — no broadcast, " +
+      "no nested loop") {
+    val p = plan(Analytics.queries("b32_salted_join")(s, sf))
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    // the salt participates in the join keys: both sides' keys name it
+    val keyLines = p.split('\n').filter(l => l.contains("keys") || l.contains("Keys"))
+    assert(keyLines.exists(l => l.contains("salt")), p)
+  }
+
   test("b7 + a16: global top-k plans as TakeOrderedAndProject, not a global sort") {
     assert(plan(Analytics.queries("b7_topk")(s, sf)).contains("TakeOrderedAndProject"))
     assert(plan(StacSearch.queries("a16_sort")(s, sf)).contains("TakeOrderedAndProject"))

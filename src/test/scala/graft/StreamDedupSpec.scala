@@ -226,6 +226,63 @@ class StreamDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("D21 streaming histogram quantiles: merged slice states equal the batch " +
+      "histogram and the read-off is within one bin width of exact percentiles") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val width = 100L
+    // skewed amounts over two slices, split across two micro-batches
+    val data = for { i <- 1 to 400 } yield StreamDedup.HistIn(
+      s"slice${i % 2}", ((i.toLong * i) % 1700) + (if (i % 7 == 0) 900L else 0L))
+    val (b1, b2) = data.splitAt(data.size / 2)
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamDedup.HistIn](s)
+      val q = StreamDedup.histQuantileStream(s, mem.toDF(), width)
+        .writeStream.format("memory").queryName("d21_hist")
+        .outputMode("update").start()
+      try {
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        // latest snapshot per slice = rows at that slice's max version
+        val snap = s.table("d21_hist")
+          .withColumn("maxv", max(col("version"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("slice"))))
+          .where(col("version") === col("maxv"))
+          .select(col("slice"), col("bin"), col("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        // versions count rows seen per slice — snapshot totals must agree
+        val perSlice = data.groupBy(_.slice).view.mapValues(_.size.toLong).toMap
+        snap.groupBy(_._1).foreach { case (sl, rows) =>
+          assert(rows.map(_._3).sum == perSlice(sl), s"slice $sl lost rows")
+        }
+        // merge across slices = plain counter addition (B30's merge)
+        val merged = snap.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        val batchHist = data.groupBy(d => java.lang.Math.floorDiv(d.amount, width))
+          .view.mapValues(_.size.toLong).toMap
+        assert(merged == batchHist, "merged stream state != batch histogram")
+        // quantile read-off: smallest bin whose cumulative count covers p%
+        val total = data.size.toLong
+        val sortedBins = merged.toSeq.sortBy(_._1)
+        val exact = data.map(_.amount).sorted
+        Seq(50, 95, 99).foreach { p =>
+          var cum = 0L
+          val bin = sortedBins.find { case (_, c) => cum += c; cum * 100 >= total * p }.get._1
+          val exactP = exact(((total * p + 99) / 100 - 1).toInt)
+          assert(java.lang.Math.floorDiv(exactP, width) == bin,
+            s"p$p read-off bin $bin vs exact value $exactP (bin ${exactP / width})")
+        }
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark bounds state: members beyond the horizon are evicted, not paired") {
     import s.implicits._
     // two identical vectors far apart in event time + a fresh one close by
