@@ -38,13 +38,6 @@ object Dedup {
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"), explode(expr(trigramsSpark)).as("gram"))
 
-  /** One row per DISTINCT gram per doc (same inline-explode shape). */
-  private def distinctGramRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("w", expr(wordsSpark))
-      .where(expr("size(w) >= 3"))
-      .select(col("doc_id"), explode(expr(s"array_distinct($trigramsSpark)")).as("gram"))
-
   private val gramsDuck: String =
     s"""SELECT doc_id, $trigramsDuck AS g
        |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
@@ -258,6 +251,20 @@ object Dedup {
   private val jacMin = 0.6
   private val dfCap = 64
 
+  /** The capped posting lists over a documents frame — shared by C4
+    * (Jaccard) and C56 (containment): one row per gram hash with the
+    * sorted doc ids carrying it, hot grams (> [[dfCap]] docs) dropped.
+    */
+  private def cappedPostings(docsDf: DataFrame): DataFrame =
+    docsDf
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), explode(expr(s"array_distinct($trigramsSpark)")).as("gram"))
+      .select(col("doc_id"), expr(h64Spark("concat('jg:', gram)")).as("gh"))
+      .groupBy(col("gh"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= dfCap)
+
   def c4DedupJaccard(s: SparkSession, d: String): DataFrame = {
     // posting list per gram (singletons kept — they feed the set sizes)
     // → df cap → in-bucket pair expansion → count = |A∩B|; sizes come
@@ -265,11 +272,7 @@ object Dedup {
     // into the final join.
     // shuffle 60-bit gram hashes, not strings (hash collisions would be
     // identical in the oracle, which buckets by the same md5 lanes)
-    val posting = distinctGramRows(s, d)
-      .select(col("doc_id"), expr(h64Spark("concat('jg:', gram)")).as("gh"))
-      .groupBy(col("gh"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) <= dfCap)
+    val posting = cappedPostings(Tables.documents(s, d))
     val inter = posting.where(size(col("ds")) >= 2)
       .select(explode(expr(pairExpansion)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
@@ -304,6 +307,84 @@ object Dedup {
        |  JOIN sz sb ON d2 = sb.doc_id)
        |WHERE jac >= $jacMin
        |ORDER BY d1, d2""".stripMargin
+
+  // ----------------------------------- C56 asymmetric containment
+  /** C56: DIRECTIONAL shingle containment (Broder's containment
+    * coefficient, C(A,B) = |S(A)∩S(B)| / |S(A)|) — the asymmetric
+    * companion to C4's Jaccard: a short document quoted or embedded
+    * inside a long one has high containment but LOW Jaccard (the union
+    * is dominated by the long side), so symmetric near-dup thresholds
+    * miss exactly the quote/superset duplication that inflates a
+    * training corpus. Emits both directions of every candidate pair with
+    * containment ≥ 0.8 of the source side, plus the pair's Jaccard in
+    * the same integer basis points for triage.
+    *
+    * Same scale chain as C4 (shared [[cappedPostings]]): hot-gram cap
+    * bounds the candidate join at O(df²·capped), intersection counts
+    * come from the in-bucket pair expansion, sizes broadcast. Integer
+    * `bp = x·10000 DIV y` keeps both engines bit-identical — no double
+    * division. DedupQualitySpec pins the asymmetric semantics on a
+    * constructed quote-inside-document corpus (containment fires where
+    * Jaccard stays below the near-dup bar).
+    */
+  private val contMinBp = 8000L
+
+  def c56Containment(s: SparkSession, d: String): DataFrame =
+    c56ContainmentOver(cappedPostings(Tables.documents(s, d)))
+
+  /** Test hook: postings over a constructed (doc_id, text) frame. */
+  private[graft] def cappedPostingsForTest(docsDf: DataFrame): DataFrame =
+    cappedPostings(docsDf)
+
+  /** The chain over prebuilt postings — the spec drives it with a
+    * constructed corpus.
+    */
+  private[graft] def c56ContainmentOver(posting: DataFrame): DataFrame = {
+    val inter = posting.where(size(col("ds")) >= 2)
+      .select(explode(expr(pairExpansion)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = posting.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sided = inter
+      .join(broadcast(sizes.alias("sa")), col("d1") === col("sa.doc_id"))
+      .join(broadcast(sizes.alias("sb")), col("d2") === col("sb.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        col("sa.sz").as("sz1"), col("sb.sz").as("sz2"))
+    val fwd = sided.select(col("d1").as("src"), col("d2").as("dst"),
+      expr("inter * 10000 DIV sz1").as("cont_bp"),
+      expr("inter * 10000 DIV (sz1 + sz2 - inter)").as("jac_bp"))
+    val rev = sided.select(col("d2").as("src"), col("d1").as("dst"),
+      expr("inter * 10000 DIV sz2").as("cont_bp"),
+      expr("inter * 10000 DIV (sz1 + sz2 - inter)").as("jac_bp"))
+    fwd.unionAll(rev)
+      .where(col("cont_bp") >= contMinBp)
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val c56Sql: String =
+    s"""WITH g AS ($gramsDuck),
+       |gr0 AS (SELECT doc_id, ${h64Duck("'jg:'||gram")} AS gh
+       |        FROM (SELECT doc_id, unnest(list_distinct(g)) AS gram FROM g)),
+       |hot AS (SELECT gh FROM gr0 GROUP BY gh HAVING COUNT(*) > $dfCap),
+       |gr AS (SELECT * FROM gr0 WHERE gh NOT IN (SELECT gh FROM hot)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM gr GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+       |  FROM gr x JOIN gr y ON x.gh = y.gh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |sided AS (
+       |  SELECT d1, d2, inter, sa.sz AS sz1, sb.sz AS sz2
+       |  FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id),
+       |dir AS (
+       |  SELECT d1 AS src, d2 AS dst, inter * 10000 // sz1 AS cont_bp,
+       |         inter * 10000 // (sz1 + sz2 - inter) AS jac_bp FROM sided
+       |  UNION ALL
+       |  SELECT d2, d1, inter * 10000 // sz2,
+       |         inter * 10000 // (sz1 + sz2 - inter) FROM sided)
+       |SELECT src, dst, cont_bp, jac_bp FROM dir
+       |WHERE cont_bp >= $contMinBp
+       |ORDER BY src, dst""".stripMargin
 
   // ----------------------------------- C5 embedding cosine near-dup
   /** Cosine ≥ 0.45 threshold self-join over embeddings. Vectors normalize
@@ -760,6 +841,7 @@ object Dedup {
     "c52_dup_attribution" -> (c52DupAttribution _),
     "c3_dedup_simhash"   -> (c3DedupSimhash _),
     "c4_dedup_jaccard"   -> (c4DedupJaccard _),
+    "c56_containment"    -> (c56Containment _),
     "c5_dedup_embedding" -> (c5DedupEmbedding _),
     "c18_dup_clusters"   -> (c18DupClusters _),
     "c36_cluster_reps"   -> (c36ClusterReps _),
@@ -775,6 +857,7 @@ object Dedup {
     "c52_dup_attribution" -> c52Sql,
     "c3_dedup_simhash"   -> c3Sql,
     "c4_dedup_jaccard"   -> c4Sql,
+    "c56_containment"    -> c56Sql,
     "c5_dedup_embedding" -> c5Sql,
     "c18_dup_clusters"   -> c18Sql,
     "c36_cluster_reps"   -> c36Sql,

@@ -1051,6 +1051,66 @@ object StacSearch {
        |  $envelopeSqlCols FROM items)
        |ORDER BY id""".stripMargin)
 
+  // ------------------------ A57 tolerant ingestion (rejects channel)
+  /** A57: PERMISSIVE ingestion with a typed rejects channel — the error
+    * path every production ingest needs and A43's happy path skips: a
+    * feed where some records are truncated mid-payload and some parse
+    * but lack the required `id`. The operator classifies every record in
+    * one pass — `from_json` (PERMISSIVE: malformed → null struct) drives
+    * `unparseable`; a parsed struct with a null `id` drives
+    * `missing_id`; the rest are `ok` — and proves the permissive
+    * contract that a record failing VALIDATION (missing id) still
+    * yields its parseable payload (datetimes recovered in the
+    * missing_id class = its source non-null datetimes, exactly as in
+    * the ok class; 0 for unparseable).
+    *
+    * Corruption is deterministic string surgery on the serialized feed
+    * (truncate 8 bytes when id_num % 13 = 0; rename the id key when
+    * id_num % 17 = 0), so the oracle derives the expected class of
+    * every record from the SOURCE columns without running a parser —
+    * Spark must reach the same classification through the actual parse.
+    * Scale shape: one scan, one codegen'd projection chain, a 3-row
+    * aggregate; the rejects channel is a filter on the same pass, never
+    * a second parse.
+    */
+  def a57TolerantIngest(s: SparkSession, d: String): DataFrame = {
+    val src = withEnvelope(items(s, d))
+      .select(col("id"), col("id_num"), featureJsonCol.as("f"))
+    src
+      .withColumn("f2",
+        when(pmod(col("id_num"), lit(13)) === 0,
+          expr("substr(f, 1, length(f) - 8)"))
+          .when(pmod(col("id_num"), lit(17)) === 0,
+            expr("replace(f, '\"id\"', '\"xid\"')"))
+          .otherwise(col("f")))
+      .withColumn("it", from_json(col("f2"),
+        org.apache.spark.sql.types.StructType.fromDDL(a43ItemDdl)))
+      // PERMISSIVE from_json yields an ALL-NULL struct (not a null
+      // struct) for malformed input, so the discriminator is `type` — a
+      // constant literal in every serialized record, null only when the
+      // whole parse failed
+      .withColumn("status",
+        when(col("it.type").isNull, lit("unparseable"))
+          .when(col("it.id").isNull, lit("missing_id"))
+          .otherwise(lit("ok")))
+      .withColumn("dt", to_timestamp(col("it.properties.datetime"),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), count(col("dt")).as("n_dt_recovered"))
+      .orderBy(col("status"))
+  }
+
+  val a57Sql: String = Tables.withItems(
+    """SELECT status, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN status <> 'unparseable' AND datetime IS NOT NULL
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dt_recovered
+      |FROM (
+      |  SELECT CASE WHEN id_num % 13 = 0 THEN 'unparseable'
+      |              WHEN id_num % 17 = 0 THEN 'missing_id'
+      |              ELSE 'ok' END AS status, datetime
+      |  FROM items)
+      |GROUP BY status ORDER BY status""".stripMargin)
+
   // -------------------- A44/A45 GeoJSON through the typed search param
   /** A44: arbitrary GeoJSON (GeometryCollection of Polygon-with-hole +
     * MultiPoint + LineString) through the TYPED SEARCH PARAM path —
@@ -1705,6 +1765,7 @@ object StacSearch {
     "a41_footprint_shapes"        -> (a41FootprintShapes _),
     "a42_wkb_roundtrip"           -> (a42WkbRoundtrip _),
     "a43_item_ingest"             -> (a43ItemIngest _),
+    "a57_tolerant_ingest"         -> (a57TolerantIngest _),
     "a44_param_intersects"        -> (a44ParamIntersects _),
     "a45_intersects_convex"       -> (a45IntersectsConvex _),
     "a46_grid_agg"                -> (a46GridAgg _),
@@ -1761,6 +1822,7 @@ object StacSearch {
     "a41_footprint_shapes"        -> a41Sql,
     "a42_wkb_roundtrip"           -> a42Sql,
     "a43_item_ingest"             -> a43Sql,
+    "a57_tolerant_ingest"         -> a57Sql,
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,

@@ -170,6 +170,32 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(rows.head._4 > 0L && rows.head._4 < 10000L)
   }
 
+  test("c56: containment is asymmetric — a short doc quoted inside a long one " +
+      "fires containment (src = the short doc) while Jaccard stays low") {
+    import s.implicits._
+    // doc 1: a 40-word document; doc 2: those same 40 words embedded in
+    // 160 words of other text → C(1,2) = 1.0, J ≈ 40/160 = 0.25
+    val quote = (1 to 40).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 120).map(i => s"f$i").mkString(" ")
+    val corpus = Seq(
+      (1L, quote),
+      (2L, s"$filler $quote"),
+      (3L, (1 to 50).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val posting = ops.Dedup.cappedPostingsForTest(corpus)
+    val out = ops.Dedup.c56ContainmentOver(posting).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the quote direction fires: src=1 contained in dst=2
+    val hit = out.find(r => r._1 == 1L && r._2 == 2L)
+    assert(hit.isDefined, s"containment 1→2 missing: ${out.toSeq}")
+    assert(hit.get._3 >= 9000L, s"cont_bp ${hit.get._3}")
+    assert(hit.get._4 < 6000L, s"Jaccard should be low: ${hit.get._4}")
+    // the reverse direction must NOT fire (2 is not contained in 1)
+    assert(!out.exists(r => r._1 == 2L && r._2 == 1L), out.toSeq.toString)
+    // the unrelated doc pairs with nobody
+    assert(!out.exists(r => r._1 == 3L || r._2 == 3L), out.toSeq.toString)
+  }
+
   test("c55: importance weights separate the target domain — target-source " +
       "docs average a higher per-token score than the rest") {
     val df = ops.TextAnalysis.queries("c55_importance_weight")(s, sf)
