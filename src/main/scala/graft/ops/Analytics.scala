@@ -319,6 +319,87 @@ object Analytics {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------------------ B33
+  /** B33: strict SEQUENTIAL FUNNEL (signup → view → click → purchase,
+    * each step strictly after the previous one's first completion) —
+    * the product-analytics shape every growth dashboard computes, and a
+    * sequence-matching query relational engines traditionally answer
+    * with N self-joins. Here it is ONE groupBy pass: per user, the
+    * signup time aggregates as a plain min while the later steps'
+    * timestamps aggregate into per-type sorted arrays (bounded by
+    * per-user activity, never corpus size), and the strictly-after
+    * cascade is `array_min(filter(ts, x -> x > prev))` per step — a
+    * null previous step nulls every later one (filter's null predicate
+    * keeps nothing). The shuffle carries |users| rows once; the oracle
+    * answers the same question with the classic 4-join algorithm, so
+    * the gate is a genuine two-algorithm equality.
+    */
+  def b33Funnel(spark: SparkSession, dir: String): DataFrame = {
+    def tsOf(t: String) =
+      sort_array(collect_list(when(col("event_type") === t, col("ts"))))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+        tsOf("view").as("vw"), tsOf("click").as("ck"), tsOf("purchase").as("pu"))
+      .select(col("t1"), expr("array_min(filter(vw, x -> x > t1))").as("t2"),
+        col("ck"), col("pu"))
+      .select(col("t1"), col("t2"),
+        expr("array_min(filter(ck, x -> x > t2))").as("t3"), col("pu"))
+      .select(col("t1"), col("t2"), col("t3"),
+        expr("array_min(filter(pu, x -> x > t3))").as("t4"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("step_signup"), count(col("t2")).as("step_view"),
+        count(col("t3")).as("step_click"), count(col("t4")).as("step_purchase"))
+  }
+
+  val b33FunnelSql: String =
+    """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN t1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+      |t3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN t2 USING (user_id)
+      |       WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+      |t4 AS (SELECT e.user_id, MIN(ts) AS t4 FROM events e JOIN t3 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1)
+      |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+      |  (SELECT COUNT(*) FROM t1) AS step_signup,
+      |  (SELECT COUNT(*) FROM t2) AS step_view,
+      |  (SELECT COUNT(*) FROM t3) AS step_click,
+      |  (SELECT COUNT(*) FROM t4) AS step_purchase""".stripMargin
+
+  // ------------------------------------------------------------------ B34
+  /** B34: COHORT RETENTION matrix — users bucketed by first-activity day
+    * (their cohort), then distinct active users per (cohort, day-offset):
+    * the other half of the product-analytics pair with B33. The cohort
+    * assignment is a whole-partition window min (no orderBy → no sort,
+    * one shuffle on user_id), and the matrix is one distinct-aggregate
+    * over (cohort, offset) — Spark's two-phase countDistinct keeps the
+    * per-key distinct-user sets partial-aggregated map-side. The oracle
+    * derives cohorts with a join instead of a window — two algorithms,
+    * one matrix.
+    */
+  def b34Cohort(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(Window.partitionBy(col("user_id"))))
+      // cohort serialized as a plain yyyy-MM-dd string: the two engines'
+      // parquet DATE logical types stringify differently in the gate
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val b34CohortSql: String =
+    """WITH c AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort
+      |           FROM events GROUP BY 1)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+      |  CAST(date_diff('day', cohort, CAST(ts AS DATE)) AS BIGINT) AS day_offset,
+      |  COUNT(DISTINCT e.user_id) AS users
+      |FROM events e JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ B29
   /** B29: full CUBE + grouping_id — B10's rollup widened to every
     * grouping-set combination, with the standard GROUPING bit vector
@@ -852,6 +933,8 @@ object Analytics {
     "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
     "b31_window_battery" -> (b31WindowBattery _),
     "b32_salted_join"    -> (b32SaltedJoin _),
+    "b33_funnel"         -> (b33Funnel _),
+    "b34_cohort"         -> (b34Cohort _),
     "b25_changelog_compact" -> (b25ChangelogCompact _)
   )
 
@@ -884,6 +967,8 @@ object Analytics {
     "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,
     "b31_window_battery" -> b31WindowBatterySql,
     "b32_salted_join"    -> b32SaltedJoinSql,
+    "b33_funnel"         -> b33FunnelSql,
+    "b34_cohort"         -> b34CohortSql,
     "b25_changelog_compact" -> b25ChangelogCompactSql
   )
 }

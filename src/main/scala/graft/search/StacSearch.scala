@@ -1276,6 +1276,40 @@ object StacSearch {
        |WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)}
        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  // ----------------------------- A58 best-scene mosaic planning
+  /** A58: best-scene selection per grid cell — the mosaic-planning step
+    * of a tiling service (for each output tile, which item supplies the
+    * pixels): per level-6 Z-cell of the A46 grid, the item with the
+    * highest `value` (stand-in for a quality/cloud-cover score), id as
+    * the deterministic tiebreak, plus the cell's candidate count. ONE
+    * window over the cell partition serves both the argmax and the
+    * count (same exchange + sort; the planner reuses them) — millions
+    * of small cell partitions at scale, never a global sort, and the
+    * bbox prune pushes to the scan like every A-series search.
+    */
+  def a58MosaicBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCell = Window.partitionBy(col("zcell"))
+    items(s, d)
+      .where(Geo.bboxContains(col("lon"), col("lat"), bbox._1, bbox._2, bbox._3, bbox._4))
+      .withColumn("zcell", zCellColumn)
+      .withColumn("rk", row_number().over(byCell.orderBy(col("value").desc, col("id"))))
+      .withColumn("n_items", count(lit(1)).over(byCell))
+      .where(col("rk") === 1)
+      .select(col("zcell"), col("id").as("best_id"),
+        col("value").as("best_value"), col("n_items"))
+      .orderBy(col("zcell"))
+  }
+
+  val a58Sql: String = Tables.withItems(
+    s"""SELECT zcell, id AS best_id, value AS best_value, n_items FROM (
+       |  SELECT zcell, id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY zcell ORDER BY value DESC, id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY zcell) AS n_items
+       |  FROM (SELECT ($zrCellSqlDuck) AS zcell, id, value FROM items
+       |        WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)}))
+       |WHERE rk = 1 ORDER BY zcell""".stripMargin)
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -1766,6 +1800,7 @@ object StacSearch {
     "a42_wkb_roundtrip"           -> (a42WkbRoundtrip _),
     "a43_item_ingest"             -> (a43ItemIngest _),
     "a57_tolerant_ingest"         -> (a57TolerantIngest _),
+    "a58_mosaic_best"             -> (a58MosaicBest _),
     "a44_param_intersects"        -> (a44ParamIntersects _),
     "a45_intersects_convex"       -> (a45IntersectsConvex _),
     "a46_grid_agg"                -> (a46GridAgg _),
@@ -1823,6 +1858,7 @@ object StacSearch {
     "a42_wkb_roundtrip"           -> a42Sql,
     "a43_item_ingest"             -> a43Sql,
     "a57_tolerant_ingest"         -> a57Sql,
+    "a58_mosaic_best"             -> a58Sql,
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,

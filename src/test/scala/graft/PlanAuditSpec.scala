@@ -46,6 +46,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keyLines.exists(l => l.contains("salt")), p)
   }
 
+  test("b33: the funnel is joinless — one user-key aggregation pass, no " +
+      "self-join cascade") {
+    val p = plan(Analytics.queries("b33_funnel")(s, sf))
+    assert(!p.contains("Join"), p)
+    // exactly one user-key shuffle feeds the per-user aggregate (the
+    // final single-row agg adds its own single-partition exchange), and
+    // the collect_lists are partial (map-side) below it
+    assert(p.split('\n').count(_.contains("hashpartitioning(user_id")) == 1, p)
+    assert(p.contains("partial_collect_list"), p)
+  }
+
+  test("a58: mosaic argmax and cell count share one zcell exchange — no join, " +
+      "no second shuffle") {
+    val p = plan(StacSearch.queries("a58_mosaic_best")(s, sf))
+    assert(!p.contains("Join"), p)
+    // both windows ride the same zcell partitioning: one hash exchange
+    assert(p.split('\n').count(_.contains("hashpartitioning(zcell")) == 1, p)
+    assert(p.contains("row_number"), p)
+  }
+
   test("b7 + a16: global top-k plans as TakeOrderedAndProject, not a global sort") {
     assert(plan(Analytics.queries("b7_topk")(s, sf)).contains("TakeOrderedAndProject"))
     assert(plan(StacSearch.queries("a16_sort")(s, sf)).contains("TakeOrderedAndProject"))
