@@ -653,6 +653,49 @@ object Dedup {
        |SELECT src AS doc_id, min(dst) AS cluster
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // ------------------------------- C57 leakage-free train/test split
+  /** C57: near-dup-aware TRAIN/TEST SPLIT — the assignment step that a
+    * plain hash-of-doc split gets wrong: two near-duplicate documents
+    * hashed independently can land on opposite sides, leaking training
+    * text into the eval set. Here the split decision hashes the
+    * DUPLICATE CLUSTER (C18's connected components; singletons are
+    * their own cluster, C36's coalesce pattern), so every member of a
+    * dup cluster lands on the same side by construction — 90/10
+    * train/test from the same md5-lane integers every other sampling
+    * decision uses (engine-reproducible, restart-stable).
+    *
+    * Scale: the cluster frame holds only graph members (≪ corpus); one
+    * left join on doc_id, then a scalar projection — no extra shuffle
+    * beyond the join. The oracle recomputes the clusters with DuckDB's
+    * recursive CTE (the C18 oracle chain) and applies the same hash —
+    * two clustering algorithms, one assignment.
+    */
+  def c57LeakFreeSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(c18DupClusters(s, d), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("split",
+        when(expr(s"${h64Spark("concat('split:', CAST(cluster AS STRING))")} % 100 < 90"),
+          lit("train")).otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+
+  val c57Sql: String =
+    s"""WITH RECURSIVE $c2PairsCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM c2pairs
+       |          UNION SELECT d2, d1 FROM c2pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cl AS (SELECT src AS doc_id, min(dst) AS cluster
+       |       FROM reach GROUP BY src)
+       |SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster,
+       |  CASE WHEN ${h64Duck("'split:'||CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR)")} % 100 < 90
+       |       THEN 'train' ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN cl USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------- C36 cluster representative selection
   /** C36: the dedup DECISION — C18's duplicate clusters joined with C9's
     * quality scores, keeping the best-quality member per cluster
@@ -845,6 +888,7 @@ object Dedup {
     "c5_dedup_embedding" -> (c5DedupEmbedding _),
     "c18_dup_clusters"   -> (c18DupClusters _),
     "c36_cluster_reps"   -> (c36ClusterReps _),
+    "c57_leakfree_split" -> (c57LeakFreeSplit _),
     "c20_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => c20DedupEmbeddingLsh(s, d)),
     "c24_dup_passages"   -> (c24DupPassages _)
   )
@@ -861,6 +905,7 @@ object Dedup {
     "c5_dedup_embedding" -> c5Sql,
     "c18_dup_clusters"   -> c18Sql,
     "c36_cluster_reps"   -> c36Sql,
+    "c57_leakfree_split" -> c57Sql,
     "c20_dedup_embedding_lsh" -> c20Sql,
     "c24_dup_passages"   -> c24Sql
   )

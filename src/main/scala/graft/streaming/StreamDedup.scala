@@ -459,6 +459,74 @@ object StreamDedup {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ------------------------ D22 streaming funnel state (B33 live)
+  /** D22: B33's strict sequential funnel as a LIVE per-user state
+    * machine — the real-time product-analytics shape (which step is
+    * each user on, right now): one ValueState per user holding (stage,
+    * last advance time); an arriving event advances the machine iff it
+    * is the next stage's type and strictly after the previous advance.
+    * Each advance emits (user, stage, ts) in Append mode — the
+    * dashboard consumes stage transitions, not snapshots.
+    *
+    * Stream ≡ batch: B33's cascade (t1 = first signup; t_{k+1} = first
+    * next-type event strictly after t_k) is exactly what the greedy
+    * machine computes over time-ordered input — in-batch rows are
+    * ts-sorted before folding (D15's contract: cross-batch order is the
+    * stream's, in-batch order is not), so the spec pins final stage
+    * counts ≡ the batch funnel row on the same events under RocksDB.
+    * State is one tiny row per user — never event history.
+    */
+  case class FunnelIn(user_id: Long, event_type: String,
+                      ts: java.sql.Timestamp)
+  case class FunnelOut(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+  case class FunnelState(stage: Int, lastMicros: Long)
+
+  private val funnelStages = Array("signup", "view", "click", "purchase")
+
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelIn, FunnelOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        E.product[FunnelState], TTLConfig.NONE)
+
+    // full-microsecond instant — getTime alone is millis and would make
+    // the strictly-after comparison coarser than the batch operator's
+    private def microsOf(t: java.sql.Timestamp): Long =
+      java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelIn],
+                                 tv: TimerValues): Iterator[FunnelOut] = {
+      var cur = if (st.exists()) st.get() else FunnelState(0, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
+      rows.toSeq.sortBy(r => (microsOf(r.ts), r.event_type)).foreach { r =>
+        val micros = microsOf(r.ts)
+        if (cur.stage < funnelStages.length &&
+            r.event_type == funnelStages(cur.stage) &&
+            (cur.stage == 0 || micros > cur.lastMicros)) {
+          cur = FunnelState(cur.stage + 1, micros)
+          out += FunnelOut(key, cur.stage, r.ts)
+        }
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Streaming entry: stream carries (user_id, event_type, ts). */
+  def funnelStream(s: SparkSession, stream: DataFrame): Dataset[FunnelOut] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    stream.select(col("user_id"), col("event_type"), col("ts")).as[FunnelIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------- D17 streaming heavy hitters (B28 live)
   /** D17: Misra-Gries heavy hitters maintained LIVE over a token stream —
     * B28's summary as streaming state: per shard key, a MapState of at

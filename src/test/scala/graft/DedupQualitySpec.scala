@@ -196,6 +196,19 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(!out.exists(r => r._1 == 3L || r._2 == 3L), out.toSeq.toString)
   }
 
+  test("c57: the split is leakage-free — every dup-cluster member lands on " +
+      "the same side, and the test fraction is near the 10% design point") {
+    val rows = ops.Dedup.queries("c57_leakfree_split")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    rows.groupBy(_._2).foreach { case (cl, g) =>
+      assert(g.map(_._3).distinct.length == 1, s"cluster $cl split across sides")
+    }
+    val testFrac = rows.count(_._3 == "test").toDouble / rows.length
+    assert(testFrac > 0.05 && testFrac < 0.15, s"test fraction $testFrac")
+    // multi-member clusters exist in the fixture, so the guarantee bites
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+  }
+
   test("c55: importance weights separate the target domain — target-source " +
       "docs average a higher per-token score than the rest") {
     val df = ops.TextAnalysis.queries("c55_importance_weight")(s, sf)

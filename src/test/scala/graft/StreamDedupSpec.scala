@@ -226,6 +226,51 @@ class StreamDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("D22 streaming funnel: per-user state machines over a time-ordered " +
+      "event stream reproduce the batch funnel's stage counts under RocksDB") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // the REAL events fixture, time-ordered (the stream's contract),
+    // split across two micro-batches
+    val events = graft.core.Tables.events(s, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts")).collect()
+      .map(r => StreamDedup.FunnelIn(r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamDedup.FunnelIn](s)
+      val q = StreamDedup.funnelStream(s, mem.toDF())
+        .writeStream.format("memory").queryName("d22_funnel")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        // users whose machine reached stage k = batch step-k count
+        val reached = s.sql(
+          "SELECT stage, COUNT(DISTINCT user_id) AS n FROM d22_funnel GROUP BY stage")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val batch = graft.ops.Analytics.queries("b33_funnel")(s, sf).collect()(0)
+        val expected = Map(1 -> batch.getAs[Long]("step_signup"),
+          2 -> batch.getAs[Long]("step_view"), 3 -> batch.getAs[Long]("step_click"),
+          4 -> batch.getAs[Long]("step_purchase"))
+        assert(reached == expected.filter(_._2 > 0L),
+          s"stream $reached vs batch $expected")
+        // each user emits a stage at most once (machines never rewind)
+        val dups = s.sql("SELECT user_id, stage FROM d22_funnel " +
+          "GROUP BY user_id, stage HAVING COUNT(*) > 1").count()
+        assert(dups == 0L)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("D21 streaming histogram quantiles: merged slice states equal the batch " +
       "histogram and the read-off is within one bin width of exact percentiles") {
     import s.implicits._
