@@ -122,6 +122,73 @@ object IncrementalState {
       |    // COUNT(*) AS avg_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------- B35 incremental JOIN view
+  /** B35: INCREMENTALLY-MAINTAINED JOIN VIEW — B24's state-table pattern
+    * lifted from a single-table aggregate to a denormalized join
+    * (revenue by nation = orders ⋈ customer ⋈ nation): legal because a
+    * join DISTRIBUTES over union on the fact side — orders = ∪ slices ⇒
+    * view = ∪ (slice ⋈ dims) — so the nightly refresh joins ONLY the new
+    * month against the (broadcast) dims and appends nation-level monoid
+    * partials under a new slice partition; raw fact history is never
+    * re-joined. Serving merges |slices × nations| tiny rows. The dims
+    * are STATIC by contract here (the star-schema norm); a dim change
+    * invalidates affected slices — mutable-dim serving is B25/D13's
+    * changelog path, not this table.
+    *
+    * Gate: merge-on-read ≡ the oracle's direct three-table join over ALL
+    * raw orders — that equality is the maintenance proof (A54's
+    * pattern). The spec drives the day-1-materialize / day-2-append walk.
+    */
+  private def b35Partials(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("slice"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("slice"), col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+
+  /** Materialize the join-view state (idempotent per dir; tests pass
+    * their own path + slice filter for the append walk).
+    */
+  def b35Materialize(spark: SparkSession, dir: String,
+                     path: String = null, slicePred: String = null): String = {
+    val p = Option(path).getOrElse {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"b35:$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      new java.io.File(sys.props("java.io.tmpdir"), s"graft_state_$key").getAbsolutePath
+    }
+    val exists = path == null && new java.io.File(p, "_SUCCESS").exists()
+    if (!exists) {
+      val st = b35Partials(spark, dir)
+      val sliced = Option(slicePred).map(st.where).getOrElse(st)
+      sliced.write.mode(if (path == null) "overwrite" else "append")
+        .partitionBy("slice").parquet(p)
+    }
+    p
+  }
+
+  def b35MergedFrom(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy(col("n_name"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("total_cents"))
+      .orderBy(col("n_name"))
+
+  def b35JoinView(spark: SparkSession, dir: String): DataFrame =
+    b35MergedFrom(spark, b35Materialize(spark, dir))
+
+  val b35Sql: String =
+    """SELECT n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ------------------------------------------- B27 sketch-typed state
   /** B27: MERGEABLE DISTINCT-COUNT state — the one metric B24's monoid
     * row (count/sum/min/max) cannot carry, because COUNT(DISTINCT) does

@@ -928,6 +928,7 @@ object Analytics {
     "b22_bucketed_join"  -> (graft.core.BucketedLayout.b22BucketedJoin _),
     "b23_bucketed_asof"  -> (graft.core.BucketedLayout.b23BucketedAsof _),
     "b24_incremental_state" -> (graft.core.IncrementalState.b24MergeOnRead _),
+    "b35_incremental_join"  -> (graft.core.IncrementalState.b35JoinView _),
     "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
     "b29_cube"           -> (b29Cube _),
     "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
@@ -962,6 +963,7 @@ object Analytics {
     "b22_bucketed_join"  -> graft.core.BucketedLayout.b22Sql,
     "b23_bucketed_asof"  -> graft.core.BucketedLayout.b23Sql,
     "b24_incremental_state" -> graft.core.IncrementalState.b24Sql,
+    "b35_incremental_join"  -> graft.core.IncrementalState.b35Sql,
     "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
     "b29_cube"           -> b29CubeSql,
     "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,

@@ -527,6 +527,69 @@ object StreamDedup {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // --------------------- D23 streaming cohort feeder (B34 live)
+  /** D23: B34's cohort-retention matrix fed LIVE — per user, a state
+    * machine that learns the user's COHORT (first day seen, stable once
+    * set under the stream's time order) and emits one (cohort,
+    * day_offset) increment the FIRST time the user is active on each
+    * day; the matrix is then a plain count over the emitted increments
+    * (each user-day appears exactly once, so COUNT ≡ B34's
+    * COUNT(DISTINCT user)). State per user = the cohort day plus the
+    * set of days already emitted — bounded by the user's active days
+    * inside the retention horizon, never events (production would give
+    * the day-set a TTL matching the horizon; the fixture's single month
+    * doesn't need one). The spec pins stream matrix ≡ batch B34 on the
+    * real events fixture under RocksDB across a micro-batch split.
+    */
+  case class CohortIn(user_id: Long, ts: java.sql.Timestamp)
+  case class CohortOut(user_id: Long, cohort: String, day_offset: Long)
+  case class CohortState(cohortEpochDay: Long, seenOffsets: List[Long])
+
+  class CohortProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CohortIn, CohortOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var st: ValueState[CohortState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CohortState]("cohort",
+        E.product[CohortState], TTLConfig.NONE)
+
+    private def epochDay(t: java.sql.Timestamp): Long =
+      java.lang.Math.floorDiv(
+        java.lang.Math.floorDiv(t.getTime, 1000L), 86400L)
+
+    override def handleInputRows(key: Long, rows: Iterator[CohortIn],
+                                 tv: TimerValues): Iterator[CohortOut] = {
+      var cur = if (st.exists()) st.get() else CohortState(Long.MinValue, Nil)
+      val out = scala.collection.mutable.ArrayBuffer[CohortOut]()
+      rows.toSeq.sortBy(r => r.ts.getTime).foreach { r =>
+        val d = epochDay(r.ts)
+        if (cur.cohortEpochDay == Long.MinValue)
+          cur = CohortState(d, Nil)
+        val off = d - cur.cohortEpochDay
+        if (!cur.seenOffsets.contains(off)) {
+          cur = cur.copy(seenOffsets = off :: cur.seenOffsets)
+          out += CohortOut(key,
+            java.time.LocalDate.ofEpochDay(cur.cohortEpochDay).toString, off)
+        }
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Streaming entry: stream carries (user_id, ts). */
+  def cohortStream(s: SparkSession, stream: DataFrame): Dataset[CohortOut] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    stream.select(col("user_id"), col("ts")).as[CohortIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new CohortProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------- D17 streaming heavy hitters (B28 live)
   /** D17: Misra-Gries heavy hitters maintained LIVE over a token stream —
     * B28's summary as streaming state: per shard key, a MapState of at

@@ -35,6 +35,34 @@ class IncrementalStateSpec extends AnyFunSuite {
     assert(stateRows < rawRows / 4, s"state ($stateRows) not small vs raw ($rawRows)")
   }
 
+  test("B35: incremental join view — appending only the newest slice's " +
+      "pre-joined partials serves the exact direct three-table join") {
+    val direct = ops.Analytics.queries("b35_incremental_join")(s, sf).collect()
+
+    val slices = core.Tables.orders(s, sf)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("slice"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val last = slices.last
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state_b35").toString
+    // day 1: every slice but the newest; day 2: ONLY the newest month is
+    // joined against the dims and appended — history never re-joined
+    IncrementalState.b35Materialize(s, sf, tmp, s"slice < '$last'")
+    IncrementalState.b35Materialize(s, sf, tmp, s"slice = '$last'")
+
+    val merged = IncrementalState.b35MergedFrom(s, tmp).collect()
+    assert(merged.sameElements(direct))
+
+    // state size is exactly |occupied (slice, nation) cells| — the design
+    // bound (at toy SF that's close to |orders|; the compression is the
+    // point at scale, where orders ≫ slices × nations)
+    val stateRows = s.read.parquet(tmp).count()
+    val cells = core.Tables.orders(s, sf)
+      .join(core.Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM"), col("c_nationkey"))
+      .distinct().count()
+    assert(stateRows == cells, s"state $stateRows != occupied cells $cells")
+  }
+
   test("B27: sketch-typed state — sliced HLL partials union to the direct " +
       "whole-corpus sketch bit-for-bit, and track exact distinct counts") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_state_sketch").toString

@@ -271,6 +271,43 @@ class StreamDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("D23 streaming cohort feeder: emitted (cohort, offset) increments " +
+      "count up to the exact batch B34 retention matrix under RocksDB") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Tables.events(s, sf)
+      .select(col("user_id"), col("ts"))
+      .orderBy(col("ts")).collect()
+      .map(r => StreamDedup.CohortIn(r.getLong(0), r.getTimestamp(1)))
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamDedup.CohortIn](s)
+      val q = StreamDedup.cohortStream(s, mem.toDF())
+        .writeStream.format("memory").queryName("d23_cohort")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        // each user-day emitted once → COUNT ≡ B34's COUNT(DISTINCT)
+        val stream = s.sql("SELECT cohort, day_offset, COUNT(*) AS users " +
+          "FROM d23_cohort GROUP BY cohort, day_offset").collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val batch = graft.ops.Analytics.queries("b34_cohort")(s, sf).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(stream == batch,
+          s"diff: ${(stream.toSet diff batch.toSet) ++ (batch.toSet diff stream.toSet)}")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("D21 streaming histogram quantiles: merged slice states equal the batch " +
       "histogram and the read-off is within one bin width of exact percentiles") {
     import s.implicits._
