@@ -611,6 +611,50 @@ object TextAnalysis {
        |  CAST((t_total * wt // 10) * 10000 // avail_tokens AS BIGINT) AS rate_bp
        |FROM m ORDER BY domain""".stripMargin
 
+  // ------------------------------- C59 mixture plan EXECUTION
+  /** C59: mixture MATERIALIZATION — C28 plans ("take this many tokens
+    * per domain"), C59 executes: each document survives iff its
+    * md5-lane hash lands under its domain's planned sampling rate
+    * (C22's engine-reproducible hash-of-id decision, with the rate per
+    * domain coming from the C28 plan instead of a constant). The plan
+    * frame (4 rows) broadcasts into a single corpus scan; output is the
+    * per-domain realized sample (docs kept, tokens realized) — the
+    * "assemble the training mix" step between planning and writing.
+    * The oracle restates the plan chain from C28's own CTEs and applies
+    * the identical hash decision — plan and execution can't drift from
+    * the gated plan. Deterministic and restart-stable: re-running
+    * selects the exact same documents (the resampling contract C22
+    * established).
+    */
+  def c59MixtureMaterialize(s: SparkSession, d: String): DataFrame = {
+    val plan = c28MixturePlan(s, d).select(col("domain"), col("rate_bp"))
+    docs(s, d)
+      .select(col("doc_id"), expr(c28DomainSql).as("domain"),
+        expr(s"size($wordsSpark)").cast("bigint").as("nt"))
+      .join(broadcast(plan), "domain")
+      .where(expr(s"${h64Spark("concat('mix:', CAST(doc_id AS STRING))")} % 10000")
+        < col("rate_bp"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("nt")).as("realized_tokens"))
+      .orderBy(col("domain"))
+  }
+
+  val c59Sql: String =
+    s"""WITH t AS (SELECT doc_id, $c28DomainSql AS domain,
+       |             CAST(len($wordsDuck) AS BIGINT) AS nt FROM documents),
+       |a AS (SELECT domain, CAST(SUM(nt) AS BIGINT) AS avail_tokens FROM t GROUP BY domain),
+       |w AS (SELECT domain, avail_tokens, CAST($c28WtSql AS BIGINT) AS wt FROM a),
+       |m AS (SELECT *, MIN(avail_tokens * 10 // wt) OVER () AS t_total FROM w),
+       |plan AS (
+       |  SELECT domain,
+       |    CAST((t_total * wt // 10) * 10000 // avail_tokens AS BIGINT) AS rate_bp
+       |  FROM m)
+       |SELECT domain, COUNT(*) AS n_docs_kept,
+       |  CAST(SUM(nt) AS BIGINT) AS realized_tokens
+       |FROM t JOIN plan USING (domain)
+       |WHERE ${h64Duck("'mix:'||CAST(doc_id AS VARCHAR)")} % 10000 < rate_bp
+       |GROUP BY domain ORDER BY domain""".stripMargin
+
   // ------------------------------- C31 n-gram overlap contamination score
   /** C31: GRADED contamination scoring — where C19/C25 REMOVE exact
     * fingerprint collisions, this measures per-document overlap with the
@@ -1368,6 +1412,48 @@ object TextAnalysis {
        |GROUP BY k ORDER BY k""".stripMargin
   }
 
+  // ----------------------------- C58 tokenizer fertility by language
+  /** C58: tokenizer FERTILITY diagnostics — tokens-per-word by language,
+    * the standard readout for "whom does this tokenizer tax": a
+    * language whose words fragment into many BPE pieces pays more
+    * context budget per word (fertility is the per-language multiplier
+    * multilingual tokenizer papers report). Rides C37's encode chain
+    * (the C32-trained dictionary broadcasts; the corpus is scanned
+    * once), aggregated per language instead of per document: docs,
+    * words, BPE tokens, and fertility in integer basis points
+    * (`tokens·10⁴ DIV words` — hash-exact). The oracle re-derives the
+    * encode dictionary through the same unrolled merge chain and
+    * regroups — one tokenizer, two aggregation paths.
+    */
+  def c58Fertility(s: SparkSession, d: String): DataFrame = {
+    val dict = c32Dictionary(s, d)
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), explode(expr(wordsSpark)).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(dict), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("bpe_tokens"))
+      .withColumn("fertility_bp", expr("bpe_tokens * 10000 DIV n_words"))
+      .orderBy(col("lang"))
+  }
+
+  val c58Sql: String =
+    s"""WITH ${c32SqlChain(carryW = true)},
+       |enc AS (
+       |  SELECT w, CAST(len(regexp_extract_all(ws, '\\(([^)]*)\\)', 1)) AS BIGINT) AS n_tok
+       |  FROM v$c32Merges),
+       |dw AS (
+       |  SELECT doc_id, lang, w
+       |  FROM (SELECT doc_id, lang, unnest($wordsDuck) AS w FROM documents)
+       |  WHERE w <> '')
+       |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
+       |  CAST(CAST(SUM(n_tok) AS BIGINT) * 10000 // COUNT(*) AS BIGINT) AS fertility_bp
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------- C55 hashed importance weighting (DSIR)
   /** C55: DSIR-shaped importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling") — score
@@ -1497,6 +1583,8 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c55_importance_weight" -> (c55ImportanceWeight _),
+    "c58_fertility" -> (c58Fertility _),
+    "c59_mixture_materialize" -> (c59MixtureMaterialize _),
     "c53_coverage_curve" -> (c53CoverageCurve _),
     "c51_budget_select" -> (c51BudgetSelect _),
     "c50_tokenizer_versions" -> (c50TokenizerVersions _),
@@ -1528,6 +1616,8 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "c55_importance_weight" -> c55Sql,
+    "c58_fertility" -> c58Sql,
+    "c59_mixture_materialize" -> c59Sql,
     "c53_coverage_curve" -> c53Sql,
     "c51_budget_select" -> c51Sql,
     "c50_tokenizer_versions" -> c50Sql,
