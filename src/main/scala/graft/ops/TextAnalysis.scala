@@ -655,6 +655,62 @@ object TextAnalysis {
        |WHERE ${h64Duck("'mix:'||CAST(doc_id AS VARCHAR)")} % 10000 < rate_bp
        |GROUP BY domain ORDER BY domain""".stripMargin
 
+  // ------------------------- C60 per-source score calibration cut
+  /** C60: PER-SOURCE quality-threshold calibration — a single global
+    * classifier cutoff over heterogeneous sources keeps whatever the
+    * score distributions happen to be (a clean source's median can sit
+    * below a noisy source's p90), so production filters calibrate the
+    * cut per source: keep each source's top 90% by C39 classifier
+    * score. Rank-based and all-integer (`rk·100 ≤ n·90` over
+    * (score desc, doc_id) — no score-scale assumptions, hash-exact),
+    * one shuffle+sort window per source; output = per-source doc count,
+    * kept count, and the realized cut score (min kept). The oracle runs
+    * the same windows over the same C39 score expressions — the gate
+    * pins that per-source calibration reads the identical frame.
+    */
+  def c60CalibratedCut(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashedClassScore(col("text"), "whi:").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("keep", col("rk") * 100 <= col("n") * 90)
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        min(when(col("keep"), col("score"))).as("cut_score"))
+      .orderBy(col("source"))
+  }
+
+  val c60Sql: String = {
+    s"""WITH sc AS (
+       |  SELECT doc_id, source, ${c60ScoreDuck} AS score
+       |  FROM (SELECT doc_id, source, $wordsDuck AS w FROM documents)),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM sc)
+       |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rk * 100 <= n * 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(MIN(CASE WHEN rk * 100 <= n * 90 THEN score END) AS BIGINT) AS cut_score
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** The DuckDB form of the calibration score — C39's class-score fold
+    * under the dedicated `whi:` weight namespace.
+    */
+  private def c60ScoreDuck: String = {
+    val uni = s"(${h64Duck("'whi:' || t")} % 1001) - 500"
+    val bi = s"(${h64Duck("'whi:' || w[i] || '_' || w[i+1]")} % 1001) - 500"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t -> $uni)), (s, x) -> s + x)" +
+      s" + (CASE WHEN len(w) >= 2 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len(w)), i -> $bi)), (s, x) -> s + x) " +
+      s"ELSE CAST(0 AS BIGINT) END)"
+  }
+
   // ------------------------------- C31 n-gram overlap contamination score
   /** C31: GRADED contamination scoring — where C19/C25 REMOVE exact
     * fingerprint collisions, this measures per-document overlap with the
@@ -1585,6 +1641,7 @@ object TextAnalysis {
     "c55_importance_weight" -> (c55ImportanceWeight _),
     "c58_fertility" -> (c58Fertility _),
     "c59_mixture_materialize" -> (c59MixtureMaterialize _),
+    "c60_calibrated_cut" -> (c60CalibratedCut _),
     "c53_coverage_curve" -> (c53CoverageCurve _),
     "c51_budget_select" -> (c51BudgetSelect _),
     "c50_tokenizer_versions" -> (c50TokenizerVersions _),
@@ -1618,6 +1675,7 @@ object TextAnalysis {
     "c55_importance_weight" -> c55Sql,
     "c58_fertility" -> c58Sql,
     "c59_mixture_materialize" -> c59Sql,
+    "c60_calibrated_cut" -> c60Sql,
     "c53_coverage_curve" -> c53Sql,
     "c51_budget_select" -> c51Sql,
     "c50_tokenizer_versions" -> c50Sql,

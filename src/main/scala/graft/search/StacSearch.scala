@@ -1310,6 +1310,44 @@ object StacSearch {
        |        WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)}))
        |WHERE rk = 1 ORDER BY zcell""".stripMargin)
 
+  // ------------------------- A59 acquisition-gap monitoring
+  /** A59: per-collection ACQUISITION-GAP report — the catalog-health
+    * readout an operator watches (did a satellite feed silently stop?):
+    * per collection, the largest gap between consecutive item
+    * datetimes, the mean cadence, and the item count. One window (lag
+    * over the collection partition, datetime order) + one aggregate —
+    * the same single-exchange shape as A58; null datetimes drop below
+    * the window (they carry no cadence signal). Gap arithmetic in
+    * integer MICROSECONDS (`unix_micros` ≡ `epoch_us`) with an integer
+    * mean — hash-exact in both engines.
+    */
+  def a59AcquisitionGaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("collection"))
+      .orderBy(col("epoch_us"), col("id"))
+    items(s, d)
+      .where(col("datetime").isNotNull)
+      .select(col("collection"), col("id"),
+        unix_micros(col("datetime")).as("epoch_us"))
+      .withColumn("gap_us", col("epoch_us") - lag(col("epoch_us"), 1).over(w))
+      .groupBy(col("collection"))
+      .agg(count(lit(1)).as("n_items"),
+        max(col("gap_us")).as("max_gap_us"),
+        expr("sum(gap_us) DIV count(gap_us)").as("mean_gap_us"))
+      .orderBy(col("collection"))
+  }
+
+  val a59Sql: String = Tables.withItems(
+    """SELECT collection, COUNT(*) AS n_items,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us
+      |FROM (
+      |  SELECT collection,
+      |    epoch_us(datetime) - LAG(epoch_us(datetime), 1) OVER
+      |      (PARTITION BY collection ORDER BY datetime, id) AS gap_us
+      |  FROM items WHERE datetime IS NOT NULL)
+      |GROUP BY collection ORDER BY collection""".stripMargin)
+
   // --------------------------------------------------- A31 facets
   /** STAC Aggregation-extension-style faceting: per-collection and
     * per-month counts of a filtered search in ONE pass — `cube` computes
@@ -1801,6 +1839,7 @@ object StacSearch {
     "a43_item_ingest"             -> (a43ItemIngest _),
     "a57_tolerant_ingest"         -> (a57TolerantIngest _),
     "a58_mosaic_best"             -> (a58MosaicBest _),
+    "a59_acquisition_gaps"        -> (a59AcquisitionGaps _),
     "a44_param_intersects"        -> (a44ParamIntersects _),
     "a45_intersects_convex"       -> (a45IntersectsConvex _),
     "a46_grid_agg"                -> (a46GridAgg _),
@@ -1859,6 +1898,7 @@ object StacSearch {
     "a43_item_ingest"             -> a43Sql,
     "a57_tolerant_ingest"         -> a57Sql,
     "a58_mosaic_best"             -> a58Sql,
+    "a59_acquisition_gaps"        -> a59Sql,
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,
