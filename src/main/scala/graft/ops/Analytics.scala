@@ -929,6 +929,7 @@ object Analytics {
     "b23_bucketed_asof"  -> (graft.core.BucketedLayout.b23BucketedAsof _),
     "b24_incremental_state" -> (graft.core.IncrementalState.b24MergeOnRead _),
     "b35_incremental_join"  -> (graft.core.IncrementalState.b35JoinView _),
+    "b36_dpp_join"          -> (graft.core.PartitionedLayout.b36DppJoin _),
     "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
     "b29_cube"           -> (b29Cube _),
     "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
@@ -964,6 +965,7 @@ object Analytics {
     "b23_bucketed_asof"  -> graft.core.BucketedLayout.b23Sql,
     "b24_incremental_state" -> graft.core.IncrementalState.b24Sql,
     "b35_incremental_join"  -> graft.core.IncrementalState.b35Sql,
+    "b36_dpp_join"          -> graft.core.PartitionedLayout.b36Sql,
     "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
     "b29_cube"           -> b29CubeSql,
     "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,

@@ -748,6 +748,79 @@ object Dedup {
        |    ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
        |FROM j ORDER BY doc_id""".stripMargin
 
+  // ------------------------------- C61 dedup-funnel accounting
+  /** C61: the DEDUP FUNNEL readout — how many documents and tokens each
+    * source contributes raw, after exact dedup, and after near-dup rep
+    * selection: the "effective dataset size" table a data lead reads
+    * before committing a mixture (raw token counts overstate a crawly
+    * source precisely because dedup will melt it). Sequential
+    * semantics, stated identically in both engines: stage 1 keeps the
+    * min doc_id per content hash (C1); stage 2 keeps, per near-dup
+    * cluster (C18's components over the WHOLE corpus — the cluster
+    * structure is a property of the text, not of stage order), the
+    * best-quality EXACT-SURVIVOR (C36's argmax restricted to stage-1
+    * survivors). Three tiny per-source aggregates join on the 4-row
+    * source frame; the heavy inputs are the already-audited C1/C18/C9
+    * shapes.
+    */
+  def c61DedupFunnel(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"),
+      expr(s"size($wordsSpark)").cast("long").as("nt"))
+    val keep1 = base.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val surv1 = base.join(keep1, "doc_id")
+    val quality = TextAnalysis.c9TextQuality(s, d).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val surv2 = surv1.join(quality, "doc_id")
+      .join(c18DupClusters(s, d), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+    def stage(df: DataFrame, n: String, t: String) =
+      df.groupBy(col("source"))
+        .agg(count(lit(1)).as(n), sum(col("nt")).as(t))
+    stage(base, "n_raw", "tok_raw")
+      .join(stage(surv1, "n_exact", "tok_exact"), "source")
+      .join(stage(surv2, "n_near", "tok_near"), "source")
+      .orderBy(col("source"))
+  }
+
+  val c61Sql: String =
+    s"""WITH RECURSIVE $c2PairsCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM c2pairs
+       |          UNION SELECT d2, d1 FROM c2pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |clus AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+       |base AS (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |    CAST(len($wordsDuck) AS BIGINT) AS nt
+       |  FROM documents),
+       |keep1 AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY h),
+       |surv1 AS (SELECT base.* FROM base JOIN keep1 USING (doc_id)),
+       |q AS (SELECT doc_id, quality FROM (
+       |${graft.ops.TextAnalysis.c9Sql.stripSuffix("ORDER BY doc_id")})),
+       |surv2 AS (
+       |  SELECT * FROM (
+       |    SELECT s1.doc_id, s1.source, s1.nt,
+       |      ROW_NUMBER() OVER (PARTITION BY COALESCE(c.cluster, s1.doc_id)
+       |                         ORDER BY q.quality DESC, s1.doc_id) AS rk
+       |    FROM surv1 s1 JOIN q USING (doc_id)
+       |    LEFT JOIN clus c ON s1.doc_id = c.doc_id)
+       |  WHERE rk = 1)
+       |SELECT source,
+       |  (SELECT COUNT(*) FROM base b WHERE b.source = a.source) AS n_raw,
+       |  (SELECT CAST(SUM(nt) AS BIGINT) FROM base b WHERE b.source = a.source) AS tok_raw,
+       |  (SELECT COUNT(*) FROM surv1 s WHERE s.source = a.source) AS n_exact,
+       |  (SELECT CAST(SUM(nt) AS BIGINT) FROM surv1 s WHERE s.source = a.source) AS tok_exact,
+       |  (SELECT COUNT(*) FROM surv2 s WHERE s.source = a.source) AS n_near,
+       |  (SELECT CAST(SUM(nt) AS BIGINT) FROM surv2 s WHERE s.source = a.source) AS tok_near
+       |FROM (SELECT DISTINCT source FROM base) a
+       |ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
   // ------------------------------- C40 duplicated-passage REMOVAL
   /** C40: duplicated-passage REMOVAL — C24's detection carried to the
@@ -889,6 +962,7 @@ object Dedup {
     "c18_dup_clusters"   -> (c18DupClusters _),
     "c36_cluster_reps"   -> (c36ClusterReps _),
     "c57_leakfree_split" -> (c57LeakFreeSplit _),
+    "c61_dedup_funnel"   -> (c61DedupFunnel _),
     "c20_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => c20DedupEmbeddingLsh(s, d)),
     "c24_dup_passages"   -> (c24DupPassages _)
   )
@@ -906,6 +980,7 @@ object Dedup {
     "c18_dup_clusters"   -> c18Sql,
     "c36_cluster_reps"   -> c36Sql,
     "c57_leakfree_split" -> c57Sql,
+    "c61_dedup_funnel"   -> c61Sql,
     "c20_dedup_embedding_lsh" -> c20Sql,
     "c24_dup_passages"   -> c24Sql
   )

@@ -590,6 +590,63 @@ object StreamDedup {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ------------------- D24 streaming feed-gap alerting (A59 live)
+  /** D24: A59's acquisition-gap monitoring LIVE — the feed-health alarm
+    * (a satellite downlink going quiet should page someone before the
+    * nightly report): per collection, ValueState holds only the last
+    * item's arrival instant; an arriving item whose gap since that
+    * instant exceeds the threshold emits an alert carrying the gap.
+    * In-batch rows are ts-sorted before folding (the D15/D22 contract),
+    * micros-exact like the batch operator, and the state survives
+    * micro-batch boundaries — a gap spanning two batches still alerts
+    * (spec-pinned). State = ONE long per collection; alerts ≡ the
+    * batch A59 gap list filtered to the threshold by construction
+    * (same consecutive-pair semantics over the stream's time order).
+    */
+  case class FeedIn(collection: String, ts: java.sql.Timestamp)
+  case class GapAlert(collection: String, gap_us: Long,
+                      at: java.sql.Timestamp)
+
+  class FeedGapProcessor(thresholdUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, FeedIn, GapAlert] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var last: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last", E.scalaLong, TTLConfig.NONE)
+
+    private def microsOf(t: java.sql.Timestamp): Long =
+      java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    override def handleInputRows(key: String, rows: Iterator[FeedIn],
+                                 tv: TimerValues): Iterator[GapAlert] = {
+      var prev = if (last.exists()) Some(last.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer[GapAlert]()
+      rows.toSeq.sortBy(r => microsOf(r.ts)).foreach { r =>
+        val m = microsOf(r.ts)
+        prev.foreach { p =>
+          if (m - p > thresholdUs) out += GapAlert(key, m - p, r.ts)
+        }
+        prev = Some(m)
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming entry: stream carries (collection, ts). */
+  def feedGapStream(s: SparkSession, stream: DataFrame,
+                    thresholdUs: Long): Dataset[GapAlert] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    stream.select(col("collection"), col("ts")).as[FeedIn]
+      .groupByKey(_.collection)
+      .transformWithState(new FeedGapProcessor(thresholdUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------- D17 streaming heavy hitters (B28 live)
   /** D17: Misra-Gries heavy hitters maintained LIVE over a token stream —
     * B28's summary as streaming state: per shard key, a MapState of at

@@ -271,6 +271,41 @@ class StreamDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("D24 streaming feed-gap alerting: a threshold-exceeding gap alerts " +
+      "exactly once, including across a micro-batch boundary") {
+    import s.implicits._
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val thresholdUs = 30L * 60 * 1000000 // 30 minutes
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamDedup.FeedIn](s)
+      val q = StreamDedup.feedGapStream(s, mem.toDF(), thresholdUs)
+        .writeStream.format("memory").queryName("d24_gaps")
+        .outputMode("append").start()
+      try {
+        // c1: steady 10-min cadence, then silence until the next batch;
+        // c2: steady throughout — must never alert
+        mem.addData(StreamDedup.FeedIn("c1", t(0)), StreamDedup.FeedIn("c1", t(10)),
+          StreamDedup.FeedIn("c2", t(0)), StreamDedup.FeedIn("c2", t(20)))
+        q.processAllAvailable()
+        // c1 resumes 50 minutes after its last item — the gap spans batches
+        mem.addData(StreamDedup.FeedIn("c1", t(60)), StreamDedup.FeedIn("c1", t(70)),
+          StreamDedup.FeedIn("c2", t(40)), StreamDedup.FeedIn("c2", t(60)))
+        q.processAllAvailable()
+        val alerts = s.sql("SELECT collection, gap_us FROM d24_gaps").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        assert(alerts.toSeq == Seq(("c1", 50L * 60 * 1000000)), alerts.toSeq.toString)
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("D23 streaming cohort feeder: emitted (cohort, offset) increments " +
       "count up to the exact batch B34 retention matrix under RocksDB") {
     import s.implicits._
