@@ -1510,6 +1510,51 @@ object TextAnalysis {
        |FROM dw JOIN enc USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------- C62 corpus snapshot diff
+  /** C62: SNAPSHOT DIFF — the release-notes table between two corpus
+    * versions (what did the new crawl add, what did the cleanup remove,
+    * per source): full-outer join of the two snapshots on doc_id,
+    * three-way classification (added / removed / kept), and a per-source
+    * rollup of documents and tokens in each class. Snapshots here are
+    * deterministic overlapping views of the fixture (v1 = doc_id%10 < 8,
+    * v2 = doc_id%10 ≥ 2 — both diff classes non-empty); in production
+    * they are two partition versions of the same table (C50's
+    * append-only versioning). One full-outer join on doc_id (the shuffle
+    * carries |v1 ∪ v2| rows once) + a 4-row aggregate; token deltas are
+    * exact BIGINTs.
+    */
+  def c62SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"),
+      expr(s"size($wordsSpark)").cast("long").as("nt"))
+    val v1 = base.where(col("doc_id") % 10 < 8)
+      .select(col("doc_id").as("d1"), col("source").as("s1"), col("nt").as("nt1"))
+    val v2 = base.where(col("doc_id") % 10 >= 2)
+      .select(col("doc_id").as("d2"), col("source").as("s2"), col("nt").as("nt2"))
+    v1.join(v2, col("d1") === col("d2"), "full_outer")
+      .select(coalesce(col("s1"), col("s2")).as("source"),
+        when(col("d1").isNull, lit("added"))
+          .when(col("d2").isNull, lit("removed"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("nt1"), col("nt2")).as("nt"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val c62Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, CAST(len($wordsDuck) AS BIGINT) AS nt
+       |  FROM documents),
+       |v1 AS (SELECT doc_id AS d1, source AS s1, nt AS nt1 FROM base WHERE doc_id % 10 < 8),
+       |v2 AS (SELECT doc_id AS d2, source AS s2, nt AS nt2 FROM base WHERE doc_id % 10 >= 2)
+       |SELECT COALESCE(s1, s2) AS source,
+       |  CASE WHEN d1 IS NULL THEN 'added'
+       |       WHEN d2 IS NULL THEN 'removed' ELSE 'kept' END AS status,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(COALESCE(nt1, nt2)) AS BIGINT) AS tokens
+       |FROM v1 FULL OUTER JOIN v2 ON d1 = d2
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------- C55 hashed importance weighting (DSIR)
   /** C55: DSIR-shaped importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling") — score
@@ -1642,6 +1687,7 @@ object TextAnalysis {
     "c58_fertility" -> (c58Fertility _),
     "c59_mixture_materialize" -> (c59MixtureMaterialize _),
     "c60_calibrated_cut" -> (c60CalibratedCut _),
+    "c62_snapshot_diff" -> (c62SnapshotDiff _),
     "c53_coverage_curve" -> (c53CoverageCurve _),
     "c51_budget_select" -> (c51BudgetSelect _),
     "c50_tokenizer_versions" -> (c50TokenizerVersions _),
@@ -1676,6 +1722,7 @@ object TextAnalysis {
     "c58_fertility" -> c58Sql,
     "c59_mixture_materialize" -> c59Sql,
     "c60_calibrated_cut" -> c60Sql,
+    "c62_snapshot_diff" -> c62Sql,
     "c53_coverage_curve" -> c53Sql,
     "c51_budget_select" -> c51Sql,
     "c50_tokenizer_versions" -> c50Sql,

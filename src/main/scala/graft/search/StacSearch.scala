@@ -1790,8 +1790,54 @@ object StacSearch {
       |WHERE rk = 1 AND lon BETWEEN -120 AND 60 AND lat BETWEEN -60 AND 60
       |ORDER BY collection, grp""".stripMargin)
 
+  // ------------------------- A60 time-travel (AS-OF) catalog read
+  /** A60: TIME-TRAVEL read over the A56 changelog — serve the catalog
+    * exactly as it stood at time T (the reproducibility contract:
+    * yesterday's training run must see yesterday's catalog even after
+    * today's reprocessing landed): only revisions visible at the AS-OF
+    * horizon participate, then A56's latest-wins compaction picks each
+    * logical scene's newest VISIBLE revision; scenes whose first
+    * revision postdates T are absent, and `n_revisions_asof` counts
+    * only visible history. Same one-aggregate shape as A56 (max_by
+    * map-side-combines; the horizon filter evaluates below the merge
+    * and is key-stable by definition — a revision's timestamp never
+    * mutates). The oracle runs the window form over the same filtered
+    * set — two algorithms, one snapshot.
+    */
+  private val a60AsOf = "2024-01-15 00:00:00"
+
+  def a60TimeTravel(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(col("collection").isin("click", "view"))
+      .where(col("datetime").isNotNull &&
+        col("datetime") <= to_timestamp(lit(a60AsOf)))
+      .groupBy(col("collection"), expr("id_num DIV 3").as("grp"))
+      .agg(max_by(
+          struct(col("id"), col("datetime"), col("value")),
+          col("id_num")).as("last"),
+        count(lit(1)).as("n_revisions_asof"))
+      .select(col("collection"), col("grp"), col("last.id").as("id"),
+        col("last.datetime").as("datetime"), col("last.value").as("value"),
+        col("n_revisions_asof"))
+      .orderBy(col("collection"), col("grp"))
+
+  val a60Sql: String = Tables.withItems(
+    s"""SELECT collection, grp, id, datetime, value, n_revisions_asof
+       |FROM (
+       |  SELECT collection, id_num // 3 AS grp, id, datetime, value,
+       |    ROW_NUMBER() OVER (PARTITION BY collection, id_num // 3
+       |                       ORDER BY id_num DESC) AS rk,
+       |    COUNT(*) OVER (PARTITION BY collection, id_num // 3)
+       |      AS n_revisions_asof
+       |  FROM items
+       |  WHERE collection IN ('click', 'view')
+       |    AND datetime IS NOT NULL AND datetime <= TIMESTAMP '$a60AsOf')
+       |WHERE rk = 1
+       |ORDER BY collection, grp""".stripMargin)
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a60_time_travel"     -> (a60TimeTravel _),
     "a56_upsert_search"   -> (a56UpsertSearch _),
     "a1_scan_collection"  -> (a1ScanCollection _),
     "a2_multi_collection" -> (a2MultiCollection _),
@@ -1899,6 +1945,7 @@ object StacSearch {
     "a57_tolerant_ingest"         -> a57Sql,
     "a58_mosaic_best"             -> a58Sql,
     "a59_acquisition_gaps"        -> a59Sql,
+    "a60_time_travel"             -> a60Sql,
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,
