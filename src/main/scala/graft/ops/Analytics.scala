@@ -400,6 +400,49 @@ object Analytics {
       |FROM events e JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------ B37
+  /** B37: RANGE-frame rolling window — 7-day rolling order count and
+    * revenue per customer, the moving-aggregate shape every monitoring
+    * and feature-engineering pipeline computes. The frame is a VALUE
+    * range (all orders within the trailing week), not a row count —
+    * B31's ROWS frames can't express it when order density varies:
+    * `rangeBetween(-6, 0)` over integer epoch days picks every row
+    * whose day value falls in the window regardless of how many there
+    * are. Same single (customer) shuffle + sort as B31; exact cents;
+    * both engines order by the same integer day, so frame membership is
+    * bit-identical (a timestamp RANGE frame would drag each engine's
+    * interval arithmetic into the gate; integer days don't).
+    */
+  def b37RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day_num"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("rev_7d_cents", sum(col("cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+        col("n_7d"), col("rev_7d_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val b37RollingWindowSql: String =
+    """SELECT o_custkey, o_orderkey, day_num,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS rev_7d_cents
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |      AS day_num,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------ B29
   /** B29: full CUBE + grouping_id — B10's rollup widened to every
     * grouping-set combination, with the standard GROUPING bit vector
@@ -930,6 +973,7 @@ object Analytics {
     "b24_incremental_state" -> (graft.core.IncrementalState.b24MergeOnRead _),
     "b35_incremental_join"  -> (graft.core.IncrementalState.b35JoinView _),
     "b36_dpp_join"          -> (graft.core.PartitionedLayout.b36DppJoin _),
+    "b37_rolling_window"    -> (b37RollingWindow _),
     "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
     "b29_cube"           -> (b29Cube _),
     "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
@@ -966,6 +1010,7 @@ object Analytics {
     "b24_incremental_state" -> graft.core.IncrementalState.b24Sql,
     "b35_incremental_join"  -> graft.core.IncrementalState.b35Sql,
     "b36_dpp_join"          -> graft.core.PartitionedLayout.b36Sql,
+    "b37_rolling_window"    -> b37RollingWindowSql,
     "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
     "b29_cube"           -> b29CubeSql,
     "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,

@@ -36,6 +36,36 @@ object Events {
     windowAggTransform(Tables.events(s, d))
       .orderBy(col("window_start"), col("event_type"))
 
+  // ------------------------------ D25 SLIDING event-time windows
+  /** D25: SLIDING-window aggregation — D1's tumbling windows can't
+    * answer "the trailing 6 hours, refreshed every 2" (the moving
+    * dashboard pane); `window(ts, '6 hours', '2 hours')` assigns each
+    * event to its 3 overlapping panes in one Expand + aggregate, the
+    * engine-native slide (the same operator streams under D1's
+    * watermark contract — state per open pane, closed panes emitted and
+    * dropped). The oracle derives pane membership arithmetically —
+    * start = 2h-grid-floor(ts) − k·2h for k ∈ 0..2 over integer epoch
+    * micros — so the gate pins Spark's window-assignment semantics
+    * against an independent restatement, decimal-exact sums included.
+    */
+  def d25SlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val d25Sql: String =
+    """SELECT make_timestamp(es - k * 7200000000) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (SELECT event_type, value,
+      |        epoch_us(ts) - epoch_us(ts) % 7200000000 AS es FROM events),
+      |     (SELECT unnest(range(3)) AS k)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val d1Sql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       |  COUNT(*) AS n_events,
@@ -469,6 +499,7 @@ object Events {
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_event_window"  -> (d1EventWindow _),
+    "d25_sliding_window" -> (d25SlidingWindow _),
     "d2_sessionize"    -> (d2Sessionize _),
     "d4_interval_join" -> (d4IntervalJoin _),
     "d6_interval_join_outer" -> (d6IntervalJoinOuter _),
@@ -477,6 +508,7 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "d1_event_window"  -> d1Sql,
+    "d25_sliding_window" -> d25Sql,
     "d2_sessionize"    -> d2Sql,
     "d4_interval_join" -> d4Sql,
     "d6_interval_join_outer" -> d6Sql,
