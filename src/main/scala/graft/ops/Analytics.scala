@@ -443,6 +443,44 @@ object Analytics {
       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------ B38
+  /** B38: CORRELATED SCALAR SUBQUERY (TPC-H Q17's shape — "line items
+    * ordered below 20% of their part's average quantity") — the query
+    * form analysts actually write, and the optimizer capability that
+    * makes it runnable: executed literally it is one aggregate PER OUTER
+    * ROW; Catalyst decorrelates it into a per-part aggregate joined back
+    * (PlanAuditSpec pins the rewrite: an Aggregate on the subquery side,
+    * no nested loop, no cartesian). Written as SQL text on temp views —
+    * the repo's one deliberate SQL-surface gate, because decorrelation
+    * IS a SQL-surface feature. Exact decimal sums under double division
+    * at fixed points keep both engines bit-identical; the oracle runs
+    * the identical correlated text, so the gate proves the rewrite
+    * preserves semantics.
+    */
+  def b38CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("b38_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("b38_part")
+    spark.sql("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+             COUNT(*) AS n_small
+      FROM b38_lineitem JOIN b38_part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#4'
+        AND l_quantity < 0.2 * (
+          SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM b38_lineitem l2 WHERE l2.l_partkey = b38_part.p_partkey)""")
+  }
+
+  val b38CorrelatedSubquerySql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |         AS avg_yearly,
+      |       COUNT(*) AS n_small
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND l_quantity < 0.2 * (
+      |    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
   // ------------------------------------------------------------------ B29
   /** B29: full CUBE + grouping_id — B10's rollup widened to every
     * grouping-set combination, with the standard GROUPING bit vector
@@ -974,6 +1012,7 @@ object Analytics {
     "b35_incremental_join"  -> (graft.core.IncrementalState.b35JoinView _),
     "b36_dpp_join"          -> (graft.core.PartitionedLayout.b36DppJoin _),
     "b37_rolling_window"    -> (b37RollingWindow _),
+    "b38_correlated_subquery" -> (b38CorrelatedSubquery _),
     "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
     "b29_cube"           -> (b29Cube _),
     "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
@@ -1011,6 +1050,7 @@ object Analytics {
     "b35_incremental_join"  -> graft.core.IncrementalState.b35Sql,
     "b36_dpp_join"          -> graft.core.PartitionedLayout.b36Sql,
     "b37_rolling_window"    -> b37RollingWindowSql,
+    "b38_correlated_subquery" -> b38CorrelatedSubquerySql,
     "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
     "b29_cube"           -> b29CubeSql,
     "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,

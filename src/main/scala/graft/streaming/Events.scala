@@ -66,6 +66,41 @@ object Events {
       |     (SELECT unnest(range(3)) AS k)
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ----------------------- D26 trending panes (sliding top-k)
+  /** D26: TRENDING readout over the sliding panes — the top-2 event
+    * types per 6-hour pane (what a "trending now" widget serves): D25's
+    * pane aggregate plus one rank window over the tiny pane frame
+    * (|panes × types| rows, never events). Deterministic tiebreak
+    * (count desc, type); the oracle ranks the same arithmetic pane
+    * derivation.
+    */
+  def d26TrendingPanes(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 2)
+      .orderBy(col("window_start"), col("rk"))
+  }
+
+  val d26Sql: String =
+    """SELECT window_start, event_type, n_events, rk FROM (
+      |  SELECT window_start, event_type, n_events,
+      |    ROW_NUMBER() OVER (PARTITION BY window_start
+      |                       ORDER BY n_events DESC, event_type) AS rk
+      |  FROM (
+      |    SELECT make_timestamp(es - k * 7200000000) AS window_start,
+      |      event_type, COUNT(*) AS n_events
+      |    FROM (SELECT event_type,
+      |            epoch_us(ts) - epoch_us(ts) % 7200000000 AS es FROM events),
+      |         (SELECT unnest(range(3)) AS k)
+      |    GROUP BY 1, 2))
+      |WHERE rk <= 2 ORDER BY window_start, rk""".stripMargin
+
   val d1Sql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       |  COUNT(*) AS n_events,
@@ -500,6 +535,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_event_window"  -> (d1EventWindow _),
     "d25_sliding_window" -> (d25SlidingWindow _),
+    "d26_trending_panes" -> (d26TrendingPanes _),
     "d2_sessionize"    -> (d2Sessionize _),
     "d4_interval_join" -> (d4IntervalJoin _),
     "d6_interval_join_outer" -> (d6IntervalJoinOuter _),
@@ -509,6 +545,7 @@ object Events {
   val oracle: Map[String, String] = Map(
     "d1_event_window"  -> d1Sql,
     "d25_sliding_window" -> d25Sql,
+    "d26_trending_panes" -> d26Sql,
     "d2_sessionize"    -> d2Sql,
     "d4_interval_join" -> d4Sql,
     "d6_interval_join_outer" -> d6Sql,

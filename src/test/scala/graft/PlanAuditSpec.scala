@@ -66,6 +66,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("row_number"), p)
   }
 
+  test("b38: the correlated scalar subquery decorrelates — per-part aggregate " +
+      "joined back, no nested loop, no per-row subquery execution") {
+    val p = plan(Analytics.queries("b38_correlated_subquery")(s, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    // the rewrite's signature: an aggregate over the subquery side joined
+    // on the correlation key
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.split('\n').count(_.contains("SortMergeJoin")) +
+      p.split('\n').count(_.contains("ShuffledHashJoin")) +
+      p.split('\n').count(_.contains("BroadcastHashJoin")) >= 2, p)
+  }
+
   test("b7 + a16: global top-k plans as TakeOrderedAndProject, not a global sort") {
     assert(plan(Analytics.queries("b7_topk")(s, sf)).contains("TakeOrderedAndProject"))
     assert(plan(StacSearch.queries("a16_sort")(s, sf)).contains("TakeOrderedAndProject"))
