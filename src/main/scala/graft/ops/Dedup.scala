@@ -711,6 +711,42 @@ object Dedup {
        |FROM documents d LEFT JOIN cl USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------- C64 cluster-size distribution
+  /** C64: dup-cluster SIZE DISTRIBUTION — the dedup-health histogram (a
+    * corpus whose mass sits in large clusters is a crawl problem, not a
+    * dedup problem): documents per cluster size, singletons included
+    * (C36's coalesce — docs outside the near-dup graph are their own
+    * cluster of 1). Rides the memoized C18 frame; two tiny aggregates
+    * (cluster sizes, then the size histogram) after one left join —
+    * the histogram is \|distinct sizes\| rows regardless of corpus.
+    */
+  def c64ClusterStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(c18DupClusters(s, d), Seq("doc_id"), "left")
+      .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  val c64Sql: String =
+    s"""WITH RECURSIVE $c2PairsCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM c2pairs
+       |          UNION SELECT d2, d1 FROM c2pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+       |m AS (
+       |  SELECT COALESCE(cl.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN cl USING (doc_id)),
+       |sz AS (SELECT cluster, COUNT(*) AS sz FROM m GROUP BY cluster)
+       |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(SUM(sz) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   // --------------------------- C36 cluster representative selection
   /** C36: the dedup DECISION — C18's duplicate clusters joined with C9's
     * quality scores, keeping the best-quality member per cluster
@@ -978,6 +1014,7 @@ object Dedup {
     "c36_cluster_reps"   -> (c36ClusterReps _),
     "c57_leakfree_split" -> (c57LeakFreeSplit _),
     "c61_dedup_funnel"   -> (c61DedupFunnel _),
+    "c64_cluster_stats"  -> (c64ClusterStats _),
     "c20_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => c20DedupEmbeddingLsh(s, d)),
     "c24_dup_passages"   -> (c24DupPassages _)
   )
@@ -996,6 +1033,7 @@ object Dedup {
     "c36_cluster_reps"   -> c36Sql,
     "c57_leakfree_split" -> c57Sql,
     "c61_dedup_funnel"   -> c61Sql,
+    "c64_cluster_stats"  -> c64Sql,
     "c20_dedup_embedding_lsh" -> c20Sql,
     "c24_dup_passages"   -> c24Sql
   )

@@ -1510,6 +1510,40 @@ object TextAnalysis {
        |FROM dw JOIN enc USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------- C63 exact-k stratified sample
+  /** C63: EXACT-K deterministic sample per stratum — C22 samples at a
+    * RATE (kept count varies with |stratum|); an eval set wants exactly
+    * k docs per source, reproducibly. Rank by the doc's md5-lane hash
+    * (a uniform, engine-identical, restart-stable shuffle order) within
+    * each source and keep rank ≤ k: the same "random but deterministic"
+    * contract as every other sampling decision, now with a hard size.
+    * One shuffle+sort window per stratum; at 100 TB a top-k-per-group
+    * (partial per-partition heaps) replaces the full sort — the rank
+    * form is the semantics contract both share.
+    */
+  private val c63K = 25
+
+  def c63ExactKSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(s"${h64Spark("concat('ek:', CAST(doc_id AS STRING))")}").as("hv"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= c63K)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val c63Sql: String =
+    s"""SELECT source, rk, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+       |  FROM (SELECT doc_id, source,
+       |          ${h64Duck("'ek:'||CAST(doc_id AS VARCHAR)")} AS hv
+       |        FROM documents))
+       |WHERE rk <= $c63K ORDER BY source, rk""".stripMargin
+
   // ------------------------------- C62 corpus snapshot diff
   /** C62: SNAPSHOT DIFF — the release-notes table between two corpus
     * versions (what did the new crawl add, what did the cleanup remove,
@@ -1688,6 +1722,7 @@ object TextAnalysis {
     "c59_mixture_materialize" -> (c59MixtureMaterialize _),
     "c60_calibrated_cut" -> (c60CalibratedCut _),
     "c62_snapshot_diff" -> (c62SnapshotDiff _),
+    "c63_exact_k_sample" -> (c63ExactKSample _),
     "c53_coverage_curve" -> (c53CoverageCurve _),
     "c51_budget_select" -> (c51BudgetSelect _),
     "c50_tokenizer_versions" -> (c50TokenizerVersions _),
@@ -1723,6 +1758,7 @@ object TextAnalysis {
     "c59_mixture_materialize" -> c59Sql,
     "c60_calibrated_cut" -> c60Sql,
     "c62_snapshot_diff" -> c62Sql,
+    "c63_exact_k_sample" -> c63Sql,
     "c53_coverage_curve" -> c53Sql,
     "c51_budget_select" -> c51Sql,
     "c50_tokenizer_versions" -> c50Sql,

@@ -182,6 +182,28 @@ object StacSearch {
   val a8Sql: String = Tables.withItems(
     s"SELECT $projSql FROM items WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)} ORDER BY id")
 
+  // --------------------------- A61 antimeridian-crossing bbox
+  /** A61: bbox ACROSS the antimeridian — the RFC 7946 §5.2 contract the
+    * plain comparison silently gets wrong: a STAC search bbox with
+    * west > east (here 150 → −150, a Pacific strip) means the box
+    * CROSSES 180°, so the longitude predicate is the DISJUNCTION of the
+    * two half-ranges, not an empty range. [[Geo.bboxContainsWrap]]
+    * routes both cases (degenerating to the plain form when
+    * west ≤ east, gated by a8); still a scan-level predicate — the OR
+    * of two range tests stays pushable and codegen'd.
+    */
+  private val amBbox = (150.141, -60.223, -150.139, 60.177)
+
+  def a61BboxAntimeridian(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(Geo.bboxContainsWrap(col("lon"), col("lat"),
+        amBbox._1, amBbox._2, amBbox._3, amBbox._4))
+      .select(projCols: _*).orderBy(col("id"))
+
+  val a61Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE ${Geo.bboxContainsWrapSql("lon", "lat",
+      amBbox._1, amBbox._2, amBbox._3, amBbox._4)} ORDER BY id")
+
   /** Convex CCW hexagon (off-grid coords so no point sits on an edge). */
   private val hexagon: Array[Double] = Array(
     80.137, 10.223,
@@ -1838,6 +1860,7 @@ object StacSearch {
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a60_time_travel"     -> (a60TimeTravel _),
+    "a61_bbox_antimeridian" -> (a61BboxAntimeridian _),
     "a56_upsert_search"   -> (a56UpsertSearch _),
     "a1_scan_collection"  -> (a1ScanCollection _),
     "a2_multi_collection" -> (a2MultiCollection _),
@@ -1946,6 +1969,7 @@ object StacSearch {
     "a58_mosaic_best"             -> a58Sql,
     "a59_acquisition_gaps"        -> a59Sql,
     "a60_time_travel"             -> a60Sql,
+    "a61_bbox_antimeridian"       -> a61Sql,
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,

@@ -55,6 +55,26 @@ object Geo {
                       west: Double, south: Double, east: Double, north: Double): String =
     s"($lonC >= $west AND $lonC <= $east AND $latC >= $south AND $latC <= $north)"
 
+  /** ANTIMERIDIAN-aware bbox: the STAC/GeoJSON bbox contract says
+    * west > east means the box CROSSES the 180° meridian (RFC 7946
+    * §5.2) — the longitude test becomes a disjunction of the two
+    * half-ranges. Degenerates to [[bboxContains]] when west <= east, so
+    * callers can route every bbox through this form.
+    */
+  def bboxContainsWrap(lon: Column, lat: Column,
+                       west: Double, south: Double, east: Double, north: Double): Column = {
+    val lonOk = if (west <= east) lon >= west && lon <= east
+                else lon >= west || lon <= east
+    lonOk && lat >= south && lat <= north
+  }
+
+  def bboxContainsWrapSql(lonC: String, latC: String,
+                          west: Double, south: Double, east: Double, north: Double): String = {
+    val lonOk = if (west <= east) s"($lonC >= $west AND $lonC <= $east)"
+                else s"($lonC >= $west OR $lonC <= $east)"
+    s"($lonOk AND $latC >= $south AND $latC <= $north)"
+  }
+
   /** Polygon envelope. */
   def envelope(poly: Array[Double]): (Double, Double, Double, Double) = {
     val xs = poly.indices.collect { case i if i % 2 == 0 => poly(i) }
