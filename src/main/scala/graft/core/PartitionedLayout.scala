@@ -79,4 +79,50 @@ object PartitionedLayout {
       |FROM orders
       |WHERE strftime(o_orderdate, '%m') IN ('01', '02', '03')
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------- B39 schema-evolution (mergeSchema) read
+  /** B39: SCHEMA-EVOLUTION read — a long-lived lake table's files never
+    * all share one schema (a column added in 1995 doesn't exist in the
+    * 1992 files), and rewriting history to add it is exactly what a
+    * 100 TB table can't afford: the old generation here carries
+    * (key, cents), the new generation adds `status`, and
+    * `mergeSchema=true` reads both as ONE relation with nulls where the
+    * old files have no column — schema-on-read, no rewrite. The gate
+    * aggregates across the boundary (nulls folded to a sentinel) and
+    * the oracle restates the same semantics from raw orders with the
+    * generation rule as a CASE — equality proves the merged read loses
+    * and invents nothing.
+    */
+  private val b39Cut = "1995-01"
+
+  def b39MergeSchemaRead(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"b39:$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_evolved_$key").getAbsolutePath
+    if (!new java.io.File(s"$base/v2/_SUCCESS").exists()) {
+      val src = Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("status"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("slice"))
+      src.where(col("slice") < b39Cut).select(col("o_orderkey"), col("cents"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      src.where(col("slice") >= b39Cut)
+        .select(col("o_orderkey"), col("cents"), col("status"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+      .groupBy(coalesce(col("status"), lit("pre-evolution")).as("status"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("status"))
+  }
+
+  val b39Sql: String =
+    """SELECT CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1995-01'
+      |            THEN o_orderstatus ELSE 'pre-evolution' END AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }

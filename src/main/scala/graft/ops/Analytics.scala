@@ -1013,6 +1013,7 @@ object Analytics {
     "b36_dpp_join"          -> (graft.core.PartitionedLayout.b36DppJoin _),
     "b37_rolling_window"    -> (b37RollingWindow _),
     "b38_correlated_subquery" -> (b38CorrelatedSubquery _),
+    "b39_merge_schema"      -> (graft.core.PartitionedLayout.b39MergeSchemaRead _),
     "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
     "b29_cube"           -> (b29Cube _),
     "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
@@ -1051,6 +1052,7 @@ object Analytics {
     "b36_dpp_join"          -> graft.core.PartitionedLayout.b36Sql,
     "b37_rolling_window"    -> b37RollingWindowSql,
     "b38_correlated_subquery" -> b38CorrelatedSubquerySql,
+    "b39_merge_schema"      -> graft.core.PartitionedLayout.b39Sql,
     "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
     "b29_cube"           -> b29CubeSql,
     "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,
