@@ -481,6 +481,55 @@ object Analytics {
       |    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
       |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
 
+  // ------------------------------------------------------------------ B40
+  /** B40: referential-integrity AUDIT — the data-quality gate run
+    * before trusting any star join (an orphaned fact row silently
+    * vanishes from every inner join that should have counted it): per
+    * relationship, total fact rows, orphans (anti-join against the
+    * dimension's key set), and intact rows. Anti-joins broadcast the
+    * key side where it is dimension-sized and shuffle where it is not —
+    * the same plan discipline as the joins they audit; output is one
+    * row per relationship regardless of corpus size.
+    */
+  def b40IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, fact: DataFrame, factKey: String,
+            dim: DataFrame, dimKey: String) = {
+      val total = fact.count()
+      val orphans = fact.join(dim.select(col(dimKey)),
+        col(factKey) === col(dimKey), "left_anti").count()
+      (name, total, orphans, total - orphans)
+    }
+    import spark.implicits._
+    val rows = Seq(
+      rel("orders->customer", Tables.orders(spark, dir).select(col("o_custkey")),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"),
+      rel("lineitem->orders", Tables.lineitem(spark, dir).select(col("l_orderkey")),
+        "l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
+      rel("events->customer", Tables.events(spark, dir).select(col("user_id")),
+        "user_id", Tables.customer(spark, dir), "c_custkey"))
+    rows.toDF("relationship", "n_rows", "n_orphans", "n_intact")
+      .orderBy(col("relationship"))
+  }
+
+  val b40IntegrityAuditSql: String =
+    """SELECT relationship, n_rows, n_orphans, n_rows - n_orphans AS n_intact
+      |FROM (
+      |  SELECT 'orders->customer' AS relationship,
+      |    (SELECT COUNT(*) FROM orders) AS n_rows,
+      |    (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+      |      (SELECT c_custkey FROM customer)) AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem->orders',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+      |      (SELECT o_orderkey FROM orders))
+      |  UNION ALL
+      |  SELECT 'events->customer',
+      |    (SELECT COUNT(*) FROM events),
+      |    (SELECT COUNT(*) FROM events WHERE user_id NOT IN
+      |      (SELECT c_custkey FROM customer)))
+      |ORDER BY relationship""".stripMargin
+
   // ------------------------------------------------------------------ B29
   /** B29: full CUBE + grouping_id — B10's rollup widened to every
     * grouping-set combination, with the standard GROUPING bit vector
@@ -1014,6 +1063,7 @@ object Analytics {
     "b37_rolling_window"    -> (b37RollingWindow _),
     "b38_correlated_subquery" -> (b38CorrelatedSubquery _),
     "b39_merge_schema"      -> (graft.core.PartitionedLayout.b39MergeSchemaRead _),
+    "b40_integrity_audit"   -> (b40IntegrityAudit _),
     "b28_heavy_hitters"  -> (graft.core.IncrementalState.b28HeavyHitters _),
     "b29_cube"           -> (b29Cube _),
     "b30_hist_quantiles" -> (graft.core.IncrementalState.b30HistQuantiles _),
@@ -1053,6 +1103,7 @@ object Analytics {
     "b37_rolling_window"    -> b37RollingWindowSql,
     "b38_correlated_subquery" -> b38CorrelatedSubquerySql,
     "b39_merge_schema"      -> graft.core.PartitionedLayout.b39Sql,
+    "b40_integrity_audit"   -> b40IntegrityAuditSql,
     "b28_heavy_hitters"  -> graft.core.IncrementalState.b28Sql,
     "b29_cube"           -> b29CubeSql,
     "b30_hist_quantiles" -> graft.core.IncrementalState.b30Sql,

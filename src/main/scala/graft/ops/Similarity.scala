@@ -25,6 +25,55 @@ import TextExprs._
   */
 object Similarity {
 
+  // ------------------------- C65 embedding-space dimension profile
+  /** C65: per-DIMENSION embedding profile — the embedding-space health
+    * check run before trusting any ANN/dedup built on it (a dead
+    * dimension, a scale-drifted dimension, or a mean far off zero all
+    * break cosine geometry silently): n, mean and variance per
+    * dimension. One posexplode + one map-side-combined aggregate whose
+    * shuffle carries |dims| rows. Exactness: each float is quantized as
+    * `floor(x·2²⁰)` — a DYADIC scale, so the double multiply is exact
+    * and both engines floor the identical value to the identical
+    * integer (a float→DECIMAL cast is NOT engine-identical: Spark casts
+    * through the float's shortest decimal string, DuckDB through its
+    * double expansion — measured divergent at the 10th digit). Integer
+    * sums are order-insensitive; the float math is confined to a final
+    * projection over the exact sums (B15's doctrine), at quantization
+    * error ≤ 2⁻²⁰ per element. The oracle re-derives each element by
+    * index (embedding[dim]) instead of exploding — two access paths,
+    * one profile.
+    */
+  private val c65Q = 1048576L // 2^20
+
+  def c65EmbeddingProfile(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("q", expr(s"CAST(FLOOR(CAST(x AS DOUBLE) * $c65Q.0) AS BIGINT)"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sq2"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        expr(s"CAST(sq AS DOUBLE) / $c65Q.0 / n").as("mean"),
+        expr(s"CAST(sq2 AS DOUBLE) / ($c65Q.0 * $c65Q.0) / n - " +
+          s"(CAST(sq AS DOUBLE) / $c65Q.0 / n) * (CAST(sq AS DOUBLE) / $c65Q.0 / n)")
+          .as("variance"))
+      .orderBy(col("dim"))
+
+  val c65Sql: String =
+    s"""SELECT dim, n,
+       |  CAST(sq AS DOUBLE) / $c65Q.0 / n AS mean,
+       |  CAST(sq2 AS DOUBLE) / ($c65Q.0 * $c65Q.0) / n -
+       |    (CAST(sq AS DOUBLE) / $c65Q.0 / n) * (CAST(sq AS DOUBLE) / $c65Q.0 / n)
+       |    AS variance
+       |FROM (
+       |  SELECT dim, COUNT(*) AS n, SUM(q) AS sq, SUM(q * q) AS sq2
+       |  FROM (
+       |    SELECT k.dim,
+       |      CAST(FLOOR(CAST(embedding[k.dim + 1] AS DOUBLE) * $c65Q.0) AS BIGINT) AS q
+       |    FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) k)
+       |  GROUP BY dim)
+       |ORDER BY dim""".stripMargin
+
   private val kNN = 10
   private val nQueries = 8 // query set: vec_id < 8
   private val nPlanes = 4
@@ -938,6 +987,7 @@ object Similarity {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c65_embedding_profile" -> (c65EmbeddingProfile _),
     "c46_ann_sq8" -> (c46AnnSq8 _),
     "c38_semantic_dedup" -> (c38SemanticDedup _),
     "c6_ann_bruteforce"  -> (c6AnnBruteforce _),
@@ -950,6 +1000,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "c65_embedding_profile" -> c65Sql,
     "c46_ann_sq8" -> c46Sql,
     "c38_semantic_dedup" -> c38Sql,
     "c6_ann_bruteforce"  -> c6Sql,
