@@ -349,9 +349,17 @@ object Cql {
   }
 
   private def parseNode(n: JsonNode): Cql = {
-    require(n != null && n.isObject && n.size() == 1, s"bad cql2 node: $n")
-    val key = n.fieldNames().next()
-    val v = n.get(key)
+    // Two accepted encodings: the standard OGC cql2-json {"op": "...",
+    // "args": [...]} (what STAC clients send) and the compact
+    // single-key {"<op>": [...]} form — both normalize to (key, args)
+    // here, so every operator below serves both.
+    val (key, v) =
+      if (n != null && n.isObject && n.has("op") && n.has("args"))
+        (n.get("op").asText(), n.get("args"))
+      else {
+        require(n != null && n.isObject && n.size() == 1, s"bad cql2 node: $n")
+        (n.fieldNames().next(), n.get(n.fieldNames().next()))
+      }
     // malformed cql2-json gets a clear message, not an NPE at v.get(i)
     def arg(i: Int, what: String): JsonNode = {
       if (v == null || !v.isArray || v.size() <= i)

@@ -56,6 +56,47 @@ object SearchParams {
   def geoJson(json: String): Option[graft.spatial.Shape] =
     Some(Cql.parseGeoJsonShape(json))
 
+  /** POST /search JSON body → typed params — the reference's primary
+    * API surface (its search endpoints deserialize exactly this
+    * document): collections, ids, bbox (2D, or 3D with elevation
+    * dropped per the STAC spec), intersects (any GeoJSON), datetime,
+    * filter (cql2-json passthrough), sortby [{field, direction}],
+    * fields {include, exclude}, limit, token. Unknown members are
+    * ignored (API forward-compatibility); absent members keep the
+    * typed defaults.
+    */
+  def fromSearchBody(json: String): SearchParams = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    def node(f: String) = Option(m.get(f)).filterNot(_.isNull)
+    def strs(f: String): Seq[String] =
+      node(f).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    val bbox = node("bbox").map { b =>
+      val a = b.elements().asScala.map(_.asDouble).toIndexedSeq
+      if (a.length == 6) (a(0), a(1), a(3), a(4)) else (a(0), a(1), a(2), a(3))
+    }
+    val sorts = node("sortby").map(_.elements().asScala.map { sn =>
+      SortBy(sn.get("field").asText,
+        Option(sn.get("direction")).exists(_.asText == "desc"))
+    }.toSeq).getOrElse(Nil)
+    val fieldsNode = node("fields")
+    def fieldList(k: String): Seq[String] =
+      fieldsNode.flatMap(fn => Option(fn.get(k)))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    SearchParams(
+      collections = strs("collections"),
+      ids = strs("ids"),
+      bbox = bbox,
+      intersects = node("intersects").map(g => Cql.parseGeoJsonShape(g.toString)),
+      datetime = node("datetime").map(_.asText),
+      filter = node("filter").map(_.toString),
+      sortBy = sorts,
+      limit = node("limit").map(_.asInt).getOrElse(10),
+      token = node("token").map(_.asText),
+      include = fieldList("include"),
+      exclude = fieldList("exclude"))
+  }
+
   /** Flat polygon ring [x0,y0,x1,y1,…] (closure vertex optional) →
     * `intersects` value — the pre-round-6 single-ring form, kept as a
     * convenience.

@@ -182,6 +182,42 @@ object StacSearch {
   val a8Sql: String = Tables.withItems(
     s"SELECT $projSql FROM items WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)} ORDER BY id")
 
+  // --------------------------- A62 POST /search body → typed plan
+  /** A62: the POST /search JSON BODY through the whole stack — the
+    * reference's primary API surface (clients send exactly this
+    * document): [[StacApi.SearchParams.fromSearchBody]] deserializes
+    * collections + bbox + datetime + cql2-json filter + sortby + limit
+    * (unknown members ignored for forward-compatibility), and the
+    * typed plan compiles the SAME predicates the per-param gates prove
+    * individually. The oracle restates the body's semantics directly in
+    * SQL — so this gate pins the request-document → plan translation,
+    * the last hop a reference user needs to switch.
+    */
+  private val a62Body =
+    """{"collections": ["click", "view"],
+      |  "bbox": [-100.5, -50.5, 100.5, 50.5],
+      |  "datetime": "2024-01-05 00:00:00/2024-01-25 00:00:00",
+      |  "filter": {"op": ">", "args": [{"property": "value"}, 100]},
+      |  "sortby": [{"field": "properties.value", "direction": "desc"}],
+      |  "limit": 25,
+      |  "some_future_extension": {"ignored": true}}""".stripMargin
+
+  def a62SearchBody(s: SparkSession, d: String): DataFrame = {
+    val p = SearchParams.fromSearchBody(a62Body)
+    StacApi.plan(items(s, d), p)
+      .select(projCols: _*)
+      .orderBy(col("value").desc, col("id").asc) // body sort + id tiebreak
+      .limit(p.limit)
+  }
+
+  val a62Sql: String = Tables.withItems(
+    s"""SELECT $projSql FROM items
+       |WHERE collection IN ('click', 'view')
+       |  AND ${Geo.bboxContainsSql("lon", "lat", -100.5, -50.5, 100.5, 50.5)}
+       |  AND ${dtRangeSql("2024-01-05 00:00:00", "2024-01-25 00:00:00")}
+       |  AND value > 100
+       |ORDER BY value DESC, id ASC LIMIT 25""".stripMargin)
+
   // --------------------------- A61 antimeridian-crossing bbox
   /** A61: bbox ACROSS the antimeridian — the RFC 7946 §5.2 contract the
     * plain comparison silently gets wrong: a STAC search bbox with
@@ -1861,6 +1897,7 @@ object StacSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a60_time_travel"     -> (a60TimeTravel _),
     "a61_bbox_antimeridian" -> (a61BboxAntimeridian _),
+    "a62_search_body"     -> (a62SearchBody _),
     "a56_upsert_search"   -> (a56UpsertSearch _),
     "a1_scan_collection"  -> (a1ScanCollection _),
     "a2_multi_collection" -> (a2MultiCollection _),
@@ -1970,6 +2007,7 @@ object StacSearch {
     "a59_acquisition_gaps"        -> a59Sql,
     "a60_time_travel"             -> a60Sql,
     "a61_bbox_antimeridian"       -> a61Sql,
+    "a62_search_body"             -> a62Sql,
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,

@@ -21,6 +21,20 @@ class CqlSpec extends AnyFunSuite {
     assert(b.toSql == "NOT (c = 'x')")
   }
 
+  test("standard op/args encoding parses to the SAME AST as the compact " +
+      "single-key form, nesting included") {
+    val std = Cql.parseJson(
+      """{"op":"and","args":[
+        |  {"op":">","args":[{"property":"value"},100]},
+        |  {"op":"not","args":[{"op":"like","args":[{"property":"p"},"ab%"]}]}]}"""
+        .stripMargin)
+    val compact = Cql.parseJson(
+      """{"and":[{">":[{"property":"value"},100]},
+        |        {"not":[{"like":[{"property":"p"},"ab%"]}]}]}""".stripMargin)
+    assert(std == compact)
+    assert(std.toSql == "(value > 100 AND NOT (p LIKE 'ab%'))")
+  }
+
   test("like / ilike / in / between / isNull") {
     assert(Cql.parseJson("""{"like":[{"property":"p"},"ab%"]}""").toSql == "p LIKE 'ab%'")
     assert(Cql.parseJson("""{"ilike":[{"property":"p"},"AB%"]}""").toSql ==
