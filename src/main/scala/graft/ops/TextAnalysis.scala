@@ -1510,6 +1510,56 @@ object TextAnalysis {
        |FROM dw JOIN enc USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------- C66 LM-familiarity scoring
+  /** C66: LANGUAGE-MODEL familiarity scoring — the CCNet/RefinedWeb
+    * perplexity-filter shape (score each document by how typical its
+    * n-grams are of the corpus; outliers both ways get reviewed: very
+    * unfamiliar = noise/garble, very familiar = boilerplate): the "LM"
+    * is the corpus's own bigram frequency table (one aggregate pass,
+    * shuffle = |bigram vocab|), broadcast back into a scoring pass
+    * whose per-doc mean bigram frequency lands in integer
+    * parts-per-million of corpus mass (`Σcnt·10⁶ DIV (n_bg·T)` —
+    * hash-exact, no logs; the ranking this induces is the monotone core
+    * of the perplexity filter, with float log-probs left to the
+    * consumer). C55's two-pass broadcast shape with an n-gram LM
+    * instead of a target contrast; docs under 2 words carry no bigram
+    * and drop (stated in both engines).
+    */
+  def c66Familiarity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "concat(element_at(w, i), '_', element_at(w, i + 1)))")).as("bgr"))
+      .select(col("doc_id"), expr(h64Spark("concat('fb:', bgr)")).as("bh"))
+    val lm = bg.groupBy(col("bh")).agg(count(lit(1)).as("cnt"))
+      .withColumn("t", sum(col("cnt")).over(Window.partitionBy()))
+    bg.join(broadcast(lm), "bh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(SUM(cnt) * 1000000 DIV (COUNT(*) * MAX(t)) AS BIGINT)")
+          .as("familiarity_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c66Sql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, ${h64Duck("'fb:'||bgr")} AS bh
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(w)), i -> w[i]||'_'||w[i+1])) AS bgr
+       |    FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
+       |    WHERE len(w) >= 2)),
+       |lm AS (SELECT bh, COUNT(*) AS cnt FROM bg GROUP BY bh),
+       |lmt AS (SELECT bh, cnt, SUM(cnt) OVER () AS t FROM lm)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(cnt) * 1000000 // (COUNT(*) * MAX(t)) AS BIGINT)
+       |    AS familiarity_ppm
+       |FROM bg JOIN lmt USING (bh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------- C63 exact-k stratified sample
   /** C63: EXACT-K deterministic sample per stratum — C22 samples at a
     * RATE (kept count varies with |stratum|); an eval set wants exactly
@@ -1723,6 +1773,7 @@ object TextAnalysis {
     "c60_calibrated_cut" -> (c60CalibratedCut _),
     "c62_snapshot_diff" -> (c62SnapshotDiff _),
     "c63_exact_k_sample" -> (c63ExactKSample _),
+    "c66_familiarity" -> (c66Familiarity _),
     "c53_coverage_curve" -> (c53CoverageCurve _),
     "c51_budget_select" -> (c51BudgetSelect _),
     "c50_tokenizer_versions" -> (c50TokenizerVersions _),
@@ -1759,6 +1810,7 @@ object TextAnalysis {
     "c60_calibrated_cut" -> c60Sql,
     "c62_snapshot_diff" -> c62Sql,
     "c63_exact_k_sample" -> c63Sql,
+    "c66_familiarity" -> c66Sql,
     "c53_coverage_curve" -> c53Sql,
     "c51_budget_select" -> c51Sql,
     "c50_tokenizer_versions" -> c50Sql,
