@@ -196,6 +196,18 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(!out.exists(r => r._1 == 3L || r._2 == 3L), out.toSeq.toString)
   }
 
+  test("c18 state table: the cluster frame persists on disk and a fresh " +
+      "read serves exactly the computed components") {
+    val served = ops.Dedup.queries("c18_dup_clusters")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p = ops.Dedup.c18StatePath(sf)
+    assert(new java.io.File(p, "_SUCCESS").exists(), s"no state table at $p")
+    // a cold read of the table (bypassing the memo) is the same frame
+    val cold = s.read.parquet(p).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"))).sorted
+    assert(cold.sameElements(served.sorted))
+  }
+
   test("c57: the split is leakage-free — every dup-cluster member lands on " +
       "the same side, and the test fraction is near the 10% design point") {
     val rows = ops.Dedup.queries("c57_leakfree_split")(s, sf).collect()
