@@ -111,6 +111,30 @@ object Events {
   def windowAggStream(stream: DataFrame): DataFrame =
     windowAggTransform(stream.withWatermark("ts", "2 hours"))
 
+  // --------------------- D27 saved-search fanout (A62's bodies live)
+  /** D27: SAVED-SEARCH notification fanout — N stored search documents
+    * (exactly the A62 POST-body format) matched against the live item
+    * stream, emitting (search_id, item) routes: the subscription
+    * feature of a production catalog ("tell me when a scene matching MY
+    * search lands"). Each body parses ONCE at plan time through
+    * [[graft.search.SearchParams.fromSearchBody]] and compiles to the
+    * same typed predicates the batch gates prove; the stream evaluates
+    * all N as a union of stateless filters — no state store, no
+    * watermark, no shuffle, one pass over the stream per micro-batch
+    * (Spark collapses the shared scan), N bounded by the subscription
+    * table. Stream ≡ batch filter by construction (D14's contract,
+    * widened from one hard-coded query to data-driven bodies;
+    * EventsSpec routes a two-subscription stream).
+    */
+  def savedSearchFanout(s: SparkSession, stream: DataFrame,
+                        searches: Seq[(String, String)]): DataFrame = {
+    import graft.search.{SearchParams, StacApi}
+    searches.map { case (id, body) =>
+      StacApi.plan(stream, SearchParams.fromSearchBody(body))
+        .withColumn("search_id", lit(id))
+    }.reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------- D2 sessionization
   private val gapMinutes = 30
 

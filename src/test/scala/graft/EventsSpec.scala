@@ -13,6 +13,9 @@ case class EvDup(event_id: Long, ts: java.sql.Timestamp, v: Double)
 case class EvJ(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
 case class GridIn(ts: java.sql.Timestamp, lon: Double, lat: Double, value: Double)
 
+final case class D27ItemEvt(id: String, collection: String, lon: Double,
+                            lat: Double, value: Double)
+
 class EventsSpec extends AnyFunSuite {
   private val s = TestSpark.spark
   private val sf = TestSpark.sf
@@ -288,6 +291,33 @@ class EventsSpec extends AnyFunSuite {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("D27 saved-search fanout: two stored search bodies route a live item " +
+      "stream; an item matching both is delivered to both subscriptions") {
+    import s.implicits._
+    val searches = Seq(
+      "s1" -> """{"collections": ["click"],
+                |  "filter": {"op": ">", "args": [{"property": "value"}, 100]}}""".stripMargin,
+      "s2" -> """{"bbox": [0.0, 0.0, 50.0, 50.0]}""")
+    val mem = MemoryStream[D27ItemEvt](s)
+    val q = graft.streaming.Events.savedSearchFanout(s, mem.toDF(), searches)
+      .writeStream.format("memory").queryName("d27_routes")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        D27ItemEvt("i1", "click", -90.0, 10.0, 150.0),  // s1 only (out of bbox)
+        D27ItemEvt("i2", "view", 10.0, 10.0, 50.0))     // s2 only (not click)
+      q.processAllAvailable()
+      mem.addData(
+        D27ItemEvt("i3", "click", 20.0, 20.0, 500.0),   // BOTH
+        D27ItemEvt("i4", "view", -90.0, -10.0, 1.0))    // neither
+      q.processAllAvailable()
+      val got = s.sql("SELECT search_id, id FROM d27_routes").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("s1", "i1"), ("s2", "i2"), ("s1", "i3"), ("s2", "i3")),
+        got.toString)
+    } finally q.stop()
   }
 
   test("D14 streaming free-text alerting ≡ the same q filter as a batch query") {
