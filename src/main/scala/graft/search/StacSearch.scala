@@ -1131,28 +1131,35 @@ object StacSearch {
     * aggregate; the rejects channel is a filter on the same pass, never
     * a second parse.
     */
-  def a57TolerantIngest(s: SparkSession, d: String): DataFrame = {
-    val src = withEnvelope(items(s, d))
-      .select(col("id"), col("id_num"), featureJsonCol.as("f"))
+  /** The classification transform over a frame carrying the raw feature
+    * text in `f2` — shared by the batch gate and D28's streaming ingest
+    * (the stream's contract: classify every payload in the SAME pass
+    * that parses it). PERMISSIVE from_json yields an ALL-NULL struct
+    * (not a null struct) for malformed input, so the discriminator is
+    * `type` — a constant literal in every serialized record, null only
+    * when the whole parse failed.
+    */
+  private[graft] def a57Classify(src: DataFrame): DataFrame =
     src
-      .withColumn("f2",
-        when(pmod(col("id_num"), lit(13)) === 0,
-          expr("substr(f, 1, length(f) - 8)"))
-          .when(pmod(col("id_num"), lit(17)) === 0,
-            expr("replace(f, '\"id\"', '\"xid\"')"))
-          .otherwise(col("f")))
       .withColumn("it", from_json(col("f2"),
         org.apache.spark.sql.types.StructType.fromDDL(a43ItemDdl)))
-      // PERMISSIVE from_json yields an ALL-NULL struct (not a null
-      // struct) for malformed input, so the discriminator is `type` — a
-      // constant literal in every serialized record, null only when the
-      // whole parse failed
       .withColumn("status",
         when(col("it.type").isNull, lit("unparseable"))
           .when(col("it.id").isNull, lit("missing_id"))
           .otherwise(lit("ok")))
       .withColumn("dt", to_timestamp(col("it.properties.datetime"),
         "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+
+  def a57TolerantIngest(s: SparkSession, d: String): DataFrame = {
+    val src = withEnvelope(items(s, d))
+      .select(col("id"), col("id_num"), featureJsonCol.as("f"))
+    a57Classify(src
+      .withColumn("f2",
+        when(pmod(col("id_num"), lit(13)) === 0,
+          expr("substr(f, 1, length(f) - 8)"))
+          .when(pmod(col("id_num"), lit(17)) === 0,
+            expr("replace(f, '\"id\"', '\"xid\"')"))
+          .otherwise(col("f"))))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"), count(col("dt")).as("n_dt_recovered"))
       .orderBy(col("status"))

@@ -135,6 +135,25 @@ object Events {
     }.reduce(_ unionByName _)
   }
 
+  // ------------------- D28 streaming tolerant ingest (A57 live)
+  /** D28: A57's permissive-parse rejects channel at the STREAM ingest
+    * gate — the shape a real catalog feed runs (payloads arrive, every
+    * record is classified in the same stateless pass that parses it,
+    * rejects route to a dead-letter sink with a typed reason instead of
+    * killing the query): the stream carries raw feature text, the
+    * SHARED [[graft.search.StacSearch.a57Classify]] transform parses
+    * once and stamps `status` (unparseable / missing_id / ok), and the
+    * caller splits the one output by status — no state store, no
+    * watermark, no second parse. Stream ≡ batch classification by
+    * construction (same transform; EventsSpec routes a corrupted
+    * three-payload stream and pins each record's class and the
+    * recovered-payload contract for the missing_id reject).
+    */
+  def tolerantIngestStream(stream: DataFrame): DataFrame =
+    graft.search.StacSearch.a57Classify(stream)
+      .select(col("rec_id"), col("status"), col("it.id").as("parsed_id"),
+        col("dt").as("parsed_datetime"))
+
   // ------------------------------------------------- D2 sessionization
   private val gapMinutes = 30
 

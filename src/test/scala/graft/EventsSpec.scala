@@ -16,6 +16,8 @@ case class GridIn(ts: java.sql.Timestamp, lon: Double, lat: Double, value: Doubl
 final case class D27ItemEvt(id: String, collection: String, lon: Double,
                             lat: Double, value: Double)
 
+final case class D28Payload(rec_id: Long, f2: String)
+
 class EventsSpec extends AnyFunSuite {
   private val s = TestSpark.spark
   private val sf = TestSpark.sf
@@ -317,6 +319,39 @@ class EventsSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(got == Set(("s1", "i1"), ("s2", "i2"), ("s1", "i3"), ("s2", "i3")),
         got.toString)
+    } finally q.stop()
+  }
+
+  test("D28 streaming tolerant ingest: payloads classify in one stateless " +
+      "pass — ok / missing_id / unparseable routed with the payload recovered " +
+      "for the validation reject") {
+    import s.implicits._
+    def feature(id: Option[String]) =
+      """{"type":"Feature","stac_version":"1.0.0",""" +
+        id.map(i => s""""id":"$i",""").getOrElse("") +
+        """"collection":"c1","bbox":[1.0,2.0,1.0,2.0],""" +
+        """"properties":{"datetime":"2024-01-02T03:04:05.000000Z","value":7.5,"user_id":3}}"""
+    val rows = Seq(
+      D28Payload(1L, feature(Some("item-1"))),                    // ok
+      D28Payload(2L, feature(None)),                              // missing_id
+      D28Payload(3L, feature(Some("item-3")).dropRight(8)))       // unparseable
+    val mem = MemoryStream[D28Payload](s)
+    val q = graft.streaming.Events.tolerantIngestStream(mem.toDF())
+      .writeStream.format("memory").queryName("d28_ingest")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2)); q.processAllAvailable()
+      mem.addData(rows.drop(2)); q.processAllAvailable()
+      val got = s.sql("SELECT rec_id, status, parsed_id, parsed_datetime " +
+        "FROM d28_ingest").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)),
+          Option(r.getTimestamp(3)))).sortBy(_._1)
+      assert(got.map(g => (g._1, g._2)).toSeq ==
+        Seq((1L, "ok"), (2L, "missing_id"), (3L, "unparseable")), got.toSeq)
+      assert(got(0)._3.contains("item-1"))
+      // the validation reject still yields its parseable payload
+      assert(got(1)._3.isEmpty && got(1)._4.nonEmpty, got(1).toString)
+      assert(got(2)._3.isEmpty && got(2)._4.isEmpty, got(2).toString)
     } finally q.stop()
   }
 
