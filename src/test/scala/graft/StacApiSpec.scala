@@ -256,6 +256,39 @@ class StacApiSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == gateIds("a40_intersects_shapes").sorted)
   }
 
+  test("fromSearchBody: empty body yields pure defaults; unknown members " +
+      "are ignored") {
+    val p = SearchParams.fromSearchBody("{}")
+    assert(p == SearchParams())
+    val q = SearchParams.fromSearchBody(
+      """{"workspace": "x", "conformance_check": true, "limit": 7}""")
+    assert(q == SearchParams(limit = 7))
+  }
+
+  test("fromSearchBody: 3D bbox drops elevation (STAC spec), 2D passes " +
+      "through; fields/sortby/token deserialize") {
+    val p = SearchParams.fromSearchBody(
+      """{"bbox": [1.0, 2.0, -5.0, 3.0, 4.0, 99.0],
+        |  "sortby": [{"field": "properties.value", "direction": "desc"},
+        |             {"field": "id"}],
+        |  "fields": {"include": ["properties.value"], "exclude": ["links"]},
+        |  "token": "abc",
+        |  "ids": ["i1", "i2"]}""".stripMargin)
+    assert(p.bbox.contains((1.0, 2.0, 3.0, 4.0)))
+    assert(p.sortBy == Seq(SortBy("properties.value", desc = true), SortBy("id")))
+    assert(p.include == Seq("properties.value") && p.exclude == Seq("links"))
+    assert(p.token.contains("abc") && p.ids == Seq("i1", "i2"))
+    val q = SearchParams.fromSearchBody("""{"bbox": [1.0, 2.0, 3.0, 4.0]}""")
+    assert(q.bbox.contains((1.0, 2.0, 3.0, 4.0)))
+  }
+
+  test("fromSearchBody: intersects GeoJSON compiles to the same Shape the " +
+      "direct geoJson() path produces") {
+    val gj = """{"type":"Point","coordinates":[30.141,20.177]}"""
+    val viaBody = SearchParams.fromSearchBody(s"""{"intersects": $gj}""")
+    assert(viaBody.intersects == SearchParams.geoJson(gj))
+  }
+
   test("intersects param: ring() convenience ≡ geoJson() Polygon of the same ring") {
     val hex = Array(80.137, 10.223, 50.139, 55.177, -9.861, 55.177,
       -39.859, 10.223, -9.861, -34.731, 50.139, -34.731)
