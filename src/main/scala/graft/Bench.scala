@@ -34,8 +34,15 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
 
-    try exec("a22_combined_search", "/root/testdata/sf0.001") // warmup
-    catch { case _: Throwable => () }
+    graft.core.FixtureGuard.report(spark, sfDir, "bench")
+    // Warmup (flagship on sf0.001) absorbs JVM/codegen startup. A broken
+    // warmup must be LOUD: when it throws, the first measured queries run
+    // cold and every number in the round is suspect (round-7 postmortem).
+    try exec("a22_combined_search", "/root/testdata/sf0.001")
+    catch { case e: Throwable =>
+      System.err.println("[bench] WARMUP FAILED (a22_combined_search on " +
+        s"sf0.001): ${e.getMessage} — measured times below include cold-JVM cost")
+    }
 
     // best-of-N: steady-state per-query time (N=2 default; run-to-run
     // noise on a shared box otherwise dominates sub-second queries).

@@ -48,15 +48,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-    * (`nanosAsLong`) and floor-divide to Spark's native µs. DuckDB's
-    * parquet reader does the identical floor truncation ns→µs, so both
-    * engines see bit-identical µs timestamps.
+  /** `events.ts` has shipped as two physical parquet types across fixture
+    * generations, so the loader branches on the ACTUAL schema instead of
+    * assuming one:
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL),
+    *    so read raw nanos (`nanosAsLong` → LongType) and floor-divide to
+    *    Spark's native µs — DuckDB's reader does the identical ns→µs floor,
+    *    so both engines see bit-identical µs timestamps.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *    under the UTC session zone the cast to TIMESTAMP re-labels the same
+    *    instant (no wall-clock shift), matching DuckDB's plain TIMESTAMP.
+    * Plain TIMESTAMP passes through untouched.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -270,7 +270,7 @@ object Analytics {
     """SELECT o_custkey, o_orderkey,
       |  cents - LAG(cents, 1) OVER w AS delta_cents,
       |  CAST(date_diff('day', d, LEAD(d, 1) OVER w) AS BIGINT) AS gap_days,
-      |  SUM(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS run_cents,
+      |  CAST(SUM(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
       |  CAST(NTILE(4) OVER w AS INT) AS quartile
       |FROM (
       |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,

@@ -1524,9 +1524,24 @@ object TextAnalysis {
     * consumer). C55's two-pass broadcast shape with an n-gram LM
     * instead of a target contrast; docs under 2 words carry no bigram
     * and drop (stated in both engines).
+    *
+    * Scale shape (round-8 reshape): the corpus total `t` is a 1-row
+    * SCALAR aggregate over the lm frame cross-joined after the per-doc
+    * aggregate — never an unpartitioned window (which would drag the
+    * whole |bigram vocab| onto one partition); and the lm join side is
+    * picked from the MEASURED vocab size exactly like C27 (broadcast
+    * under the ceiling, pinned merge join above it — a 100 TB bigram
+    * vocab is billions of rows and cannot broadcast). The lm frame is
+    * referenced twice (join + total); at scale it would be persisted
+    * once, here the recompute is the same |vocab| aggregate C27 pays
+    * for its measurement.
     */
-  def c66Familiarity(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] val c66BroadcastMaxVocab = 10_000_000L
+
+  def c66Familiarity(s: SparkSession, d: String): DataFrame =
+    c66ScoreWith(s, d, c66BroadcastMaxVocab)
+
+  private[graft] def c66ScoreWith(s: SparkSession, d: String, maxVocab: Long): DataFrame = {
     val bg = docs(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 2"))
@@ -1535,11 +1550,17 @@ object TextAnalysis {
           "concat(element_at(w, i), '_', element_at(w, i + 1)))")).as("bgr"))
       .select(col("doc_id"), expr(h64Spark("concat('fb:', bgr)")).as("bh"))
     val lm = bg.groupBy(col("bh")).agg(count(lit(1)).as("cnt"))
-      .withColumn("t", sum(col("cnt")).over(Window.partitionBy()))
-    bg.join(broadcast(lm), "bh")
+    val fits = maxVocab == Long.MaxValue ||
+      (maxVocab > 0 &&
+        lm.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).count() <= maxVocab)
+    val v = if (fits) broadcast(lm) else lm.hint("merge")
+    val tot = lm.agg(sum(col("cnt")).as("t"))
+    bg.join(v, "bh")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("CAST(SUM(cnt) * 1000000 DIV (COUNT(*) * MAX(t)) AS BIGINT)")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("CAST(sum_cnt * 1000000 DIV (n_bigrams * t) AS BIGINT)")
           .as("familiarity_ppm"))
       .orderBy(col("doc_id"))
   }

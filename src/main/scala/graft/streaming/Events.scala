@@ -520,19 +520,29 @@ object Events {
         col("n_items"), col("cents"))
 
   /** File-source stream over an events parquet directory: the real
-    * `readStream` entry point. Same TIMESTAMP(NANOS) workaround as the
-    * batch loader (Spark 4 rejects nanos parquet): read ts as raw nanos
-    * via an explicit long schema + `nanosAsLong`, floor to micros.
+    * `readStream` entry point. `readStream` needs an explicit schema, so
+    * probe the directory's ACTUAL footer schema with a batch read and
+    * apply the same per-generation `ts` normalization as the batch loader
+    * (graft.core.Tables.events): TIMESTAMP(NANOS) fixtures read as raw
+    * long nanos (`nanosAsLong`) floored to µs; TIMESTAMP(MICROS)
+    * fixtures read as TIMESTAMP_NTZ and re-label to TIMESTAMP under the
+    * UTC session zone. The round-7 fixture regeneration flipped this
+    * type and a hard-coded long schema here read µs AS ns (1970-dated
+    * events) — the probe makes the stream source track whatever the
+    * batch loader sees.
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    s.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val fileSchema = s.read.parquet(dir).schema
+    val src = s.readStream.schema(fileSchema).parquet(dir)
+    fileSchema("ts").dataType match {
+      case LongType =>
+        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => src
+    }
   }
 
   // ---------------- D12 native session windows (D2 via session_window)
