@@ -44,4 +44,67 @@ object ItemsLayout {
       .repartitionByRange(col("zcell"), col("id"))
       .sortWithinPartitions(col("zcell"), col("id"))
       .write.mode("overwrite").parquet(path)
+
+  /** [[materializeZOrdered]] with an EXPLICIT file count: numFiles is the
+    * z-range partition count, i.e. the file-pruning granularity the A63
+    * covering manifest indexes at. Explicit because AQE legitimately
+    * coalesces an unnumbered repartition of a small corpus to one
+    * partition — one file = nothing to prune; in production size this at
+    * target-file-size (~1 GB) × corpus.
+    */
+  def materializeZOrdered(items: DataFrame, zcell: org.apache.spark.sql.Column,
+                          path: String, numFiles: Int): Unit =
+    items.withColumn("zcell", zcell)
+      .repartitionByRange(numFiles, col("zcell"), col("id"))
+      .sortWithinPartitions(col("zcell"), col("id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Generic sorted projection: range-partition + sort the items by an
+    * arbitrary key expression — the building block for per-dimension
+    * physical projections of one logical table (z-cell for spatial, a
+    * temporal key for datetime; a production lake keeps one layout per
+    * dominant access path and routes queries by predicate). The key is
+    * dropped after placement: the covering manifest indexes the real
+    * columns, so the layout carries no derived key column.
+    */
+  def materializeSorted(items: DataFrame, key: org.apache.spark.sql.Column,
+                        path: String, numFiles: Int): Unit =
+    items.withColumn("_sortkey", key)
+      .repartitionByRange(numFiles, col("_sortkey"), col("id"))
+      .sortWithinPartitions(col("_sortkey"), col("id"))
+      .drop("_sortkey")
+      .write.mode("overwrite").parquet(path)
+
+  /** GeoParquet-1.1-style COVERING INDEX over a materialized layout: one
+    * row per data FILE carrying its spatial envelope (xmin/ymin/xmax/
+    * ymax — GeoParquet's `covering.bbox` lifted to file granularity),
+    * datetime range, and row count. This is the manifest a scan planner
+    * consults INSTEAD of opening footers: a spatial/temporal search
+    * enumerates candidate files from the |files|-row manifest (at 100 TB
+    * that is ~10⁶ rows for ~10⁶ files — a broadcast-sized catalog read),
+    * and data I/O touches only the surviving files. Because the layout
+    * is z-ordered, a bbox's candidate set clusters into few files —
+    * the manifest turns that locality into file-level pruning the same
+    * way parquet row-group stats prune WITHIN a file (A29/A30's level).
+    * One aggregate pass over the layout builds it (`_metadata.file_path`
+    * is the engine-maintained provenance column); rebuilt only when the
+    * layout is rewritten.
+    */
+  def coveringManifest(spark: SparkSession, layoutPath: String): DataFrame =
+    spark.read.parquet(layoutPath)
+      .select(col("lon"), col("lat"), col("datetime"),
+        col("start_datetime"), col("end_datetime"),
+        col("_metadata.file_path").as("file"))
+      .groupBy(col("file"))
+      .agg(min(col("lon")).as("xmin"), max(col("lon")).as("xmax"),
+        min(col("lat")).as("ymin"), max(col("lat")).as("ymax"),
+        // min/max IGNORE nulls: dt_* cover the file's instant items,
+        // sd_min/ed_max envelope its null-datetime interval items — a
+        // temporal prune must clear BOTH (the reference's overlap
+        // semantics, database_logic.py:279-312, at file granularity);
+        // an all-null aggregate yields NULL = "no such items here"
+        min(col("datetime")).as("dt_min"), max(col("datetime")).as("dt_max"),
+        min(col("start_datetime")).as("sd_min"),
+        max(col("end_datetime")).as("ed_max"),
+        count(lit(1)).as("n_items"))
 }

@@ -79,13 +79,20 @@ object Dedup {
   /** The distinct C2 candidate-pair set, unordered — shared by the C2
     * gate and C52's attribution matrix.
     */
-  private def c2Pairs(s: SparkSession, d: String): DataFrame = {
-    // The whole signature comes from ONE codegen'd projection
-    // ([[graft.functions.MinHashSig]]: one md5 per shingle, h1/h2 =
-    // disjoint 15-hex-digit digest halves, per-lane running min) —
-    // shingle rows never exist, so the former explode → per-lane-min
-    // groupBy (and its shuffle) is gone; min is order-insensitive so the
-    // kernel is value-identical (asserted in GraftFunctionsSpec).
+  private def c2Pairs(s: SparkSession, d: String): DataFrame =
+    pairsFromBands(c2Bands(s, d))
+
+  /** Per-document LSH band keys `(doc_id, band, bkey)` — C2's bucket
+    * index as a frame. The whole signature comes from ONE codegen'd
+    * projection ([[graft.functions.MinHashSig]]: one md5 per shingle,
+    * h1/h2 = disjoint 15-hex-digit digest halves, per-lane running min)
+    * — shingle rows never exist, so the former explode → per-lane-min
+    * groupBy (and its shuffle) is gone; min is order-insensitive so the
+    * kernel is value-identical (asserted in GraftFunctionsSpec). At
+    * scale this frame IS the persisted near-dup bucket index (D18's
+    * bucket-state table); C67 probes it with an increment.
+    */
+  private def c2Bands(s: SparkSession, d: String): DataFrame = {
     val sig = Tables.documents(s, d)
       .where(expr(s"size($wordsSpark) >= 3"))
       .select(col("doc_id"),
@@ -94,11 +101,16 @@ object Dedup {
       expr(s"concat(CAST(element_at(mh, ${2 * b + 1}) AS STRING), '_', " +
         s"CAST(element_at(mh, ${2 * b + 2}) AS STRING))")
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    // one pass, no self-join: bucket members → in-bucket pair expansion.
-    // (A bands⋈bands self-join would recompute the whole signature
-    // pipeline for each side — Spark plans no ReusedExchange here.)
+  }
+
+  /** Distinct unordered candidate pairs from a band-key frame: one pass,
+    * no self-join — bucket members → in-bucket pair expansion. (A
+    * bands⋈bands self-join would recompute the whole signature pipeline
+    * for each side — Spark plans no ReusedExchange here.)
+    */
+  private def pairsFromBands(bands: DataFrame): DataFrame = {
     val buckets = bands.groupBy(col("band"), col("bkey"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) >= 2)
@@ -636,11 +648,24 @@ object Dedup {
 
   private def c18DupClustersCompute(s: SparkSession, d: String): DataFrame = {
     val pairs = c2DedupMinhash(s, d).select(col("d1"), col("d2"))
+    ccMinLabel(pairs.union(pairs.select(col("d2"), col("d1"))))
+      .select(col("node").as("doc_id"), col("lab").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label connected components over a SYMMETRIC edge list (both
+    * directions present) — the shared CC kernel of C18 (whole corpus)
+    * and C67 (touched subgraph only). Returns `(node, lab)` with lab =
+    * the component's minimum node id (the stable cluster label every
+    * consumer keys on). Hop + pointer-doubling: label distances halve
+    * each round, so convergence is O(log diameter) rounds instead of
+    * O(diameter) (the chainy-corpus risk the round-2 verdict flagged).
+    */
+  private def ccMinLabel(edgesIn: DataFrame): DataFrame = {
     // localCheckpoint (not persist): each round's plan must start from the
     // materialized result, or the nested lineage of N rounds blows up the
     // planner (OOM at sf0.1 with ~10 rounds)
-    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint(true)
+    val edges = edgesIn.toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
     var changed = 1L
@@ -653,9 +678,6 @@ object Dedup {
         .select(col("node"), col("lab").as("old_lab"),
           least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab1"))
       // pointer-doubling shortcut: follow the label's own label
-      // (lab := lab(lab)), so label distances halve each round — hop +
-      // shortcut converges in O(log diameter) rounds instead of
-      // O(diameter) (the chainy-corpus risk the round-2 verdict flagged)
       val l2 = hopped.select(col("node").as("pnode"), col("lab1").as("plab"))
       // keep old AND new label through the checkpoint: the changed-count
       // then reads the materialized rows instead of re-running the joins
@@ -667,11 +689,9 @@ object Dedup {
       rounds += 1
       labels = step.select(col("node"), col("lab"))
     }
-    System.err.println(s"[c18] connected components converged in $rounds rounds")
-    val out = labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
-      .orderBy(col("doc_id"))
+    System.err.println(s"[cc] connected components converged in $rounds rounds")
     edges.unpersist()
-    out
+    labels
   }
 
   val c18Sql: String =
@@ -1003,6 +1023,123 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------- C67 incremental near-dup CLUSTER maintenance
+  /** C67: INCREMENTAL near-dup cluster maintenance — merge a nightly
+    * increment into the persisted C18 cluster state WITHOUT re-clustering
+    * history (the missing piece between C47's incremental exact dedup and
+    * C18's whole-corpus components; at 100 TB re-running CC over all
+    * history every night is exactly what a pipeline can't afford):
+    *
+    *  - state = C18's cluster table computed over HISTORY only
+    *    (doc_id < [[c67SplitFor]] — the first 80% of ids, graph members
+    *    only), persisted once;
+    *  - the increment's MinHash band keys probe the corpus bucket index
+    *    (at scale: D18's persisted bucket-state table — history is never
+    *    re-signed) for candidate edges with ≥1 increment endpoint; the
+    *    equi-join is bounded by bucket collisions with the increment,
+    *    never |history|²;
+    *  - TOUCHED history components (those adjacent to a new edge) are
+    *    re-labeled by running the shared CC kernel over new edges +
+    *    the touched components' star edges (node↔old label — a star is
+    *    connectivity-equivalent to the original component, so old edges
+    *    never need storing); untouched clusters pass through UNCHANGED.
+    *    Old labels are component minima, so the merged min-label ≡ the
+    *    full-corpus label and the CC input is bounded by the increment's
+    *    bucket neighborhood, not the corpus.
+    *
+    * Gate: oracle = the full-corpus recursive-CTE closure (C18's oracle,
+    * two algorithms AND two maintenance strategies, one result — A54's
+    * append-only maintenance proof applied to graph state).
+    */
+  /** Split the corpus 80/20 into history/increment by doc_id — RELATIVE
+    * to corpus size (an absolute split would make the "increment" 99% of
+    * a larger fixture, inverting the workload the operator models). The
+    * oracle is the full-corpus closure, so gate correctness is split-
+    * independent; only the work distribution depends on it. Memoized per
+    * dir (the probe is one stats-only max over doc_id).
+    */
+  private val c67SplitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def c67SplitFor(s: SparkSession, d: String): Long =
+    c67SplitMemo.computeIfAbsent(d, _ => {
+      val n = Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1
+      java.lang.Long.valueOf(n * 4 / 5)
+    })
+
+  private[graft] def c67StatePath(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_clusterstate_$key").getAbsolutePath
+    if (!new java.io.File(p, "_SUCCESS").exists()) {
+      val histPairs = pairsFromBands(
+        s.read.parquet(c67BucketStatePath(s, d)))
+      ccMinLabel(histPairs.union(histPairs.select(col("d2"), col("d1"))))
+        .select(col("node").as("doc_id"), col("lab").as("cluster"))
+        .write.mode("overwrite").parquet(p)
+    }
+    p
+  }
+
+  /** History's persisted BUCKET INDEX (doc_id, band, bkey) — D18's
+    * bucket-state table in batch form: history documents are signed ONCE
+    * when they enter the state, never re-signed by a later merge (the
+    * nightly job's corpus scan is the increment only). The cluster state
+    * derives from the same index, so the two state tables can't disagree
+    * on the pair set.
+    */
+  private[graft] def c67BucketStatePath(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bucketstate_$key").getAbsolutePath
+    if (!new java.io.File(p, "_SUCCESS").exists())
+      c2Bands(s, d).where(col("doc_id") < c67SplitFor(s, d))
+        .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  def c67IncrementalClusters(s: SparkSession, d: String): DataFrame = {
+    val oldState = s.read.parquet(c67StatePath(s, d)) // doc_id, cluster
+    // increment: the ONLY rows signed at merge time; history band keys
+    // come from the persisted bucket index
+    val inc = c2Bands(s, d).where(col("doc_id") >= c67SplitFor(s, d))
+    val bands = s.read.parquet(c67BucketStatePath(s, d)).unionByName(inc)
+    // candidate edges touching the increment: increment band keys probe
+    // the full bucket index; both-increment and increment↔history pairs
+    // fall out of the same equi-join (distinct dedups band collisions)
+    val cand = inc.join(
+        bands.select(col("doc_id").as("doc2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .where(col("doc_id") =!= col("doc2"))
+      .select(least(col("doc_id"), col("doc2")).as("d1"),
+        greatest(col("doc_id"), col("doc2")).as("d2"))
+      .distinct()
+    val newEdges = cand.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(cand.select(col("d2"), col("d1")))
+    val endpoints = newEdges.select(col("src").as("doc_id")).distinct()
+    // touched components only: |touched| is bounded by the increment's
+    // bucket neighborhood — broadcast-sized by construction
+    val touched = oldState.join(endpoints, "doc_id")
+      .select(col("cluster")).distinct()
+    val touchedRows = oldState.join(broadcast(touched), "cluster")
+    val starEdges = touchedRows
+      .select(col("doc_id").as("src"), col("cluster").as("dst"))
+      .union(touchedRows.select(col("cluster"), col("doc_id")))
+    val merged = ccMinLabel(newEdges.union(starEdges))
+      .select(col("node").as("doc_id"), col("lab").as("cluster"))
+    oldState.join(broadcast(touched), Seq("cluster"), "left_anti")
+      .select(col("doc_id"), col("cluster"))
+      .union(merged)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full-corpus closure — maintenance on the Spark side, recompute on
+    * the oracle side; equality IS the incremental-maintenance proof.
+    */
+  val c67Sql: String = c18Sql
+
   val c47Sql: String =
     s"""WITH fps AS (
        |  SELECT doc_id, source,
@@ -1019,6 +1156,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c47_incremental_dedup" -> (c47IncrementalDedup _),
+    "c67_incremental_clusters" -> (c67IncrementalClusters _),
     "c40_passage_remove" -> (c40PassageRemove _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c2_dedup_minhash"   -> (c2DedupMinhash _),
@@ -1038,6 +1176,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "c47_incremental_dedup" -> c47Sql,
+    "c67_incremental_clusters" -> c67Sql,
     "c40_passage_remove" -> c40Sql,
     "c1_dedup_exact"     -> c1Sql,
     "c2_dedup_minhash"   -> c2Sql,

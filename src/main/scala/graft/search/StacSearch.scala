@@ -708,6 +708,127 @@ object StacSearch {
   /** Oracle: plain bbox — proves the merged range cover is a superset. */
   val a30Sql: String = a8Sql
 
+  // --------------- A63 covering-index (manifest) scan planning
+  /** A63: COVERING-INDEX scan planning — the GeoParquet-1.1 `covering.
+    * bbox` idea lifted to a file-level MANIFEST over the z-ordered items
+    * layout (ItemsLayout.coveringManifest), closing §7.15's layout item:
+    * a bbox search first prunes FILES by envelope overlap against the
+    * |files|-row manifest (a catalog read, not a data read — the
+    * driver-side file list is exactly what a table format's scan
+    * planning does), then evaluates the exact predicate only on the
+    * surviving files. Z-ordering makes the pruning effective: a compact
+    * bbox's cells land in few range partitions, so most files' envelopes
+    * miss the query box entirely (ItemsLayoutSpec asserts files are
+    * actually skipped). Gate: oracle = the SAME bbox over ALL items —
+    * equality proves the manifest prune is SOUND (no matching item lives
+    * in a skipped file) and the layout round-trip lossless. Layout +
+    * manifest materialize once per corpus snapshot (idempotent, keyed by
+    * dir — the C47/C67 state-table convention).
+    */
+  private val a63Bbox = (-175.0, -20.0, -120.0, 25.0) // compact & populated: real pruning
+
+  private def a63Paths(s: SparkSession, d: String): (String, String) = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val lp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_itemszlayout_$key").getAbsolutePath
+    val mp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_itemsmanifest_$key").getAbsolutePath
+    if (!new java.io.File(lp, "_SUCCESS").exists())
+      graft.core.ItemsLayout.materializeZOrdered(items(s, d), zCellColumn, lp,
+        numFiles = 16)
+    if (!new java.io.File(mp, "_SUCCESS").exists())
+      graft.core.ItemsLayout.coveringManifest(s, lp)
+        .write.mode("overwrite").parquet(mp)
+    (lp, mp)
+  }
+
+  /** Manifest-selected data files for a bbox (exposed for the spec's
+    * pruning audit).
+    */
+  private[graft] def a63CandidateFiles(s: SparkSession, d: String,
+      w: Double, so: Double, e: Double, n: Double): Seq[String] = {
+    val (_, mp) = a63Paths(s, d)
+    s.read.parquet(mp)
+      .where(col("xmin") <= e && col("xmax") >= w &&
+        col("ymin") <= n && col("ymax") >= so)
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  def a63CoveringIndex(s: SparkSession, d: String): DataFrame = {
+    val (lp, mp) = a63Paths(s, d)
+    val (w, so, e, n) = a63Bbox
+    val files = a63CandidateFiles(s, d, w, so, e, n)
+    val pruned =
+      if (files.isEmpty) graft.core.ItemsLayout.read(s, lp).limit(0)
+      else s.read.parquet(files: _*)
+    pruned
+      .where(Geo.bboxContains(col("lon"), col("lat"), w, so, e, n))
+      .select(projCols: _*).orderBy(col("id"))
+  }
+
+  /** Oracle: the same bbox over ALL items — soundness of the file prune. */
+  val a63Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE ${Geo.bboxContainsSql("lon", "lat",
+      a63Bbox._1, a63Bbox._2, a63Bbox._3, a63Bbox._4)} ORDER BY id")
+
+  // --------------- A64 manifest DATETIME pruning (temporal layout)
+  /** A64: the covering manifest put to work on the TEMPORAL axis — and
+    * the reason a lake keeps one physical projection per dominant access
+    * path: the z-ordered layout clusters space, so every file spans the
+    * whole time range and a datetime prune would keep everything. A64
+    * materializes the items a SECOND way (range-partitioned + sorted by
+    * `coalesce(datetime, start_datetime)` — non-null for every item) and
+    * indexes it with the same manifest builder. The file-level prune
+    * carries the reference's FULL datetime-overlap semantics
+    * (database_logic.py:279-312) at file granularity: a file survives if
+    * its instant-item range [dt_min, dt_max] OR its interval-item
+    * envelope [sd_min, ed_max] overlaps the search window (null
+    * aggregate = no items of that kind = that disjunct false). The exact
+    * row predicate then runs on the survivors only. Gate oracle = A6's
+    * datetime-range search over ALL items: equality proves no instant
+    * NOR interval item was lost to the prune. ItemsLayoutSpec asserts
+    * files are actually skipped on the temporal layout.
+    */
+  private def a64Paths(s: SparkSession, d: String): (String, String) = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val lp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_itemstlayout_$key").getAbsolutePath
+    val mp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_itemstmanifest_$key").getAbsolutePath
+    if (!new java.io.File(lp, "_SUCCESS").exists())
+      graft.core.ItemsLayout.materializeSorted(items(s, d),
+        coalesce(col("datetime"), col("start_datetime")), lp, numFiles = 16)
+    if (!new java.io.File(mp, "_SUCCESS").exists())
+      graft.core.ItemsLayout.coveringManifest(s, lp)
+        .write.mode("overwrite").parquet(mp)
+    (lp, mp)
+  }
+
+  private[graft] def a64CandidateFiles(s: SparkSession, d: String,
+      lo: String, hi: String): Seq[String] = {
+    val (_, mp) = a64Paths(s, d)
+    s.read.parquet(mp)
+      .where(
+        coalesce(col("dt_min") <= ts(hi) && col("dt_max") >= ts(lo), lit(false)) ||
+        coalesce(col("sd_min") <= ts(hi) && col("ed_max") >= ts(lo), lit(false)))
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  def a64ManifestDatetime(s: SparkSession, d: String): DataFrame = {
+    val (lp, _) = a64Paths(s, d)
+    val files = a64CandidateFiles(s, d, tLo, tHi)
+    val pruned =
+      if (files.isEmpty) graft.core.ItemsLayout.read(s, lp).limit(0)
+      else s.read.parquet(files: _*)
+    pruned.where(dtRange(tLo, tHi))
+      .select(dtProj.map(col): _*).orderBy(col("id"))
+  }
+
+  /** Oracle: A6's datetime-overlap search over ALL items. */
+  val a64Sql: String = a6Sql
+
   // ------------------------------------------- A29 envelope geometries
   /** Non-point geometries: each item carries a bounding envelope
     * (xmin/ymin/xmax/ymax — here a deterministic box around the point;
@@ -1937,6 +2058,8 @@ object StacSearch {
     "a28_cql2_spatial"    -> a28Fn,
     "a29_envelope_overlap" -> (a29EnvelopeOverlap _),
     "a30_zrange_scan"     -> (a30ZrangeScan _),
+    "a63_covering_index"  -> (a63CoveringIndex _),
+    "a64_manifest_datetime" -> (a64ManifestDatetime _),
     "a31_facets"          -> (a31Facets _),
     "a32_cql2_casei"      -> a32Fn,
     "a33_intersects_concave"      -> (a33IntersectsConcave _),
@@ -1996,6 +2119,8 @@ object StacSearch {
     "a28_cql2_spatial"    -> a28Sql,
     "a29_envelope_overlap" -> a29Sql,
     "a30_zrange_scan"     -> a30Sql,
+    "a63_covering_index"  -> a63Sql,
+    "a64_manifest_datetime" -> a64Sql,
     "a31_facets"          -> a31Sql,
     "a32_cql2_casei"      -> a32Sql,
     "a33_intersects_concave"      -> a33Sql,

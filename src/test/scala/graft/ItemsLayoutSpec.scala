@@ -86,4 +86,41 @@ class ItemsLayoutSpec extends AnyFunSuite {
       new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("A63 covering-index manifest: one row per file, and the bbox prune SKIPS files") {
+    import graft.search.StacSearch
+    val s = TestSpark.spark
+    // the a63 query path materializes layout+manifest (idempotent) itself;
+    // audit the manifest against the layout it indexes
+    val a63 = StacSearch.a63CoveringIndex(s, TestSpark.sf)
+    val n = a63.count() // forces materialization of both state tables
+    assert(n > 0, "a63 gate bbox matched nothing — widen it")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(TestSpark.sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val lp = new java.io.File(sys.props("java.io.tmpdir"), s"graft_itemszlayout_$key")
+    val allFiles = lp.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val manifest = ItemsLayout.coveringManifest(s, lp.getAbsolutePath)
+    assert(manifest.count() == allFiles.size, "manifest must carry exactly one row per data file")
+    // the compact gate bbox must actually skip files — otherwise the
+    // manifest proves nothing about pruning
+    val candidates = StacSearch.a63CandidateFiles(s, TestSpark.sf,
+      -175.0, -20.0, -120.0, 25.0)
+    assert(candidates.nonEmpty && candidates.size < allFiles.size,
+      s"no pruning: ${candidates.size} of ${allFiles.size} files selected")
+  }
+
+  test("A64 temporal manifest: the datetime window SKIPS files on the time-sorted layout") {
+    import graft.search.StacSearch
+    val s = TestSpark.spark
+    val n = StacSearch.a64ManifestDatetime(s, TestSpark.sf).count()
+    assert(n > 0, "a64 datetime window matched nothing")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(TestSpark.sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val lp = new java.io.File(sys.props("java.io.tmpdir"), s"graft_itemstlayout_$key")
+    val allFiles = lp.listFiles().filter(_.getName.endsWith(".parquet")).length
+    val candidates = StacSearch.a64CandidateFiles(s, TestSpark.sf,
+      "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    assert(candidates.nonEmpty && candidates.size < allFiles,
+      s"no pruning: ${candidates.size} of $allFiles files selected")
+  }
 }
