@@ -1626,6 +1626,78 @@ object StacSearch {
        |  ON d.collection = m.collection
        |ORDER BY d.collection""".stripMargin)
 
+  // --------------- A65 collection.json document ingestion
+  /** A65: the reference's ACTUAL control plane — a directory of
+    * `stac_collections/<id>/collection.json` documents read off disk
+    * (database_logic.py:58-107) — done with a real file-based typed
+    * ingest instead of A26's in-query literal catalog: the static
+    * documents (same one-source-of-truth [[collectionMeta]], rendered
+    * once into real JSON files with nested extent-free metadata,
+    * keywords array, links array-of-structs) are read through
+    * `spark.read.schema(...).json`, the typed parse extracts the self
+    * link from the links array, and the tiny parsed catalog broadcast-
+    * joins onto the live derived extents exactly like A26. The config
+    * directory is written once (idempotent marker) — it models the
+    * deploy-time artifact the reference mounts; a control plane is
+    * driver-side by nature and |collections|-sized, never a data scan.
+    * Oracle: re-derives every parsed field from the same VALUES list —
+    * the file → JSON → typed-row path must land exactly where the
+    * literal path does.
+    */
+  private def a65ConfigDir(): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"), "graft_collectionjson_v1")
+    if (!new java.io.File(p, "_DONE").exists()) {
+      p.mkdirs()
+      collectionMeta.foreach { case (c, t, l, de) =>
+        val json =
+          s"""{"id":"$c","title":"$t","license":"$l","description":"$de",""" +
+            s""""stac_version":"1.0.0","keywords":["events","$c"],""" +
+            s""""links":[{"rel":"self","href":"https://example.com/collections/$c"},""" +
+            s"""{"rel":"items","href":"https://example.com/collections/$c/items"}]}"""
+        java.nio.file.Files.write(
+          new java.io.File(p, s"$c.json").toPath, json.getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(
+        new java.io.File(p, "_DONE").toPath, Array.emptyByteArray)
+    }
+    p.getAbsolutePath
+  }
+
+  def a65CollectionJsonIngest(s: SparkSession, d: String): DataFrame = {
+    val schema = "id STRING, title STRING, license STRING, description STRING, " +
+      "stac_version STRING, keywords ARRAY<STRING>, " +
+      "links ARRAY<STRUCT<rel: STRING, href: STRING>>"
+    val meta = s.read.schema(schema).json(a65ConfigDir() + "/*.json")
+      .select(col("id").as("collection"), col("title"), col("license"),
+        col("description"), col("stac_version"), col("keywords"),
+        expr("filter(links, l -> l.rel = 'self')[0].href").as("self_href"))
+    items(s, d).groupBy(col("collection"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("datetime")).as("t_min"), max(col("datetime")).as("t_max"),
+        min(col("lon")).as("west"), max(col("lon")).as("east"),
+        min(col("lat")).as("south"), max(col("lat")).as("north"))
+      .join(broadcast(meta), Seq("collection"), "left")
+      .orderBy(col("collection"))
+  }
+
+  val a65Sql: String = Tables.withItems(
+    s"""SELECT d.collection, n_items, t_min, t_max, west, east, south, north,
+       |  m.title, m.license, m.description,
+       |  '1.0.0' AS stac_version,
+       |  list_value('events', d.collection) AS keywords,
+       |  'https://example.com/collections/' || d.collection AS self_href
+       |FROM (
+       |  SELECT collection, COUNT(*) AS n_items,
+       |    min(datetime) AS t_min, max(datetime) AS t_max,
+       |    min(lon) AS west, max(lon) AS east,
+       |    min(lat) AS south, max(lat) AS north
+       |  FROM items GROUP BY collection) d
+       |LEFT JOIN (VALUES
+       |      $collectionMetaValuesSql)
+       |  AS m(collection, title, license, description)
+       |  ON d.collection = m.collection
+       |ORDER BY d.collection""".stripMargin)
+
   // ------------------------------------------- A51 collection search
   /** A51: the STAC COLLECTION-SEARCH extension (`GET /collections?bbox=
     * &datetime=&q=&limit=`) — search the collections THEMSELVES, not
@@ -2060,6 +2132,7 @@ object StacSearch {
     "a30_zrange_scan"     -> (a30ZrangeScan _),
     "a63_covering_index"  -> (a63CoveringIndex _),
     "a64_manifest_datetime" -> (a64ManifestDatetime _),
+    "a65_collection_json"   -> (a65CollectionJsonIngest _),
     "a31_facets"          -> (a31Facets _),
     "a32_cql2_casei"      -> a32Fn,
     "a33_intersects_concave"      -> (a33IntersectsConcave _),
@@ -2121,6 +2194,7 @@ object StacSearch {
     "a30_zrange_scan"     -> a30Sql,
     "a63_covering_index"  -> a63Sql,
     "a64_manifest_datetime" -> a64Sql,
+    "a65_collection_json"   -> a65Sql,
     "a31_facets"          -> a31Sql,
     "a32_cql2_casei"      -> a32Sql,
     "a33_intersects_concave"      -> a33Sql,

@@ -49,4 +49,19 @@ class IncrementalClusterSpec extends AnyFunSuite {
     }
     assert(kept > 0, "fixture left no untouched history row — weaken the split")
   }
+
+  test("compaction: latest version serves the merge, v1 stays the immutable pre-merge state") {
+    val latest = Dedup.c67CompactState(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == incremental, "latest compacted version must equal the merge result")
+    val v1 = s.read.parquet(Dedup.c67VersionsPath(s, d))
+      .where(org.apache.spark.sql.functions.col("version") === 1)
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1 == history, "version=1 must remain the pre-merge history state")
+    // idempotent: a second compaction call appends nothing new
+    val again = Dedup.c67CompactState(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == latest)
+  }
 }
