@@ -91,7 +91,13 @@ object ItemsLayout {
     * layout is rewritten.
     */
   def coveringManifest(spark: SparkSession, layoutPath: String): DataFrame =
-    spark.read.parquet(layoutPath)
+    manifestRows(spark.read.parquet(layoutPath))
+
+  /** Per-file covering rows for any items read (file identity from the
+    * engine-maintained `_metadata.file_path` provenance column).
+    */
+  def manifestRows(itemsRead: DataFrame): DataFrame =
+    itemsRead
       .select(col("lon"), col("lat"), col("datetime"),
         col("start_datetime"), col("end_datetime"),
         col("_metadata.file_path").as("file"))
@@ -107,4 +113,31 @@ object ItemsLayout {
         min(col("start_datetime")).as("sd_min"),
         max(col("end_datetime")).as("ed_max"),
         count(lit(1)).as("n_items"))
+
+  /** D29: STREAMING maintenance of the covering manifest — the
+    * foreachBatch sink of a live item feed: append the micro-batch as
+    * new data file(s) under the layout, then append EXACTLY those
+    * files' covering rows to the manifest (aggregated from the
+    * just-written files, so file identities are real). A manifest row
+    * is per-file and a data file is immutable once written, so
+    * maintenance is pure directory adds on BOTH tables — no rewrite, no
+    * streaming state beyond the tables themselves; the manifest stays
+    * exactly [[coveringManifest]] of the layout at every batch boundary
+    * (ItemsLayoutSpec proves it over a multi-batch stream, and that the
+    * A63-style manifest-pruned search over the streamed layout matches
+    * the full scan).
+    */
+  def appendBatchWithManifest(batch: DataFrame, layoutPath: String,
+                              manifestPath: String): Unit = {
+    def files(p: String): Set[String] =
+      Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = files(layoutPath)
+    batch.coalesce(1).write.mode("append").parquet(layoutPath)
+    val fresh = (files(layoutPath) -- before).toSeq.sorted
+      .map(n => s"$layoutPath/$n")
+    if (fresh.nonEmpty)
+      manifestRows(batch.sparkSession.read.parquet(fresh: _*))
+        .write.mode("append").parquet(manifestPath)
+  }
 }

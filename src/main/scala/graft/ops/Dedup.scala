@@ -666,6 +666,21 @@ object Dedup {
     // materialized result, or the nested lineage of N rounds blows up the
     // planner (OOM at sf0.1 with ~10 rounds)
     val edges = edgesIn.toDF("src", "dst").localCheckpoint(true)
+    // Size the loop's shuffle width to the GRAPH, not the session: the
+    // per-round joins run over the (usually small) edge frame, and a
+    // 32-way exchange over a few-MB frame is pure task-launch overhead
+    // × 3 shuffles × rounds. AQE would coalesce these at runtime; the
+    // bench runs AQE-off, so the loop sizes itself (restored after).
+    val s = edges.sparkSession
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val width = math.max(1L, math.min(prevShuffle.toLong,
+      edges.count() / 200000L + 1L))
+    s.conf.set("spark.sql.shuffle.partitions", width.toString)
+    try ccMinLabelLoop(edges)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def ccMinLabelLoop(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
     var changed = 1L
@@ -972,6 +987,84 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------ C70 crawl-order novelty scoring
+  /** C70: NOVELTY scoring in crawl order — per document, the share of
+    * its distinct 8-gram shingles never seen in any EARLIER document
+    * (doc_id = ingestion order): the marginal-value readout a curation
+    * team reads before paying for more of a source (a crawl whose
+    * novelty curve collapses is re-crawling what the corpus already
+    * holds), and the document-level complement of C24's passage mask
+    * (C24 asks "which spans are copied anywhere"; C70 asks "how much of
+    * THIS doc was already on the shelf when it arrived"). Rides the
+    * same staged shingle stream as C24/C40 (one codegen'd kernel call
+    * per doc): first-occurrence per gram is ONE map-side-combined min
+    * aggregate (shuffle = \|gram vocab\|), the join back is
+    * O(occurrences), per-doc roll-up all-integer basis points —
+    * hash-exact; no pairwise comparisons anywhere.
+    */
+  def c70Novelty(s: SparkSession, d: String): DataFrame = {
+    val g8 = p8Grams(s, d).select(col("doc_id"), col("gh")).distinct()
+    val first = g8.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    g8.join(first, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty_bp", expr("(n_grams - n_seen) * 10000 DIV n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c70Sql: String = {
+    val gram8 = (1 until passageLen)
+      .foldLeft("w[i]") { case (acc, k) => s"$acc||' '||w[i + $k]" }
+    s"""WITH base AS (
+       |  SELECT doc_id, w FROM (SELECT doc_id, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= $passageLen),
+       |g8 AS (
+       |  SELECT DISTINCT doc_id, ${h64Duck(s"'p8:'||($gram8)")} AS gh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${passageLen - 2})) AS i FROM base)),
+       |first AS (SELECT gh, min(doc_id) AS first_doc FROM g8 GROUP BY gh)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |  (COUNT(*) - CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT))
+       |    * 10000 // COUNT(*) AS novelty_bp
+       |FROM g8 JOIN first USING (gh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------- C71 per-source novelty curve
+  /** C71: the NOVELTY CURVE proper — C70's per-document score rolled up
+    * by (source, ingestion decile): for each source, docs bucket into
+    * ten equal ingestion-order cohorts (ntile over doc_id — ANSI
+    * remainder split, parity pinned by the B31 gate) and each cohort
+    * reports docs + integer mean novelty. THIS is the table a curation
+    * team actually reads (does source X's marginal value collapse after
+    * the third cohort?); \|sources × 10\| output rows regardless of
+    * corpus size. One extra window (per-source, on the \|docs\|-row
+    * novelty frame — not on tokens) + one aggregate over C70's chain.
+    */
+  def c71NoveltyCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    c70Novelty(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("docs"),
+        expr("SUM(novelty_bp) DIV COUNT(*)").as("mean_novelty_bp"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val c71Sql: String =
+    s"""WITH nov AS ($c70Sql),
+       |dec AS (
+       |  SELECT source, novelty_bp,
+       |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY nov.doc_id) AS BIGINT) AS decile
+       |  FROM nov JOIN documents USING (doc_id))
+       |SELECT source, decile, COUNT(*) AS docs,
+       |  CAST(SUM(novelty_bp) AS BIGINT) // COUNT(*) AS mean_novelty_bp
+       |FROM dec GROUP BY source, decile
+       |ORDER BY source, decile""".stripMargin
+
   /** C67 COMPACTION: fold a merge result back into a VERSIONED cluster
     * state table (C50's append-only artifact pattern on graph state):
     * each compaction appends the full merged cluster table under a new
@@ -1198,7 +1291,11 @@ object Dedup {
     val oldState = s.read.parquet(c67StatePath(s, d)) // doc_id, cluster
     // increment: the ONLY rows signed at merge time; history band keys
     // come from the persisted bucket index
+    // the increment's signatures are the merge's only corpus scan;
+    // checkpointed once — the frame feeds BOTH the probe side and the
+    // bucket-index union, and without it the sig subtree runs twice
     val inc = c2Bands(s, d).where(col("doc_id") >= c67SplitFor(s, d))
+      .localCheckpoint(true)
     val bands = s.read.parquet(c67BucketStatePath(s, d)).unionByName(inc)
     // candidate edges touching the increment: increment band keys probe
     // the full bucket index; both-increment and increment↔history pairs
@@ -1252,6 +1349,8 @@ object Dedup {
     "c47_incremental_dedup" -> (c47IncrementalDedup _),
     "c67_incremental_clusters" -> (c67IncrementalClusters _),
     "c68_edit_verify" -> (c68EditVerify _),
+    "c70_novelty" -> (c70Novelty _),
+    "c71_novelty_curve" -> (c71NoveltyCurve _),
     "c40_passage_remove" -> (c40PassageRemove _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c2_dedup_minhash"   -> (c2DedupMinhash _),
@@ -1273,6 +1372,8 @@ object Dedup {
     "c47_incremental_dedup" -> c47Sql,
     "c67_incremental_clusters" -> c67Sql,
     "c68_edit_verify" -> c68Sql,
+    "c70_novelty" -> c70Sql,
+    "c71_novelty_curve" -> c71Sql,
     "c40_passage_remove" -> c40Sql,
     "c1_dedup_exact"     -> c1Sql,
     "c2_dedup_minhash"   -> c2Sql,

@@ -123,4 +123,59 @@ class ItemsLayoutSpec extends AnyFunSuite {
     assert(candidates.nonEmpty && candidates.size < allFiles,
       s"no pruning: ${candidates.size} of $allFiles files selected")
   }
+
+  test("D29 streaming manifest maintenance: per-batch appends keep manifest ≡ recompute, pruned search ≡ full scan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val lTmp = java.nio.file.Files.createTempDirectory("graft_d29_layout").toString
+    val mTmp = java.nio.file.Files.createTempDirectory("graft_d29_manifest").toString
+    try {
+      // live item feed: (id, collection, datetime, start, end, lon, lat)
+      val rows = Tables.items(s, sf)
+        .select("id", "collection", "datetime", "start_datetime",
+          "end_datetime", "lon", "lat")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+          Option(r.getTimestamp(4)), r.getDouble(5), r.getDouble(6)))
+      val mem = MemoryStream[(String, String, Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Option[java.sql.Timestamp], Double, Double)](s)
+      val q = mem.toDF()
+        .toDF("id", "collection", "datetime", "start_datetime",
+          "end_datetime", "lon", "lat")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          ItemsLayout.appendBatchWithManifest(b, lTmp, mTmp))
+        .start()
+      rows.grouped(400).foreach { g => mem.addData(g.toSeq); q.processAllAvailable() }
+      q.stop()
+
+      // invariant 1: the maintained manifest ≡ a from-scratch recompute
+      val maintained = s.read.parquet(mTmp).collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val recomputed = ItemsLayout.coveringManifest(s, lTmp).collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(maintained == recomputed)
+      assert(maintained.size >= 3, s"expected ≥3 files, got ${maintained.size}")
+
+      // invariant 2: manifest-pruned bbox search over the streamed layout
+      // ≡ the full scan (soundness of pruning on a live-built table)
+      val (w, so, e, n) = (-175.0, -20.0, -120.0, 25.0)
+      val keep = s.read.parquet(mTmp)
+        .where(col("xmin") <= e && col("xmax") >= w &&
+          col("ymin") <= n && col("ymax") >= so)
+        .select("file").collect().map(_.getString(0))
+      val prunedIds = s.read.parquet(keep: _*)
+        .where(col("lon") >= w && col("lon") <= e &&
+          col("lat") >= so && col("lat") <= n)
+        .select("id").collect().map(_.getString(0)).toSet
+      val fullIds = s.read.parquet(lTmp)
+        .where(col("lon") >= w && col("lon") <= e &&
+          col("lat") >= so && col("lat") <= n)
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(prunedIds == fullIds)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(lTmp)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(mTmp)).deleteRecursively()
+    }
+  }
 }
