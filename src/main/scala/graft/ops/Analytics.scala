@@ -1033,6 +1033,55 @@ object Analytics {
       |  FROM events)
       |WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------ B41
+  /** B41: CDC compaction WITH DELETE TOMBSTONES — the half of the CDC
+    * contract B25's upsert-only merge doesn't cover (a real changelog
+    * carries deletes; a key whose LATEST revision is a tombstone must
+    * vanish from the serving view, not serve its stale payload): the
+    * same one-pass `max_by` monoid merge (map-side-combined, shuffle
+    * carries \|keys\| candidates, never history — B25's scale shape,
+    * audited there), with the tombstone flag RIDING INSIDE the argmax
+    * payload so the delete decision is made by the same latest-wins
+    * comparison, then a post-aggregate filter drops deleted keys —
+    * never a pre-aggregate filter, which would resurrect the previous
+    * revision of a deleted key. Tombstone = `event_type = 'error'` on
+    * the fixture (deterministic; a real feed carries an op column).
+    * The oracle uses the window form with the same post-rank filter —
+    * two algorithms, one surviving key set.
+    */
+  def b41CdcDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"),
+        (col("event_type") === "error").as("tomb"))
+    e.groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"), col("tomb")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .where(!col("last.tomb")) // post-merge: latest revision decides
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("n_versions"))
+      .orderBy(col("user_id"))
+  }
+
+  val b41CdcDeletesSql: String =
+    """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |  event_type AS last_type, value AS last_value, n_versions
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+      |  FROM events)
+      |WHERE rk = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_pushdown_scan"   -> (b1PushdownScan _),
@@ -1071,7 +1120,8 @@ object Analytics {
     "b32_salted_join"    -> (b32SaltedJoin _),
     "b33_funnel"         -> (b33Funnel _),
     "b34_cohort"         -> (b34Cohort _),
-    "b25_changelog_compact" -> (b25ChangelogCompact _)
+    "b25_changelog_compact" -> (b25ChangelogCompact _),
+    "b41_cdc_deletes"       -> (b41CdcDeletes _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1111,6 +1161,7 @@ object Analytics {
     "b32_salted_join"    -> b32SaltedJoinSql,
     "b33_funnel"         -> b33FunnelSql,
     "b34_cohort"         -> b34CohortSql,
-    "b25_changelog_compact" -> b25ChangelogCompactSql
+    "b25_changelog_compact" -> b25ChangelogCompactSql,
+    "b41_cdc_deletes"       -> b41CdcDeletesSql
   )
 }

@@ -497,6 +497,23 @@ object Events {
       .transformWithState(new LatestPerKeyProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  // --------------- D30 streaming CDC with DELETE tombstones (B41 live)
+  /** D30: B41 live — the Update-mode CDC view WITH deletes: the same
+    * latest-per-key state machine as D13 (one state row per key, monoid
+    * fold, no watermark), with the delete decision made at EMISSION from
+    * the winning revision's type. A key whose latest revision is a
+    * tombstone emits `deleted = true` — the retraction a downstream
+    * MERGE sink consumes to remove the key — and comes back alive if a
+    * newer non-tombstone revision lands later (latest-wins, the same
+    * comparison the batch merge makes; deleting inside the state machine
+    * instead would forget n_versions and break resurrection). EventsSpec
+    * proves the final served view (rows with deleted = false) ≡ B41's
+    * batch compaction, tombstone-then-resurrect included.
+    */
+  def cdcWithDeletesStream(s: SparkSession, stream: DataFrame): DataFrame =
+    latestPerKeyStream(s, stream).toDF()
+      .withColumn("deleted", col("last_type") === "error")
+
   // ------------------------- D10 streaming grid aggregation (A46 live)
   /** D10: A46's Z-cell grid aggregation over an ITEM STREAM — the live
     * dashboard shape (tiles updating as items land). Tumbling windows ×

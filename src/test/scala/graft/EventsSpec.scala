@@ -383,6 +383,62 @@ class EventsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("D30 streaming CDC with deletes: tombstoned keys retract, a newer upsert " +
+      "resurrects, served view ≡ B41 batch compaction") {
+    import s.implicits._
+    import graft.streaming.Events.CdcIn
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val b1 = Seq(
+      CdcIn(1, 10, t("00:10"), "click", 1.0),
+      CdcIn(2, 11, t("00:12"), "view", 2.0),
+      CdcIn(3, 12, t("00:14"), "click", 3.0))
+    val b2 = Seq(
+      CdcIn(1, 13, t("00:20"), "error", 0.0),   // tombstone: key 1 retracts
+      CdcIn(2, 14, t("00:21"), "error", 0.0),   // tombstone...
+      CdcIn(2, 15, t("00:30"), "purchase", 9.0)) // ...then resurrected
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[CdcIn](s)
+    val q = Events.cdcWithDeletesStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("d30_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      // final emission per key (max n_versions), then the served view
+      val fin = s.table("d30_stream")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_versions"), col("last_event_id"),
+          col("last_type"), col("deleted"))).as("t"))
+        .select(col("user_id"), col("t.last_event_id"),
+          col("t.last_type"), col("t.deleted"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getBoolean(3))).toSet
+      // key 1: latest = tombstone → retracted; key 2: resurrected;
+      // key 3: never touched by a delete
+      assert(fin.contains((1L, 13L, "error", true)), fin)
+      assert(fin.contains((2L, 15L, "purchase", false)), fin)
+      assert(fin.contains((3L, 12L, "click", false)), fin)
+      // served view ≡ B41's batch form over the same rows
+      val served = fin.filter(!_._4).map(r => (r._1, r._2))
+      val batch = (b1 ++ b2).toDF()
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("ts"), col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .where(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("last.event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == batch, s"stream=$served batch=$batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("D13 streaming CDC latest-per-key (RocksDB) ≡ B25 batch compaction, " +
       "out-of-order and same-ts versions included") {
     import s.implicits._

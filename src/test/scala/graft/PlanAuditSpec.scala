@@ -291,6 +291,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_max_by"), p)
   }
 
+  test("c66: familiarity reshaped — no Window anywhere (the r07 unpartitioned-" +
+      "window scale-killer), scalar corpus total via 1-row broadcast, no cartesian") {
+    val p = plan(graft.ops.TextAnalysis.queries("c66_familiarity")(s, sf))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the lm equi-join side is broadcast under the measured ceiling
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("c68: edit verify joins candidates to texts by equality — no cartesian, " +
+      "no unbanded blow-up shape") {
+    val p = plan(graft.ops.Dedup.queries("c68_edit_verify")(s, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("c70: novelty is one partial min aggregate + equi-join back — " +
+      "no cartesian, map-side combine on the gram key") {
+    val p = plan(graft.ops.Dedup.queries("c70_novelty")(s, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("c67: the incremental cluster merge is equi-joins over state + " +
+      "checkpointed subgraph — no cartesian, no nested loop") {
+    val p = plan(graft.ops.Dedup.queries("c67_incremental_clusters")(s, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("b41: CDC with deletes keeps B25's aggregate shape (partial max_by, " +
+      "no Window) and the tombstone filter sits ABOVE the merge") {
+    val p = plan(Analytics.queries("b41_cdc_deletes")(s, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by"), p)
+    // the tombstone predicate must NOT reach the scan: filtering deletes
+    // before the merge would resurrect the superseded revision
+    assert(!p.split('\n').exists(l => l.contains("PushedFilters") &&
+      l.contains("error")), p)
+  }
+
   test("a56: upsert search — aggregate merge (no Window), key-stable " +
       "collections filter pushed to the scan BELOW the merge") {
     val p = plan(StacSearch.queries("a56_upsert_search")(s, sf))
