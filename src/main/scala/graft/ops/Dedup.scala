@@ -1199,7 +1199,11 @@ object Dedup {
 
   def c47IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val histFps = s.read.parquet(c47StatePath(s, d)).select(col("fp")).distinct()
+    // the increment frame feeds both the first-occurrence aggregate and
+    // the join back — checkpointed once so the fingerprint projection
+    // (shingle explode + min hash) runs once, not twice
     val increment = c47Fps(s, d).where(col("doc_id") >= c47Split)
+      .localCheckpoint(true)
     val firstInIncrement = increment
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))

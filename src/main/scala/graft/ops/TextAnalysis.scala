@@ -1549,7 +1549,13 @@ object TextAnalysis {
         "transform(sequence(1, size(w) - 1), i -> " +
           "concat(element_at(w, i), '_', element_at(w, i + 1)))")).as("bgr"))
       .select(col("doc_id"), expr(h64Spark("concat('fb:', bgr)")).as("bh"))
+    // the lm frame has THREE consumers (the size measurement, the join
+    // side, the scalar total) — checkpointed once so the corpus bigram
+    // explode behind it runs once, not once per consumer (at scale this
+    // is the persisted lm artifact; the |vocab|-row frame is what a
+    // production pipeline materializes anyway)
     val lm = bg.groupBy(col("bh")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val fits = maxVocab == Long.MaxValue ||
       (maxVocab > 0 &&
         lm.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).count() <= maxVocab)
