@@ -987,6 +987,59 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----- C72 zero-shuffle incremental dedup (bucketed fingerprint state)
+  /** C72: C47's incremental dedup with the HISTORY side re-shuffled ZERO
+    * times — B22's bucketed-table discipline applied to the dedup state:
+    * the historical fingerprint set is materialized hash-bucketed AND
+    * sorted by `fp` (one file per bucket, paid once at state-entry), so
+    * the nightly anti-join reads co-located pre-sorted history buckets —
+    * SortMergeJoin LeftAnti with NO Exchange and NO Sort on the history
+    * side; the only shuffle in the merge is the increment's own (tiny by
+    * definition). C47 broadcasts history when it fits — the right call
+    * until it doesn't; at 100 TB the fingerprint set is itself huge and
+    * THIS is the shape that survives (shuffle ∝ increment, never
+    * history). The history side is pinned `hint("merge")` so the
+    * planner's size estimate can't sneak a broadcast back in at test
+    * scale. Same survivors as C47 — the oracle is C47's (two physical
+    * strategies, one answer); PlanAuditSpec pins the bucketed scan and
+    * the exchange count.
+    */
+  private def c72HistTable(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val t = s"graft_bucketed_histfps_$key"
+    if (!s.catalog.tableExists(t)) {
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+      c47Fps(s, d).where(col("doc_id") < c47Split)
+        .select(col("fp")).distinct()
+        .repartition(8, col("fp"))
+        .write.mode("overwrite").option("path", s"$base/$t")
+        .bucketBy(8, "fp").sortBy("fp").saveAsTable(t)
+    }
+    t
+  }
+
+  def c72IncrementalDedupBucketed(s: SparkSession, d: String): DataFrame = {
+    val hist = s.table(c72HistTable(s, d))
+    val increment = c47Fps(s, d).where(col("doc_id") >= c47Split)
+      .localCheckpoint(true)
+    val firstInIncrement = increment
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    increment
+      .join(firstInIncrement, "doc_id")
+      .join(hist.hint("merge"), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Two physical strategies, one answer: the oracle is C47's.
+    * (lazy: c47Sql is declared later in the object — an eager val here
+    * would read null at init time.)
+    */
+  lazy val c72Sql: String = c47Sql
+
   // ------------------------ C70 crawl-order novelty scoring
   /** C70: NOVELTY scoring in crawl order — per document, the share of
     * its distinct 8-gram shingles never seen in any EARLIER document
@@ -1354,6 +1407,7 @@ object Dedup {
     "c67_incremental_clusters" -> (c67IncrementalClusters _),
     "c68_edit_verify" -> (c68EditVerify _),
     "c70_novelty" -> (c70Novelty _),
+    "c72_incremental_dedup_bucketed" -> (c72IncrementalDedupBucketed _),
     "c71_novelty_curve" -> (c71NoveltyCurve _),
     "c40_passage_remove" -> (c40PassageRemove _),
     "c1_dedup_exact"     -> (c1DedupExact _),
@@ -1377,6 +1431,7 @@ object Dedup {
     "c67_incremental_clusters" -> c67Sql,
     "c68_edit_verify" -> c68Sql,
     "c70_novelty" -> c70Sql,
+    "c72_incremental_dedup_bucketed" -> c72Sql,
     "c71_novelty_curve" -> c71Sql,
     "c40_passage_remove" -> c40Sql,
     "c1_dedup_exact"     -> c1Sql,

@@ -321,6 +321,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("c72: bucketed-history anti-join — SortMergeJoin LeftAnti, history " +
+      "side scan bucketed with NO Exchange above it; shuffles only on the increment") {
+    val p = plan(graft.ops.Dedup.queries("c72_incremental_dedup_bucketed")(s, sf))
+    assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p)
+    // the history (anti) side reads the bucketed state table and no
+    // Exchange sits between the SMJ and that scan: in the formatted tree
+    // the scan's immediate ancestors are a partition-local Sort + Filter
+    // only (the increment side pays the plan's exchanges; the tiny
+    // first-in-increment frame may broadcast — that join is not the one
+    // under audit)
+    val lines = p.split('\n')
+    val scanIdx = lines.indexWhere(l =>
+      l.contains("Scan parquet") && l.contains("graft_bucketed_histfps"))
+    assert(scanIdx > 0, p)
+    // the right-branch chain immediately above the bucketed scan is a
+    // partition-local Sort (+ Filter) — NO Exchange in those lines (the
+    // left child's subtree prints earlier and owns the plan's exchanges)
+    val branch = lines.slice(math.max(0, scanIdx - 3), scanIdx)
+    assert(branch.exists(_.contains("Sort")) &&
+      !branch.exists(_.contains("Exchange")),
+      s"unexpected shape above the bucketed history scan:\n$p")
+  }
+
   test("b41: CDC with deletes keeps B25's aggregate shape (partial max_by, " +
       "no Window) and the tombstone filter sits ABOVE the merge") {
     val p = plan(Analytics.queries("b41_cdc_deletes")(s, sf))
