@@ -985,6 +985,99 @@ object Similarity {
        |SELECT q_id, vec_id AS n_id, rk, score FROM ranked
        |WHERE rk <= $kLsh ORDER BY q_id, rk""".stripMargin
 
+  // ----------------------------------- C73 Matryoshka (funnel) ANN
+  /** C73: truncated-dimension shortlist + exact full-dim re-rank — the
+    * Matryoshka-representation retrieval shape (Kusupati et al. 2022
+    * "Matryoshka Representation Learning" §4.1 adaptive retrieval; the
+    * funnel pattern every MRL-served vector store runs): stage 1 ranks
+    * the WHOLE corpus by cosine over only the first [[mrlDims]] of 64
+    * dimensions (¼ of the FLOPs and — on a prefix-sliced columnar
+    * layout — ¼ of the bytes scanned), keeps [[mrlShortlist]]
+    * candidates per query; stage 2 re-scores ONLY those candidates at
+    * full dimension.
+    *
+    * Scale shape: the stage-1 shuffle carries (q_id, vec_id, pre_sim) —
+    * ids and one double, never vectors; the shortlist (|q|·R rows) then
+    * BROADCASTS back against the corpus scan to fetch full vectors, so
+    * no 64-dim vector ever crosses an exchange. At 100 TB the win over
+    * C6 is the prefix-width scan + compute in the stage that touches
+    * every row; the full-width work is confined to |q|·R rows.
+    *
+    * Exactness: the prefix is sliced from the ALREADY-normalized nv and
+    * re-normalized (scaling cancels, so this equals the normalized raw
+    * prefix); both engines fold dots in index order, so the gate is
+    * hash-exact. Ties in both ranking stages break by vec_id.
+    */
+  private val mrlDims = 16
+  private val mrlShortlist = 40
+
+  def c73AnnMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+    val withP = e
+      .withColumn("p", expr(s"slice(nv, 1, $mrlDims)"))
+      .withColumn("pn", sqrt(DotProduct(col("p"), col("p"))))
+      .withColumn("pnv", expr("transform(p, x -> x / pn)"))
+    val qPre = withP.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("pnv").as("qpnv"))
+    val wPre = Window.partitionBy(col("q_id"))
+      .orderBy(col("pre_sim").desc, col("vec_id"))
+    val shortlist = withP.where(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("pnv"))
+      .crossJoin(broadcast(qPre))
+      .select(col("q_id"), col("vec_id"),
+        DotProduct(col("pnv"), col("qpnv")).as("pre_sim"))
+      .withColumn("prk", row_number().over(wPre))
+      .where(col("prk") <= mrlShortlist)
+      .select(col("q_id"), col("vec_id"))
+    val qFull = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("nv").as("qnv"))
+    val wFin = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.select(col("vec_id"), col("nv"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qFull), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        DotProduct(col("qnv"), col("nv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(wFin))
+      .where(col("rk") <= kNN)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rk"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val c73Sql: String = {
+    def dotM(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${mrlDims + 1}), i -> $a[i] * $b[i])), (s, x) -> s + x)"
+    s"""WITH $preparedDuck,
+       |pfx AS (
+       |  SELECT vec_id, nv, list_transform(p, x -> x / pn) AS pnv
+       |  FROM (SELECT vec_id, nv, p, sqrt(${TextExprs.norm2Duck("p")}) AS pn
+       |        FROM (SELECT vec_id, nv,
+       |                list_transform(range(1, ${mrlDims + 1}), i -> nv[i]) AS p
+       |              FROM prep))),
+       |qpre AS (SELECT vec_id AS q_id, pnv AS qpnv FROM pfx WHERE vec_id < $nQueries),
+       |pre AS (
+       |  SELECT q_id, vec_id, ${dotM("pnv", "qpnv")} AS pre_sim
+       |  FROM pfx CROSS JOIN qpre WHERE vec_id >= $nQueries),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY pre_sim DESC, vec_id) AS prk
+       |    FROM pre)
+       |  WHERE prk <= $mrlShortlist),
+       |qf AS (SELECT vec_id AS q_id, nv AS qnv FROM prep WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT short.q_id, short.vec_id, ${nvDotDuck("qnv", "nv")} AS cos_sim
+       |  FROM short
+       |  JOIN prep ON prep.vec_id = short.vec_id
+       |  JOIN qf ON qf.q_id = short.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id AS n_id, rk, cos_sim FROM ranked
+       |WHERE rk <= $kNN ORDER BY q_id, rk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c65_embedding_profile" -> (c65EmbeddingProfile _),
@@ -996,7 +1089,8 @@ object Similarity {
     "c14_ann_ivf"        -> (c14AnnIvf _),
     "c33_ann_ivf_pq"     -> (c33AnnIvfPq _),
     "c34_ann_pq_rerank"  -> (c34AnnPqRerank _),
-    "c35_ann_pq_residual" -> (c35AnnPqResidual _)
+    "c35_ann_pq_residual" -> (c35AnnPqResidual _),
+    "c73_ann_matryoshka" -> (c73AnnMatryoshka _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1009,6 +1103,7 @@ object Similarity {
     "c14_ann_ivf"        -> c14Sql,
     "c33_ann_ivf_pq"     -> c33Sql,
     "c34_ann_pq_rerank"  -> c34Sql,
-    "c35_ann_pq_residual" -> c35Sql
+    "c35_ann_pq_residual" -> c35Sql,
+    "c73_ann_matryoshka" -> c73Sql
   )
 }

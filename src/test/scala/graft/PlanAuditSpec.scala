@@ -321,6 +321,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("c73: matryoshka funnel — no 64-dim vector crosses an exchange; " +
+      "shortlist and query sides broadcast") {
+    val p = plan(graft.ops.Similarity.queries("c73_ann_matryoshka")(s, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every Exchange's input carries ids + scalars only — never the full
+    // nv (or prefix pnv) vector columns; that is the operator's 100 TB
+    // contract (stage-1 shuffle = (q_id, vec_id, pre_sim); vectors are
+    // re-fetched by a broadcast join against the corpus scan)
+    val lines = p.split('\n')
+    lines.zipWithIndex.filter(_._1.matches(".*\\(\\d+\\) Exchange.*")).foreach {
+      case (_, i) =>
+        val input = lines.drop(i).find(_.trim.startsWith("Input")).getOrElse("")
+        assert(!input.contains("nv"), s"vector crossed an exchange:\n$input\n$p")
+    }
+  }
+
   test("c72: bucketed-history anti-join — SortMergeJoin LeftAnti, history " +
       "side scan bucketed with NO Exchange above it; shuffles only on the increment") {
     val p = plan(graft.ops.Dedup.queries("c72_incremental_dedup_bucketed")(s, sf))

@@ -161,9 +161,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.75, s"recall=$recall")
   }
 
+  test("c73 matryoshka funnel: full-dim rerank exact on shortlist, recall reported") {
+    val truth = topsets("c6_ann_bruteforce", 5)
+    val got = topsets("c73_ann_matryoshka", 5)
+    val per = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val recall = per.sum / per.size
+    info(f"matryoshka (16/64 dims, shortlist 40) recall@5 = $recall%.3f")
+    // the funnel's stage-2 scores are EXACT cosines, so any neighbor the
+    // prefix shortlist retains must carry the same similarity brute force
+    // assigns it
+    val brute = Similarity.queries("c6_ann_bruteforce")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    Similarity.queries("c73_ann_matryoshka")(s, sf).collect().foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { exact =>
+        assert(r.getDouble(3) == exact, s"rerank not exact at ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+    assert(recall > 0.0)
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
-        "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual").foreach { name =>
+        "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual",
+        "c73_ann_matryoshka").foreach { name =>
       Similarity.queries(name)(s, sf).collect()
         .groupBy(_.getLong(0)).foreach { case (_, rows) =>
           val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
