@@ -1793,7 +1793,76 @@ object TextAnalysis {
        |FROM c GROUP BY gid, source, lang
        |ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
 
+  // ------------------------- C74 cross-source vocabulary similarity
+  /** C74: cross-source VOCABULARY-similarity matrix — the distribution-
+    * level "are these two sources telling me the same thing" read taken
+    * before mixture planning (C28) or paying for more of a source
+    * (C70's novelty is the document-level complement; C52 attributes
+    * literal duplication — this measures distributional redundancy even
+    * when no text is shared). Each source becomes a hashed-unigram
+    * count vector over [[c74Buckets]] buckets (the DSIR/hashed-feature
+    * trick: a fixed-width profile regardless of vocabulary size), and
+    * every source pair gets the cosine between the two count vectors.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus
+    * (shuffle = |sources|×buckets rows); the pairwise stage joins
+    * bucket-to-bucket — S·V rows per side, never an S² array
+    * materialization — and the |sources|-row norm frame broadcasts.
+    * Exactness: counts, squared norms and dots are all integer sums
+    * (order-insensitive); float math is confined to the final cosine
+    * projection over exact integers (B15's doctrine) where IEEE
+    * sqrt/mul/div are correctly rounded — hash-exact in both engines.
+    */
+  private val c74Buckets = 64
+
+  def c74SourceVocabSim(s: SparkSession, d: String): DataFrame = {
+    val cnts = docs(s, d)
+      .select(col("source"), explode(expr(wordsSpark)).as("w"))
+      .where(col("w") =!= "")
+      .withColumn("b", expr(s"${h64Spark("concat('vb:', w)")} % $c74Buckets"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val norms = cnts.groupBy(col("source"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val lhs = cnts.select(col("source").as("s1"), col("b"), col("c").as("c1"))
+    val rhs = cnts.select(col("source").as("s2"), col("b"), col("c").as("c2"))
+    lhs.join(rhs, "b").where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("c1") * col("c2")).as("dot"))
+      .join(broadcast(norms.select(col("source").as("s1"), col("n2").as("n2a"))), "s1")
+      .join(broadcast(norms.select(col("source").as("s2"), col("n2").as("n2b"))), "s2")
+      .select(col("s1"), col("s2"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .as("cos_sim"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  val c74Sql: String =
+    s"""WITH cnts AS (
+       |  SELECT source, b, COUNT(*) AS c FROM (
+       |    SELECT source, ${h64Duck("'vb:'||w")} % $c74Buckets AS b
+       |    FROM (SELECT source, unnest($wordsDuck) AS w FROM documents)
+       |    WHERE w <> '')
+       |  GROUP BY source, b),
+       |norms AS (
+       |  SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cnts GROUP BY source),
+       |dots AS (
+       |  SELECT lhs.source AS s1, rhs.source AS s2,
+       |    CAST(SUM(lhs.c * rhs.c) AS BIGINT) AS dot
+       |  FROM cnts lhs JOIN cnts rhs ON lhs.b = rhs.b
+       |  WHERE lhs.source < rhs.source
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, dot,
+       |  CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+       |FROM dots
+       |JOIN norms na ON na.source = s1
+       |JOIN norms nb ON nb.source = s2
+       |ORDER BY s1, s2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c74_source_vocab_sim" -> (c74SourceVocabSim _),
     "c55_importance_weight" -> (c55ImportanceWeight _),
     "c58_fertility" -> (c58Fertility _),
     "c59_mixture_materialize" -> (c59MixtureMaterialize _),
@@ -1831,6 +1900,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c74_source_vocab_sim" -> c74Sql,
     "c55_importance_weight" -> c55Sql,
     "c58_fertility" -> c58Sql,
     "c59_mixture_materialize" -> c59Sql,

@@ -9,6 +9,19 @@ class DedupQualitySpec extends AnyFunSuite {
   private val s = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("c74: source-vocab similarity is a full strict-upper-triangle matrix " +
+      "with cosines in (0, 1], and self-cosine would be 1") {
+    val rows = graft.ops.TextAnalysis.queries("c74_source_vocab_sim")(s, sf).collect()
+    val sources = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
+    assert(rows.length == sources * (sources - 1) / 2,
+      s"expected C($sources,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), r.toString) // strict upper triangle
+      val cos = r.getDouble(3)
+      assert(cos > 0.0 && cos <= 1.0 + 1e-12, r.toString)
+    }
+  }
+
   test("every true near-dup pair (jaccard ≥ 0.6) appears in the MinHash candidates") {
     // at jac ≈ 0.98 the per-pair miss probability of 4 bands × 2 lanes is
     // ~2e-6 — a miss here means a banding bug, not bad luck
