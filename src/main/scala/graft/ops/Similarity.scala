@@ -79,6 +79,12 @@ object Similarity {
   private val nPlanes = 4
   private val kLsh = 5
 
+  // C7's LSH geometry, shared with the D31 streaming serving mirror
+  private[graft] def c7Plane(j: Int): Array[Double] = plane(j)
+  private[graft] val c7NPlanes: Int = nPlanes
+  private[graft] val c7KLsh: Int = kLsh
+  private[graft] val c7NQueries: Int = nQueries
+
   /** plane(j)(i) ∈ [-1, 1] from md5("pl j : i") — deterministic, computed
     * at plan build and inlined into both backends.
     */

@@ -711,4 +711,80 @@ object StreamDedup {
       .transformWithState(new HeavyHitterProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ------------- D31: streaming ANN index maintenance + serving (C7 live)
+  /** One routed row of the mixed index/query stream: `kind` is "i"
+    * (index a vector into its bucket) or "q" (serve a top-k lookup from
+    * the bucket's current members).
+    */
+  case class AnnIn(kind: String, vec_id: Long, nv: Seq[Double], bucket: Int)
+
+  /** One served neighbor — the same row shape as batch C7. */
+  case class AnnOut(q_id: Long, n_id: Long, rk: Int, cos_sim: Double)
+
+  /** Bucket index state: resident members (id, normalized vector).
+    * Unlike D8's recent-window state, this state IS the index — it is
+    * corpus-bounded, not time-bounded (the at-rest layout for a corpus
+    * that outgrows executor state is D18's bucket-state table).
+    */
+  case class AnnIndexState(members: List[(Long, Seq[Double])])
+
+  /** Normalize + single-table C7 bucketing of a raw mixed stream
+    * (kind, vec_id, v) — the bucket sign tests run on the RAW vector with
+    * the batch operator's exact expressions, so stream and batch agree
+    * bit-for-bit on bucket membership.
+    */
+  def annRouted(stream: DataFrame): DataFrame = {
+    import graft.ops.Similarity
+    val bucket = (0 until Similarity.c7NPlanes).map { j =>
+      val p = array(Similarity.c7Plane(j).map(lit).toIndexedSeq: _*)
+      when(DotProduct(col("v"), p) >= 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    stream
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+      .select(col("kind"), col("vec_id"),
+        expr("transform(v, x -> x / nrm)").as("nv"), bucket.as("bucket"))
+  }
+
+  private def annFlat(k: Int)(bucket: Int, rows: Iterator[AnnIn],
+      state: GroupState[AnnIndexState]): Iterator[AnnOut] = {
+    var members = state.getOption.map(_.members).getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnnOut]
+    val rs = rows.toSeq
+    // within a micro-batch: index arrivals apply before lookups, each in
+    // vec_id order — deterministic regardless of shuffle arrival order
+    rs.filter(_.kind == "i").sortBy(_.vec_id).foreach { r =>
+      // re-arrival replaces (latest vector wins), never duplicates
+      members = (r.vec_id, r.nv) :: members.filterNot(_._1 == r.vec_id)
+    }
+    rs.filter(_.kind == "q").sortBy(_.vec_id).foreach { q =>
+      val qv = q.nv.toArray
+      members
+        .map { case (id, mnv) => (id, DotProduct.dot(qv, mnv.toArray)) }
+        .sortBy { case (id, c) => (-c, id) } // ties break by id, like batch
+        .take(k)
+        .zipWithIndex
+        .foreach { case ((id, c), i) => out += AnnOut(q.vec_id, id, i + 1, c) }
+    }
+    state.update(AnnIndexState(members))
+    out.iterator
+  }
+
+  /** D31: the live vector index. Index rows maintain per-bucket state;
+    * query rows are served top-k from the bucket's members AT ARRIVAL
+    * TIME — with the full corpus indexed first, served rows equal batch
+    * C7 exactly (same bucket expressions, same query-first sequential
+    * dot kernel, same (cos desc, id) tie-break; asserted in
+    * StreamDedupSpec). Scale: state is partitioned by bucket key — the
+    * natural shard key of a distributed vector index — and a lookup
+    * touches exactly one bucket's members.
+    */
+  def annServeStream(s: SparkSession, stream: DataFrame,
+                     k: Int = graft.ops.Similarity.c7KLsh): Dataset[AnnOut] = {
+    import s.implicits._
+    annRouted(stream).as[AnnIn]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        annFlat(k))
+  }
 }

@@ -8,6 +8,7 @@ import graft.streaming.StreamDedup
 
 // top-level so Spark derives the Encoder
 case class VecIn(vec_id: Long, ts: java.sql.Timestamp, v: Seq[Double])
+case class AnnStreamIn(kind: String, vec_id: Long, v: Seq[Double])
 
 class StreamDedupSpec extends AnyFunSuite {
   private val s = TestSpark.spark
@@ -466,6 +467,49 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(out.count(_._1 == 123L) == 1, s"dup not dropped: ${out.toSeq}")
       assert(out.exists(_._1 == other))
       assert(out.map(_._2).distinct.length == out.length, "emitted a class twice")
+    } finally q.stop()
+  }
+
+  test("D31: streaming ANN serving — queries served after the corpus is " +
+      "indexed equal batch C7; a later closer arrival changes the next lookup") {
+    import s.implicits._
+    val vecs = corpus()
+    val nq = graft.ops.Similarity.c7NQueries
+    val mem = MemoryStream[AnnStreamIn](s)
+    val q = StreamDedup.annServeStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("d31_ann")
+      .outputMode("append").start()
+    try {
+      // index the corpus across two micro-batches, then look up the batch
+      // operator's query set
+      mem.addData(vecs.filter(v => v._1 >= nq && v._1 % 2 == 0)
+        .map { case (id, v) => AnnStreamIn("i", id, v) }.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(vecs.filter(v => v._1 >= nq && v._1 % 2 == 1)
+        .map { case (id, v) => AnnStreamIn("i", id, v) }.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(vecs.filter(_._1 < nq)
+        .map { case (id, v) => AnnStreamIn("q", id, v) }.toIndexedSeq)
+      q.processAllAvailable()
+      val served = s.sql("SELECT q_id, n_id, rk, cos_sim FROM d31_ann").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+      val batch = graft.ops.Similarity.queries("c7_ann_lsh")(s, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+      assert(served == batch,
+        s"served-only: ${served.diff(batch).take(5)}; batch-only: ${batch.diff(served).take(5)}")
+      assert(served.nonEmpty)
+
+      // the index is LIVE: insert an exact twin of query 0, re-issue the
+      // lookup — the twin must now be served at rank 1 with cosine ~ 1
+      val q0 = vecs.find(_._1 == 0L).get._2
+      mem.addData(AnnStreamIn("i", 999999L, q0))
+      q.processAllAvailable()
+      mem.addData(AnnStreamIn("q", 0L, q0))
+      q.processAllAvailable()
+      val twin = s.sql(
+        "SELECT rk, cos_sim FROM d31_ann WHERE q_id = 0 AND n_id = 999999").collect()
+      assert(twin.length == 1 && twin(0).getInt(0) == 1 &&
+        math.abs(twin(0).getDouble(1) - 1.0) < 1e-9, twin.mkString(","))
     } finally q.stop()
   }
 
