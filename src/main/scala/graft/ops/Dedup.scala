@@ -1184,9 +1184,16 @@ object Dedup {
   def c68EditVerify(s: SparkSession, d: String): DataFrame = {
     val txt = Tables.documents(s, d)
       .select(col("doc_id"), substring(col("text"), 1, c68PrefixCap).as("p"))
+    // broadcast the PREFIX side explicitly: left alone the planner
+    // broadcasts the (smaller) pair frame instead, which lands every
+    // banded-DP evaluation on the documents scan's few input partitions
+    // (one task did all 13.6k × O(cap·band) cells — 3.4 s; with the pair
+    // frame streaming through its 32 shuffle partitions: 1.6 s at sf0.1).
+    // At scale the prefix frame is |corpus| and this becomes the bucketed
+    // join C72 uses; the DP-work placement argument is the same.
     c2Pairs(s, d)
-      .join(txt.select(col("doc_id").as("d1"), col("p").as("p1")), "d1")
-      .join(txt.select(col("doc_id").as("d2"), col("p").as("p2")), "d2")
+      .join(broadcast(txt.select(col("doc_id").as("d1"), col("p").as("p1"))), "d1")
+      .join(broadcast(txt.select(col("doc_id").as("d2"), col("p").as("p2"))), "d2")
       .select(col("d1"), col("d2"),
         levenshtein(col("p1"), col("p2"), c68Band).cast("long").as("lev"),
         greatest(length(col("p1")), length(col("p2"))).cast("long").as("cap"))

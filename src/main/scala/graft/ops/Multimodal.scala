@@ -105,13 +105,23 @@ object Multimodal {
     */
   def mediaTable(s: SparkSession, d: String): Dataset[Media] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
-      ids.map { id =>
-        val w = widthOf(id)
-        val h = heightOf(id)
-        Media(id, makeImage(id, w, h), w, h)
+    // spread the id list BEFORE synthesis: the documents scan is a
+    // single input split at fixture scale, and a 1-partition media table
+    // stages as ONE parquet file — every downstream decode gate (C12,
+    // C29, C54, D20) then runs its whole codec pass in one task. Payload
+    // bytes are a pure function of doc_id, so the wider layout changes
+    // file assignment only, never content (staging stays idempotent).
+    // In production the payload table arrives already partitioned; this
+    // is the fixture-staging analogue of that layout decision.
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = widthOf(id)
+          val h = heightOf(id)
+          Media(id, makeImage(id, w, h), w, h)
+        }
       }
-    }
   }
 
   /** The media table STAGED as parquet — the production shape: payload is
