@@ -284,6 +284,57 @@ object Cql {
     else if (n.isNumber) Num(n.asDouble())
     else throw new IllegalArgumentException(s"bad cql2 operand: $n")
 
+  /** STAC API "query" extension (the legacy pre-CQL2 per-field filter the
+    * reference declares a hook for but leaves stubbed,
+    * database_logic.py:451-487): a JSON object
+    * `{"field": {"op": value, ...}, ...}` with op ∈ eq, neq, gt, gte,
+    * lt, lte, in, startsWith, endsWith, contains. All clauses AND
+    * together (per the extension spec); `__` in a field name denotes a
+    * nested path (the reference's `field.replace("__", ".")`), after
+    * which resolution rides [[nameVariants]] like every other property
+    * reference. Parsed into the SAME AST as cql2-json, so both backends
+    * compile the identical predicate. startsWith/endsWith/contains
+    * compile to LIKE with the value spliced verbatim (LIKE
+    * metacharacters in the value pass through, as in the reference
+    * ecosystem's implementations).
+    */
+  def parseStacQuery(json: String): Cql = {
+    val root = new ObjectMapper().readTree(json)
+    if (root == null || !root.isObject)
+      throw new IllegalArgumentException(s"stac query must be an object: $json")
+    val clauses = root.fields().asScala.toSeq.flatMap { e =>
+      val prop = Prop(e.getKey.replace("__", "."))
+      if (!e.getValue.isObject)
+        throw new IllegalArgumentException(
+          s"stac query field '${e.getKey}' needs an {op: value} object")
+      e.getValue.fields().asScala.toSeq.map { oe =>
+        val v = oe.getValue
+        oe.getKey match {
+          case "eq"         => Cmp("=", prop, parseOperand(v))
+          case "neq" | "ne" => Cmp("<>", prop, parseOperand(v))
+          case "gt"         => Cmp(">", prop, parseOperand(v))
+          case "gte"        => Cmp(">=", prop, parseOperand(v))
+          case "lt"         => Cmp("<", prop, parseOperand(v))
+          case "lte"        => Cmp("<=", prop, parseOperand(v))
+          case "in" =>
+            if (!v.isArray)
+              throw new IllegalArgumentException(s"stac query 'in' needs an array: $v")
+            In(prop, v.elements().asScala.map(parseOperand).toSeq)
+          case "startsWith" => Like(prop, v.asText() + "%")
+          case "endsWith"   => Like(prop, "%" + v.asText())
+          case "contains"   => Like(prop, "%" + v.asText() + "%")
+          case other =>
+            throw new IllegalArgumentException(s"stac query: unsupported op '$other'")
+        }
+      }
+    }
+    clauses match {
+      case Seq()  => throw new IllegalArgumentException("stac query: no clauses")
+      case Seq(c) => c
+      case cs     => And(cs)
+    }
+  }
+
   /** GeoJSON geometry STRING → [[graft.spatial.Shape]] — the public entry
     * the typed search API ([[graft.search.SearchParams]]) uses for its
     * `intersects` parameter, so the REST-param path accepts exactly the

@@ -35,6 +35,9 @@ final case class SearchParams(
     intersects: Option[graft.spatial.Shape] = None,
     datetime: Option[String] = None,          // "t" | "a/b" | "t/.." | "../t"
     filter: Option[String] = None,            // cql2-json
+    // STAC "query" extension (legacy per-field ops; the reference stubs
+    // this hook, database_logic.py:451-487) — {"field": {"op": v, ...}}
+    query: Option[String] = None,
     sortBy: Seq[SortBy] = Nil,
     limit: Int = 10,
     token: Option[String] = None,
@@ -90,6 +93,7 @@ object SearchParams {
       intersects = node("intersects").map(g => Cql.parseGeoJsonShape(g.toString)),
       datetime = node("datetime").map(_.asText),
       filter = node("filter").map(_.toString),
+      query = node("query").map(_.toString),
       sortBy = sorts,
       limit = node("limit").map(_.asInt).getOrElse(10),
       token = node("token").map(_.asText),
@@ -141,6 +145,11 @@ object StacApi {
     // the live schema (database_logic.py:640-644)
     p.filter.foreach { json =>
       df = df.where(Cql.resolve(Cql.parseJson(json), df.columns.toSeq).toColumn)
+    }
+    // query-extension clauses translate into the same AST / same resolver
+    // as CQL2, so both filter languages compile one predicate surface
+    p.query.foreach { json =>
+      df = df.where(Cql.resolve(Cql.parseStacQuery(json), df.columns.toSeq).toColumn)
     }
     df
   }

@@ -218,6 +218,42 @@ object StacSearch {
        |  AND value > 100
        |ORDER BY value DESC, id ASC LIMIT 25""".stripMargin)
 
+  // --------------------------- A66 STAC "query" extension (legacy)
+  /** A66: the legacy STAC "query" extension through the POST body path —
+    * the per-field filter dialect the reference declares a hook for but
+    * leaves stubbed (database_logic.py:451-487; its commented op table
+    * is exactly this op set, `__` = nested path). Clauses translate into
+    * the SAME AST and property resolver as CQL2
+    * ([[graft.cql.Cql.parseStacQuery]]), so one predicate surface —
+    * pushdown, codegen, and SQL rendering included — serves both filter
+    * languages; the oracle renders the identical AST to ANSI SQL
+    * (cqlQuery's doctrine) with the body's paging appended.
+    */
+  private val a66Query =
+    """{"properties__value": {"gte": 120.5, "lt": 420.25},
+      |"collection": {"in": ["click", "view", "purchase"]},
+      |"properties__user_id": {"neq": 7},
+      |"id": {"startsWith": "1"}}""".stripMargin
+
+  /** The items view's column surface, for static oracle-side resolution
+    * (the Spark side resolves against the live frame's schema — same
+    * names by construction, [[graft.core.Tables.items]]).
+    */
+  private val itemsCols = Seq("id", "id_num", "collection", "datetime",
+    "start_datetime", "end_datetime", "lon", "lat", "value", "user_id", "props")
+
+  def a66StacqlQuery(s: SparkSession, d: String): DataFrame = {
+    val p = SearchParams.fromSearchBody(
+      s"""{"query": $a66Query, "limit": 40}""")
+    StacApi.plan(items(s, d), p)
+      .select(projCols: _*).orderBy(col("id")).limit(p.limit)
+  }
+
+  val a66Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE " +
+      Cql.resolve(Cql.parseStacQuery(a66Query), itemsCols).toSql +
+      " ORDER BY id LIMIT 40")
+
   // --------------------------- A61 antimeridian-crossing bbox
   /** A61: bbox ACROSS the antimeridian — the RFC 7946 §5.2 contract the
     * plain comparison silently gets wrong: a STAC search bbox with
@@ -2109,6 +2145,7 @@ object StacSearch {
     "a60_time_travel"     -> (a60TimeTravel _),
     "a61_bbox_antimeridian" -> (a61BboxAntimeridian _),
     "a62_search_body"     -> (a62SearchBody _),
+    "a66_stacql_query"    -> (a66StacqlQuery _),
     "a56_upsert_search"   -> (a56UpsertSearch _),
     "a1_scan_collection"  -> (a1ScanCollection _),
     "a2_multi_collection" -> (a2MultiCollection _),
@@ -2225,6 +2262,7 @@ object StacSearch {
     "a60_time_travel"             -> a60Sql,
     "a61_bbox_antimeridian"       -> a61Sql,
     "a62_search_body"             -> a62Sql,
+    "a66_stacql_query"            -> a66Sql,
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,

@@ -7,6 +7,33 @@ import graft.cql.Cql._
 
 class CqlSpec extends AnyFunSuite {
 
+  test("stac query extension: ops map to the CQL2 AST, clauses AND, " +
+      "__ denotes a nested path, bad ops rejected") {
+    val ast = Cql.parseStacQuery(
+      """{"properties__value": {"gte": 1.5, "lt": 9},
+        | "collection": {"in": ["a", "b"]},
+        | "id": {"startsWith": "x"},
+        | "name": {"contains": "mid"},
+        | "user_id": {"neq": 7}}""".stripMargin)
+    assert(ast == And(Seq(
+      Cmp(">=", Prop("properties.value"), Num(1.5)),
+      Cmp("<", Prop("properties.value"), IntNum(9)),
+      In(Prop("collection"), Seq(Str("a"), Str("b"))),
+      Like(Prop("id"), "x%"),
+      Like(Prop("name"), "%mid%"),
+      Cmp("<>", Prop("user_id"), IntNum(7)))))
+    // properties.value resolves to the bare column like every CQL2 ref
+    assert(Cql.resolve(ast, Seq("value", "collection", "id", "name", "user_id"))
+      .toSql.startsWith("(value >= 1.5 AND value < 9"))
+    // a single clause stays bare (no 1-element AND)
+    assert(Cql.parseStacQuery("""{"v": {"eq": 3}}""") == Cmp("=", Prop("v"), IntNum(3)))
+    intercept[IllegalArgumentException] {
+      Cql.parseStacQuery("""{"v": {"regex": "a.*"}}""")
+    }
+    intercept[IllegalArgumentException] { Cql.parseStacQuery("""{}""") }
+    intercept[IllegalArgumentException] { Cql.parseStacQuery("""{"v": 3}""") }
+  }
+
   test("parses comparison ops to AST and SQL") {
     val ast = Cql.parseJson("""{">=":[{"property":"value"},50.25]}""")
     assert(ast == Cmp(">=", Prop("value"), Num(50.25)))
