@@ -1861,7 +1861,89 @@ object TextAnalysis {
        |JOIN norms nb ON nb.source = s2
        |ORDER BY s1, s2""".stripMargin
 
+  // ------------------------- C75 vocabulary frequency spectrum
+  /** C75: corpus FREQUENCY SPECTRUM — the Zipf/heavy-tail diagnostic
+    * (how many distinct words occur k times, k binned by powers of two):
+    * the one-page readout that catches a broken tokenizer (hapax
+    * explosion), boilerplate flooding (mass piling into the top bins),
+    * or a truncated crawl (missing tail) before any downstream op
+    * trusts the vocabulary. Two map-side-combined aggregates — word →
+    * frequency (shuffle = |vocab|), then frequency → power-of-two bin
+    * (~40 output rows regardless of corpus size). The bin index is
+    * floor(log2 f) computed INTEGER-exactly from the binary-digit count
+    * (`length(bin(f)) − 1` / `length(printf('%b', f)) − 1`) — float
+    * log2 at exact powers of two is an engine-rounding coin flip, the
+    * digit count is not.
+    */
+  def c75FreqSpectrum(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(expr(wordsSpark)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("bucket", (length(expr("bin(f)")) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_words"), sum(col("f")).as("n_occurrences"))
+      .select(col("bucket"), expr("CAST(shiftleft(1L, bucket) AS BIGINT)").as("freq_lo"),
+        col("n_words"), col("n_occurrences"))
+      .orderBy(col("bucket"))
+
+  val c75Sql: String =
+    s"""SELECT bucket, CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS freq_lo,
+       |  COUNT(*) AS n_words, CAST(SUM(f) AS BIGINT) AS n_occurrences
+       |FROM (
+       |  SELECT f, CAST(length(printf('%b', f)) - 1 AS INTEGER) AS bucket
+       |  FROM (
+       |    SELECT w, COUNT(*) AS f
+       |    FROM (SELECT unnest($wordsDuck) AS w FROM documents)
+       |    WHERE w <> '' GROUP BY w))
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ------------------------- C76 retrieval chunking with overlap
+  /** C76: sliding-window CHUNKING — the retrieval/context-window prep
+    * step between raw documents and an embedding or packing stage
+    * (C23/C41 pack whole docs into budgets; this SPLITS each doc into
+    * overlapping windows so no boundary-straddling passage is lost):
+    * fixed window of [[c76Size]] words at stride [[c76Stride]] (tail
+    * window shorter), each chunk carrying its position and a content
+    * hash — the key chunk-level dedup and caching run on downstream.
+    *
+    * Scale shape: one scan, the window enumeration is a per-row
+    * `sequence`/`explode` (output rows ≈ |corpus words| / stride — a
+    * LINEAR blow-up bounded by the stride, no shuffle until the
+    * deterministic output sort, which at scale is the write
+    * partitioning). Invariants spec-pinned: strides cover every word,
+    * consecutive chunks overlap by size − stride, the hash matches the
+    * joined window text in both engines.
+    */
+  private val c76Size = 32
+  private val c76Stride = 24
+
+  def c76Chunk(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), expr(wordsSpark).as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(expr(s"sequence(1, n, $c76Stride)")).as(Seq("chunk_idx", "start_word")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+        expr(s"least($c76Size, n - start_word + 1)").cast("long").as("n_chunk_words"),
+        expr(s"${h64Spark(s"concat_ws(' ', slice(w, start_word, $c76Size))")}").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val c76Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(i - 1 AS INTEGER) AS chunk_idx,
+       |  CAST((i - 1) * $c76Stride + 1 AS INTEGER) AS start_word,
+       |  CAST(least($c76Size, n - ((i - 1) * $c76Stride + 1) + 1) AS BIGINT) AS n_chunk_words,
+       |  ${h64Duck(s"array_to_string(w[(i - 1) * $c76Stride + 1 : least((i - 1) * $c76Stride + $c76Size, n)], ' ')")} AS chunk_hash
+       |FROM (
+       |  SELECT doc_id, w, len(w) AS n,
+       |    unnest(range(1, CAST(ceil(len(w) / $c76Stride.0) AS BIGINT) + 1)) AS i
+       |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents))
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c75_freq_spectrum" -> (c75FreqSpectrum _),
+    "c76_chunk" -> (c76Chunk _),
     "c74_source_vocab_sim" -> (c74SourceVocabSim _),
     "c55_importance_weight" -> (c55ImportanceWeight _),
     "c58_fertility" -> (c58Fertility _),
@@ -1900,6 +1982,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "c75_freq_spectrum" -> c75Sql,
+    "c76_chunk" -> c76Sql,
     "c74_source_vocab_sim" -> c74Sql,
     "c55_importance_weight" -> c55Sql,
     "c58_fertility" -> c58Sql,

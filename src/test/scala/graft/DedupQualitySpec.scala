@@ -22,6 +22,44 @@ class DedupQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("c75: spectrum bins partition the vocabulary — counts and mass add up " +
+      "to the corpus totals, every bin is a power of two") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.TextAnalysis.queries("c75_freq_spectrum")(s, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == (1L << r.getInt(0)), r.toString) // freq_lo = 2^bucket
+    }
+    val words = graft.core.Tables.documents(s, sf)
+      .select(explode(expr("split(text, ' ')")).as("w")).where(col("w") =!= "")
+    val total = words.count()
+    val vocab = words.distinct().count()
+    assert(rows.map(_.getLong(3)).sum == total, "occurrence mass must sum to |corpus words|")
+    assert(rows.map(_.getLong(2)).sum == vocab, "word counts must sum to |vocab|")
+  }
+
+  test("c76: chunks tile each document — full coverage, fixed stride, " +
+      "size-stride overlap, exact tail") {
+    val chunks = graft.ops.TextAnalysis.queries("c76_chunk")(s, sf).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.sortBy(_.getInt(1)).map(r => (r.getInt(2), r.getLong(3)))
+      }
+    val lens = graft.core.Tables.documents(s, sf)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == lens.keySet, "every document must chunk")
+    chunks.foreach { case (d, cs) =>
+      val n = lens(d)
+      // starts advance by the stride from 1; last chunk ends exactly at n
+      cs.zipWithIndex.foreach { case ((start, _), i) => assert(start == 1 + 24 * i) }
+      val (lastStart, lastLen) = cs.last
+      assert(lastStart + lastLen - 1 == n, s"doc $d tail must end at word $n")
+      // every chunk is the full window clipped at the document end
+      cs.foreach { case (start, len) =>
+        assert(len == math.min(32, n - start + 1), s"doc $d start=$start len=$len n=$n")
+      }
+    }
+  }
+
   test("every true near-dup pair (jaccard ≥ 0.6) appears in the MinHash candidates") {
     // at jac ≈ 0.98 the per-pair miss probability of 4 bands × 2 lanes is
     // ~2e-6 — a miss here means a banding bug, not bad luck
