@@ -76,6 +76,12 @@ object SearchParams {
       node(f).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
     val bbox = node("bbox").map { b =>
       val a = b.elements().asScala.map(_.asDouble).toIndexedSeq
+      // the reference rejects malformed bboxes with a 400/422
+      // (tests/api/test_api.py:206-212) — mirror that contract with a
+      // typed error instead of an index crash
+      if (a.length != 4 && a.length != 6)
+        throw new IllegalArgumentException(
+          s"bbox must have 4 (2D) or 6 (3D) coordinates, got ${a.length}")
       if (a.length == 6) (a(0), a(1), a(3), a(4)) else (a(0), a(1), a(2), a(3))
     }
     val sorts = node("sortby").map(_.elements().asScala.map { sn =>

@@ -182,6 +182,14 @@ class StacApiSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed bbox (3 coords) rejects with a typed error, like the " +
+      "reference's 400/422 (test_api.py:206-212)") {
+    val ex = intercept[IllegalArgumentException] {
+      SearchParams.fromSearchBody("""{"bbox": [-66, -16, -60]}""")
+    }
+    assert(ex.getMessage.contains("bbox"))
+  }
+
   test("ids + intersects + sort-field resolution") {
     val hex = Array(80.137, 10.223, 50.139, 55.177, -9.861, 55.177,
       -39.859, 10.223, -9.861, -34.731, 50.139, -34.731)
