@@ -1813,13 +1813,20 @@ object TextAnalysis {
     * projection over exact integers (B15's doctrine) where IEEE
     * sqrt/mul/div are correctly rounded — hash-exact in both engines.
     */
-  private val c74Buckets = 64
+  private[graft] val c74Buckets = 64
+
+  /** C74's hashed-unigram bucket expression over a word column `w` —
+    * shared with D32's streaming drift monitor so live profiles and the
+    * batch similarity matrix bucket identically.
+    */
+  private[graft] val c74BucketSpark: String =
+    s"${h64Spark("concat('vb:', w)")} % $c74Buckets"
 
   def c74SourceVocabSim(s: SparkSession, d: String): DataFrame = {
     val cnts = docs(s, d)
       .select(col("source"), explode(expr(wordsSpark)).as("w"))
       .where(col("w") =!= "")
-      .withColumn("b", expr(s"${h64Spark("concat('vb:', w)")} % $c74Buckets"))
+      .withColumn("b", expr(c74BucketSpark))
       .groupBy(col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
     val norms = cnts.groupBy(col("source"))

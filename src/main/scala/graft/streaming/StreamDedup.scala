@@ -770,6 +770,58 @@ object StreamDedup {
     out.iterator
   }
 
+  // ------- D32: streaming source-distribution DRIFT monitor (C74 live)
+  /** One token occurrence routed to its source's profile. */
+  case class VocabIn(source: String, bucket: Int)
+
+  /** Per-batch drift report for one source: tokens seen this batch, the
+    * cosine between the profile BEFORE and AFTER absorbing the batch
+    * (1.0 = the batch told us nothing new about the distribution; a drop
+    * = the source changed voice), and the updated count vector (C74's
+    * hashed-unigram profile — the same buckets, so live state and the
+    * batch similarity matrix can't disagree).
+    */
+  case class VocabDrift(source: String, batch_tokens: Long,
+                        cos_vs_prev: Double, counts: Seq[Long])
+
+  case class VocabState(counts: Seq[Long])
+
+  private def vocabFlat(nBuckets: Int)(source: String, rows: Iterator[VocabIn],
+      state: GroupState[VocabState]): Iterator[VocabDrift] = {
+    val prev = state.getOption.map(_.counts.toArray)
+      .getOrElse(new Array[Long](nBuckets))
+    val next = prev.clone()
+    var n = 0L
+    rows.foreach { r => next(r.bucket) += 1; n += 1 }
+    val dot = prev.zip(next).map { case (a, b) => a.toDouble * b }.sum
+    val na = math.sqrt(prev.map(a => a.toDouble * a).sum)
+    val nb = math.sqrt(next.map(b => b.toDouble * b).sum)
+    val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    state.update(VocabState(next.toSeq))
+    Iterator.single(VocabDrift(source, n, cos, next.toSeq))
+  }
+
+  /** D32: the live distribution-drift monitor — C74's hashed-unigram
+    * source profiles maintained as streaming state, one drift row per
+    * (source, micro-batch). State is |sources| × nBuckets longs — tiny
+    * and CONSTANT in corpus size (the hashed-feature trick is what makes
+    * unbounded-corpus profile state safe); the accumulated counts equal
+    * the batch C74 profile over the same rows (spec-asserted), so the
+    * alarm and the nightly matrix read one truth.
+    */
+  def vocabDriftStream(s: SparkSession, stream: DataFrame): Dataset[VocabDrift] = {
+    import s.implicits._
+    stream
+      .select(col("source"), explode(expr("split(text, ' ')")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("source"), expr(graft.ops.TextAnalysis.c74BucketSpark)
+        .cast("int").as("bucket"))
+      .as[VocabIn]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        vocabFlat(graft.ops.TextAnalysis.c74Buckets))
+  }
+
   /** D31: the live vector index. Index rows maintain per-bucket state;
     * query rows are served top-k from the bucket's members AT ARRIVAL
     * TIME — with the full corpus indexed first, served rows equal batch

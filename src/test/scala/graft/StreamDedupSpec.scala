@@ -9,6 +9,7 @@ import graft.streaming.StreamDedup
 // top-level so Spark derives the Encoder
 case class VecIn(vec_id: Long, ts: java.sql.Timestamp, v: Seq[Double])
 case class AnnStreamIn(kind: String, vec_id: Long, v: Seq[Double])
+case class DocStreamIn(source: String, text: String)
 
 class StreamDedupSpec extends AnyFunSuite {
   private val s = TestSpark.spark
@@ -510,6 +511,62 @@ class StreamDedupSpec extends AnyFunSuite {
         "SELECT rk, cos_sim FROM d31_ann WHERE q_id = 0 AND n_id = 999999").collect()
       assert(twin.length == 1 && twin(0).getInt(0) == 1 &&
         math.abs(twin(0).getDouble(1) - 1.0) < 1e-9, twin.mkString(","))
+    } finally q.stop()
+  }
+
+  test("D32: streaming vocab-drift monitor — accumulated state equals the " +
+      "batch profile; stable distribution reads ~1, injected drift reads low") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(s, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => DocStreamIn(r.getString(0), r.getString(1)))
+    val mem = MemoryStream[DocStreamIn](s)
+    val q = StreamDedup.vocabDriftStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("d32_drift")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = docs.zipWithIndex.partition(_._2 % 2 == 0)
+      mem.addData(h1.map(_._1).toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.map(_._1).toIndexedSeq); q.processAllAvailable()
+      // drift injection: one source turns into a single-word drone
+      mem.addData(DocStreamIn("src0", Array.fill(400)("drone").mkString(" ")))
+      q.processAllAvailable()
+
+      val rows = s.sql("SELECT * FROM d32_drift").collect()
+      // a first batch reports cos 0.0 (no prior profile); the batch-2 row
+      // of an unchanged distribution reads cosine(prev, prev+batch) ≈ 1
+      rows.filter(r => r.getString(0) != "src0" && r.getDouble(2) > 0.0)
+        .foreach { r =>
+          assert(r.getDouble(2) > 0.9, s"${r.getString(0)} batch-2 cos=$r") }
+      // the injected drone batch must read as drift on src0
+      val droneCos = rows.filter(_.getString(0) == "src0")
+        .find(r => r.getLong(1) == 400L).map(_.getDouble(2))
+      assert(droneCos.exists(c => c > 0.0 && c < 0.9),
+        s"drone batch should drop cosine: $droneCos")
+
+      // final accumulated counts per source == the batch C74 profile over
+      // the same rows (src0 excluded — its state includes the drone); the
+      // final row is the one with the largest accumulated mass
+      val finalCounts = rows.filter(r => r.getString(0) != "src0")
+        .groupBy(_.getString(0))
+        .map { case (src, rs) =>
+          src -> rs.maxBy(_.getSeq[Long](3).sum).getSeq[Long](3).toIndexedSeq }
+      val batch = graft.core.Tables.documents(s, sf)
+        .select(col("source"), explode(expr("split(text, ' ')")).as("w"))
+        .where(col("w") =!= "")
+        .select(col("source"),
+          expr(graft.ops.TextAnalysis.c74BucketSpark).cast("int").as("b"))
+        .groupBy(col("source"), col("b")).count().collect()
+        .groupBy(_.getString(0))
+        .map { case (src, rs) =>
+          val v = new Array[Long](graft.ops.TextAnalysis.c74Buckets)
+          rs.foreach(r => v(r.getInt(1)) = r.getLong(2))
+          src -> v.toIndexedSeq
+        }
+      finalCounts.foreach { case (src, v) =>
+        assert(v == batch(src), s"state/batch profile mismatch for $src")
+      }
     } finally q.stop()
   }
 
