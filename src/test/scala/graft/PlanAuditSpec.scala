@@ -321,6 +321,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("c74: source-vocab similarity — map-side partial aggregate, norms " +
+      "broadcast, no cartesian") {
+    val p = plan(graft.ops.TextAnalysis.queries("c74_source_vocab_sim")(s, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-wide (source, bucket) count combines before its exchange:
+    // a partial_count appears below the final count
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("c75: frequency spectrum — two aggregation levels, both partial-" +
+      "combined, no join anywhere") {
+    val p = plan(graft.ops.TextAnalysis.queries("c75_freq_spectrum")(s, sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("c76: chunking is one scan with a per-row Generate — no join, no " +
+      "exchange below the deterministic output sort") {
+    val p = plan(graft.ops.TextAnalysis.queries("c76_chunk")(s, sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p)
+    // exactly one Exchange: the range partitioning of the final Sort
+    val exchanges = p.split('\n').count(_.matches(".*\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1, s"expected only the sort's exchange, got $exchanges:\n$p")
+  }
+
   test("c73: matryoshka funnel — no 64-dim vector crosses an exchange; " +
       "shortlist and query sides broadcast") {
     val p = plan(graft.ops.Similarity.queries("c73_ann_matryoshka")(s, sf))
