@@ -1925,15 +1925,24 @@ object TextAnalysis {
   private val c76Size = 32
   private val c76Stride = 24
 
-  def c76Chunk(s: SparkSession, d: String): DataFrame =
+  /** The chunk frame (doc_id, source, chunk_idx, start_word,
+    * n_chunk_words, chunk_hash) — C76's gate output plus provenance,
+    * shared with C77's cache planning.
+    */
+  private def c76Chunks(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), expr(wordsSpark).as("w"))
+      .select(col("doc_id"), col("source"), expr(wordsSpark).as("w"))
       .withColumn("n", size(col("w")))
-      .select(col("doc_id"), col("w"), col("n"),
+      .select(col("doc_id"), col("source"), col("w"), col("n"),
         posexplode(expr(s"sequence(1, n, $c76Stride)")).as(Seq("chunk_idx", "start_word")))
-      .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+      .select(col("doc_id"), col("source"), col("chunk_idx"), col("start_word"),
         expr(s"least($c76Size, n - start_word + 1)").cast("long").as("n_chunk_words"),
         expr(s"${h64Spark(s"concat_ws(' ', slice(w, start_word, $c76Size))")}").as("chunk_hash"))
+
+  def c76Chunk(s: SparkSession, d: String): DataFrame =
+    c76Chunks(s, d)
+      .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+        col("n_chunk_words"), col("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   val c76Sql: String =
@@ -1948,9 +1957,64 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents))
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------- C77 embedding-cache hit-rate planning
+  /** C77: EMBEDDING-CACHE planning over the chunk stream — the cost
+    * readout run before paying for an embedding pass (chunk embeddings
+    * are cached by content hash; re-embedding an already-cached chunk is
+    * pure waste): against the history side's chunk-hash set (docs below
+    * the shared C67 80/20 split — the "already embedded" state), the
+    * incoming side reports per source: chunks total, cache HITS
+    * (hash already embedded), and the DISTINCT fresh hashes — the
+    * number of embedding calls actually owed (within-increment
+    * duplicates collapse too, so n_to_embed ≤ misses).
+    *
+    * Scale shape: C47's incremental-state discipline on the chunk
+    * table — the history side is a hash-keyed state table probed by an
+    * equi-join (bucketed at scale, C72's layout), never rescanned text;
+    * the readout is one aggregate over the joined increment.
+    */
+  def c77EmbedCachePlan(s: SparkSession, d: String): DataFrame = {
+    val split = graft.ops.Dedup.c67SplitFor(s, d)
+    val chunks = c76Chunks(s, d)
+    val cached = chunks.where(col("doc_id") < split)
+      .select(col("chunk_hash")).distinct()
+      .withColumn("hit", lit(1))
+    chunks.where(col("doc_id") >= split)
+      .join(cached, Seq("chunk_hash"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("hit")).as("n_cached"),
+        countDistinct(when(col("hit").isNull, col("chunk_hash"))).as("n_to_embed"))
+      .orderBy(col("source"))
+  }
+
+  val c77Sql: String = {
+    val chunkExpr =
+      s"""SELECT doc_id, source,
+         |  ${h64Duck(s"array_to_string(w[(i - 1) * $c76Stride + 1 : least((i - 1) * $c76Stride + $c76Size, n)], ' ')")} AS chunk_hash
+         |FROM (
+         |  SELECT doc_id, source, w, len(w) AS n,
+         |    unnest(range(1, CAST(ceil(len(w) / $c76Stride.0) AS BIGINT) + 1)) AS i
+         |  FROM (SELECT doc_id, source, $wordsDuck AS w FROM documents))""".stripMargin
+    // the oracle re-derives the same relative split: 80% of (max id + 1)
+    s"""WITH chunks AS ($chunkExpr),
+       |split AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS cut FROM documents),
+       |cached AS (
+       |  SELECT DISTINCT chunk_hash FROM chunks, split WHERE doc_id < cut),
+       |incoming AS (
+       |  SELECT c.source, c.chunk_hash,
+       |    EXISTS (SELECT 1 FROM cached h WHERE h.chunk_hash = c.chunk_hash) AS hit
+       |  FROM chunks c, split WHERE c.doc_id >= cut)
+       |SELECT source, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_cached,
+       |  COUNT(DISTINCT CASE WHEN NOT hit THEN chunk_hash END) AS n_to_embed
+       |FROM incoming GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c75_freq_spectrum" -> (c75FreqSpectrum _),
     "c76_chunk" -> (c76Chunk _),
+    "c77_embed_cache_plan" -> (c77EmbedCachePlan _),
     "c74_source_vocab_sim" -> (c74SourceVocabSim _),
     "c55_importance_weight" -> (c55ImportanceWeight _),
     "c58_fertility" -> (c58Fertility _),
@@ -1991,6 +2055,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "c75_freq_spectrum" -> c75Sql,
     "c76_chunk" -> c76Sql,
+    "c77_embed_cache_plan" -> c77Sql,
     "c74_source_vocab_sim" -> c74Sql,
     "c55_importance_weight" -> c55Sql,
     "c58_fertility" -> c58Sql,

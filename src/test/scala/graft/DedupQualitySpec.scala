@@ -60,6 +60,19 @@ class DedupQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("c77: cache-plan accounting — hits + misses = chunks, distinct fresh " +
+      "hashes never exceed misses, and some cache hits exist") {
+    val rows = graft.ops.TextAnalysis.queries("c77_embed_cache_plan")(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, cached, toEmbed) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cached + toEmbed <= n, r.toString) // within-increment dups collapse
+      assert(toEmbed <= n - cached, r.toString)
+      assert(cached >= 0 && toEmbed >= 0, r.toString)
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "fixture should produce some cache hits")
+  }
+
   test("every true near-dup pair (jaccard ≥ 0.6) appears in the MinHash candidates") {
     // at jac ≈ 0.98 the per-pair miss probability of 4 bands × 2 lanes is
     // ~2e-6 — a miss here means a banding bug, not bad luck
