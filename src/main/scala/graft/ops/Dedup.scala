@@ -700,7 +700,7 @@ object Dedup {
     * after full compression `find(node)` IS the min label the
     * distributed loop converges to (same output, one Spark job).
     */
-  private def ccMinLabelDriver(edges: DataFrame): DataFrame = {
+  private[graft] def ccMinLabelDriver(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
@@ -724,7 +724,7 @@ object Dedup {
     out.toDF("node", "lab")
   }
 
-  private def ccMinLabelLoop(edges: DataFrame): DataFrame = {
+  private[graft] def ccMinLabelLoop(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
     var changed = 1L
