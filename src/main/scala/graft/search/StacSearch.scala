@@ -1629,6 +1629,71 @@ object StacSearch {
     ("signup", "Signup events", "CC0-1.0", "Account creation items"),
     ("view", "View events", "CC-BY-4.0", "Page and item view items"))
 
+  // ------------- A67 collections-directory CHANGELOG (CRUD serving view)
+  /** A67: collection-level CRUD served from a changelog — the reference's
+    * create/update/delete_collection surface (database_logic.py:1119-
+    * 1181) as a merge-on-read state view instead of file mutation: the
+    * control-plane log carries upserts (create ≡ update, idempotent
+    * replace — the reference's update is delete + re-create) and DELETE
+    * tombstones; serving = latest row per collection (max_by over the
+    * log sequence, B25's compaction shape) with tombstoned collections
+    * dropped (B41's doctrine at the catalog level — the filter sits
+    * ABOVE the merge so a later re-create resurrects), inner-joined onto
+    * the live derived counts so a deleted collection vanishes from the
+    * directory even though its items still exist at rest. The log here
+    * exercises every transition: create ×5, re-describe (click),
+    * delete + re-create (error), delete that stays deleted (view).
+    */
+  private val a67Changelog: Seq[(Int, String, String, String, String, String)] = {
+    val creates = collectionMeta.zipWithIndex.map { case ((c, t, l, de), i) =>
+      (i + 1, "upsert", c, t, l, de)
+    }
+    creates ++ Seq(
+      (6, "upsert", "click", "Click events v2", "CC-BY-4.0", "Re-described clickstream"),
+      (7, "delete", "error", null, null, null),
+      (8, "upsert", "error", "Error events (restored)", "MIT", "Error feed back online"),
+      (9, "delete", "view", null, null, null))
+  }
+
+  def a67CollectionsChangelog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val log = a67Changelog
+      .toDF("seq", "op", "collection", "title", "license", "description")
+    val latest = log.groupBy(col("collection"))
+      .agg(max_by(struct(col("op"), col("title"), col("license"),
+        col("description")), col("seq")).as("m"))
+      .select(col("collection"), col("m.op").as("op"), col("m.title").as("title"),
+        col("m.license").as("license"), col("m.description").as("description"))
+      .where(col("op") =!= "delete")
+      .drop("op")
+    items(s, d).groupBy(col("collection"))
+      .agg(count(lit(1)).as("n_items"))
+      .join(broadcast(latest), Seq("collection"))
+      .select(col("collection"), col("title"), col("license"),
+        col("description"), col("n_items"))
+      .orderBy(col("collection"))
+  }
+
+  val a67Sql: String = {
+    val values = a67Changelog.map { case (q, op, c, t, l, de) =>
+      def s(x: String) = if (x == null) "NULL" else s"'$x'"
+      s"($q, '$op', '$c', ${s(t)}, ${s(l)}, ${s(de)})"
+    }.mkString(",\n      ")
+    Tables.withItems(
+      s"""SELECT l.collection, title, license, description, n_items
+         |FROM (
+         |  SELECT collection, arg_max(op, seq) AS op, arg_max(title, seq) AS title,
+         |    arg_max(license, seq) AS license, arg_max(description, seq) AS description
+         |  FROM (VALUES
+         |      $values)
+         |    AS log(seq, op, collection, title, license, description)
+         |  GROUP BY collection) l
+         |JOIN (SELECT collection, COUNT(*) AS n_items FROM items GROUP BY collection) d
+         |  ON l.collection = d.collection
+         |WHERE op <> 'delete'
+         |ORDER BY l.collection""".stripMargin)
+  }
+
   /** The reference's /collections endpoint serves static metadata files
     * (database_logic.py:58-138). Spark-first: the collection directory is
     * the static catalog BROADCAST-joined onto DERIVED per-collection
@@ -2146,6 +2211,7 @@ object StacSearch {
     "a61_bbox_antimeridian" -> (a61BboxAntimeridian _),
     "a62_search_body"     -> (a62SearchBody _),
     "a66_stacql_query"    -> (a66StacqlQuery _),
+    "a67_collections_changelog" -> (a67CollectionsChangelog _),
     "a56_upsert_search"   -> (a56UpsertSearch _),
     "a1_scan_collection"  -> (a1ScanCollection _),
     "a2_multi_collection" -> (a2MultiCollection _),
@@ -2263,6 +2329,7 @@ object StacSearch {
     "a61_bbox_antimeridian"       -> a61Sql,
     "a62_search_body"             -> a62Sql,
     "a66_stacql_query"            -> a66Sql,
+    "a67_collections_changelog"   -> a67Sql,
     "a44_param_intersects"        -> a44Sql,
     "a45_intersects_convex"       -> a45Sql,
     "a46_grid_agg"                -> a46Sql,

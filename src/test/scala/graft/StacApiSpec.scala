@@ -199,6 +199,16 @@ class StacApiSpec extends AnyFunSuite {
     assert(ids.numMatched <= 3 && ids.numMatched > 0)
   }
 
+  test("a67 collections changelog: update re-describes, delete removes, " +
+      "delete + re-create resurrects") {
+    val dir = graft.search.StacSearch.queries("a67_collections_changelog")(s, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!dir.contains("view"), "deleted collection must vanish from the directory")
+    assert(dir("click") == "Click events v2", "update must serve the latest metadata")
+    assert(dir("error") == "Error events (restored)", "re-create after delete must resurrect")
+    assert(dir.contains("purchase") && dir.contains("signup"), "untouched collections remain")
+  }
+
   test("collections directory: static metadata broadcast-joined onto derived extents") {
     val dir = StacApi.collections(s, sf)
     val rows = dir.collect()
