@@ -246,6 +246,70 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // --------------- C78 persisted inverted index (c17's scale path)
+  /** C78: keyword search served from a PERSISTED INVERTED INDEX — the
+    * state-table form of C17 (which rescans every document text per
+    * query; correct, but at 100 TB a search engine pays the text scan
+    * ONCE, at index build): three tables written once per corpus
+    * snapshot — postings (term, doc_id, tf; repartitioned + sorted by
+    * term so a term-list query prunes row groups via the pushed IN
+    * filter), per-term document frequencies, and the 1-row corpus meta
+    * (N) — and the query touches ONLY them: postings for the query
+    * terms → per-doc tf pivoted to per-term columns (conditional
+    * aggregation), df/N broadcast as a 1-row frame, and the SAME
+    * fixed-term-order score expression as C17, so double summation
+    * order is identical and the gate shares C17's oracle verbatim
+    * (two physical strategies, one answer — C72's doctrine).
+    * Plan-audited: the serving plan reads no `text` column and no
+    * documents.parquet — index tables only.
+    */
+  private[graft] def c78IndexPath(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_invindex_$key").getAbsolutePath
+    if (!new java.io.File(s"$root/meta", "_SUCCESS").exists()) {
+      val postings = docs(s, d)
+        .select(col("doc_id"), explode(expr(wordsSpark)).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      postings
+        .repartition(col("w")).sortWithinPartitions(col("w"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/postings")
+      postings.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .write.mode("overwrite").parquet(s"$root/terms")
+      docs(s, d).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$root/meta")
+    }
+    root
+  }
+
+  def c78IndexSearch(s: SparkSession, d: String): DataFrame = {
+    val root = c78IndexPath(s, d)
+    val terms = searchTerms.zipWithIndex
+    val postings = s.read.parquet(s"$root/postings")
+      .where(col("w").isin(searchTerms: _*))
+    val tfCols = terms.map { case (t, i) =>
+      sum(when(col("w") === t, col("tf"))).as(s"tf_$i")
+    }
+    val perDoc = postings.groupBy(col("doc_id"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val dfCols = terms.map { case (t, i) =>
+      sum(when(col("w") === t, col("df"))).as(s"df_$i")
+    }
+    val stats = s.read.parquet(s"$root/meta").crossJoin(
+      s.read.parquet(s"$root/terms").where(col("w").isin(searchTerms: _*))
+        .agg(dfCols.head, dfCols.tail: _*))
+    val score = terms.map { case (_, i) =>
+      s"CAST(coalesce(tf_$i, 0L) AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df_$i AS DOUBLE))"
+    }.mkString(" + ")
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(s"($score)").as("score"))
+      .where(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
   // --------------------------------------- C21 repetition stats (Gopher)
   /** Gopher-style repetition filters (Rae et al. 2021, §A1.1): documents
     * dominated by a few tokens or repeated n-grams are low-quality
@@ -2015,6 +2079,7 @@ object TextAnalysis {
     "c75_freq_spectrum" -> (c75FreqSpectrum _),
     "c76_chunk" -> (c76Chunk _),
     "c77_embed_cache_plan" -> (c77EmbedCachePlan _),
+    "c78_index_search" -> (c78IndexSearch _),
     "c74_source_vocab_sim" -> (c74SourceVocabSim _),
     "c55_importance_weight" -> (c55ImportanceWeight _),
     "c58_fertility" -> (c58Fertility _),
@@ -2056,6 +2121,8 @@ object TextAnalysis {
     "c75_freq_spectrum" -> c75Sql,
     "c76_chunk" -> c76Sql,
     "c77_embed_cache_plan" -> c77Sql,
+    // C17's oracle verbatim — two physical strategies, one answer
+    "c78_index_search" -> c17Sql,
     "c74_source_vocab_sim" -> c74Sql,
     "c55_importance_weight" -> c55Sql,
     "c58_fertility" -> c58Sql,

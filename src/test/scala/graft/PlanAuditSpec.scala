@@ -321,6 +321,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("c78: index-only keyword serving — no documents scan, no text " +
+      "column anywhere, query terms pushed into the postings scan") {
+    val p = plan(graft.ops.TextAnalysis.queries("c78_index_search")(s, sf))
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.split('\n').exists(l => l.contains("ReadSchema") && l.contains("text")), p)
+    assert(p.contains("graft_invindex_"), p)
+    // the IN(w, terms) predicate reaches the postings scan
+    assert(p.split('\n').exists(l => l.contains("PushedFilters") && l.contains("In(w")), p)
+  }
+
   test("c74: source-vocab similarity — map-side partial aggregate, norms " +
       "broadcast, no cartesian") {
     val p = plan(graft.ops.TextAnalysis.queries("c74_source_vocab_sim")(s, sf))
