@@ -266,13 +266,17 @@ object TextAnalysis {
   private[graft] def c78IndexPath(s: SparkSession, d: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    // v2: postings carry POSITIONS (C79's phrase serving); C78's
+    // tf-only query prunes the column away (plan-audited)
     val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_invindex_$key").getAbsolutePath
+      s"graft_invindex_v2_$key").getAbsolutePath
     if (!new java.io.File(s"$root/meta", "_SUCCESS").exists()) {
       val postings = docs(s, d)
-        .select(col("doc_id"), explode(expr(wordsSpark)).as("w"))
+        .select(col("doc_id"), posexplode(expr(wordsSpark)).as(Seq("p", "w")))
         .where(col("w") =!= "")
-        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("p"))).as("positions"))
       postings
         .repartition(col("w")).sortWithinPartitions(col("w"), col("doc_id"))
         .write.mode("overwrite").parquet(s"$root/postings")
@@ -308,6 +312,45 @@ object TextAnalysis {
       .select(col("doc_id"), expr(s"($score)").as("score"))
       .where(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  // --------------- C79 positional PHRASE search on the index
+  /** C79: PHRASE search served from the positional postings — the
+    * classic inverted-index extension (bag-of-words C78 can rank
+    * "spark … fast" and "fast spark" identically; a phrase query needs
+    * POSITIONS): the two terms' posting lists join on doc_id and the
+    * occurrence count is |{p ∈ pos(t1) : p+1 ∈ pos(t2)}| — set
+    * intersection on shifted positions, no text access (same index
+    * tables as C78; the tf-only query prunes the positions column,
+    * this one reads it). The oracle is INDEPENDENT semantics — direct
+    * token-adjacency counting over the raw documents — so a positions
+    * bug in the index build cannot self-confirm.
+    */
+  private val c79Phrase = ("fast", "spark")
+
+  def c79PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val root = c78IndexPath(s, d)
+    val (t1, t2) = c79Phrase
+    val post = s.read.parquet(s"$root/postings")
+    val p1 = post.where(col("w") === t1)
+      .select(col("doc_id"), col("positions").as("pos1"))
+    val p2 = post.where(col("w") === t2)
+      .select(col("doc_id"), col("positions").as("pos2"))
+    p1.join(p2, "doc_id")
+      .select(col("doc_id"),
+        size(array_intersect(expr("transform(pos1, p -> p + 1)"), col("pos2")))
+          .cast("long").as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val c79Sql: String = {
+    val (t1, t2) = c79Phrase
+    s"""SELECT doc_id, n_occurrences FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(range(1, len(w)), i -> w[i] = '$t1' AND w[i + 1] = '$t2')) AS BIGINT) AS n_occurrences
+       |  FROM (SELECT doc_id, $wordsDuck AS w FROM documents))
+       |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
   }
 
   // --------------------------------------- C21 repetition stats (Gopher)
@@ -2080,6 +2123,7 @@ object TextAnalysis {
     "c76_chunk" -> (c76Chunk _),
     "c77_embed_cache_plan" -> (c77EmbedCachePlan _),
     "c78_index_search" -> (c78IndexSearch _),
+    "c79_phrase_search" -> (c79PhraseSearch _),
     "c74_source_vocab_sim" -> (c74SourceVocabSim _),
     "c55_importance_weight" -> (c55ImportanceWeight _),
     "c58_fertility" -> (c58Fertility _),
@@ -2123,6 +2167,7 @@ object TextAnalysis {
     "c77_embed_cache_plan" -> c77Sql,
     // C17's oracle verbatim — two physical strategies, one answer
     "c78_index_search" -> c17Sql,
+    "c79_phrase_search" -> c79Sql,
     "c74_source_vocab_sim" -> c74Sql,
     "c55_importance_weight" -> c55Sql,
     "c58_fertility" -> c58Sql,

@@ -329,6 +329,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("graft_invindex_"), p)
     // the IN(w, terms) predicate reaches the postings scan
     assert(p.split('\n').exists(l => l.contains("PushedFilters") && l.contains("In(w")), p)
+    // the tf-only query PRUNES the positions column C79 shares the table with
+    assert(!p.split('\n').exists(l => l.contains("ReadSchema") && l.contains("positions")), p)
+  }
+
+  test("c79: phrase serving — index tables only, equality filters pushed, " +
+      "positions read on this path") {
+    val p = plan(graft.ops.TextAnalysis.queries("c79_phrase_search")(s, sf))
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.split('\n').exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(w")), p)
+    assert(p.split('\n').exists(l =>
+      l.contains("ReadSchema") && l.contains("positions")), p)
   }
 
   test("c74: source-vocab similarity — map-side partial aggregate, norms " +
