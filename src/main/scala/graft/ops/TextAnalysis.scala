@@ -289,22 +289,21 @@ object TextAnalysis {
     root
   }
 
-  def c78IndexSearch(s: SparkSession, d: String): DataFrame = {
-    val root = c78IndexPath(s, d)
+  /** The index-serving score plan over a postings frame (w, doc_id, tf)
+    * and a 1-row stats frame (n, df_0..df_k): per-doc tf pivoted to
+    * fixed term columns, then C17's EXACT score expression in the same
+    * term order — shared by the batch-built index (C78) and the
+    * stream-maintained one (D33), so every serving path computes
+    * bit-identical doubles.
+    */
+  private[graft] def keywordScore(postings: DataFrame, stats: DataFrame): DataFrame = {
     val terms = searchTerms.zipWithIndex
-    val postings = s.read.parquet(s"$root/postings")
-      .where(col("w").isin(searchTerms: _*))
     val tfCols = terms.map { case (t, i) =>
       sum(when(col("w") === t, col("tf"))).as(s"tf_$i")
     }
-    val perDoc = postings.groupBy(col("doc_id"))
+    val perDoc = postings.where(col("w").isin(searchTerms: _*))
+      .groupBy(col("doc_id"))
       .agg(tfCols.head, tfCols.tail: _*)
-    val dfCols = terms.map { case (t, i) =>
-      sum(when(col("w") === t, col("df"))).as(s"df_$i")
-    }
-    val stats = s.read.parquet(s"$root/meta").crossJoin(
-      s.read.parquet(s"$root/terms").where(col("w").isin(searchTerms: _*))
-        .agg(dfCols.head, dfCols.tail: _*))
     val score = terms.map { case (_, i) =>
       s"CAST(coalesce(tf_$i, 0L) AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df_$i AS DOUBLE))"
     }.mkString(" + ")
@@ -312,6 +311,20 @@ object TextAnalysis {
       .select(col("doc_id"), expr(s"($score)").as("score"))
       .where(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  private[graft] def searchTermList: Seq[String] = searchTerms
+
+  def c78IndexSearch(s: SparkSession, d: String): DataFrame = {
+    val root = c78IndexPath(s, d)
+    val terms = searchTerms.zipWithIndex
+    val dfCols = terms.map { case (t, i) =>
+      sum(when(col("w") === t, col("df"))).as(s"df_$i")
+    }
+    val stats = s.read.parquet(s"$root/meta").crossJoin(
+      s.read.parquet(s"$root/terms").where(col("w").isin(searchTerms: _*))
+        .agg(dfCols.head, dfCols.tail: _*))
+    keywordScore(s.read.parquet(s"$root/postings"), stats)
   }
 
   // --------------- C79 positional PHRASE search on the index

@@ -770,6 +770,49 @@ object StreamDedup {
     out.iterator
   }
 
+  // ---------- D33: streaming SEARCH-INDEX maintenance (C78 live)
+  /** D33: the live inverted index — C78's postings maintained by a
+    * document stream (D11's foreachBatch shape on search state): each
+    * micro-batch of (doc_id, text) appends its postings partial — the
+    * SAME term/position expressions as the batch index build, so the
+    * streamed index and a batch rebuild cannot disagree — plus a 1-row
+    * doc-count partial. Documents are append-only in this model (a
+    * re-crawled doc gets a new doc_id; changelog semantics on search
+    * state is D13/B25's territory), so partials are disjoint by doc_id
+    * and the merge is a pure union.
+    */
+  def appendPostingsBatch(batch: DataFrame, root: String): Unit = {
+    batch
+      .select(col("doc_id"), posexplode(expr("split(text, ' ')")).as(Seq("p", "w")))
+      .where(col("w") =!= "")
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("positions"))
+      .write.mode("append").parquet(s"$root/postings")
+    batch.agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$root/meta_parts")
+  }
+
+  /** Serve the keyword query from the stream-built index: df and N are
+    * derived MERGE-ON-READ from the appended partials (df = distinct
+    * docs per query term — one aggregate over the term-pruned postings;
+    * N = the summed doc-count partials), then the shared
+    * [[graft.ops.TextAnalysis.keywordScore]] plan — bit-identical
+    * doubles to the batch-built C78 path (spec-asserted).
+    */
+  def servedIndexSearch(s: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
+    import graft.ops.TextAnalysis
+    val terms = TextAnalysis.searchTermList.zipWithIndex
+    val postings = s.read.parquet(s"$root/postings")
+    val dfCols = terms.map { case (t, i) =>
+      countDistinct(when(col("w") === t, col("doc_id"))).as(s"df_$i")
+    }
+    val stats = s.read.parquet(s"$root/meta_parts")
+      .agg(sum(col("n")).as("n"))
+      .crossJoin(postings.where(col("w").isin(TextAnalysis.searchTermList: _*))
+        .agg(dfCols.head, dfCols.tail: _*))
+    TextAnalysis.keywordScore(postings, stats)
+  }
+
   // ------- D32: streaming source-distribution DRIFT monitor (C74 live)
   /** One token occurrence routed to its source's profile. */
   case class VocabIn(source: String, bucket: Int)

@@ -514,6 +514,24 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D33: stream-maintained search index — served ranking equals the " +
+      "batch-built index bit for bit, scores included") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(s, sf).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_d33").toString
+    // three appends model three micro-batches of the document feed
+    (0 until 3).foreach { b =>
+      StreamDedup.appendPostingsBatch(docs.where(col("doc_id") % 3 === b), root)
+    }
+    val served = StreamDedup.servedIndexSearch(s, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = graft.ops.TextAnalysis.queries("c78_index_search")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == batch,
+      s"served-only: ${served.diff(batch).take(5)}; batch-only: ${batch.diff(served).take(5)}")
+    assert(served.nonEmpty)
+  }
+
   test("D32: streaming vocab-drift monitor — accumulated state equals the " +
       "batch profile; stable distribution reads ~1, injected drift reads low") {
     import s.implicits._
