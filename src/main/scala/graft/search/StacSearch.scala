@@ -2205,8 +2205,68 @@ object StacSearch {
        |WHERE rk = 1
        |ORDER BY collection, grp""".stripMargin)
 
+  // ------------------------- A68 JSON merge-patch item updates
+  /** A68: PATCH-semantics item updates — the transaction surface's
+    * `update_item` as RFC 7396 JSON MERGE PATCH over the changelog (A56
+    * is PUT: the latest revision replaces the document wholesale; A68 is
+    * PATCH: a revision carries only the properties it changes, and an
+    * explicit null DELETES a property — cf. the reference's create/update
+    * hooks, database_logic.py:1049-1101, which replace whole documents;
+    * merge-patch is the semantics a partial-update API needs). Serving is
+    * per-FIELD last-writer-wins: each property takes its value from the
+    * highest-version revision that CARRIES the property, where
+    * carried-as-null is the RFC 7396 delete (the merged property is null
+    * even though earlier revisions set it — dropping the null rows would
+    * silently resurrect them).
+    *
+    * The merge is `max(CASE WHEN carried THEN struct(version, value) END)`
+    * per field — a commutative monoid exactly like A56's max_by, so it
+    * map-side-combines and the shuffle carries \|scenes\| partial rows
+    * (one (version, value) cell per property), never revision history;
+    * both engines order structs lexicographically with the never-null
+    * unique version first, so the two forms are bit-identical, null
+    * payloads included. Which fields a revision carries derives
+    * deterministically from id_num (the stand-in for the patch document's
+    * key set); `props.k` flows through a real JSON-path extraction — the
+    * patch path reads JSON documents, as the reference's transaction API
+    * does.
+    */
+  def a68MergePatch(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .where(col("collection").isin("click", "view"))
+      .select(col("collection"), expr("id_num DIV 3").as("grp"), col("id_num"),
+        col("value"), col("lat"),
+        expr("CAST(get_json_object(props, '$.k') AS INT)").as("k"))
+      .groupBy(col("collection"), col("grp"))
+      .agg(count(lit(1)).as("n_revisions"),
+        max(when(expr("id_num % 2 = 0"),
+          struct(col("id_num"), col("value")))).as("mv"),
+        max(when(expr("id_num % 3 <> 1"),
+          struct(col("id_num"),
+            when(expr("id_num % 9 <> 8"), col("k")).as("k")))).as("mk"),
+        max(struct(col("id_num"), col("lat"))).as("ml"))
+      .select(col("collection"), col("grp"), col("n_revisions"),
+        col("mv.value").as("value"), col("mk.k").as("k"), col("ml.lat").as("lat"))
+      .orderBy(col("collection"), col("grp"))
+
+  val a68Sql: String = Tables.withItems(
+    """SELECT collection, grp, n_revisions,
+      |  (mv).value AS value, (mk).k AS k, (ml).lat AS lat
+      |FROM (
+      |  SELECT collection, id_num // 3 AS grp, COUNT(*) AS n_revisions,
+      |    max(CASE WHEN id_num % 2 = 0
+      |        THEN struct_pack(i := id_num, value := value) END) AS mv,
+      |    max(CASE WHEN id_num % 3 <> 1
+      |        THEN struct_pack(i := id_num, k := CASE WHEN id_num % 9 <> 8
+      |          THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END) END) AS mk,
+      |    max(struct_pack(i := id_num, lat := lat)) AS ml
+      |  FROM items WHERE collection IN ('click', 'view')
+      |  GROUP BY 1, 2)
+      |ORDER BY collection, grp""".stripMargin)
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a68_merge_patch"     -> (a68MergePatch _),
     "a60_time_travel"     -> (a60TimeTravel _),
     "a61_bbox_antimeridian" -> (a61BboxAntimeridian _),
     "a62_search_body"     -> (a62SearchBody _),
@@ -2274,6 +2334,7 @@ object StacSearch {
   )
 
   val oracle: Map[String, String] = Map(
+    "a68_merge_patch"     -> a68Sql,
     "a56_upsert_search"   -> a56Sql,
     "a1_scan_collection"  -> a1Sql,
     "a2_multi_collection" -> a2Sql,

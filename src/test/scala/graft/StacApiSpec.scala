@@ -209,6 +209,46 @@ class StacApiSpec extends AnyFunSuite {
     assert(dir.contains("purchase") && dir.contains("signup"), "untouched collections remain")
   }
 
+  test("a68 merge patch: a field survives later revisions that don't carry " +
+      "it, and a carried null deletes it (RFC 7396)") {
+    import org.apache.spark.sql.functions._
+    val merged = graft.search.StacSearch.queries("a68_merge_patch")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val revs = graft.core.Tables.items(s, sf)
+      .where(col("collection").isin("click", "view"))
+      .select(col("collection"), expr("id_num DIV 3").as("grp"), col("id_num"),
+        col("value"),
+        expr("CAST(get_json_object(props, '$.k') AS INT)").as("k"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+    assert(merged.keySet == revs.keySet)
+    var lwwBites = 0; var deleteBites = 0
+    revs.foreach { case (key, g) =>
+      val m = merged(key)
+      // per-field LWW: value from the latest id_num%2==0 revision
+      val vCarriers = g.filter(_.getLong(2) % 2 == 0)
+      if (vCarriers.isEmpty) assert(m.isNullAt(3), s"$key: no carrier → null")
+      else {
+        val want = vCarriers.maxBy(_.getLong(2))
+        assert(m.getDouble(3) == want.getDouble(3), s"$key value")
+        // the PATCH-vs-PUT distinction actually bites when the globally
+        // latest revision is NOT a value-carrier
+        if (g.maxBy(_.getLong(2)).getLong(2) != want.getLong(2)) lwwBites += 1
+      }
+      // k: latest %3!=1 carrier; carried-as-null iff its id_num%9==8
+      val kCarriers = g.filter(_.getLong(2) % 3 != 1)
+      if (kCarriers.nonEmpty) {
+        val last = kCarriers.maxBy(_.getLong(2))
+        if (last.getLong(2) % 9 == 8) {
+          assert(m.isNullAt(4), s"$key: carried null must DELETE k")
+          if (kCarriers.exists(r => r.getLong(2) % 9 != 8 && !r.isNullAt(4))) deleteBites += 1
+        } else assert(m.getInt(4) == last.getInt(4), s"$key k")
+      }
+    }
+    assert(lwwBites > 0, "fixture must exercise LWW-per-field vs whole-doc")
+    assert(deleteBites > 0, "fixture must exercise the null-delete path")
+  }
+
   test("collections directory: static metadata broadcast-joined onto derived extents") {
     val dir = StacApi.collections(s, sf)
     val rows = dir.collect()
