@@ -156,6 +156,66 @@ object Similarity {
        |SELECT q_id, vec_id AS n_id, rk, cos_sim FROM ranked
        |WHERE rk <= $kNN ORDER BY q_id, rk""".stripMargin
 
+  // ------------------------------ C82 hard-negative mining
+  /** C82: HARD-NEGATIVE mining for contrastive training — the
+    * embedding-training data op (random in-batch negatives are too easy;
+    * training wants the most-similar examples of a DIFFERENT class —
+    * Karpukhin et al. 2020 DPR §3.2, Xiong et al. 2021 ANCE): per anchor
+    * (the query vectors with their labels), the top-5 corpus vectors by
+    * cosine among those whose label differs from the anchor's. Same
+    * normalized-dot doctrine as C6 (one codegen'd [[DotProduct]] per
+    * candidate, identical op order in both engines — doubles bit-exact);
+    * the label-mismatch predicate rides the broadcast-join condition, so
+    * same-class rows never materialize into the candidate stream. The
+    * anchor frame broadcasts (mining batches are small by construction);
+    * the per-anchor top-k window partitions by anchor. At 100 TB the
+    * candidate stream comes from the ANN family (C7/C14/C73) with the
+    * same label-mismatch predicate appended — this is the exactness
+    * baseline that gates those shortcuts.
+    */
+  private val c82K = 5
+
+  def c82HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+      .select(col("vec_id"), col("label"),
+        expr("transform(v, x -> x / nrm)").as("nv"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("nv").as("qnv"))
+    val corpus = e.where(col("vec_id") >= nQueries)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        col("label").as("n_label"),
+        DotProduct(col("qnv"), col("nv")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= c82K)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("n_label"), col("rk"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val c82Sql: String =
+    s"""WITH prep AS (
+       |  SELECT vec_id, label, list_transform(v, x -> x / nrm) AS nv
+       |  FROM (SELECT vec_id, label, v, sqrt(${norm2Duck("v")}) AS nrm
+       |        FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings))),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, nv AS qnv
+       |      FROM prep WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q_id, q_label, vec_id, label AS n_label,
+       |    ${nvDotDuck("qnv", "nv")} AS cos_sim
+       |  FROM prep JOIN q ON label <> q_label WHERE vec_id >= $nQueries),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rk FROM scored)
+       |SELECT q_id, q_label, vec_id AS n_id, n_label, rk, cos_sim
+       |FROM ranked WHERE rk <= $c82K ORDER BY q_id, rk""".stripMargin
+
   // --------------------------------------------- C7 LSH-bucketed ANN
   def c7AnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = prepared(s, d)
@@ -1096,7 +1156,8 @@ object Similarity {
     "c33_ann_ivf_pq"     -> (c33AnnIvfPq _),
     "c34_ann_pq_rerank"  -> (c34AnnPqRerank _),
     "c35_ann_pq_residual" -> (c35AnnPqResidual _),
-    "c73_ann_matryoshka" -> (c73AnnMatryoshka _)
+    "c73_ann_matryoshka" -> (c73AnnMatryoshka _),
+    "c82_hard_negatives" -> (c82HardNegatives _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1110,6 +1171,7 @@ object Similarity {
     "c33_ann_ivf_pq"     -> c33Sql,
     "c34_ann_pq_rerank"  -> c34Sql,
     "c35_ann_pq_residual" -> c35Sql,
-    "c73_ann_matryoshka" -> c73Sql
+    "c73_ann_matryoshka" -> c73Sql,
+    "c82_hard_negatives" -> c82Sql
   )
 }

