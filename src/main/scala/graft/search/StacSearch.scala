@@ -2231,23 +2231,41 @@ object StacSearch {
     * patch path reads JSON documents, as the reference's transaction API
     * does.
     */
-  def a68MergePatch(s: SparkSession, d: String): DataFrame =
+  /** The changelog revision frame A68 (and streaming D34) merge: one row
+    * per revision with the property payloads; the carried/delete classes
+    * derive from id_num inside [[a68PatchAggs]].
+    */
+  private[graft] def a68Revisions(s: SparkSession, d: String): DataFrame =
     items(s, d)
       .where(col("collection").isin("click", "view"))
       .select(col("collection"), expr("id_num DIV 3").as("grp"), col("id_num"),
         col("value"), col("lat"),
         expr("CAST(get_json_object(props, '$.k') AS INT)").as("k"))
-      .groupBy(col("collection"), col("grp"))
-      .agg(count(lit(1)).as("n_revisions"),
-        max(when(expr("id_num % 2 = 0"),
-          struct(col("id_num"), col("value")))).as("mv"),
-        max(when(expr("id_num % 3 <> 1"),
-          struct(col("id_num"),
-            when(expr("id_num % 9 <> 8"), col("k")).as("k")))).as("mk"),
-        max(struct(col("id_num"), col("lat"))).as("ml"))
-      .select(col("collection"), col("grp"), col("n_revisions"),
-        col("mv.value").as("value"), col("mk.k").as("k"), col("ml.lat").as("lat"))
+
+  /** Per-field LWW cells — each a commutative monoid, so partials from
+    * any split of the revision set (map-side combines, micro-batches)
+    * re-merge to the same answer. Shared verbatim with D34's streaming
+    * maintenance so live and batch serving cannot disagree.
+    */
+  private[graft] def a68PatchAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_revisions"),
+    max(when(expr("id_num % 2 = 0"),
+      struct(col("id_num"), col("value")))).as("mv"),
+    max(when(expr("id_num % 3 <> 1"),
+      struct(col("id_num"),
+        when(expr("id_num % 9 <> 8"), col("k")).as("k")))).as("mk"),
+    max(struct(col("id_num"), col("lat"))).as("ml"))
+
+  /** Read the merged property cells off — shared by A68 and D34. */
+  private[graft] def a68Serve(merged: DataFrame): DataFrame =
+    merged.select(col("collection"), col("grp"), col("n_revisions"),
+      col("mv.value").as("value"), col("mk.k").as("k"), col("ml.lat").as("lat"))
       .orderBy(col("collection"), col("grp"))
+
+  def a68MergePatch(s: SparkSession, d: String): DataFrame =
+    a68Serve(a68Revisions(s, d)
+      .groupBy(col("collection"), col("grp"))
+      .agg(a68PatchAggs.head, a68PatchAggs.tail: _*))
 
   val a68Sql: String = Tables.withItems(
     """SELECT collection, grp, n_revisions,

@@ -770,6 +770,39 @@ object StreamDedup {
     out.iterator
   }
 
+  // ---------- D34: streaming PATCH-LOG serving (A68 live)
+  /** D34: the live merge-patch catalog — A68's per-field LWW merge
+    * maintained by a changelog stream: each micro-batch appends its
+    * per-scene PARTIAL (one max(version, value) cell per property +
+    * a revision-count partial, built by the SAME [[graft.search
+    * .StacSearch.a68PatchAggs]] expressions as batch serving, so live
+    * and batch cannot disagree), and serving re-merges the partials.
+    * Per-field LWW is a commutative monoid, so partials-of-partials
+    * equal the one-shot merge no matter how batches split a scene —
+    * the spec splits every full scene across batches, delete revisions
+    * crossing batch boundaries included. State lives AT REST as
+    * appended parquet (D11's shape) keyed by scene — no driver-side
+    * map; folding the pile back to one row per scene is B26's
+    * compaction, unchanged.
+    */
+  def appendPatchBatch(batch: DataFrame, root: String): Unit =
+    batch.groupBy(col("collection"), col("grp"))
+      .agg(graft.search.StacSearch.a68PatchAggs.head,
+        graft.search.StacSearch.a68PatchAggs.tail: _*)
+      .write.mode("append").parquet(root)
+
+  /** Merge-on-read serving: re-merge the appended partials with the
+    * same monoids (sum for the count, struct-max per property cell)
+    * and read the cells off with the batch path's projection.
+    */
+  def servedPatchCatalog(s: SparkSession, root: String): DataFrame =
+    graft.search.StacSearch.a68Serve(
+      s.read.parquet(root)
+        .groupBy(col("collection"), col("grp"))
+        .agg(sum(col("n_revisions")).as("n_revisions"),
+          max(col("mv")).as("mv"), max(col("mk")).as("mk"),
+          max(col("ml")).as("ml")))
+
   // ---------- D33: streaming SEARCH-INDEX maintenance (C78 live)
   /** D33: the live inverted index — C78's postings maintained by a
     * document stream (D11's foreachBatch shape on search state): each

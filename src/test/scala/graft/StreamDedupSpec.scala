@@ -514,6 +514,29 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D34: stream-maintained patch catalog — served per-field LWW merge " +
+      "equals batch A68 exactly, scenes and deletes split across batches") {
+    import org.apache.spark.sql.functions._
+    val revs = graft.search.StacSearch.a68Revisions(s, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_d34").toString
+    // id_num % 3 splits every full scene (scene = id_num DIV 3 groups
+    // consecutive ids) — so the LWW merge must cross batch boundaries,
+    // and the ≡8-mod-9 delete revisions land in a different batch than
+    // the ≡0-mod-3 carriers they supersede
+    (0 until 3).foreach { b =>
+      StreamDedup.appendPatchBatch(revs.where(col("id_num") % 3 === b), root)
+    }
+    val served = StreamDedup.servedPatchCatalog(s, root).collect().map(_.toString).toSeq
+    val batch = graft.search.StacSearch.queries("a68_merge_patch")(s, sf)
+      .collect().map(_.toString).toSeq
+    assert(served == batch,
+      s"served-only: ${served.diff(batch).take(3)}; batch-only: ${batch.diff(served).take(3)}")
+    assert(served.nonEmpty)
+    // the partial pile really holds multiple rows per scene (merge bites)
+    val partials = s.read.parquet(root)
+    assert(partials.count() > served.length, "scenes must split across partials")
+  }
+
   test("D33: stream-maintained search index — served ranking equals the " +
       "batch-built index bit for bit, scores included") {
     import org.apache.spark.sql.functions._
