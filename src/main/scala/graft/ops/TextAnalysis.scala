@@ -1815,7 +1815,7 @@ object TextAnalysis {
     * (partial per-partition heaps) replaces the full sort — the rank
     * form is the semantics contract both share.
     */
-  private val c63K = 25
+  private[graft] val c63K = 25
 
   def c63ExactKSample(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

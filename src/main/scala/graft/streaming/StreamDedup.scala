@@ -770,6 +770,56 @@ object StreamDedup {
     out.iterator
   }
 
+  // ---------- D35: streaming EXACT-K sampling (C63 live)
+  /** One arriving document: its stratum and the C63 md5-lane rank key. */
+  case class ResIn(source: String, doc_id: Long, hv: Long)
+  case class ResMember(hv: Long, doc_id: Long)
+  case class ResState(n_seen: Long, members: Seq[ResMember])
+  case class ResOut(source: String, n_seen: Long, rk: Long, doc_id: Long)
+
+  /** D35: the live eval-set sample — C63's exact-k-per-stratum sample
+    * maintained over an unbounded document stream with CONSTANT state:
+    * per source, the k members with the smallest (hv, doc_id) seen so
+    * far (a bounded deterministic reservoir — "keep the k smallest
+    * hashes" is order-independent, so the converged sample equals batch
+    * C63 over the same rows NO MATTER how arrival interleaves, unlike
+    * Vitter's algorithm R whose sample is a function of arrival order
+    * and RNG state; determinism is the restart-stability contract every
+    * other sampling decision in the suite already honors). State is
+    * k members + one counter per stratum — O(k·|sources|), independent
+    * of stream length. Each batch emits the stratum's CURRENT sample
+    * stamped with n_seen (monotone), so serving reads the max-n_seen
+    * emission per source; at rest this is B25's latest-wins.
+    */
+  private def reservoirFlat(k: Int)(source: String, rows: Iterator[ResIn],
+      state: GroupState[ResState]): Iterator[ResOut] = {
+    val st = state.getOption.getOrElse(ResState(0L, Nil))
+    val incoming = rows.toVector
+    val members = (st.members.toVector ++ incoming.map(r => ResMember(r.hv, r.doc_id)))
+      .sortBy(m => (m.hv, m.doc_id)).take(k)
+    val n = st.n_seen + incoming.length
+    state.update(ResState(n, members))
+    members.iterator.zipWithIndex.map { case (m, i) =>
+      ResOut(source, n, i + 1L, m.doc_id)
+    }
+  }
+
+  /** The C63 rank-key expression routed per stratum — same md5 lane as
+    * the batch gate, so stream and batch cannot disagree.
+    */
+  def exactKSampleStream(s: SparkSession, stream: DataFrame,
+      k: Int = graft.ops.TextAnalysis.c63K): Dataset[ResOut] = {
+    import s.implicits._
+    stream
+      .select(col("source"), col("doc_id"),
+        expr(graft.ops.TextExprs.h64Spark("concat('ek:', CAST(doc_id AS STRING))"))
+          .as("hv"))
+      .as[ResIn]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        reservoirFlat(k))
+  }
+
   // ---------- D34: streaming PATCH-LOG serving (A68 live)
   /** D34: the live merge-patch catalog — A68's per-field LWW merge
     * maintained by a changelog stream: each micro-batch appends its

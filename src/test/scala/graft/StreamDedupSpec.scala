@@ -10,6 +10,7 @@ import graft.streaming.StreamDedup
 case class VecIn(vec_id: Long, ts: java.sql.Timestamp, v: Seq[Double])
 case class AnnStreamIn(kind: String, vec_id: Long, v: Seq[Double])
 case class DocStreamIn(source: String, text: String)
+case class SampleDocIn(source: String, doc_id: Long)
 
 class StreamDedupSpec extends AnyFunSuite {
   private val s = TestSpark.spark
@@ -511,6 +512,43 @@ class StreamDedupSpec extends AnyFunSuite {
         "SELECT rk, cos_sim FROM d31_ann WHERE q_id = 0 AND n_id = 999999").collect()
       assert(twin.length == 1 && twin(0).getInt(0) == 1 &&
         math.abs(twin(0).getDouble(1) - 1.0) < 1e-9, twin.mkString(","))
+    } finally q.stop()
+  }
+
+  test("D35: streaming exact-k sample — the converged reservoir equals " +
+      "batch C63 exactly, state stays bounded, arrival order irrelevant") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(s, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => SampleDocIn(r.getString(0), r.getLong(1)))
+    val mem = MemoryStream[SampleDocIn](s)
+    val q = StreamDedup.exactKSampleStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("d35_sample")
+      .outputMode("append").start()
+    try {
+      // adversarial arrival order: reverse doc_id, split into 3 batches
+      val shuffled = docs.sortBy(-_.doc_id)
+      shuffled.grouped((shuffled.length + 2) / 3).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val rows = s.sql("SELECT * FROM d35_sample").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // serving = the max-n_seen emission per source
+      val served: Set[(String, Long, Long)] = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val latest = g.map(_._2).max
+        g.filter(_._2 == latest).map(t => (t._1, t._3, t._4))
+      }.toSet
+      val batch = graft.ops.TextAnalysis.queries("c63_exact_k_sample")(s, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(served == batch,
+        s"served-only: ${served.diff(batch).take(3)}; batch-only: ${batch.diff(served).take(3)}")
+      // n_seen converges to the true per-source count; samples stay ≤ k
+      val counts = docs.groupBy(_.source).view.mapValues(_.length.toLong).toMap
+      rows.groupBy(_._1).foreach { case (src, g) =>
+        assert(g.map(_._2).max == counts(src))
+        g.groupBy(_._2).foreach { case (_, e) => assert(e.length <= 25) }
+      }
     } finally q.stop()
   }
 
