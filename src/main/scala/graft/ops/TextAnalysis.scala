@@ -872,6 +872,98 @@ object TextAnalysis {
        |  CAST((isq * 10000 // itot) * 10000 // (n_tokens * 10000 // tot) AS BIGINT) AS boost_bp
        |FROM t ORDER BY lang""".stripMargin
 
+  // ------------------------------- C83 robust length-outlier filter
+  /** C83: ROBUST length-outlier filtering — the median/MAD screen (Leys
+    * et al. 2013; the mean/stddev form breaks on exactly the corpora
+    * that need filtering, because the outliers poison the moments):
+    * per source, flag documents whose |len − median| exceeds 3×MAD
+    * (median absolute deviation). All-INTEGER: the median is the lower
+    * median (rank (n+1) DIV 2 under (len, doc_id) — deterministic under
+    * ties), MAD the same rank over deviations, so both engines agree
+    * bit-for-bit with no interpolation convention to reconcile. Shape:
+    * two shuffle+sort windows per source with the \|sources\|-row
+    * median/MAD frames broadcast back between them; at 100 TB the rank
+    * selection reads off B16's two-level histogram instead of a full
+    * sort — the rank form here is the shared semantics contract, same
+    * doctrine as C63.
+    */
+  private val c83MadMult = 3L
+
+  def c83LengthOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d).select(col("doc_id"), col("source"),
+      length(col("text")).cast("bigint").as("len"))
+    val wCnt = Window.partitionBy(col("source"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame =
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col(v), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(wCnt))
+        .where(col("rk") === expr("(n + 1) DIV 2"))
+        .select(col("source"), col(v).as(out))
+    val med = lowerMedian(base, "len", "med")
+    val dev = base.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("len") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("med")).as("med_chars"),
+        max(col("mad")).as("mad_chars"),
+        sum(when(col("dev") > col("mad") * c83MadMult, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
+  val c83Sql: String =
+    s"""WITH base AS (SELECT doc_id, source, CAST(len(text) AS BIGINT) AS len FROM documents),
+       |medr AS (SELECT source, len AS med FROM (
+       |  SELECT source, doc_id, len,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n FROM base) WHERE rk = (n + 1) // 2),
+       |dev AS (SELECT b.doc_id, b.source, abs(b.len - m.med) AS dev, m.med
+       |        FROM base b JOIN medr m USING (source)),
+       |madr AS (SELECT source, dev AS mad FROM (
+       |  SELECT source, doc_id, dev,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n FROM dev) WHERE rk = (n + 1) // 2)
+       |SELECT source, COUNT(*) AS n_docs, MAX(d.med) AS med_chars,
+       |  MAX(m.mad) AS mad_chars,
+       |  CAST(SUM(CASE WHEN d.dev > m.mad * $c83MadMult THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged
+       |FROM dev d JOIN madr m USING (source)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------- C84 templated-prefix detection
+  /** C84: BOILERPLATE-TEMPLATE detection — documents opening with an
+    * identical token prefix are template families (the "mirrored site /
+    * generated page" signal a crawl review reads before dedup thresholds
+    * are tuned; C1 catches whole-document copies, this catches shared
+    * SCAFFOLDING with divergent bodies): group by the exact first-8-word
+    * prefix, keep families with ≥ 2 members, report family size and the
+    * id span. ONE map-side-combined aggregate — the shuffle carries
+    * \|distinct prefixes\| partials (at 100 TB the group key is the
+    * prefix's 64-bit hash and the family list feeds C2's verifier, same
+    * candidate-then-verify doctrine as every near-dup path).
+    */
+  private val c84PrefixWords = 8
+
+  def c84TemplatePrefixes(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        expr(s"array_join(slice($wordsSpark, 1, $c84PrefixWords), ' ')").as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("prefix"))
+
+  val c84Sql: String =
+    s"""SELECT prefix, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM (SELECT doc_id,
+       |        array_to_string(string_split(text, ' ')[1:$c84PrefixWords], ' ') AS prefix
+       |      FROM documents)
+       |GROUP BY prefix HAVING COUNT(*) >= 2 ORDER BY prefix""".stripMargin
+
   // ------------------------- C60 per-source score calibration cut
   /** C60: PER-SOURCE quality-threshold calibration — a single global
     * classifier cutoff over heterogeneous sources keeps whatever the
@@ -2240,6 +2332,8 @@ object TextAnalysis {
     "c59_mixture_materialize" -> (c59MixtureMaterialize _),
     "c80_blocklist_filter" -> (c80BlocklistFilter _),
     "c81_temperature_mix" -> (c81TemperatureMix _),
+    "c83_length_outliers" -> (c83LengthOutliers _),
+    "c84_template_prefixes" -> (c84TemplatePrefixes _),
     "c60_calibrated_cut" -> (c60CalibratedCut _),
     "c62_snapshot_diff" -> (c62SnapshotDiff _),
     "c63_exact_k_sample" -> (c63ExactKSample _),
@@ -2286,6 +2380,8 @@ object TextAnalysis {
     "c59_mixture_materialize" -> c59Sql,
     "c80_blocklist_filter" -> c80Sql,
     "c81_temperature_mix" -> c81Sql,
+    "c83_length_outliers" -> c83Sql,
+    "c84_template_prefixes" -> c84Sql,
     "c60_calibrated_cut" -> c60Sql,
     "c62_snapshot_diff" -> c62Sql,
     "c63_exact_k_sample" -> c63Sql,

@@ -303,6 +303,46 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(tgt > rest, s"target mean/token $tgt !> rest $rest")
   }
 
+  test("c83: length outliers — median/MAD recompute exactly, flags match, " +
+      "and the robust screen actually fires somewhere") {
+    val lens = core.Tables.documents(s, sf)
+      .selectExpr("source", "doc_id", "CAST(length(text) AS BIGINT) AS len")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val rows = ops.TextAnalysis.queries("c83_length_outliers")(s, sf).collect()
+    var fired = 0L
+    rows.foreach { r =>
+      val g = lens(r.getString(0)).sortBy(t => (t._3, t._2))
+      val med = g((g.length + 1) / 2 - 1)._3
+      val devs = g.map(t => (math.abs(t._3 - med), t._2)).sortBy(identity)
+      val mad = devs((devs.length + 1) / 2 - 1)._1
+      assert(r.getLong(2) == med, s"${r.getString(0)} median")
+      assert(r.getLong(3) == mad, s"${r.getString(0)} mad")
+      val flagged = devs.count(_._1 > mad * 3)
+      assert(r.getLong(4) == flagged, s"${r.getString(0)} flags")
+      fired += flagged
+    }
+    assert(fired > 0, "the screen must fire on the fixture")
+    assert(fired < lens.values.map(_.length).sum / 10, "and flag a minority")
+  }
+
+  test("c84: template families are exactly the docs sharing a first-8-word " +
+      "prefix, singletons excluded, multi-member families exist") {
+    val fams = ops.TextAnalysis.queries("c84_template_prefixes")(s, sf).collect()
+    val prefixes = core.Tables.documents(s, sf)
+      .selectExpr("doc_id", "array_join(slice(split(text, ' '), 1, 8), ' ') AS p")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(fams.nonEmpty, "fixture must contain template families")
+    fams.foreach { f =>
+      val members = prefixes(f.getString(0))
+      assert(f.getLong(1) == members.length && members.length >= 2, f.toString)
+      assert(f.getLong(2) == members.min && f.getLong(3) == members.max, f.toString)
+    }
+    val expected = prefixes.count(_._2.length >= 2)
+    assert(fams.length == expected, s"${fams.length} != $expected families")
+  }
+
   test("c80: blocklist drop accounting — dropped docs are exactly those " +
       "containing a blocklisted token, absent list entries hit nothing") {
     import org.apache.spark.sql.functions._
