@@ -433,4 +433,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.split('\n').exists(l => l.contains("PushedFilters") &&
       l.contains("value")), p)
   }
+
+  test("a68: merge patch — one aggregate merge (no Window, no Join), " +
+      "partial per-field max below the scene shuffle, collections pushed") {
+    val p = plan(StacSearch.queries("a68_merge_patch")(s, sf))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // the per-field LWW cells map-side combine (partial_max on structs)
+    assert(p.contains("partial_max"), p)
+    assert(p.split('\n').exists(l => l.contains("PushedFilters") &&
+      l.contains("event_type")), p)
+  }
+
+  test("c80/c84: one map-side-combined aggregate each — partial counts " +
+      "below the group shuffle, no join") {
+    val p80 = plan(graft.ops.TextAnalysis.queries("c80_blocklist_filter")(s, sf))
+    assert(p80.contains("partial_count") && !p80.contains("Join"), p80)
+    val p84 = plan(graft.ops.TextAnalysis.queries("c84_template_prefixes")(s, sf))
+    assert(p84.contains("partial_count") && !p84.contains("Join"), p84)
+    assert(p84.contains("partial_min") && p84.contains("partial_max"), p84)
+  }
+
+  test("c82: hard negatives — anchors broadcast; no Exchange input carries " +
+      "a vector column (ids and one double on the wire)") {
+    val df = graft.ops.Similarity.queries("c82_hard_negatives")(s, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p)
+    // the window's shuffle input must be scalars only — nv/qnv stay
+    // below the broadcast join, never enter a shuffle
+    val exchanges = p.split('\n').filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(l => l.contains("nv#") || l.contains("qnv#")), p)
+  }
 }
