@@ -895,6 +895,60 @@ object Dedup {
        |    ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
        |FROM j ORDER BY doc_id""".stripMargin
 
+  // --------------------------- C85 duplication cap (keep best k)
+  /** C85: DUPLICATION CAP — C36's keep-one generalized to keep-at-most-k
+    * (Muennighoff et al. 2023, data-constrained scaling: repeating data
+    * a few epochs is nearly as good as fresh data, so when the corpus is
+    * the bottleneck a pipeline keeps UP TO k near-dup copies instead of
+    * deduplicating to one; the cap bounds boilerplate flood while
+    * retaining repeat value): per C18 cluster, members rank by (quality
+    * desc, doc_id) and the top [[c85CapK]] survive; singletons (C36's
+    * coalesce) trivially survive. Output carries the cluster size and
+    * the member's rank so the mixture accounting (C61) can weight
+    * retained copies. Same frame sizes as C36 — the cluster frame ≪
+    * corpus, the window partitions by cluster, never global.
+    */
+  private val c85CapK = 2
+
+  def c85DupCap(s: SparkSession, d: String): DataFrame = {
+    val clusters = c18DupClusters(s, d)
+    val quality = TextAnalysis.c9TextQuality(s, d)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val wc = Window.partitionBy(col("cluster"))
+    quality.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"), col("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("copies", count(lit(1)).over(wc))
+      .withColumn("keep", (col("rk") <= c85CapK).cast("int"))
+      .select(col("doc_id"), col("cluster"), col("copies"), col("rk"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c85Sql: String =
+    s"""WITH RECURSIVE $c2PairsCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM c2pairs
+       |          UNION SELECT d2, d1 FROM c2pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |clus AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+       |q AS (SELECT doc_id, quality FROM (
+       |${TextAnalysis.c9Sql.stripSuffix("ORDER BY doc_id")})),
+       |j AS (
+       |  SELECT q.doc_id AS doc_id, COALESCE(c.cluster, q.doc_id) AS cluster, q.quality
+       |  FROM q LEFT JOIN clus c ON q.doc_id = c.doc_id)
+       |SELECT doc_id, cluster,
+       |  COUNT(*) OVER (PARTITION BY cluster) AS copies,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+       |    ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY cluster
+       |    ORDER BY quality DESC, doc_id) <= $c85CapK THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+
   // ------------------------------- C61 dedup-funnel accounting
   /** C61: the DEDUP FUNNEL readout — how many documents and tokens each
     * source contributes raw, after exact dedup, and after near-dup rep
@@ -1470,6 +1524,7 @@ object Dedup {
     "c5_dedup_embedding" -> (c5DedupEmbedding _),
     "c18_dup_clusters"   -> (c18DupClusters _),
     "c36_cluster_reps"   -> (c36ClusterReps _),
+    "c85_dup_cap"        -> (c85DupCap _),
     "c57_leakfree_split" -> (c57LeakFreeSplit _),
     "c61_dedup_funnel"   -> (c61DedupFunnel _),
     "c64_cluster_stats"  -> (c64ClusterStats _),
@@ -1494,6 +1549,7 @@ object Dedup {
     "c5_dedup_embedding" -> c5Sql,
     "c18_dup_clusters"   -> c18Sql,
     "c36_cluster_reps"   -> c36Sql,
+    "c85_dup_cap"        -> c85Sql,
     "c57_leakfree_split" -> c57Sql,
     "c61_dedup_funnel"   -> c61Sql,
     "c64_cluster_stats"  -> c64Sql,

@@ -303,6 +303,26 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(tgt > rest, s"target mean/token $tgt !> rest $rest")
   }
 
+  test("c85: duplication cap — every cluster keeps exactly min(size, 2) " +
+      "members, keepers dominate on (quality, doc_id), C36's keeper is kept") {
+    val rows = ops.Dedup.queries("c85_dup_cap")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    rows.groupBy(_._2).foreach { case (cl, g) =>
+      assert(g.forall(_._3 == g.length), s"cluster $cl copies")
+      assert(g.count(_._5 == 1) == math.min(g.length, 2), s"cluster $cl kept")
+      // kept ranks are exactly the best ranks
+      assert(g.filter(_._5 == 1).map(_._4).sorted.toSeq ==
+        (1L to math.min(g.length, 2).toLong), s"cluster $cl ranks")
+    }
+    // the cap generalizes C36: its single keeper (rank 1) is always kept
+    val c36keep = ops.Dedup.queries("c36_cluster_reps")(s, sf).collect()
+      .filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    val rank1 = rows.filter(_._4 == 1L).map(_._1).toSet
+    assert(rank1 == c36keep)
+    // multi-member clusters exist so the cap actually bites
+    assert(rows.exists(r => r._3 > 2 && r._5 == 0), "a cluster must exceed the cap")
+  }
+
   test("c83: length outliers — median/MAD recompute exactly, flags match, " +
       "and the robust screen actually fires somewhere") {
     val lens = core.Tables.documents(s, sf)
