@@ -103,6 +103,38 @@ object StacSearch {
     s"""{"$$schema":"https://json-schema.org/draft/2020-12/schema","type":"object","properties":{$props}}"""
   }
 
+  /** A69 sortables: the Sort-extension companion of A21's queryables —
+    * the JSON document advertising which fields a client may pass to
+    * `sortby` (OGC API Records sortables / STAC sort conformance).
+    * Derived from the live schema like A21, with the honest contract:
+    * a field is sortable iff it is an ORDERABLE SCALAR the keyset-token
+    * codec can encode (string/integer/number/timestamp/boolean) — array,
+    * map, struct, and binary columns are omitted, so everything this
+    * document advertises actually pages correctly through the typed API
+    * (StacSearchSpec drives every advertised field through a search).
+    */
+  def sortables(df: DataFrame): String = {
+    import org.apache.spark.sql.types._
+    def jsonType(t: DataType): Option[String] = t match {
+      case _: StringType => Some("string")
+      case _: BooleanType => Some("boolean")
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => Some("integer")
+      case _: FloatType | _: DoubleType | _: DecimalType => Some("number")
+      case _: TimestampType | _: DateType => Some("string")
+      case _ => None // not orderable/tokenizable — not advertised
+    }
+    val props = df.schema.fields.flatMap { f =>
+      jsonType(f.dataType).map { jt =>
+        val fmt = f.dataType match {
+          case _: TimestampType | _: DateType => ""","format":"date-time""""
+          case _ => ""
+        }
+        s""""${f.name}":{"type":"$jt"$fmt}"""
+      }
+    }.mkString(",")
+    s"""{"$$schema":"https://json-schema.org/draft/2020-12/schema","type":"object","properties":{$props}}"""
+  }
+
   // --------------------------------------------------------- A1/A2/A3
   def a1ScanCollection(s: SparkSession, d: String): DataFrame =
     items(s, d).where(col("collection") === "click")

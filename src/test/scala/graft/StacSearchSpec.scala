@@ -97,6 +97,31 @@ class StacSearchSpec extends AnyFunSuite {
     assert(props.get("id_num").get("type").asText() == "integer")
   }
 
+  test("a69 sortables: every advertised field actually sorts and pages " +
+      "through the typed API; non-scalar columns are not advertised") {
+    import scala.jdk.CollectionConverters._
+    val withArray = Tables.items(s, sf)
+      .withColumn("tags", org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.lit("a")))
+    val node = new ObjectMapper().readTree(StacSearch.sortables(withArray))
+    val fields = node.get("properties").fieldNames.asScala.toSeq
+    assert(!fields.contains("tags"), "array columns must not be advertised")
+    assert(fields.contains("datetime") && fields.contains("value") &&
+      fields.contains("id"))
+    // drive each advertised field through a real sorted, paged search
+    fields.foreach { f =>
+      val r = graft.search.StacApi.search(s, sf, graft.search.SearchParams(
+        sortBy = Seq(graft.search.SortBy(f, desc = true)), limit = 5,
+        withCount = false))
+      assert(r.items.length == 5, s"sortable $f must serve a page")
+      assert(r.nextToken.isDefined, s"sortable $f must tokenize for paging")
+      val r2 = graft.search.StacApi.search(s, sf, graft.search.SearchParams(
+        sortBy = Seq(graft.search.SortBy(f, desc = true)), limit = 5,
+        token = r.nextToken, withCount = false))
+      assert(r2.items.length == 5, s"sortable $f page 2")
+    }
+  }
+
   test("resolveField handles properties.x / properties__x / x variants") {
     val schema = Seq("id", "value", "user_id")
     assert(StacSearch.resolveField("properties.value", schema).contains("value"))
