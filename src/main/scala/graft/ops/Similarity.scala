@@ -216,6 +216,104 @@ object Similarity {
        |SELECT q_id, q_label, vec_id AS n_id, n_label, rk, cos_sim
        |FROM ranked WHERE rk <= $c82K ORDER BY q_id, rk""".stripMargin
 
+  // ------------------------------ C86 class-geometry profile
+  /** C86: embedding CLASS-GEOMETRY profile — the separability readout
+    * run before trusting labels for stratified eval or training a
+    * classifier head on the embedding space (tight-to-own-centroid plus
+    * loose-to-global = separable classes; both tight = collapsed space;
+    * both loose = noisy labels): per label, the mean cosine of members
+    * to their OWN label centroid (cohesion) and to the GLOBAL centroid
+    * (the between-class reference). Numerics follow the c65 doctrine —
+    * dims quantize to integers (×2²⁰) so every sum is an exact BIGINT
+    * regardless of aggregation order; centroids are integer means
+    * (component DIV n, bounded back to 2²⁰ so the 64-term dot stays
+    * far from BIGINT overflow); the only doubles are one fixed-order
+    * sqrt/divide chain per row, floored to basis points before the
+    * final integer mean — hash-exact end to end. Shape: one
+    * |labels|·64-row centroid aggregate (map-side combined), collected
+    * and inlined as literal arrays into a second single-scan projection
+    * (C14's trained-artifact pattern — at 100 TB the centroid table is
+    * exactly what a k-means artifact is); the oracle recomputes
+    * centroids in CTEs and takes the join form of the same integer
+    * dots — two algorithms, one answer.
+    */
+  private val c86Q = 1L << 20
+
+  private def c86CosBp(dot: String, n2a: String, n2b: String): String =
+    s"CAST(FLOOR(CAST($dot AS DOUBLE) / (sqrt(CAST($n2a AS DOUBLE)) * " +
+      s"sqrt(CAST($n2b AS DOUBLE))) * 10000.0) AS BIGINT)"
+
+  def c86ClassGeometry(s: SparkSession, d: String): DataFrame = {
+    val qv = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          s"x -> CAST(FLOOR(x * $c86Q.0) AS BIGINT))").as("q"))
+    val sums = qv
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val dims = 64
+    val byLabel: Map[Int, (Array[Long], Long)] =
+      sums.groupBy(_.getInt(0)).map { case (l, rs) =>
+        val a = new Array[Long](dims)
+        rs.foreach(r => a(r.getInt(1)) = r.getLong(2))
+        l -> (a, rs.head.getLong(3))
+      }
+    val totalN = byLabel.values.map(_._2).sum
+    val globalMean = Array.tabulate(dims) { i =>
+      Math.floorDiv(byLabel.values.map(_._1(i)).sum, totalN)
+    }
+    def arrLit(a: Array[Long]) = s"array(${a.mkString("L,")}L)"
+    val centCase = "CASE label " + byLabel.toSeq.sortBy(_._1).map {
+      case (l, (a, n)) =>
+        s"WHEN $l THEN ${arrLit(a.map(x => Math.floorDiv(x, n)))}"
+    }.mkString(" ") + " END"
+    val dot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    qv.withColumn("c", expr(centCase))
+      .withColumn("g", expr(arrLit(globalMean)))
+      .select(col("label"),
+        expr(c86CosBp(dot("q", "c"), dot("q", "q"), dot("c", "c"))).as("own_bp"),
+        expr(c86CosBp(dot("q", "g"), dot("q", "q"), dot("g", "g"))).as("glob_bp"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("SUM(own_bp) DIV COUNT(1)").as("cohesion_bp"),
+        expr("SUM(glob_bp) DIV COUNT(1)").as("global_bp"))
+      .orderBy(col("label"))
+  }
+
+  val c86Sql: String = {
+    val q = s"list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * $c86Q.0) AS BIGINT))"
+    s"""WITH qv AS (SELECT vec_id, label, $q AS q FROM embeddings),
+       |ex AS (SELECT vec_id, label, k.dim AS dim, q[k.dim + 1] AS x
+       |       FROM qv, (SELECT unnest(range(0, 64)) AS dim) k),
+       |cent AS (SELECT label, dim, CAST(SUM(x) AS BIGINT) // COUNT(*) AS c
+       |         FROM ex GROUP BY label, dim),
+       |gcent AS (SELECT dim, CAST(SUM(x) AS BIGINT) // COUNT(*) AS g
+       |         FROM ex GROUP BY dim),
+       |dots AS (
+       |  SELECT e.vec_id, e.label,
+       |    CAST(SUM(e.x * c.c) AS BIGINT) AS dqc,
+       |    CAST(SUM(e.x * e.x) AS BIGINT) AS n2q,
+       |    CAST(SUM(c.c * c.c) AS BIGINT) AS n2c,
+       |    CAST(SUM(e.x * g.g) AS BIGINT) AS dqg,
+       |    CAST(SUM(g.g * g.g) AS BIGINT) AS n2g
+       |  FROM ex e
+       |  JOIN cent c ON e.label = c.label AND e.dim = c.dim
+       |  JOIN gcent g ON e.dim = g.dim
+       |  GROUP BY e.vec_id, e.label),
+       |scored AS (
+       |  SELECT label,
+       |    ${c86CosBp("dqc", "n2q", "n2c")} AS own_bp,
+       |    ${c86CosBp("dqg", "n2q", "n2g")} AS glob_bp
+       |  FROM dots)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(own_bp) // COUNT(*) AS BIGINT) AS cohesion_bp,
+       |  CAST(SUM(glob_bp) // COUNT(*) AS BIGINT) AS global_bp
+       |FROM scored GROUP BY label ORDER BY label""".stripMargin
+  }
+
   // --------------------------------------------- C7 LSH-bucketed ANN
   def c7AnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = prepared(s, d)
@@ -1157,7 +1255,8 @@ object Similarity {
     "c34_ann_pq_rerank"  -> (c34AnnPqRerank _),
     "c35_ann_pq_residual" -> (c35AnnPqResidual _),
     "c73_ann_matryoshka" -> (c73AnnMatryoshka _),
-    "c82_hard_negatives" -> (c82HardNegatives _)
+    "c82_hard_negatives" -> (c82HardNegatives _),
+    "c86_class_geometry" -> (c86ClassGeometry _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1172,6 +1271,7 @@ object Similarity {
     "c34_ann_pq_rerank"  -> c34Sql,
     "c35_ann_pq_residual" -> c35Sql,
     "c73_ann_matryoshka" -> c73Sql,
-    "c82_hard_negatives" -> c82Sql
+    "c82_hard_negatives" -> c82Sql,
+    "c86_class_geometry" -> c86Sql
   )
 }

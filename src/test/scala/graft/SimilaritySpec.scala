@@ -206,6 +206,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("c86: class geometry — every label coheres to its own centroid more " +
+      "than to the global centroid, counts cover the corpus") {
+    val rows = Similarity.queries("c86_class_geometry")(s, sf).collect()
+    assert(rows.length >= 2, "several labels expected")
+    rows.foreach { r =>
+      assert(r.getLong(2) > r.getLong(3),
+        s"label ${r.getInt(0)}: cohesion ${r.getLong(2)} !> global ${r.getLong(3)}")
+      assert(r.getLong(2) > 0 && r.getLong(2) <= 10000, r.toString)
+    }
+    val total = graft.core.Tables.embeddings(s, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
         "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual",
