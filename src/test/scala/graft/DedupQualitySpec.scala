@@ -303,6 +303,30 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(tgt > rest, s"target mean/token $tgt !> rest $rest")
   }
 
+  test("c81 isqrt law: the ±1-corrected floor(sqrt(double)) is exactly ⌊√n⌋ " +
+      "over randomized longs incl. perfect squares and off-by-one neighbors") {
+    import s.implicits._
+    val rng = new scala.util.Random(81)
+    // mix magnitudes up to 10^15 (corpus-token scale; the c81 doctrine's
+    // stated domain) and adversarial k², k²±1 values where the double
+    // rounds closest to the boundary
+    val raw = Seq.fill(400)(math.abs(rng.nextLong()) % 1000000000000000L) ++
+      Seq.fill(200) { val k = math.abs(rng.nextLong()) % 31622776L
+        Seq(k * k, k * k - 1, k * k + 1) }.flatten.filter(_ >= 0) ++
+      Seq(0L, 1L, 2L, 3L, 4L)
+    val got = raw.toDF("n_tokens")
+      .selectExpr("n_tokens",
+        "CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS r0")
+      .selectExpr("n_tokens",
+        "r0 + (CASE WHEN (r0+1)*(r0+1) <= n_tokens THEN 1 ELSE 0 END)" +
+          " - (CASE WHEN r0*r0 > n_tokens THEN 1 ELSE 0 END) AS isq")
+      .collect()
+    got.foreach { r =>
+      val (n, isq) = (r.getLong(0), r.getLong(1))
+      assert(isq * isq <= n && (isq + 1) * (isq + 1) > n, s"isqrt($n) = $isq")
+    }
+  }
+
   test("c85: duplication cap — every cluster keeps exactly min(size, 2) " +
       "members, keepers dominate on (quality, doc_id), C36's keeper is kept") {
     val rows = ops.Dedup.queries("c85_dup_cap")(s, sf).collect()

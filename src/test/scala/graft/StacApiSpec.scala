@@ -249,6 +249,40 @@ class StacApiSpec extends AnyFunSuite {
     assert(deleteBites > 0, "fixture must exercise the null-delete path")
   }
 
+  test("a68 merge law: the per-field LWW monoid equals a sequential RFC 7396 " +
+      "fold over randomized patch logs, any batch split") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7396)
+    // random revision logs: (scene, version, carriesA?, aValue-or-null-delete)
+    case class Rev(scene: Long, version: Long, carries: Boolean, del: Boolean, v: Double)
+    val revs = (0L until 120L).flatMap { sc =>
+      (0 until 1 + rng.nextInt(6)).map { i =>
+        Rev(sc, i.toLong, rng.nextBoolean(), rng.nextBoolean(), rng.nextDouble())
+      }
+    }
+    // reference semantics: fold patches in version order — a carrying
+    // revision overwrites the field (null if delete), others leave it
+    val expected: Map[Long, Option[Double]] = revs.groupBy(_.scene).map {
+      case (sc, g) =>
+        sc -> g.sortBy(_.version).foldLeft(Option.empty[Double]) { (acc, r) =>
+          if (!r.carries) acc else if (r.del) None else Some(r.v)
+        }
+    }
+    // the monoid form (A68's aggregate shape) over the same rows
+    val got = revs.map(r => (r.scene, r.version, r.carries, r.del, r.v))
+      .toDF("scene", "version", "carries", "del", "v")
+      .groupBy(col("scene"))
+      .agg(max(when(col("carries"),
+        struct(col("version"), when(!col("del"), col("v")).as("v")))).as("m"))
+      .select(col("scene"), col("m.v").as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == expected)
+    // both outcomes non-vacuous under the random log
+    assert(expected.values.exists(_.isEmpty) && expected.values.exists(_.nonEmpty))
+  }
+
   test("collections directory: static metadata broadcast-joined onto derived extents") {
     val dir = StacApi.collections(s, sf)
     val rows = dir.collect()
