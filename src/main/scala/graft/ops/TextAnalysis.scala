@@ -872,6 +872,64 @@ object TextAnalysis {
        |  CAST((isq * 10000 // itot) * 10000 // (n_tokens * 10000 // tot) AS BIGINT) AS boost_bp
        |FROM t ORDER BY lang""".stripMargin
 
+  // ------------------------------- C87 compression-ratio quality proxy
+  /** C87: COMPRESSION-RATIO quality scoring — zlib's ratio as the
+    * information-density proxy quality pipelines use alongside the rule
+    * batteries (templated/repetitive text compresses far below prose,
+    * random garble barely compresses; BOTH tails get reviewed — the
+    * signal behind "drop documents with extreme compression ratio" in
+    * web-corpus curation): per document, DEFLATE (fixed level 6) the
+    * UTF-8 text in a batched mapPartitions pass — the Deflater is JVM
+    * machinery a Catalyst expression can't host, the same justification
+    * as C12's ImageIO; ONE Deflater per partition, reset per document,
+    * fixed scratch buffers. Report per source: docs, raw/compressed
+    * byte totals, the corpus ratio (bp, integer), and the extreme-tail
+    * counts under/over fixed ratio bounds. DEFLATE is deterministic for
+    * a fixed level + input; no SQL engine speaks zlib, so the gate is
+    * REGISTERED ROWS-ONLY and the spec carries the semantics instead:
+    * kernel contrast on constructed inputs (repetition ≪ prose ≪
+    * hex noise), and the full per-source aggregate recomputed from the
+    * standalone kernel over the collected corpus — pipeline ≡ kernel.
+    */
+  private[graft] def deflatedSize(text: String): Long = {
+    val defl = new java.util.zip.Deflater(6)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    defl.setInput(bytes); defl.finish()
+    val out = new Array[Byte](4096)
+    var total = 0L
+    while (!defl.finished()) total += defl.deflate(out)
+    defl.end()
+    total
+  }
+
+  def c87CompressionRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        val out = new Array[Byte](4096)
+        it.map { case (id, src, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset(); defl.setInput(bytes); defl.finish()
+          var comp = 0L
+          while (!defl.finished()) comp += defl.deflate(out)
+          (id, src, bytes.length.toLong, comp)
+        }
+      }
+    per.toDF("doc_id", "source", "raw_bytes", "comp_bytes")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_bytes")).as("raw_bytes"),
+        sum(col("comp_bytes")).as("comp_bytes"),
+        sum(when(expr("comp_bytes * 10000 DIV raw_bytes < 2000"), 1L)
+          .otherwise(0L)).as("n_too_compressible"),
+        sum(when(expr("comp_bytes * 10000 DIV raw_bytes > 9000"), 1L)
+          .otherwise(0L)).as("n_incompressible"))
+      .withColumn("ratio_bp", expr("comp_bytes * 10000 DIV raw_bytes"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------- C83 robust length-outlier filter
   /** C83: ROBUST length-outlier filtering — the median/MAD screen (Leys
     * et al. 2013; the mean/stddev form breaks on exactly the corpora
@@ -2333,6 +2391,7 @@ object TextAnalysis {
     "c80_blocklist_filter" -> (c80BlocklistFilter _),
     "c81_temperature_mix" -> (c81TemperatureMix _),
     "c83_length_outliers" -> (c83LengthOutliers _),
+    "c87_compression_ratio" -> (c87CompressionRatio _),
     "c84_template_prefixes" -> (c84TemplatePrefixes _),
     "c60_calibrated_cut" -> (c60CalibratedCut _),
     "c62_snapshot_diff" -> (c62SnapshotDiff _),

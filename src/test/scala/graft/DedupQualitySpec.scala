@@ -303,6 +303,36 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(tgt > rest, s"target mean/token $tgt !> rest $rest")
   }
 
+  test("c87: compression kernel orders repetition < prose < noise, and the " +
+      "per-source gate aggregate equals the standalone kernel's recompute") {
+    import ops.TextAnalysis.deflatedSize
+    // contrast pins on constructed inputs
+    val rep = Array.fill(200)("spark").mkString(" ")
+    val prose = core.Tables.documents(s, sf).selectExpr("text")
+      .orderBy("text").head().getString(0)
+    val rng = new scala.util.Random(87)
+    val noise = Seq.fill(2000)(rng.nextPrintableChar()).mkString
+    def bp(t: String) = deflatedSize(t) * 10000 / t.getBytes("UTF-8").length
+    assert(bp(rep) < bp(prose) && bp(prose) < bp(noise),
+      s"${bp(rep)} / ${bp(prose)} / ${bp(noise)}")
+    // determinism
+    assert(deflatedSize(prose) == deflatedSize(prose))
+    // pipeline ≡ kernel: recompute the per-source aggregate
+    val docs = core.Tables.documents(s, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).view.mapValues { g =>
+      val raw = g.map(_._2.getBytes("UTF-8").length.toLong).sum
+      val comp = g.map(t => deflatedSize(t._2)).sum
+      (g.length.toLong, raw, comp, comp * 10000 / raw)
+    }.toMap
+    ops.TextAnalysis.queries("c87_compression_ratio")(s, sf).collect().foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((e._1, e._2, e._3)), r.toString)
+      assert(r.getAs[Long]("ratio_bp") == e._4, r.toString)
+    }
+  }
+
   test("c81 isqrt law: the ±1-corrected floor(sqrt(double)) is exactly ⌊√n⌋ " +
       "over randomized longs incl. perfect squares and off-by-one neighbors") {
     import s.implicits._
