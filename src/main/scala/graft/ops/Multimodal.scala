@@ -280,16 +280,129 @@ object Multimodal {
       |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
       |FROM ph ORDER BY doc_id""".stripMargin
 
+  // ----------------------- C88 audio waveform decode + frame features
+  /** C88: AUDIO payload pipeline — C12's multimodal contract extended to
+    * the second modality: payloads are REAL WAV files (RIFF container,
+    * 16-bit PCM mono, built and re-read through `javax.sound.sampled` —
+    * a real audio codec both directions, pure JVM), carried as an opaque
+    * binary column beside typed metadata, decoded in the same
+    * partition-local batched mapPartitions shape as C12 (a codec call
+    * is not a Catalyst expression). Features are what an audio curation
+    * pass reads: byte size, decoded sample rate and sample count, total
+    * energy (Σv², exact BIGINT), and 8 FRAME-SAMPLED absolute-amplitude
+    * sums (frame of sample i = `8·i DIV n` — the same contiguous
+    * blocking as C12's row blocks / C54's phash, so a frame-level
+    * perceptual hash composes the same way). The waveform is a
+    * deterministic sawtooth of (doc_id, i), so the oracle re-derives
+    * every feature AUDIO-FREE from the generative model (unnest over
+    * range(n)) — a lossy or misaligned encode→decode surfaces as a
+    * value mismatch, exactly C12's doctrine.
+    */
+  case class Audio(doc_id: Long, payload: Array[Byte], sample_rate: Int,
+                   n_samples: Int)
+  case class AudioFeatures(doc_id: Long, n_bytes: Int, sample_rate: Int,
+                           n_samples: Int, energy: Long, frame_abs: Array[Long])
+
+  private val c88Rate = 8000
+
+  def nSamplesOf(docId: Long): Int = ((docId % 997) + 400).toInt
+  def sampleOf(docId: Long, i: Int): Int =
+    (((docId * 31 + i.toLong * 7) % 2001) - 1000).toInt
+
+  /** Synthesize a real WAV: canonical 44-byte RIFF header + PCM16LE. */
+  def makeWav(docId: Long, n: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(c88Rate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sampleOf(docId, i)
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` parses the RIFF
+    * container and hands back format + PCM frames.
+    */
+  def decodeWav(a: Audio): AudioFeatures = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(a.payload))
+    val fmt = ais.getFormat
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    var energy = 0L
+    val frames = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      val v = (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort.toLong
+      energy += v * v
+      frames(8 * i / n) += math.abs(v)
+      i += 1
+    }
+    AudioFeatures(a.doc_id, a.payload.length, fmt.getSampleRate.toInt, n,
+      energy, frames)
+  }
+
+  /** Audio table staged as parquet — same production shape as
+    * [[mediaParquet]]: payload is a stored BYTE_ARRAY column, queries
+    * against it measure decode cost, not synthesis.
+    */
+  def audioParquet(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val path = s"/tmp/graft_audio_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val n = nSamplesOf(id)
+            Audio(id, makeWav(id, n), c88Rate, n)
+          }
+        }.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  def c88AudioDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioParquet(s, d).as[Audio]
+      .mapPartitions(_.grouped(64).flatMap(_.iterator.map(decodeWav)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val c88Sql: String =
+    """WITH ids AS (SELECT doc_id, (doc_id % 997) + 400 AS n FROM documents),
+      |sm AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+      |         CAST(((doc_id * 31 + i * 7) % 2001) - 1000 AS BIGINT) AS v
+      |       FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM ids)),
+      |agg AS (SELECT doc_id, MAX(n) AS n, SUM(v * v) AS energy
+      |        FROM sm GROUP BY doc_id),
+      |fr AS (SELECT doc_id, 8 * i // n AS f, CAST(SUM(ABS(v)) AS BIGINT) AS fa
+      |       FROM sm GROUP BY doc_id, 8 * i // n),
+      |fl AS (SELECT doc_id, list(fa ORDER BY f) AS frame_abs FROM fr GROUP BY doc_id)
+      |SELECT a.doc_id, CAST(44 + 2 * a.n AS INTEGER) AS n_bytes,
+      |  CAST(8000 AS INTEGER) AS sample_rate, CAST(a.n AS INTEGER) AS n_samples,
+      |  CAST(a.energy AS BIGINT) AS energy, f.frame_abs
+      |FROM agg a JOIN fl f USING (doc_id) ORDER BY a.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_multimodal" -> (c12Multimodal _),
     "c29_media_metadata" -> (c29MediaMetadata _),
-    "c54_perceptual_dedup" -> (c54PerceptualDedup _)
+    "c54_perceptual_dedup" -> (c54PerceptualDedup _),
+    "c88_audio_decode" -> (c88AudioDecode _)
   )
 
   val oracle: Map[String, String] = Map(
     "c12_multimodal" -> c12Sql,
     "c29_media_metadata" -> c29Sql,
-    "c54_perceptual_dedup" -> c54Sql
+    "c54_perceptual_dedup" -> c54Sql,
+    "c88_audio_decode" -> c88Sql
   )
 }

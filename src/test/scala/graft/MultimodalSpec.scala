@@ -96,4 +96,28 @@ class MultimodalSpec extends AnyFunSuite {
     val wide = hashOf(Multimodal.Media(id, Multimodal.makeImage(id, 60, h), 60, h))
     assert(narrow == wide, "3x-wider rendering of the same picture must collide")
   }
+
+  test("c88: WAV encode→decode is lossless — canonical 44-byte header, and " +
+      "the decoded features equal the generative model sample-by-sample") {
+    val id = 321L
+    val n = Multimodal.nSamplesOf(id)
+    val wav = Multimodal.makeWav(id, n)
+    assert(wav.length == 44 + 2 * n, s"canonical RIFF header expected: ${wav.length}")
+    // the REAL codec must hand back the model's samples bit-for-bit
+    val f = Multimodal.decodeWav(Multimodal.Audio(id, wav, 8000, n))
+    assert(f.sample_rate == 8000 && f.n_samples == n && f.n_bytes == wav.length)
+    var energy = 0L
+    val frames = new Array[Long](8)
+    (0 until n).foreach { i =>
+      val v = Multimodal.sampleOf(id, i).toLong
+      energy += v * v
+      frames(8 * i / n) += math.abs(v)
+    }
+    assert(f.energy == energy)
+    assert(f.frame_abs.toSeq == frames.toSeq)
+    // a truncated payload fails loudly, not silently
+    intercept[Exception] {
+      Multimodal.decodeWav(Multimodal.Audio(id, wav.take(20), 8000, n))
+    }
+  }
 }
