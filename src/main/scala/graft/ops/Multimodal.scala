@@ -391,18 +391,145 @@ object Multimodal {
       |  CAST(a.energy AS BIGINT) AS energy, f.frame_abs
       |FROM agg a JOIN fl f USING (doc_id) ORDER BY a.doc_id""".stripMargin
 
+  // ----------------------- C89 video container + frame sampling
+  /** C89: VIDEO payload pipeline — the third modality, and the one whose
+    * scale story is SELECTIVE decode (a video curation pass never
+    * decodes every frame; it samples): payloads are a length-prefixed
+    * frame container (magic + frame count + [len, BMP] per frame — the
+    * MJPEG shape with real per-frame ImageIO decode), and the operator
+    * decodes ONLY every stride-th frame, `skipBytes` over the rest — the
+    * container's length prefixes are what make skipping O(1) per
+    * unsampled frame, which is the whole point of the layout. Frame f
+    * of video doc_id is C12's image with id+f, so per-frame pixel sums
+    * inherit C12's closed form and the oracle re-derives everything
+    * VIDEO-FREE: frame count (read from the header, no decode), sampled
+    * count, sampled brightness total, and the max inter-sample
+    * brightness delta (the scene-cut signal shot-boundary detection
+    * thresholds). MultimodalSpec additionally pins that skipped frames
+    * are truly never decoded (a poisoned unsampled frame doesn't fail).
+    */
+  case class Video(doc_id: Long, payload: Array[Byte], n_frames: Int)
+  case class VideoFeatures(doc_id: Long, n_frames: Int, n_sampled: Int,
+                           sampled_sum: Long, max_cut: Long)
+
+  private val c89Magic = 0x47524656 // "GRFV"
+  private val c89Stride = 2
+
+  def nFramesOf(docId: Long): Int = ((docId % 12) + 4).toInt
+
+  def makeVideo(docId: Long): Array[Byte] = {
+    val w = widthOf(docId)
+    val h = heightOf(docId)
+    val bos = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(c89Magic)
+    val frames = nFramesOf(docId)
+    dos.writeInt(frames)
+    var f = 0
+    while (f < frames) {
+      val img = makeImage(docId + f, w, h)
+      dos.writeInt(img.length)
+      dos.write(img)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Selective decode: ImageIO only touches sampled frames; unsampled
+    * frames are skipped by their length prefix.
+    */
+  def decodeVideoSampled(v: Video, stride: Int = c89Stride): VideoFeatures = {
+    val dis = new java.io.DataInputStream(new ByteArrayInputStream(v.payload))
+    require(dis.readInt() == c89Magic, s"bad container for doc ${v.doc_id}")
+    val frames = dis.readInt()
+    var f = 0
+    var sampled = 0
+    var total = 0L
+    var prev = -1L
+    var maxCut = 0L
+    while (f < frames) {
+      val len = dis.readInt()
+      if (f % stride == 0) {
+        val buf = new Array[Byte](len)
+        dis.readFully(buf)
+        val img = ImageIO.read(new ByteArrayInputStream(buf))
+        require(img != null, s"undecodable frame $f for doc ${v.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += (px(i) >> 16) & 0xff; i += 1 }
+        total += sum
+        sampled += 1
+        if (prev >= 0) maxCut = math.max(maxCut, math.abs(sum - prev))
+        prev = sum
+      } else {
+        var left = len
+        while (left > 0) left -= dis.skipBytes(left)
+      }
+      f += 1
+    }
+    VideoFeatures(v.doc_id, frames, sampled, total, maxCut)
+  }
+
+  def videoParquet(s: SparkSession, d: String): DataFrame = synchronized {
+    import s.implicits._
+    val path = s"/tmp/graft_video_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id => Video(id, makeVideo(id), nFramesOf(id))))
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  def c89VideoSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoParquet(s, d).as[Video]
+      .mapPartitions(_.grouped(64).flatMap(_.iterator.map(v => decodeVideoSampled(v))))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame f's gray value at row y is (doc_id + f + y) % 256 — C12's
+    * closed form with a = (doc_id + f) % 256; sampled frames are
+    * range(0, F, stride).
+    */
+  val c89Sql: String =
+    """WITH m AS (SELECT doc_id, (doc_id % 64) + 16 AS w,
+      |             ((doc_id * 7) % 64) + 16 AS h, (doc_id % 12) + 4 AS nf
+      |           FROM documents),
+      |fr AS (SELECT doc_id, w, h, nf, CAST(f AS BIGINT) AS f,
+      |         (doc_id + f) % 256 AS a
+      |       FROM (SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS f FROM m)),
+      |su AS (SELECT doc_id, nf, f,
+      |         CAST(w * (h * a + h * (h - 1) // 2
+      |                   - 256 * GREATEST(0, a + h - 256)) AS BIGINT) AS fsum
+      |       FROM fr),
+      |de AS (SELECT doc_id, nf, fsum,
+      |         ABS(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY f)) AS d
+      |       FROM su)
+      |SELECT doc_id, CAST(MAX(nf) AS INTEGER) AS n_frames,
+      |  CAST(COUNT(*) AS INTEGER) AS n_sampled,
+      |  CAST(SUM(fsum) AS BIGINT) AS sampled_sum,
+      |  CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_cut
+      |FROM de GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_multimodal" -> (c12Multimodal _),
     "c29_media_metadata" -> (c29MediaMetadata _),
     "c54_perceptual_dedup" -> (c54PerceptualDedup _),
-    "c88_audio_decode" -> (c88AudioDecode _)
+    "c88_audio_decode" -> (c88AudioDecode _),
+    "c89_video_sample" -> (c89VideoSample _)
   )
 
   val oracle: Map[String, String] = Map(
     "c12_multimodal" -> c12Sql,
     "c29_media_metadata" -> c29Sql,
     "c54_perceptual_dedup" -> c54Sql,
-    "c88_audio_decode" -> c88Sql
+    "c88_audio_decode" -> c88Sql,
+    "c89_video_sample" -> c89Sql
   )
 }

@@ -120,4 +120,42 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeWav(Multimodal.Audio(id, wav.take(20), 8000, n))
     }
   }
+
+  test("c89: frame sampling decodes only sampled frames — a poisoned " +
+      "unsampled frame is skipped untouched, a poisoned sampled one fails") {
+    val id = 17L // nFramesOf(17) = 9 frames, samples 0,2,4,6,8
+    val payload = Multimodal.makeVideo(id)
+    val clean = Multimodal.decodeVideoSampled(Multimodal.Video(id, payload, 9))
+    assert(clean.n_frames == 9 && clean.n_sampled == 5)
+    // recompute from the generative model
+    val w = Multimodal.widthOf(id); val h = Multimodal.heightOf(id)
+    def frameSum(f: Int): Long = {
+      val a = (id + f) % 256
+      w.toLong * (h * a + h.toLong * (h - 1) / 2 - 256 * math.max(0, a + h - 256))
+    }
+    val sums = Seq(0, 2, 4, 6, 8).map(frameSum)
+    assert(clean.sampled_sum == sums.sum)
+    assert(clean.max_cut == sums.sliding(2).map(p => math.abs(p(1) - p(0))).max)
+    // poison frame 1 (unsampled): zero its BMP magic — decode must not care
+    def frameOffset(k: Int): Int = { // offset of frame k's data
+      var off = 8
+      (0 until k).foreach { _ =>
+        val len = java.nio.ByteBuffer.wrap(payload, off, 4).getInt
+        off += 4 + len
+      }
+      off + 4
+    }
+    val poisonedUnsampled = payload.clone()
+    poisonedUnsampled(frameOffset(1)) = 0
+    poisonedUnsampled(frameOffset(1) + 1) = 0
+    val still = Multimodal.decodeVideoSampled(Multimodal.Video(id, poisonedUnsampled, 9))
+    assert(still == clean, "unsampled frames must never reach the codec")
+    // poison frame 2 (sampled): must fail loudly
+    val poisonedSampled = payload.clone()
+    poisonedSampled(frameOffset(2)) = 0
+    poisonedSampled(frameOffset(2) + 1) = 0
+    intercept[Exception] {
+      Multimodal.decodeVideoSampled(Multimodal.Video(id, poisonedSampled, 9))
+    }
+  }
 }
