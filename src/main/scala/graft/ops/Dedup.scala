@@ -79,7 +79,7 @@ object Dedup {
   /** The distinct C2 candidate-pair set, unordered — shared by the C2
     * gate and C52's attribution matrix.
     */
-  private def c2Pairs(s: SparkSession, d: String): DataFrame =
+  private[ops] def c2Pairs(s: SparkSession, d: String): DataFrame =
     pairsFromBands(c2Bands(s, d))
 
   /** Per-document LSH band keys `(doc_id, band, bkey)` — C2's bucket

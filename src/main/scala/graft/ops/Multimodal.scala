@@ -516,13 +516,83 @@ object Multimodal {
       |  CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_cut
       |FROM de GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------- C90 cross-modal dedup agreement
+  /** C90: CROSS-MODAL duplication agreement — the signal-correlation
+    * readout before setting multimodal dedup policy (content farms
+    * repost the same text with the same image; a text-only or
+    * image-only match is a different phenomenon than both agreeing, and
+    * the policy for each differs): counts of (a) text near-dup
+    * candidate pairs (C2's LSH set), (b) those pairs where BOTH sides
+    * also share the C54 perceptual image hash, (c) all image-phash
+    * pairs (Σ C(n,2) over hash groups). Shape: the pair frame ≪ corpus
+    * joins the \|docs\|-row phash frame twice (broadcast at fixture
+    * scale; bucketed at 100 TB), image-pair counting is one aggregate
+    * over \|distinct hashes\| — no pairwise materialization. The phash
+    * side rides C54's one-pass decode; oracle = C2's CTE chain × C54's
+    * closed-form pixel model, composed — a drift in either signal
+    * breaks the agreement counts.
+    */
+  def c90CrossModalAgreement(s: SparkSession, d: String): DataFrame = {
+    val ph = featurize(s, d).toDF()
+      .select(col("doc_id"), c54Phash.as("phash"))
+    val pairs = graft.ops.Dedup.c2Pairs(s, d)
+    val joined = pairs
+      .join(broadcast(ph.select(col("doc_id").as("d1"), col("phash").as("p1"))), "d1")
+      .join(broadcast(ph.select(col("doc_id").as("d2"), col("phash").as("p2"))), "d2")
+    val textAgg = joined.agg(
+      count(lit(1)).as("text_pairs"),
+      sum(when(col("p1") === col("p2"), 1L).otherwise(0L)).as("both_modal"))
+    val imgAgg = ph.groupBy(col("phash")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) DIV 2")).as("image_pairs"))
+    textAgg.crossJoin(imgAgg)
+  }
+
+  /** C54's phash closed form (per-doc) + C2's candidate CTE chain. */
+  val c90Sql: String = {
+    val phCtes =
+      """pm AS (
+        |  SELECT doc_id, (doc_id % 64) + 16 AS w, ((doc_id * 7) % 64) + 16 AS h,
+        |    doc_id % 256 AS a
+        |  FROM documents),
+        |pb AS (
+        |  SELECT doc_id, w, a, i,
+        |    (i * h + 7) // 8 AS y0, ((i + 1) * h + 7) // 8 AS y1
+        |  FROM pm, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS iv(i)),
+        |ps AS (
+        |  SELECT doc_id, i, CAST(y1 - y0 AS BIGINT) AS n,
+        |    CAST(w * ((y1 - y0) * a + (y1 * (y1 - 1) - y0 * (y0 - 1)) // 2
+        |              - 256 * GREATEST(0, y1 - GREATEST(y0, 256 - a))) AS BIGINT)
+        |      AS bsum
+        |  FROM pb),
+        |ph AS (
+        |  SELECT s1.doc_id,
+        |    CAST(SUM(CASE WHEN s2.bsum * s1.n > s1.bsum * s2.n
+        |                  THEN 1 << s1.i ELSE 0 END) AS BIGINT) AS phash
+        |  FROM ps s1 JOIN ps s2 ON s1.doc_id = s2.doc_id AND s2.i = s1.i + 1
+        |  GROUP BY s1.doc_id)""".stripMargin
+    s"""WITH ${graft.ops.Dedup.c2PairsCtes},
+       |$phCtes,
+       |t AS (
+       |  SELECT COUNT(*) AS text_pairs,
+       |    CAST(SUM(CASE WHEN a.phash = b.phash THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS both_modal
+       |  FROM c2pairs
+       |  JOIN ph a ON d1 = a.doc_id
+       |  JOIN ph b ON d2 = b.doc_id),
+       |i AS (
+       |  SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS image_pairs
+       |  FROM (SELECT phash, COUNT(*) AS n FROM ph GROUP BY phash))
+       |SELECT t.text_pairs, t.both_modal, i.image_pairs FROM t, i""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_multimodal" -> (c12Multimodal _),
     "c29_media_metadata" -> (c29MediaMetadata _),
     "c54_perceptual_dedup" -> (c54PerceptualDedup _),
     "c88_audio_decode" -> (c88AudioDecode _),
-    "c89_video_sample" -> (c89VideoSample _)
+    "c89_video_sample" -> (c89VideoSample _),
+    "c90_crossmodal_agreement" -> (c90CrossModalAgreement _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -530,6 +600,7 @@ object Multimodal {
     "c29_media_metadata" -> c29Sql,
     "c54_perceptual_dedup" -> c54Sql,
     "c88_audio_decode" -> c88Sql,
-    "c89_video_sample" -> c89Sql
+    "c89_video_sample" -> c89Sql,
+    "c90_crossmodal_agreement" -> c90Sql
   )
 }

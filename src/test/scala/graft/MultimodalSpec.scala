@@ -121,6 +121,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("c90: cross-modal agreement counts recompute from the C54 gate " +
+      "output, and all three classes are non-vacuous") {
+    val r = Multimodal.queries("c90_crossmodal_agreement")(s, sf).head()
+    val (textPairs, both, imagePairs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(textPairs > 0 && both > 0 && imagePairs > 0)
+    assert(both <= textPairs, "agreement is a subset of text pairs")
+    // image_pairs = Σ_groups C(n,2) = Σ_docs (n_same − 1) / 2 off C54's output
+    val c54 = Multimodal.queries("c54_perceptual_dedup")(s, sf).collect()
+    val expectedImagePairs = c54.map(row => row.getLong(2) - 1).sum / 2
+    assert(imagePairs == expectedImagePairs, s"$imagePairs != $expectedImagePairs")
+  }
+
   test("c89: frame sampling decodes only sampled frames — a poisoned " +
       "unsampled frame is skipped untouched, a poisoned sampled one fails") {
     val id = 17L // nFramesOf(17) = 9 frames, samples 0,2,4,6,8
