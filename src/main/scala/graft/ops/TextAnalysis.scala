@@ -930,6 +930,72 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  // ------------------------------- C91 fill-in-middle construction
+  /** C91: FIM (fill-in-the-middle) training-example construction
+    * (Bavarian et al. 2022 — the infilling transform code models train
+    * on): split each selected document's token sequence at two cut
+    * points into prefix/middle/suffix and emit the PSM reordering
+    * `<PRE> prefix <SUF> suffix <MID> middle`, so the model learns to
+    * generate the middle conditioned on both sides. The canonical recipe
+    * transforms a RATE of documents (50% here) with uniformly random
+    * spans; both decisions here come from md5 lanes of doc_id (C22's
+    * reproducibility doctrine: the same doc gets the same transform on
+    * every run, engine, and cluster size — a retrain is bit-identical).
+    * Cut points: c1 ∈ [1, n−1), c2 ∈ (c1, n) from two independent
+    * lanes, so prefix/middle/suffix are all non-empty on transformed
+    * docs. One codegen'd projection — split, two slices, three joins —
+    * no shuffle but the final ORDER BY; the oracle rebuilds the exact
+    * strings from the same lanes and list slices, so an off-by-one in
+    * either engine's slicing breaks the hash.
+    */
+  private val c91RateBp = 5000L
+  private val c91Pre = "<PRE> "
+  private val c91Suf = " <SUF> "
+  private val c91Mid = " <MID> "
+
+  def c91FimConstruct(s: SparkSession, d: String): DataFrame = {
+    val h1 = h64Spark("concat('fim1:', CAST(doc_id AS STRING))")
+    val h2 = h64Spark("concat('fim2:', CAST(doc_id AS STRING))")
+    val hk = h64Spark("concat('fimk:', CAST(doc_id AS STRING))")
+    docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .withColumn("n", expr("size(w)").cast("bigint"))
+      .where(col("n") >= 3 && expr(s"$hk % 10000") < c91RateBp)
+      .withColumn("c1", expr(s"1 + $h1 % (n - 2)")) // 1 .. n-2
+      .withColumn("c2", expr(s"c1 + 1 + $h2 % (n - c1 - 1)")) // c1+1 .. n-1
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("c1").as("prefix_len"),
+        (col("c2") - col("c1")).as("middle_len"),
+        (col("n") - col("c2")).as("suffix_len"),
+        concat(lit(c91Pre),
+          expr("array_join(slice(w, 1, CAST(c1 AS INT)), ' ')"),
+          lit(c91Suf),
+          expr("array_join(slice(w, CAST(c2 AS INT) + 1, CAST(n - c2 AS INT)), ' ')"),
+          lit(c91Mid),
+          expr("array_join(slice(w, CAST(c1 AS INT) + 1, CAST(c2 - c1 AS INT)), ' ')"))
+          .as("fim_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c91Sql: String = {
+    val h1 = h64Duck("'fim1:'||CAST(doc_id AS VARCHAR)")
+    val h2 = h64Duck("'fim2:'||CAST(doc_id AS VARCHAR)")
+    val hk = h64Duck("'fimk:'||CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id, $wordsDuck AS w, CAST(len($wordsDuck) AS BIGINT) AS n
+       |  FROM documents),
+       |sel AS (SELECT * FROM base WHERE n >= 3 AND $hk % 10000 < $c91RateBp),
+       |cut AS (SELECT doc_id, w, n, c1, c1 + 1 + $h2 % (n - c1 - 1) AS c2
+       |        FROM (SELECT doc_id, w, n, 1 + $h1 % (n - 2) AS c1 FROM sel))
+       |SELECT doc_id, n AS n_tokens, c1 AS prefix_len,
+       |  c2 - c1 AS middle_len, n - c2 AS suffix_len,
+       |  '$c91Pre' || array_to_string(w[1:CAST(c1 AS INTEGER)], ' ')
+       |    || '$c91Suf' || array_to_string(w[CAST(c2 AS INTEGER) + 1:CAST(n AS INTEGER)], ' ')
+       |    || '$c91Mid' || array_to_string(w[CAST(c1 AS INTEGER) + 1:CAST(c2 AS INTEGER)], ' ')
+       |    AS fim_text
+       |FROM cut ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------- C83 robust length-outlier filter
   /** C83: ROBUST length-outlier filtering — the median/MAD screen (Leys
     * et al. 2013; the mean/stddev form breaks on exactly the corpora
@@ -2392,6 +2458,7 @@ object TextAnalysis {
     "c81_temperature_mix" -> (c81TemperatureMix _),
     "c83_length_outliers" -> (c83LengthOutliers _),
     "c87_compression_ratio" -> (c87CompressionRatio _),
+    "c91_fim_construct" -> (c91FimConstruct _),
     "c84_template_prefixes" -> (c84TemplatePrefixes _),
     "c60_calibrated_cut" -> (c60CalibratedCut _),
     "c62_snapshot_diff" -> (c62SnapshotDiff _),
@@ -2440,6 +2507,7 @@ object TextAnalysis {
     "c80_blocklist_filter" -> c80Sql,
     "c81_temperature_mix" -> c81Sql,
     "c83_length_outliers" -> c83Sql,
+    "c91_fim_construct" -> c91Sql,
     "c84_template_prefixes" -> c84Sql,
     "c60_calibrated_cut" -> c60Sql,
     "c62_snapshot_diff" -> c62Sql,

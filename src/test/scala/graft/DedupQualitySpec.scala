@@ -303,6 +303,29 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(tgt > rest, s"target mean/token $tgt !> rest $rest")
   }
 
+  test("c91: FIM construction — spans are non-empty and partition the doc, " +
+      "PSM reassembles to the original text, the rate is ~50%, reproducible") {
+    val rows = ops.TextAnalysis.queries("c91_fim_construct")(s, sf).collect()
+    val texts = core.Tables.documents(s, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val frac = rows.length.toDouble / texts.size
+    assert(frac > 0.35 && frac < 0.65, s"transform rate $frac")
+    rows.foreach { r =>
+      val (p, m, sfx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p >= 1 && m >= 1 && sfx >= 1, r.toString)
+      assert(p + m + sfx == r.getLong(1), r.toString)
+      // PSM → original round trip
+      val t = r.getString(5)
+      val pre = t.stripPrefix("<PRE> ")
+      val Array(prefix, rest) = pre.split(" <SUF> ", 2)
+      val Array(suffix, middle) = rest.split(" <MID> ", 2)
+      assert(s"$prefix $middle $suffix" == texts(r.getLong(0)), r.getLong(0).toString)
+    }
+    // deterministic: a second run selects and cuts identically
+    val again = ops.TextAnalysis.queries("c91_fim_construct")(s, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("c87: compression kernel orders repetition < prose < noise, and the " +
       "per-source gate aggregate equals the standalone kernel's recompute") {
     import ops.TextAnalysis.deflatedSize
