@@ -314,6 +314,135 @@ object Similarity {
        |FROM scored GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ------------------------------ C92 embedding-space decontamination
+  /** C92: SEMANTIC decontamination — flag corpus examples whose embedding
+    * is too close to a held-out benchmark's embedding set (the
+    * contamination the exact/fingerprint passes C19/C25/C31 can NOT see:
+    * a paraphrased eval question shares no 8-gram with the original but
+    * lands next to it in embedding space; cf. the semantic-contamination
+    * audits run on large pretraining corpora). Per corpus vector: the max
+    * cosine against the eval set, how many eval vectors clear the
+    * threshold, and the contaminated verdict.
+    *
+    * Scale shape: eval sets are BOUNDED (thousands of benchmark items) —
+    * the eval side broadcasts and the corpus STREAMS past it exactly like
+    * C6's query set; per-row cost is |eval| codegen'd [[DotProduct]]s and
+    * the aggregation is a map-side-combined max/count per corpus row (no
+    * shuffle of vector payloads at all — the groupBy key is the corpus
+    * row id it was exploded from). At 100 TB the shortcut is to route
+    * corpus rows through the C7/C13 bucket family against a bucketed eval
+    * set and only verify colliding pairs — an approximation whose recall
+    * is measured by C94's harness; THIS op is the exactness baseline that
+    * gates it. Doubles follow the C6 doctrine: identical normalize-then-
+    * dot op order in both engines, so max/comparisons are bit-exact.
+    */
+  private val c92Tau = 0.32
+  private val c92EvalMod = 37
+
+  def c92SemanticDecon(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+    val eval = e.where(col("vec_id") % c92EvalMod === 0)
+      .select(col("vec_id").as("e_id"), col("nv").as("env"))
+    e.where(col("vec_id") % c92EvalMod =!= 0)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"), DotProduct(col("nv"), col("env")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_sim"),
+        sum(when(col("sim") >= c92Tau, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated", col("max_sim") >= c92Tau)
+      .orderBy(col("vec_id"))
+  }
+
+  val c92Sql: String =
+    s"""WITH $preparedDuck,
+       |ev AS (SELECT vec_id AS e_id, nv AS env FROM prep WHERE vec_id % $c92EvalMod = 0),
+       |sc AS (
+       |  SELECT p.vec_id, ${nvDotDuck("p.nv", "ev.env")} AS sim
+       |  FROM prep p CROSS JOIN ev WHERE p.vec_id % $c92EvalMod <> 0)
+       |SELECT vec_id, MAX(sim) AS max_sim,
+       |  CAST(SUM(CASE WHEN sim >= $c92Tau THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  MAX(sim) >= $c92Tau AS contaminated
+       |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ------------------------------ C94 ANN recall harness
+  /** C94: RECALL measurement for the approximate index family — the gate
+    * a pipeline runs BEFORE trusting an ANN shortcut for semantic dedup
+    * or decontamination (an index with 40% recall silently keeps 60% of
+    * the near-dups it was supposed to find). Ground truth is the exact
+    * brute-force top-k (C6's plan at k=[[kLsh]]); each candidate method
+    * (single-bucket LSH C7, multi-probe C13) is scored per query by
+    * |method ∩ truth| and recall in basis points — all-integer, so the
+    * verdict is hash-exact even though the underlying scores are doubles.
+    *
+    * Scale shape: every side is |queries|·k rows (the INDEX does the
+    * heavy lifting; the harness only joins result lists) — the truth set
+    * for a sampled query panel is cheap even at 100 TB corpus size
+    * because C6's plan streams the corpus once for all queries together,
+    * and the intersection join keys on (q_id, n_id) with both sides tiny.
+    * Left-join semantics keep queries whose method list came back EMPTY
+    * (recall 0), the failure mode a naive inner-join harness hides.
+    */
+  def c94AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = c6AnnBruteforce(s, d).where(col("rk") <= kLsh)
+      .select(col("q_id"), col("n_id"))
+    def recallOf(method: String, res: DataFrame): DataFrame = {
+      val hits = res.select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      truth.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(lit(method).as("method"), col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          // DIV, not `/`: Column./ on longs is DOUBLE division in Spark
+          expr(s"CAST(coalesce(n_hit, 0L) * 10000 DIV $kLsh AS BIGINT)")
+            .as("recall_bp"))
+    }
+    recallOf("lsh", c7AnnLsh(s, d))
+      .unionAll(recallOf("multiprobe", c13AnnMultiprobe(s, d)))
+      .orderBy(col("method"), col("q_id"))
+  }
+
+  val c94Sql: String = {
+    val probes = ("bucket" +: (0 until nPlanes).map(j => s"xor(bucket, ${1 << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH $preparedDuck,
+       |q AS (SELECT vec_id AS q_id, nv AS qnv, bucket FROM prep WHERE vec_id < $nQueries),
+       |truth AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT q.q_id, p.vec_id, ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${nvDotDuck("q.qnv", "p.nv")} DESC, p.vec_id) AS rk
+       |    FROM prep p CROSS JOIN q WHERE p.vec_id >= $nQueries)
+       |  WHERE rk <= $kLsh),
+       |lsh AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT q.q_id, p.vec_id, ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${nvDotDuck("q.qnv", "p.nv")} DESC, p.vec_id) AS rk
+       |    FROM prep p JOIN q USING (bucket) WHERE p.vec_id >= $nQueries)
+       |  WHERE rk <= $kLsh),
+       |mq AS (SELECT vec_id AS q_id, nv AS qnv, unnest($probes) AS bucket
+       |       FROM prep WHERE vec_id < $nQueries),
+       |mp AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT mq.q_id, p.vec_id, ROW_NUMBER() OVER (PARTITION BY mq.q_id
+       |      ORDER BY ${nvDotDuck("mq.qnv", "p.nv")} DESC, p.vec_id) AS rk
+       |    FROM prep p JOIN mq USING (bucket) WHERE p.vec_id >= $nQueries)
+       |  WHERE rk <= $kLsh),
+       |cand AS (
+       |  SELECT 'lsh' AS method, q_id, n_id FROM lsh
+       |  UNION ALL SELECT 'multiprobe', q_id, n_id FROM mp),
+       |hits AS (
+       |  SELECT b.method, b.q_id, COUNT(*) AS n_hit
+       |  FROM cand b JOIN truth t ON b.q_id = t.q_id AND b.n_id = t.n_id
+       |  GROUP BY b.method, b.q_id)
+       |SELECT m.method, qs.q_id,
+       |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) * 10000 // $kLsh AS BIGINT) AS recall_bp
+       |FROM (SELECT DISTINCT q_id FROM truth) qs
+       |CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'multiprobe') m
+       |LEFT JOIN hits h ON h.method = m.method AND h.q_id = qs.q_id
+       |ORDER BY m.method, qs.q_id""".stripMargin
+  }
+
   // --------------------------------------------- C7 LSH-bucketed ANN
   def c7AnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = prepared(s, d)
@@ -1256,7 +1385,9 @@ object Similarity {
     "c35_ann_pq_residual" -> (c35AnnPqResidual _),
     "c73_ann_matryoshka" -> (c73AnnMatryoshka _),
     "c82_hard_negatives" -> (c82HardNegatives _),
-    "c86_class_geometry" -> (c86ClassGeometry _)
+    "c86_class_geometry" -> (c86ClassGeometry _),
+    "c92_semantic_decon" -> (c92SemanticDecon _),
+    "c94_ann_recall" -> (c94AnnRecall _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1272,6 +1403,8 @@ object Similarity {
     "c35_ann_pq_residual" -> c35Sql,
     "c73_ann_matryoshka" -> c73Sql,
     "c82_hard_negatives" -> c82Sql,
-    "c86_class_geometry" -> c86Sql
+    "c86_class_geometry" -> c86Sql,
+    "c92_semantic_decon" -> c92Sql,
+    "c94_ann_recall" -> c94Sql
   )
 }

@@ -219,6 +219,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == total)
   }
 
+  test("c92: semantic decon — verdicts match a driver-side brute recompute, " +
+      "eval rows are excluded, and the threshold separates") {
+    val out = Similarity.queries("c92_semantic_decon")(s, sf).collect()
+    val vecs = graft.core.Tables.embeddings(s, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(0) -> v.map(_ / n)
+      }.toMap
+    val evalIds = vecs.keySet.filter(_ % 37 == 0)
+    assert(evalIds.nonEmpty)
+    assert(out.forall(r => !evalIds.contains(r.getLong(0))),
+      "eval vectors must not appear in the scored corpus")
+    assert(out.length == vecs.size - evalIds.size)
+    val flagged = out.count(_.getBoolean(3))
+    assert(flagged > 0 && flagged < out.length,
+      s"threshold must separate: $flagged/${out.length}")
+    out.foreach { r =>
+      val nv = vecs(r.getLong(0))
+      val sims = evalIds.toSeq.map(e =>
+        nv.zip(vecs(e)).map { case (a, b) => a * b }.sum)
+      assert(math.abs(sims.max - r.getDouble(1)) < 1e-9, r.toString)
+      assert(r.getLong(2) == sims.count(_ >= 0.32), r.toString)
+    }
+  }
+
+  test("c94: recall harness agrees with an independent intersection count " +
+      "and multi-probe dominates single-probe on every query") {
+    val truth = topsets("c6_ann_bruteforce", 5)
+    val rows = Similarity.queries("c94_ann_recall")(s, sf).collect()
+    assert(rows.length == truth.size * 2)
+    val byMethod = rows.groupBy(_.getString(0))
+    assert(byMethod.keySet == Set("lsh", "multiprobe"))
+    val got = Map("lsh" -> topsets("c7_ann_lsh", 5),
+      "multiprobe" -> topsets("c13_ann_multiprobe", 5))
+    rows.foreach { r =>
+      val (m, q) = (r.getString(0), r.getLong(1))
+      val expect = got(m).getOrElse(q, Set.empty).intersect(truth(q)).size
+      assert(r.getLong(2) == expect, s"$m q$q: ${r.getLong(2)} != $expect")
+      assert(r.getLong(3) == expect * 10000L / 5, r.toString)
+    }
+    truth.keys.foreach { q =>
+      val lsh = rows.find(r => r.getString(0) == "lsh" && r.getLong(1) == q).get
+      val mp = rows.find(r =>
+        r.getString(0) == "multiprobe" && r.getLong(1) == q).get
+      assert(mp.getLong(2) >= lsh.getLong(2), s"q$q: multiprobe < lsh")
+    }
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
         "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual",
