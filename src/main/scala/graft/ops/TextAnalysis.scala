@@ -2444,7 +2444,78 @@ object TextAnalysis {
        |FROM incoming GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------- C93 quality-signal rank fusion (Borda)
+  /** C93: RANK FUSION of heterogeneous quality signals — how a pipeline
+    * combines incommensurable scores (chars, lexical diversity, stopword
+    * density) into one keep-priority without inventing magic weights:
+    * rank each signal independently, Borda-fuse (score = Σᵢ N − rankᵢ —
+    * the integer form of mean-rank fusion; reciprocal-rank fusion is the
+    * same shape with a different discount). All-integer end to end.
+    *
+    * The scale point is HOW the ranks are computed: a global
+    * `RANK() OVER (ORDER BY …)` is a global sort — at 100 TB, a
+    * single-partition window. But each signal here has a BOUNDED integer
+    * domain (basis points ∈ [0,10⁴]; char lengths bounded by the doc-size
+    * cap), so competition rank ≡ 1 + Σ counts of strictly-better VALUES:
+    * one map-side-combined value histogram per signal (all three in one
+    * shuffle via a melted (signal, value) key), a running sum over the
+    * tiny per-signal histogram (window PARTITIONED by signal, frame =
+    * |distinct values| ≪ corpus — B30's bounded-frame doctrine), and a
+    * broadcast join back. No global sort anywhere; the oracle computes
+    * the very RANK() the histogram path replaces — equality proves the
+    * two formulations identical, tie semantics included.
+    */
+  def c93RankFusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("s_len"),
+        expr("CAST(size(array_distinct(w)) * 10000 DIV size(w) AS BIGINT)")
+          .as("s_div"),
+        expr(s"CAST(size(filter(w, x -> x IN $stopEn)) * 10000 DIV size(w) AS BIGINT)")
+          .as("s_stop"))
+    val melted = sig.select(col("doc_id"), explode(map(
+      lit("len"), col("s_len"), lit("div"), col("s_div"),
+      lit("stop"), col("s_stop"))).as(Seq("sig", "v")))
+    val w = Window.partitionBy(col("sig")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = melted.groupBy(col("sig"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", coalesce(sum(col("cnt")).over(w), lit(0L)) + 1L)
+      .select(col("sig"), col("v"), col("rk"))
+    val n = sig.agg(count(lit(1)).as("n_docs"))
+    melted.join(broadcast(ranks), Seq("sig", "v"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("sig") === "len", col("rk"))).as("r_len"),
+        max(when(col("sig") === "div", col("rk"))).as("r_div"),
+        max(when(col("sig") === "stop", col("rk"))).as("r_stop"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("r_len"), col("r_div"), col("r_stop"),
+        (lit(3L) * col("n_docs") - col("r_len") - col("r_div") - col("r_stop"))
+          .as("borda"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c93Sql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS s_len,
+       |    CAST(len(list_distinct(w)) * 10000 // len(w) AS BIGINT) AS s_div,
+       |    CAST(len(list_filter(w, x -> x IN $stopEn)) * 10000 // len(w) AS BIGINT) AS s_stop
+       |  FROM (SELECT doc_id, text, $wordsDuck AS w FROM documents)),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(RANK() OVER (ORDER BY s_len DESC) AS BIGINT) AS r_len,
+       |    CAST(RANK() OVER (ORDER BY s_div DESC) AS BIGINT) AS r_div,
+       |    CAST(RANK() OVER (ORDER BY s_stop DESC) AS BIGINT) AS r_stop,
+       |    COUNT(*) OVER () AS n
+       |  FROM sig)
+       |SELECT doc_id, r_len, r_div, r_stop,
+       |  CAST(3 * n - r_len - r_div - r_stop AS BIGINT) AS borda
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c93_rank_fusion" -> (c93RankFusion _),
     "c75_freq_spectrum" -> (c75FreqSpectrum _),
     "c76_chunk" -> (c76Chunk _),
     "c77_embed_cache_plan" -> (c77EmbedCachePlan _),
@@ -2508,6 +2579,7 @@ object TextAnalysis {
     "c81_temperature_mix" -> c81Sql,
     "c83_length_outliers" -> c83Sql,
     "c91_fim_construct" -> c91Sql,
+    "c93_rank_fusion" -> c93Sql,
     "c84_template_prefixes" -> c84Sql,
     "c60_calibrated_cut" -> c60Sql,
     "c62_snapshot_diff" -> c62Sql,

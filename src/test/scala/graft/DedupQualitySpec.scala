@@ -485,4 +485,30 @@ class DedupQualitySpec extends AnyFunSuite {
       assert(aBp > 0)
     }
   }
+
+  test("c93: histogram ranks are exactly competition ranks (1 + #strictly " +
+      "better), ties share a rank, and fusion reorders vs any single signal") {
+    val out = graft.ops.TextAnalysis.queries("c93_rank_fusion")(s, sf).collect()
+    val sig = graft.core.Tables.documents(s, sf)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS s_len",
+        "CAST(size(array_distinct(split(text, ' '))) * 10000 DIV size(split(text, ' ')) AS BIGINT) AS s_div")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lens = sig.map(_._2)
+    val divs = sig.map(_._3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(out.length == sig.length)
+    sig.foreach { case (id, len, dv) =>
+      val r = byId(id)
+      assert(r.getLong(1) == 1 + lens.count(_ > len), s"doc $id r_len")
+      assert(r.getLong(2) == 1 + divs.count(_ > dv), s"doc $id r_div")
+      assert(r.getLong(4) ==
+        3L * sig.length - r.getLong(1) - r.getLong(2) - r.getLong(3))
+    }
+    // ties share the rank: some signal must actually have a tie in fixtures
+    assert(lens.distinct.length < lens.length, "fixture should tie on length")
+    // fusion is not just one signal in disguise
+    val byBorda = out.sortBy(r => (-r.getLong(4), r.getLong(0))).map(_.getLong(0))
+    val byLen = out.sortBy(r => (r.getLong(1), r.getLong(0))).map(_.getLong(0))
+    assert(byBorda.toSeq != byLen.toSeq, "fusion must differ from rank-by-length")
+  }
 }
