@@ -1507,7 +1507,72 @@ object Dedup {
        |      AND (h.doc_id < $c47Split OR h.doc_id < d.doc_id))
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------- C97 inter-source copy matrix (shared passages)
+  /** C97: WHO COPIES FROM WHOM — the provenance matrix behind source-level
+    * dedup policy (two feeds syndicating the same wire content should be
+    * deduped against each other BEFORE mixture weighting, or the shared
+    * text is double-counted; C74's vocab cosine says two sources sound
+    * alike — this says they literally share passages): per source pair,
+    * the number of distinct 8-gram shingles (C24's passage unit, same
+    * codegen'd [[graft.functions.WordShingleHashes]] kernel) present in
+    * BOTH, plus Broder's containment in basis points against the smaller
+    * side. Sparse by construction — pairs with zero shared shingles never
+    * materialize.
+    *
+    * Scale shape: the join key is the SHINGLE, and each shingle's group
+    * is bounded by |sources| (the (source, shingle) frame is DISTINCT),
+    * so pair expansion per shingle is ≤ C(|sources|, 2) — bounded by the
+    * catalog's source count, never by corpus size; the per-source totals
+    * frame is |sources| rows and broadcasts. The presence frame is
+    * checkpointed once (three consumers). At 100 TB this runs off the
+    * staged shingle table C24 already materializes.
+    */
+  def c97SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .where(expr(s"size($wordsSpark) >= $passageLen"))
+      .select(col("source"), explode(
+        graft.functions.WordShingleHashes(col("text"), passageLen, "p8:"))
+        .as("gh"))
+      .distinct()
+      .localCheckpoint(true)
+    val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    sh.select(col("source").as("source_a"), col("gh"))
+      .join(sh.select(col("source").as("source_b"), col("gh")), "gh")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(per.select(col("source").as("source_a"), col("n_sh").as("n_a"))), "source_a")
+      .join(broadcast(per.select(col("source").as("source_b"), col("n_sh").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("CAST(n_shared * 10000 DIV least(n_a, n_b) AS BIGINT)")
+          .as("containment_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val c97Sql: String = {
+    val gram8 = (1 until passageLen)
+      .foldLeft("w[i]") { case (acc, k) => s"$acc||' '||w[i + $k]" }
+    s"""WITH base AS (
+       |  SELECT doc_id, source, w FROM (SELECT doc_id, source, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= $passageLen),
+       |sh AS (
+       |  SELECT DISTINCT source, ${h64Duck(s"'p8:'||($gram8)")} AS gh
+       |  FROM (SELECT source, w, unnest(range(1, len(w) - ${passageLen - 2})) AS i FROM base)),
+       |per AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.gh = b.gh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_shared,
+       |  CAST(n_shared * 10000 // least(pa.n_sh, pb.n_sh) AS BIGINT) AS containment_bp
+       |FROM pairs
+       |JOIN per pa ON pa.source = source_a
+       |JOIN per pb ON pb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c97_source_overlap" -> (c97SourceOverlap _),
     "c47_incremental_dedup" -> (c47IncrementalDedup _),
     "c67_incremental_clusters" -> (c67IncrementalClusters _),
     "c68_edit_verify" -> (c68EditVerify _),
@@ -1537,6 +1602,7 @@ object Dedup {
     "c67_incremental_clusters" -> c67Sql,
     "c68_edit_verify" -> c68Sql,
     "c70_novelty" -> c70Sql,
+    "c97_source_overlap" -> c97Sql,
     "c72_incremental_dedup_bucketed" -> c72Sql,
     "c71_novelty_curve" -> c71Sql,
     "c40_passage_remove" -> c40Sql,

@@ -486,6 +486,29 @@ class DedupQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("c97: source-overlap matrix is strict upper triangle, containment " +
+      "≤ 10000, and a pair's shared-shingle count recomputes exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Dedup.queries("c97_source_overlap")(s, sf).collect()
+    assert(rows.nonEmpty, "fixtures share passages across sources")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), r.toString)
+      assert(r.getLong(3) > 0 && r.getLong(3) <= 10000, r.toString)
+    }
+    // recompute the heaviest pair driver-side from raw shingle sets
+    val top = rows.maxBy(_.getLong(2))
+    val (sa, sb) = (top.getString(0), top.getString(1))
+    def shingles(src: String): Set[String] =
+      graft.core.Tables.documents(s, sf)
+        .where(col("source") === src)
+        .selectExpr("split(text, ' ') AS w").where(expr("size(w) >= 8"))
+        .selectExpr("explode(transform(sequence(1, size(w) - 7), i -> " +
+          "concat_ws(' ', slice(w, i, 8)))) AS g")
+        .collect().map(_.getString(0)).toSet
+    val shared = shingles(sa).intersect(shingles(sb)).size
+    assert(top.getLong(2) == shared, s"$sa/$sb: ${top.getLong(2)} != $shared")
+  }
+
   test("c93: histogram ranks are exactly competition ranks (1 + #strictly " +
       "better), ties share a rank, and fusion reorders vs any single signal") {
     val out = graft.ops.TextAnalysis.queries("c93_rank_fusion")(s, sf).collect()
