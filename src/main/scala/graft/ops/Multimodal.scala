@@ -28,6 +28,12 @@ import graft.core.Tables
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream is FILE-backed (a temp-file cache
+  // per read) — pure overhead for in-memory payloads, and disk traffic a
+  // 1000-executor decode pass must not generate. Memory-cached streams
+  // decode the same bytes with the same codec, no disk.
+  ImageIO.setUseCache(false)
+
   /** A media row: payload + typed metadata. */
   case class Media(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
 
