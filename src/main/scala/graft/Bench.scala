@@ -27,6 +27,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Several operators localCheckpoint multiply-consumed frames; the
+      // blocks are freed by ContextCleaner only after a driver GC makes
+      // the RDDs unreachable, and the default periodic-GC interval
+      // (30 min) outlives the whole bench — storage from the first 150
+      // queries was taxing the last 50 (measured: c89 10.2s in the full
+      // sweep vs 2.3s focused). One GC a minute keeps the block store
+      // bounded, exactly what a long-lived cluster driver does.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // free checkpoint blocks from completed queries (see Bench.scala)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.FixtureGuard.report(spark, sfDir, "verify")
