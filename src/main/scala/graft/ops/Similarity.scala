@@ -443,6 +443,86 @@ object Similarity {
        |ORDER BY m.method, qs.q_id""".stripMargin
   }
 
+  // ------------------------------ C96 corpus↔embedding integrity audit
+  /** C96: the PRECONDITION audit for every semantic op in the family —
+    * before trusting ANN/semantic-dedup/decon output, verify the
+    * embedding table actually COVERS the corpus and the vectors are
+    * usable (a silent 3% of docs with no vector simply never dedups; a
+    * NaN or zero-norm vector poisons every cosine it touches; B40's
+    * referential-integrity doctrine applied to the ML side of the house).
+    * One (check, n) row per invariant: totals, matched ids, docs without
+    * a vector, vectors without a doc, wrong-dimension vectors, non-finite
+    * components, zero-norm vectors.
+    *
+    * Scale shape: the two anti-joins key on the id (at 100 TB a bucketed
+    * or zone-mapped join — B22's layout); the per-vector checks are one
+    * projection + map-side-combined conditional aggregate, no shuffle of
+    * the vector payloads; the union of 7 one-row aggregates is driver-
+    * side assembly of already-reduced scalars. A clean corpus answers
+    * zeros on the last four rows — absence IS the signal.
+    */
+  def c96CorpusIntegrity(s: SparkSession, d: String): DataFrame =
+    integrityOf(Tables.documents(s, d).select(col("doc_id")),
+      Tables.embeddings(s, d))
+
+  /** The audit core over arbitrary (docs, vecs) frames — the spec feeds
+    * it corrupted frames to prove every counter actually fires.
+    */
+  private[graft] def integrityOf(docs: DataFrame, vecs: DataFrame): DataFrame = {
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check"), col("n").cast("long").as("n"))
+    val vstats = vecs.select(
+      when(expr("size(embedding) != 64"), 1L).otherwise(0L).as("bad_dim"),
+      when(expr("exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"),
+        1L).otherwise(0L).as("nonfinite"),
+      when(expr("aggregate(embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) = 0.0"),
+        1L).otherwise(0L).as("zero_norm"))
+      .agg(sum(col("bad_dim")).as("bad_dim"),
+        sum(col("nonfinite")).as("nonfinite"),
+        sum(col("zero_norm")).as("zero_norm"))
+    one("docs_total", docs.agg(count(lit(1)).as("n")))
+      .unionAll(one("vecs_total", vecs.agg(count(lit(1)).as("n"))))
+      .unionAll(one("matched",
+        docs.join(vecs.select(col("vec_id").as("doc_id")), "doc_id")
+          .agg(count(lit(1)).as("n"))))
+      .unionAll(one("docs_without_vec",
+        docs.join(vecs.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_anti").agg(count(lit(1)).as("n"))))
+      .unionAll(one("vecs_without_doc",
+        vecs.select(col("vec_id").as("doc_id"))
+          .join(docs, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n"))))
+      .unionAll(one("bad_dim", vstats.select(col("bad_dim").as("n"))))
+      .unionAll(one("nonfinite", vstats.select(col("nonfinite").as("n"))))
+      .unionAll(one("zero_norm", vstats.select(col("zero_norm").as("n"))))
+      .orderBy(col("check"))
+  }
+
+  val c96Sql: String =
+    """SELECT "check", CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'docs_total' AS "check", COUNT(*) AS n FROM documents
+      |  UNION ALL SELECT 'vecs_total', COUNT(*) FROM embeddings
+      |  UNION ALL SELECT 'matched', COUNT(*)
+      |    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |  UNION ALL SELECT 'docs_without_vec', COUNT(*)
+      |    FROM documents d WHERE NOT EXISTS (
+      |      SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+      |  UNION ALL SELECT 'vecs_without_doc', COUNT(*)
+      |    FROM embeddings e WHERE NOT EXISTS (
+      |      SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+      |  UNION ALL SELECT 'bad_dim',
+      |    COUNT(*) FILTER (WHERE len(embedding) <> 64) FROM embeddings
+      |  UNION ALL SELECT 'nonfinite',
+      |    COUNT(*) FILTER (WHERE len(list_filter(embedding,
+      |      x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))) > 0)
+      |    FROM embeddings
+      |  UNION ALL SELECT 'zero_norm',
+      |    COUNT(*) FILTER (WHERE list_reduce(list_prepend(0.0,
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (s, x) -> s + x) = 0.0)
+      |    FROM embeddings)
+      |ORDER BY "check"""".stripMargin
+
   // --------------------------------------------- C7 LSH-bucketed ANN
   def c7AnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = prepared(s, d)
@@ -1387,7 +1467,8 @@ object Similarity {
     "c82_hard_negatives" -> (c82HardNegatives _),
     "c86_class_geometry" -> (c86ClassGeometry _),
     "c92_semantic_decon" -> (c92SemanticDecon _),
-    "c94_ann_recall" -> (c94AnnRecall _)
+    "c94_ann_recall" -> (c94AnnRecall _),
+    "c96_corpus_integrity" -> (c96CorpusIntegrity _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1405,6 +1486,7 @@ object Similarity {
     "c82_hard_negatives" -> c82Sql,
     "c86_class_geometry" -> c86Sql,
     "c92_semantic_decon" -> c92Sql,
-    "c94_ann_recall" -> c94Sql
+    "c94_ann_recall" -> c94Sql,
+    "c96_corpus_integrity" -> c96Sql
   )
 }

@@ -269,6 +269,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("c96: integrity audit is all-clean on the fixtures, and every " +
+      "counter fires on a deliberately corrupted frame") {
+    val clean = Similarity.queries("c96_corpus_integrity")(s, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean("docs_total") > 0 && clean("docs_total") == clean("matched"))
+    assert(clean("docs_without_vec") == 0 && clean("vecs_without_doc") == 0)
+    assert(clean("bad_dim") == 0 && clean("nonfinite") == 0 &&
+      clean("zero_norm") == 0)
+    // corrupted frames: doc 4 has no vector; vec 5 has no doc; vec 1 has
+    // 3 dims; vec 2 carries a NaN; vec 3 is all-zero
+    import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val good = Array.fill(64)(0.5f)
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, good.updated(7, Float.NaN)),
+      (3L, Array.fill(64)(0.0f)),
+      (5L, good)).toDF("vec_id", "embedding")
+    val bad = Similarity.integrityOf(docs, vecs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bad("docs_total") == 4 && bad("vecs_total") == 4)
+    assert(bad("matched") == 3)
+    assert(bad("docs_without_vec") == 1, bad.toString)
+    assert(bad("vecs_without_doc") == 1, bad.toString)
+    assert(bad("bad_dim") == 1, bad.toString)
+    assert(bad("nonfinite") == 1, bad.toString)
+    assert(bad("zero_norm") == 1, bad.toString)
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
         "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual",
