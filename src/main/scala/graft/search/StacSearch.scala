@@ -1648,6 +1648,64 @@ object StacSearch {
        |  GROUP BY 2)
        |ORDER BY facet, bucket""".stripMargin)
 
+  // ------------------------- A70 single-scan aggregations bundle
+  /** A70: the AGGREGATIONS-EXTENSION response shape — one /aggregations
+    * request asks for several named aggregations over the SAME search
+    * (collection facets, a datetime histogram, value stats, the total),
+    * and the reference-style engine answers it with one SQL query PER
+    * aggregation, i.e. N corpus scans. The Spark-first form is GROUPING
+    * SETS: ONE scan and ONE shuffle produce every granularity (Catalyst
+    * plans a single Expand + partial-aggregated HashAggregate — each
+    * input row fans out to its 3 grouping rows map-side, so the shuffle
+    * carries pre-combined partials, never 3× the corpus). At 100 TB the
+    * difference between this and the reference's shape is N-1 full
+    * corpus passes. Value sums ride as exact integer cents (b31's
+    * doctrine); the month bucket uses a49's coalesce(datetime,
+    * start_datetime) so interval-only items land in a real month, never
+    * a NULL bucket that would collide with the rollup rows.
+    */
+  def a70AggBundle(s: SparkSession, d: String): DataFrame = {
+    val base = items(s, d)
+      .where(Geo.bboxContains(col("lon"), col("lat"),
+        bbox._1, bbox._2, bbox._3, bbox._4))
+      .select(col("collection"),
+        date_format(date_trunc("month",
+          coalesce(col("datetime"), col("start_datetime"))), "yyyy-MM")
+          .as("month_b"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    base.groupingSets(
+        Seq(Seq(col("collection")), Seq(col("month_b")), Seq.empty),
+        col("collection"), col("month_b"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("cents")).as("cents_sum"),
+        min(col("cents")).as("cents_min"),
+        max(col("cents")).as("cents_max"))
+      .select(
+        when(col("gid") === 1, lit("collections"))
+          .when(col("gid") === 2, lit("months"))
+          .otherwise(lit("total")).as("agg"),
+        coalesce(col("collection"), col("month_b"), lit("*")).as("bucket"),
+        col("n"), col("cents_sum"), col("cents_min"), col("cents_max"))
+      .orderBy(col("agg"), col("bucket"))
+  }
+
+  val a70Sql: String = Tables.withItems(
+    s"""SELECT CASE GROUPING(collection, month_b)
+       |    WHEN 1 THEN 'collections' WHEN 2 THEN 'months' ELSE 'total' END AS agg,
+       |  COALESCE(collection, month_b, '*') AS bucket,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       |  CAST(MIN(cents) AS BIGINT) AS cents_min,
+       |  CAST(MAX(cents) AS BIGINT) AS cents_max
+       |FROM (
+       |  SELECT collection,
+       |    strftime(date_trunc('month', coalesce(datetime, start_datetime)), '%Y-%m') AS month_b,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+       |  FROM items
+       |  WHERE ${Geo.bboxContainsSql("lon", "lat", bbox._1, bbox._2, bbox._3, bbox._4)})
+       |GROUP BY GROUPING SETS ((collection), (month_b), ())
+       |ORDER BY agg, bucket""".stripMargin)
+
   // ---------------------------------------------- A26 collections summary
   /** Static per-collection metadata — the reference's collection.json
     * files (title/description/license/links, database_logic.py:58-138)
@@ -2358,6 +2416,7 @@ object StacSearch {
     "a64_manifest_datetime" -> (a64ManifestDatetime _),
     "a65_collection_json"   -> (a65CollectionJsonIngest _),
     "a31_facets"          -> (a31Facets _),
+    "a70_agg_bundle"      -> (a70AggBundle _),
     "a32_cql2_casei"      -> a32Fn,
     "a33_intersects_concave"      -> (a33IntersectsConcave _),
     "a34_intersects_multipolygon" -> (a34IntersectsMultipolygon _),
@@ -2421,6 +2480,7 @@ object StacSearch {
     "a64_manifest_datetime" -> a64Sql,
     "a65_collection_json"   -> a65Sql,
     "a31_facets"          -> a31Sql,
+    "a70_agg_bundle"      -> a70Sql,
     "a32_cql2_casei"      -> a32Sql,
     "a33_intersects_concave"      -> a33Sql,
     "a34_intersects_multipolygon" -> a34Sql,

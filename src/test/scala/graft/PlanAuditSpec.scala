@@ -453,6 +453,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p84.contains("partial_min") && p84.contains("partial_max"), p84)
   }
 
+  test("a70: aggregations bundle — ONE scan, ONE Expand, ONE aggregation " +
+      "shuffle serves every granularity (no union of per-agg scans)") {
+    val p = plan(graft.search.StacSearch.queries("a70_agg_bundle")(s, sf))
+    // formatted mode prints each node in the tree AND a detail block —
+    // count the numbered detail headers, which appear exactly once
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    assert("""\(\d+\) Expand""".r.findAllIn(p).size == 1, p)
+    assert(p.split('\n').count(_.contains("hashpartitioning")) == 1, p)
+    assert(!p.contains("Union"), p)
+    assert(p.contains("partial_count"), p) // map-side combine below the shuffle
+  }
+
   test("c82: hard negatives — anchors broadcast; no Exchange input carries " +
       "a vector column (ids and one double on the wire)") {
     val df = graft.ops.Similarity.queries("c82_hard_negatives")(s, sf)
