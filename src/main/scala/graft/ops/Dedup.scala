@@ -92,8 +92,14 @@ object Dedup {
     * scale this frame IS the persisted near-dup bucket index (D18's
     * bucket-state table); C67 probes it with an increment.
     */
-  private def c2Bands(s: SparkSession, d: String): DataFrame = {
-    val sig = Tables.documents(s, d)
+  private def c2Bands(s: SparkSession, d: String): DataFrame =
+    bandsOf(Tables.documents(s, d))
+
+  /** The band path over any (doc_id, text) frame — shared by the gate
+    * and [[graft.ProbeLsh]] so the probe measures the production kernel.
+    */
+  private[graft] def bandsOf(docFrame: DataFrame): DataFrame = {
+    val sig = docFrame
       .where(expr(s"size($wordsSpark) >= 3"))
       .select(col("doc_id"),
         graft.functions.MinHashSig(col("text"), nLanes).as("mh"))
@@ -110,7 +116,7 @@ object Dedup {
     * bands⋈bands self-join would recompute the whole signature pipeline
     * for each side — Spark plans no ReusedExchange here.)
     */
-  private def pairsFromBands(bands: DataFrame): DataFrame = {
+  private[graft] def pairsFromBands(bands: DataFrame): DataFrame = {
     val buckets = bands.groupBy(col("band"), col("bkey"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) >= 2)
