@@ -382,23 +382,36 @@ object Similarity {
     * Left-join semantics keep queries whose method list came back EMPTY
     * (recall 0), the failure mode a naive inner-join harness hides.
     */
-  def c94AnnRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = c6AnnBruteforce(s, d).where(col("rk") <= kLsh)
+  /** The recall computation itself, over any (truth, results) frames of
+    * (q_id, n_id) — shared by the C94 gate and the D36 streaming-index
+    * monitor (StreamDedupSpec), so live serving is gated by the SAME
+    * harness as batch.
+    */
+  private[graft] def recallFrame(truth: DataFrame, res: DataFrame,
+      method: String, k: Int = kLsh): DataFrame = {
+    val hits = res.select(col("q_id"), col("n_id"))
+      .join(truth, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    truth.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(lit(method).as("method"), col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        // DIV, not `/`: Column./ on longs is DOUBLE division in Spark
+        expr(s"CAST(coalesce(n_hit, 0L) * 10000 DIV $k AS BIGINT)")
+          .as("recall_bp"))
+  }
+
+  /** Batch brute-force truth set at k=[[kLsh]] — C94's ground truth,
+    * shared with the D36 monitor.
+    */
+  private[graft] def recallTruth(s: SparkSession, d: String): DataFrame =
+    c6AnnBruteforce(s, d).where(col("rk") <= kLsh)
       .select(col("q_id"), col("n_id"))
-    def recallOf(method: String, res: DataFrame): DataFrame = {
-      val hits = res.select(col("q_id"), col("n_id"))
-        .join(truth, Seq("q_id", "n_id"))
-        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-      truth.select(col("q_id")).distinct()
-        .join(hits, Seq("q_id"), "left")
-        .select(lit(method).as("method"), col("q_id"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          // DIV, not `/`: Column./ on longs is DOUBLE division in Spark
-          expr(s"CAST(coalesce(n_hit, 0L) * 10000 DIV $kLsh AS BIGINT)")
-            .as("recall_bp"))
-    }
-    recallOf("lsh", c7AnnLsh(s, d))
-      .unionAll(recallOf("multiprobe", c13AnnMultiprobe(s, d)))
+
+  def c94AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = recallTruth(s, d)
+    recallFrame(truth, c7AnnLsh(s, d), "lsh")
+      .unionAll(recallFrame(truth, c13AnnMultiprobe(s, d), "multiprobe"))
       .orderBy(col("method"), col("q_id"))
   }
 

@@ -515,6 +515,35 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D36: live-index recall monitor — the recall harness run over the " +
+      "D31 serving table equals batch C94's lsh verdicts exactly") {
+    import s.implicits._
+    val vecs = corpus()
+    val nq = graft.ops.Similarity.c7NQueries
+    val mem = MemoryStream[AnnStreamIn](s)
+    val q = StreamDedup.annServeStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("d36_ann")
+      .outputMode("append").start()
+    try {
+      mem.addData(vecs.filter(_._1 >= nq)
+        .map { case (id, v) => AnnStreamIn("i", id, v) }.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(vecs.filter(_._1 < nq)
+        .map { case (id, v) => AnnStreamIn("q", id, v) }.toIndexedSeq)
+      q.processAllAvailable()
+      // the SAME harness (Similarity.recallFrame) over the live table
+      val truth = graft.ops.Similarity.recallTruth(s, sf)
+      val live = graft.ops.Similarity
+        .recallFrame(truth, s.sql("SELECT q_id, n_id FROM d36_ann"), "lsh")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      val batch = graft.ops.Similarity.queries("c94_ann_recall")(s, sf)
+        .where(col("method") === "lsh")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      assert(live.nonEmpty && live.toSeq == batch.toSeq,
+        s"live: ${live.take(4).mkString(",")} batch: ${batch.take(4).mkString(",")}")
+    } finally q.stop()
+  }
+
   test("D35: streaming exact-k sample — the converged reservoir equals " +
       "batch C63 exactly, state stays bounded, arrival order irrelevant") {
     import s.implicits._
