@@ -604,6 +604,47 @@ object StacSearch {
        |  AND ${a22Cql.toSql}
        |ORDER BY value DESC, id ASC LIMIT 25 OFFSET 10""".stripMargin)
 
+  // ----------------- A71 typed-endpoint page walk (item collection)
+  /** A71: the TYPED API gated by the oracle — every other A-gate drives
+    * the planner directly; this one walks `GET /collections/{id}/items`
+    * the way a client does: [[StacApi.search]] page 1 (collections +
+    * datetime + sort), take the RETURNED keyset token, fetch page 2
+    * through it, and emit page 2 plus the API's numMatched. The oracle
+    * re-derives page 2 as OFFSET/LIMIT under the same total order
+    * (value DESC, id ASC — unique tiebreak ⇒ keyset ≡ offset), so a
+    * drifted token codec, a null-ordering mismatch, or an off-by-one at
+    * the page boundary all surface as a row diff, not a green test. The
+    * page is bounded by `limit` — the collect and re-frame cost is a
+    * page, never a corpus; the keyset predicate itself is the scale
+    * point (pushes down; no offset scan — A23's doctrine).
+    */
+  def a71ItemCollection(s: SparkSession, d: String): DataFrame = {
+    val params = SearchParams(
+      collections = Seq("click", "view"),
+      datetime = Some("2024-01-05 00:00:00/2024-01-28 00:00:00"),
+      sortBy = Seq(SortBy("properties.value", desc = true)),
+      limit = 20)
+    val p1 = StacApi.search(s, d, params)
+    val token = p1.nextToken.getOrElse(
+      throw new IllegalStateException("page 1 not full — fixture too small"))
+    val p2 = StacApi.search(s, d, params.copy(token = Some(token)))
+    val rows = java.util.Arrays.asList(p2.items: _*)
+    s.createDataFrame(rows, p2.items.head.schema)
+      .select(col("id"), col("collection"), col("value"))
+      .withColumn("matched", lit(p2.numMatched))
+      .orderBy(col("id"))
+  }
+
+  val a71Sql: String = Tables.withItems(
+    s""", f AS (SELECT * FROM items
+       |  WHERE collection IN ('click', 'view')
+       |    AND ${dtRangeSql("2024-01-05 00:00:00", "2024-01-28 00:00:00")})
+       |SELECT id, collection, value, (SELECT COUNT(*) FROM f) AS matched
+       |FROM (
+       |  SELECT id, collection, value FROM f
+       |  ORDER BY value DESC, id ASC LIMIT 20 OFFSET 20)
+       |ORDER BY id""".stripMargin)
+
   // ------------------------------------------------------- A23 keyset
   /** Keyset (search-after) pagination — the 100 TB replacement for OFFSET:
     * token = last (value, id_num); next page = lexicographic predicate
@@ -2417,6 +2458,7 @@ object StacSearch {
     "a65_collection_json"   -> (a65CollectionJsonIngest _),
     "a31_facets"          -> (a31Facets _),
     "a70_agg_bundle"      -> (a70AggBundle _),
+    "a71_item_collection" -> (a71ItemCollection _),
     "a32_cql2_casei"      -> a32Fn,
     "a33_intersects_concave"      -> (a33IntersectsConcave _),
     "a34_intersects_multipolygon" -> (a34IntersectsMultipolygon _),
@@ -2481,6 +2523,7 @@ object StacSearch {
     "a65_collection_json"   -> a65Sql,
     "a31_facets"          -> a31Sql,
     "a70_agg_bundle"      -> a70Sql,
+    "a71_item_collection" -> a71Sql,
     "a32_cql2_casei"      -> a32Sql,
     "a33_intersects_concave"      -> a33Sql,
     "a34_intersects_multipolygon" -> a34Sql,
