@@ -1513,6 +1513,87 @@ object Dedup {
        |      AND (h.doc_id < $c47Split OR h.doc_id < d.doc_id))
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------- C98 MinHash estimator calibration
+  /** C98: CALIBRATION of the MinHash Jaccard estimator — the measurement
+    * that justifies reading band thresholds as Jaccard thresholds (the
+    * banding math assumes P[lane match] = J; if the implementation's
+    * estimate is biased, every threshold the pipeline sets from it is
+    * off): per C2 candidate pair, the lane-match estimate
+    * (matches/8 lanes, in bp) next to the TRUE trigram-set Jaccard and
+    * the absolute error. All-integer output.
+    *
+    * Scale shape: the pair frame ≪ corpus bounds everything — signatures
+    * join to pairs by id (8 longs per row on the wire), and the exact
+    * Jaccard is computed ONLY for pair members (the docs-in-pairs
+    * semi-join keeps the gram explode to candidate docs; the intersect
+    * join keys on (d2, gram) with both sides restricted to pair docs).
+    * The estimator is the codegen'd [[graft.functions.MinHashSig]] lane
+    * array — the SAME kernel the candidate generation used, so the gate
+    * calibrates what production runs, not a re-derivation.
+    */
+  def c98MinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val pairs = c2Pairs(s, d)
+    val sig = Tables.documents(s, d)
+      .where(expr(s"size($wordsSpark) >= 3"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), nLanes).as("mh"))
+    val est = pairs
+      .join(sig.select(col("doc_id").as("d1"), col("mh").as("mh1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("mh").as("mh2")), "d2")
+      .select(col("d1"), col("d2"),
+        expr(s"CAST(size(filter(zip_with(mh1, mh2, (a, b) -> a = b), x -> x)) " +
+          s"* 10000 DIV $nLanes AS BIGINT)").as("est_bp"))
+    val docsIn = pairs.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    val gr = Tables.documents(s, d).join(docsIn, "doc_id")
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), explode(expr(s"array_distinct($trigramsSpark)")).as("gram"))
+    val sizes = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(gr.select(col("doc_id").as("d1"), col("gram")), "d1")
+      .join(gr.select(col("doc_id").as("d2"), col("gram")), Seq("d2", "gram"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("d1", "d2"))
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2"))), "d2")
+      .select(col("d1"), col("d2"), col("est_bp"),
+        expr("CAST(inter * 10000 DIV (sz1 + sz2 - inter) AS BIGINT)").as("true_bp"))
+      .withColumn("err_bp", abs(col("est_bp") - col("true_bp")))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val c98Sql: String = {
+    val laneMatches = (0 until nLanes)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $c2PairsCtes,
+       |est AS (
+       |  SELECT d1, d2,
+       |    CAST(($laneMatches) * 10000 // $nLanes AS BIGINT) AS est_bp
+       |  FROM c2pairs JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2),
+       |docsin AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT d1 AS doc_id FROM c2pairs UNION ALL SELECT d2 FROM c2pairs)),
+       |gr AS (
+       |  SELECT DISTINCT doc_id, s AS gram FROM (
+       |    SELECT doc_id, unnest(g) AS s FROM g JOIN docsin USING (doc_id))),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM gr GROUP BY doc_id),
+       |inter AS (
+       |  SELECT d1, d2, COUNT(*) AS inter
+       |  FROM c2pairs
+       |  JOIN gr g1 ON g1.doc_id = d1
+       |  JOIN gr g2 ON g2.doc_id = d2 AND g2.gram = g1.gram
+       |  GROUP BY d1, d2)
+       |SELECT e.d1, e.d2, e.est_bp,
+       |  CAST(i.inter * 10000 // (s1.sz + s2.sz - i.inter) AS BIGINT) AS true_bp,
+       |  ABS(e.est_bp - CAST(i.inter * 10000 // (s1.sz + s2.sz - i.inter) AS BIGINT)) AS err_bp
+       |FROM est e
+       |JOIN inter i ON i.d1 = e.d1 AND i.d2 = e.d2
+       |JOIN sz s1 ON s1.doc_id = e.d1
+       |JOIN sz s2 ON s2.doc_id = e.d2
+       |ORDER BY e.d1, e.d2""".stripMargin
+  }
+
   // ------------------- C97 inter-source copy matrix (shared passages)
   /** C97: WHO COPIES FROM WHOM — the provenance matrix behind source-level
     * dedup policy (two feeds syndicating the same wire content should be
@@ -1579,6 +1660,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c97_source_overlap" -> (c97SourceOverlap _),
+    "c98_minhash_calibration" -> (c98MinhashCalibration _),
     "c47_incremental_dedup" -> (c47IncrementalDedup _),
     "c67_incremental_clusters" -> (c67IncrementalClusters _),
     "c68_edit_verify" -> (c68EditVerify _),
@@ -1609,6 +1691,7 @@ object Dedup {
     "c68_edit_verify" -> c68Sql,
     "c70_novelty" -> c70Sql,
     "c97_source_overlap" -> c97Sql,
+    "c98_minhash_calibration" -> c98Sql,
     "c72_incremental_dedup_bucketed" -> c72Sql,
     "c71_novelty_curve" -> c71Sql,
     "c40_passage_remove" -> c40Sql,

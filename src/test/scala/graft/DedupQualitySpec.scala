@@ -509,6 +509,29 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(top.getLong(2) == shared, s"$sa/$sb: ${top.getLong(2)} != $shared")
   }
 
+  test("c98: minhash calibration — estimates are multiples of 1/8 in bp, " +
+      "true Jaccard recomputes exactly on the heaviest pair, error bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Dedup.queries("c98_minhash_calibration")(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 1250 == 0, s"est must be k/8: $r") // 10000/8
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000, r.toString)
+      assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)), r.toString)
+    }
+    // independent recompute of true Jaccard for the first pair
+    val r0 = rows.head
+    def grams(id: Long): Set[String] = {
+      val txt = graft.core.Tables.documents(s, sf)
+        .where(col("doc_id") === id).select("text").collect()(0).getString(0)
+      val w = txt.split(' ')
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val (a, b) = (grams(r0.getLong(0)), grams(r0.getLong(1)))
+    val expect = a.intersect(b).size.toLong * 10000 / (a.size + b.size - a.intersect(b).size)
+    assert(r0.getLong(3) == expect, s"true_bp ${r0.getLong(3)} != $expect")
+  }
+
   test("c93: histogram ranks are exactly competition ranks (1 + #strictly " +
       "better), ties share a rank, and fusion reorders vs any single signal") {
     val out = graft.ops.TextAnalysis.queries("c93_rank_fusion")(s, sf).collect()
