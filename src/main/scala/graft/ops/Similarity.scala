@@ -364,6 +364,67 @@ object Similarity {
        |  MAX(sim) >= $c92Tau AS contaminated
        |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ------------------------------ C99 bucketed decontamination
+  /** C99: the 100 TB PATH for C92 — semantic decontamination through the
+    * LSH bucket family instead of the exact eval broadcast: the eval set
+    * is bucketed once (C7's hyperplanes), each corpus vector probes its
+    * own bucket plus every hamming-1 neighbor (C13's multi-probe), and
+    * only colliding (corpus, eval) pairs pay a dot product. Per corpus
+    * vector: max similarity over REACHED eval vectors, hits ≥ τ,
+    * verdict. At 100 TB the exact form scores |corpus|·|eval| pairs;
+    * this form scores only collisions — the trade is RECALL, which is
+    * not guessed at: the spec measures C99's flags against C92's exact
+    * verdicts (every C99 flag is a C92 flag — no false accusations by
+    * construction, since every scored pair uses the same exact dot),
+    * and C94 is the standing harness for the same bucket geometry.
+    * Corpus vectors reaching NO eval bucket emit a NULL max_sim — absent
+    * evidence is reported as absent, not as similarity 0 (which would
+    * be a claim about a dot product never computed).
+    */
+  def c99BucketedDecon(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+    val eval = e.where(col("vec_id") % c92EvalMod === 0)
+      .select(col("vec_id").as("e_id"), col("nv").as("env"), col("bucket"))
+    val probeCols = col("bucket") +:
+      (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+    val corpus = e.where(col("vec_id") % c92EvalMod =!= 0)
+      .select(col("vec_id"), col("nv"),
+        explode(array(probeCols: _*)).as("bucket"))
+    val hits = corpus.join(broadcast(eval), "bucket")
+      .select(col("vec_id"), DotProduct(col("nv"), col("env")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_sim"),
+        sum(when(col("sim") >= c92Tau, 1L).otherwise(0L)).as("n_hits"))
+    e.where(col("vec_id") % c92EvalMod =!= 0).select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("max_sim"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("max_sim") >= c92Tau, lit(false)).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  val c99Sql: String = {
+    val probes = ("bucket" +: (0 until nPlanes).map(j => s"xor(bucket, ${1 << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH $preparedDuck,
+       |ev AS (SELECT vec_id AS e_id, nv AS env, bucket FROM prep
+       |       WHERE vec_id % $c92EvalMod = 0),
+       |corpus AS (
+       |  SELECT vec_id, nv, unnest($probes) AS bucket FROM prep
+       |  WHERE vec_id % $c92EvalMod <> 0),
+       |hits AS (
+       |  SELECT c.vec_id, MAX(${nvDotDuck("c.nv", "ev.env")}) AS max_sim,
+       |    CAST(SUM(CASE WHEN ${nvDotDuck("c.nv", "ev.env")} >= $c92Tau
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM corpus c JOIN ev USING (bucket) GROUP BY c.vec_id)
+       |SELECT p.vec_id, h.max_sim,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.max_sim >= $c92Tau, false) AS contaminated
+       |FROM (SELECT vec_id FROM prep WHERE vec_id % $c92EvalMod <> 0) p
+       |LEFT JOIN hits h ON h.vec_id = p.vec_id
+       |ORDER BY p.vec_id""".stripMargin
+  }
+
   // ------------------------------ C94 ANN recall harness
   /** C94: RECALL measurement for the approximate index family — the gate
     * a pipeline runs BEFORE trusting an ANN shortcut for semantic dedup
@@ -1481,7 +1542,8 @@ object Similarity {
     "c86_class_geometry" -> (c86ClassGeometry _),
     "c92_semantic_decon" -> (c92SemanticDecon _),
     "c94_ann_recall" -> (c94AnnRecall _),
-    "c96_corpus_integrity" -> (c96CorpusIntegrity _)
+    "c96_corpus_integrity" -> (c96CorpusIntegrity _),
+    "c99_bucketed_decon" -> (c99BucketedDecon _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1500,6 +1562,7 @@ object Similarity {
     "c86_class_geometry" -> c86Sql,
     "c92_semantic_decon" -> c92Sql,
     "c94_ann_recall" -> c94Sql,
-    "c96_corpus_integrity" -> c96Sql
+    "c96_corpus_integrity" -> c96Sql,
+    "c99_bucketed_decon" -> c99Sql
   )
 }

@@ -298,6 +298,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad("zero_norm") == 1, bad.toString)
   }
 
+  test("c99: bucketed decon — no false accusations vs exact C92, a real " +
+      "share of true flags recovered, and null max_sim only when unreached") {
+    val exact = Similarity.queries("c92_semantic_decon")(s, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val buck = Similarity.queries("c99_bucketed_decon")(s, sf).collect()
+    assert(buck.length == exact.size, "same corpus coverage")
+    var flagged = 0
+    buck.foreach { r =>
+      val ex = exact(r.getLong(0))
+      if (r.getBoolean(3)) {
+        flagged += 1
+        assert(ex.getBoolean(3), s"false accusation: $r")
+        // a scored pair uses the same exact dot → bucketed max ≤ exact max
+        assert(r.getDouble(1) <= ex.getDouble(1) + 1e-12, r.toString)
+      }
+      assert(r.getLong(2) <= ex.getLong(2), "bucket hits cannot exceed exact")
+      if (r.isNullAt(1)) assert(r.getLong(2) == 0 && !r.getBoolean(3))
+    }
+    val exactFlagged = exact.values.count(_.getBoolean(3))
+    assert(flagged > 0, "bucketed path must recover some true flags")
+    assert(exactFlagged > flagged, "approximation must actually be lossy " +
+      s"on this geometry ($flagged/$exactFlagged) — otherwise the exact " +
+      "baseline gate is redundant")
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
         "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual",
