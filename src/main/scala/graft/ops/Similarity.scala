@@ -517,6 +517,61 @@ object Similarity {
        |ORDER BY m.method, qs.q_id""".stripMargin
   }
 
+  // ------------------------------ C100 cluster-balanced selection
+  /** C100: TOPIC-BALANCED sampling — cap every embedding cluster at the
+    * same quota so over-represented topics stop dominating the mixture
+    * (the cluster-balanced selection step of SemDeDup/DataComp-style
+    * curation: near-duplicate topics collapse to their quota instead of
+    * their popularity). Clusters are C38's trained k-means assignment
+    * (the SAME artifact semantic dedup uses — one cluster model, two
+    * policies); within each cluster the kept members are the quota-many
+    * smallest by (md5 lane, vec_id) — C63's deterministic hash-ordered
+    * prefix, so the sample is reproducible across runs/engines/cluster
+    * sizes and NOT biased by vector id order. Output: every vector with
+    * its cluster, cluster size, and the keep verdict.
+    *
+    * Scale shape: assignment is a projection against inlined centroid
+    * literals (C14's trained-artifact pattern); the quota is enforced by
+    * a window PARTITIONED by cluster (frame = cluster members — k grows
+    * with the corpus, members per cluster stay samplable); no global
+    * sort, no driver loop. The oracle re-trains the centroids in CTEs
+    * bit-identically and applies the same ROW_NUMBER rule.
+    */
+  private val c100Quota = 20
+
+  def c100ClusterBalance(s: SparkSession, d: String): DataFrame = {
+    val asg = c38Assigned(s, d).select(col("vec_id"), col("cent"))
+    val sizes = asg.groupBy(col("cent")).agg(count(lit(1)).as("cluster_n"))
+    val w = Window.partitionBy(col("cent"))
+      .orderBy(col("h"), col("vec_id"))
+    asg
+      .withColumn("h", expr(h64Spark("concat('cb:', CAST(vec_id AS STRING))")))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(sizes), "cent")
+      .select(col("vec_id"), col("cent"), col("cluster_n"),
+        (col("rk") <= c100Quota).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  // lazy: kmeansDuck initializes further down the file
+  lazy val c100Sql: String =
+    s"""WITH $preparedDuck,
+       |$kmeansDuck,
+       |asg AS (
+       |  SELECT vec_id, cid AS cent FROM (
+       |    SELECT p.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${nvDotDuck("p.nv", "c.cv")} DESC, c.cid) AS rk
+       |    FROM prep p CROSS JOIN kc$kmIters c) WHERE rk = 1),
+       |ranked AS (
+       |  SELECT vec_id, cent,
+       |    ROW_NUMBER() OVER (PARTITION BY cent
+       |      ORDER BY ${h64Duck("'cb:'||CAST(vec_id AS VARCHAR)")}, vec_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY cent) AS cluster_n
+       |  FROM asg)
+       |SELECT vec_id, cent, CAST(cluster_n AS BIGINT) AS cluster_n,
+       |  rk <= $c100Quota AS keep
+       |FROM ranked ORDER BY vec_id""".stripMargin
+
   // ------------------------------ C96 corpus↔embedding integrity audit
   /** C96: the PRECONDITION audit for every semantic op in the family —
     * before trusting ANN/semantic-dedup/decon output, verify the
@@ -1543,7 +1598,8 @@ object Similarity {
     "c92_semantic_decon" -> (c92SemanticDecon _),
     "c94_ann_recall" -> (c94AnnRecall _),
     "c96_corpus_integrity" -> (c96CorpusIntegrity _),
-    "c99_bucketed_decon" -> (c99BucketedDecon _)
+    "c99_bucketed_decon" -> (c99BucketedDecon _),
+    "c100_cluster_balance" -> (c100ClusterBalance _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1563,6 +1619,7 @@ object Similarity {
     "c92_semantic_decon" -> c92Sql,
     "c94_ann_recall" -> c94Sql,
     "c96_corpus_integrity" -> c96Sql,
-    "c99_bucketed_decon" -> c99Sql
+    "c99_bucketed_decon" -> c99Sql,
+    "c100_cluster_balance" -> c100Sql
   )
 }

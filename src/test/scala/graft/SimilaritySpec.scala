@@ -323,6 +323,25 @@ class SimilaritySpec extends AnyFunSuite {
       "baseline gate is redundant")
   }
 
+  test("c100: cluster balance — per-cluster kept = min(size, quota), " +
+      "assignment matches C38's clusters, selection is hash-determined") {
+    val rows = Similarity.queries("c100_cluster_balance")(s, sf).collect()
+    val total = graft.core.Tables.embeddings(s, sf).count()
+    assert(rows.length == total)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.forall(_.getLong(2) == ms.length), s"cluster_n wrong for $c")
+      val kept = ms.count(_.getBoolean(3))
+      assert(kept == math.min(ms.length, 20), s"cluster $c kept $kept")
+    }
+    // at least one cluster must actually be capped for the op to matter
+    assert(byCluster.exists(_._2.length > 20), "no cluster above quota")
+    // same cluster model as semantic dedup (one artifact, two policies)
+    val c38 = Similarity.queries("c38_semantic_dedup")(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == c38(r.getLong(0)), r.toString))
+  }
+
   test("every ANN result is ranked by descending similarity") {
     Seq("c6_ann_bruteforce", "c7_ann_lsh", "c13_ann_multiprobe", "c14_ann_ivf",
         "c33_ann_ivf_pq", "c34_ann_pq_rerank", "c35_ann_pq_residual",
