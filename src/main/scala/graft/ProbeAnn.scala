@@ -73,7 +73,7 @@ object ProbeAnn {
         topk(corpus.join(broadcast(q), "bucket")).localCheckpoint(true)
       }
       val cands = corpus.join(broadcast(q), "bucket").count()
-      val frac = cands.toDouble / (n.toLong * nQ)
+      val frac = cands.toDouble / ((n - nQ).toLong * nQ)
       val recall = ops.Similarity.recallFrame(brute, bucketed, "bucket", k)
         .agg(avg(col("recall_bp"))).collect()(0).getDouble(0)
       println(f"[probe-ann] n=$n%8d  brute=$tB%6.2fs  bucket=$tK%6.2fs  " +

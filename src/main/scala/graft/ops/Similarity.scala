@@ -621,9 +621,13 @@ object Similarity {
         vecs.select(col("vec_id").as("doc_id"))
           .join(docs, Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("n"))))
-      .unionAll(one("bad_dim", vstats.select(col("bad_dim").as("n"))))
-      .unionAll(one("nonfinite", vstats.select(col("nonfinite").as("n"))))
-      .unionAll(one("zero_norm", vstats.select(col("zero_norm").as("n"))))
+      // the three per-vector counters come from ONE aggregate, unpivoted
+      // — three pruned union branches would re-scan the vectors 3×
+      .unionAll(vstats.select(explode(map(
+        lit("bad_dim"), col("bad_dim"),
+        lit("nonfinite"), col("nonfinite"),
+        lit("zero_norm"), col("zero_norm"))).as(Seq("check", "n")))
+        .select(col("check"), col("n").cast("long").as("n")))
       .orderBy(col("check"))
   }
 
