@@ -88,6 +88,22 @@ object Cql {
   final case class SIntersects(shape: graft.spatial.Shape,
                                target: String = "geometry") extends Cql
 
+  /** CQL2 S_WITHIN on the item's box footprint: the footprint lies fully
+    * inside the query geometry ("give me scenes completely covered by my
+    * AOI" — the clipping-free-processing predicate). Exact via the
+    * corner rule: a BOX is within a CONVEX ring iff all four corners are
+    * (convexity makes corner-membership sufficient; holes or concavity
+    * would not, so those shapes are rejected with a typed error rather
+    * than answered approximately). Compiles to four point-in-shape
+    * kernel calls — the same codegen'd [[graft.spatial.PointInPolygon]]
+    * family every other spatial predicate uses, AND'd so the envelope
+    * prune of the first conjunct still leads the scan.
+    *
+    * On the `geometry` (point) target, within ≡ intersects, so the
+    * parser maps that case to [[SIntersects]] directly.
+    */
+  final case class SWithinBox(shape: graft.spatial.Shape) extends Cql
+
   // ------------------------------------------------- property resolution
   /** Resolve `properties.x` / `properties__x` / `x` field references
     * against a live schema, like the reference's `_format_field_name` /
@@ -126,6 +142,7 @@ object Cql {
       case Temporal(op, l, lo, hi) => Temporal(op, ro(l), lo, hi)
       case ArrayPred(op, l, r) => ArrayPred(op, ro(l), ro(r))
       case s: SIntersects     => s
+      case s: SWithinBox      => s
     }
   }
 
@@ -200,6 +217,26 @@ object Cql {
         col("xmin"), col("ymin"), col("xmax"), col("ymax"), shape)
     case SIntersects(_, other) =>
       throw new IllegalArgumentException(s"bad s_intersects target: $other")
+    case SWithinBox(shape) =>
+      val ring = withinRing(shape)
+      val poly = graft.spatial.Shape.PolyS(Array(Array(ring)))
+      Seq(("xmin", "ymin"), ("xmin", "ymax"), ("xmax", "ymin"), ("xmax", "ymax"))
+        .map { case (x, y) =>
+          graft.spatial.Geo.intersectsShape(col(x), col(y), poly)
+        }.reduce(_ && _)
+  }
+
+  /** S_WITHIN's corner rule is exact only for a single convex shell with
+    * no holes — validate and extract it, typed error otherwise.
+    */
+  private def withinRing(shape: graft.spatial.Shape): Array[Double] = shape match {
+    case graft.spatial.Shape.PolyS(geom)
+        if geom.length == 1 && geom(0).length == 1 &&
+          graft.spatial.Geo.isConvexCcw(geom(0)(0)) =>
+      geom(0)(0)
+    case other => throw new IllegalArgumentException(
+      "s_within(footprint) needs a single convex CCW ring without holes " +
+        s"(corner-membership is only sufficient there); got: $other")
   }
 
   // ----------------------------------------------------------- SQL back-end
@@ -253,6 +290,12 @@ object Cql {
       graft.spatial.Geo.boxShapeSql("xmin", "ymin", "xmax", "ymax", shape)
     case SIntersects(_, other) =>
       throw new IllegalArgumentException(s"bad s_intersects target: $other")
+    case SWithinBox(shape) =>
+      val ring = withinRing(shape)
+      val poly = graft.spatial.Shape.PolyS(Array(Array(ring)))
+      Seq(("xmin", "ymin"), ("xmin", "ymax"), ("xmax", "ymin"), ("xmax", "ymax"))
+        .map { case (x, y) => graft.spatial.Geo.pointShapeSql(x, y, poly) }
+        .mkString("(", " AND ", ")")
   }
 
   // ----------------------------------------------------------- JSON parser
@@ -454,13 +497,25 @@ object Cql {
         ArrayPred(op.toLowerCase,
           parseOperand(arg(0, "[lhs-array, rhs-array]")),
           parseOperand(arg(1, "[lhs-array, rhs-array]")))
-      case "s_intersects" =>
+      case "s_intersects" | "s_disjoint" | "s_within" =>
         // args: [{"property":"geometry"|"footprint"}, <GeoJSON geometry>]
         val prop = arg(0, "[geometry-prop, GeoJSON geometry]")
         val target =
           if (prop.isObject && prop.has("property")) prop.get("property").asText()
           else "geometry"
-        SIntersects(parseGeoJson(arg(1, "[geometry-prop, GeoJSON geometry]")), target)
+        val shape = parseGeoJson(arg(1, "[geometry-prop, GeoJSON geometry]"))
+        key match {
+          case "s_intersects" => SIntersects(shape, target)
+          // disjoint ≡ NOT intersects — the kernels are total on the
+          // non-null item coordinates, so plain negation is exact
+          case "s_disjoint" => Not(SIntersects(shape, target))
+          // a POINT is within g iff it intersects g; a box footprint
+          // needs the corner rule (SWithinBox validates convexity)
+          case _ if target == "geometry" => SIntersects(shape, target)
+          case _ if target == "footprint" => SWithinBox(shape)
+          case _ => throw new IllegalArgumentException(
+            s"bad s_within target: $target")
+        }
       case other => throw new IllegalArgumentException(s"unsupported cql2 op: $other")
     }
   }

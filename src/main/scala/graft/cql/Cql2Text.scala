@@ -151,8 +151,9 @@ object Cql2Text {
         }
       case Some(t) if kw(t).exists(Set("T_BEFORE", "T_AFTER", "T_DURING")) =>
         temporalFn()
-      case Some(t) if kw(t).contains("S_INTERSECTS") =>
-        sIntersectsFn()
+      case Some(t) if kw(t).exists(
+        Set("S_INTERSECTS", "S_DISJOINT", "S_WITHIN")) =>
+        spatialFn(kw(t).get)
       case Some(t) if kw(t).exists(
         Set("A_EQUALS", "A_CONTAINS", "A_CONTAINEDBY", "A_OVERLAPS")) =>
         arrayFn()
@@ -213,17 +214,22 @@ object Cql2Text {
       case _ => err("expected TIMESTAMP('…')")
     }
 
-    private def sIntersectsFn(): Cql = {
+    private def spatialFn(op: String): Cql = {
       pos += 1
       expectSym("(")
       val target = next() match {
         case Ident(n) => n
-        case _ => err("S_INTERSECTS expects a geometry property first")
+        case _ => err(s"$op expects a geometry property first")
       }
       expectSym(",")
       val shape = wkt()
       expectSym(")")
-      SIntersects(shape, target)
+      op match {
+        case "S_INTERSECTS" => SIntersects(shape, target)
+        case "S_DISJOINT"   => Not(SIntersects(shape, target))
+        case "S_WITHIN" if target == "footprint" => SWithinBox(shape)
+        case "S_WITHIN"     => SIntersects(shape, target)
+      }
     }
 
     private def comparison(): Cql = {

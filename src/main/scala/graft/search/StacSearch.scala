@@ -1145,6 +1145,53 @@ object StacSearch {
        |WHERE ${a39Ast.toSql}
        |ORDER BY id""".stripMargin)
 
+  // --------------------- A72/A73 s_disjoint and s_within (CQL2 spatial)
+  /** A72: CQL2 S_DISJOINT — "everything OUTSIDE my region" (the exclusion
+    * predicate: skip already-processed AOIs, mask a country out of a
+    * crawl). Parses through the same cql2-json path and compiles to the
+    * NEGATED exact intersects kernel — total on non-null coordinates, so
+    * plain negation is exact; AND'd with a value predicate so the gate
+    * exercises disjoint inside a filter tree, not alone.
+    */
+  private val a72Ast = Cql.parseJson(
+    """{"and":[
+      |  {"s_disjoint":[{"property":"geometry"},
+      |    {"type":"Polygon","coordinates":[[[-120.137,-50.223],[60.139,-50.223],
+      |     [60.139,40.177],[-120.137,40.177],[-120.137,-50.223]]]}]},
+      |  {">":[{"property":"value"},30.5]}
+      |]}""".stripMargin)
+
+  def a72CqlDisjoint(s: SparkSession, d: String): DataFrame =
+    items(s, d).where(a72Ast.toColumn).select(projCols: _*).orderBy(col("id"))
+
+  val a72Sql: String = Tables.withItems(
+    s"SELECT $projSql FROM items WHERE ${a72Ast.toSql} ORDER BY id")
+
+  /** A73: CQL2 S_WITHIN on the FOOTPRINT — "scenes completely covered by
+    * my AOI" (the clipping-free-processing predicate: a scene fully
+    * inside the area needs no boundary masking). Compiles to the corner
+    * rule — all four envelope corners through the exact point-in-shape
+    * kernel, valid because the query ring is convex (concave/holed query
+    * shapes are rejected with a typed error, not answered approximately).
+    */
+  private val a73Ast = Cql.parseJson(
+    """{"s_within":[{"property":"footprint"},
+      |  {"type":"Polygon","coordinates":[[[-150.137,-60.223],[150.139,-75.223],
+      |   [170.141,60.177],[-160.137,70.177],[-150.137,-60.223]]]}]}""".stripMargin)
+
+  def a73CqlWithin(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d))
+      .where(a73Ast.toColumn)
+      .select(col("id"), col("collection"), col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"))
+      .orderBy(col("id"))
+
+  val a73Sql: String = Tables.withItems(
+    s"""SELECT id, collection, xmin, ymin, xmax, ymax FROM (
+       |  SELECT id, collection, $envelopeSqlCols FROM items)
+       |WHERE ${a73Ast.toSql}
+       |ORDER BY id""".stripMargin)
+
   // --------------------- A40/A41 non-polygon GeoJSON types in s_intersects
   /** A40: s_intersects with a GeometryCollection mixing a convex Polygon,
     * a LineString and a Point against item POINT geometry — the reference
@@ -2468,6 +2515,8 @@ object StacSearch {
     "a37_cql2_property_resolve"   -> (a37CqlPropertyResolve _),
     "a38_fields"                  -> (a38Fields _),
     "a39_footprint_cql"           -> (a39FootprintCql _),
+    "a72_cql2_s_disjoint"         -> (a72CqlDisjoint _),
+    "a73_cql2_s_within"           -> (a73CqlWithin _),
     "a40_intersects_shapes"       -> a40Fn,
     "a41_footprint_shapes"        -> (a41FootprintShapes _),
     "a42_wkb_roundtrip"           -> (a42WkbRoundtrip _),
@@ -2533,6 +2582,8 @@ object StacSearch {
     "a37_cql2_property_resolve"   -> a37Sql,
     "a38_fields"                  -> a38Sql,
     "a39_footprint_cql"           -> a39Sql,
+    "a72_cql2_s_disjoint"         -> a72Sql,
+    "a73_cql2_s_within"           -> a73Sql,
     "a40_intersects_shapes"       -> a40Sql,
     "a41_footprint_shapes"        -> a41Sql,
     "a42_wkb_roundtrip"           -> a42Sql,

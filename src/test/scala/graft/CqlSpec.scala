@@ -262,6 +262,39 @@ class CqlSpec extends AnyFunSuite {
     assert(t.toSql == j.toSql) // identical Shape ⇒ identical rendered kernel SQL
   }
 
+  test("s_disjoint and s_within: json and text forms agree, disjoint is " +
+      "exactly NOT intersects, within implies intersects, concave rejected") {
+    import graft.cql.Cql2Text
+    val poly = """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],
+                 |[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}""".stripMargin
+    val dJson = Cql.parseJson(s"""{"s_disjoint":[{"property":"geometry"},$poly]}""")
+    val iJson = Cql.parseJson(s"""{"s_intersects":[{"property":"geometry"},$poly]}""")
+    assert(dJson.toSql == Not(iJson).toSql,
+      "disjoint must render as the negated intersects")
+    val dText = Cql2Text.parse(
+      "S_DISJOINT(geometry, POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)))")
+    assert(dText.toSql == dJson.toSql, "text and json renderings must agree")
+    val wJson = Cql.parseJson(s"""{"s_within":[{"property":"footprint"},$poly]}""")
+    val wText = Cql2Text.parse(
+      "S_WITHIN(footprint, POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)))")
+    assert(wJson.toSql == wText.toSql)
+    // within(point target) degrades to intersects
+    assert(Cql.parseJson(s"""{"s_within":[{"property":"geometry"},$poly]}""")
+      .toSql == iJson.toSql)
+    // the corner rule refuses shapes where it would be unsound
+    val concave = """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],
+                    |[5.0,5.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}""".stripMargin
+    val bad = Cql.parseJson(s"""{"s_within":[{"property":"footprint"},$concave]}""")
+    val e = intercept[IllegalArgumentException](bad.toSql)
+    assert(e.getMessage.contains("convex"), e.getMessage)
+    // semantics on live data: within ⊆ intersects; disjoint ≡ complement
+    val s = TestSpark.spark
+    val items = graft.core.Tables.items(s, TestSpark.sf)
+    val inter = items.where(iJson.toColumn).count()
+    val disj = items.where(dJson.toColumn).count()
+    assert(inter + disj == items.count(), "disjoint must complement intersects")
+  }
+
   test("cql2-text malformed input gets a clear error, not a crash") {
     import graft.cql.Cql2Text
     val cases = Seq(
