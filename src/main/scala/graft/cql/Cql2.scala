@@ -63,6 +63,18 @@ object Cql {
     * op ∈ t_before, t_after, t_during.
     */
   final case class Temporal(op: String, l: Operand, lo: Ts, hi: Option[Ts]) extends Cql
+  /** CQL2 INTERVAL-valued temporal predicates (OGC 21-065 §4.9: the
+    * `{"interval": [lo, hi]}` operand form): op ∈ t_intersects (closed
+    * intervals share at least an instant — the STAC datetime-range
+    * semantic as a FILTER-tree citizen) and t_contains (the left
+    * interval fully covers the right — "validity window encloses the
+    * query window"). Each side is (start, end) operands, so property
+    * pairs and literal pairs compose freely. NULL bounds propagate SQL
+    * three-valued logic in BOTH engines identically (a row with an
+    * unknown interval is not claimed either way).
+    */
+  final case class TIntervalPred(op: String, ls: Operand, le: Operand,
+                                 rs: Operand, re: Operand) extends Cql
   /** CQL2 array predicates (OGC 21-065 §4.10): op ∈ a_equals, a_contains,
     * a_containedby, a_overlaps — SET semantics (element order and
     * multiplicity irrelevant), per the spec.
@@ -140,6 +152,8 @@ object Cql {
       case Between(l, lo, hi) => Between(ro(l), ro(lo), ro(hi))
       case IsNull(l)          => IsNull(ro(l))
       case Temporal(op, l, lo, hi) => Temporal(op, ro(l), lo, hi)
+      case TIntervalPred(op, ls, le, rs, re) =>
+        TIntervalPred(op, ro(ls), ro(le), ro(rs), ro(re))
       case ArrayPred(op, l, r) => ArrayPred(op, ro(l), ro(r))
       case s: SIntersects     => s
       case s: SWithinBox      => s
@@ -198,6 +212,12 @@ object Cql {
       opCol(l) >= opCol(lo) && opCol(l) <= opCol(hi)
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
+    case TIntervalPred("t_intersects", ls, le, rs, re) =>
+      opCol(ls) <= opCol(re) && opCol(le) >= opCol(rs)
+    case TIntervalPred("t_contains", ls, le, rs, re) =>
+      opCol(ls) <= opCol(rs) && opCol(le) >= opCol(re)
+    case TIntervalPred(op, _, _, _, _) =>
+      throw new IllegalArgumentException(s"bad temporal interval op: $op")
     // set semantics: "A contains B" = no element of B is missing from A —
     // array_except dedups, which is exactly what the spec's set view wants
     case ArrayPred("a_contains", l, r) =>
@@ -274,6 +294,12 @@ object Cql {
       s"(${opSql(l)} >= ${opSql(lo)} AND ${opSql(l)} <= ${opSql(hi)})"
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
+    case TIntervalPred("t_intersects", ls, le, rs, re) =>
+      s"(${opSql(ls)} <= ${opSql(re)} AND ${opSql(le)} >= ${opSql(rs)})"
+    case TIntervalPred("t_contains", ls, le, rs, re) =>
+      s"(${opSql(ls)} <= ${opSql(rs)} AND ${opSql(le)} >= ${opSql(re)})"
+    case TIntervalPred(op, _, _, _, _) =>
+      throw new IllegalArgumentException(s"bad temporal interval op: $op")
     case ArrayPred("a_contains", l, r) =>
       s"list_has_all(${opSql(l)}, ${opSql(r)})"
     case ArrayPred("a_containedby", l, r) =>
@@ -490,6 +516,21 @@ object Cql {
           throw new IllegalArgumentException(s"cql2 't_during' expects [lo, hi] (got: $iv)")
         Temporal("t_during", parseOperand(arg(0, "[field, [lo, hi]]")),
           Ts(iv.get(0).asText()), Some(Ts(iv.get(1).asText())))
+      case op @ ("t_intersects" | "t_contains") =>
+        def side(n: JsonNode, what: String): (Operand, Operand) = {
+          if (n == null || !n.isObject || !n.has("interval") ||
+              !n.get("interval").isArray || n.get("interval").size() != 2)
+            throw new IllegalArgumentException(
+              s"""cql2 '$op' expects {"interval": [lo, hi]} as $what (got: $n)""")
+          val iv = n.get("interval")
+          def o(x: JsonNode): Operand =
+            if (x.isObject && x.has("property")) Prop(x.get("property").asText())
+            else Ts(x.asText())
+          (o(iv.get(0)), o(iv.get(1)))
+        }
+        val (ls, le) = side(arg(0, "[interval, interval]"), "lhs")
+        val (rs, re) = side(arg(1, "[interval, interval]"), "rhs")
+        TIntervalPred(op, ls, le, rs, re)
       case op if op.toLowerCase.startsWith("a_") &&
           Set("a_equals", "a_contains", "a_containedby", "a_overlaps")
             .contains(op.toLowerCase) =>

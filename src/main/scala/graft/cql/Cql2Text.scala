@@ -151,6 +151,8 @@ object Cql2Text {
         }
       case Some(t) if kw(t).exists(Set("T_BEFORE", "T_AFTER", "T_DURING")) =>
         temporalFn()
+      case Some(t) if kw(t).exists(Set("T_INTERSECTS", "T_CONTAINS")) =>
+        tIntervalFn(kw(t).get.toLowerCase)
       case Some(t) if kw(t).exists(
         Set("S_INTERSECTS", "S_DISJOINT", "S_WITHIN")) =>
         spatialFn(kw(t).get)
@@ -199,6 +201,29 @@ object Cql2Text {
       }
       expectSym(")")
       c
+    }
+
+    /** `T_INTERSECTS(INTERVAL(a, b), INTERVAL(c, d))` — each interval
+      * bound is a property name or a (quoted / TIMESTAMP()) literal.
+      */
+    private def tIntervalFn(op: String): Cql = {
+      pos += 1
+      def interval(): (Operand, Operand) = {
+        expectKw("INTERVAL"); expectSym("(")
+        def bound(): Operand = peek match {
+          case Some(Ident(n)) => pos += 1; Prop(n)
+          case _ => tsLit()
+        }
+        val lo = bound(); expectSym(","); val hi = bound()
+        expectSym(")")
+        (lo, hi)
+      }
+      expectSym("(")
+      val (ls, le) = interval()
+      expectSym(",")
+      val (rs, re) = interval()
+      expectSym(")")
+      TIntervalPred(op, ls, le, rs, re)
     }
 
     private def tsLit(): Ts = peek match {

@@ -385,6 +385,27 @@ object StacSearch {
       |  {">":[{"property":"value"},40.5]}
       |]}""".stripMargin)
 
+  /** A74: CQL2 INTERVAL temporal predicates (OGC 21-065 §4.9 `interval`
+    * operands) — t_intersects of the item's validity interval
+    * [start_datetime, end_datetime] with a query window (the STAC
+    * datetime-range semantic as a first-class filter-tree predicate),
+    * OR a t_contains clause ("validity window fully covers the query
+    * window"). Rows with NULL interval bounds fall out under SQL
+    * three-valued logic in BOTH engines identically — an unknown
+    * interval is never claimed.
+    */
+  private val (a74Fn, a74Sql) = cqlQuery(
+    """{"or":[
+      |  {"t_intersects":[
+      |    {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
+      |    {"interval":["2024-01-10 00:00:00","2024-01-12 00:00:00"]}]},
+      |  {"and":[
+      |    {"t_contains":[
+      |      {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
+      |      {"interval":["2024-01-20 06:00:00","2024-01-20 18:00:00"]}]},
+      |    {">":[{"property":"value"},120.5]}]}
+      |]}""".stripMargin)
+
   /** CQL2 casei accessor (case-insensitive equality/IN, extension). */
   private val (a32Fn, a32Sql) = cqlQuery(
     """{"or":[
@@ -2516,6 +2537,7 @@ object StacSearch {
     "a38_fields"                  -> (a38Fields _),
     "a39_footprint_cql"           -> (a39FootprintCql _),
     "a72_cql2_s_disjoint"         -> (a72CqlDisjoint _),
+    "a74_cql2_t_interval"         -> a74Fn,
     "a73_cql2_s_within"           -> (a73CqlWithin _),
     "a40_intersects_shapes"       -> a40Fn,
     "a41_footprint_shapes"        -> (a41FootprintShapes _),
@@ -2583,6 +2605,7 @@ object StacSearch {
     "a38_fields"                  -> a38Sql,
     "a39_footprint_cql"           -> a39Sql,
     "a72_cql2_s_disjoint"         -> a72Sql,
+    "a74_cql2_t_interval"         -> a74Sql,
     "a73_cql2_s_within"           -> a73Sql,
     "a40_intersects_shapes"       -> a40Sql,
     "a41_footprint_shapes"        -> a41Sql,

@@ -295,6 +295,41 @@ class CqlSpec extends AnyFunSuite {
     assert(inter + disj == items.count(), "disjoint must complement intersects")
   }
 
+  test("t_intersects / t_contains interval predicates: json and text parse " +
+      "to one AST, rendering is the closed-interval algebra, nulls 3VL") {
+    import graft.cql.Cql2Text
+    val j = Cql.parseJson(
+      """{"t_intersects":[
+        |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
+        |  {"interval":["2024-01-10 00:00:00","2024-01-12 00:00:00"]}]}""".stripMargin)
+    val t = Cql2Text.parse(
+      "T_INTERSECTS(INTERVAL(start_datetime, end_datetime), " +
+        "INTERVAL('2024-01-10 00:00:00', '2024-01-12 00:00:00'))")
+    assert(j == t, "json and text must build the same AST")
+    assert(j.toSql ==
+      "(start_datetime <= TIMESTAMP '2024-01-12 00:00:00' AND " +
+        "end_datetime >= TIMESTAMP '2024-01-10 00:00:00')")
+    val c = Cql.parseJson(
+      """{"t_contains":[
+        |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
+        |  {"interval":["2024-01-10 00:00:00","2024-01-12 00:00:00"]}]}""".stripMargin)
+    assert(c.toSql ==
+      "(start_datetime <= TIMESTAMP '2024-01-10 00:00:00' AND " +
+        "end_datetime >= TIMESTAMP '2024-01-12 00:00:00')")
+    // contains implies intersects; null bounds claim nothing
+    val s = TestSpark.spark
+    val items = graft.core.Tables.items(s, TestSpark.sf)
+    val ni = items.where(j.toColumn).count()
+    val nc = items.where(c.toColumn).count()
+    assert(nc <= ni && ni > 0)
+    val nullRows = items.where("start_datetime IS NULL")
+    assert(nullRows.where(j.toColumn).count() == 0, "3VL: unknown never claimed")
+    // malformed interval gets a clear error
+    val e = intercept[IllegalArgumentException](Cql.parseJson(
+      """{"t_intersects":[{"property":"datetime"},{"interval":["a","b"]}]}"""))
+    assert(e.getMessage.contains("interval"), e.getMessage)
+  }
+
   test("cql2-text malformed input gets a clear error, not a crash") {
     import graft.cql.Cql2Text
     val cases = Seq(
