@@ -261,13 +261,17 @@ object Similarity {
         l -> (a, rs.head.getLong(3))
       }
     val totalN = byLabel.values.map(_._2).sum
+    // TRUNCATING division (Java `/`), matching the oracle's `//` and SQL
+    // DIV — Math.floorDiv rounds toward -∞ and diverges on negative
+    // non-divisible sums (bit us at sf0.1: one centroid component off by
+    // one moved a row's cosine across a bp floor boundary)
     val globalMean = Array.tabulate(dims) { i =>
-      Math.floorDiv(byLabel.values.map(_._1(i)).sum, totalN)
+      byLabel.values.map(_._1(i)).sum / totalN
     }
     def arrLit(a: Array[Long]) = s"array(${a.mkString("L,")}L)"
     val centCase = "CASE label " + byLabel.toSeq.sortBy(_._1).map {
       case (l, (a, n)) =>
-        s"WHEN $l THEN ${arrLit(a.map(x => Math.floorDiv(x, n)))}"
+        s"WHEN $l THEN ${arrLit(a.map(_ / n))}"
     }.mkString(" ") + " END"
     val dot = (a: String, b: String) =>
       s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
