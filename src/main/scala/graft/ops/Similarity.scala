@@ -1381,16 +1381,28 @@ object Similarity {
     * cent = first argmax (lowest cid), matching the oracle's
     * `ORDER BY sim DESC, cid`.
     */
-  private[graft] def c38Assigned(s: SparkSession, d: String): DataFrame = {
-    val cents = trainCentroids(s, d)
+  private[graft] def c38Assigned(s: SparkSession, d: String): DataFrame =
+    assignOn(prepared(s, d), trainCentroids(s, d))
+
+  /** Centroid assignment over any (vec_id, nv) frame given a trained
+    * centroid artifact — the offline-train / online-apply seam: shared
+    * by C38/C100 batch and the D37 streaming sampler, so live and batch
+    * cannot disagree about a vector's topic.
+    */
+  private[graft] def assignOn(df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
     val simCols = cents.map(cv => DotProduct(col("nv"), array(cv.map(lit).toIndexedSeq: _*)))
-    prepared(s, d)
+    df
       .select(col("vec_id"), col("nv"), array(simCols.toIndexedSeq: _*).as("sims"))
       .select(col("vec_id"), col("nv"),
         (array_position(col("sims"), array_max(col("sims"))) - 1).cast("bigint")
           .as("cent"),
         array_max(col("sims")).as("cent_sim"))
   }
+
+  /** The trained-centroid artifact, exposed for the streaming mirror. */
+  private[graft] def centroidArtifact(s: SparkSession, d: String): Array[Array[Double]] =
+    trainCentroids(s, d)
 
   def c38SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val asg = c38Assigned(s, d)

@@ -820,6 +820,37 @@ object StreamDedup {
         reservoirFlat(k))
   }
 
+  // ---------- D37: streaming cluster-balanced sampling (C100 live)
+  /** D37: C100's topic-balanced selection maintained over a vector
+    * stream — the offline-trained k-means artifact assigns each arriving
+    * vector its cluster ([[graft.ops.Similarity.assignOn]], the SAME
+    * expressions as batch, so live and batch cannot disagree about a
+    * topic), and each cluster keeps the quota-many smallest (md5 lane,
+    * vec_id) — C100's hash-ordered prefix IS D35's deterministic
+    * reservoir, so the converged keep set equals batch C100 exactly no
+    * matter how arrival interleaves, and state is quota members + one
+    * counter per cluster (constant in stream length; clusters shard the
+    * state store by key). Reuses [[reservoirFlat]] verbatim: one
+    * reservoir kernel, two policies (stratum sampling, topic balance).
+    */
+  def clusterBalanceStream(s: SparkSession, stream: DataFrame,
+      cents: Array[Array[Double]], k: Int = 20): Dataset[ResOut] = {
+    import s.implicits._
+    val nv = stream
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("nv"))
+    graft.ops.Similarity.assignOn(nv, cents)
+      .select(col("cent").cast("string").as("source"),
+        col("vec_id").as("doc_id"),
+        expr(graft.ops.TextExprs.h64Spark("concat('cb:', CAST(vec_id AS STRING))"))
+          .as("hv"))
+      .as[ResIn]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        reservoirFlat(k))
+  }
+
   // ---------- D34: streaming PATCH-LOG serving (A68 live)
   /** D34: the live merge-patch catalog — A68's per-field LWW merge
     * maintained by a changelog stream: each micro-batch appends its

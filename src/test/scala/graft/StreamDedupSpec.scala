@@ -11,6 +11,7 @@ case class VecIn(vec_id: Long, ts: java.sql.Timestamp, v: Seq[Double])
 case class AnnStreamIn(kind: String, vec_id: Long, v: Seq[Double])
 case class DocStreamIn(source: String, text: String)
 case class SampleDocIn(source: String, doc_id: Long)
+case class VecEmbIn(vec_id: Long, embedding: Seq[Double])
 
 class StreamDedupSpec extends AnyFunSuite {
   private val s = TestSpark.spark
@@ -541,6 +542,38 @@ class StreamDedupSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
       assert(live.nonEmpty && live.toSeq == batch.toSeq,
         s"live: ${live.take(4).mkString(",")} batch: ${batch.take(4).mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("D37: streaming cluster balance — the converged per-cluster keep " +
+      "set equals batch C100 exactly, arrival order irrelevant") {
+    import s.implicits._
+    val vecs = graft.core.Tables.embeddings(s, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS embedding")
+      .collect().map(r => VecEmbIn(r.getLong(0), r.getSeq[Double](1)))
+    val cents = graft.ops.Similarity.centroidArtifact(s, sf)
+    val mem = MemoryStream[VecEmbIn](s)
+    val q = StreamDedup.clusterBalanceStream(s, mem.toDF(), cents)
+      .writeStream.format("memory").queryName("d37_cb")
+      .outputMode("append").start()
+    try {
+      // reverse-id order split across two batches: order must not matter
+      val sorted = vecs.sortBy(-_.vec_id)
+      mem.addData(sorted.take(vecs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(sorted.drop(vecs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val served = s.sql(
+        """SELECT source, doc_id FROM d37_cb x WHERE n_seen =
+          |  (SELECT MAX(n_seen) FROM d37_cb y WHERE y.source = x.source)"""
+          .stripMargin)
+        .collect().map(r => (r.getString(0).toLong, r.getLong(1))).toSet
+      val batch = graft.ops.Similarity.queries("c100_cluster_balance")(s, sf)
+        .where(col("keep")).collect()
+        .map(r => (r.getLong(1), r.getLong(0))).toSet
+      assert(served == batch,
+        s"live-only: ${served.diff(batch).take(4)}; batch-only: ${batch.diff(served).take(4)}")
+      assert(served.nonEmpty)
     } finally q.stop()
   }
 
