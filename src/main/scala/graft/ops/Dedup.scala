@@ -1513,6 +1513,98 @@ object Dedup {
        |      AND (h.doc_id < $c47Split OR h.doc_id < d.doc_id))
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------- C101 contamination closure over dup clusters
+  /** C101: TRANSITIVE decontamination — the leak a fingerprint-only pass
+    * (C19/C25) provably misses: a paraphrased near-duplicate of an
+    * eval-matching document carries the same content but not the same
+    * fingerprint, so it sails through the anti-join while its twin is
+    * removed. The closure: any member of a near-dup CLUSTER (C18's
+    * connected components) containing a directly-matching document is
+    * contaminated too — C57's leakage-free-split argument applied to
+    * decontamination. Per source: corpus docs, direct fingerprint hits
+    * (C19's exact mechanism), TRANSITIVE hits (cluster-mates of a direct
+    * hit that are not themselves direct), and the clean remainder.
+    *
+    * Scale shape: the direct-hit frame is |eval matches| (tiny, from the
+    * broadcast eval join); the cluster frame holds only dup-graph
+    * members (≪ corpus, memoized on disk by C18); the closure is ONE
+    * equi-join of those two small frames on the cluster id, then one
+    * left join back to the corpus on doc_id — no new corpus-sized
+    * shuffle beyond what C19 and C18 already paid. The oracle recomputes
+    * the clusters with the recursive-CTE closure and takes the identical
+    * set algebra — two cluster algorithms, one verdict.
+    */
+  def c101ContaminationClosure(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.TextExprs.fpSpark
+    val fps = Tables.documents(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), col("source"), expr(fpSpark).as("fp"))
+      .localCheckpoint(true)
+    closureOf(fps, c18DupClusters(s, d))
+  }
+
+  /** The closure core over arbitrary (doc_id, source, fp) + (doc_id,
+    * cluster) frames — the spec feeds it a crafted graph to prove the
+    * transitive path actually fires (on the synthetic fixtures the
+    * direct hits happen to have no cluster-mates, so the gate alone
+    * cannot distinguish the closure from a no-op).
+    */
+  private[graft] def closureOf(fps: DataFrame, clusters: DataFrame): DataFrame = {
+    val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
+    val corpus = fps.where(col("doc_id") % 97 =!= 0)
+    val direct = corpus.join(broadcast(evalFps), Seq("fp"))
+      .select(col("doc_id")).distinct()
+    val dirtyClusters = clusters
+      .join(direct.select(col("doc_id")), "doc_id")
+      .select(col("cluster")).distinct()
+    val transitive = clusters.join(broadcast(dirtyClusters), "cluster")
+      .select(col("doc_id"))
+      .join(direct, Seq("doc_id"), "left_anti")
+      .join(corpus.select(col("doc_id")), "doc_id") // eval rows never count
+    corpus.select(col("doc_id"), col("source"))
+      .join(direct.withColumn("is_direct", lit(1L)), Seq("doc_id"), "left")
+      .join(transitive.withColumn("is_trans", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_direct"), lit(0L))).as("n_direct"),
+        sum(coalesce(col("is_trans"), lit(0L))).as("n_transitive"))
+      .withColumn("n_clean",
+        col("n_docs") - col("n_direct") - col("n_transitive"))
+      .orderBy(col("source"))
+  }
+
+  val c101Sql: String =
+    s"""WITH RECURSIVE $c2PairsCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM c2pairs
+       |          UNION SELECT d2, d1 FROM c2pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |clus AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+       |fps AS (
+       |  SELECT doc_id, source,
+       |    list_min(list_transform($trigramsDuck, g -> ${h64Duck("g")})) AS fp
+       |  FROM (SELECT doc_id, source, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= 3),
+       |corpus AS (SELECT * FROM fps WHERE doc_id % 97 <> 0),
+       |direct AS (
+       |  SELECT DISTINCT doc_id FROM corpus
+       |  WHERE fp IN (SELECT fp FROM fps WHERE doc_id % 97 = 0)),
+       |dirty AS (
+       |  SELECT DISTINCT cluster FROM clus JOIN direct USING (doc_id)),
+       |trans AS (
+       |  SELECT c.doc_id FROM clus c JOIN dirty USING (cluster)
+       |  JOIN corpus USING (doc_id)
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM direct))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM direct) THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM trans) THEN 1 ELSE 0 END) AS BIGINT) AS n_transitive,
+       |  CAST(COUNT(*) - SUM(CASE WHEN doc_id IN (SELECT doc_id FROM direct) THEN 1 ELSE 0 END)
+       |    - SUM(CASE WHEN doc_id IN (SELECT doc_id FROM trans) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       |FROM corpus GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------- C98 MinHash estimator calibration
   /** C98: CALIBRATION of the MinHash Jaccard estimator — the measurement
     * that justifies reading band thresholds as Jaccard thresholds (the
@@ -1661,6 +1753,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c97_source_overlap" -> (c97SourceOverlap _),
     "c98_minhash_calibration" -> (c98MinhashCalibration _),
+    "c101_contamination_closure" -> (c101ContaminationClosure _),
     "c47_incremental_dedup" -> (c47IncrementalDedup _),
     "c67_incremental_clusters" -> (c67IncrementalClusters _),
     "c68_edit_verify" -> (c68EditVerify _),
@@ -1692,6 +1785,7 @@ object Dedup {
     "c70_novelty" -> c70Sql,
     "c97_source_overlap" -> c97Sql,
     "c98_minhash_calibration" -> c98Sql,
+    "c101_contamination_closure" -> c101Sql,
     "c72_incremental_dedup_bucketed" -> c72Sql,
     "c71_novelty_curve" -> c71Sql,
     "c40_passage_remove" -> c40Sql,

@@ -509,6 +509,33 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(top.getLong(2) == shared, s"$sa/$sb: ${top.getLong(2)} != $shared")
   }
 
+  test("c101: contamination closure — on a crafted graph the transitive " +
+      "path fires, eval rows never count, accounting partitions the corpus") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    // doc 97 is the eval row (97 % 97 == 0) with fp 11; doc 1 matches it
+    // directly; docs 1,2,3 share a cluster → 2 and 3 are transitive; doc
+    // 4 is clean; doc 5 shares a cluster with nobody contaminated
+    val fps = Seq(
+      (97L, "eval", 11L), (1L, "a", 11L), (2L, "a", 22L), (3L, "b", 33L),
+      (4L, "b", 44L), (5L, "a", 55L), (6L, "a", 66L))
+      .toDF("doc_id", "source", "fp")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster")
+    val out = graft.ops.Dedup.closureOf(fps, clusters).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("a") == (4L, 1L, 1L, 2L), out.toString) // 1 direct, 2 transitive
+    assert(out("b") == (2L, 0L, 1L, 1L), out.toString) // 3 transitive
+    assert(!out.contains("eval") || out("eval")._1 == 0,
+      "eval rows must not appear as corpus")
+    // and the live gate's accounting always partitions the corpus
+    val gate = graft.ops.Dedup.queries("c101_contamination_closure")(s, sf).collect()
+    gate.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4), r.toString)
+    }
+  }
+
   test("c98: minhash calibration — estimates are multiples of 1/8 in bp, " +
       "true Jaccard recomputes exactly on the heaviest pair, error bounded") {
     import org.apache.spark.sql.functions._
