@@ -851,6 +851,58 @@ object StreamDedup {
         reservoirFlat(k))
   }
 
+  // ---------- D38: streaming contamination closure (C101 live)
+  /** One arriving corpus document routed to its dup cluster: fingerprint
+    * plus the direct-hit verdict (computed upstream against the broadcast
+    * eval set — the same C19 mechanism as batch).
+    */
+  case class ContamIn(cluster: Long, doc_id: Long, source: String,
+                      direct: Boolean)
+  case class ContamMember(doc_id: Long, source: String, direct: Boolean)
+  case class ContamState(dirty: Boolean, pending: Seq[ContamMember])
+  case class ContamOut(cluster: Long, doc_id: Long, source: String,
+                       kind: String)
+
+  /** D38: C101's transitive decontamination LIVE — with the part batch
+    * never has to think about: RETROACTIVE invalidation. A document can
+    * arrive, look clean, and be accepted; when a direct eval-match lands
+    * in the same near-dup cluster LATER, every previously-accepted
+    * cluster-mate must be flagged after the fact. State per cluster is
+    * the dirty bit plus ONLY the not-yet-flagged members (once a cluster
+    * turns dirty its members are emitted and dropped — arrivals into a
+    * dirty cluster flag immediately, so state for contaminated clusters
+    * collapses to one bit; clean clusters hold their members pending,
+    * bounded by cluster size). Converged output = batch C101's
+    * direct+transitive sets exactly, regardless of arrival order —
+    * spec-pinned with the direct hit arriving LAST.
+    */
+  private def contamFlat(cluster: Long, rows: Iterator[ContamIn],
+      state: GroupState[ContamState]): Iterator[ContamOut] = {
+    val st = state.getOption.getOrElse(ContamState(dirty = false, Nil))
+    val incoming = rows.map(r => ContamMember(r.doc_id, r.source, r.direct)).toVector
+    val nowDirty = st.dirty || incoming.exists(_.direct)
+    if (nowDirty) {
+      // flush everything pending plus this batch; keep nothing but the bit
+      val flagged = (st.pending.toVector ++ incoming).map { m =>
+        ContamOut(cluster, m.doc_id, m.source,
+          if (m.direct) "direct" else "transitive")
+      }
+      state.update(ContamState(dirty = true, Nil))
+      flagged.iterator
+    } else {
+      state.update(ContamState(dirty = false, st.pending ++ incoming))
+      Iterator.empty
+    }
+  }
+
+  def contaminationStream(s: SparkSession, stream: DataFrame): Dataset[ContamOut] = {
+    import s.implicits._
+    stream.as[ContamIn]
+      .groupByKey(_.cluster)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        contamFlat)
+  }
+
   // ---------- D34: streaming PATCH-LOG serving (A68 live)
   /** D34: the live merge-patch catalog — A68's per-field LWW merge
     * maintained by a changelog stream: each micro-batch appends its

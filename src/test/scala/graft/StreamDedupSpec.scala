@@ -577,6 +577,49 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("D38: streaming contamination closure — a late direct hit " +
+      "RETROACTIVELY flags earlier-accepted cluster-mates; converged ≡ batch") {
+    import s.implicits._
+    // same graph as the c101 spec: docs 1,2,3 share cluster 1 (doc 1 is
+    // the direct hit), 5,6 share a clean cluster, 4 is a singleton
+    val rows = Seq(
+      StreamDedup.ContamIn(1L, 2L, "a", direct = false),
+      StreamDedup.ContamIn(1L, 3L, "b", direct = false),
+      StreamDedup.ContamIn(5L, 5L, "a", direct = false),
+      StreamDedup.ContamIn(4L, 4L, "b", direct = false),
+      StreamDedup.ContamIn(5L, 6L, "a", direct = false),
+      StreamDedup.ContamIn(1L, 1L, "a", direct = true)) // the hit, LAST
+    val mem = MemoryStream[StreamDedup.ContamIn](s)
+    val q = StreamDedup.contaminationStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("d38_contam")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(4).toIndexedSeq)   // clean so far
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM d38_contam").count() == 0,
+        "nothing may be flagged before a direct hit")
+      mem.addData(rows.drop(4).toIndexedSeq)   // doc 6, then the hit
+      q.processAllAvailable()
+      val out = s.sql("SELECT doc_id, kind FROM d38_contam").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // retroactive: 2 and 3 were accepted in batch 1, flagged now
+      assert(out == Map(1L -> "direct", 2L -> "transitive", 3L -> "transitive"),
+        out.toString)
+      // and the converged verdicts equal the batch closure on one graph
+      val fps = Seq((97L, "eval", 11L), (1L, "a", 11L), (2L, "a", 22L),
+        (3L, "b", 33L), (4L, "b", 44L), (5L, "a", 55L), (6L, "a", 66L))
+        .toDF("doc_id", "source", "fp")
+      val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+        .toDF("doc_id", "cluster")
+      val batch = graft.ops.Dedup.closureOf(fps, clusters).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+      val live = out.toSeq.groupBy { case (id, _) =>
+        Map(1L -> "a", 2L -> "a", 3L -> "b")(id) }
+      assert(batch("a") == (1L, live("a").count(_._2 == "transitive").toLong))
+      assert(batch("b") == (0L, live("b").count(_._2 == "transitive").toLong))
+    } finally q.stop()
+  }
+
   test("D35: streaming exact-k sample — the converged reservoir equals " +
       "batch C63 exactly, state stays bounded, arrival order irrelevant") {
     import s.implicits._
