@@ -1534,23 +1534,14 @@ object Dedup {
     * the clusters with the recursive-CTE closure and takes the identical
     * set algebra — two cluster algorithms, one verdict.
     */
-  def c101ContaminationClosure(s: SparkSession, d: String): DataFrame = {
-    import graft.ops.TextExprs.fpSpark
-    val fps = Tables.documents(s, d)
-      .withColumn("w", expr(wordsSpark))
-      .where(expr("size(w) >= 3"))
-      .select(col("doc_id"), col("source"), expr(fpSpark).as("fp"))
-      .localCheckpoint(true)
-    closureOf(fps, c18DupClusters(s, d))
-  }
+  def c101ContaminationClosure(s: SparkSession, d: String): DataFrame =
+    closureOf(contamFps(s, d), c18DupClusters(s, d))
 
-  /** The closure core over arbitrary (doc_id, source, fp) + (doc_id,
-    * cluster) frames — the spec feeds it a crafted graph to prove the
-    * transitive path actually fires (on the synthetic fixtures the
-    * direct hits happen to have no cluster-mates, so the gate alone
-    * cannot distinguish the closure from a no-op).
+  /** (direct, transitive) doc-id frames of the contamination closure —
+    * shared by the C101 accounting and C102's clean-corpus mixture.
     */
-  private[graft] def closureOf(fps: DataFrame, clusters: DataFrame): DataFrame = {
+  private[ops] def closureParts(fps: DataFrame,
+      clusters: DataFrame): (DataFrame, DataFrame) = {
     val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
     val corpus = fps.where(col("doc_id") % 97 =!= 0)
     val direct = corpus.join(broadcast(evalFps), Seq("fp"))
@@ -1562,6 +1553,28 @@ object Dedup {
       .select(col("doc_id"))
       .join(direct, Seq("doc_id"), "left_anti")
       .join(corpus.select(col("doc_id")), "doc_id") // eval rows never count
+    (direct, transitive)
+  }
+
+  /** C101's fingerprint frame, shared with C102. */
+  private[ops] def contamFps(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.TextExprs.fpSpark
+    Tables.documents(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w) >= 3"))
+      .select(col("doc_id"), col("source"), expr(fpSpark).as("fp"))
+      .localCheckpoint(true)
+  }
+
+  /** The closure core over arbitrary (doc_id, source, fp) + (doc_id,
+    * cluster) frames — the spec feeds it a crafted graph to prove the
+    * transitive path actually fires (on the synthetic fixtures the
+    * direct hits happen to have no cluster-mates, so the gate alone
+    * cannot distinguish the closure from a no-op).
+    */
+  private[graft] def closureOf(fps: DataFrame, clusters: DataFrame): DataFrame = {
+    val corpus = fps.where(col("doc_id") % 97 =!= 0)
+    val (direct, transitive) = closureParts(fps, clusters)
     corpus.select(col("doc_id"), col("source"))
       .join(direct.withColumn("is_direct", lit(1L)), Seq("doc_id"), "left")
       .join(transitive.withColumn("is_trans", lit(1L)), Seq("doc_id"), "left")
@@ -1574,8 +1587,11 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  val c101Sql: String =
-    s"""WITH RECURSIVE $c2PairsCtes,
+  /** The contamination-closure CTE chain (clusters, fingerprints,
+    * direct, trans) — shared by the C101 and C102 oracles.
+    */
+  private[ops] lazy val c101ClosureCtes: String =
+    s"""$c2PairsCtes,
        |edges AS (SELECT d1 AS src, d2 AS dst FROM c2pairs
        |          UNION SELECT d2, d1 FROM c2pairs),
        |reach(src, dst) AS (
@@ -1597,7 +1613,10 @@ object Dedup {
        |trans AS (
        |  SELECT c.doc_id FROM clus c JOIN dirty USING (cluster)
        |  JOIN corpus USING (doc_id)
-       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM direct))
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM direct))""".stripMargin
+
+  lazy val c101Sql: String =
+    s"""WITH RECURSIVE $c101ClosureCtes
        |SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM direct) THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM trans) THEN 1 ELSE 0 END) AS BIGINT) AS n_transitive,

@@ -2444,6 +2444,69 @@ object TextAnalysis {
        |FROM incoming GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------- C102 contamination-aware mixture plan
+  /** C102: the mixture planned on the CLEAN corpus — the pipeline
+    * ORDERING constraint C28 alone can't see: waterfilling quotas on raw
+    * availability overshoots when part of a domain is contaminated (the
+    * plan promises tokens that decontamination then removes; the
+    * materialized mix silently under-delivers the binding domain and the
+    * ratios drift). Here the C101 closure (direct + transitive over dup
+    * clusters) is computed FIRST, per-domain availability splits into
+    * raw vs clean, and C28's integer waterfilling runs on the CLEAN
+    * side; the raw column rides along so the overshoot a dirty plan
+    * would have baked in is visible per domain.
+    *
+    * Scale shape: the dirty-doc frame is |contaminated| (tiny — C101's
+    * scale note), broadcast-joined onto the one corpus pass C28 already
+    * pays; the plan math stays on the |domains|-row aggregate (C28's
+    * bounded-frame window doctrine).
+    */
+  def c102CleanMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (direct, transitive) = Dedup.closureParts(
+      Dedup.contamFps(s, d), Dedup.c18DupClusters(s, d))
+    val dirty = direct.unionAll(transitive).distinct()
+      .withColumn("dirty", lit(1L))
+    docs(s, d)
+      .where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), expr(c28DomainSql).as("domain"),
+        expr(s"size($wordsSpark)").as("nt"))
+      .join(broadcast(dirty), Seq("doc_id"), "left")
+      .groupBy(col("domain"))
+      .agg(sum(col("nt")).as("avail_raw"),
+        sum(when(col("dirty").isNull, col("nt")).otherwise(lit(0L)))
+          .as("avail_clean"))
+      .withColumn("wt", expr(c28WtSql).cast("bigint"))
+      .withColumn("t_total", min(expr("avail_clean * 10 DIV wt"))
+        .over(Window.partitionBy()))
+      .select(col("domain"), col("wt"), col("avail_raw"), col("avail_clean"),
+        expr("t_total * wt DIV 10").as("take_tokens"),
+        expr("(t_total * wt DIV 10) * 10000 DIV avail_clean").as("rate_bp"))
+      .orderBy(col("domain"))
+  }
+
+  lazy val c102Sql: String = {
+    val closure = graft.ops.Dedup.c101ClosureCtes
+    s"""WITH RECURSIVE ${closure},
+       |dirtydocs AS (
+       |  SELECT doc_id FROM direct UNION SELECT doc_id FROM trans),
+       |t AS (
+       |  SELECT doc_id, $c28DomainSql AS domain, len($wordsDuck) AS nt
+       |  FROM documents WHERE doc_id % 97 <> 0),
+       |a AS (
+       |  SELECT domain, CAST(SUM(nt) AS BIGINT) AS avail_raw,
+       |    CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dirtydocs)
+       |      THEN 0 ELSE nt END) AS BIGINT) AS avail_clean
+       |  FROM t GROUP BY domain),
+       |w AS (SELECT domain, avail_raw, avail_clean,
+       |        CAST($c28WtSql AS BIGINT) AS wt FROM a),
+       |m AS (SELECT *, MIN(avail_clean * 10 // wt) OVER () AS t_total FROM w)
+       |SELECT domain, wt, avail_raw, avail_clean,
+       |  CAST(t_total * wt // 10 AS BIGINT) AS take_tokens,
+       |  CAST((t_total * wt // 10) * 10000 // avail_clean AS BIGINT) AS rate_bp
+       |FROM m ORDER BY domain""".stripMargin
+  }
+
   // ------------------------- C93 quality-signal rank fusion (Borda)
   /** C93: RANK FUSION of heterogeneous quality signals — how a pipeline
     * combines incommensurable scores (chars, lexical diversity, stopword
@@ -2516,6 +2579,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c93_rank_fusion" -> (c93RankFusion _),
+    "c102_clean_mixture" -> (c102CleanMixture _),
     "c75_freq_spectrum" -> (c75FreqSpectrum _),
     "c76_chunk" -> (c76Chunk _),
     "c77_embed_cache_plan" -> (c77EmbedCachePlan _),
@@ -2580,6 +2644,7 @@ object TextAnalysis {
     "c83_length_outliers" -> c83Sql,
     "c91_fim_construct" -> c91Sql,
     "c93_rank_fusion" -> c93Sql,
+    "c102_clean_mixture" -> c102Sql,
     "c84_template_prefixes" -> c84Sql,
     "c60_calibrated_cut" -> c60Sql,
     "c62_snapshot_diff" -> c62Sql,

@@ -536,6 +536,27 @@ class DedupQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("c102: clean mixture — clean ≤ raw with a real contamination bite, " +
+      "the binding domain is fully taken, takes follow the weights") {
+    val rows = graft.ops.TextAnalysis.queries("c102_clean_mixture")(s, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2), r.toString))
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)),
+      "contamination must actually remove tokens from some domain")
+    assert(rows.exists(_.getLong(5) == 10000L),
+      "the binding domain must be taken completely")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "cannot take more than clean avail")
+    }
+    // take_tokens follow the waterfilling rule exactly: the shared budget
+    // is the min over domains of clean·10 DIV wt, each take = T·wt DIV 10
+    val t = rows.map(r => r.getLong(3) * 10 / r.getLong(1)).min
+    rows.foreach { r =>
+      assert(r.getLong(4) == t * r.getLong(1) / 10,
+        s"take ≠ T·wt DIV 10 for ${r.getString(0)} (T=$t): $r")
+    }
+  }
+
   test("c98: minhash calibration — estimates are multiples of 1/8 in bp, " +
       "true Jaccard recomputes exactly on the heaviest pair, error bounded") {
     import org.apache.spark.sql.functions._
