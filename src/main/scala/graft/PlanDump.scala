@@ -21,7 +21,10 @@ object PlanDump {
       "c14_ann_ivf" -> "IVF ANN: shuffle-free centroid assignment (inlined seed argmax projection)",
       "c17_keyword_search" -> "tf-idf: one stats pass broadcast into the scorer, 2 corpus scans",
       "c20_dedup_embedding_lsh" -> "Bucketed embedding near-dup: LSH tables, no cartesian",
-      "d2_sessionize" -> "Sessionization: one shuffle reused by windows + groupBy")
+      "d2_sessionize" -> "Sessionization: one shuffle reused by windows + groupBy",
+      "a70_agg_bundle" -> "Aggregations bundle: ONE scan + Expand + shuffle for every granularity",
+      "c92_semantic_decon" -> "Semantic decon: eval set broadcast, corpus streams, per-row max/count",
+      "c93_rank_fusion" -> "Rank fusion: value-histogram ranks broadcast back — no global sort")
     val out = new StringBuilder
     out ++= "# Physical plans (generated snapshot, sf0.01)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"` (writes docs/PLANS.md).\n"
