@@ -35,6 +35,13 @@ object Cql {
   final case class Bool(v: Boolean) extends Operand
   /** Timestamp literal, `yyyy-MM-dd HH:mm:ss[.SSSSSS]` (UTC). */
   final case class Ts(v: String) extends Operand
+  /** Open interval bound (OGC 21-065 §4.9: `".."` or JSON null) — −∞ as
+    * a start, +∞ as an end. Only legal inside a TIntervalPred side; the
+    * compilers fold the affected conjunct to TRUE/FALSE instead of
+    * rendering it (a naive `CAST('..' AS TIMESTAMP)` is NULL in Spark —
+    * silently dropping every row — and a hard error in DuckDB).
+    */
+  case object OpenBound extends Operand
   /** CQL2 `casei` accessor: case-insensitive wrapper around an operand. */
   final case class CaseI(x: Operand) extends Operand
 
@@ -179,6 +186,8 @@ object Cql {
         case other => throw new IllegalArgumentException(s"bad arith op: $other")
       }
     case Arr(vs) => array(vs.map(opCol): _*)
+    case OpenBound => throw new IllegalArgumentException(
+      "open bound '..' is only valid inside a t_intersects/t_contains interval")
   }
 
   def toColumn(e: Cql): Column = e match {
@@ -213,9 +222,25 @@ object Cql {
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
     case TIntervalPred("t_intersects", ls, le, rs, re) =>
-      opCol(ls) <= opCol(re) && opCol(le) >= opCol(rs)
+      // an open bound is ±∞ in the favorable direction for BOTH of these
+      // comparisons, so either side open folds the conjunct to TRUE
+      def iv(a: Operand, b: Operand, cmp: (Column, Column) => Column): Column =
+        if (a == OpenBound || b == OpenBound) lit(true)
+        else cmp(opCol(a), opCol(b))
+      iv(ls, re, _ <= _) && iv(le, rs, _ >= _)
     case TIntervalPred("t_contains", ls, le, rs, re) =>
-      opCol(ls) <= opCol(rs) && opCol(le) >= opCol(re)
+      // Allen's strict contains (OGC 21-065): start1 < start2 AND
+      // end1 > end2. An open OUTER bound is ±∞ (conjunct TRUE), but an
+      // open INNER bound is unbeatable (±∞ < ±∞ is false → FALSE).
+      val cs: Column =
+        if (rs == OpenBound) lit(false)
+        else if (ls == OpenBound) lit(true)
+        else opCol(ls) < opCol(rs)
+      val ce: Column =
+        if (re == OpenBound) lit(false)
+        else if (le == OpenBound) lit(true)
+        else opCol(le) > opCol(re)
+      cs && ce
     case TIntervalPred(op, _, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal interval op: $op")
     // set semantics: "A contains B" = no element of B is missing from A —
@@ -273,6 +298,8 @@ object Cql {
     case CaseI(x)  => s"LOWER(${opSql(x)})"
     case Arith(op, l, r) => s"(${opSql(l)} $op ${opSql(r)})"
     case Arr(vs)   => vs.map(opSql).mkString("[", ", ", "]")
+    case OpenBound => throw new IllegalArgumentException(
+      "open bound '..' is only valid inside a t_intersects/t_contains interval")
   }
 
   def toSql(e: Cql): String = e match {
@@ -295,9 +322,21 @@ object Cql {
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
     case TIntervalPred("t_intersects", ls, le, rs, re) =>
-      s"(${opSql(ls)} <= ${opSql(re)} AND ${opSql(le)} >= ${opSql(rs)})"
+      def iv(a: Operand, b: Operand, cmp: String): String =
+        if (a == OpenBound || b == OpenBound) "TRUE"
+        else s"${opSql(a)} $cmp ${opSql(b)}"
+      s"(${iv(ls, re, "<=")} AND ${iv(le, rs, ">=")})"
     case TIntervalPred("t_contains", ls, le, rs, re) =>
-      s"(${opSql(ls)} <= ${opSql(rs)} AND ${opSql(le)} >= ${opSql(re)})"
+      // strict Allen contains — mirrors the Column backend exactly
+      val cs =
+        if (rs == OpenBound) "FALSE"
+        else if (ls == OpenBound) "TRUE"
+        else s"${opSql(ls)} < ${opSql(rs)}"
+      val ce =
+        if (re == OpenBound) "FALSE"
+        else if (le == OpenBound) "TRUE"
+        else s"${opSql(le)} > ${opSql(re)}"
+      s"($cs AND $ce)"
     case TIntervalPred(op, _, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal interval op: $op")
     case ArrayPred("a_contains", l, r) =>
@@ -524,7 +563,8 @@ object Cql {
               s"""cql2 '$op' expects {"interval": [lo, hi]} as $what (got: $n)""")
           val iv = n.get("interval")
           def o(x: JsonNode): Operand =
-            if (x.isObject && x.has("property")) Prop(x.get("property").asText())
+            if (x.isNull || (x.isTextual && x.asText() == "..")) OpenBound
+            else if (x.isObject && x.has("property")) Prop(x.get("property").asText())
             else Ts(x.asText())
           (o(iv.get(0)), o(iv.get(1)))
         }

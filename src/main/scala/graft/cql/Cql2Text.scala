@@ -211,6 +211,7 @@ object Cql2Text {
       def interval(): (Operand, Operand) = {
         expectKw("INTERVAL"); expectSym("(")
         def bound(): Operand = peek match {
+          case Some(StrTok("..")) => pos += 1; OpenBound // open bound, §4.9
           case Some(Ident(n)) => pos += 1; Prop(n)
           case _ => tsLit()
         }
@@ -252,8 +253,12 @@ object Cql2Text {
       op match {
         case "S_INTERSECTS" => SIntersects(shape, target)
         case "S_DISJOINT"   => Not(SIntersects(shape, target))
+        // mirrors the json parser: geometry → point-in-shape, footprint →
+        // corner rule, anything else is a typed error HERE (not a
+        // misleading 'bad s_intersects target' at compile time)
         case "S_WITHIN" if target == "footprint" => SWithinBox(shape)
-        case "S_WITHIN"     => SIntersects(shape, target)
+        case "S_WITHIN" if target == "geometry"  => SIntersects(shape, target)
+        case "S_WITHIN" => err(s"bad s_within target: $target")
       }
     }
 

@@ -379,6 +379,11 @@ object Multimodal {
     audioParquet(s, d).as[Audio]
       .mapPartitions(_.grouped(64).flatMap(_.iterator.map(decodeWav)))
       .toDF()
+      // CSV-stringified for the gate: the driver's pandas compare cannot
+      // sort/hash ARRAY cells. decodeWav still produces the real
+      // Array[Long] frame energies; only the output projection flattens it.
+      .withColumn("frame_abs_csv", array_join(col("frame_abs"), ","))
+      .drop("frame_abs")
       .orderBy(col("doc_id"))
   }
 
@@ -394,7 +399,8 @@ object Multimodal {
       |fl AS (SELECT doc_id, list(fa ORDER BY f) AS frame_abs FROM fr GROUP BY doc_id)
       |SELECT a.doc_id, CAST(44 + 2 * a.n AS INTEGER) AS n_bytes,
       |  CAST(8000 AS INTEGER) AS sample_rate, CAST(a.n AS INTEGER) AS n_samples,
-      |  CAST(a.energy AS BIGINT) AS energy, f.frame_abs
+      |  CAST(a.energy AS BIGINT) AS energy,
+      |  array_to_string(f.frame_abs, ',') AS frame_abs_csv
       |FROM agg a JOIN fl f USING (doc_id) ORDER BY a.doc_id""".stripMargin
 
   // ----------------------- C89 video container + frame sampling

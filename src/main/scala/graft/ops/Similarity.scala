@@ -742,20 +742,22 @@ object Similarity {
     * id is the partition key: each query touches nProbe/nCentroids of
     * the corpus.
     *
-    * Training is driver-side over a deterministic sample (every
-    * [[kmSampleMod]]-th vector — the standard IVF practice of training on
-    * O(k·1000) sampled rows, tiny at any corpus size), with strictly
-    * sequential vec_id-ordered accumulation. The ORACLE re-trains the
-    * SAME algorithm in unrolled SQL CTEs whose sums are list_reduce folds
-    * over vec_id-ordered lists — an independent implementation that must
-    * agree bit-for-bit, so an off-by-one in either training loop fails
-    * the gate.
+    * Training is driver-side over a deterministic BOUNDED sample: the
+    * [[kmSampleCap]] vectors with the lowest md5 lane (a hash-ordered
+    * prefix — the C63 uniform-sample trick as a distributed TakeOrdered,
+    * so the driver holds O(cap) rows NO MATTER the corpus size; a
+    * fraction-of-corpus predicate like `vec_id % 4 = 0` would OOM the
+    * driver at 100 TB), with strictly sequential vec_id-ordered
+    * accumulation. The ORACLE re-trains the SAME algorithm in unrolled
+    * SQL CTEs whose sums are list_reduce folds over vec_id-ordered
+    * lists — an independent implementation that must agree bit-for-bit,
+    * so an off-by-one in either training loop fails the gate.
     */
   private val nCentroids = 16
   private val nProbe = 2
   private val kIvf = 5
   private val kmIters = 3
-  private val kmSampleMod = 4
+  private[ops] val kmSampleCap = 2048
 
   /** Deterministic spherical k-means over the sample. Init = first
     * [[nCentroids]] sample vectors (vec_id order); assignment = max
@@ -764,11 +766,7 @@ object Similarity {
     * previous centroid.
     */
   private[graft] def trainCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
-    val sample = prepared(s, d)
-      .where(col("vec_id") % kmSampleMod === 0)
-      .select(col("vec_id"), col("nv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val sample = kmSample(s, d)
     var cents = sample.take(nCentroids).map(_._2)
     var it = 0
     while (it < kmIters) {
@@ -891,8 +889,9 @@ object Similarity {
          |    COALESCE(list_transform(n.mv, x -> x / sqrt(${nvDotDuck("n.mv", "n.mv")})), c.cv) AS cv
          |  FROM kc${t - 1} c LEFT JOIN km$t n ON c.cid = n.cid)""".stripMargin
     }
-    (s"ksample AS (SELECT vec_id, nv FROM prep WHERE vec_id % $kmSampleMod = 0)" +:
-      init +: iters).mkString(",\n")
+    val ksampleCte = "ksample AS (SELECT vec_id, nv FROM prep " +
+      s"ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $kmSampleCap)"
+    (ksampleCte +: init +: iters).mkString(",\n")
   }
 
   val c14Sql: String =
@@ -956,12 +955,15 @@ object Similarity {
     * sub-centroids are not unit vectors); empty cluster keeps its
     * previous centroid.
     */
-  /** The deterministic training sample (every [[kmSampleMod]]-th vector,
-    * vec_id order) all driver-side trainers share.
+  /** The deterministic BOUNDED training sample all driver-side trainers
+    * share: the [[kmSampleCap]] vectors with the lowest md5("km:"+vec_id)
+    * lane (distributed TakeOrdered — O(cap) driver memory at any corpus
+    * size), re-sorted to vec_id order for the sequential accumulators.
     */
   private[graft] def kmSample(s: SparkSession, d: String): Array[(Long, Array[Double])] =
     prepared(s, d)
-      .where(col("vec_id") % kmSampleMod === 0)
+      .orderBy(md5(concat(lit("km:"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(kmSampleCap)
       .select(col("vec_id"), col("nv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)

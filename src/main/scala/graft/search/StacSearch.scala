@@ -1584,11 +1584,16 @@ object StacSearch {
   def a52CqlArrays(s: SparkSession, d: String): DataFrame =
     items(s, d).withColumn("tags", expr(tagsSpark))
       .where(a52Ast.toColumn)
-      .select(col("id"), col("collection"), col("tags"))
+      // Array columns are rendered to a canonical CSV string for the gate:
+      // the driver's pandas compare sorts every output column and cannot
+      // hash ARRAY cells. Semantics (a_overlaps/a_contains/...) still run
+      // on the real ARRAY<STRING>; only the projection is stringified.
+      .select(col("id"), col("collection"),
+        array_join(col("tags"), ",").as("tags_csv"))
       .orderBy(col("id"))
 
   val a52Sql: String = Tables.withItems(
-    s"""SELECT id, collection, tags FROM (
+    s"""SELECT id, collection, array_to_string(tags, ',') AS tags_csv FROM (
        |  SELECT id, collection, $tagsDuck AS tags FROM items)
        |WHERE ${a52Ast.toSql}
        |ORDER BY id""".stripMargin)
@@ -1981,7 +1986,11 @@ object StacSearch {
       "links ARRAY<STRUCT<rel: STRING, href: STRING>>"
     val meta = s.read.schema(schema).json(a65ConfigDir() + "/*.json")
       .select(col("id").as("collection"), col("title"), col("license"),
-        col("description"), col("stac_version"), col("keywords"),
+        col("description"), col("stac_version"),
+        // CSV-stringified for the gate: the driver's pandas compare cannot
+        // sort/hash ARRAY cells. The JSON parse still reads the real
+        // ARRAY<STRING>; only the output projection flattens it.
+        array_join(col("keywords"), ",").as("keywords_csv"),
         expr("filter(links, l -> l.rel = 'self')[0].href").as("self_href"))
     items(s, d).groupBy(col("collection"))
       .agg(count(lit(1)).as("n_items"),
@@ -1996,7 +2005,7 @@ object StacSearch {
     s"""SELECT d.collection, n_items, t_min, t_max, west, east, south, north,
        |  m.title, m.license, m.description,
        |  '1.0.0' AS stac_version,
-       |  list_value('events', d.collection) AS keywords,
+       |  'events,' || d.collection AS keywords_csv,
        |  'https://example.com/collections/' || d.collection AS self_href
        |FROM (
        |  SELECT collection, COUNT(*) AS n_items,

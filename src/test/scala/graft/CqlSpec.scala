@@ -313,9 +313,10 @@ class CqlSpec extends AnyFunSuite {
       """{"t_contains":[
         |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
         |  {"interval":["2024-01-10 00:00:00","2024-01-12 00:00:00"]}]}""".stripMargin)
+    // Allen's STRICT contains (OGC 21-065): start1 < start2 AND end1 > end2
     assert(c.toSql ==
-      "(start_datetime <= TIMESTAMP '2024-01-10 00:00:00' AND " +
-        "end_datetime >= TIMESTAMP '2024-01-12 00:00:00')")
+      "(start_datetime < TIMESTAMP '2024-01-10 00:00:00' AND " +
+        "end_datetime > TIMESTAMP '2024-01-12 00:00:00')")
     // contains implies intersects; null bounds claim nothing
     val s = TestSpark.spark
     val items = graft.core.Tables.items(s, TestSpark.sf)
@@ -328,6 +329,55 @@ class CqlSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Cql.parseJson(
       """{"t_intersects":[{"property":"datetime"},{"interval":["a","b"]}]}"""))
     assert(e.getMessage.contains("interval"), e.getMessage)
+  }
+
+  test("open interval bounds ('..' / null, OGC 21-065 §4.9) fold conjuncts " +
+      "instead of casting to NULL — json and text agree") {
+    import graft.cql.Cql2Text
+    // t_intersects with an open end = a one-sided 'from' filter
+    val j = Cql.parseJson(
+      """{"t_intersects":[
+        |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
+        |  {"interval":["2024-01-10 00:00:00",".."]}]}""".stripMargin)
+    val t = Cql2Text.parse(
+      "T_INTERSECTS(INTERVAL(start_datetime, end_datetime), " +
+        "INTERVAL('2024-01-10 00:00:00', '..'))")
+    assert(j == t, "json '..' and text '..' must build the same AST")
+    val jn = Cql.parseJson(
+      """{"t_intersects":[
+        |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
+        |  {"interval":["2024-01-10 00:00:00",null]}]}""".stripMargin)
+    assert(j == jn, "json null bound ≡ '..'")
+    assert(j.toSql ==
+      "(TRUE AND end_datetime >= TIMESTAMP '2024-01-10 00:00:00')")
+    // fully open interval intersects everything with a known interval
+    val full = Cql.parseJson(
+      """{"t_intersects":[
+        |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
+        |  {"interval":["..",".."]}]}""".stripMargin)
+    assert(full.toSql == "(TRUE AND TRUE)")
+    // t_contains: open OUTER bound is ±∞ (conjunct TRUE); open INNER
+    // start is unbeatable (FALSE)
+    val cOuter = Cql.parseJson(
+      """{"t_contains":[
+        |  {"interval":["..",".."]},
+        |  {"interval":["2024-01-10 00:00:00","2024-01-12 00:00:00"]}]}""".stripMargin)
+    assert(cOuter.toSql == "(TRUE AND TRUE)")
+    val cInner = Cql.parseJson(
+      """{"t_contains":[
+        |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
+        |  {"interval":["..","2024-01-12 00:00:00"]}]}""".stripMargin)
+    assert(cInner.toSql.startsWith("(FALSE AND "))
+    // live data: one-sided from-filter ≡ the plain end >= bound predicate
+    val s = TestSpark.spark
+    val items = graft.core.Tables.items(s, TestSpark.sf)
+    val n1 = items.where(j.toColumn).count()
+    val n2 = items.where("end_datetime >= timestamp'2024-01-10 00:00:00'").count()
+    assert(n1 == n2 && n1 > 0)
+    // an open bound outside an interval is a typed error, not a NULL cast
+    val esc = intercept[IllegalArgumentException](
+      Cql.Cmp("=", Cql.Prop("datetime"), Cql.OpenBound).toColumn)
+    assert(esc.getMessage.contains("open bound"), esc.getMessage)
   }
 
   test("cql2-text malformed input gets a clear error, not a crash") {

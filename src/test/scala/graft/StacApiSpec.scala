@@ -171,6 +171,40 @@ class StacApiSpec extends AnyFunSuite {
     assert(viaOffset == viaKeyset)
   }
 
+  test("DEPTH: keyset walk to corpus exhaustion at sf0.01 — nullable " +
+      "multi-field sort, every item exactly once, dozens of pages") {
+    // keyset is THE 100 TB pagination story; the shallow walks above run
+    // on sf0.001 — this one drains the 10× corpus through a desc sort
+    // with a null-key run plus a tiebreak field, at a page size small
+    // enough to force a deep walk (no count aggregate per page)
+    val sf01 = "/root/testdata/sf0.01"
+    val p0 = SearchParams(
+      sortBy = Seq(SortBy("datetime", desc = true), SortBy("value")),
+      limit = 97, withCount = false)
+    var token: Option[String] = None
+    var seen = Vector.empty[String]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val r = StacApi.search(s, sf01, p0.copy(token = token))
+      seen = seen ++ r.items.map(row => row.getString(row.fieldIndex("id")))
+      token = r.nextToken
+      pages += 1
+      done = token.isEmpty
+      assert(pages < 5000) // safety
+    }
+    val expected = Tables.items(s, sf01)
+      .orderBy(col("datetime").desc, col("value").asc, col("id"))
+      .select("id").collect().map(_.getString(0)).toVector
+    assert(pages > 20, s"walk too shallow to exercise depth: $pages pages")
+    assert(seen.length == expected.length,
+      s"walked ${seen.length} of ${expected.length} rows in $pages pages")
+    assert(seen.distinct.length == seen.length, "no row visited twice")
+    assert(seen == expected, "keyset order must equal the full-sort order")
+    // the walk crossed a null sort-key run
+    assert(Tables.items(s, sf01).where(col("datetime").isNull).count() > 0)
+  }
+
   test("datetime single-instant and open ranges parse to reference semantics") {
     val exact = StacApi.search(s, sf, SearchParams(datetime = Some("2024-01-15 12:00:00"), limit = 5))
     assert(exact.numMatched >= 0)
