@@ -433,19 +433,21 @@ object Dedup {
        |ORDER BY v1, v2""".stripMargin
 
   // -------------------------- C20 bucketed embedding near-dup (scale path)
-  /** C5's scale path: NO cartesian join. Candidates come from 12
+  /** C5's scale path: NO cartesian join. Candidates come from 22
     * independent random-hyperplane LSH tables (3 planes each — an
     * OR-of-ANDs construction); cosine is verified only on in-bucket
     * pairs. Gated A24-style: the oracle is the ALL-PAIRS form, so result
     * equality proves the table union covers every qualifying pair on this
-    * data (checked: 14/14 at sf0.01, 7/7 at sf0.001; measured 141/144 =
-    * 98% at sf0.1 — the gate threshold 0.45 is a ~63° angle, the hard
-    * regime for sign LSH; at real near-dup thresholds (≥0.8) fewer tables
-    * give full recall at a fraction of the candidates. At 100 TB the
-    * (table, bucket) key is the shuffle key and candidate count is
-    * O(Σ bucket²), never O(n²).)
+    * data (checked at sf0.001, sf0.01 AND sf0.1 — the round-8 pinned 12
+    * tables targeted 97.5% design recall and measured 141/144 at sf0.1;
+    * 22 tables = the 99.9% design point from [[c20TablesFor]], and table
+    * coverage is monotone in b since the families are independent. The
+    * gate threshold 0.45 is a ~63° angle, the hard regime for sign LSH;
+    * at real near-dup thresholds (≥0.8) fewer tables give full recall at
+    * a fraction of the candidates. At 100 TB the (table, bucket) key is
+    * the shuffle key and candidate count is O(Σ bucket²), never O(n²).)
     */
-  private[graft] val c20Tables = 12
+  private[graft] val c20Tables = 22
   private[graft] val c20Planes = 3
 
   /** Plane count policy at scale: buckets per table should track corpus
@@ -466,15 +468,17 @@ object Dedup {
     * probability 1 - acos(c)/π, so one table of k planes catches it with
     * p = (1 - acos(c)/π)^k and b tables reach recall 1 - (1-p)^b ⇒
     * b = ⌈ln(1-recall) / ln(1-p)⌉. At the gate's design point
-    * (c = cosMin = 0.45, k = 3, recall 0.975) this reproduces the pinned
-    * 12 tables exactly; the measured recall-vs-b curve is in
+    * (c = cosMin = 0.45, k = 3, recall 0.999) this reproduces the pinned
+    * 22 tables exactly (the round-8 12-table config was the 0.975
+    * design point and measured 141/144 at sf0.1 — short of the exact
+    * all-pairs oracle); the measured recall-vs-b curve is in
     * SimilaritySpec. Growth is steep at this hard ~63° threshold — the
     * honest cost of the OR-construction; at realistic near-dup
     * thresholds (c ≥ 0.8) b stays modest, and C13's multi-probe is the
     * lever when b gets expensive.
     */
   def c20TablesFor(planes: Int, designCos: Double = cosMin,
-                   targetRecall: Double = 0.975): Int = {
+                   targetRecall: Double = 0.999): Int = {
     val pPlane = 1.0 - math.acos(designCos) / math.Pi
     val pTable = math.pow(pPlane, planes.toDouble)
     math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt)
