@@ -31,27 +31,30 @@ object Curation {
       .withColumn("n_words", expr("size(w)"))
       .where(col("n_words") >= minWords && length(col("text")) >= minChars)
 
-    // exact dedup: smallest doc_id per content hash survives
+    // exact dedup: smallest doc_id per content hash survives. Staged once
+    // (slim doc_id frame): both the survivor join and the final anti-join
+    // re-derive `surviving`, and without the checkpoint the content-hash
+    // shuffle would run per consumer.
     val keepExact = docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+      .localCheckpoint(true)
 
     val surviving = docs.join(keepExact, "doc_id")
 
-    // near-dup candidates over the survivors (C2's banding, inlined so the
-    // pipeline is self-contained over its own filtered corpus)
-    val sh = surviving
-      .select(col("doc_id"), explode(expr(trigramsSpark)).as("s"))
-      .select(col("doc_id"), expr("md5(concat('mh:', s))").as("hex"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substr(hex, 1, 15), 16, 10) AS BIGINT)").as("h1"),
-        (expr("CAST(conv(substr(hex, 17, 15), 16, 10) AS BIGINT)") % 576460752303423488L).as("h2"))
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(min(col("h1") + lit(0L) * col("h2")).as("m0"),
-        (1 until 8).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j")): _*)
+    // near-dup candidates over the survivors — C2's banding via the
+    // codegen'd MinHashSig kernel (one md5 per shingle inside a
+    // projection; shingle rows never exist), replacing the former
+    // explode → per-lane-min groupBy and its shuffle. Value-identical:
+    // the kernel computes the same 'mh:'-prefixed trigram md5, the same
+    // 15-hex-digit h1/h2 split mod 2^59, the same h1 + j·h2 lane mins
+    // (parity asserted in GraftFunctionsSpec).
+    val sig = surviving.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), 8).as("mh"))
     val bandKeys = (0 until 4).map { b =>
-      expr(s"concat(CAST(m${2 * b} AS STRING), '_', CAST(m${2 * b + 1} AS STRING))")
+      expr(s"concat(CAST(element_at(mh, ${2 * b + 1}) AS STRING), '_', " +
+        s"CAST(element_at(mh, ${2 * b + 2}) AS STRING))")
     }
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
@@ -126,11 +129,13 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val deduped = base.join(keepExact, "doc_id")
-    // full-corpus fingerprints (C19's definition: eval set = doc_id % 97)
+    // full-corpus fingerprints (C19's definition: eval set = doc_id % 97),
+    // staged once — the eval side and the corpus join both consume them
     val fps = Tables.documents(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"), expr(fpSpark).as("fp"))
+      .localCheckpoint(true)
     val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
     deduped
       .where(col("doc_id") % 97 =!= 0)

@@ -1647,11 +1647,16 @@ object Dedup {
     * calibrates what production runs, not a re-derivation.
     */
   def c98MinhashCalibration(s: SparkSession, d: String): DataFrame = {
-    val pairs = c2Pairs(s, d)
+    // stage each derived frame once (c47/c66 doctrine): `pairs` (the full
+    // C2 LSH pipeline) feeds THREE consumers, `sig` (the md5-per-shingle
+    // MinHash projection — the dominant cost) two, `gr` three — without
+    // the checkpoints the signature kernel runs 5× per gate
+    val pairs = c2Pairs(s, d).localCheckpoint(true)
     val sig = Tables.documents(s, d)
       .where(expr(s"size($wordsSpark) >= 3"))
       .select(col("doc_id"),
         graft.functions.MinHashSig(col("text"), nLanes).as("mh"))
+      .localCheckpoint(true)
     val est = pairs
       .join(sig.select(col("doc_id").as("d1"), col("mh").as("mh1")), "d1")
       .join(sig.select(col("doc_id").as("d2"), col("mh").as("mh2")), "d2")
@@ -1664,6 +1669,7 @@ object Dedup {
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"), explode(expr(s"array_distinct($trigramsSpark)")).as("gram"))
+      .localCheckpoint(true)
     val sizes = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(gr.select(col("doc_id").as("d1"), col("gram")), "d1")

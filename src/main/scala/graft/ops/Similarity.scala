@@ -765,7 +765,10 @@ object Similarity {
     * accumulated in vec_id order, renormalized; empty cluster keeps its
     * previous centroid.
     */
-  private[graft] def trainCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+  private[graft] def trainCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    centroidsMemo.getOrElseUpdate(d, trainCentroidsUncached(s, d))
+
+  private def trainCentroidsUncached(s: SparkSession, d: String): Array[Array[Double]] = {
     val sample = kmSample(s, d)
     var cents = sample.take(nCentroids).map(_._2)
     var it = 0
@@ -960,16 +963,29 @@ object Similarity {
     * lane (distributed TakeOrdered — O(cap) driver memory at any corpus
     * size), re-sorted to vec_id order for the sequential accumulators.
     */
+  // Trainer memo: sample + trained artifacts are pure functions of the
+  // (immutable, FixtureGuard-pinned) fixture dir, and seven ANN gates each
+  // re-derive them — cache per dir so the sample collect job and the Lloyd
+  // loops run once per corpus, not once per gate. In a real deployment
+  // this is the persisted codebook/centroid artifact table (C50's shape).
+  private val kmSampleMemo =
+    new scala.collection.concurrent.TrieMap[String, Array[(Long, Array[Double])]]
+  private val centroidsMemo =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]
+  private val pqMemo =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]
+
   private[graft] def kmSample(s: SparkSession, d: String): Array[(Long, Array[Double])] =
-    prepared(s, d)
-      .orderBy(md5(concat(lit("km:"), col("vec_id").cast("string"))), col("vec_id"))
-      .limit(kmSampleCap)
-      .select(col("vec_id"), col("nv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    kmSampleMemo.getOrElseUpdate(d,
+      prepared(s, d)
+        .orderBy(md5(concat(lit("km:"), col("vec_id").cast("string"))), col("vec_id"))
+        .limit(kmSampleCap)
+        .select(col("vec_id"), col("nv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1))
 
   private[ops] def trainPq(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    trainPqOn(kmSample(s, d))
+    pqMemo.getOrElseUpdate(d, trainPqOn(kmSample(s, d)))
 
   /** The per-subspace Lloyd loop over an arbitrary 64-dim sample — raw
     * vectors for C33, coarse-assignment residuals for C35.
