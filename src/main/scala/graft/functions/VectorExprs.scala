@@ -513,3 +513,77 @@ object RepetitionStats {
   def apply(c: Column): Column =
     GraftBridge.column(RepetitionStats(GraftBridge.expression(c)))
 }
+
+/** Codegen'd IN-BUCKET cosine verify (C20): given one LSH bucket's
+  * occupants as `array<struct<vec_id, nv>>` (the rows the bucket shuffle
+  * co-located), emit every i<j pair whose dot product clears `minCos` —
+  * `array<struct<v1, v2, cos_sim>>`, exploded by the caller. This is the
+  * distributed-LSH verify shape: vectors ship to their buckets ONCE and
+  * every candidate pair is generated AND verified inside one projection,
+  * so the plan has no candidate-stream join at all (the former
+  * pair-expand → nv-lookup-join form materialized the multi-million-row
+  * duplicated candidate stream as a join input, which the optimizer's
+  * post-aggregate size estimates then mis-planned as the broadcast side).
+  * Output is only the qualifying pairs — collisions across tables are
+  * deduped downstream on the tiny survivor set.
+  */
+case class CosinePairs(child: Expression, minCos: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = CosinePairs.outType
+  override def prettyName: String = "cosine_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CosinePairs.pairs(input.asInstanceOf[ArrayData], minCos)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CosinePairs.pairs($c, $minCos);")
+
+  override protected def withNewChildInternal(newChild: Expression): CosinePairs =
+    copy(child = newChild)
+}
+
+object CosinePairs {
+  import org.apache.spark.sql.types._
+
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("v1", LongType, nullable = false),
+    StructField("v2", LongType, nullable = false),
+    StructField("cos_sim", DoubleType, nullable = false))), containsNull = false)
+
+  /** Static — called from generated code. Pairs are emitted in (i, j)
+    * array order; the caller array_sorts the bucket by vec_id first, so
+    * v1 < v2 holds structurally.
+    */
+  def pairs(vs: ArrayData, minCos: Double): ArrayData = {
+    val n = vs.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val r = vs.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      vecs(i) = r.getArray(1).toDoubleArray()
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val c = DotProduct.dot(vecs(i), vecs(j))
+        if (c >= minCos) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids(i), ids(j), c))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def apply(c: Column, minCos: Double): Column =
+    GraftBridge.column(CosinePairs(GraftBridge.expression(c), minCos))
+}

@@ -508,22 +508,24 @@ object Dedup {
         when(graft.functions.DotProduct(col("nv"), p) >= 0.0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
     }
-    val bands = e.select(col("vec_id"),
+    val bands = e.select(col("vec_id"), col("nv"),
       posexplode(array(tableKeys: _*)).as(Seq("tb", "bkey")))
-    // one-pass bucket expansion (C2's shape), distinct BEFORE the verify
-    // join so each candidate pair pays one dot product, not one per table
+    // distributed-LSH verify: each vector ships to its (table, bucket)
+    // WITH its normalized vector, and the bucket generates + verifies its
+    // own pairs inside one codegen'd projection (CosinePairs) — no
+    // candidate-stream join, no pre-verify distinct. The former
+    // pair-expand → nv-lookup-join form materialized the multi-million
+    // duplicated candidate stream as a join input (mis-planned broadcast
+    // side) and shuffled it again to dedup; here the only large movement
+    // is the bucket shuffle itself, and only qualifying pairs leave the
+    // bucket. Cross-table collisions dedup on the tiny survivor set.
     val buckets = bands.groupBy(col("tb"), col("bkey"))
-      .agg(array_sort(collect_list(col("vec_id"))).as("ds"))
-      .where(size(col("ds")) >= 2)
-    val cands = buckets.select(explode(expr(pairExpansion)).as("p"))
-      .select(col("p.d1").as("v1"), col("p.d2").as("v2"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("nv")))).as("vs"))
+      .where(size(col("vs")) >= 2)
+    buckets
+      .select(explode(graft.functions.CosinePairs(col("vs"), cosMin)).as("p"))
+      .select(col("p.v1"), col("p.v2"), col("p.cos_sim"))
       .distinct()
-    cands
-      .join(e.select(col("vec_id").as("v1"), col("nv").as("nv1")), "v1")
-      .join(e.select(col("vec_id").as("v2"), col("nv").as("nv2")), "v2")
-      .select(col("v1"), col("v2"),
-        graft.functions.DotProduct(col("nv1"), col("nv2")).as("cos_sim"))
-      .where(col("cos_sim") >= cosMin)
       .orderBy(col("v1"), col("v2"))
   }
 

@@ -199,6 +199,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(evalHits == evalFps.count(), "bloom must never false-negative")
   }
 
+  test("CosinePairs kernel: emits exactly the i<j pairs clearing the " +
+      "threshold, dot values bit-identical to DotProduct") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // four unit-ish vectors with known pairwise cosines
+    val vs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0)),   // cos(1,2)=1.0
+      (3L, Array(0.0, 1.0, 0.0)),   // cos(1,3)=cos(2,3)=0.0
+      (4L, Array(0.8, 0.6, 0.0)))   // cos(1,4)=cos(2,4)=0.8, cos(3,4)=0.6
+    val df = vs.toDF("vec_id", "nv")
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("nv")))).as("vs"))
+      .select(explode(graft.functions.CosinePairs(col("vs"), 0.5)).as("p"))
+      .select(col("p.v1"), col("p.v2"), col("p.cos_sim"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq((1L, 2L, 1.0), (1L, 4L, 0.8), (2L, 4L, 0.8), (3L, 4L, 0.6)))
+    // v1 < v2 structurally (bucket array_sorted by vec_id)
+    assert(got.forall { case (a, b, _) => a < b })
+    // empty / singleton buckets emit nothing
+    val one = Seq((9L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "nv")
+      .agg(collect_list(struct(col("vec_id"), col("nv"))).as("vs"))
+      .select(explode(graft.functions.CosinePairs(col("vs"), 0.0)).as("p"))
+    assert(one.count() == 0)
+  }
+
   test("wkb_* SQL functions round-trip through the SQL surface") {
     val gj = s.sql("SELECT wkb_geojson(wkb_point(1.5d, -2.5d)) AS g").collect()(0).getString(0)
     assert(gj == """{"type":"Point","coordinates":[1.5,-2.5]}""")
