@@ -93,7 +93,9 @@ object Dedup {
     * bucket-state table); C67 probes it with an increment.
     */
   private def c2Bands(s: SparkSession, d: String): DataFrame =
-    bandsOf(Tables.documents(s, d))
+    // staged once per session (FrameMemo): the persisted bucket index is
+    // consumed by C2, C18, C47, C67 and C98's calibration
+    graft.core.FrameMemo.cached(s, s"c2bands:$d")(bandsOf(Tables.documents(s, d)))
 
   /** The band path over any (doc_id, text) frame — shared by the gate
     * and [[graft.ProbeLsh]] so the probe measures the production kernel.
@@ -283,6 +285,13 @@ object Dedup {
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) <= dfCap)
 
+  /** The corpus postings, staged once per session (FrameMemo) — C4 and
+    * C56 read the same table.
+    */
+  private def corpusPostings(s: SparkSession, d: String): DataFrame =
+    graft.core.FrameMemo.cached(s, s"postings:$d")(
+      cappedPostings(Tables.documents(s, d)))
+
   def c4DedupJaccard(s: SparkSession, d: String): DataFrame = {
     // posting list per gram (singletons kept — they feed the set sizes)
     // → df cap → in-bucket pair expansion → count = |A∩B|; sizes come
@@ -290,7 +299,7 @@ object Dedup {
     // into the final join.
     // shuffle 60-bit gram hashes, not strings (hash collisions would be
     // identical in the oracle, which buckets by the same md5 lanes)
-    val posting = cappedPostings(Tables.documents(s, d))
+    val posting = corpusPostings(s, d)
     val inter = posting.where(size(col("ds")) >= 2)
       .select(explode(expr(pairExpansion)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
@@ -348,7 +357,7 @@ object Dedup {
   private val contMinBp = 8000L
 
   def c56Containment(s: SparkSession, d: String): DataFrame =
-    c56ContainmentOver(cappedPostings(Tables.documents(s, d)))
+    c56ContainmentOver(corpusPostings(s, d))
 
   /** Test hook: postings over a constructed (doc_id, text) frame. */
   private[graft] def cappedPostingsForTest(docsDf: DataFrame): DataFrame =
@@ -556,13 +565,15 @@ object Dedup {
     // (graft.functions.WordShingleHashes) — the equivalent
     // transform-lambda form pays an interpreted md5 expression tree per
     // shingle and was 2.6× the oracle at sf0.1 (parity asserted in
-    // GraftFunctionsSpec; the oracle still computes the HOF form)
-    Tables.documents(s, d)
-      .where(expr(s"size($wordsSpark) >= $passageLen"))
-      .select(col("doc_id"), posexplode(
-        graft.functions.WordShingleHashes(col("text"), passageLen, "p8:"))
-        .as(Seq("pos", "gh")))
-      .localCheckpoint(true)
+    // GraftFunctionsSpec; the oracle still computes the HOF form).
+    // FrameMemo: one build per session — C24, C40 and C70's distinct
+    // projection all read the same staged shingle table.
+    graft.core.FrameMemo.cached(s, s"p8grams:$d")(
+      Tables.documents(s, d)
+        .where(expr(s"size($wordsSpark) >= $passageLen"))
+        .select(col("doc_id"), posexplode(
+          graft.functions.WordShingleHashes(col("text"), passageLen, "p8:"))
+          .as(Seq("pos", "gh"))))
 
   /** Occurrences of shingles seen in ≥2 documents (the copied passages). */
   private def p8Flagged(g8: DataFrame): DataFrame = {
