@@ -373,11 +373,16 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     val sizes = posting.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // staged once: the fwd and rev projections both consume `sided`, and
+    // the union's two branches do NOT canonicalize to a reused exchange —
+    // without the checkpoint the pair expansion + count aggregate and
+    // both size broadcasts run twice (plan-verified: no ReusedExchange)
     val sided = inter
       .join(broadcast(sizes.alias("sa")), col("d1") === col("sa.doc_id"))
       .join(broadcast(sizes.alias("sb")), col("d2") === col("sb.doc_id"))
       .select(col("d1"), col("d2"), col("inter"),
         col("sa.sz").as("sz1"), col("sb.sz").as("sz2"))
+      .localCheckpoint(true)
     val fwd = sided.select(col("d1").as("src"), col("d2").as("dst"),
       expr("inter * 10000 DIV sz1").as("cont_bp"),
       expr("inter * 10000 DIV (sz1 + sz2 - inter)").as("jac_bp"))
