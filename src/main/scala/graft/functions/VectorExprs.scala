@@ -587,3 +587,66 @@ object CosinePairs {
   def apply(c: Column, minCos: Double): Column =
     GraftBridge.column(CosinePairs(GraftBridge.expression(c), minCos))
 }
+
+/** Codegen'd multi-table LSH bucket keys (C20): all `nTables` sign-bucket
+  * keys of a normalized vector in ONE expression — key_t = Σ_j
+  * (nv · plane_{t,j} ≥ 0) << j over the flattened plane matrix riding as
+  * a generated-class reference object. The inline-per-table form (b × k
+  * DotProduct expressions in a single projection) grows the generated
+  * method past janino's limits once the scale policy picks dozens of
+  * tables (83 tables × 11 planes at n=10⁶ broke whole-stage codegen
+  * outright); here the generated code is one static call regardless of
+  * the table count, and the plane matrix lives once per task, not once
+  * per expression tree.
+  */
+case class LshTableKeys(child: Expression, planes: Array[Double],
+                        nTables: Int, nPlanes: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_table_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshTableKeys.keys(input.asInstanceOf[ArrayData], planes, nTables, nPlanes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshTableKeys.keys($c, $pRef, $nTables, $nPlanes, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshTableKeys =
+    copy(child = newChild)
+}
+
+object LshTableKeys {
+  /** Static — called from generated code. */
+  def keys(nv: ArrayData, planes: Array[Double],
+           nTables: Int, nPlanes: Int, dim: Int): ArrayData = {
+    val v = nv.toDoubleArray()
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var key = 0
+      var j = 0
+      while (j < nPlanes) {
+        val off = (t * nPlanes + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += v(i) * planes(off + i); i += 1 }
+        if (s >= 0.0) key |= 1 << j
+        j += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  def apply(c: Column, planes: Array[Double],
+            nTables: Int, nPlanes: Int, dim: Int): Column =
+    GraftBridge.column(
+      LshTableKeys(GraftBridge.expression(c), planes, nTables, nPlanes, dim))
+}

@@ -514,34 +514,45 @@ object Dedup {
     * sign-bits each.
     */
   def c20DedupEmbeddingLsh(s: SparkSession, d: String,
-                           nTables: Int, nPlanes: Int): DataFrame = {
-    val e = Similarity.prepared(s, d).select(col("vec_id"), col("nv"))
-    val tableKeys = (0 until nTables).map { t =>
-      (0 until nPlanes).map { j =>
-        val p = array(c20Plane(t, j).map(lit).toIndexedSeq: _*)
-        when(graft.functions.DotProduct(col("nv"), p) >= 0.0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    val bands = e.select(col("vec_id"), col("nv"),
-      posexplode(array(tableKeys: _*)).as(Seq("tb", "bkey")))
-    // distributed-LSH verify: each vector ships to its (table, bucket)
-    // WITH its normalized vector, and the bucket generates + verifies its
-    // own pairs inside one codegen'd projection (CosinePairs) — no
-    // candidate-stream join, no pre-verify distinct. The former
-    // pair-expand → nv-lookup-join form materialized the multi-million
-    // duplicated candidate stream as a join input (mis-planned broadcast
-    // side) and shuffled it again to dedup; here the only large movement
-    // is the bucket shuffle itself, and only qualifying pairs leave the
-    // bucket. Cross-table collisions dedup on the tiny survivor set.
-    val buckets = bands.groupBy(col("tb"), col("bkey"))
+                           nTables: Int, nPlanes: Int): DataFrame =
+    c20Over(Similarity.prepared(s, d).select(col("vec_id"), col("nv")),
+      nTables, nPlanes, cosMin)
+
+  /** The occupied LSH buckets of a normalized (vec_id, nv) frame — the
+    * kernel's only shuffle, shared by the gate and [[graft.ProbeEmbLsh]].
+    */
+  private[graft] def c20Buckets(e: DataFrame,
+                                nTables: Int, nPlanes: Int): DataFrame = {
+    // all table keys from ONE codegen'd expression over the flattened
+    // plane matrix — the inline per-table expression form broke janino's
+    // method-size limits once the scale policy picked dozens of tables
+    val planes = Array.tabulate(nTables, nPlanes)(c20Plane).flatten.flatten
+    e.select(col("vec_id"), col("nv"),
+        posexplode(graft.functions.LshTableKeys(col("nv"), planes,
+          nTables, nPlanes, 64)).as(Seq("tb", "bkey")))
+      .groupBy(col("tb"), col("bkey"))
       .agg(array_sort(collect_list(struct(col("vec_id"), col("nv")))).as("vs"))
       .where(size(col("vs")) >= 2)
-    buckets
-      .select(explode(graft.functions.CosinePairs(col("vs"), cosMin)).as("p"))
+  }
+
+  /** Distributed-LSH verify over any normalized (vec_id, nv) frame: each
+    * vector ships to its (table, bucket) WITH its normalized vector, and
+    * the bucket generates + verifies its own pairs inside one codegen'd
+    * projection (CosinePairs) — no candidate-stream join, no pre-verify
+    * distinct. The former pair-expand → nv-lookup-join form materialized
+    * the multi-million duplicated candidate stream as a join input
+    * (mis-planned broadcast side) and shuffled it again to dedup; here
+    * the only large movement is the bucket shuffle itself, and only
+    * qualifying pairs leave the bucket. Cross-table collisions dedup on
+    * the tiny survivor set.
+    */
+  private[graft] def c20Over(e: DataFrame, nTables: Int, nPlanes: Int,
+                             minCos: Double): DataFrame =
+    c20Buckets(e, nTables, nPlanes)
+      .select(explode(graft.functions.CosinePairs(col("vs"), minCos)).as("p"))
       .select(col("p.v1"), col("p.v2"), col("p.cos_sim"))
       .distinct()
       .orderBy(col("v1"), col("v2"))
-  }
 
   /** Oracle = the all-pairs threshold join (C5's form): equality proves
     * the LSH cover.
