@@ -459,7 +459,13 @@ object Dedup {
     * gate threshold 0.45 is a ~63° angle, the hard regime for sign LSH;
     * at real near-dup thresholds (≥0.8) fewer tables give full recall at
     * a fraction of the candidates. At 100 TB the (table, bucket) key is
-    * the shuffle key and candidate count is O(Σ bucket²), never O(n²).)
+    * the shuffle key and candidate count is O(Σ bucket²), never O(n²).
+    * Regime note (ProbeEmbLsh, docs/PERF.md): the b-table OR-construction
+    * ships each vector b times — the right trade for the NEAR-EXACT
+    * regime (designCos ≥ 0.95, b ≈ 20); as the design threshold drops, b
+    * explodes (0.8 → b≈80 at policy plane counts) and the sub-0.8
+    * semantic regime belongs to C38's IVF-bucketed dedup, where the
+    * bucket set is trained centroids and each vector ships once.)
     */
   private[graft] val c20Tables = 22
   private[graft] val c20Planes = 3
