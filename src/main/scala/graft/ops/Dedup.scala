@@ -94,17 +94,22 @@ object Dedup {
     */
   private def c2Bands(s: SparkSession, d: String): DataFrame =
     // staged once per session (FrameMemo): the persisted bucket index is
-    // consumed by C2, C18, C47, C67 and C98's calibration
-    graft.core.FrameMemo.cached(s, s"c2bands:$d")(bandsOf(Tables.documents(s, d)))
+    // consumed by C2, C18, C47, C67 and C98's calibration; derives from
+    // the staged signature frame so the MinHashSig kernel runs once per
+    // session for the whole family
+    graft.core.FrameMemo.cached(s, s"c2bands:$d")(bandsOfSig(mhSig(s, d)))
 
   /** The band path over any (doc_id, text) frame — shared by the gate
     * and [[graft.ProbeLsh]] so the probe measures the production kernel.
     */
-  private[graft] def bandsOf(docFrame: DataFrame): DataFrame = {
-    val sig = docFrame
+  private[graft] def bandsOf(docFrame: DataFrame): DataFrame =
+    bandsOfSig(docFrame
       .where(expr(s"size($wordsSpark) >= 3"))
       .select(col("doc_id"),
-        graft.functions.MinHashSig(col("text"), nLanes).as("mh"))
+        graft.functions.MinHashSig(col("text"), nLanes).as("mh")))
+
+  /** Band keys over a prebuilt (doc_id, mh) signature frame. */
+  private def bandsOfSig(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until nBands).map { b =>
       expr(s"concat(CAST(element_at(mh, ${2 * b + 1}) AS STRING), '_', " +
         s"CAST(element_at(mh, ${2 * b + 2}) AS STRING))")
@@ -112,6 +117,17 @@ object Dedup {
     sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
+
+  /** The corpus MinHash signature frame (doc_id, mh[nLanes]) staged once
+    * per session — the band index derives from it and C98's calibration
+    * reads the raw lanes.
+    */
+  private[ops] def mhSig(s: SparkSession, d: String): DataFrame =
+    graft.core.FrameMemo.cached(s, s"mhsig:$d")(
+      Tables.documents(s, d)
+        .where(expr(s"size($wordsSpark) >= 3"))
+        .select(col("doc_id"),
+          graft.functions.MinHashSig(col("text"), nLanes).as("mh")))
 
   /** Distinct unordered candidate pairs from a band-key frame: one pass,
     * no self-join — bucket members → in-bucket pair expansion. (A
@@ -1684,14 +1700,10 @@ object Dedup {
   def c98MinhashCalibration(s: SparkSession, d: String): DataFrame = {
     // stage each derived frame once (c47/c66 doctrine): `pairs` (the full
     // C2 LSH pipeline) feeds THREE consumers, `sig` (the md5-per-shingle
-    // MinHash projection — the dominant cost) two, `gr` three — without
-    // the checkpoints the signature kernel runs 5× per gate
+    // MinHash projection — the dominant cost, session-staged via mhSig)
+    // two, `gr` three — without staging the signature kernel runs 5×
     val pairs = c2Pairs(s, d).localCheckpoint(true)
-    val sig = Tables.documents(s, d)
-      .where(expr(s"size($wordsSpark) >= 3"))
-      .select(col("doc_id"),
-        graft.functions.MinHashSig(col("text"), nLanes).as("mh"))
-      .localCheckpoint(true)
+    val sig = mhSig(s, d)
     val est = pairs
       .join(sig.select(col("doc_id").as("d1"), col("mh").as("mh1")), "d1")
       .join(sig.select(col("doc_id").as("d2"), col("mh").as("mh2")), "d2")
