@@ -2028,6 +2028,9 @@ object TextAnalysis {
         "transform(sequence(1, size(w) - 1), i -> " +
           "concat(element_at(w, i), '_', element_at(w, i + 1)))")).as("bgr"))
       .select(col("doc_id"), expr(h64Spark("concat('fb:', bgr)")).as("bh"))
+      // staged: the bigram explode feeds BOTH the lm build and the final
+      // scoring join — without the checkpoint it runs twice
+      .localCheckpoint(true)
     // the lm frame has THREE consumers (the size measurement, the join
     // side, the scalar total) — checkpointed once so the corpus bigram
     // explode behind it runs once, not once per consumer (at scale this
