@@ -1335,8 +1335,19 @@ object StacSearch {
     * bounds-sampling pass skips the serialize entirely.
     */
   private[graft] def a43Source(s: SparkSession, d: String): DataFrame =
-    withEnvelope(items(s, d)).orderBy(col("id"))
-      .select(col("id"), featureJsonCol.as("f"))
+    featureJsonFrame(s, d).select(col("id"), col("f"))
+
+  /** The serialized feature corpus (id, id_num, f), staged once per
+    * session (FrameMemo): A43's ingest round-trip and A57's tolerant
+    * ingest both pay the full-corpus serialize otherwise. Sorted by id
+    * BELOW the serialize per the a43Source doctrine; the checkpoint
+    * materializes partitions in that order, so consumers relying on the
+    * global id order (a43's deterministic output) keep it.
+    */
+  private def featureJsonFrame(s: SparkSession, d: String): DataFrame =
+    graft.core.FrameMemo.cached(s, s"featjson:$d")(
+      withEnvelope(items(s, d)).orderBy(col("id"))
+        .select(col("id"), col("id_num"), featureJsonCol.as("f")))
 
   def a43ItemIngest(s: SparkSession, d: String): DataFrame = {
     val src = a43Source(s, d)
@@ -1461,8 +1472,7 @@ object StacSearch {
         "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
 
   def a57TolerantIngest(s: SparkSession, d: String): DataFrame = {
-    val src = withEnvelope(items(s, d))
-      .select(col("id"), col("id_num"), featureJsonCol.as("f"))
+    val src = featureJsonFrame(s, d) // shared staged serialize (a43's too)
     a57Classify(src
       .withColumn("f2",
         when(pmod(col("id_num"), lit(13)) === 0,
