@@ -650,3 +650,69 @@ object LshTableKeys {
     GraftBridge.column(
       LshTableKeys(GraftBridge.expression(c), planes, nTables, nPlanes, dim))
 }
+
+/** Codegen'd CROSS-bucket cosine verify — [[CosinePairs]]' companion for
+  * C20's skew valve: all left×right pairs of two DISJOINT member slices
+  * (contiguous slices of one vec_id-sorted bucket, left strictly before
+  * right, so v1 < v2 holds structurally) that clear `minCos`. A bucket
+  * bigger than the per-task cap becomes a triangular grid of
+  * (same-slice CosinePairs) + (cross-slice CosineCrossPairs) cells, each
+  * cell a bounded unit of work on its own row — in-bucket verify skew is
+  * then row-level parallelism the scheduler can spread, instead of one
+  * giant C(m,2) loop pinned inside a single task.
+  */
+case class CosineCrossPairs(left: Expression, right: Expression, minCos: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = CosinePairs.outType
+  override def prettyName: String = "cosine_cross_pairs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineCrossPairs.pairs(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], minCos)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineCrossPairs.pairs($a, $b, $minCos);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineCrossPairs =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineCrossPairs {
+  /** Static — called from generated code. */
+  def pairs(ls: ArrayData, rs: ArrayData, minCos: Double): ArrayData = {
+    val nl = ls.numElements()
+    val nr = rs.numElements()
+    val lid = new Array[Long](nl)
+    val lv = new Array[Array[Double]](nl)
+    var i = 0
+    while (i < nl) {
+      val r = ls.getStruct(i, 2)
+      lid(i) = r.getLong(0); lv(i) = r.getArray(1).toDoubleArray(); i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var j = 0
+    while (j < nr) {
+      val r = rs.getStruct(j, 2)
+      val rid = r.getLong(0)
+      val rv = r.getArray(1).toDoubleArray()
+      i = 0
+      while (i < nl) {
+        val c = DotProduct.dot(lv(i), rv)
+        if (c >= minCos) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](lid(i), rid, c))
+        }
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def apply(a: Column, b: Column, minCos: Double): Column =
+    GraftBridge.column(CosineCrossPairs(
+      GraftBridge.expression(a), GraftBridge.expression(b), minCos))
+}

@@ -568,13 +568,51 @@ object Dedup {
     * qualifying pairs leave the bucket. Cross-table collisions dedup on
     * the tiny survivor set.
     */
+  /** Per-cell member cap for the skew valve below. The planes policy
+    * keeps EXPECTED bucket occupancy ~64, but a degenerate key (a run of
+    * identical vectors, a constant embedding column) concentrates one
+    * bucket arbitrarily — and a C(m,2) loop inside one CosinePairs call
+    * is one task no AQE can split. Fixture buckets sit far below this.
+    */
+  private[graft] val c20MaxBucket = 4096
+
   private[graft] def c20Over(e: DataFrame, nTables: Int, nPlanes: Int,
                              minCos: Double): DataFrame =
-    c20Buckets(e, nTables, nPlanes)
+    c20Over(e, nTables, nPlanes, minCos, c20MaxBucket)
+
+  /** Skew-valved verify: buckets within `maxBucket` verify whole (one
+    * CosinePairs call); an oversized bucket is decomposed into a
+    * TRIANGULAR GRID of contiguous vec_id-sorted slices — g = ⌈m/cap⌉
+    * groups, every a ≤ b cell its own row: same-slice cells verify via
+    * CosinePairs, cross-slice cells via CosineCrossPairs (slices are
+    * ordered, so v1 < v2 holds structurally in both). The pair SET is
+    * identical to the unsplit bucket (spec-pinned on a constructed
+    * degenerate corpus); the work becomes O(cap²)-bounded rows the
+    * scheduler spreads instead of one C(m,2) task.
+    */
+  private[graft] def c20Over(e: DataFrame, nTables: Int, nPlanes: Int,
+                             minCos: Double, maxBucket: Int): DataFrame = {
+    val buckets = c20Buckets(e, nTables, nPlanes)
+    val small = buckets.where(size(col("vs")) <= maxBucket)
       .select(explode(graft.functions.CosinePairs(col("vs"), minCos)).as("p"))
+    val cells = buckets.where(size(col("vs")) > maxBucket)
+      .withColumn("g", expr(s"CAST(ceil(size(vs) / $maxBucket.0D) AS INT)"))
+      .select(col("vs"), col("g"), explode(expr(
+        "flatten(transform(sequence(0, g - 1), a -> " +
+          "transform(sequence(a, g - 1), b -> struct(a AS a, b AS b))))")).as("c"))
+      // slice is 1-based; ceil-spread the members across the g groups
+      .select(col("vs"), col("g"), col("c.a").as("a"), col("c.b").as("b"),
+        expr(s"slice(vs, c.a * $maxBucket + 1, $maxBucket)").as("va"),
+        expr(s"slice(vs, c.b * $maxBucket + 1, $maxBucket)").as("vb"))
+    val big = cells.select(explode(when(col("a") === col("b"),
+        graft.functions.CosinePairs(col("va"), minCos))
+      .otherwise(graft.functions.CosineCrossPairs(col("va"), col("vb"), minCos)))
+      .as("p"))
+    small.unionAll(big)
       .select(col("p.v1"), col("p.v2"), col("p.cos_sim"))
       .distinct()
       .orderBy(col("v1"), col("v2"))
+  }
 
   /** Oracle = the all-pairs threshold join (C5's form): equality proves
     * the LSH cover.

@@ -109,6 +109,31 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(allPairs.nonEmpty)
   }
 
+  test("c20 skew valve: a degenerate oversized bucket split into triangular " +
+      "cells yields the EXACT pair set of the unsplit verify") {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // 60 vectors in just 3 distinct directions → every LSH bucket is a
+    // dense clump far above a cap of 8, and near-dup pairs abound
+    val vecs = (0L until 60L).map { i =>
+      val base = Array.tabulate(64)(k => math.sin((i % 3) + k * 0.1) + 2.0)
+      val v = base.map(_ / math.sqrt(base.map(x => x * x).sum))
+      (i, v)
+    }
+    val e = vecs.toDF("vec_id", "nv")
+    def pairSet(maxBucket: Int) =
+      Dedup.c20Over(e, 4, 2, 0.9, maxBucket).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsplit = pairSet(Int.MaxValue)
+    val split = pairSet(8)
+    assert(unsplit.nonEmpty, "fixture must produce qualifying pairs")
+    assert(split == unsplit,
+      s"valve changed the pair set: missing=${unsplit.diff(split).take(3)} " +
+        s"extra=${split.diff(unsplit).take(3)}")
+    // and the valve genuinely engaged: buckets of 20 > cap 8 exist
+    assert(vecs.size / 3 > 8)
+  }
+
   test("c20 plane-count policy keeps bucket occupancy constant as n grows") {
     assert(Dedup.c20PlanesFor(500) == 3)
     assert(Dedup.c20PlanesFor(64L * 1024) == 10)       // 2^16 / 64 = 2^10
