@@ -777,9 +777,14 @@ object Dedup {
     // materialized result, or the nested lineage of N rounds blows up the
     // planner (OOM at sf0.1 with ~10 rounds)
     val edges = edgesIn.toDF("src", "dst").localCheckpoint(true)
-    val n = edges.count()
-    if (n <= ccDriverMaxEdges) ccMinLabelDriver(edges)
+    // one probe job decides the path AND feeds the driver fast path: a
+    // capped collect either returns the WHOLE edge list (≤ cap → those
+    // rows ARE the union-find input, no second collect, no count job) or
+    // proves the graph is loop-sized
+    val probe = edges.limit((ccDriverMaxEdges + 1).toInt).collect()
+    if (probe.length <= ccDriverMaxEdges) ccMinLabelDriverOn(probe, edges)
     else {
+      val n = edges.count()
       // Size the loop's shuffle width to the GRAPH, not the session: the
       // per-round joins run over the (usually small) edge frame, and a
       // 32-way exchange over a few-MB frame is pure task-launch overhead
@@ -803,6 +808,20 @@ object Dedup {
     val s = edges.sparkSession
     import s.implicits._
     val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    ccUnionFind(es, edges)
+  }
+
+  /** Driver path over already-collected edge rows (the ccMinLabel probe —
+    * saves the second collect and the count job of the two-step form).
+    */
+  private def ccMinLabelDriverOn(rows: Array[org.apache.spark.sql.Row],
+                                 edges: DataFrame): DataFrame =
+    ccUnionFind(rows.map(r => (r.getLong(0), r.getLong(1))), edges)
+
+  private def ccUnionFind(es: Array[(Long, Long)],
+                          edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var x = x0
