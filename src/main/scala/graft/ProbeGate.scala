@@ -15,9 +15,16 @@ object ProbeGate {
     val names = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Confs PINNED to Bench.scala's: the r9 judge measured a 7× divergence
+    // on identical code (c90 7.6 s under default-AQE ProbeGate vs 1.05 s
+    // under Bench) — every steady-state number this probe prints must be
+    // comparable to the bench harness, so the two builders must not drift.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")

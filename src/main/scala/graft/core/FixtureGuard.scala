@@ -22,6 +22,26 @@ import org.apache.spark.sql.types._
   * so post-load it must be exactly TIMESTAMP.
   */
 object FixtureGuard {
+  /** Content fingerprint of a fixture table's physical files (absolute
+    * path + per-file name/length/mtime), so caches keyed on it cannot
+    * serve stale artifacts after an in-place regeneration, and two
+    * distinct dirs can never collide (the r9 ADVICE case: `sf0.1` vs
+    * `sf0_1` under [^A-Za-z0-9]→_ sanitization). Metadata-plane only —
+    * no Spark job, no file reads.
+    */
+  def fingerprint(dir: String, table: String): String = {
+    val f = new java.io.File(dir, s"$table.parquet")
+    val parts =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      else Array(s"${f.getName}:${f.length}:${f.lastModified}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update((f.getAbsolutePath + "|" + parts.mkString("|"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   private val temporal: Set[DataType] =
     Set(DateType, TimestampType, TimestampNTZType)
 

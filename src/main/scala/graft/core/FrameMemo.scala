@@ -16,14 +16,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * for a new one (stale entries are just unreferenced garbage).
   */
 object FrameMemo {
+  // keyed on the SESSION OBJECT (reference equality — SparkSession doesn't
+  // override equals), not identityHashCode: after a stopped session is
+  // GC'd a new one can collide on the hash and would be handed a frame
+  // whose checkpoint blocks died with the old session
   private val memo =
-    new scala.collection.concurrent.TrieMap[(Int, String), DataFrame]
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
   /** `build` runs at most once per (live session, key); the result is
     * eagerly localCheckpoint'ed so every consumer starts from the
-    * materialized blocks instead of the lineage.
+    * materialized blocks instead of the lineage. Entries owned by stopped
+    * sessions are swept on every call (their blocks are gone, and holding
+    * the session+plan references would leak in a long-lived JVM).
     */
-  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(s), key),
-      build.localCheckpoint(true))
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    memo.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) memo.remove(k)
+    }
+    memo.getOrElseUpdate((s, key), build.localCheckpoint(true))
+  }
 }

@@ -71,14 +71,19 @@ object Cql {
     */
   final case class Temporal(op: String, l: Operand, lo: Ts, hi: Option[Ts]) extends Cql
   /** CQL2 INTERVAL-valued temporal predicates (OGC 21-065 §4.9: the
-    * `{"interval": [lo, hi]}` operand form): op ∈ t_intersects (closed
-    * intervals share at least an instant — the STAC datetime-range
-    * semantic as a FILTER-tree citizen) and t_contains (the left
-    * interval fully covers the right — "validity window encloses the
-    * query window"). Each side is (start, end) operands, so property
-    * pairs and literal pairs compose freely. NULL bounds propagate SQL
-    * three-valued logic in BOTH engines identically (a row with an
-    * unknown interval is not claimed either way).
+    * `{"interval": [lo, hi]}` operand form) — the COMPLETE Allen set the
+    * spec's temporal functions enumerate: t_intersects, t_contains,
+    * t_during, t_equals, t_starts, t_startedby, t_finishes,
+    * t_finishedby, t_meets, t_metby, t_overlaps, t_overlappedby,
+    * t_before, t_after (t_disjoint parses to NOT t_intersects — the
+    * predicates are exact complements, so negation is exact). Each side
+    * is (start, end) operands, so property pairs and literal pairs
+    * compose freely; open bounds (`".."`/null) mean −∞ as a start and
+    * +∞ as an end, and every op compiles through ONE extended-real
+    * bound-comparison algebra ([[allenTerms]]) that constant-folds the
+    * affected conjunct identically in both backends. NULL bounds
+    * propagate SQL three-valued logic in BOTH engines identically (a
+    * row with an unknown interval is not claimed either way).
     */
   final case class TIntervalPred(op: String, ls: Operand, le: Operand,
                                  rs: Operand, re: Operand) extends Cql
@@ -167,6 +172,69 @@ object Cql {
     }
   }
 
+  // ---------------------------------------------- Allen interval algebra
+  /** Infinity rank of an interval bound: an open START is −∞ (rank −1),
+    * an open END is +∞ (rank +1), a finite operand is rank 0.
+    */
+  private def boundRank(o: Operand, isEnd: Boolean): Int =
+    if (o == OpenBound) { if (isEnd) 1 else -1 } else 0
+
+  /** One bound comparison under the §4.9 open-bound (±∞) semantics:
+    * folds to Left(const) when either side is infinite (extended-real
+    * comparison — two same-signed infinities are equal, never
+    * less/greater), Right((a, cmpOp, b)) when both bounds are finite.
+    * The fold lives HERE, shared by both backends, so the Column and
+    * SQL renderings cannot diverge on open bounds.
+    */
+  private def boundTerm(a: Operand, aEnd: Boolean, op: String,
+                        b: Operand, bEnd: Boolean): Either[Boolean, Cql] = {
+    val ra = boundRank(a, aEnd); val rb = boundRank(b, bEnd)
+    if (ra == 0 && rb == 0) Right(Cmp(op, a, b))
+    else Left(op match {
+      case "<"  => ra < rb
+      case ">"  => ra > rb
+      case "="  => ra == rb // at least one infinite, so equal ⇔ same infinity
+      case "<=" => ra <= rb
+      case ">=" => ra >= rb
+      case other => throw new IllegalArgumentException(s"bad bound cmp: $other")
+    })
+  }
+
+  /** The conjunct list defining each Allen interval predicate over
+    * [ls, le] (left/item interval) and [rs, re] (right/query interval),
+    * exactly as OGC 21-065 defines the T_* functions. Single source of
+    * truth for both backends.
+    */
+  private def allenTerms(op: String, ls: Operand, le: Operand,
+                         rs: Operand, re: Operand): Seq[Either[Boolean, Cql]] = {
+    def t(a: Operand, aE: Boolean, cmp: String, b: Operand, bE: Boolean) =
+      boundTerm(a, aE, cmp, b, bE)
+    op match {
+      // closed intervals share at least an instant
+      case "t_intersects"   => Seq(t(ls, false, "<=", re, true), t(le, true, ">=", rs, false))
+      // strict Allen contains / during (proper super/sub-interval)
+      case "t_contains"     => Seq(t(ls, false, "<", rs, false), t(le, true, ">", re, true))
+      case "t_during"       => Seq(t(ls, false, ">", rs, false), t(le, true, "<", re, true))
+      case "t_equals"       => Seq(t(ls, false, "=", rs, false), t(le, true, "=", re, true))
+      case "t_starts"       => Seq(t(ls, false, "=", rs, false), t(le, true, "<", re, true))
+      case "t_startedby"    => Seq(t(ls, false, "=", rs, false), t(le, true, ">", re, true))
+      case "t_finishes"     => Seq(t(ls, false, ">", rs, false), t(le, true, "=", re, true))
+      case "t_finishedby"   => Seq(t(ls, false, "<", rs, false), t(le, true, "=", re, true))
+      case "t_meets"        => Seq(t(le, true, "=", rs, false))
+      case "t_metby"        => Seq(t(ls, false, "=", re, true))
+      case "t_overlaps"     => Seq(t(ls, false, "<", rs, false),
+                                   t(rs, false, "<", le, true),
+                                   t(le, true, "<", re, true))
+      case "t_overlappedby" => Seq(t(rs, false, "<", ls, false),
+                                   t(ls, false, "<", re, true),
+                                   t(re, true, "<", le, true))
+      case "t_before"       => Seq(t(le, true, "<", rs, false))
+      case "t_after"        => Seq(t(ls, false, ">", re, true))
+      case other =>
+        throw new IllegalArgumentException(s"bad temporal interval op: $other")
+    }
+  }
+
   // -------------------------------------------------------- Column back-end
   private def opCol(o: Operand): Column = o match {
     case Prop(n)   => col(n)
@@ -221,28 +289,13 @@ object Cql {
       opCol(l) >= opCol(lo) && opCol(l) <= opCol(hi)
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
-    case TIntervalPred("t_intersects", ls, le, rs, re) =>
-      // an open bound is ±∞ in the favorable direction for BOTH of these
-      // comparisons, so either side open folds the conjunct to TRUE
-      def iv(a: Operand, b: Operand, cmp: (Column, Column) => Column): Column =
-        if (a == OpenBound || b == OpenBound) lit(true)
-        else cmp(opCol(a), opCol(b))
-      iv(ls, re, _ <= _) && iv(le, rs, _ >= _)
-    case TIntervalPred("t_contains", ls, le, rs, re) =>
-      // Allen's strict contains (OGC 21-065): start1 < start2 AND
-      // end1 > end2. An open OUTER bound is ±∞ (conjunct TRUE), but an
-      // open INNER bound is unbeatable (±∞ < ±∞ is false → FALSE).
-      val cs: Column =
-        if (rs == OpenBound) lit(false)
-        else if (ls == OpenBound) lit(true)
-        else opCol(ls) < opCol(rs)
-      val ce: Column =
-        if (re == OpenBound) lit(false)
-        else if (le == OpenBound) lit(true)
-        else opCol(le) > opCol(re)
-      cs && ce
-    case TIntervalPred(op, _, _, _, _) =>
-      throw new IllegalArgumentException(s"bad temporal interval op: $op")
+    case TIntervalPred(op, ls, le, rs, re) =>
+      val terms = allenTerms(op, ls, le, rs, re)
+      if (terms.contains(Left(false))) lit(false)
+      else {
+        val live = terms.collect { case Right(c) => toColumn(c) }
+        if (live.isEmpty) lit(true) else live.reduce(_ && _)
+      }
     // set semantics: "A contains B" = no element of B is missing from A —
     // array_except dedups, which is exactly what the spec's set view wants
     case ArrayPred("a_contains", l, r) =>
@@ -321,24 +374,13 @@ object Cql {
       s"(${opSql(l)} >= ${opSql(lo)} AND ${opSql(l)} <= ${opSql(hi)})"
     case Temporal(op, _, _, _) =>
       throw new IllegalArgumentException(s"bad temporal op: $op")
-    case TIntervalPred("t_intersects", ls, le, rs, re) =>
-      def iv(a: Operand, b: Operand, cmp: String): String =
-        if (a == OpenBound || b == OpenBound) "TRUE"
-        else s"${opSql(a)} $cmp ${opSql(b)}"
-      s"(${iv(ls, re, "<=")} AND ${iv(le, rs, ">=")})"
-    case TIntervalPred("t_contains", ls, le, rs, re) =>
-      // strict Allen contains — mirrors the Column backend exactly
-      val cs =
-        if (rs == OpenBound) "FALSE"
-        else if (ls == OpenBound) "TRUE"
-        else s"${opSql(ls)} < ${opSql(rs)}"
-      val ce =
-        if (re == OpenBound) "FALSE"
-        else if (le == OpenBound) "TRUE"
-        else s"${opSql(le)} > ${opSql(re)}"
-      s"($cs AND $ce)"
-    case TIntervalPred(op, _, _, _, _) =>
-      throw new IllegalArgumentException(s"bad temporal interval op: $op")
+    case TIntervalPred(op, ls, le, rs, re) =>
+      val terms = allenTerms(op, ls, le, rs, re)
+      if (terms.contains(Left(false))) "FALSE"
+      else {
+        val live = terms.collect { case Right(c) => toSql(c) }
+        if (live.isEmpty) "TRUE" else live.mkString("(", " AND ", ")")
+      }
     case ArrayPred("a_contains", l, r) =>
       s"list_has_all(${opSql(l)}, ${opSql(r)})"
     case ArrayPred("a_containedby", l, r) =>
@@ -507,6 +549,24 @@ object Cql {
     }
   }
 
+  /** One `{"interval": [lo, hi]}` side of an interval predicate: each
+    * bound is a property ref, a timestamp literal, or open (`".."` /
+    * JSON null → ±∞ by position).
+    */
+  private def parseIntervalSide(op: String, n: JsonNode,
+                                what: String): (Operand, Operand) = {
+    if (n == null || !n.isObject || !n.has("interval") ||
+        !n.get("interval").isArray || n.get("interval").size() != 2)
+      throw new IllegalArgumentException(
+        s"""cql2 '$op' expects {"interval": [lo, hi]} as $what (got: $n)""")
+    val iv = n.get("interval")
+    def o(x: JsonNode): Operand =
+      if (x.isNull || (x.isTextual && x.asText() == "..")) OpenBound
+      else if (x.isObject && x.has("property")) Prop(x.get("property").asText())
+      else Ts(x.asText())
+    (o(iv.get(0)), o(iv.get(1)))
+  }
+
   private def parseNode(n: JsonNode): Cql = {
     // Two accepted encodings: the standard OGC cql2-json {"op": "...",
     // "args": [...]} (what STAC clients send) and the compact
@@ -547,30 +607,39 @@ object Cql {
         Between(parseOperand(arg(0, "[field, lo, hi]")),
           parseOperand(arg(1, "[field, lo, hi]")), parseOperand(arg(2, "[field, lo, hi]")))
       case "isNull" => IsNull(parseOperand(if (v != null && v.isArray) arg(0, "one field") else v))
+      // instant forms keep their legacy [field, t] / [field, [lo, hi]]
+      // encodings; when the FIRST argument is an {"interval": ...}
+      // operand, t_before/t_after/t_during are the interval-valued Allen
+      // predicates instead (end1 < start2 / start1 > end2 / proper
+      // sub-interval)
       case op @ ("t_before" | "t_after") =>
-        Temporal(op, parseOperand(arg(0, "[field, t]")), Ts(arg(1, "[field, t]").asText()), None)
+        val a0 = arg(0, "[field|interval, t|interval]")
+        if (a0.isObject && a0.has("interval")) {
+          val (ls, le) = parseIntervalSide(op, a0, "lhs")
+          val (rs, re) = parseIntervalSide(op, arg(1, "[interval, interval]"), "rhs")
+          TIntervalPred(op, ls, le, rs, re)
+        } else Temporal(op, parseOperand(a0), Ts(arg(1, "[field, t]").asText()), None)
       case "t_during" =>
-        val iv = arg(1, "[field, [lo, hi]]")
-        if (!iv.isArray || iv.size() != 2)
-          throw new IllegalArgumentException(s"cql2 't_during' expects [lo, hi] (got: $iv)")
-        Temporal("t_during", parseOperand(arg(0, "[field, [lo, hi]]")),
-          Ts(iv.get(0).asText()), Some(Ts(iv.get(1).asText())))
-      case op @ ("t_intersects" | "t_contains") =>
-        def side(n: JsonNode, what: String): (Operand, Operand) = {
-          if (n == null || !n.isObject || !n.has("interval") ||
-              !n.get("interval").isArray || n.get("interval").size() != 2)
-            throw new IllegalArgumentException(
-              s"""cql2 '$op' expects {"interval": [lo, hi]} as $what (got: $n)""")
-          val iv = n.get("interval")
-          def o(x: JsonNode): Operand =
-            if (x.isNull || (x.isTextual && x.asText() == "..")) OpenBound
-            else if (x.isObject && x.has("property")) Prop(x.get("property").asText())
-            else Ts(x.asText())
-          (o(iv.get(0)), o(iv.get(1)))
+        val a0 = arg(0, "[field|interval, [lo, hi]|interval]")
+        if (a0.isObject && a0.has("interval")) {
+          val (ls, le) = parseIntervalSide("t_during", a0, "lhs")
+          val (rs, re) = parseIntervalSide("t_during", arg(1, "[interval, interval]"), "rhs")
+          TIntervalPred("t_during", ls, le, rs, re)
+        } else {
+          val iv = arg(1, "[field, [lo, hi]]")
+          if (!iv.isArray || iv.size() != 2)
+            throw new IllegalArgumentException(s"cql2 't_during' expects [lo, hi] (got: $iv)")
+          Temporal("t_during", parseOperand(a0),
+            Ts(iv.get(0).asText()), Some(Ts(iv.get(1).asText())))
         }
-        val (ls, le) = side(arg(0, "[interval, interval]"), "lhs")
-        val (rs, re) = side(arg(1, "[interval, interval]"), "rhs")
-        TIntervalPred(op, ls, le, rs, re)
+      case op @ ("t_intersects" | "t_contains" | "t_equals" | "t_starts" |
+                 "t_startedby" | "t_finishes" | "t_finishedby" | "t_meets" |
+                 "t_metby" | "t_overlaps" | "t_overlappedby" | "t_disjoint") =>
+        val (ls, le) = parseIntervalSide(op, arg(0, "[interval, interval]"), "lhs")
+        val (rs, re) = parseIntervalSide(op, arg(1, "[interval, interval]"), "rhs")
+        // disjoint ≡ NOT intersects — exact complements (OGC 21-065)
+        if (op == "t_disjoint") Not(TIntervalPred("t_intersects", ls, le, rs, re))
+        else TIntervalPred(op, ls, le, rs, re)
       case op if op.toLowerCase.startsWith("a_") &&
           Set("a_equals", "a_contains", "a_containedby", "a_overlaps")
             .contains(op.toLowerCase) =>

@@ -151,7 +151,10 @@ object Cql2Text {
         }
       case Some(t) if kw(t).exists(Set("T_BEFORE", "T_AFTER", "T_DURING")) =>
         temporalFn()
-      case Some(t) if kw(t).exists(Set("T_INTERSECTS", "T_CONTAINS")) =>
+      case Some(t) if kw(t).exists(Set(
+        "T_INTERSECTS", "T_CONTAINS", "T_EQUALS", "T_STARTS", "T_STARTEDBY",
+        "T_FINISHES", "T_FINISHEDBY", "T_MEETS", "T_METBY", "T_OVERLAPS",
+        "T_OVERLAPPEDBY", "T_DISJOINT")) =>
         tIntervalFn(kw(t).get.toLowerCase)
       case Some(t) if kw(t).exists(
         Set("S_INTERSECTS", "S_DISJOINT", "S_WITHIN")) =>
@@ -189,6 +192,15 @@ object Cql2Text {
     private def temporalFn(): Cql = {
       val op = kw(next()).get.toLowerCase
       expectSym("(")
+      // INTERVAL as the first argument selects the interval-valued Allen
+      // form of t_before / t_after / t_during (mirrors the json parser)
+      if (peekKw.contains("INTERVAL")) {
+        val (ls, le) = interval()
+        expectSym(",")
+        val (rs, re) = interval()
+        expectSym(")")
+        return TIntervalPred(op, ls, le, rs, re)
+      }
       val l = operand()
       expectSym(",")
       val c = op match {
@@ -203,28 +215,34 @@ object Cql2Text {
       c
     }
 
-    /** `T_INTERSECTS(INTERVAL(a, b), INTERVAL(c, d))` — each interval
-      * bound is a property name or a (quoted / TIMESTAMP()) literal.
+    /** `INTERVAL(a, b)` — each bound is a property name, a (quoted /
+      * TIMESTAMP()) literal, or the open bound `'..'` (§4.9).
+      */
+    private def interval(): (Operand, Operand) = {
+      expectKw("INTERVAL"); expectSym("(")
+      def bound(): Operand = peek match {
+        case Some(StrTok("..")) => pos += 1; OpenBound // open bound, §4.9
+        case Some(Ident(n)) => pos += 1; Prop(n)
+        case _ => tsLit()
+      }
+      val lo = bound(); expectSym(","); val hi = bound()
+      expectSym(")")
+      (lo, hi)
+    }
+
+    /** `T_INTERSECTS(INTERVAL(a, b), INTERVAL(c, d))` and the rest of the
+      * Allen set; T_DISJOINT compiles to NOT T_INTERSECTS (exact
+      * complements, mirrors the json parser).
       */
     private def tIntervalFn(op: String): Cql = {
       pos += 1
-      def interval(): (Operand, Operand) = {
-        expectKw("INTERVAL"); expectSym("(")
-        def bound(): Operand = peek match {
-          case Some(StrTok("..")) => pos += 1; OpenBound // open bound, §4.9
-          case Some(Ident(n)) => pos += 1; Prop(n)
-          case _ => tsLit()
-        }
-        val lo = bound(); expectSym(","); val hi = bound()
-        expectSym(")")
-        (lo, hi)
-      }
       expectSym("(")
       val (ls, le) = interval()
       expectSym(",")
       val (rs, re) = interval()
       expectSym(")")
-      TIntervalPred(op, ls, le, rs, re)
+      if (op == "t_disjoint") Not(TIntervalPred("t_intersects", ls, le, rs, re))
+      else TIntervalPred(op, ls, le, rs, re)
     }
 
     private def tsLit(): Ts = peek match {

@@ -382,7 +382,7 @@ object Multimodal {
       // CSV-stringified for the gate: the driver's pandas compare cannot
       // sort/hash ARRAY cells. decodeWav still produces the real
       // Array[Long] frame energies; only the output projection flattens it.
-      .withColumn("frame_abs_csv", array_join(col("frame_abs"), ","))
+      .withColumn("frame_abs_csv", array_join(col("frame_abs"), "\u0001"))
       .drop("frame_abs")
       .orderBy(col("doc_id"))
   }
@@ -400,7 +400,7 @@ object Multimodal {
       |SELECT a.doc_id, CAST(44 + 2 * a.n AS INTEGER) AS n_bytes,
       |  CAST(8000 AS INTEGER) AS sample_rate, CAST(a.n AS INTEGER) AS n_samples,
       |  CAST(a.energy AS BIGINT) AS energy,
-      |  array_to_string(f.frame_abs, ',') AS frame_abs_csv
+      |  array_to_string(f.frame_abs, chr(1)) AS frame_abs_csv
       |FROM agg a JOIN fl f USING (doc_id) ORDER BY a.doc_id""".stripMargin
 
   // ----------------------- C89 video container + frame sampling

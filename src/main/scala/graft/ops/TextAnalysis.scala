@@ -920,7 +920,11 @@ object TextAnalysis {
 
   def c87CompressionRatio(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val path = s"/tmp/graft_c87_bytes_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    // keyed on a CONTENT fingerprint of the input files (not the dir
+    // string): an in-place fixture regeneration or a sanitized-path
+    // collision (sf0.1 vs sf0_1) gets a fresh sidecar, never stale bytes
+    val path = "/tmp/graft_c87_bytes_" +
+      graft.core.FixtureGuard.fingerprint(d, "documents")
     c87SidecarPath = path
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       docs(s, d).select(col("doc_id"), col("source"), col("text"))

@@ -406,6 +406,51 @@ object StacSearch {
       |    {">":[{"property":"value"},120.5]}]}
       |]}""".stripMargin)
 
+  /** A76: the COMPLETE Allen interval set (OGC 21-065 temporal
+    * functions) as a per-row boolean battery — stronger than a filter
+    * gate: every op is evaluated on EVERY item (nulls included, pinning
+    * 3VL), so a drifted conjunct flips a cell instead of maybe-dropping
+    * an already-excluded row. Each column is a real cql2-json parse
+    * round-trip; property-pair sides (the item's validity interval
+    * composed with itself / with open bounds) guarantee nonzero true
+    * cells for the equality-based ops, literal windows exercise the
+    * straddle-sensitive ones (5+ straddlers at sf0.01), and open bounds
+    * ("..") exercise the shared ±∞ fold in both backends.
+    */
+  private val a76Ops: Seq[(String, String)] = {
+    def ivProps = """{"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]}"""
+    def iv(lo: String, hi: String) = s"""{"interval":[$lo,$hi]}"""
+    def sd = """{"property":"start_datetime"}"""
+    def ed = """{"property":"end_datetime"}"""
+    Seq(
+      "t_eq"   -> s"""{"t_equals":[$ivProps,$ivProps]}""",
+      "t_st"   -> s"""{"t_starts":[$ivProps,${iv(sd, "\"..\"")}]}""",
+      "t_stb"  -> s"""{"t_startedby":[${iv(sd, "\"..\"")},$ivProps]}""",
+      "t_fin"  -> s"""{"t_finishes":[$ivProps,${iv("null", ed)}]}""",
+      "t_finb" -> s"""{"t_finishedby":[${iv("\"..\"", ed)},$ivProps]}""",
+      "t_meet" -> s"""{"t_meets":[${iv("\"..\"", sd)},$ivProps]}""",
+      "t_metb" -> s"""{"t_metby":[${iv(ed, "\"..\"")},$ivProps]}""",
+      "t_ov"   -> s"""{"t_overlaps":[$ivProps,${iv("\"2024-01-10 12:00:00\"", "\"2024-01-20 00:00:00\"")}]}""",
+      "t_ovb"  -> s"""{"t_overlappedby":[$ivProps,${iv("\"2024-01-05 00:00:00\"", "\"2024-01-15 12:00:00\"")}]}""",
+      "t_dur"  -> s"""{"t_during":[$ivProps,${iv("\"2024-01-08 00:00:00\"", "\"..\"")}]}""",
+      "t_cont" -> s"""{"t_contains":[$ivProps,${iv("\"2024-01-12 06:30:00\"", "\"2024-01-12 07:00:00\"")}]}""",
+      "t_bef"  -> s"""{"t_before":[$ivProps,${iv("\"2024-01-16 00:00:00\"", "\"..\"")}]}""",
+      "t_aft"  -> s"""{"t_after":[$ivProps,${iv("\"..\"", "\"2024-01-16 00:00:00\"")}]}""",
+      "t_dis"  -> s"""{"t_disjoint":[$ivProps,${iv("\"2024-01-12 00:00:00\"", "\"2024-01-14 00:00:00\"")}]}"""
+    )
+  }
+  private val a76Asts: Seq[(String, Cql)] =
+    a76Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
+
+  def a76CqlAllen(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .select(col("id") +: a76Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
+      .orderBy(col("id"))
+
+  val a76Sql: String = Tables.withItems(
+    s"""SELECT id, ${a76Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
+       |FROM items ORDER BY id""".stripMargin)
+
   /** CQL2 casei accessor (case-insensitive equality/IN, extension). */
   private val (a32Fn, a32Sql) = cqlQuery(
     """{"or":[
@@ -1599,11 +1644,11 @@ object StacSearch {
       // hash ARRAY cells. Semantics (a_overlaps/a_contains/...) still run
       // on the real ARRAY<STRING>; only the projection is stringified.
       .select(col("id"), col("collection"),
-        array_join(col("tags"), ",").as("tags_csv"))
+        array_join(col("tags"), "\u0001").as("tags_csv"))
       .orderBy(col("id"))
 
   val a52Sql: String = Tables.withItems(
-    s"""SELECT id, collection, array_to_string(tags, ',') AS tags_csv FROM (
+    s"""SELECT id, collection, array_to_string(tags, chr(1)) AS tags_csv FROM (
        |  SELECT id, collection, $tagsDuck AS tags FROM items)
        |WHERE ${a52Ast.toSql}
        |ORDER BY id""".stripMargin)
@@ -2000,7 +2045,7 @@ object StacSearch {
         // CSV-stringified for the gate: the driver's pandas compare cannot
         // sort/hash ARRAY cells. The JSON parse still reads the real
         // ARRAY<STRING>; only the output projection flattens it.
-        array_join(col("keywords"), ",").as("keywords_csv"),
+        array_join(col("keywords"), "\u0001").as("keywords_csv"),
         expr("filter(links, l -> l.rel = 'self')[0].href").as("self_href"))
     items(s, d).groupBy(col("collection"))
       .agg(count(lit(1)).as("n_items"),
@@ -2015,7 +2060,7 @@ object StacSearch {
     s"""SELECT d.collection, n_items, t_min, t_max, west, east, south, north,
        |  m.title, m.license, m.description,
        |  '1.0.0' AS stac_version,
-       |  'events,' || d.collection AS keywords_csv,
+       |  'events' || chr(1) || d.collection AS keywords_csv,
        |  'https://example.com/collections/' || d.collection AS self_href
        |FROM (
        |  SELECT collection, COUNT(*) AS n_items,
@@ -2557,6 +2602,7 @@ object StacSearch {
     "a39_footprint_cql"           -> (a39FootprintCql _),
     "a72_cql2_s_disjoint"         -> (a72CqlDisjoint _),
     "a74_cql2_t_interval"         -> a74Fn,
+    "a76_cql2_allen"              -> (a76CqlAllen _),
     "a73_cql2_s_within"           -> (a73CqlWithin _),
     "a40_intersects_shapes"       -> a40Fn,
     "a41_footprint_shapes"        -> (a41FootprintShapes _),
@@ -2625,6 +2671,7 @@ object StacSearch {
     "a39_footprint_cql"           -> a39Sql,
     "a72_cql2_s_disjoint"         -> a72Sql,
     "a74_cql2_t_interval"         -> a74Sql,
+    "a76_cql2_allen"              -> a76Sql,
     "a73_cql2_s_within"           -> a73Sql,
     "a40_intersects_shapes"       -> a40Sql,
     "a41_footprint_shapes"        -> a41Sql,

@@ -348,26 +348,27 @@ class CqlSpec extends AnyFunSuite {
         |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
         |  {"interval":["2024-01-10 00:00:00",null]}]}""".stripMargin)
     assert(j == jn, "json null bound ≡ '..'")
-    assert(j.toSql ==
-      "(TRUE AND end_datetime >= TIMESTAMP '2024-01-10 00:00:00')")
+    // folded conjuncts are DROPPED (r10: the shared Allen algebra
+    // renders only live terms — no "TRUE AND" noise in pushed-down SQL)
+    assert(j.toSql == "(end_datetime >= TIMESTAMP '2024-01-10 00:00:00')")
     // fully open interval intersects everything with a known interval
     val full = Cql.parseJson(
       """{"t_intersects":[
         |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
         |  {"interval":["..",".."]}]}""".stripMargin)
-    assert(full.toSql == "(TRUE AND TRUE)")
+    assert(full.toSql == "TRUE")
     // t_contains: open OUTER bound is ±∞ (conjunct TRUE); open INNER
     // start is unbeatable (FALSE)
     val cOuter = Cql.parseJson(
       """{"t_contains":[
         |  {"interval":["..",".."]},
         |  {"interval":["2024-01-10 00:00:00","2024-01-12 00:00:00"]}]}""".stripMargin)
-    assert(cOuter.toSql == "(TRUE AND TRUE)")
+    assert(cOuter.toSql == "TRUE")
     val cInner = Cql.parseJson(
       """{"t_contains":[
         |  {"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},
         |  {"interval":["..","2024-01-12 00:00:00"]}]}""".stripMargin)
-    assert(cInner.toSql.startsWith("(FALSE AND "))
+    assert(cInner.toSql == "FALSE")
     // live data: one-sided from-filter ≡ the plain end >= bound predicate
     val s = TestSpark.spark
     val items = graft.core.Tables.items(s, TestSpark.sf)
@@ -378,6 +379,95 @@ class CqlSpec extends AnyFunSuite {
     val esc = intercept[IllegalArgumentException](
       Cql.Cmp("=", Cql.Prop("datetime"), Cql.OpenBound).toColumn)
     assert(esc.getMessage.contains("open bound"), esc.getMessage)
+  }
+
+  test("complete Allen interval set: every OGC 21-065 temporal function " +
+      "claims exactly its relation on a constructed interval frame, " +
+      "json ≡ text AST, 3VL on null bounds") {
+    import graft.cql.Cql2Text
+    val s = TestSpark.spark
+    import s.implicits._
+    // reference interval R = [10:00, 20:00]; one row per Allen relation
+    def t(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val rows = Seq(
+      ("eq", t("10:00"), t("20:00")), ("starts", t("10:00"), t("15:00")),
+      ("startedby", t("10:00"), t("23:00")), ("finishes", t("15:00"), t("20:00")),
+      ("finishedby", t("05:00"), t("20:00")), ("meets", t("05:00"), t("10:00")),
+      ("metby", t("20:00"), t("23:00")), ("overlaps", t("05:00"), t("15:00")),
+      ("overlappedby", t("15:00"), t("23:00")), ("during", t("12:00"), t("18:00")),
+      ("contains", t("05:00"), t("23:00")), ("before", t("01:00"), t("05:00")),
+      ("after", t("21:00"), t("23:00")),
+      ("nullrow", null.asInstanceOf[java.sql.Timestamp], t("15:00")))
+    val df = rows.toDF("label", "s", "e")
+    val expected = Map(
+      "t_equals" -> Set("eq"), "t_starts" -> Set("starts"),
+      "t_startedby" -> Set("startedby"), "t_finishes" -> Set("finishes"),
+      "t_finishedby" -> Set("finishedby"), "t_meets" -> Set("meets"),
+      "t_metby" -> Set("metby"), "t_overlaps" -> Set("overlaps"),
+      "t_overlappedby" -> Set("overlappedby"), "t_during" -> Set("during"),
+      "t_contains" -> Set("contains"), "t_before" -> Set("before"),
+      "t_after" -> Set("after"),
+      "t_intersects" -> (rows.map(_._1).toSet -- Set("before", "after", "nullrow")),
+      "t_disjoint" -> Set("before", "after"))
+    expected.foreach { case (op, want) =>
+      val json = Cql.parseJson(
+        s"""{"$op":[
+           |  {"interval":[{"property":"s"},{"property":"e"}]},
+           |  {"interval":["2024-01-01 10:00:00","2024-01-01 20:00:00"]}]}""".stripMargin)
+      val text = Cql2Text.parse(
+        s"${op.toUpperCase}(INTERVAL(s, e), " +
+          "INTERVAL('2024-01-01 10:00:00', '2024-01-01 20:00:00'))")
+      assert(json == text, s"$op: json and text must build the same AST")
+      val got = df.where(json.toColumn).select("label").as[String].collect().toSet
+      assert(got == want, s"$op claimed $got, expected $want")
+    }
+    // the boundary-equality ops compose with property pairs + open bounds
+    // (the a76 gate's construction): starts([s,e],[s,..]) holds wherever
+    // the interval is known
+    val st = Cql.parseJson(
+      """{"t_starts":[
+        |  {"interval":[{"property":"s"},{"property":"e"}]},
+        |  {"interval":[{"property":"s"},".."]}]}""".stripMargin)
+    assert(df.where(st.toColumn).count() == rows.length - 1)
+    // t_equals against a half-open literal interval can never hold —
+    // folds to constant FALSE in BOTH renderings (not a NULL cast)
+    val eqOpen = Cql.parseJson(
+      """{"t_equals":[
+        |  {"interval":[{"property":"s"},{"property":"e"}]},
+        |  {"interval":["2024-01-01 10:00:00",".."]}]}""".stripMargin)
+    assert(eqOpen.toSql == "FALSE")
+    assert(df.where(eqOpen.toColumn).count() == 0)
+    // ...but equality of two same-signed infinities is TRUE: [s,..] starts [..,..]? no —
+    // starts needs equal starts; [..,..] startedby [..,e]: ls(-inf)=rs(-inf), le(+inf)>e
+    val infEq = Cql.parseJson(
+      """{"t_startedby":[
+        |  {"interval":["..",".."]},
+        |  {"interval":["..",{"property":"e"}]}]}""".stripMargin)
+    assert(infEq.toSql == "TRUE")
+    // interval-valued t_before/t_after/t_during parse via the interval
+    // first arg; the legacy instant forms still parse to Temporal
+    assert(Cql.parseJson(
+      """{"t_before":[{"interval":[{"property":"s"},{"property":"e"}]},
+        |             {"interval":["2024-01-01 10:00:00",".."]}]}""".stripMargin)
+      .isInstanceOf[Cql.TIntervalPred])
+    assert(Cql.parseJson(
+      """{"t_before":[{"property":"datetime"},"2024-01-03 00:00:00"]}""")
+      .isInstanceOf[Cql.Temporal])
+    assert(Cql2Text.parse(
+      "T_DURING(INTERVAL(s, e), INTERVAL('2024-01-01 10:00:00', '2024-01-01 20:00:00'))")
+      .isInstanceOf[Cql.TIntervalPred])
+    assert(Cql2Text.parse(
+      "T_DURING(datetime, INTERVAL('2024-01-01 10:00:00', '2024-01-01 20:00:00'))")
+      .isInstanceOf[Cql.Temporal])
+    // T_DISJOINT parses to NOT T_INTERSECTS in both grammars
+    val dj = Cql.parseJson(
+      """{"t_disjoint":[
+        |  {"interval":[{"property":"s"},{"property":"e"}]},
+        |  {"interval":["2024-01-01 10:00:00","2024-01-01 20:00:00"]}]}""".stripMargin)
+    val dt = Cql2Text.parse(
+      "T_DISJOINT(INTERVAL(s, e), INTERVAL('2024-01-01 10:00:00', '2024-01-01 20:00:00'))")
+    assert(dj == dt)
+    assert(dj.isInstanceOf[Cql.Not])
   }
 
   test("cql2-text malformed input gets a clear error, not a crash") {
