@@ -114,19 +114,32 @@ object Cql {
 
   /** CQL2 S_WITHIN on the item's box footprint: the footprint lies fully
     * inside the query geometry ("give me scenes completely covered by my
-    * AOI" — the clipping-free-processing predicate). Exact via the
-    * corner rule: a BOX is within a CONVEX ring iff all four corners are
-    * (convexity makes corner-membership sufficient; holes or concavity
-    * would not, so those shapes are rejected with a typed error rather
-    * than answered approximately). Compiles to four point-in-shape
-    * kernel calls — the same codegen'd [[graft.spatial.PointInPolygon]]
-    * family every other spatial predicate uses, AND'd so the envelope
-    * prune of the first conjunct still leads the scan.
+    * AOI" — the clipping-free-processing predicate). EXACT for arbitrary
+    * query polygons since r10 — concave, holed, multi — via
+    * [[graft.spatial.Geo.boxWithinGeom]]: all four corners and the
+    * center in the CLOSED region, and no ring edge through the open box
+    * (the r9 convex-only corner rule and its typed rejection are gone;
+    * a spec pins corner-rule ≡ general-kernel on convex input).
+    * Non-areal query shapes are constant FALSE (a 2D box cannot lie
+    * within a lower-dimensional set).
     *
     * On the `geometry` (point) target, within ≡ intersects, so the
     * parser maps that case to [[SIntersects]] directly.
     */
   final case class SWithinBox(shape: graft.spatial.Shape) extends Cql
+
+  /** The rest of the OGC 21-065 Enhanced-Spatial operator set (r10):
+    * op ∈ s_contains, s_equals, s_touches, s_crosses, s_overlaps, on
+    * either target. DE-9IM semantics composed from four exact
+    * primitives (closed membership, open-box∩segment, vertex covers,
+    * interior intersection) — see graft.spatial.Geo §DE-9IM. The
+    * reference inherits these from DuckDB spatial the moment its
+    * filter_client grows a clause (database_logic.py:488-659's
+    * extension point); here they are first-class filter-tree citizens
+    * with envelope prunes leading the scan.
+    */
+  final case class SRel(op: String, shape: graft.spatial.Shape,
+                        target: String) extends Cql
 
   // ------------------------------------------------- property resolution
   /** Resolve `properties.x` / `properties__x` / `x` field references
@@ -169,6 +182,7 @@ object Cql {
       case ArrayPred(op, l, r) => ArrayPred(op, ro(l), ro(r))
       case s: SIntersects     => s
       case s: SWithinBox      => s
+      case s: SRel            => s
     }
   }
 
@@ -316,25 +330,25 @@ object Cql {
     case SIntersects(_, other) =>
       throw new IllegalArgumentException(s"bad s_intersects target: $other")
     case SWithinBox(shape) =>
-      val ring = withinRing(shape)
-      val poly = graft.spatial.Shape.PolyS(Array(Array(ring)))
-      Seq(("xmin", "ymin"), ("xmin", "ymax"), ("xmax", "ymin"), ("xmax", "ymax"))
-        .map { case (x, y) =>
-          graft.spatial.Geo.intersectsShape(col(x), col(y), poly)
-        }.reduce(_ && _)
+      graft.spatial.Geo.boxRelShapeCol(col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"), shape, graft.spatial.Geo.RelWithin)
+    case SRel(op, shape, "geometry") =>
+      graft.spatial.Geo.pointRelShapeCol(col("lon"), col("lat"), shape, relCode(op))
+    case SRel(op, shape, "footprint") =>
+      graft.spatial.Geo.boxRelShapeCol(col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"), shape, relCode(op))
+    case SRel(_, _, other) =>
+      throw new IllegalArgumentException(s"bad spatial-relation target: $other")
   }
 
-  /** S_WITHIN's corner rule is exact only for a single convex shell with
-    * no holes — validate and extract it, typed error otherwise.
-    */
-  private def withinRing(shape: graft.spatial.Shape): Array[Double] = shape match {
-    case graft.spatial.Shape.PolyS(geom)
-        if geom.length == 1 && geom(0).length == 1 &&
-          graft.spatial.Geo.isConvexCcw(geom(0)(0)) =>
-      geom(0)(0)
-    case other => throw new IllegalArgumentException(
-      "s_within(footprint) needs a single convex CCW ring without holes " +
-        s"(corner-membership is only sufficient there); got: $other")
+  /** AST op name → [[graft.spatial.Geo]] relation code. */
+  private def relCode(op: String): Int = op match {
+    case "s_contains" => graft.spatial.Geo.RelContains
+    case "s_equals"   => graft.spatial.Geo.RelEquals
+    case "s_touches"  => graft.spatial.Geo.RelTouches
+    case "s_crosses"  => graft.spatial.Geo.RelCrosses
+    case "s_overlaps" => graft.spatial.Geo.RelOverlaps
+    case other => throw new IllegalArgumentException(s"bad spatial relation: $other")
   }
 
   // ----------------------------------------------------------- SQL back-end
@@ -398,11 +412,15 @@ object Cql {
     case SIntersects(_, other) =>
       throw new IllegalArgumentException(s"bad s_intersects target: $other")
     case SWithinBox(shape) =>
-      val ring = withinRing(shape)
-      val poly = graft.spatial.Shape.PolyS(Array(Array(ring)))
-      Seq(("xmin", "ymin"), ("xmin", "ymax"), ("xmax", "ymin"), ("xmax", "ymax"))
-        .map { case (x, y) => graft.spatial.Geo.pointShapeSql(x, y, poly) }
-        .mkString("(", " AND ", ")")
+      graft.spatial.Geo.boxRelShapeSql("xmin", "ymin", "xmax", "ymax",
+        shape, graft.spatial.Geo.RelWithin)
+    case SRel(op, shape, "geometry") =>
+      graft.spatial.Geo.pointRelShapeSql("lon", "lat", shape, relCode(op))
+    case SRel(op, shape, "footprint") =>
+      graft.spatial.Geo.boxRelShapeSql("xmin", "ymin", "xmax", "ymax",
+        shape, relCode(op))
+    case SRel(_, _, other) =>
+      throw new IllegalArgumentException(s"bad spatial-relation target: $other")
   }
 
   // ----------------------------------------------------------- JSON parser
@@ -647,7 +665,8 @@ object Cql {
         ArrayPred(op.toLowerCase,
           parseOperand(arg(0, "[lhs-array, rhs-array]")),
           parseOperand(arg(1, "[lhs-array, rhs-array]")))
-      case "s_intersects" | "s_disjoint" | "s_within" =>
+      case "s_intersects" | "s_disjoint" | "s_within" | "s_contains" |
+           "s_equals" | "s_touches" | "s_crosses" | "s_overlaps" =>
         // args: [{"property":"geometry"|"footprint"}, <GeoJSON geometry>]
         val prop = arg(0, "[geometry-prop, GeoJSON geometry]")
         val target =
@@ -660,11 +679,15 @@ object Cql {
           // non-null item coordinates, so plain negation is exact
           case "s_disjoint" => Not(SIntersects(shape, target))
           // a POINT is within g iff it intersects g; a box footprint
-          // needs the corner rule (SWithinBox validates convexity)
-          case _ if target == "geometry" => SIntersects(shape, target)
-          case _ if target == "footprint" => SWithinBox(shape)
-          case _ => throw new IllegalArgumentException(
+          // runs the exact general box-within-region kernel
+          case "s_within" if target == "geometry" => SIntersects(shape, target)
+          case "s_within" if target == "footprint" => SWithinBox(shape)
+          case "s_within" => throw new IllegalArgumentException(
             s"bad s_within target: $target")
+          case rel if target == "geometry" || target == "footprint" =>
+            SRel(rel, shape, target)
+          case _ => throw new IllegalArgumentException(
+            s"bad $key target: $target")
         }
       case other => throw new IllegalArgumentException(s"unsupported cql2 op: $other")
     }

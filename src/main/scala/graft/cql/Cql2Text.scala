@@ -157,7 +157,8 @@ object Cql2Text {
         "T_OVERLAPPEDBY", "T_DISJOINT")) =>
         tIntervalFn(kw(t).get.toLowerCase)
       case Some(t) if kw(t).exists(
-        Set("S_INTERSECTS", "S_DISJOINT", "S_WITHIN")) =>
+        Set("S_INTERSECTS", "S_DISJOINT", "S_WITHIN", "S_CONTAINS",
+          "S_EQUALS", "S_TOUCHES", "S_CROSSES", "S_OVERLAPS")) =>
         spatialFn(kw(t).get)
       case Some(t) if kw(t).exists(
         Set("A_EQUALS", "A_CONTAINS", "A_CONTAINEDBY", "A_OVERLAPS")) =>
@@ -272,11 +273,14 @@ object Cql2Text {
         case "S_INTERSECTS" => SIntersects(shape, target)
         case "S_DISJOINT"   => Not(SIntersects(shape, target))
         // mirrors the json parser: geometry → point-in-shape, footprint →
-        // corner rule, anything else is a typed error HERE (not a
-        // misleading 'bad s_intersects target' at compile time)
+        // the exact general box-within-region kernel; bad targets are a
+        // typed error HERE (not a misleading message at compile time)
         case "S_WITHIN" if target == "footprint" => SWithinBox(shape)
         case "S_WITHIN" if target == "geometry"  => SIntersects(shape, target)
         case "S_WITHIN" => err(s"bad s_within target: $target")
+        case rel if target == "geometry" || target == "footprint" =>
+          SRel(rel.toLowerCase, shape, target)
+        case rel => err(s"bad ${rel.toLowerCase} target: $target")
       }
     }
 

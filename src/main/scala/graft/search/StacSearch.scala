@@ -1258,6 +1258,113 @@ object StacSearch {
        |WHERE ${a73Ast.toSql}
        |ORDER BY id""".stripMargin)
 
+  /** A77: the rest of the OGC Enhanced-Spatial operator set — s_contains,
+    * s_equals, s_touches, s_crosses, s_overlaps — on BOTH targets, as a
+    * per-row boolean battery (every op evaluated on every item, so a
+    * drifted DE-9IM conjunct flips a cell instead of maybe-dropping an
+    * excluded row). Each column is a real cql2-json parse round-trip;
+    * both backends render from the one AST. Nonzero-true columns:
+    * f_cont (boxes around two probe points), f_crs (a transcontinental
+    * polyline in and out of boxes), f_ovl / f_win (boxes straddling /
+    * inside a 90°-wide concave L), g_tch (integer-lat items exactly on
+    * a horizontal ring edge — the boundary kernel's exactness is load-
+    * bearing, not avoided). f_eq / g_eq pin the FALSE-dominant path and
+    * the constant folds (crosses/overlaps on a point ≡ FALSE).
+    */
+  private val a77Concave =
+    """{"type":"Polygon","coordinates":[[[-60.137,-40.223],[30.139,-40.223],
+      |[30.139,10.177],[-10.861,20.223],[-10.861,45.223],[-60.137,45.223],
+      |[-60.137,-40.223]]]}""".stripMargin
+  private val a77Ops: Seq[(String, String)] = Seq(
+    "f_cont" -> ("""{"s_contains":[{"property":"footprint"},""" +
+      """{"type":"Point","coordinates":[-79.85,-2.0]}]}"""),
+    "f_eq" -> ("""{"s_equals":[{"property":"footprint"},""" +
+      """{"type":"Polygon","coordinates":[[[17.0,41.5],[17.6,41.5],[17.6,42.5],[17.0,42.5],[17.0,41.5]]]}]}"""),
+    "f_tch" -> ("""{"s_touches":[{"property":"footprint"},""" +
+      """{"type":"Polygon","coordinates":[[[17.35,-80.0],[60.0,-80.0],[60.0,80.0],[17.35,80.0],[17.35,-80.0]]]}]}"""),
+    "f_crs" -> ("""{"s_crosses":[{"property":"footprint"},""" +
+      """{"type":"LineString","coordinates":[[-170.3,-80.1],[-60.7,30.3],[20.1,-20.7],[170.3,80.1]]}]}"""),
+    "f_ovl" -> s"""{"s_overlaps":[{"property":"footprint"},$a77Concave]}""",
+    "f_win" -> s"""{"s_within":[{"property":"footprint"},$a77Concave]}""",
+    "g_tch" -> ("""{"s_touches":[{"property":"geometry"},""" +
+      """{"type":"Polygon","coordinates":[[[-50.0,10.0],[50.0,10.0],[50.0,60.0],[-50.0,60.0],[-50.0,10.0]]]}]}"""),
+    "g_cont" -> ("""{"s_contains":[{"property":"geometry"},""" +
+      """{"type":"Point","coordinates":[-178.26,46.0]}]}"""),
+    "g_eq" -> ("""{"s_equals":[{"property":"geometry"},""" +
+      """{"type":"MultiPoint","coordinates":[[-178.26,46.0],[-178.26,46.0]]}]}"""),
+    "g_crs" -> ("""{"s_crosses":[{"property":"geometry"},""" +
+      """{"type":"LineString","coordinates":[[-10.0,-10.0],[10.0,10.0]]}]}""")
+  )
+  private val a77Asts: Seq[(String, Cql)] =
+    a77Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
+
+  def a77CqlSpatialRel(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d))
+      .select(col("id") +: a77Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
+      .orderBy(col("id"))
+
+  val a77Sql: String = Tables.withItems(
+    s"""SELECT id, ${a77Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
+       |FROM (SELECT id, lon, lat, $envelopeSqlCols FROM items)
+       |ORDER BY id""".stripMargin)
+
+  /** A78: exact s_within on CONCAVE and HOLED query regions with an
+    * ALGORITHMICALLY INDEPENDENT oracle — the Spark side runs the
+    * general boxWithinGeom kernel (closed corner+center membership +
+    * no-edge-through-open-box, Liang-Barsky); the oracle never sees that
+    * algebra: each region is decomposed driver-side as convex-hull-
+    * minus-convex-notches, and `within(H \\ N) ⇔ all four corners in H
+    * (half-plane form) ∧ ¬strictSAT(box, N)` — half-plane membership
+    * and strict separating-axis projections only. A kernel bug cannot
+    * reproduce on the oracle side. Region 1: the A33 concave L (hull =
+    * 5-gon, notch = the diagonal bite). Region 2: a square shell with a
+    * square hole (hull = shell, notch = hole).
+    */
+  private val a78HullL: Array[Double] = Array(
+    -60.137, -40.223, 30.139, -40.223, 30.139, 10.177, -10.861, 45.223, -60.137, 45.223)
+  private val a78NotchL: Array[Double] = Array(
+    30.139, 10.177, -10.861, 45.223, -10.861, 20.223)
+  private val a78Shell: Array[Double] = Array(
+    20.0, -60.0, 80.0, -60.0, 80.0, -10.0, 20.0, -10.0)
+  private val a78Hole: Array[Double] = Array(
+    40.0, -45.0, 60.0, -45.0, 60.0, -25.0, 40.0, -25.0)
+
+  private val a78Ast = Cql.parseJson(
+    s"""{"or":[
+       |  {"s_within":[{"property":"footprint"},
+       |    {"type":"Polygon","coordinates":[[[-60.137,-40.223],[30.139,-40.223],
+       |     [30.139,10.177],[-10.861,20.223],[-10.861,45.223],[-60.137,45.223],
+       |     [-60.137,-40.223]]]}]},
+       |  {"s_within":[{"property":"footprint"},
+       |    {"type":"Polygon","coordinates":[[[20.0,-60.0],[80.0,-60.0],[80.0,-10.0],
+       |     [20.0,-10.0],[20.0,-60.0]],
+       |     [[40.0,-45.0],[60.0,-45.0],[60.0,-25.0],[40.0,-25.0],[40.0,-45.0]]]}]}
+       |]}""".stripMargin)
+
+  def a78WithinConcave(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d))
+      .where(a78Ast.toColumn)
+      .select(col("id"), col("collection"), col("xmin"), col("ymin"),
+        col("xmax"), col("ymax"))
+      .orderBy(col("id"))
+
+  val a78Sql: String = {
+    // corner membership in the CONVEX hull via the independent
+    // half-plane form (NOT the parity ray cast the kernel uses)
+    def cornersIn(ring: Array[Double]): String =
+      Seq(("xmin", "ymin"), ("xmax", "ymin"), ("xmax", "ymax"), ("xmin", "ymax"))
+        .map { case (x, y) => Geo.convexIntersectsSql(x, y, ring) }
+        .mkString("(", " AND ", ")")
+    def hullMinusNotch(hull: Array[Double], notch: Array[Double]): String =
+      s"(${cornersIn(hull)} AND NOT ${Geo.boxConvexSatStrictSql("xmin", "ymin", "xmax", "ymax", notch)})"
+    Tables.withItems(
+      s"""SELECT id, collection, xmin, ymin, xmax, ymax FROM (
+         |  SELECT id, collection, $envelopeSqlCols FROM items)
+         |WHERE ${hullMinusNotch(a78HullL, a78NotchL)}
+         |   OR ${hullMinusNotch(a78Shell, a78Hole)}
+         |ORDER BY id""".stripMargin)
+  }
+
   // --------------------- A40/A41 non-polygon GeoJSON types in s_intersects
   /** A40: s_intersects with a GeometryCollection mixing a convex Polygon,
     * a LineString and a Point against item POINT geometry — the reference
@@ -2603,6 +2710,8 @@ object StacSearch {
     "a72_cql2_s_disjoint"         -> (a72CqlDisjoint _),
     "a74_cql2_t_interval"         -> a74Fn,
     "a76_cql2_allen"              -> (a76CqlAllen _),
+    "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
+    "a78_within_concave"          -> (a78WithinConcave _),
     "a73_cql2_s_within"           -> (a73CqlWithin _),
     "a40_intersects_shapes"       -> a40Fn,
     "a41_footprint_shapes"        -> (a41FootprintShapes _),
@@ -2672,6 +2781,8 @@ object StacSearch {
     "a72_cql2_s_disjoint"         -> a72Sql,
     "a74_cql2_t_interval"         -> a74Sql,
     "a76_cql2_allen"              -> a76Sql,
+    "a77_cql2_spatial_rel"        -> a77Sql,
+    "a78_within_concave"          -> a78Sql,
     "a73_cql2_s_within"           -> a73Sql,
     "a40_intersects_shapes"       -> a40Sql,
     "a41_footprint_shapes"        -> a41Sql,

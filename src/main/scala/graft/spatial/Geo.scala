@@ -413,6 +413,387 @@ object Geo {
           GraftBridge.expression(ymax.cast("double")), s))
   }
 
+  // =================================================================
+  // DE-9IM spatial relations beyond intersects/within-convex (r10):
+  // s_contains / s_equals / s_touches / s_crosses / s_overlaps on both
+  // targets, and EXACT s_within for concave/holed query rings. All
+  // reduce to four exact primitives — closed membership (parity OR
+  // on-boundary), open-box∩segment (Liang-Barsky clip + strict
+  // midpoint), vertex-in-closed-box covers, and interior intersection —
+  // composed per DE-9IM definitions. Every kernel is total on valid
+  // geometry; no typed rejections remain on the spatial surface.
+  // =================================================================
+
+  /** Is (x, y) on the boundary of any ring of `geom` (closing edges
+    * included)? Static — called from generated code.
+    */
+  def onGeomBoundary(x: Double, y: Double, geom: Array[Array[Array[Double]]]): Boolean = {
+    var p = 0
+    while (p < geom.length) {
+      val rings = geom(p)
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        val n = ring.length / 2
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          if (pointOnSeg(x, y, ring(2 * i), ring(2 * i + 1), ring(2 * j), ring(2 * j + 1)))
+            return true
+          i += 1
+        }
+        r += 1
+      }
+      p += 1
+    }
+    false
+  }
+
+  /** CLOSED point-in-region: even-odd parity (interior) OR on a ring
+    * boundary. The parity cast alone is ambiguous exactly on the
+    * boundary; the disjunction makes membership exact there too.
+    */
+  def inClosedGeom(x: Double, y: Double, geom: Array[Array[Array[Double]]]): Boolean =
+    containsGeom(x, y, geom) || onGeomBoundary(x, y, geom)
+
+  /** Does segment a→b intersect the OPEN box (strict interior)? Exact:
+    * the closed Liang-Barsky clip of a line against a convex box is the
+    * closure of the open clip, so the open intersection is nonempty iff
+    * the clipped parameter interval is non-degenerate AND its midpoint
+    * is strictly inside. Static — called from generated code.
+    */
+  def segIntersectsOpenBox(ax: Double, ay: Double, bx: Double, by: Double,
+                           xmin: Double, ymin: Double, xmax: Double, ymax: Double): Boolean = {
+    val dx = bx - ax; val dy = by - ay
+    var t0 = 0.0; var t1 = 1.0
+    if (dx != 0) {
+      val ta = (xmin - ax) / dx; val tb = (xmax - ax) / dx
+      t0 = math.max(t0, math.min(ta, tb)); t1 = math.min(t1, math.max(ta, tb))
+    } else if (ax < xmin || ax > xmax) return false
+    if (dy != 0) {
+      val ta = (ymin - ay) / dy; val tb = (ymax - ay) / dy
+      t0 = math.max(t0, math.min(ta, tb)); t1 = math.min(t1, math.max(ta, tb))
+    } else if (ay < ymin || ay > ymax) return false
+    if (t1 <= t0) return false
+    val tm = (t0 + t1) / 2
+    val mx = ax + tm * dx; val my = ay + tm * dy
+    mx > xmin && mx < xmax && my > ymin && my < ymax
+  }
+
+  /** Does any ring edge of `geom` pass through the open box? */
+  def geomEdgeMeetsOpenBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                           geom: Array[Array[Array[Double]]]): Boolean = {
+    var p = 0
+    while (p < geom.length) {
+      val rings = geom(p)
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        val n = ring.length / 2
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          if (segIntersectsOpenBox(ring(2 * i), ring(2 * i + 1),
+              ring(2 * j), ring(2 * j + 1), xmin, ymin, xmax, ymax)) return true
+          i += 1
+        }
+        r += 1
+      }
+      p += 1
+    }
+    false
+  }
+
+  /** EXACT box ⊆ closed polygon-region test, general rings (concave,
+    * holed, multi): all four corners AND the center are in the closed
+    * region, and no ring edge passes through the open box. Valid-polygon
+    * argument: a boundary through the open box leaves exterior points
+    * inside the box (boundary locally separates); with no boundary in
+    * the open box, the open box lies in ONE face of the arrangement and
+    * the center (then never on a boundary) decides which. Replaces the
+    * r9 convex-only corner rule's typed rejection.
+    */
+  def boxWithinGeom(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                    geom: Array[Array[Array[Double]]]): Boolean =
+    inClosedGeom(xmin, ymin, geom) && inClosedGeom(xmax, ymin, geom) &&
+      inClosedGeom(xmax, ymax, geom) && inClosedGeom(xmin, ymax, geom) &&
+      inClosedGeom((xmin + xmax) / 2, (ymin + ymax) / 2, geom) &&
+      !geomEdgeMeetsOpenBox(xmin, ymin, xmax, ymax, geom)
+
+  /** All polygonal parts of a shape, flattened (collections recursed).
+    * The 2D relations (within / equals / overlaps on a box) are decided
+    * by the polygonal parts alone: lower-dimensional parts can never
+    * cover a 2D box, and a valid MultiPolygon's components have disjoint
+    * interiors.
+    */
+  def mergedPolys(s: Shape): Array[Array[Array[Double]]] = s match {
+    case Shape.PolyS(geom)  => geom
+    case Shape.CollS(parts) => parts.flatMap(mergedPolys)
+    case _                  => Array.empty
+  }
+
+  /** g ⊆ closed box (covers): every defining vertex in the closed box —
+    * sufficient and necessary because the box is convex (a polygon
+    * region lies inside the convex hull of its shell vertices; holes are
+    * interior to the shell).
+    */
+  def shapeInClosedBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                       s: Shape): Boolean = {
+    def in(px: Double, py: Double) =
+      px >= xmin && px <= xmax && py >= ymin && py <= ymax
+    s match {
+      case Shape.PointS(px, py)  => in(px, py)
+      case Shape.MultiPointS(ps) =>
+        var i = 0
+        while (i < ps.length) { if (!in(ps(i), ps(i + 1))) return false; i += 2 }
+        true
+      case Shape.LinesS(paths) =>
+        paths.forall { path =>
+          var i = 0
+          var ok = true
+          while (i < path.length && ok) { ok = in(path(i), path(i + 1)); i += 2 }
+          ok
+        }
+      case Shape.PolyS(geom) =>
+        geom.forall { rings =>
+          val shell = rings(0)
+          var i = 0
+          var ok = true
+          while (i < shell.length && ok) { ok = in(shell(i), shell(i + 1)); i += 2 }
+          ok
+        }
+      case Shape.CollS(parts) => parts.forall(shapeInClosedBox(xmin, ymin, xmax, ymax, _))
+    }
+  }
+
+  /** Does the shape meet the OPEN box (interior intersection on the box
+    * side)? For polygons: a ring edge through the open box proves it
+    * (both local sides of a valid boundary meet the open box, one of
+    * them interior), else the boundary-free open box lies in one face
+    * and the box center — then never on a boundary — decides.
+    */
+  def shapeMeetsOpenBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                        s: Shape): Boolean = {
+    def strict(px: Double, py: Double) =
+      px > xmin && px < xmax && py > ymin && py < ymax
+    s match {
+      case Shape.PointS(px, py)  => strict(px, py)
+      case Shape.MultiPointS(ps) =>
+        var i = 0
+        while (i < ps.length) { if (strict(ps(i), ps(i + 1))) return true; i += 2 }
+        false
+      case Shape.LinesS(paths) =>
+        paths.exists { path =>
+          var i = 0
+          var hit = false
+          while (i + 3 < path.length && !hit) {
+            hit = segIntersectsOpenBox(path(i), path(i + 1), path(i + 2), path(i + 3),
+              xmin, ymin, xmax, ymax)
+            i += 2
+          }
+          hit
+        }
+      case Shape.PolyS(geom) =>
+        geomEdgeMeetsOpenBox(xmin, ymin, xmax, ymax, geom) ||
+          containsGeom((xmin + xmax) / 2, (ymin + ymax) / 2, geom)
+      case Shape.CollS(parts) => parts.exists(shapeMeetsOpenBox(xmin, ymin, xmax, ymax, _))
+    }
+  }
+
+  /** Maximum dimension of a shape's parts (0 points, 1 lines, 2 polys). */
+  def shapeDim(s: Shape): Int = s match {
+    case _: Shape.PointS | _: Shape.MultiPointS => 0
+    case _: Shape.LinesS                        => 1
+    case _: Shape.PolyS                         => 2
+    case Shape.CollS(parts)                     => parts.map(shapeDim).max
+  }
+
+  // ---- DE-9IM composites on the box footprint (all static, codegen) ----
+
+  /** ST_Within(box, g): box ⊆ the closed polygonal region of g. */
+  def boxWithinShape(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                     s: Shape): Boolean = {
+    val polys = mergedPolys(s)
+    polys.nonEmpty && boxWithinGeom(xmin, ymin, xmax, ymax, polys)
+  }
+
+  /** ST_Contains(box, g): g ⊆ closed box AND g meets the open box
+    * (DE-9IM: containment plus interior-interior intersection — a shape
+    * lying wholly on the box boundary is covered but not contained).
+    */
+  def boxContainsShape(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                       s: Shape): Boolean =
+    shapeInClosedBox(xmin, ymin, xmax, ymax, s) &&
+      shapeMeetsOpenBox(xmin, ymin, xmax, ymax, s)
+
+  /** ST_Equals(box, g): identical point sets — mutual coverage. The
+    * polygonal parts must cover the box; every part (any dimension) must
+    * lie inside the closed box.
+    */
+  def boxEqualsShape(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                     s: Shape): Boolean =
+    boxWithinShape(xmin, ymin, xmax, ymax, s) &&
+      shapeInClosedBox(xmin, ymin, xmax, ymax, s)
+
+  /** ST_Touches(box, g): they intersect, but only on boundaries. */
+  def boxTouchesShape(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                      s: Shape): Boolean =
+    boxIntersectsShape(xmin, ymin, xmax, ymax, s) &&
+      !shapeMeetsOpenBox(xmin, ymin, xmax, ymax, s)
+
+  /** ST_Crosses(box, g): defined for lower-dimensional g (points/lines)
+    * vs the 2D box — part of g in the box interior AND part outside the
+    * closed box. Any polygonal part makes the pair area/area → false.
+    */
+  def boxCrossesShape(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                      s: Shape): Boolean =
+    shapeDim(s) < 2 &&
+      shapeMeetsOpenBox(xmin, ymin, xmax, ymax, s) &&
+      !shapeInClosedBox(xmin, ymin, xmax, ymax, s)
+
+  /** ST_Overlaps(box, g): same dimension (areal), interiors intersect,
+    * neither covers the other. Decided on the polygonal parts.
+    */
+  def boxOverlapsShape(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                       s: Shape): Boolean = {
+    val polys = mergedPolys(s)
+    polys.nonEmpty && {
+      val ps = Shape.PolyS(polys)
+      shapeMeetsOpenBox(xmin, ymin, xmax, ymax, ps) &&
+        !boxWithinGeom(xmin, ymin, xmax, ymax, polys) &&
+        !shapeInClosedBox(xmin, ymin, xmax, ymax, ps)
+    }
+  }
+
+  // ---- DE-9IM composites on the point geometry (static, codegen) ----
+
+  /** Endpoints of a line network with odd multiplicity — its SFS mod-2
+    * boundary. Driver-side helper (constant shapes).
+    */
+  def oddEndpoints(paths: Array[Array[Double]]): Array[(Double, Double)] = {
+    val counts = scala.collection.mutable.Map.empty[(Double, Double), Int]
+    paths.foreach { p =>
+      val a = (p(0), p(1)); val b = (p(p.length - 2), p(p.length - 1))
+      counts(a) = counts.getOrElse(a, 0) + 1
+      counts(b) = counts.getOrElse(b, 0) + 1
+    }
+    counts.collect { case (pt, c) if c % 2 == 1 => pt }.toArray
+  }
+
+  /** Is (x, y) in the INTERIOR of the shape (SFS: shape minus its mod-2
+    * boundary)? Points are all interior; line interiors exclude odd
+    * endpoints; polygon interiors are the open parity region.
+    */
+  def pointInShapeInterior(x: Double, y: Double, s: Shape): Boolean = s match {
+    case Shape.PointS(px, py)  => x == px && y == py
+    case _: Shape.MultiPointS  => pointIntersectsShape(x, y, s)
+    case Shape.LinesS(paths) =>
+      pointIntersectsShape(x, y, s) &&
+        !oddEndpoints(paths).contains((x, y))
+    // parity alone is arbitrary exactly ON an edge — mask with the
+    // boundary test so interior membership is exact everywhere
+    case Shape.PolyS(geom) =>
+      !onGeomBoundary(x, y, geom) && containsGeom(x, y, geom)
+    case Shape.CollS(parts) => parts.exists(pointInShapeInterior(x, y, _))
+  }
+
+  /** CLOSED point ∩ shape (boundary-inclusive for polygons — the parity
+    * kernel alone is ambiguous exactly on ring edges).
+    */
+  def pointIntersectsClosedShape(x: Double, y: Double, s: Shape): Boolean = s match {
+    case Shape.PolyS(geom)  => inClosedGeom(x, y, geom)
+    case Shape.CollS(parts) => parts.exists(pointIntersectsClosedShape(x, y, _))
+    case other              => pointIntersectsShape(x, y, other)
+  }
+
+  /** ST_Touches(point, g): on g but not in g's interior. */
+  def pointTouchesShape(x: Double, y: Double, s: Shape): Boolean =
+    pointIntersectsClosedShape(x, y, s) && !pointInShapeInterior(x, y, s)
+
+  /** ST_Equals/ST_Contains(point, g): g's point set is exactly {p}
+    * (contains(point, g) needs g ⊆ {p} with interior contact — the same
+    * condition; a point can contain only itself).
+    */
+  def shapeEqualsPoint(x: Double, y: Double, s: Shape): Boolean = s match {
+    case Shape.PointS(px, py)  => x == px && y == py
+    case Shape.MultiPointS(ps) =>
+      var i = 0
+      while (i < ps.length) { if (ps(i) != x || ps(i + 1) != y) return false; i += 2 }
+      ps.length >= 2
+    case Shape.CollS(parts) => parts.nonEmpty && parts.forall(shapeEqualsPoint(x, y, _))
+    case _ => false
+  }
+
+  /** Dispatch table for the relation kernels — one static entry point
+    * per target so the codegen'd expressions stay single-call.
+    */
+  def pointRelShape(x: Double, y: Double, s: Shape, rel: Int): Boolean = rel match {
+    case RelContains | RelEquals => shapeEqualsPoint(x, y, s)
+    case RelTouches              => pointTouchesShape(x, y, s)
+    case RelCrosses | RelOverlaps => false // a single point has no exclusive part
+    case other => throw new IllegalArgumentException(s"bad point rel: $other")
+  }
+
+  def boxRelShape(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                  s: Shape, rel: Int): Boolean = rel match {
+    case RelContains => boxContainsShape(xmin, ymin, xmax, ymax, s)
+    case RelEquals   => boxEqualsShape(xmin, ymin, xmax, ymax, s)
+    case RelTouches  => boxTouchesShape(xmin, ymin, xmax, ymax, s)
+    case RelCrosses  => boxCrossesShape(xmin, ymin, xmax, ymax, s)
+    case RelOverlaps => boxOverlapsShape(xmin, ymin, xmax, ymax, s)
+    case RelWithin   => boxWithinShape(xmin, ymin, xmax, ymax, s)
+    case other => throw new IllegalArgumentException(s"bad box rel: $other")
+  }
+
+  final val RelContains = 1
+  final val RelEquals   = 2
+  final val RelTouches  = 3
+  final val RelCrosses  = 4
+  final val RelOverlaps = 5
+  final val RelWithin   = 6
+
+  /** Point-geometry DE-9IM relation as a Column: envelope prune
+    * (pushdown-able) AND the codegen'd kernel. Constant-false relations
+    * (crosses/overlaps on a point) fold to lit(false) — the SAME folds
+    * the SQL renderer applies, so the backends agree even on rows with
+    * NULL coordinates.
+    */
+  def pointRelShapeCol(lon: Column, lat: Column, s: Shape, rel: Int): Column =
+    rel match {
+      case RelCrosses | RelOverlaps => lit(false)
+      case _ =>
+        val (w, so, e, n) = shapeEnvelope(s)
+        bboxContains(lon, lat, w, so, e, n) &&
+          GraftBridge.column(PointRelShape(
+            GraftBridge.expression(lon.cast("double")),
+            GraftBridge.expression(lat.cast("double")), s, rel))
+    }
+
+  /** Box-footprint DE-9IM relation as a Column: relation-appropriate
+    * envelope prune (containment prunes flip direction) AND the
+    * codegen'd kernel; constant folds mirror [[boxRelShapeSql]].
+    */
+  def boxRelShapeCol(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+                     s: Shape, rel: Int): Column = {
+    val (w, so, e, n) = shapeEnvelope(s)
+    def kernel = GraftBridge.column(BoxRelShape(
+      GraftBridge.expression(xmin.cast("double")),
+      GraftBridge.expression(ymin.cast("double")),
+      GraftBridge.expression(xmax.cast("double")),
+      GraftBridge.expression(ymax.cast("double")), s, rel))
+    rel match {
+      case RelWithin | RelEquals if mergedPolys(s).isEmpty => lit(false)
+      case RelOverlaps if mergedPolys(s).isEmpty => lit(false)
+      case RelCrosses if shapeDim(s) >= 2 => lit(false)
+      case RelWithin | RelEquals =>
+        xmin >= w && xmax <= e && ymin >= so && ymax <= n && kernel
+      case RelContains =>
+        xmin <= w && xmax >= e && ymin <= so && ymax >= n && kernel
+      case _ =>
+        xmin <= e && xmax >= w && ymin <= n && ymax >= so && kernel
+    }
+  }
+
   /** Point ∩ shape as oracle SQL. Point/line forms: exact cross-product
     * collinearity + coordinate bounds (constants folded here). Polygons
     * ALWAYS render the even-odd parity form ([[pointInGeomSql]]) — the
@@ -486,6 +867,268 @@ object Geo {
         .mkString("(", " OR ", ")")
     case Shape.CollS(parts) =>
       parts.map(boxShapeSql(xminC, yminC, xmaxC, ymaxC, _)).mkString("(", " OR ", ")")
+  }
+
+  // ---------------- DE-9IM relation SQL (oracle rendering, r10) ----------
+  // Mirrors the kernels above term for term: same IEEE 754 arithmetic on
+  // the same decimal constants, so DuckDB and the codegen'd expressions
+  // agree bit-for-bit. The shape is constant, so vertex lists, odd
+  // endpoints, and per-axis clip bounds fold driver-side.
+
+  /** (x, y) on constant segment a→b: collinearity + bbox bounds. */
+  private def onSegSql(pxC: String, pyC: String,
+                       ax: Double, ay: Double, bx: Double, by: Double): String =
+    s"((($bx - $ax) * ($pyC - $ay) - (($by - $ay) * ($pxC - $ax))) = 0" +
+      s" AND $pxC >= ${math.min(ax, bx)} AND $pxC <= ${math.max(ax, bx)}" +
+      s" AND $pyC >= ${math.min(ay, by)} AND $pyC <= ${math.max(ay, by)})"
+
+  private def ringEdges(ring: Array[Double]): Seq[(Double, Double, Double, Double)] = {
+    val n = ring.length / 2
+    (0 until n).map { i =>
+      val j = (i + 1) % n
+      (ring(2 * i), ring(2 * i + 1), ring(2 * j), ring(2 * j + 1))
+    }
+  }
+
+  private def allRingEdges(geom: Array[Array[Array[Double]]]): Seq[(Double, Double, Double, Double)] =
+    geom.toSeq.flatMap(rings => rings.toSeq.flatMap(ringEdges))
+
+  def onGeomBoundarySql(pxC: String, pyC: String, geom: Array[Array[Array[Double]]]): String =
+    allRingEdges(geom).map { case (ax, ay, bx, by) => onSegSql(pxC, pyC, ax, ay, bx, by) }
+      .mkString("(", " OR ", ")")
+
+  def inClosedGeomSql(pxC: String, pyC: String, geom: Array[Array[Array[Double]]]): String =
+    s"(${pointInGeomSql(pxC, pyC, geom)} OR ${onGeomBoundarySql(pxC, pyC, geom)})"
+
+  /** Constant segment ∩ OPEN variable box — the Liang-Barsky clip with
+    * the strict-midpoint decision, per-axis candidate bounds ordered
+    * driver-side by the (constant) direction sign.
+    */
+  def segOpenBoxSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                    ax: Double, ay: Double, bx: Double, by: Double): String = {
+    val dx = bx - ax; val dy = by - ay
+    val los = Seq("0.0") ++
+      (if (dx > 0) Seq(s"(($xminC - $ax) / $dx)")
+       else if (dx < 0) Seq(s"(($xmaxC - $ax) / $dx)") else Nil) ++
+      (if (dy > 0) Seq(s"(($yminC - $ay) / $dy)")
+       else if (dy < 0) Seq(s"(($ymaxC - $ay) / $dy)") else Nil)
+    val his = Seq("1.0") ++
+      (if (dx > 0) Seq(s"(($xmaxC - $ax) / $dx)")
+       else if (dx < 0) Seq(s"(($xminC - $ax) / $dx)") else Nil) ++
+      (if (dy > 0) Seq(s"(($ymaxC - $ay) / $dy)")
+       else if (dy < 0) Seq(s"(($yminC - $ay) / $dy)") else Nil)
+    def fold(xs: Seq[String], f: String): String =
+      if (xs.length == 1) xs.head else s"$f(${xs.mkString(", ")})"
+    val t0 = fold(los, "greatest"); val t1 = fold(his, "least")
+    val tm = s"(($t0 + $t1) / 2)"
+    val mx = if (dx == 0) ax.toString else s"($ax + $tm * $dx)"
+    val my = if (dy == 0) ay.toString else s"($ay + $tm * $dy)"
+    s"($t1 > $t0 AND $mx > $xminC AND $mx < $xmaxC AND $my > $yminC AND $my < $ymaxC)"
+  }
+
+  def geomEdgeMeetsOpenBoxSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                              geom: Array[Array[Array[Double]]]): String =
+    allRingEdges(geom).map { case (ax, ay, bx, by) =>
+      segOpenBoxSql(xminC, yminC, xmaxC, ymaxC, ax, ay, bx, by)
+    }.mkString("(", " OR ", ")")
+
+  def boxWithinGeomSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                       geom: Array[Array[Array[Double]]]): String = {
+    val cx = s"(($xminC + $xmaxC) / 2)"; val cy = s"(($yminC + $ymaxC) / 2)"
+    val pts = Seq((xminC, yminC), (xmaxC, yminC), (xmaxC, ymaxC), (xminC, ymaxC), (cx, cy))
+    val members = pts.map { case (px, py) => inClosedGeomSql(px, py, geom) }
+    s"(${members.mkString(" AND ")} AND NOT ${geomEdgeMeetsOpenBoxSql(xminC, yminC, xmaxC, ymaxC, geom)})"
+  }
+
+  /** Defining vertices per shape type, as used by the covers test (shell
+    * only for polygons).
+    */
+  private def coverVertices(s: Shape): Seq[(Double, Double)] = s match {
+    case Shape.PointS(px, py)  => Seq((px, py))
+    case Shape.MultiPointS(ps) => ps.grouped(2).map { case Array(x, y) => (x, y) }.toSeq
+    case Shape.LinesS(paths)   =>
+      paths.toSeq.flatMap(_.grouped(2).map { case Array(x, y) => (x, y) }.toSeq)
+    case Shape.PolyS(geom) =>
+      geom.toSeq.flatMap(_.head.grouped(2).map { case Array(x, y) => (x, y) }.toSeq)
+    case Shape.CollS(parts) => parts.toSeq.flatMap(coverVertices)
+  }
+
+  def shapeInClosedBoxSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                          s: Shape): String =
+    coverVertices(s).map { case (px, py) =>
+      s"($px >= $xminC AND $px <= $xmaxC AND $py >= $yminC AND $py <= $ymaxC)"
+    }.mkString("(", " AND ", ")")
+
+  def shapeMeetsOpenBoxSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                           s: Shape): String = {
+    def strict(px: Double, py: Double) =
+      s"($px > $xminC AND $px < $xmaxC AND $py > $yminC AND $py < $ymaxC)"
+    s match {
+      case Shape.PointS(px, py)  => strict(px, py)
+      case Shape.MultiPointS(ps) =>
+        ps.grouped(2).map { case Array(x, y) => strict(x, y) }.mkString("(", " OR ", ")")
+      case Shape.LinesS(paths) =>
+        paths.toSeq.flatMap { path =>
+          path.grouped(2).toSeq.sliding(2).map { case Seq(Array(ax, ay), Array(bx, by)) =>
+            segOpenBoxSql(xminC, yminC, xmaxC, ymaxC, ax, ay, bx, by)
+          }
+        }.mkString("(", " OR ", ")")
+      case Shape.PolyS(geom) =>
+        val cx = s"(($xminC + $xmaxC) / 2)"; val cy = s"(($yminC + $ymaxC) / 2)"
+        s"(${geomEdgeMeetsOpenBoxSql(xminC, yminC, xmaxC, ymaxC, geom)}" +
+          s" OR ${pointInGeomSql(cx, cy, geom)})"
+      case Shape.CollS(parts) =>
+        parts.map(shapeMeetsOpenBoxSql(xminC, yminC, xmaxC, ymaxC, _))
+          .mkString("(", " OR ", ")")
+    }
+  }
+
+  /** Box-footprint DE-9IM relation as oracle SQL — mirrors
+    * [[boxRelShape]] composite for composite.
+    */
+  def boxRelShapeSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                     s: Shape, rel: Int): String = rel match {
+    case RelContains =>
+      s"(${shapeInClosedBoxSql(xminC, yminC, xmaxC, ymaxC, s)}" +
+        s" AND ${shapeMeetsOpenBoxSql(xminC, yminC, xmaxC, ymaxC, s)})"
+    case RelEquals =>
+      val polys = mergedPolys(s)
+      if (polys.isEmpty) "FALSE"
+      else s"(${boxWithinGeomSql(xminC, yminC, xmaxC, ymaxC, polys)}" +
+        s" AND ${shapeInClosedBoxSql(xminC, yminC, xmaxC, ymaxC, s)})"
+    case RelTouches =>
+      s"(${boxShapeSqlGeneral(xminC, yminC, xmaxC, ymaxC, s)}" +
+        s" AND NOT ${shapeMeetsOpenBoxSql(xminC, yminC, xmaxC, ymaxC, s)})"
+    case RelCrosses =>
+      if (shapeDim(s) >= 2) "FALSE"
+      else s"(${shapeMeetsOpenBoxSql(xminC, yminC, xmaxC, ymaxC, s)}" +
+        s" AND NOT ${shapeInClosedBoxSql(xminC, yminC, xmaxC, ymaxC, s)})"
+    case RelOverlaps =>
+      val polys = mergedPolys(s)
+      if (polys.isEmpty) "FALSE"
+      else {
+        val ps = Shape.PolyS(polys)
+        s"(${shapeMeetsOpenBoxSql(xminC, yminC, xmaxC, ymaxC, ps)}" +
+          s" AND NOT ${boxWithinGeomSql(xminC, yminC, xmaxC, ymaxC, polys)}" +
+          s" AND NOT ${shapeInClosedBoxSql(xminC, yminC, xmaxC, ymaxC, ps)})"
+      }
+    case RelWithin =>
+      val polys = mergedPolys(s)
+      if (polys.isEmpty) "FALSE"
+      else boxWithinGeomSql(xminC, yminC, xmaxC, ymaxC, polys)
+    case other => throw new IllegalArgumentException(s"bad box rel: $other")
+  }
+
+  /** Closed box ∩ shape SQL for ARBITRARY polygons (parity-form; the
+    * convex-SAT [[boxShapeSql]] stays the independent oracle of the
+    * legacy gates): corner-in-region, vertex-in-box, or edge-crossing —
+    * the same decomposition as the [[boxIntersectsGeom]] kernel, with
+    * the closed-clip variant of the open-box edge test (an edge meeting
+    * the closed box in more than a point). Exactness note: an edge
+    * meeting the closed box does so either across the interior (open
+    * test fires), along the boundary, or at a single touch point; the
+    * latter two imply a ring VERTEX or box corner contact that the
+    * other disjuncts catch for valid rings, except an edge sliding
+    * along a box edge without endpoints inside — covered by the
+    * vertex-in-box bounds being boundary-inclusive.
+    */
+  def boxShapeSqlGeneral(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                         s: Shape): String = s match {
+    case Shape.PointS(px, py) =>
+      s"($px >= $xminC AND $px <= $xmaxC AND $py >= $yminC AND $py <= $ymaxC)"
+    case Shape.MultiPointS(ps) =>
+      ps.grouped(2).map { case Array(px, py) =>
+        s"($px >= $xminC AND $px <= $xmaxC AND $py >= $yminC AND $py <= $ymaxC)"
+      }.mkString("(", " OR ", ")")
+    case Shape.LinesS(paths) =>
+      paths.toSeq.flatMap { path =>
+        path.grouped(2).toSeq.sliding(2).map { case Seq(Array(ax, ay), Array(bx, by)) =>
+          segBoxSatSql(xminC, yminC, xmaxC, ymaxC, ax, ay, bx, by)
+        }
+      }.mkString("(", " OR ", ")")
+    case Shape.PolyS(geom) =>
+      val corners = Seq((xminC, yminC), (xmaxC, yminC), (xmaxC, ymaxC), (xminC, ymaxC))
+      val cornerIn = corners.map { case (px, py) => inClosedGeomSql(px, py, geom) }
+      val vertIn = allRingEdges(geom).map { case (ax, ay, _, _) =>
+        s"($ax >= $xminC AND $ax <= $xmaxC AND $ay >= $yminC AND $ay <= $ymaxC)"
+      }
+      val edgeCross = allRingEdges(geom).map { case (ax, ay, bx, by) =>
+        segBoxSatSql(xminC, yminC, xmaxC, ymaxC, ax, ay, bx, by)
+      }
+      (cornerIn ++ vertIn ++ edgeCross).mkString("(", " OR ", ")")
+    case Shape.CollS(parts) =>
+      parts.map(boxShapeSqlGeneral(xminC, yminC, xmaxC, ymaxC, _))
+        .mkString("(", " OR ", ")")
+  }
+
+  /** Point-geometry DE-9IM relation as oracle SQL — mirrors
+    * [[pointRelShape]].
+    */
+  def pointRelShapeSql(lonC: String, latC: String, s: Shape, rel: Int): String = rel match {
+    case RelContains | RelEquals => shapeEqualsPointSql(lonC, latC, s)
+    case RelTouches =>
+      s"(${pointClosedShapeSql(lonC, latC, s)}" +
+        s" AND NOT ${pointInteriorShapeSql(lonC, latC, s)})"
+    case RelCrosses | RelOverlaps => "FALSE"
+    case other => throw new IllegalArgumentException(s"bad point rel: $other")
+  }
+
+  private def shapeEqualsPointSql(lonC: String, latC: String, s: Shape): String = s match {
+    case Shape.PointS(px, py) => s"($lonC = $px AND $latC = $py)"
+    case Shape.MultiPointS(ps) =>
+      ps.grouped(2).map { case Array(px, py) => s"($lonC = $px AND $latC = $py)" }
+        .mkString("(", " AND ", ")")
+    case Shape.CollS(parts) if parts.nonEmpty =>
+      parts.map(shapeEqualsPointSql(lonC, latC, _)).mkString("(", " AND ", ")")
+    case _ => "FALSE"
+  }
+
+  def pointClosedShapeSql(lonC: String, latC: String, s: Shape): String = s match {
+    case Shape.PolyS(geom)  => inClosedGeomSql(lonC, latC, geom)
+    case Shape.CollS(parts) =>
+      parts.map(pointClosedShapeSql(lonC, latC, _)).mkString("(", " OR ", ")")
+    case other => pointShapeSql(lonC, latC, other)
+  }
+
+  private def pointInteriorShapeSql(lonC: String, latC: String, s: Shape): String = s match {
+    case _: Shape.PointS | _: Shape.MultiPointS => pointShapeSql(lonC, latC, s)
+    case Shape.LinesS(paths) =>
+      val odd = oddEndpoints(paths)
+      val notBoundary =
+        if (odd.isEmpty) "TRUE"
+        else "NOT " + odd.map { case (px, py) => s"($lonC = $px AND $latC = $py)" }
+          .mkString("(", " OR ", ")")
+      s"(${pointShapeSql(lonC, latC, s)} AND $notBoundary)"
+    case Shape.PolyS(geom) =>
+      s"(NOT ${onGeomBoundarySql(lonC, latC, geom)} AND ${pointInGeomSql(lonC, latC, geom)})"
+    case Shape.CollS(parts) =>
+      parts.map(pointInteriorShapeSql(lonC, latC, _)).mkString("(", " OR ", ")")
+  }
+
+  /** STRICT variant of [[boxConvexSatSql]]: open-interior intersection
+    * of the box with a CONVEX CCW ring — projections must overlap
+    * STRICTLY on every candidate axis (touching projections = boundary
+    * contact only). Used by independent within-oracles of the form
+    * `within(hull \\ notch) ⇔ corners ∈ hull ∧ ¬strictSAT(box, notch)`.
+    */
+  def boxConvexSatStrictSql(xminC: String, yminC: String, xmaxC: String, ymaxC: String,
+                            ring: Array[Double]): String = {
+    val n = ring.length / 2
+    val xs = (0 until n).map(i => ring(2 * i))
+    val ys = (0 until n).map(i => ring(2 * i + 1))
+    val envTest =
+      s"$xminC < ${xs.max} AND $xmaxC > ${xs.min} AND $yminC < ${ys.max} AND $ymaxC > ${ys.min}"
+    val edgeTests = (0 until n).map { i =>
+      val x1 = ring(2 * i); val y1 = ring(2 * i + 1)
+      val x2 = ring(2 * ((i + 1) % n)); val y2 = ring(2 * ((i + 1) % n) + 1)
+      val nx = -(y2 - y1); val ny = x2 - x1
+      val projs = (0 until n).map(k => nx * ring(2 * k) + ny * ring(2 * k + 1))
+      val pmin = projs.min; val pmax = projs.max
+      val bmin = s"(least($nx * $xminC, $nx * $xmaxC) + least($ny * $yminC, $ny * $ymaxC))"
+      val bmax = s"(greatest($nx * $xminC, $nx * $xmaxC) + greatest($ny * $yminC, $ny * $ymaxC))"
+      s"$bmin < $pmax AND $bmax > $pmin"
+    }
+    (envTest +: edgeTests).mkString("(", " AND ", ")")
   }
 
   /** Independent SQL oracle for box ∩ CONVEX CCW ring: separating-axis
@@ -643,6 +1286,58 @@ case class PointIntersectsShape(left: Expression, right: Expression, shape: Shap
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PointIntersectsShape =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd DE-9IM relation of the item POINT geometry vs a constant
+  * shape (contains/equals/touches/crosses/overlaps — [[Geo.RelContains]]
+  * codes). One static call per row inside whole-stage codegen.
+  */
+case class PointRelShape(left: Expression, right: Expression,
+                         shape: Shape, rel: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_rel_shape"
+
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    Geo.pointRelShape(lon.asInstanceOf[Double], lat.asInstanceOf[Double], shape, rel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val shapeRef = ctx.addReferenceObj("shape", shape, "graft.spatial.Shape")
+    nullSafeCodeGen(ctx, ev, (lonCode, latCode) =>
+      s"${ev.value} = graft.spatial.Geo.pointRelShape($lonCode, $latCode, $shapeRef, $rel);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PointRelShape =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd DE-9IM relation of the item's footprint BOX vs a constant
+  * shape (within/contains/equals/touches/crosses/overlaps).
+  */
+case class BoxRelShape(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression,
+                       shape: Shape, rel: Int)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "box_rel_shape"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Geo.boxRelShape(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double], shape, rel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val shapeRef = ctx.addReferenceObj("shape", shape, "graft.spatial.Shape")
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.spatial.Geo.boxRelShape($a, $b, $c, $d, $shapeRef, $rel);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): BoxRelShape =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
 /** Codegen'd exact footprint-box ∩ arbitrary-shape test. */

@@ -263,7 +263,8 @@ class CqlSpec extends AnyFunSuite {
   }
 
   test("s_disjoint and s_within: json and text forms agree, disjoint is " +
-      "exactly NOT intersects, within implies intersects, concave rejected") {
+      "exactly NOT intersects, within implies intersects, concave answered " +
+      "exactly (r10: the convex-only rejection is gone)") {
     import graft.cql.Cql2Text
     val poly = """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],
                  |[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}""".stripMargin
@@ -281,12 +282,23 @@ class CqlSpec extends AnyFunSuite {
     // within(point target) degrades to intersects
     assert(Cql.parseJson(s"""{"s_within":[{"property":"geometry"},$poly]}""")
       .toSql == iJson.toSql)
-    // the corner rule refuses shapes where it would be unsound
+    // a concave query ring is ANSWERED exactly by the general kernel
+    // (boxWithinGeom) — r9's typed rejection replaced in r10. A box in
+    // the notch of this arrowhead is not within; a box clear of it is.
     val concave = """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],
                     |[5.0,5.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}""".stripMargin
-    val bad = Cql.parseJson(s"""{"s_within":[{"property":"footprint"},$concave]}""")
-    val e = intercept[IllegalArgumentException](bad.toSql)
-    assert(e.getMessage.contains("convex"), e.getMessage)
+    val wConcave = Cql.parseJson(s"""{"s_within":[{"property":"footprint"},$concave]}""")
+    assert(wConcave.toSql.nonEmpty) // renders, no rejection
+    val sess0 = TestSpark.spark
+    import sess0.implicits._
+    val boxes = Seq(
+      ("clear", 1.0, 1.0, 3.0, 9.0),     // left of the notch: within
+      ("notch", 6.0, 4.0, 8.0, 6.0),     // inside the notch: not within
+      ("straddle", 3.0, 4.0, 7.0, 6.0),  // notch edges cross it: not within
+      ("outside", 20.0, 20.0, 22.0, 22.0)
+    ).toDF("label", "xmin", "ymin", "xmax", "ymax")
+    val within = boxes.where(wConcave.toColumn).select("label").as[String].collect().toSet
+    assert(within == Set("clear"), s"concave within claimed $within")
     // semantics on live data: within ⊆ intersects; disjoint ≡ complement
     val s = TestSpark.spark
     val items = graft.core.Tables.items(s, TestSpark.sf)

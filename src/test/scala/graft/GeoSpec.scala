@@ -244,4 +244,131 @@ class GeoSpec extends AnyFunSuite {
     assert(viaBoxExpr == viaBoxDriver)
     assert(viaBoxExpr.nonEmpty)
   }
+
+  // ================= r10 DE-9IM relation kernels =================
+
+  private val shellHole: Array[Array[Array[Double]]] = Array(Array(
+    Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0),   // shell [0,10]^2
+    Array(4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0)))      // hole [4,6]^2
+
+  private val lShape: Array[Array[Array[Double]]] = Array(Array(
+    Array(0.0, 0.0, 10.0, 0.0, 10.0, 4.0, 6.0, 4.0, 6.0, 10.0, 0.0, 10.0)))
+
+  test("segIntersectsOpenBox: through/inside/edge/corner/disjoint") {
+    // through the box
+    assert(Geo.segIntersectsOpenBox(-1, 5, 11, 5, 0, 0, 10, 10))
+    // entirely inside
+    assert(Geo.segIntersectsOpenBox(2, 2, 8, 8, 0, 0, 10, 10))
+    // endpoint inside, rest outside
+    assert(Geo.segIntersectsOpenBox(5, 5, 15, 5, 0, 0, 10, 10))
+    // lying exactly along a box edge: closed contact only
+    assert(!Geo.segIntersectsOpenBox(0, 0, 10, 0, 0, 0, 10, 10))
+    assert(!Geo.segIntersectsOpenBox(3, 10, 7, 10, 0, 0, 10, 10))
+    // touching a corner transversally
+    assert(!Geo.segIntersectsOpenBox(-5, 5, 5, -5, 0, 0, 10, 10))
+    // disjoint
+    assert(!Geo.segIntersectsOpenBox(20, 20, 30, 30, 0, 0, 10, 10))
+    // open ⊆ closed on every case above
+    for ((a, b, c, d) <- Seq((-1.0, 5.0, 11.0, 5.0), (2.0, 2.0, 8.0, 8.0),
+        (0.0, 0.0, 10.0, 0.0)))
+      assert(!Geo.segIntersectsOpenBox(a, b, c, d, 0, 0, 10, 10) ||
+        Geo.segIntersectsBox(a, b, c, d, 0, 0, 10, 10))
+  }
+
+  test("boxWithinGeom: exact on holed and concave regions (r9 rejection gone)") {
+    // clear of the hole → within
+    assert(Geo.boxWithinGeom(1, 1, 3, 3, shellHole))
+    // straddles the hole boundary → not within
+    assert(!Geo.boxWithinGeom(3, 3, 7, 7, shellHole))
+    // entirely inside the hole → not within
+    assert(!Geo.boxWithinGeom(4.5, 4.5, 5.5, 5.5, shellHole))
+    // equals the shell (hole edges pass through the open box) → not within
+    assert(!Geo.boxWithinGeom(0, 0, 10, 10, shellHole))
+    // flush against the shell boundary, avoiding the hole → within (closed)
+    assert(Geo.boxWithinGeom(0, 0, 2, 10, shellHole))
+    // L-shape: inside the vertical arm
+    assert(Geo.boxWithinGeom(1, 1, 5, 9, lShape))
+    // inside the bottom arm
+    assert(Geo.boxWithinGeom(4, 1, 8, 3, lShape))
+    // in the notch (outside the L)
+    assert(!Geo.boxWithinGeom(7, 6, 9, 8, lShape))
+    // straddling the notch corner
+    assert(!Geo.boxWithinGeom(5, 3, 7, 5, lShape))
+  }
+
+  test("box relations: contains / equals / touches / crosses / overlaps") {
+    import graft.spatial.Shape._
+    val box = (0.0, 0.0, 10.0, 10.0)
+    def rel(r: Int, s: graft.spatial.Shape) =
+      Geo.boxRelShape(box._1, box._2, box._3, box._4, s, r)
+    // contains: strict-interior contact required
+    assert(rel(Geo.RelContains, PointS(5, 5)))
+    assert(!rel(Geo.RelContains, PointS(0, 5)))           // on boundary: covered, not contained
+    assert(rel(Geo.RelContains, MultiPointS(Array(0.0, 5.0, 5.0, 5.0)))) // one inside
+    assert(!rel(Geo.RelContains, MultiPointS(Array(0.0, 5.0, 10.0, 5.0)))) // all boundary
+    assert(rel(Geo.RelContains, LinesS(Array(Array(1.0, 1.0, 9.0, 9.0)))))
+    assert(!rel(Geo.RelContains, LinesS(Array(Array(0.0, 0.0, 10.0, 0.0))))) // along edge
+    assert(!rel(Geo.RelContains, LinesS(Array(Array(1.0, 1.0, 11.0, 1.0))))) // pokes out
+    assert(rel(Geo.RelContains, PolyS(Array(Array(Array(2.0, 2.0, 8.0, 2.0, 8.0, 8.0, 2.0, 8.0))))))
+    // equals: the box itself, incl. a redundant collinear vertex
+    val boxPoly = PolyS(Array(Array(Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0))))
+    val boxPolyRedundant = PolyS(Array(Array(
+      Array(0.0, 0.0, 5.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0))))
+    assert(rel(Geo.RelEquals, boxPoly))
+    assert(rel(Geo.RelEquals, boxPolyRedundant))
+    assert(!rel(Geo.RelEquals, PolyS(Array(Array(Array(0.0, 0.0, 9.0, 0.0, 9.0, 10.0, 0.0, 10.0))))))
+    assert(!rel(Geo.RelEquals, PointS(5, 5)))
+    // touches: edge-sharing / corner-sharing neighbors, no interior overlap
+    assert(rel(Geo.RelTouches, PolyS(Array(Array(Array(10.0, 0.0, 20.0, 0.0, 20.0, 10.0, 10.0, 10.0))))))
+    assert(rel(Geo.RelTouches, PolyS(Array(Array(Array(10.0, 10.0, 20.0, 10.0, 20.0, 20.0, 10.0, 20.0))))))
+    assert(!rel(Geo.RelTouches, PolyS(Array(Array(Array(5.0, 5.0, 15.0, 5.0, 15.0, 15.0, 5.0, 15.0))))))
+    assert(!rel(Geo.RelTouches, PolyS(Array(Array(Array(20.0, 0.0, 30.0, 0.0, 30.0, 10.0, 20.0, 10.0))))))
+    assert(rel(Geo.RelTouches, PointS(10, 5)))
+    assert(rel(Geo.RelTouches, LinesS(Array(Array(0.0, 10.0, 10.0, 10.0))))) // along top edge
+    // crosses: line in-and-out; multipoint split in/out
+    assert(rel(Geo.RelCrosses, LinesS(Array(Array(-5.0, 5.0, 15.0, 5.0)))))
+    assert(!rel(Geo.RelCrosses, LinesS(Array(Array(1.0, 1.0, 9.0, 9.0)))))  // within, not crosses
+    assert(!rel(Geo.RelCrosses, LinesS(Array(Array(20.0, 20.0, 30.0, 30.0)))))
+    assert(rel(Geo.RelCrosses, MultiPointS(Array(5.0, 5.0, 50.0, 50.0))))
+    assert(!rel(Geo.RelCrosses, MultiPointS(Array(5.0, 5.0, 6.0, 6.0))))
+    assert(!rel(Geo.RelCrosses, boxPoly)) // area/area → never crosses
+    // overlaps: partial overlap only
+    assert(rel(Geo.RelOverlaps, PolyS(Array(Array(Array(5.0, 5.0, 15.0, 5.0, 15.0, 15.0, 5.0, 15.0))))))
+    assert(!rel(Geo.RelOverlaps, PolyS(Array(Array(Array(2.0, 2.0, 8.0, 2.0, 8.0, 8.0, 2.0, 8.0)))))) // nested
+    assert(!rel(Geo.RelOverlaps, boxPoly))   // identical → equals, not overlaps
+    assert(!rel(Geo.RelOverlaps, PolyS(Array(Array(Array(10.0, 0.0, 20.0, 0.0, 20.0, 10.0, 10.0, 10.0)))))) // touches
+    assert(!rel(Geo.RelOverlaps, PointS(5, 5))) // dimension mismatch
+    // within: general kernel == convex corner rule on a convex query
+    val hexRing = Array(30.0, -20.0, 60.0, 10.0, 30.0, 40.0, -10.0, 40.0, -40.0, 10.0, -10.0, -20.0)
+    val hex = PolyS(Array(Array(hexRing)))
+    for (bx <- Seq((0.0, 0.0, 10.0, 10.0), (-35.0, 5.0, -30.0, 12.0), (25.0, 30.0, 35.0, 39.0))) {
+      val corner = Seq((bx._1, bx._2), (bx._3, bx._2), (bx._3, bx._4), (bx._1, bx._4))
+        .forall { case (x, y) => Geo.rayCast(x, y, hexRing) }
+      assert(Geo.boxRelShape(bx._1, bx._2, bx._3, bx._4, hex, Geo.RelWithin) == corner,
+        s"corner-rule equivalence failed for $bx")
+    }
+  }
+
+  test("point relations: touches = boundary membership; equals/contains = point identity") {
+    import graft.spatial.Shape._
+    val poly = PolyS(shellHole)
+    assert(Geo.pointRelShape(0.0, 5.0, poly, Geo.RelTouches))   // on shell edge
+    assert(Geo.pointRelShape(4.0, 5.0, poly, Geo.RelTouches))   // on hole edge
+    assert(!Geo.pointRelShape(2.0, 2.0, poly, Geo.RelTouches))  // interior
+    assert(!Geo.pointRelShape(5.0, 5.0, poly, Geo.RelTouches))  // inside the hole
+    assert(!Geo.pointRelShape(20.0, 20.0, poly, Geo.RelTouches))
+    // line boundary = odd-multiplicity endpoints (mod-2 rule)
+    val path = LinesS(Array(Array(0.0, 0.0, 10.0, 0.0), Array(10.0, 0.0, 10.0, 10.0)))
+    assert(Geo.pointRelShape(0.0, 0.0, path, Geo.RelTouches))    // free end
+    assert(!Geo.pointRelShape(10.0, 0.0, path, Geo.RelTouches))  // shared joint: interior
+    assert(!Geo.pointRelShape(5.0, 0.0, path, Geo.RelTouches))   // mid-segment: interior
+    // equals / contains on a point target = identical point set
+    assert(Geo.pointRelShape(3.0, 4.0, PointS(3, 4), Geo.RelEquals))
+    assert(Geo.pointRelShape(3.0, 4.0, MultiPointS(Array(3.0, 4.0, 3.0, 4.0)), Geo.RelContains))
+    assert(!Geo.pointRelShape(3.0, 4.0, MultiPointS(Array(3.0, 4.0, 5.0, 6.0)), Geo.RelEquals))
+    assert(!Geo.pointRelShape(3.0, 4.0, poly, Geo.RelEquals))
+    // crosses / overlaps are identically false on a point
+    assert(!Geo.pointRelShape(3.0, 4.0, PointS(3, 4), Geo.RelCrosses))
+    assert(!Geo.pointRelShape(3.0, 4.0, PointS(3, 4), Geo.RelOverlaps))
+  }
 }
