@@ -1,0 +1,271 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.spatial.{Shape, Wkb}
+
+/** REAL GeoParquet 1.1 ingestion — the reference's literal data plane.
+  *
+  * The reference's every search is `read_parquet(<geoparquet url>)` over
+  * files with a WKB `geometry` column and a `geo` footer metadata key
+  * (database_logic.py:171, 401, 441; geoparquet/download_geoparquet.py
+  * materializes them). Until r10 every graft gate DERIVED items from the
+  * fixture parquet; this module closes the loop: a genuine GeoParquet
+  * file is written at fixture-build time (WKB geometry, a `bbox`
+  * covering struct column, and the spec'd `geo` footer JSON with
+  * version / primary_column / encoding / geometry_types / PROJJSON crs /
+  * bbox / covering), then ingested by FIRST reading the footer metadata
+  * (metadata-plane, one file open) and routing the declared primary
+  * column through the A42 codegen'd WKB decode expressions.
+  *
+  * Scale note: the WRITER is fixture tooling (driver-side, bounded by
+  * the fixture size — the reference's downloader is the same shape); the
+  * INGEST path is the production plane: footer read is O(1), the scan is
+  * a normal distributed parquet scan, and decode is codegen'd per row.
+  */
+object GeoParquet {
+
+  /** Parsed `geo` footer metadata (the fields the spec requires plus the
+    * 1.1 covering extension).
+    */
+  final case class GeoMeta(
+      version: String,
+      primaryColumn: String,
+      encoding: String,
+      geometryTypes: Seq[String],
+      crsAuthority: String,
+      crsCode: String,
+      bbox: Seq[Double],
+      covering: Map[String, Seq[String]])
+
+  /** Deterministic footprint half-extents — the SAME formula as the
+    * items-view envelope columns (StacSearch.envelopeSqlCols), so the
+    * oracle can re-derive every envelope WKB-free from (lon, lat,
+    * user_id, id_num).
+    */
+  private def halfW(userId: Long): Double = (userId % 10).toDouble / 10.0 + 0.1
+  private def halfH(idNum: Long): Double = (idNum % 7).toDouble / 10.0 + 0.1
+
+  /** Staged file path for a fixture dir — content-fingerprinted so an
+    * in-place regeneration can never serve a stale file.
+    */
+  def stagedPath(dir: String): String =
+    s"/tmp/graft_geoparquet_${FixtureGuard.fingerprint(dir, "events")}/items.parquet"
+
+  private val mapper = new ObjectMapper()
+
+  /** The `geo` footer JSON (GeoParquet 1.1): primary geometry column in
+    * WKB, mixed Point/Polygon types, PROJJSON CRS (OGC:CRS84), the
+    * file-level bbox, and the covering block pointing at the `bbox`
+    * struct column.
+    */
+  private def geoJson(bbox: (Double, Double, Double, Double)): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", "1.1.0")
+    root.put("primary_column", "geometry")
+    val cols = root.putObject("columns")
+    val g = cols.putObject("geometry")
+    g.put("encoding", "WKB")
+    val types = g.putArray("geometry_types")
+    types.add("Point"); types.add("Polygon")
+    val crs = g.putObject("crs")
+    crs.put("type", "GeographicCRS")
+    crs.put("name", "WGS 84 (CRS84)")
+    val crsId = crs.putObject("id")
+    crsId.put("authority", "OGC"); crsId.put("code", "CRS84")
+    val bb = g.putArray("bbox")
+    bb.add(bbox._1); bb.add(bbox._2); bb.add(bbox._3); bb.add(bbox._4)
+    val covering = g.putObject("covering")
+    val cbb = covering.putObject("bbox")
+    Seq("xmin", "ymin", "xmax", "ymax").foreach { f =>
+      val arr = cbb.putArray(f); arr.add("bbox"); arr.add(f)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def schema: MessageType = {
+    // NTZ micros, matching the fixture corpus's physical convention:
+    // DuckDB reads plain TIMESTAMP (naive), Spark reads TIMESTAMP_NTZ
+    // which the ingest re-labels under the UTC session zone — both
+    // engines see identical naive instants (Tables.events doctrine)
+    val ts = LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS)
+    Types.buildMessage()
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("id")
+      .required(INT64).named("id_num")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("collection")
+      .optional(INT64).as(ts).named("datetime")
+      .optional(INT64).as(ts).named("start_datetime")
+      .optional(INT64).as(ts).named("end_datetime")
+      .required(DOUBLE).named("value")
+      .required(INT64).named("user_id")
+      .required(DOUBLE).named("lon")
+      .required(DOUBLE).named("lat")
+      .requiredGroup()
+        .required(DOUBLE).named("xmin")
+        .required(DOUBLE).named("ymin")
+        .required(DOUBLE).named("xmax")
+        .required(DOUBLE).named("ymax")
+        .named("bbox")
+      .required(BINARY).named("geometry")
+      .named("geoparquet_items")
+  }
+
+  /** Write the GeoParquet file for a fixture dir if not already staged.
+    * Geometry: even id_num → WKB Point(lon, lat); odd → WKB Polygon of
+    * the deterministic footprint box (exercising both decode branches).
+    * Returns the file path.
+    */
+  def stage(spark: SparkSession, dir: String): String = synchronized {
+    val file = stagedPath(dir)
+    val f = new java.io.File(file)
+    if (f.exists()) return file
+    f.getParentFile.mkdirs()
+
+    val rows = Tables.items(spark, dir)
+      .select(col("id"), col("id_num"), col("collection"), col("datetime"),
+        col("start_datetime"), col("end_datetime"), col("value"),
+        col("user_id"), col("lon"), col("lat"))
+      .orderBy(col("id_num"))
+      .collect()
+
+    def micros(t: java.sql.Timestamp): java.lang.Long =
+      if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    // file-level bbox over every geometry's envelope (first pass — the
+    // footer metadata must be final at writer close)
+    var (w, s, e, n) = (Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
+    val tmp = new java.io.File(file + ".tmp")
+    if (tmp.exists()) tmp.delete()
+    rows.foreach { r =>
+      val idNum = r.getLong(1); val lon = r.getDouble(8); val lat = r.getDouble(9)
+      val (x0, y0, x1, y1) =
+        if (idNum % 2 == 0) (lon, lat, lon, lat)
+        else {
+          val hw = halfW(r.getLong(7)); val hh = halfH(idNum)
+          (lon - hw, lat - hh, lon + hw, lat + hh)
+        }
+      w = math.min(w, x0); s = math.min(s, y0); e = math.max(e, x1); n = math.max(n, y1)
+    }
+
+    val real = ExampleParquetWriter.builder(new Path(tmp.getAbsolutePath))
+      .withType(schema)
+      .withExtraMetaData(java.util.Collections.singletonMap("geo", geoJson((w, s, e, n))))
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try {
+      rows.foreach { r =>
+        val idNum = r.getLong(1); val userId = r.getLong(7)
+        val lon = r.getDouble(8); val lat = r.getDouble(9)
+        val shape: Shape =
+          if (idNum % 2 == 0) Shape.PointS(lon, lat)
+          else {
+            val hw = halfW(userId); val hh = halfH(idNum)
+            Shape.PolyS(Array(Array(Array(
+              lon - hw, lat - hh, lon + hw, lat - hh,
+              lon + hw, lat + hh, lon - hw, lat + hh))))
+          }
+        val (x0, y0, x1, y1) =
+          if (idNum % 2 == 0) (lon, lat, lon, lat)
+          else {
+            val hw = halfW(userId); val hh = halfH(idNum)
+            (lon - hw, lat - hh, lon + hw, lat + hh)
+          }
+        val g = factory.newGroup()
+        g.append("id", r.getString(0))
+        g.append("id_num", idNum)
+        g.append("collection", r.getString(2))
+        val dt = micros(r.getAs[java.sql.Timestamp]("datetime"))
+        if (dt != null) g.append("datetime", dt.longValue())
+        val sd = micros(r.getAs[java.sql.Timestamp]("start_datetime"))
+        if (sd != null) g.append("start_datetime", sd.longValue())
+        val ed = micros(r.getAs[java.sql.Timestamp]("end_datetime"))
+        if (ed != null) g.append("end_datetime", ed.longValue())
+        g.append("value", r.getDouble(6))
+        g.append("user_id", userId)
+        g.append("lon", lon)
+        g.append("lat", lat)
+        val bb = g.addGroup("bbox")
+        bb.append("xmin", x0); bb.append("ymin", y0)
+        bb.append("xmax", x1); bb.append("ymax", y1)
+        g.append("geometry", org.apache.parquet.io.api.Binary.fromConstantByteArray(
+          Wkb.encode(shape)))
+        real.write(g)
+      }
+    } finally real.close()
+    if (!tmp.renameTo(f))
+      throw new java.io.IOException(s"could not move $tmp to $f")
+    file
+  }
+
+  /** Read and parse the `geo` footer metadata — the metadata-plane step
+    * a GeoParquet reader performs before planning the scan.
+    */
+  def readGeoMeta(file: String): GeoMeta = {
+    val in = HadoopInputFile.fromPath(new Path(file),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+      val geo = kv.get("geo")
+      require(geo != null, s"$file has no 'geo' footer metadata — not GeoParquet")
+      val root = mapper.readTree(geo)
+      val primary = root.get("primary_column").asText()
+      val gcol = root.get("columns").get(primary)
+      val crs = gcol.get("crs")
+      import scala.jdk.CollectionConverters._
+      val covering = Option(gcol.get("covering")).map { cov =>
+        cov.get("bbox").fields().asScala.map { e =>
+          e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+        }.toMap
+      }.getOrElse(Map.empty)
+      GeoMeta(
+        version = root.get("version").asText(),
+        primaryColumn = primary,
+        encoding = gcol.get("encoding").asText(),
+        geometryTypes = gcol.get("geometry_types").elements().asScala.map(_.asText()).toSeq,
+        crsAuthority = crs.get("id").get("authority").asText(),
+        crsCode = crs.get("id").get("code").asText(),
+        bbox = gcol.get("bbox").elements().asScala.map(_.asDouble()).toSeq,
+        covering = covering)
+    } finally reader.close()
+  }
+
+  /** Ingest the staged GeoParquet file: footer-driven — the geometry
+    * column name comes from `primary_column`, the covering columns from
+    * the covering block — through the codegen'd WKB decode expressions
+    * into the envelope-column form every spatial predicate keys on.
+    */
+  def ingestItems(spark: SparkSession, dir: String): (DataFrame, GeoMeta) = {
+    val file = stage(spark, dir)
+    val meta = readGeoMeta(file)
+    require(meta.encoding == "WKB",
+      s"unsupported GeoParquet encoding '${meta.encoding}' (only WKB)")
+    val geom = col(meta.primaryColumn)
+    def coveringCol(field: String) =
+      col(meta.covering(field).mkString("."))
+    val df = spark.read.parquet(file)
+      .withColumn("gtype", graft.spatial.WkbType(geom))
+      .withColumn("env", graft.spatial.WkbEnvelope(geom))
+      .select(col("id"), col("collection"),
+        col("datetime").cast("timestamp").as("datetime"),
+        col("gtype"),
+        col("env").getItem(0).as("g_xmin"), col("env").getItem(1).as("g_ymin"),
+        col("env").getItem(2).as("g_xmax"), col("env").getItem(3).as("g_ymax"),
+        coveringCol("xmin").as("c_xmin"), coveringCol("ymin").as("c_ymin"),
+        coveringCol("xmax").as("c_xmax"), coveringCol("ymax").as("c_ymax"))
+    (df, meta)
+  }
+}

@@ -1365,6 +1365,51 @@ object StacSearch {
          |ORDER BY id""".stripMargin)
   }
 
+  /** A75: REAL GeoParquet 1.1 file ingestion — the reference's literal
+    * data plane (database_logic.py:171 `read_parquet(<geoparquet url>)`;
+    * its downloader materializes the files). A genuine GeoParquet file
+    * (WKB `geometry`, `bbox` covering struct column, spec'd `geo` footer
+    * with version/primary_column/encoding/geometry_types/PROJJSON
+    * CRS/bbox/covering) is staged at fixture-build time
+    * ([[graft.core.GeoParquet.stage]]), then ingested FOOTER-FIRST: the
+    * geometry column name and covering mapping come from the parsed
+    * footer, the WKB decodes through the A42 codegen'd expressions into
+    * envelope columns. The gate emits BOTH the WKB-decoded envelope and
+    * the covering column; the oracle reads the same file but re-derives
+    * every envelope WKB-FREE from (lon, lat, user_id, id_num) — a drifted
+    * writer, footer, decoder, or covering column is a value mismatch.
+    * Gate-internal requires pin the metadata plane (version, CRS, types).
+    */
+  @volatile private var a75Path: String = "/tmp/graft_geoparquet_unset/items.parquet"
+
+  def a75GeoparquetIngest(s: SparkSession, d: String): DataFrame = {
+    val (df, meta) = graft.core.GeoParquet.ingestItems(s, d)
+    a75Path = graft.core.GeoParquet.stagedPath(d)
+    require(meta.version == "1.1.0" && meta.primaryColumn == "geometry" &&
+      meta.crsAuthority == "OGC" && meta.crsCode == "CRS84" &&
+      meta.geometryTypes == Seq("Point", "Polygon"),
+      s"geo footer metadata drifted: $meta")
+    df.orderBy(col("id"))
+  }
+
+  def a75Sql: String =
+    s"""SELECT id, collection, datetime,
+       |  CASE WHEN id_num % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS gtype,
+       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE lon - hw END AS g_xmin,
+       |  CASE WHEN id_num % 2 = 0 THEN lat ELSE lat - hh END AS g_ymin,
+       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE lon + hw END AS g_xmax,
+       |  CASE WHEN id_num % 2 = 0 THEN lat ELSE lat + hh END AS g_ymax,
+       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE lon - hw END AS c_xmin,
+       |  CASE WHEN id_num % 2 = 0 THEN lat ELSE lat - hh END AS c_ymin,
+       |  CASE WHEN id_num % 2 = 0 THEN lon ELSE lon + hw END AS c_xmax,
+       |  CASE WHEN id_num % 2 = 0 THEN lat ELSE lat + hh END AS c_ymax
+       |FROM (
+       |  SELECT id, id_num, collection, datetime, lon, lat,
+       |    CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1 AS hw,
+       |    CAST(id_num % 7 AS DOUBLE) / 10.0 + 0.1 AS hh
+       |  FROM read_parquet('$a75Path'))
+       |ORDER BY id""".stripMargin
+
   // --------------------- A40/A41 non-polygon GeoJSON types in s_intersects
   /** A40: s_intersects with a GeometryCollection mixing a convex Polygon,
     * a LineString and a Point against item POINT geometry — the reference
@@ -2711,6 +2756,7 @@ object StacSearch {
     "a74_cql2_t_interval"         -> a74Fn,
     "a76_cql2_allen"              -> (a76CqlAllen _),
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
+    "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a78_within_concave"          -> (a78WithinConcave _),
     "a73_cql2_s_within"           -> (a73CqlWithin _),
     "a40_intersects_shapes"       -> a40Fn,
@@ -2730,7 +2776,9 @@ object StacSearch {
     "a50_cql2_text"               -> a50Fn
   )
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: a75's oracle embeds the staged GeoParquet path, which
+  // the gate run sets (the c87 pattern — Verify dumps oracles post-loop)
+  def oracle: Map[String, String] = Map(
     "a68_merge_patch"     -> a68Sql,
     "a56_upsert_search"   -> a56Sql,
     "a1_scan_collection"  -> a1Sql,
@@ -2782,6 +2830,7 @@ object StacSearch {
     "a74_cql2_t_interval"         -> a74Sql,
     "a76_cql2_allen"              -> a76Sql,
     "a77_cql2_spatial_rel"        -> a77Sql,
+    "a75_geoparquet_ingest"       -> a75Sql,
     "a78_within_concave"          -> a78Sql,
     "a73_cql2_s_within"           -> a73Sql,
     "a40_intersects_shapes"       -> a40Sql,

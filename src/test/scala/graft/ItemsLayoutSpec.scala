@@ -178,4 +178,41 @@ class ItemsLayoutSpec extends AnyFunSuite {
       new scala.reflect.io.Directory(new java.io.File(mTmp)).deleteRecursively()
     }
   }
+
+  test("GeoParquet 1.1: geo footer metadata round-trips, covering column " +
+      "matches the WKB-decoded envelope on every row") {
+    import graft.core.{GeoParquet, Tables}
+    val s = TestSpark.spark
+    val file = GeoParquet.stage(s, TestSpark.sf)
+    val meta = GeoParquet.readGeoMeta(file)
+    // the spec'd fields land exactly where the writer put them
+    assert(meta.version == "1.1.0")
+    assert(meta.primaryColumn == "geometry")
+    assert(meta.encoding == "WKB")
+    assert(meta.geometryTypes == Seq("Point", "Polygon"))
+    assert(meta.crsAuthority == "OGC" && meta.crsCode == "CRS84")
+    assert(meta.covering == Map(
+      "xmin" -> Seq("bbox", "xmin"), "ymin" -> Seq("bbox", "ymin"),
+      "xmax" -> Seq("bbox", "xmax"), "ymax" -> Seq("bbox", "ymax")))
+    // footer bbox = the union of all geometry envelopes (recomputed
+    // independently from the covering column by Spark)
+    import org.apache.spark.sql.functions._
+    val env = s.read.parquet(file)
+      .agg(min(col("bbox.xmin")), min(col("bbox.ymin")),
+        max(col("bbox.xmax")), max(col("bbox.ymax"))).head()
+    assert(meta.bbox == Seq(env.getDouble(0), env.getDouble(1),
+      env.getDouble(2), env.getDouble(3)))
+    // ingest: every row's WKB-decoded envelope equals its covering cell,
+    // and the row count matches the source corpus
+    val (df, _) = GeoParquet.ingestItems(s, TestSpark.sf)
+    val bad = df.where(col("g_xmin") =!= col("c_xmin") ||
+      col("g_ymin") =!= col("c_ymin") || col("g_xmax") =!= col("c_xmax") ||
+      col("g_ymax") =!= col("c_ymax")).count()
+    assert(bad == 0, s"$bad rows where WKB envelope != covering column")
+    assert(df.count() == Tables.items(s, TestSpark.sf).count())
+    // a non-GeoParquet file is refused with a clear message
+    val e = intercept[IllegalArgumentException](
+      GeoParquet.readGeoMeta(s"${TestSpark.sf}/events.parquet"))
+    assert(e.getMessage.contains("geo"), e.getMessage)
+  }
 }
