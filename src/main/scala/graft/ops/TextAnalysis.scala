@@ -1760,6 +1760,152 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------- C103 Naive-Bayes classifier TRAINING
+  /** C103: quality-classifier TRAINING — the step C39 deliberately
+    * skipped (its weights are hash-derived; the doc notes "a trained
+    * table would broadcast"). This is the CCNet/LLaMA recipe made
+    * distributed: label seed data with the C43 Gopher rule battery
+    * (keep/reject), featurize as word unigrams + adjacent bigrams
+    * hashed into [[c103Buckets]] buckets (the hashing trick —
+    * Weinberger et al. 2009), and train multinomial Naive Bayes, whose
+    * sufficient statistics are pure COUNTS: per-(label, bucket) feature
+    * occurrences and per-label document counts. Counts are exact
+    * integers, so the learned table is hash-exact across engines and
+    * the oracle re-derives it in SQL end to end (labeling included).
+    *
+    * Scale shape: ONE corpus pass — label battery and feature explode in
+    * the same projection, map-side-combined groupBy on (label, bucket)
+    * whose result is ≤ 2·64 rows, plus a 2-row label-count aggregate
+    * broadcast back on. No iteration: NB's M-step IS the aggregation
+    * (contrast C32's O(iterations) BPE loop). [[c103ScoreDocs]] then
+    * broadcasts the learned table into C39's scan-speed scoring shape
+    * as per-class log-likelihood array literals (+1 smoothing) — spec
+    * pins train → score → select composition.
+    */
+  private val c103Buckets = 64
+
+  /** Unigrams + adjacent bigrams over a word array column `w` — the
+    * CASE guards Spark's descending-sequence footgun on 1-word docs.
+    */
+  private val c103FeatsSpark: String =
+    "concat(w, CASE WHEN size(w) >= 2 THEN " +
+      "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), '_', element_at(w, i + 1))) " +
+      "ELSE slice(w, 1, 0) END)"
+
+  private val c103FeatsDuck: String =
+    "w || (CASE WHEN len(w) >= 2 THEN " +
+      "list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1]) " +
+      "ELSE []::VARCHAR[] END)"
+
+  /** C43's keep-verdict over the stat columns (shared text — the one
+    * battery definition rendered into both engines).
+    */
+  private val c103KeepSql =
+    "(n_words >= 50 AND n_words <= 100000" +
+      " AND n_chars >= n_words * 3 AND n_chars <= n_words * 10" +
+      " AND n_syms * 10 < n_words AND n_alpha * 5 >= n_words * 4" +
+      " AND n_stop >= 2)"
+
+  /** Labeled corpus with the word array still attached (c43Scored drops
+    * it; training needs both the verdict and the features in one pass).
+    */
+  private def c103Labeled(s: SparkSession, d: String): DataFrame = {
+    val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
+    docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .withColumn("n_words", expr("CAST(size(w) AS BIGINT)"))
+      .withColumn("n_chars", expr("CAST(length(text) - (size(w) - 1) AS BIGINT)"))
+      .withColumn("n_syms",
+        expr("CAST(size(filter(w, t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT)"))
+      .withColumn("n_alpha", expr("CAST(size(filter(w, t -> t RLIKE '[a-z]')) AS BIGINT)"))
+      .withColumn("n_stop", expr(s"CAST(size(filter(w, t -> t IN $stopList)) AS BIGINT)"))
+      .withColumn("label", expr(s"CASE WHEN $c103KeepSql THEN 'keep' ELSE 'reject' END"))
+  }
+
+  def c103ClassifierTrain(s: SparkSession, d: String): DataFrame = {
+    val labeled = c103Labeled(s, d)
+    val table = labeled
+      .select(col("label"), explode(expr(c103FeatsSpark)).as("f"))
+      .select(col("label"),
+        (expr(h64Spark("concat('nb:', f)")) % c103Buckets).as("bucket"))
+      .groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val perLabel = labeled.groupBy(col("label"))
+      .agg(count(lit(1)).as("label_docs"))
+    table.join(broadcast(perLabel), Seq("label"))
+      .select(col("label"), col("bucket"), col("n"), col("label_docs"))
+      .orderBy(col("label"), col("bucket"))
+  }
+
+  val c103Sql: String = {
+    val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH lab AS (
+       |  SELECT doc_id, w,
+       |    CASE WHEN $c103KeepSql THEN 'keep' ELSE 'reject' END AS label
+       |  FROM (
+       |    SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words,
+       |      CAST(length(text) - (len(w) - 1) AS BIGINT) AS n_chars,
+       |      CAST(len(list_filter(w, t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT) AS n_syms,
+       |      CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |      CAST(len(list_filter(w, t -> t IN $stopList)) AS BIGINT) AS n_stop
+       |    FROM (SELECT doc_id, text, $wordsDuck AS w FROM documents))),
+       |feats AS (
+       |  SELECT label, unnest($c103FeatsDuck) AS f FROM lab),
+       |tbl AS (
+       |  SELECT label, ${h64Duck("'nb:' || f")} % $c103Buckets AS bucket,
+       |    COUNT(*) AS n
+       |  FROM feats GROUP BY 1, 2),
+       |ld AS (SELECT label, COUNT(*) AS label_docs FROM lab GROUP BY 1)
+       |SELECT label, bucket, CAST(n AS BIGINT) AS n,
+       |  CAST(label_docs AS BIGINT) AS label_docs
+       |FROM tbl JOIN ld USING (label)
+       |ORDER BY label, bucket""".stripMargin
+  }
+
+  /** Score documents with the TRAINED table — C39's scan-speed shape
+    * with learned weights: the ≤ 2·[[c103Buckets]] count table collects
+    * driver-side (bounded by construction), folds into per-class
+    * log-likelihood ARRAY LITERALS w[b] = ln((n_b + 1) / (total + B))
+    * (+1 smoothing), and scoring is one codegen'd projection —
+    * `aggregate` over the hashed features indexing the literal array —
+    * plus the log-prior. No join, no shuffle, no UDF. Spec-pinned
+    * (train→score→select); not oracle-gated — the log is float, the
+    * TABLE gate above is the exact-integer contract.
+    */
+  def c103ScoreDocs(s: SparkSession, d: String): DataFrame = {
+    val t = c103ClassifierTrain(s, d).collect()
+    val classes = Seq("keep", "reject")
+    val counts: Map[String, Map[Long, Long]] = classes.map { c =>
+      c -> t.filter(_.getString(0) == c)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    }.toMap
+    val totals = counts.map { case (c, m) => c -> m.values.sum }
+    val docsPerLabel: Map[String, Long] = classes.map { c =>
+      c -> t.filter(_.getString(0) == c).headOption.map(_.getLong(3)).getOrElse(0L)
+    }.toMap
+    val allDocs = docsPerLabel.values.sum.toDouble
+    def weightArr(c: String): String =
+      (0 until c103Buckets).map { b =>
+        val w = math.log((counts(c).getOrElse(b.toLong, 0L) + 1).toDouble /
+          (totals(c) + c103Buckets))
+        s"CAST($w AS DOUBLE)"
+      }.mkString("array(", ", ", ")")
+    def scoreExpr(c: String): String = {
+      val prior = math.log(math.max(docsPerLabel(c), 1L) / allDocs)
+      s"CAST($prior AS DOUBLE) + aggregate(transform($c103FeatsSpark, " +
+        s"f -> element_at(${weightArr(c)}, CAST(${h64Spark("concat('nb:', f)")} % $c103Buckets AS INT) + 1)), " +
+        "CAST(0 AS DOUBLE), (s, x) -> s + x)"
+    }
+    docs(s, d)
+      .withColumn("w", expr(wordsSpark))
+      .select(col("doc_id"),
+        expr(scoreExpr("keep")).as("s_keep"),
+        expr(scoreExpr("reject")).as("s_reject"))
+      .withColumn("pred",
+        expr("CASE WHEN s_keep >= s_reject THEN 'keep' ELSE 'reject' END"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------- C44 corpus datasheet rollup
   /** C44: the corpus DATASHEET ("Datasheets for Datasets", Gebru et al.
     * 2021 — the reporting pass every curated release ships): per
@@ -2664,6 +2810,7 @@ object TextAnalysis {
     "c48_datasheet_quantiles" -> (c48DatasheetQuantiles _),
     "c44_corpus_datasheet" -> (c44CorpusDatasheet _),
     "c43_gopher_rules" -> (c43GopherRules _),
+    "c103_classifier_train" -> (c103ClassifierTrain _),
     "c42_sequence_assemble" -> (c42SequenceAssemble _),
     "c41_bpe_packing" -> (c41BpePacking _),
     "c39_classifier_score" -> (c39ClassifierScore _),
@@ -2718,6 +2865,7 @@ object TextAnalysis {
     "c48_datasheet_quantiles" -> c48Sql,
     "c44_corpus_datasheet" -> c44Sql,
     "c43_gopher_rules" -> c43Sql,
+    "c103_classifier_train" -> c103Sql,
     "c42_sequence_assemble" -> c42Sql,
     "c41_bpe_packing" -> c41Sql,
     "c39_classifier_score" -> c39Sql,
