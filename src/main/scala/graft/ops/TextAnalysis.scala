@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -590,40 +590,66 @@ object TextAnalysis {
       "CASE WHEN doc_id % 7 = 0 THEN ' Host 10.' || CAST(doc_id % 256 AS STRING) || '.0.' || CAST(doc_id % 100 AS STRING) || ' up.' ELSE '' END"
 
   def c26PiiRedact(s: SparkSession, d: String): DataFrame = {
-    val red = regexp_replace(regexp_replace(regexp_replace(col("pt"),
-      piiEmailRe, "<EMAIL>"), piiPhoneRe, "<PHONE>"), piiIpRe, "<IP>")
+    // Occurrences of a literal token: character-length diff after a plain
+    // (non-regex, codegen'd) string replace, divided by the token length.
+    def occ(c: Column, tok: String): Column =
+      (length(c) - length(replace(c, lit(tok), lit("")))) / lit(tok.length)
+    val red1 = regexp_replace(col("pt"), piiEmailRe, "<EMAIL>")
+    val red2 = regexp_replace(red1, piiPhoneRe, "<PHONE>")
+    val red  = regexp_replace(red2, piiIpRe, "<IP>")
     docs(s, d)
+      // The corpus parquet is bytes-tiny relative to the regex work, so
+      // the scan arrives in far fewer partitions than cores
+      // (maxPartitionBytes sizes partitions for byte-proportional cost);
+      // rebalance the CHEAP rows before the expensive projection — the
+      // same shape as the multimodal decode gates. Range-partition +
+      // sort BELOW the projection (a43Source doctrine): a global sort
+      // ABOVE it would execute the regex chain twice (the range
+      // exchange's bounds-sampling pass runs its child in full), while
+      // here the sampling pass touches only narrow source rows and
+      // projections preserve the established global order. At 100 TB
+      // the scan already has more partitions than cores and the
+      // exchange moves source rows, never the redacted text.
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
       .withColumn("pt", expr(piiInjectSql))
-      // n_* are RAW-MATCH counts on the pre-redaction text, not
-      // replacement counts: redaction runs sequentially (email→phone→IP),
-      // so on adversarial text a match overlapping an earlier replacement
-      // (a phone-shaped substring inside an email local part) is counted
-      // here but never replaced. Both engines count identically so the
-      // gate is unaffected; consumers wanting replacement counts should
-      // diff lengths per stage.
+      // n_* are REDACTION counts — replacements actually made per stage,
+      // derived from each stage's output as (token occurrences after −
+      // token occurrences before) with zero extra regex passes (r10: the
+      // previous raw-match regexp_count battery doubled the regex scans
+      // to 6/row; counting from the replace outputs halves them — the
+      // chained red1/red2 stage references dedupe under whole-stage
+      // codegen subexpression elimination, so each regex still runs
+      // once). Redaction runs sequentially (email→phone→IP), so a match
+      // created or destroyed by an earlier replacement is counted as
+      // what the redactor actually did, not what a raw scan of `pt`
+      // would see. Both engines compute the identical diff.
       .select(col("doc_id"),
-        regexp_count(col("pt"), lit(piiEmailRe)).cast("int").as("n_emails"),
-        regexp_count(col("pt"), lit(piiPhoneRe)).cast("int").as("n_phones"),
-        regexp_count(col("pt"), lit(piiIpRe)).cast("int").as("n_ips"),
+        (occ(red1, "<EMAIL>") - occ(col("pt"), "<EMAIL>")).cast("int").as("n_emails"),
+        (occ(red2, "<PHONE>") - occ(red1, "<PHONE>")).cast("int").as("n_phones"),
+        (occ(red, "<IP>") - occ(red2, "<IP>")).cast("int").as("n_ips"),
         length(red).cast("bigint").as("red_len"),
         md5(red).as("red_md5"))
-      .orderBy(col("doc_id"))
   }
 
   val c26Sql: String =
     s"""WITH p AS (SELECT doc_id, $piiInjectSql AS pt FROM documents),
-       |r AS (SELECT doc_id, pt,
-       |  regexp_replace(regexp_replace(regexp_replace(pt,
-       |    '$piiEmailRe', '<EMAIL>', 'g'),
-       |    '$piiPhoneRe', '<PHONE>', 'g'),
-       |    '$piiIpRe', '<IP>', 'g') AS red FROM p)
+       |r1 AS (SELECT doc_id, pt,
+       |  regexp_replace(pt, '$piiEmailRe', '<EMAIL>', 'g') AS red1 FROM p),
+       |r2 AS (SELECT doc_id, pt, red1,
+       |  regexp_replace(red1, '$piiPhoneRe', '<PHONE>', 'g') AS red2 FROM r1),
+       |r3 AS (SELECT doc_id, pt, red1, red2,
+       |  regexp_replace(red2, '$piiIpRe', '<IP>', 'g') AS red FROM r2)
        |SELECT doc_id,
-       |  CAST(len(regexp_extract_all(pt, '$piiEmailRe')) AS INTEGER) AS n_emails,
-       |  CAST(len(regexp_extract_all(pt, '$piiPhoneRe')) AS INTEGER) AS n_phones,
-       |  CAST(len(regexp_extract_all(pt, '$piiIpRe')) AS INTEGER) AS n_ips,
+       |  CAST((length(red1) - length(replace(red1, '<EMAIL>', ''))) // 7
+       |     - (length(pt) - length(replace(pt, '<EMAIL>', ''))) // 7 AS INTEGER) AS n_emails,
+       |  CAST((length(red2) - length(replace(red2, '<PHONE>', ''))) // 7
+       |     - (length(red1) - length(replace(red1, '<PHONE>', ''))) // 7 AS INTEGER) AS n_phones,
+       |  CAST((length(red) - length(replace(red, '<IP>', ''))) // 4
+       |     - (length(red2) - length(replace(red2, '<IP>', ''))) // 4 AS INTEGER) AS n_ips,
        |  CAST(length(red) AS BIGINT) AS red_len,
        |  md5(red) AS red_md5
-       |FROM r ORDER BY doc_id""".stripMargin
+       |FROM r3 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------- C27 corpus-frequency score
   /** C27: corpus-typicality scoring, the integer-exact cousin of a

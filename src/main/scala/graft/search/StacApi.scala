@@ -135,6 +135,28 @@ object StacApi {
   def collections(spark: SparkSession, dir: String): DataFrame =
     StacSearch.a26Collections(spark, dir)
 
+  /** /collections with the reference's pagination contract
+    * (database_logic.py:58-107: `token` = the id of the last collection
+    * seen, `limit` = page size; returns the page plus the next token).
+    * The reference walks its directory and SIMULATES the token (always
+    * returns None, database_logic.py:104-105); this twin implements the
+    * documented contract for real — keyset on the collection id, so a
+    * token is a sargable filter (never an offset scan) over the derived
+    * collections frame. Matches `search`'s page shape: fetch limit+1 to
+    * decide whether a next page exists without a count.
+    */
+  def collectionsPage(spark: SparkSession, dir: String,
+                      token: Option[String], limit: Int): (Array[Row], Option[String]) = {
+    val base = collections(spark, dir) // already ordered by collection
+    val after = token.map(t => base.where(col("collection") > lit(t))).getOrElse(base)
+    val page = after.limit(limit + 1).collect()
+    val items = page.take(limit)
+    val next =
+      if (page.length <= limit) None
+      else Some(items.last.getString(items.last.fieldIndex("collection")))
+    (items, next)
+  }
+
   /** Filter-only plan: every search parameter as a Catalyst predicate. */
   def plan(items: DataFrame, p: SearchParams): DataFrame = {
     var df = items
