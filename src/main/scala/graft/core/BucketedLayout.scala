@@ -34,8 +34,7 @@ object BucketedLayout {
 
   private def tableName(which: String, dir: String): String =
     s"graft_bucketed_${which}_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      FixtureGuard.stateKey(dir, "orders", "lineitem")
 
   /** Materialize orders + lineitem bucketed and sorted by the order key.
     * Idempotent per (session, dir): the catalog entry is the marker.

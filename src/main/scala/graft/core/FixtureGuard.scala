@@ -42,6 +42,26 @@ object FixtureGuard {
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Key for a PERSISTED cross-run state artifact (the C47/C67
+    * state-table convention): dir + the [[fingerprint]] of every source
+    * table the artifact derives from. A key on the dir STRING alone
+    * serves stale state after an in-place regeneration — and unlike the
+    * session-local memos, disk artifacts outlive the JVM, so no cache
+    * sweep can save you (observed: a band index built from a discarded
+    * fixture generation fed C67 178M phantom candidate pairs). Fixture
+    * dirs under test are immutable by doctrine, but probe/scale dirs
+    * (ProbeScaleGen output) are legitimately regenerated in place.
+    */
+  def stateKey(dir: String, tables: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    tables.foreach { t =>
+      md.update(("|" + fingerprint(dir, t))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   private val temporal: Set[DataType] =
     Set(DateType, TimestampType, TimestampNTZType)
 

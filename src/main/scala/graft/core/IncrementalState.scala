@@ -52,8 +52,7 @@ object IncrementalState {
   def materialize(spark: SparkSession, dir: String,
                   path: String = null, slicePred: String = null): String = {
     val p = Option(path).getOrElse {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = FixtureGuard.stateKey(dir, "orders")
       new java.io.File(sys.props("java.io.tmpdir"), s"graft_state_$key").getAbsolutePath
     }
     val exists = path == null && new java.io.File(p, "_SUCCESS").exists()
@@ -157,8 +156,7 @@ object IncrementalState {
   def b35Materialize(spark: SparkSession, dir: String,
                      path: String = null, slicePred: String = null): String = {
     val p = Option(path).getOrElse {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"b35:$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = "b35" + FixtureGuard.stateKey(dir, "orders", "customer", "nation")
       new java.io.File(sys.props("java.io.tmpdir"), s"graft_state_$key").getAbsolutePath
     }
     val exists = path == null && new java.io.File(p, "_SUCCESS").exists()

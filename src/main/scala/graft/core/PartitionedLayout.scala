@@ -22,9 +22,7 @@ import org.apache.spark.sql.functions._
 object PartitionedLayout {
 
   private def tableName(dir: String): String =
-    "graft_part_orders_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    "graft_part_orders_" + FixtureGuard.stateKey(dir, "orders")
 
   /** Materialize orders partitioned by month slice (idempotent per
     * (session, dir); catalog entry is the marker).
@@ -96,8 +94,7 @@ object PartitionedLayout {
   private val b39Cut = "1995-01"
 
   def b39MergeSchemaRead(spark: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"b39:$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = "b39" + FixtureGuard.stateKey(dir, "orders")
     val base = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_evolved_$key").getAbsolutePath
     if (!new java.io.File(s"$base/v2/_SUCCESS").exists()) {

@@ -731,8 +731,7 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[graft] def c18StatePath(d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "documents")
     new java.io.File(sys.props("java.io.tmpdir"), s"graft_clusters_$key")
       .getAbsolutePath
   }
@@ -1221,8 +1220,7 @@ object Dedup {
     * the exchange count.
     */
   private def c72HistTable(s: SparkSession, d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "documents")
     val t = s"graft_bucketed_histfps_$key"
     if (!s.catalog.tableExists(t)) {
       val base = new java.io.File(
@@ -1345,8 +1343,7 @@ object Dedup {
     * and idempotence.
     */
   private[graft] def c67VersionsPath(s: SparkSession, d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "documents")
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_clusterversions_$key").getAbsolutePath
   }
@@ -1460,8 +1457,7 @@ object Dedup {
       .select(col("doc_id"), col("source"), expr(fpSpark).as("fp"))
 
   private def c47StatePath(s: SparkSession, d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "documents")
     val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_dedupstate_$key").getAbsolutePath
     if (!new java.io.File(p, "_SUCCESS").exists())
@@ -1535,8 +1531,7 @@ object Dedup {
     })
 
   private[graft] def c67StatePath(s: SparkSession, d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "documents")
     val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_clusterstate_$key").getAbsolutePath
     if (!new java.io.File(p, "_SUCCESS").exists()) {
@@ -1557,8 +1552,7 @@ object Dedup {
     * on the pair set.
     */
   private[graft] def c67BucketStatePath(s: SparkSession, d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "documents")
     val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_bucketstate_$key").getAbsolutePath
     if (!new java.io.File(p, "_SUCCESS").exists())

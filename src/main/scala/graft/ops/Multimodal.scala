@@ -138,7 +138,7 @@ object Multimodal {
     * measure — decode cost and header-parse cost, not fixture synthesis.
     */
   def mediaParquet(s: SparkSession, d: String): DataFrame = synchronized {
-    val path = s"/tmp/graft_media_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val path = s"/tmp/graft_media_${graft.core.FixtureGuard.stateKey(d, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       mediaTable(s, d).write.mode("overwrite").parquet(path)
     s.read.parquet(path)
@@ -361,7 +361,7 @@ object Multimodal {
     */
   def audioParquet(s: SparkSession, d: String): DataFrame = synchronized {
     import s.implicits._
-    val path = s"/tmp/graft_audio_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val path = s"/tmp/graft_audio_${graft.core.FixtureGuard.stateKey(d, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       Tables.documents(s, d).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism)
@@ -487,7 +487,7 @@ object Multimodal {
 
   def videoParquet(s: SparkSession, d: String): DataFrame = synchronized {
     import s.implicits._
-    val path = s"/tmp/graft_video_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val path = s"/tmp/graft_video_${graft.core.FixtureGuard.stateKey(d, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       Tables.documents(s, d).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism)

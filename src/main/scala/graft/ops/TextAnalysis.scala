@@ -264,8 +264,7 @@ object TextAnalysis {
     * documents.parquet — index tables only.
     */
   private[graft] def c78IndexPath(s: SparkSession, d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "documents")
     // v2: postings carry POSITIONS (C79's phrase serving); C78's
     // tf-only query prunes the column away (plan-audited)
     val root = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1396,8 +1395,7 @@ object TextAnalysis {
     * fixture dirs are immutable so the artifact can't go stale.
     */
   private def c32Dictionary(s: SparkSession, d: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "documents")
     val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_tokenizer_$key").getAbsolutePath
     if (!new java.io.File(p, "_SUCCESS").exists()) {
@@ -1436,8 +1434,7 @@ object TextAnalysis {
     c50Dict(c32TrainOn(corpus)._2)
 
   private[graft] def c50Materialize(s: SparkSession, d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "documents")
     val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_tokver1_$key").getAbsolutePath
     if (!new java.io.File(p, "_SUCCESS").exists()) {

@@ -904,8 +904,7 @@ object StacSearch {
   private val a63Bbox = (-175.0, -20.0, -120.0, 25.0) // compact & populated: real pruning
 
   private def a63Paths(s: SparkSession, d: String): (String, String) = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "events")
     val lp = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_itemszlayout_$key").getAbsolutePath
     val mp = new java.io.File(sys.props("java.io.tmpdir"),
@@ -967,8 +966,7 @@ object StacSearch {
     * files are actually skipped on the temporal layout.
     */
   private def a64Paths(s: SparkSession, d: String): (String, String) = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "events")
     val lp = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_itemstlayout_$key").getAbsolutePath
     val mp = new java.io.File(sys.props("java.io.tmpdir"),
@@ -2319,8 +2317,7 @@ object StacSearch {
   def a54Materialize(s: SparkSession, d: String,
                      path: String = null, slicePred: String = null): String = {
     val p = Option(path).getOrElse {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = graft.core.FixtureGuard.stateKey(d, "events")
       new java.io.File(sys.props("java.io.tmpdir"), s"graft_extents_$key").getAbsolutePath
     }
     val exists = path == null && new java.io.File(p, "_SUCCESS").exists()
@@ -2385,8 +2382,7 @@ object StacSearch {
       .groupBy(col("slice"), col("collection")))
 
   def a55Materialize(s: SparkSession, d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(d, "events")
     val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_queryables_$key").getAbsolutePath
     if (!new java.io.File(p, "_SUCCESS").exists())
