@@ -87,10 +87,35 @@ object ProbeScaleGen {
           .as("embedding"),
         col("label")), "embeddings")
 
-    // events: same wall-clock span and users, 10× the density
+    // events: same wall-clock span and users, 10× the density. Replica
+    // timestamps are REDRAWN uniformly across the span (hash of the new
+    // id), not copied: 10 same-instant copies of every event manufacture
+    // C(10,2) cliques in any interval join — measured d4 output grew
+    // 3073× at 10× data (4.58M rows vs 1491; 45 phantom pairs per
+    // original event dwarf the real follows). A small ± jitter is NOT
+    // enough: any offset range comparable to a join window keeps the
+    // replica clique intact (±5 min still left 2.33M pairs). A 10×-denser
+    // feed has new arrival times spread over the whole period; with the
+    // redraw, per-user window density is honestly 10× and interval-join
+    // output grows the true ~density² (replicas lose the original
+    // intra-day profile — acceptable for a scale probe, documented).
+    // fixture ts is TIMESTAMP_NTZ — read bounds as string/seconds, not
+    // java.sql.Timestamp (Row.getTimestamp throws on LocalDateTime)
+    val evBounds = read("events").agg(
+      date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("t0"),
+      (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+        .as("span_s")).head()
+    val evT0 = evBounds.getString(0)
+    val evSpanS = math.max(1L, evBounds.getLong(1))
     write(crossReps(read("events"))
-      .select((col("event_id") + col("rep") * keyStep).as("event_id"),
-        col("ts"), col("user_id"), col("event_type"), col("value"),
+      .withColumn("event_id2", col("event_id") + col("rep") * keyStep)
+      .select(
+        col("event_id2").as("event_id"),
+        when(col("rep") === 0, col("ts")).otherwise(expr(
+          s"timestamp_ntz'$evT0' + make_interval(0,0,0,0,0,0, " +
+            s"CAST(pmod(xxhash64(event_id2), $evSpanS) AS INT))"))
+          .as("ts"),
+        col("user_id"), col("event_type"), col("value"),
         col("props")), "events")
 
     // orders/lineitem: one consistent orderkey remap on both sides
