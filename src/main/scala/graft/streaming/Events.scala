@@ -227,9 +227,46 @@ object Events {
         (unix_micros(col("ts2")) - unix_micros(col("ts1"))).as("gap_us"))
   }
 
+  /** BATCH interval join with a time-BUCKETED equi-key. The streaming
+    * form's (user_id = user_id AND ts-range) join is the right shape for
+    * a stream — watermark eviction bounds per-user state to the window —
+    * but in batch the only hash key is user_id, so the join materializes
+    * per-user CARTESIAN candidates before the range filter: quadratic in
+    * per-user density. The r10 sf1 sweep measured it — at 10× event
+    * density (same span) d4 went 1.2 s → 70 s for only 53× more output
+    * rows (~667 events/user ⇒ ~667²×1500 ≈ 667M candidates for 79k
+    * results). Bucketing time by the window width (bucket = unix_micros
+    * DIV window; the left side explodes to {bk, bk+1}, which covers every
+    * ts2 ∈ [ts1, ts1+W]) adds the time axis to the shuffle key, so
+    * candidates are per-(user, 5-minute-bucket)² — linear in density per
+    * bucket, and the 100 TB shuffle partitions by (user, time) instead of
+    * pinning each hot user to one task. Exact predicates unchanged; each
+    * qualifying pair matches exactly ONE left copy (bucket(ts2) is
+    * single-valued), so no dedup step is needed.
+    */
+  private val followUs = followMinutes * 60L * 1000000L
+
+  private[graft] def intervalJoinBatch(e1: DataFrame, e2: DataFrame): DataFrame = {
+    val a = e1.select(col("user_id").as("u1"), col("ts").as("ts1"),
+        col("event_id").as("id1"))
+      .withColumn("bk1", explode(array(
+        expr(s"unix_micros(ts1) DIV $followUs"),
+        expr(s"unix_micros(ts1) DIV $followUs + 1"))))
+    val b = e2.select(col("user_id").as("u2"), col("ts").as("ts2"),
+        col("event_id").as("id2"))
+      .withColumn("bk2", expr(s"unix_micros(ts2) DIV $followUs"))
+    a.join(b,
+      col("u1") === col("u2") && col("bk1") === col("bk2") &&
+        col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + expr(s"INTERVAL '$followMinutes' MINUTE") &&
+        col("id1") < col("id2"))
+      .select(col("u1").as("user_id"), col("id1"), col("id2"),
+        (unix_micros(col("ts2")) - unix_micros(col("ts1"))).as("gap_us"))
+  }
+
   def d4IntervalJoin(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
-    intervalJoinTransform(e, e).orderBy(col("user_id"), col("id1"), col("id2"))
+    intervalJoinBatch(e, e).orderBy(col("user_id"), col("id1"), col("id2"))
   }
 
   val d4Sql: String =
@@ -260,7 +297,19 @@ object Events {
     */
   def d6IntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
-    intervalJoinTransform(e, e, "left_outer")
+    // LEFT OUTER decomposed over the bucketed inner join: the exploded
+    // left copies make a direct left_outer wrong (a row with a match in
+    // one bucket copy would still null-pad from the other), so outer =
+    // inner ∪ (events with no follow → null-padded), the standard
+    // outer-join-over-replicated-build decomposition. The anti join's
+    // build side is the DISTINCT matched-id1 set — |results|, tiny.
+    val inner = intervalJoinBatch(e, e)
+    val unmatched = e
+      .select(col("user_id"), col("event_id").as("id1"))
+      .join(inner.select(col("id1")).distinct(), Seq("id1"), "left_anti")
+      .select(col("user_id"), col("id1"),
+        lit(null).cast("long").as("id2"), lit(null).cast("long").as("gap_us"))
+    inner.unionByName(unmatched)
       .orderBy(col("user_id"), col("id1"), col("id2"))
   }
 
