@@ -49,7 +49,12 @@ final case class SearchParams(
     // parity keeps it on by default, but at scale a page fetch shouldn't
     // pay it unless asked (STAC's context extension treats `matched` as
     // optional).
-    withCount: Boolean = true)
+    withCount: Boolean = true,
+    // Pre-parsed CQL2 filter AST — the cql2-TEXT entry point (GET
+    // /search's default filter-lang per OGC API-Features Part 3; the
+    // json form arrives through `filter` above). Both compile through
+    // the one Cql.resolve surface, so the two languages cannot drift.
+    filterAst: Option[Cql] = None)
 
 object SearchParams {
   /** GeoJSON geometry string → `intersects` value — accepts every GeoJSON
@@ -174,6 +179,9 @@ object StacApi {
     p.filter.foreach { json =>
       df = df.where(Cql.resolve(Cql.parseJson(json), df.columns.toSeq).toColumn)
     }
+    p.filterAst.foreach { ast =>
+      df = df.where(Cql.resolve(ast, df.columns.toSeq).toColumn)
+    }
     // query-extension clauses translate into the same AST / same resolver
     // as CQL2, so both filter languages compile one predicate surface
     p.query.foreach { json =>
@@ -272,9 +280,36 @@ object StacApi {
     val filtered = plan(Tables.items(spark, dir), p)
     val sorts = sortCols(filtered, p)
     val sorted = applyFields(filtered, p, sorts).orderBy(orderCols(sorts): _*)
-
     val numMatched = if (p.withCount) filtered.count() else -1L
+    pageOf(sorted, sorts, p, filtered, numMatched)
+  }
 
+  /** One search page with each item serialized as its full STAC Feature
+    * JSON (A20's codegen'd document projection) — the HTTP layer's
+    * /search body. Same filter plan, same sort/keyset machinery as
+    * [[search]]; the document column rides the page instead of the raw
+    * item columns, so serialization is distributed (per-row codegen),
+    * never a driver loop over the page.
+    */
+  def searchFeatures(spark: SparkSession, dir: String,
+                     p: SearchParams): (Array[String], Long, Option[String]) = {
+    val filtered = plan(Tables.items(spark, dir), p)
+    val sorts = sortCols(filtered, p)
+    val sorted = StacSearch.featureFrameOn(filtered)
+      .orderBy(orderCols(sorts): _*)
+    val numMatched = if (p.withCount) filtered.count() else -1L
+    val r = pageOf(sorted, sorts, p, filtered, numMatched)
+    (r.items.map(row => row.getString(row.fieldIndex("_feature"))),
+      r.numMatched, r.nextToken)
+  }
+
+  /** The shared pager: keyset (scale default) / offset (compat) over an
+    * already-sorted frame; `filtered` supplies sort-field types for
+    * token decode.
+    */
+  private def pageOf(sorted: DataFrame, sorts: Seq[(String, Boolean)],
+                     p: SearchParams, filtered: DataFrame,
+                     numMatched: Long): SearchResult =
     p.token match {
       case Some(t) if t.startsWith("ks:") =>
         val vals = decodeKeyset(t.drop(3), sorts, filtered)
@@ -291,7 +326,6 @@ object StacApi {
       case Some(other) =>
         throw new IllegalArgumentException(s"bad token: $other")
     }
-  }
 
   private def result(page: Array[Row], sorts: Seq[(String, Boolean)],
                      p: SearchParams, matched: Long): SearchResult = {

@@ -580,6 +580,13 @@ object StacSearch {
       lit(","), substring(rest, 2, Int.MaxValue))
   }
 
+  /** Any items-view frame → the same frame + its `_feature` STAC JSON
+    * column (A20's document projection) — the serving path StacApi
+    * .searchFeatures pages over.
+    */
+  private[search] def featureFrameOn(df: DataFrame): DataFrame =
+    withEnvelope(df).withColumn("_feature", featureJsonCol)
+
   /** Raw Feature JSON (unit-tested by parsing in StacSearchSpec). */
   def a20FeatureJson(s: SparkSession, d: String): DataFrame =
     withEnvelope(items(s, d)).orderBy(col("id")).limit(20)

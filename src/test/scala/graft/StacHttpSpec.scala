@@ -1,0 +1,208 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.search.{SearchParams, StacApi, StacHttp}
+
+/** The HTTP layer exercised over real sockets (JDK HttpClient against the
+  * JDK HttpServer): every route the reference's FastAPI app mounts, each
+  * checked against the TYPED api or a direct plan — the HTTP codec must
+  * be a bijection over StacApi, never a second query engine.
+  */
+class StacHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private var server: StacHttp.Server = _
+  private val client = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+
+  override def beforeAll(): Unit = { server = StacHttp.start(s, sf) }
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  private def get(path: String): (Int, JsonNode) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(server.base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), mapper.readTree(r.body()))
+  }
+
+  private def post(path: String, body: String): (Int, JsonNode) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(server.base + path))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), mapper.readTree(r.body()))
+  }
+
+  test("landing page: catalog doc with conformsTo and the route links") {
+    val (code, doc) = get("/")
+    assert(code == 200)
+    assert(doc.get("type").asText == "Catalog")
+    assert(doc.get("conformsTo").size() == StacHttp.conformsTo.length)
+    val rels = (0 until doc.get("links").size())
+      .map(doc.get("links").get(_).get("rel").asText).toSet
+    assert(Set("self", "conformance", "data", "search").subsetOf(rels))
+  }
+
+  test("/conformance equals the landing page's conformsTo") {
+    val (code, doc) = get("/conformance")
+    assert(code == 200)
+    val uris = (0 until doc.get("conformsTo").size())
+      .map(doc.get("conformsTo").get(_).asText)
+    assert(uris == StacHttp.conformsTo)
+  }
+
+  test("GET /search: FeatureCollection page matches the typed search") {
+    val (code, doc) = get("/search?collections=click,view&limit=5")
+    assert(code == 200)
+    assert(doc.get("type").asText == "FeatureCollection")
+    assert(doc.get("features").size() == 5)
+    val typed = StacApi.search(s, sf,
+      SearchParams(collections = Seq("click", "view"), limit = 5))
+    assert(doc.get("numberMatched").asLong == typed.numMatched)
+    assert(doc.get("numberReturned").asInt == 5)
+    // same first page, same order: ids agree pairwise
+    val httpIds = (0 until 5).map(doc.get("features").get(_).get("id").asText)
+    val typedIds = typed.items.map(r => r.getString(r.fieldIndex("id"))).toSeq
+    assert(httpIds == typedIds)
+    // each feature is a real STAC item document
+    val f0 = doc.get("features").get(0)
+    assert(f0.get("type").asText == "Feature")
+    assert(f0.get("stac_version").asText == "1.0.0")
+    assert(f0.has("geometry") && f0.has("properties") && f0.has("assets"))
+  }
+
+  test("GET /search next-link token walks page 2 ≡ the typed walk") {
+    val (_, p1) = get("/search?collections=click&limit=4")
+    val next = p1.get("links").get(0)
+    assert(next.get("rel").asText == "next")
+    val token = next.get("token").asText
+    val (code, p2) = get(s"/search?collections=click&limit=4&token=" +
+      URLEncoder.encode(token, UTF_8))
+    assert(code == 200)
+    val typed1 = StacApi.search(s, sf, SearchParams(collections = Seq("click"), limit = 4))
+    val typed2 = StacApi.search(s, sf, SearchParams(collections = Seq("click"), limit = 4,
+      token = typed1.nextToken))
+    val httpIds = (0 until p2.get("features").size())
+      .map(p2.get("features").get(_).get("id").asText)
+    assert(httpIds == typed2.items.map(r => r.getString(r.fieldIndex("id"))).toSeq)
+  }
+
+  test("POST /search body ≡ GET /search with the same parameters") {
+    val body =
+      """{"collections":["click"],"bbox":[-120,-60,120,60],
+        |"datetime":"2024-01-05 00:00:00/2024-01-28 00:00:00","limit":50}"""
+        .stripMargin.replace("\n", "")
+    val (code, postDoc) = post("/search", body)
+    assert(code == 200)
+    val (_, getDoc) = get("/search?collections=click&bbox=-120,-60,120,60" +
+      "&datetime=" + URLEncoder.encode("2024-01-05 00:00:00/2024-01-28 00:00:00", UTF_8) +
+      "&limit=50")
+    assert(postDoc.get("numberMatched").asLong == getDoc.get("numberMatched").asLong)
+    val ids = (d: JsonNode) => (0 until d.get("features").size())
+      .map(d.get("features").get(_).get("id").asText)
+    assert(ids(postDoc) == ids(getDoc))
+  }
+
+  test("GET /search cql2-text filter ≡ the typed cql2-json filter") {
+    val (code, doc) = get("/search?limit=1000&filter=" +
+      URLEncoder.encode("value >= 50 AND collection = 'click'", UTF_8))
+    assert(code == 200)
+    val typed = StacApi.search(s, sf, SearchParams(limit = 1000,
+      filter = Some("""{"and":[{">=":[{"property":"value"},50]},
+        {"=":[{"property":"collection"},"click"]}]}""")))
+    assert(doc.get("numberMatched").asLong == typed.numMatched)
+  }
+
+  test("fields extension prunes the document: exclude drops, include keeps minimum") {
+    val (_, excl) = get("/search?collections=click&limit=1&fields=-assets,-properties.value")
+    val f = excl.get("features").get(0)
+    assert(!f.has("assets"))
+    assert(f.has("properties") && !f.get("properties").has("value"))
+    assert(f.has("id") && f.has("collection")) // never excludable
+    // include properties.value, not .datetime — interval items carry a
+    // null datetime that to_json drops, so .datetime is legitimately
+    // absent from some documents
+    val (_, incl) = get("/search?collections=click&limit=1&fields=properties.value")
+    val g = incl.get("features").get(0)
+    assert(g.has("id") && g.has("collection") && g.has("type"))
+    assert(g.get("properties").has("value"))
+    assert(!g.get("properties").has("user_id")) // not included → gone
+    assert(!g.has("assets"))
+  }
+
+  test("/collections two-page walk tiles the directory in order") {
+    val all = StacApi.collections(s, sf).collect()
+      .map(r => r.getString(r.fieldIndex("collection"))).toSeq
+    val (_, p1) = get("/collections?limit=2")
+    assert(p1.get("collections").size() == 2)
+    val token = p1.get("links").get(0).get("token").asText
+    val (_, p2) = get("/collections?limit=2&token=" + URLEncoder.encode(token, UTF_8))
+    val walked = (0 until 2).map(p1.get("collections").get(_).get("id").asText) ++
+      (0 until p2.get("collections").size())
+        .map(p2.get("collections").get(_).get("id").asText)
+    assert(walked == all.take(walked.length))
+  }
+
+  test("/collections/{id}: computed extent + metadata; 404 on unknown") {
+    val (code, doc) = get("/collections/click")
+    assert(code == 200)
+    assert(doc.get("type").asText == "Collection")
+    assert(doc.get("id").asText == "click")
+    val bbox = doc.get("extent").get("spatial").get("bbox").get(0)
+    val direct = Tables.items(s, sf).where(col("collection") === "click")
+      .agg(min("lon"), min("lat"), max("lon"), max("lat")).head()
+    assert(bbox.get(0).asDouble == direct.getDouble(0))
+    assert(bbox.get(1).asDouble == direct.getDouble(1))
+    assert(bbox.get(2).asDouble == direct.getDouble(2))
+    assert(bbox.get(3).asDouble == direct.getDouble(3))
+    val (nf, err) = get("/collections/nope")
+    assert(nf == 404 && err.get("code").asText == "NotFoundError")
+  }
+
+  test("/collections/{id}/items and single-item lookup; 404 on a missing item") {
+    val anyId = Tables.items(s, sf).where(col("collection") === "view")
+      .orderBy(col("id")).select(col("id")).head().getString(0)
+    val (code, item) = get(s"/collections/view/items/$anyId")
+    assert(code == 200)
+    assert(item.get("id").asText == anyId)
+    assert(item.get("collection").asText == "view")
+    val (lc, list) = get("/collections/view/items?limit=3")
+    assert(lc == 200 && list.get("features").size() == 3)
+    assert((0 until 3).forall(i =>
+      list.get("features").get(i).get("collection").asText == "view"))
+    val (nf, _) = get("/collections/view/items/definitely-not-an-id")
+    assert(nf == 404)
+  }
+
+  test("/queryables is the schema-derived JSON schema; collection scope 404s unknowns") {
+    val (code, doc) = get("/queryables")
+    assert(code == 200)
+    assert(doc.get("$schema").asText.nonEmpty)
+    assert(doc.get("properties").has("collection"))
+    assert(doc.get("properties").has("datetime"))
+    val (nf, _) = get("/collections/nope/queryables")
+    assert(nf == 404)
+  }
+
+  test("bad requests surface as 400 JSON, unknown routes as 404") {
+    val (code, err) = get("/search?bbox=1,2,3")
+    assert(code == 400 && err.get("code").asText == "BadRequest")
+    val (code2, _) = get("/search?filter-lang=sql&filter=" +
+      URLEncoder.encode("value > 1", UTF_8))
+    assert(code2 == 400)
+    val (code3, _) = get("/no/such/route")
+    assert(code3 == 404)
+  }
+}
