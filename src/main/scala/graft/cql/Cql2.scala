@@ -44,6 +44,13 @@ object Cql {
   case object OpenBound extends Operand
   /** CQL2 `casei` accessor: case-insensitive wrapper around an operand. */
   final case class CaseI(x: Operand) extends Operand
+  /** CQL2 `accenti` accessor (OGC 21-065 Accent-insensitive Comparison):
+    * accent-stripping wrapper — NFD + drop combining marks on the Spark
+    * side ([[graft.functions.StripAccents]]), `strip_accents` on the
+    * DuckDB side; the two are the same Unicode algorithm, so the
+    * backends cannot drift. Composes freely with casei.
+    */
+  final case class Accenti(x: Operand) extends Operand
 
   /** CQL2 arithmetic expression (OGC cql2-json `+ - * /`): an operand, so
     * it composes anywhere a property or literal can appear inside
@@ -163,6 +170,7 @@ object Cql {
     def ro(o: Operand): Operand = o match {
       case Prop(n)  => Prop(resolveProp(n, schema))
       case CaseI(x) => CaseI(ro(x))
+      case Accenti(x) => Accenti(ro(x))
       case Arith(op, l, r) => Arith(op, ro(l), ro(r))
       case Arr(vs)  => Arr(vs.map(ro))
       case other    => other
@@ -258,6 +266,7 @@ object Cql {
     case Bool(v)   => lit(v)
     case Ts(v)     => lit(v).cast("timestamp")
     case CaseI(x)  => lower(opCol(x))
+    case Accenti(x) => graft.functions.StripAccents(opCol(x))
     case Arith(op, l, r) =>
       val (a, b) = (opCol(l), opCol(r))
       op match {
@@ -363,6 +372,7 @@ object Cql {
     case Bool(v)   => if (v) "TRUE" else "FALSE"
     case Ts(v)     => s"TIMESTAMP '$v'"
     case CaseI(x)  => s"LOWER(${opSql(x)})"
+    case Accenti(x) => s"strip_accents(${opSql(x)})"
     case Arith(op, l, r) => s"(${opSql(l)} $op ${opSql(r)})"
     case Arr(vs)   => vs.map(opSql).mkString("[", ", ", "]")
     case OpenBound => throw new IllegalArgumentException(
@@ -437,6 +447,7 @@ object Cql {
 
   private def parseOperand(n: JsonNode): Operand =
     if (n.isObject && n.has("casei")) CaseI(parseOperand(n.get("casei")))
+    else if (n.isObject && n.has("accenti")) Accenti(parseOperand(n.get("accenti")))
     else if (n.isObject && n.has("property")) Prop(n.get("property").asText())
     else if (n.isObject && n.size() == 1 && arithOps.contains(n.fieldNames().next())) {
       val op = n.fieldNames().next()

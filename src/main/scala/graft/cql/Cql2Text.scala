@@ -367,6 +367,11 @@ object Cql2Text {
         val o = operand()
         expectSym(")")
         CaseI(o)
+      case Some(t) if kw(t).contains("ACCENTI") =>
+        pos += 1; expectSym("(")
+        val o = operand()
+        expectSym(")")
+        Accenti(o)
       case Some(Ident(n)) => pos += 1; Prop(n)
       case _ => err("expected an operand")
     }

@@ -716,3 +716,49 @@ object CosineCrossPairs {
     GraftBridge.column(CosineCrossPairs(
       GraftBridge.expression(a), GraftBridge.expression(b), minCos))
 }
+
+/** CQL2 ACCENTI accessor kernel: Unicode-exact accent stripping — NFD
+  * decomposition, then drop combining marks — which is precisely what
+  * DuckDB's `strip_accents` (utf8proc) computes, so the oracle SQL can
+  * render `strip_accents(x)` and hash-match bit for bit. Characters with
+  * no canonical decomposition (ß, Ø, Ł, Œ, Æ) pass through unchanged in
+  * BOTH engines — that agreement is load-bearing and spec-pinned.
+  * Codegen'd: one static call per row, no UDF in the hot path.
+  */
+case class StripAccents(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "strip_accents"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StripAccents.strip(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StripAccents.strip($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  private val marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** Static — called from generated code. ASCII fast path: the fixture
+    * corpora are ASCII, so the normalizer usually never runs.
+    */
+  def strip(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      marks.matcher(java.text.Normalizer.normalize(str,
+        java.text.Normalizer.Form.NFD)).replaceAll(""))
+  }
+
+  def apply(c: Column): Column =
+    GraftBridge.column(StripAccents(GraftBridge.expression(c)))
+}

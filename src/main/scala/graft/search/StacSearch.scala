@@ -451,6 +451,54 @@ object StacSearch {
     s"""SELECT id, ${a76Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
        |FROM items ORDER BY id""".stripMargin)
 
+  /** A80: CQL2 `accenti` accessor (OGC 21-065 Accent-insensitive
+    * Comparison — `casei`'s sibling accessor, reference inherits it at
+    * the same filter extension point as A32) as a per-row boolean
+    * battery. The fixture corpus is ASCII, so the accented characters
+    * live in the LITERALS — which is exactly what makes the gate a
+    * cross-engine parity pin: every cell's truth value depends on the
+    * Spark kernel ([[graft.functions.StripAccents]], NFD + drop
+    * combining marks) and DuckDB's `strip_accents` (utf8proc) agreeing
+    * bit-for-bit on the battery's characters, including the
+    * load-bearing NO-DECOMPOSITION pass-through set (ß Ø Œ Æ Ł) and
+    * multi-mark decompositions (ấ ǡ Ḹ). Composition with `casei` is
+    * exercised in BOTH orders (LOWER∘strip and strip∘LOWER), which pins
+    * the engines' Unicode lowercasing agreement on accented input too.
+    */
+  private val a80Ops: Seq[(String, String)] = Seq(
+    // column-side accenti: strip(collection) is identity on ASCII data,
+    // strip('vïew') = 'view' — true exactly on the view rows
+    "ac_eq"    -> """{"=":[{"accenti":{"property":"collection"}},{"accenti":"vïew"}]}""",
+    // casei ∘ accenti (LOWER(strip(x))): accent-then-case insensitive
+    "ac_ci"    -> """{"=":[{"casei":{"accenti":{"property":"collection"}}},{"casei":{"accenti":"CLÏCK"}}]}""",
+    // accenti ∘ casei (strip(LOWER(x))): pins Unicode lowercasing of
+    // accented input (LOWER('SÏGNUP') must be 'sïgnup' in both engines)
+    "ac_ic"    -> """{"=":[{"accenti":{"casei":{"property":"collection"}}},{"accenti":{"casei":"SÏGNUP"}}]}""",
+    // IN with per-element accenti ('érror' strips to a real collection,
+    // 'purchäse' to another; 'öops' to a non-value — stays false)
+    "ac_in"    -> """{"in":[{"accenti":{"property":"collection"}},[{"accenti":"érror"},{"accenti":"purchäse"},{"accenti":"öops"}]]}""",
+    // LIKE under accenti: '%ïe%' → '%ie%' matches only 'view'
+    "ac_like"  -> """{"like":[{"accenti":{"property":"collection"}},{"accenti":"%ïe%"}]}""",
+    // constant cells: the pass-through set survives strip_accents
+    // unchanged in both engines (no canonical decomposition) …
+    "ac_pass"  -> """{"=":[{"accenti":"ß-Øl-Œuvre-Æon"},"ß-Øl-Œuvre-Æon"]}""",
+    // … mixed word: Ł passes through while ó/ź strip …
+    "ac_mixed" -> """{"=":[{"accenti":"Łódź"},"Łodz"]}""",
+    // … and multi-mark canonical decompositions strip fully
+    "ac_multi" -> """{"=":[{"accenti":"ấǡḸ crème brûlée"},"aaL creme brulee"]}"""
+  )
+  private val a80Asts: Seq[(String, Cql)] =
+    a80Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
+
+  def a80CqlAccenti(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .select(col("id") +: a80Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
+      .orderBy(col("id"))
+
+  val a80Sql: String = Tables.withItems(
+    s"""SELECT id, ${a80Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
+       |FROM items ORDER BY id""".stripMargin)
+
   /** CQL2 casei accessor (case-insensitive equality/IN, extension). */
   private val (a32Fn, a32Sql) = cqlQuery(
     """{"or":[
@@ -2758,6 +2806,7 @@ object StacSearch {
     "a72_cql2_s_disjoint"         -> (a72CqlDisjoint _),
     "a74_cql2_t_interval"         -> a74Fn,
     "a76_cql2_allen"              -> (a76CqlAllen _),
+    "a80_cql2_accenti"            -> (a80CqlAccenti _),
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a78_within_concave"          -> (a78WithinConcave _),
@@ -2832,6 +2881,7 @@ object StacSearch {
     "a72_cql2_s_disjoint"         -> a72Sql,
     "a74_cql2_t_interval"         -> a74Sql,
     "a76_cql2_allen"              -> a76Sql,
+    "a80_cql2_accenti"            -> a80Sql,
     "a77_cql2_spatial_rel"        -> a77Sql,
     "a75_geoparquet_ingest"       -> a75Sql,
     "a78_within_concave"          -> a78Sql,

@@ -482,6 +482,60 @@ class CqlSpec extends AnyFunSuite {
     assert(dj.isInstanceOf[Cql.Not])
   }
 
+  test("accenti accessor: json ≡ text AST, strip_accents SQL rendering, " +
+      "NFD kernel semantics on a constructed accent frame, 3VL on null") {
+    import graft.cql.Cql2Text
+    import org.apache.spark.sql.functions.col
+    val s = TestSpark.spark
+    import s.implicits._
+    val json = Cql.parseJson(
+      """{"=":[{"accenti":{"property":"name"}},{"accenti":"cäfé"}]}""")
+    val text = Cql2Text.parse("ACCENTI(name) = ACCENTI('cäfé')")
+    assert(json == text, "accenti: json and text must build the same AST")
+    assert(json.toSql == "strip_accents(name) = strip_accents('cäfé')")
+    // resolve passes through the wrapper like casei does
+    assert(Cql.resolve(json, Seq("name")).toSql == json.toSql)
+
+    val df = Seq("café", "cafe", "CAFÉ", "ß", "Łódź", "Łodz", "ấǡḸ",
+      null.asInstanceOf[String]).toDF("name")
+    def claims(ast: Cql): Set[String] =
+      df.where(ast.toColumn).as[String].collect().toSet
+    // accent-insensitive equality: literal and column both strip
+    assert(claims(json) == Set("café", "cafe"))
+    // casei ∘ accenti claims the case variant too
+    assert(claims(Cql.parseJson(
+      """{"=":[{"casei":{"accenti":{"property":"name"}}},
+        |      {"casei":{"accenti":"CÀFÉ"}}]}""".stripMargin)) ==
+      Set("café", "cafe", "CAFÉ"))
+    // accenti ∘ casei (strip(LOWER(x))) — same claim set on this frame
+    assert(claims(Cql.parseJson(
+      """{"=":[{"accenti":{"casei":{"property":"name"}}},
+        |      {"accenti":{"casei":"CÀFÉ"}}]}""".stripMargin)) ==
+      Set("café", "cafe", "CAFÉ"))
+    // no-decomposition pass-through: ß survives, so only ß matches
+    assert(claims(Cql.parseJson(
+      """{"=":[{"accenti":{"property":"name"}},"ß"]}""")) == Set("ß"))
+    // mixed word: Ł passes through while ó/ź strip → both spellings land
+    // on 'Łodz'
+    assert(claims(Cql.parseJson(
+      """{"=":[{"accenti":{"property":"name"}},"Łodz"]}""")) ==
+      Set("Łódź", "Łodz"))
+    // multi-mark canonical decompositions strip fully
+    assert(claims(Cql.parseJson(
+      """{"=":[{"accenti":{"property":"name"}},"aaL"]}""")) == Set("ấǡḸ"))
+    // the null row never matches anything (3VL: strip(NULL) is NULL)
+
+    // kernel directly: ASCII fast path is the identity, and the codegen
+    // and interpreted paths agree on every row of the frame
+    val k = df.select(col("name"),
+      graft.functions.StripAccents(col("name")).as("st"))
+    val got = k.as[(String, String)].collect().toMap
+    assert(got("cafe") == "cafe" && got("café") == "cafe" &&
+      got("CAFÉ") == "CAFE" && got("ß") == "ß" && got("Łódź") == "Łodz" &&
+      got("ấǡḸ") == "aaL")
+    assert(k.where(col("name").isNull && col("st").isNotNull).count() == 0)
+  }
+
   test("cql2-text malformed input gets a clear error, not a crash") {
     import graft.cql.Cql2Text
     val cases = Seq(
