@@ -531,6 +531,15 @@ object Cql {
     import graft.spatial.Shape._
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"cql2 s_intersects: $msg (got: $g)")
+    // OGC 21-065 BBOX spatial literal ({"bbox":[W,S,E,N]} — not GeoJSON,
+    // cql2's own geometry form) folds to the polygon family up front
+    if (g != null && g.isObject && g.has("bbox")) {
+      val b = g.get("bbox")
+      if (!b.isArray || b.elements().asScala.exists(!_.isNumber))
+        bad("bbox literal must be a numeric array")
+      return graft.spatial.Shape.fromBbox(
+        b.elements().asScala.map(_.asDouble()).toArray)
+    }
     if (g == null || !g.isObject || g.get("type") == null || !g.get("type").isTextual)
       bad("geometry must be a GeoJSON object with a \"type\"")
     val typ = g.get("type").asText()

@@ -443,6 +443,16 @@ object Cql2Text {
           while (eatSym(",")) gs ::= wkt()
           expectSym(")")
           CollS(gs.reverse.toArray)
+        // cql2-text's own (non-WKT) spatial literal: BBOX(W, S, E, N)
+        // with an optional z-interval (6 numbers, dropped in the fold) —
+        // comma-separated per the 21-065 BNF, unlike WKT's space pairs
+        case "BBOX" =>
+          expectSym("(")
+          var ns = List(num())
+          while (eatSym(",")) ns ::= num()
+          expectSym(")")
+          try Shape.fromBbox(ns.reverse.toArray)
+          catch { case e: IllegalArgumentException => err(e.getMessage) }
         case other => err(s"unsupported WKT type $other")
       }
     }

@@ -1361,6 +1361,40 @@ object StacSearch {
        |FROM (SELECT id, lon, lat, $envelopeSqlCols FROM items)
        |ORDER BY id""".stripMargin)
 
+  /** A81: CQL2 BBOX spatial literal (OGC 21-065 — cql2's own geometry
+    * form, NOT GeoJSON) as a per-row boolean battery. The literal folds
+    * to the polygon family at parse time ([[graft.spatial.Shape.fromBbox]])
+    * so every existing kernel and the oracle rendering come for free;
+    * the battery pins the fold's two spec'd edges — the ANTIMERIDIAN
+    * split (W > E ⇒ union of two boxes, the same rule as the search
+    * `bbox` param, A61) and the 6-number z-interval DROP (`bb_z` must
+    * equal `bb_int` on every row or the hash breaks) — across
+    * s_intersects / s_disjoint / s_within / s_overlaps on both targets.
+    */
+  private val a81Ops: Seq[(String, String)] = Seq(
+    "bb_int"  -> """{"s_intersects":[{"property":"geometry"},{"bbox":[-30,-20,40,35]}]}""",
+    // 6-number form: z-interval dropped ⇒ identical to bb_int per row
+    "bb_z"    -> """{"s_intersects":[{"property":"geometry"},{"bbox":[-30,-20,-5.5,40,35,5.5]}]}""",
+    // exact complement of bb_int — the cells partition every row
+    "bb_dis"  -> """{"s_disjoint":[{"property":"geometry"},{"bbox":[-30,-20,40,35]}]}""",
+    // W > E: crosses the antimeridian, union of [150,180] and [-180,-150]
+    "bb_anti" -> """{"s_intersects":[{"property":"geometry"},{"bbox":[150,-40,-150,40]}]}""",
+    "bb_win"  -> """{"s_within":[{"property":"footprint"},{"bbox":[-60,-45,60,45]}]}""",
+    "bb_ovl"  -> """{"s_overlaps":[{"property":"footprint"},{"bbox":[-10,-10,10,10]}]}"""
+  )
+  private val a81Asts: Seq[(String, Cql)] =
+    a81Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
+
+  def a81CqlBbox(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d))
+      .select(col("id") +: a81Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
+      .orderBy(col("id"))
+
+  val a81Sql: String = Tables.withItems(
+    s"""SELECT id, ${a81Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
+       |FROM (SELECT id, lon, lat, $envelopeSqlCols FROM items)
+       |ORDER BY id""".stripMargin)
+
   /** A78: exact s_within on CONCAVE and HOLED query regions with an
     * ALGORITHMICALLY INDEPENDENT oracle — the Spark side runs the
     * general boxWithinGeom kernel (closed corner+center membership +
@@ -2807,6 +2841,7 @@ object StacSearch {
     "a74_cql2_t_interval"         -> a74Fn,
     "a76_cql2_allen"              -> (a76CqlAllen _),
     "a80_cql2_accenti"            -> (a80CqlAccenti _),
+    "a81_cql2_bbox"               -> (a81CqlBbox _),
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a78_within_concave"          -> (a78WithinConcave _),
@@ -2882,6 +2917,7 @@ object StacSearch {
     "a74_cql2_t_interval"         -> a74Sql,
     "a76_cql2_allen"              -> a76Sql,
     "a80_cql2_accenti"            -> a80Sql,
+    "a81_cql2_bbox"               -> a81Sql,
     "a77_cql2_spatial_rel"        -> a77Sql,
     "a75_geoparquet_ingest"       -> a75Sql,
     "a78_within_concave"          -> a78Sql,

@@ -1261,6 +1261,26 @@ object Shape {
   final case class PolyS(geom: Array[Array[Array[Double]]]) extends Shape
   /** GeometryCollection. */
   final case class CollS(parts: Array[Shape]) extends Shape
+
+  /** OGC 21-065 BBOX spatial literal → the polygon-family form every
+    * kernel already handles. 4 numbers [W,S,E,N] or 6 (z-interval is
+    * DROPPED per spec: [W,S,zmin,E,N,zmax]). W > E means the box crosses
+    * the antimeridian and is the UNION of two boxes ([W,180] ∪ [-180,E])
+    * — same split rule as the search `bbox` param (A61), so the two bbox
+    * surfaces cannot disagree.
+    */
+  def fromBbox(nums: Array[Double]): Shape = {
+    val (w, s, e, n) = nums.length match {
+      case 4 => (nums(0), nums(1), nums(2), nums(3))
+      case 6 => (nums(0), nums(1), nums(3), nums(4))
+      case k => throw new IllegalArgumentException(
+        s"bbox literal needs 4 or 6 numbers, got $k")
+    }
+    def rect(x0: Double, x1: Double): Array[Array[Double]] =
+      Array(Array(x0, s, x1, s, x1, n, x0, n))
+    if (w <= e) PolyS(Array(rect(w, e)))
+    else PolyS(Array(rect(w, 180.0), rect(-180.0, e)))
+  }
 }
 
 /** Codegen'd exact point ∩ arbitrary-shape test (Point/MultiPoint equality,

@@ -536,6 +536,49 @@ class CqlSpec extends AnyFunSuite {
     assert(k.where(col("name").isNull && col("st").isNotNull).count() == 0)
   }
 
+  test("bbox spatial literal: json ≡ text AST, antimeridian split, " +
+      "z-interval dropped, bad arity is a typed error") {
+    import graft.cql.Cql2Text
+    val s = TestSpark.spark
+    import s.implicits._
+    val json = Cql.parseJson(
+      """{"s_intersects":[{"property":"geometry"},{"bbox":[150,-40,-150,40]}]}""")
+    val text = Cql2Text.parse("S_INTERSECTS(geometry, BBOX(150, -40, -150, 40))")
+    // Shape carries Arrays (reference equality) — identical rendered SQL
+    // is the established same-AST proof for geometry forms
+    assert(json.toSql == text.toSql, "bbox: json and text must build the same AST")
+    // W > E folds to TWO rectangles (union across the antimeridian)
+    json match {
+      case Cql.SIntersects(graft.spatial.Shape.PolyS(polys), _) =>
+        assert(polys.length == 2)
+      case other => fail(s"expected a two-polygon fold, got $other")
+    }
+    val df = Seq((0.0, 0.0), (179.0, 0.0), (-179.0, 0.0), (150.0, -40.0),
+      (100.0, 0.0)).toDF("lon", "lat")
+    def claims(ast: Cql): Set[(Double, Double)] =
+      df.where(ast.toColumn).as[(Double, Double)].collect().toSet
+    // the split box claims both sides of the antimeridian, its own
+    // boundary corner (closed semantics), and nothing in the gap
+    assert(claims(json) ==
+      Set((179.0, 0.0), (-179.0, 0.0), (150.0, -40.0)))
+    // plain box, and its 6-number form with a z-interval: same claims
+    val flat = Cql.parseJson(
+      """{"s_intersects":[{"property":"geometry"},{"bbox":[-30,-20,40,35]}]}""")
+    val withZ = Cql.parseJson(
+      """{"s_intersects":[{"property":"geometry"},{"bbox":[-30,-20,-5.5,40,35,5.5]}]}""")
+    assert(flat.toSql == withZ.toSql, "z-interval must be dropped in the fold")
+    assert(claims(flat) == Set((0.0, 0.0)))
+    // identical SQL rendering from both grammars
+    assert(text.toSql == json.toSql)
+    // arity: 4 or 6 numbers only — typed errors in BOTH grammars
+    intercept[IllegalArgumentException] {
+      Cql.parseJson("""{"s_intersects":[{"property":"geometry"},{"bbox":[1,2,3]}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      Cql2Text.parse("S_INTERSECTS(geometry, BBOX(1, 2, 3, 4, 5))")
+    }
+  }
+
   test("cql2-text malformed input gets a clear error, not a crash") {
     import graft.cql.Cql2Text
     val cases = Seq(
