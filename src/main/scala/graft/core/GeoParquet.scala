@@ -140,22 +140,15 @@ object GeoParquet {
       .orderBy(col("id_num"))
       .collect()
 
-    def micros(t: java.sql.Timestamp): java.lang.Long =
-      if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-
     // file-level bbox over every geometry's envelope (first pass — the
-    // footer metadata must be final at writer close)
+    // footer metadata must be final at writer close; the DISTRIBUTED
+    // writer in [[export]] folds it single-pass via finalizeWrite instead)
     var (w, s, e, n) = (Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
     val tmp = new java.io.File(file + ".tmp")
     if (tmp.exists()) tmp.delete()
     rows.foreach { r =>
-      val idNum = r.getLong(1); val lon = r.getDouble(8); val lat = r.getDouble(9)
-      val (x0, y0, x1, y1) =
-        if (idNum % 2 == 0) (lon, lat, lon, lat)
-        else {
-          val hw = halfW(r.getLong(7)); val hh = halfH(idNum)
-          (lon - hw, lat - hh, lon + hw, lat + hh)
-        }
+      val (_, (x0, y0, x1, y1)) =
+        rowGeom(r.getLong(1), r.getLong(7), r.getDouble(8), r.getDouble(9))
       w = math.min(w, x0); s = math.min(s, y0); e = math.max(e, x1); n = math.max(n, y1)
     }
 
@@ -165,50 +158,176 @@ object GeoParquet {
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
     val factory = new SimpleGroupFactory(schema)
-    try {
-      rows.foreach { r =>
-        val idNum = r.getLong(1); val userId = r.getLong(7)
-        val lon = r.getDouble(8); val lat = r.getDouble(9)
-        val shape: Shape =
-          if (idNum % 2 == 0) Shape.PointS(lon, lat)
-          else {
-            val hw = halfW(userId); val hh = halfH(idNum)
-            Shape.PolyS(Array(Array(Array(
-              lon - hw, lat - hh, lon + hw, lat - hh,
-              lon + hw, lat + hh, lon - hw, lat + hh))))
-          }
-        val (x0, y0, x1, y1) =
-          if (idNum % 2 == 0) (lon, lat, lon, lat)
-          else {
-            val hw = halfW(userId); val hh = halfH(idNum)
-            (lon - hw, lat - hh, lon + hw, lat + hh)
-          }
-        val g = factory.newGroup()
-        g.append("id", r.getString(0))
-        g.append("id_num", idNum)
-        g.append("collection", r.getString(2))
-        val dt = micros(r.getAs[java.sql.Timestamp]("datetime"))
-        if (dt != null) g.append("datetime", dt.longValue())
-        val sd = micros(r.getAs[java.sql.Timestamp]("start_datetime"))
-        if (sd != null) g.append("start_datetime", sd.longValue())
-        val ed = micros(r.getAs[java.sql.Timestamp]("end_datetime"))
-        if (ed != null) g.append("end_datetime", ed.longValue())
-        g.append("value", r.getDouble(6))
-        g.append("user_id", userId)
-        g.append("lon", lon)
-        g.append("lat", lat)
-        val bb = g.addGroup("bbox")
-        bb.append("xmin", x0); bb.append("ymin", y0)
-        bb.append("xmax", x1); bb.append("ymax", y1)
-        g.append("geometry", org.apache.parquet.io.api.Binary.fromConstantByteArray(
-          Wkb.encode(shape)))
-        real.write(g)
-      }
-    } finally real.close()
+    try rows.foreach(r => real.write(rowGroup(factory, r)))
+    finally real.close()
     if (!tmp.renameTo(f))
       throw new java.io.IOException(s"could not move $tmp to $f")
     file
   }
+
+  // ------------------------------------------------------------- export
+  // The WRITE side of the reference's data plane: its corpus IS one
+  // GeoParquet file per collection (database_logic.py:831-853 plans a
+  // per-collection scan; download_geoparquet.py materializes the files).
+  // `export` produces exactly that layout DISTRIBUTED: rows shuffle once
+  // on (collection, shard), each task streams its run of rows into
+  // parquet-mr writers, and the spec'd `geo` footer (incl. the per-FILE
+  // bbox) is computed IN THE SAME PASS via WriteSupport.finalizeWrite —
+  // parquet writes footer metadata at close, so a running envelope needs
+  // no second scan. `shards` splits a hot collection across files (the
+  // 100 TB valve: one collection never pins one task); every shard file
+  // is independently valid GeoParquet with its own exact footer bbox.
+
+  /** Streams groups to a [[GroupWriteSupport]] while folding the running
+    * envelope of the `bbox` struct; emits the final `geo` footer (with
+    * the exact file-level bbox) when parquet-mr closes the file.
+    */
+  private class GeoWriteSupport(schema: MessageType)
+      extends org.apache.parquet.hadoop.api.WriteSupport[org.apache.parquet.example.data.Group] {
+    import org.apache.parquet.hadoop.api.WriteSupport
+    private val inner = new org.apache.parquet.hadoop.example.GroupWriteSupport()
+    private var w = Double.MaxValue; private var s = Double.MaxValue
+    private var e = -Double.MaxValue; private var n = -Double.MaxValue
+    override def init(conf: org.apache.hadoop.conf.Configuration): WriteSupport.WriteContext = {
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+      inner.init(conf)
+    }
+    override def prepareForWrite(rc: org.apache.parquet.io.api.RecordConsumer): Unit =
+      inner.prepareForWrite(rc)
+    override def write(g: org.apache.parquet.example.data.Group): Unit = {
+      val bb = g.getGroup("bbox", 0)
+      w = math.min(w, bb.getDouble("xmin", 0)); s = math.min(s, bb.getDouble("ymin", 0))
+      e = math.max(e, bb.getDouble("xmax", 0)); n = math.max(n, bb.getDouble("ymax", 0))
+      inner.write(g)
+    }
+    override def finalizeWrite(): WriteSupport.FinalizedWriteContext =
+      new WriteSupport.FinalizedWriteContext(
+        java.util.Collections.singletonMap("geo", geoJson((w, s, e, n))))
+  }
+
+  private class GeoWriterBuilder(path: Path, schema: MessageType)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        org.apache.parquet.example.data.Group, GeoWriterBuilder](path) {
+    override def self(): GeoWriterBuilder = this
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration) =
+      new GeoWriteSupport(schema)
+  }
+
+  /** Exported directory for a fixture dir — content-fingerprinted like
+    * [[stagedPath]] so an in-place regeneration cannot serve stale files.
+    */
+  def exportPath(dir: String, shards: Int = 1): String =
+    s"/tmp/graft_geoparquet_export_${FixtureGuard.fingerprint(dir, "events")}_s$shards"
+
+  /** Per-row geometry: even id_num → Point, odd → footprint Polygon (the
+    * stage() convention, so export and fixture file agree) + its envelope.
+    */
+  private[core] def rowGeom(idNum: Long, userId: Long, lon: Double, lat: Double)
+      : (Shape, (Double, Double, Double, Double)) =
+    if (idNum % 2 == 0) (Shape.PointS(lon, lat), (lon, lat, lon, lat))
+    else {
+      val hw = halfW(userId); val hh = halfH(idNum)
+      (Shape.PolyS(Array(Array(Array(
+        lon - hw, lat - hh, lon + hw, lat - hh,
+        lon + hw, lat + hh, lon - hw, lat + hh)))),
+        (lon - hw, lat - hh, lon + hw, lat + hh))
+    }
+
+  /** One items-view row → one parquet-mr Group of [[schema]]. Runs on
+    * EXECUTORS (the task-side body of [[export]]).
+    */
+  private def rowGroup(factory: SimpleGroupFactory, r: org.apache.spark.sql.Row)
+      : org.apache.parquet.example.data.Group = {
+    def micros(t: java.sql.Timestamp): java.lang.Long =
+      if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val idNum = r.getLong(1); val userId = r.getLong(7)
+    val lon = r.getDouble(8); val lat = r.getDouble(9)
+    val (shape, (x0, y0, x1, y1)) = rowGeom(idNum, userId, lon, lat)
+    val g = factory.newGroup()
+    g.append("id", r.getString(0))
+    g.append("id_num", idNum)
+    g.append("collection", r.getString(2))
+    val dt = micros(r.getAs[java.sql.Timestamp](3))
+    if (dt != null) g.append("datetime", dt.longValue())
+    val sd = micros(r.getAs[java.sql.Timestamp](4))
+    if (sd != null) g.append("start_datetime", sd.longValue())
+    val ed = micros(r.getAs[java.sql.Timestamp](5))
+    if (ed != null) g.append("end_datetime", ed.longValue())
+    g.append("value", r.getDouble(6))
+    g.append("user_id", userId)
+    g.append("lon", lon)
+    g.append("lat", lat)
+    val bb = g.addGroup("bbox")
+    bb.append("xmin", x0); bb.append("ymin", y0)
+    bb.append("xmax", x1); bb.append("ymax", y1)
+    g.append("geometry", org.apache.parquet.io.api.Binary.fromConstantByteArray(
+      Wkb.encode(shape)))
+    g
+  }
+
+  /** Write the per-collection GeoParquet catalog (the reference's layout)
+    * for a fixture dir, distributed: shuffle on (collection, shard), one
+    * file per (collection, shard) written by whichever task owns the run
+    * — single pass, footer bbox folded during the write. Idempotent per
+    * (fixture fingerprint, shards); `_SUCCESS` marks a completed export.
+    */
+  def export(spark: SparkSession, dir: String, shards: Int = 1): String = synchronized {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val out = exportPath(dir, shards)
+    val done = new java.io.File(out, "_SUCCESS")
+    if (done.exists()) return out
+    val root = new java.io.File(out)
+    if (root.exists()) {  // incomplete previous attempt — restart clean
+      root.listFiles().foreach(_.delete()); root.delete()
+    }
+    root.mkdirs()
+    val nShards = shards
+    val outPath = out
+    Tables.items(spark, dir)
+      .select(col("id"), col("id_num"), col("collection"), col("datetime"),
+        col("start_datetime"), col("end_datetime"), col("value"),
+        col("user_id"), col("lon"), col("lat"),
+        pmod(col("id_num"), lit(nShards.toLong)).as("shard"))
+      .repartition(col("collection"), col("shard"))
+      .sortWithinPartitions(col("collection"), col("shard"), col("id_num"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val factory = new SimpleGroupFactory(schema)
+        var cur: (String, Long) = null
+        var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = null
+        try {
+          it.foreach { r =>
+            val key = (r.getString(2), r.getLong(10))
+            if (key != cur) {
+              if (writer != null) writer.close()
+              writer = new GeoWriterBuilder(
+                new Path(s"$outPath/${key._1}-${key._2}.parquet"), schema)
+                .withCompressionCodec(CompressionCodecName.SNAPPY)
+                .build()
+              cur = key
+            }
+            writer.write(rowGroup(factory, r))
+          }
+        } finally if (writer != null) writer.close()
+      }
+    done.createNewFile()
+    out
+  }
+
+  /** Footer `geo` bboxes of every file in an exported directory, keyed by
+    * file stem (`<collection>-<shard>`) — metadata-plane only (one footer
+    * open per file; file count = collections × shards, never rows).
+    * Validates each footer is well-formed GeoParquet 1.1 on the way.
+    */
+  def footerBboxes(out: String): Map[String, Seq[Double]] =
+    new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map { f =>
+        val m = readGeoMeta(f.getAbsolutePath)
+        require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
+          m.encoding == "WKB" && m.bbox.length == 4,
+          s"exported footer drifted: ${f.getName} → $m")
+        f.getName.stripSuffix(".parquet") -> m.bbox
+      }.toMap
 
   /** Read and parse the `geo` footer metadata — the metadata-plane step
     * a GeoParquet reader performs before planning the scan.

@@ -1497,6 +1497,64 @@ object StacSearch {
        |  FROM read_parquet('$a75Path'))
        |ORDER BY id""".stripMargin
 
+  // -------------------------------- A82 distributed GeoParquet EXPORT
+  @volatile private var a82Dir: String = "/tmp/graft_geoparquet_export_unset"
+
+  /** A82: the WRITE side of the reference's data plane — its corpus IS a
+    * per-collection GeoParquet catalog (database_logic.py:831-853 scans
+    * one file per collection; download_geoparquet.py materializes them).
+    * The gate EXPORTS that layout distributed (one shuffle on
+    * (collection, shard); tasks stream rows into parquet-mr writers; the
+    * spec'd `geo` footer incl. the exact per-file bbox is folded in the
+    * SAME pass via WriteSupport.finalizeWrite — no second scan), then
+    * round-trips: footers are read back metadata-plane (one open per
+    * file), the WKB geometry decodes through the A42 codegen
+    * expressions, and the output carries BOTH the decoded envelope and
+    * the file's footer bbox per row. The oracle re-derives the envelope
+    * WKB-FREE from plain columns and the footer bbox as the
+    * per-collection window min/max — so the hash match proves the
+    * distributed single-pass footer fold is exact, not just present.
+    */
+  def a82GeoparquetExport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = graft.core.GeoParquet.export(s, d)
+    a82Dir = out
+    // shards=1 ⇒ one file per collection, stem "<collection>-0"
+    val fDf = graft.core.GeoParquet.footerBboxes(out).toSeq.map {
+      case (stem, b) => (stem.stripSuffix("-0"), b(0), b(1), b(2), b(3))
+    }.toDF("collection", "f_xmin", "f_ymin", "f_xmax", "f_ymax")
+    s.read.parquet(out)
+      .withColumn("env", graft.spatial.WkbEnvelope(col("geometry")))
+      .join(broadcast(fDf), Seq("collection"))
+      .select(col("id"), col("collection"),
+        col("datetime").cast("timestamp").as("datetime"),
+        graft.spatial.WkbType(col("geometry")).as("gtype"),
+        col("env").getItem(0).as("g_xmin"), col("env").getItem(1).as("g_ymin"),
+        col("env").getItem(2).as("g_xmax"), col("env").getItem(3).as("g_ymax"),
+        col("f_xmin"), col("f_ymin"), col("f_xmax"), col("f_ymax"))
+      .orderBy(col("id"))
+  }
+
+  def a82Sql: String =
+    s"""SELECT id, collection, datetime, gtype, g_xmin, g_ymin, g_xmax, g_ymax,
+       |  MIN(g_xmin) OVER (PARTITION BY collection) AS f_xmin,
+       |  MIN(g_ymin) OVER (PARTITION BY collection) AS f_ymin,
+       |  MAX(g_xmax) OVER (PARTITION BY collection) AS f_xmax,
+       |  MAX(g_ymax) OVER (PARTITION BY collection) AS f_ymax
+       |FROM (
+       |  SELECT id, collection, datetime,
+       |    CASE WHEN id_num % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS gtype,
+       |    CASE WHEN id_num % 2 = 0 THEN lon ELSE lon - hw END AS g_xmin,
+       |    CASE WHEN id_num % 2 = 0 THEN lat ELSE lat - hh END AS g_ymin,
+       |    CASE WHEN id_num % 2 = 0 THEN lon ELSE lon + hw END AS g_xmax,
+       |    CASE WHEN id_num % 2 = 0 THEN lat ELSE lat + hh END AS g_ymax
+       |  FROM (
+       |    SELECT id, id_num, collection, datetime, lon, lat,
+       |      CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1 AS hw,
+       |      CAST(id_num % 7 AS DOUBLE) / 10.0 + 0.1 AS hh
+       |    FROM read_parquet('$a82Dir/*.parquet')))
+       |ORDER BY id""".stripMargin
+
   // --------------------- A40/A41 non-polygon GeoJSON types in s_intersects
   /** A40: s_intersects with a GeometryCollection mixing a convex Polygon,
     * a LineString and a Point against item POINT geometry — the reference
@@ -2844,6 +2902,7 @@ object StacSearch {
     "a81_cql2_bbox"               -> (a81CqlBbox _),
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
+    "a82_geoparquet_export"       -> (a82GeoparquetExport _),
     "a78_within_concave"          -> (a78WithinConcave _),
     "a73_cql2_s_within"           -> (a73CqlWithin _),
     "a40_intersects_shapes"       -> a40Fn,
@@ -2920,6 +2979,7 @@ object StacSearch {
     "a81_cql2_bbox"               -> a81Sql,
     "a77_cql2_spatial_rel"        -> a77Sql,
     "a75_geoparquet_ingest"       -> a75Sql,
+    "a82_geoparquet_export"       -> a82Sql,
     "a78_within_concave"          -> a78Sql,
     "a73_cql2_s_within"           -> a73Sql,
     "a40_intersects_shapes"       -> a40Sql,

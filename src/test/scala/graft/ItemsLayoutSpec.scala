@@ -215,4 +215,59 @@ class ItemsLayoutSpec extends AnyFunSuite {
       GeoParquet.readGeoMeta(s"${TestSpark.sf}/events.parquet"))
     assert(e.getMessage.contains("geo"), e.getMessage)
   }
+
+  test("A82 distributed GeoParquet export: sharded per-collection files, " +
+      "each footer's bbox exactly its own rows' envelope union, " +
+      "shard union = collection bbox, idempotent re-export") {
+    import graft.core.{GeoParquet, Tables}
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    // shards=2 exercises the hot-collection valve: every (collection,
+    // shard) bucket becomes its own independently-valid GeoParquet file
+    val out = GeoParquet.export(s, TestSpark.sf, shards = 2)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    val collections = Tables.items(s, TestSpark.sf)
+      .select("collection").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(files.toSeq ==
+      collections.flatMap(c => Seq(s"$c-0.parquet", s"$c-1.parquet")).toSeq)
+    // per-FILE footer bbox == min/max of that file's own covering rows,
+    // and the file holds exactly its (collection, shard) slice
+    files.foreach { name =>
+      val path = s"$out/$name"
+      val meta = GeoParquet.readGeoMeta(path)
+      assert(meta.version == "1.1.0" && meta.encoding == "WKB")
+      val rows = s.read.parquet(path)
+      val Array(c, shard) = name.stripSuffix(".parquet").split("-")
+      assert(rows.where(col("collection") =!= c ||
+        pmod(col("id_num"), lit(2)) =!= shard.toInt).count() == 0)
+      val env = rows.agg(min(col("bbox.xmin")), min(col("bbox.ymin")),
+        max(col("bbox.xmax")), max(col("bbox.ymax"))).head()
+      assert(meta.bbox == Seq(env.getDouble(0), env.getDouble(1),
+        env.getDouble(2), env.getDouble(3)),
+        s"$name footer bbox drifted from its rows")
+    }
+    // nothing lost in the shuffle: directory scan == source corpus, and
+    // the shard-file footers union to the collection envelope
+    val src = Tables.items(s, TestSpark.sf)
+    assert(s.read.parquet(out).count() == src.count())
+    val byColl = GeoParquet.footerBboxes(out).toSeq
+      .groupBy { case (stem, _) => stem.split("-")(0) }
+    collections.foreach { c =>
+      val parts = byColl(c).map(_._2)
+      val want = s.read.parquet(s"$out/$c-0.parquet", s"$out/$c-1.parquet")
+        .agg(min(col("bbox.xmin")), min(col("bbox.ymin")),
+          max(col("bbox.xmax")), max(col("bbox.ymax"))).head()
+      assert(parts.map(_(0)).min == want.getDouble(0) &&
+        parts.map(_(1)).min == want.getDouble(1) &&
+        parts.map(_(2)).max == want.getDouble(2) &&
+        parts.map(_(3)).max == want.getDouble(3))
+    }
+    // idempotent: a second call sees _SUCCESS and returns without rewrite
+    val before = new java.io.File(out).listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(GeoParquet.export(s, TestSpark.sf, shards = 2) == out)
+    val after = new java.io.File(out).listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(before == after, "re-export must be a metadata no-op")
+  }
 }
