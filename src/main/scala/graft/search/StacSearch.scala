@@ -499,6 +499,71 @@ object StacSearch {
     s"""SELECT id, ${a80Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
        |FROM items ORDER BY id""".stripMargin)
 
+  /** A83: GENERATIVE conformance battery — 48 seeded-random CQL2 filter
+    * trees (depth ≤ 3 over comparisons, + - * arithmetic, and/or/not,
+    * LIKE, IN, BETWEEN, isNull, casei, accenti, instant temporal ops)
+    * evaluated per row against the DuckDB rendering of the SAME parsed
+    * AST. The hand-written gates each pin one operator's semantics; this
+    * one pins the COMPOSITION space — operator nesting, 3VL propagation
+    * through random logical trees, literal formatting — at a breadth no
+    * hand enumeration reaches. The seed is FIXED, so the battery is the
+    * same 48 trees every round (a deterministic gate, not flaky fuzz) —
+    * regenerating with a new seed is a one-constant sweep when wanted.
+    * Numeric literals are quarter-steps so `Double.toString` stays in
+    * plain decimal form, the one rendering both engines parse equally.
+    */
+  private val a83Ops: Seq[(String, String)] = {
+    val rnd = new scala.util.Random(20260815L)
+    val colls = Vector("click", "view", "signup", "error", "purchase")
+    val cmp = Vector("=", "<>", "<", "<=", ">", ">=")
+    def numLit: String = ((rnd.nextInt(4001) - 2000) / 4.0).toString
+    def intLit: String = (rnd.nextInt(2000) - 400).toString
+    def tsLit: String = f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"
+    def strLit: String = colls(rnd.nextInt(colls.length))
+    def leaf(): String = rnd.nextInt(9) match {
+      case 0 => s"""{"${cmp(rnd.nextInt(6))}":[{"property":"value"},$numLit]}"""
+      case 1 => s"""{"${cmp(rnd.nextInt(6))}":[{"property":"user_id"},$intLit]}"""
+      case 2 =>
+        val aop = Vector("+", "-", "*")(rnd.nextInt(3))
+        s"""{"${cmp(rnd.nextInt(6))}":[{"$aop":[{"property":"value"},$numLit]},$numLit]}"""
+      case 3 => s"""{"=":[{"property":"collection"},"$strLit"]}"""
+      case 4 =>
+        if (rnd.nextBoolean())
+          s"""{"=":[{"casei":{"property":"collection"}},{"casei":"${strLit.toUpperCase}"}]}"""
+        else
+          s"""{"=":[{"accenti":{"property":"collection"}},{"accenti":"$strLit"}]}"""
+      case 5 =>
+        val pats = Vector("cl%", "%ew", "%i%", "s_gnup", "%u%e%")
+        s"""{"like":[{"property":"collection"},"${pats(rnd.nextInt(pats.length))}"]}"""
+      case 6 =>
+        val items = Seq.fill(1 + rnd.nextInt(3))("\"" + strLit + "\"").mkString(",")
+        s"""{"in":[{"property":"collection"},[$items]]}"""
+      case 7 =>
+        if (rnd.nextBoolean()) s"""{"isNull":{"property":"datetime"}}"""
+        else s"""{"${Vector("t_before", "t_after")(rnd.nextInt(2))}":[{"property":"datetime"},"$tsLit"]}"""
+      case 8 => s"""{"between":[{"property":"value"},$numLit,$numLit]}"""
+    }
+    def tree(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => s"""{"and":[${tree(depth - 1)},${tree(depth - 1)}]}"""
+        case 1 => s"""{"or":[${tree(depth - 1)},${tree(depth - 1)}]}"""
+        case 2 => s"""{"not":[${tree(depth - 1)}]}"""
+      }
+    (0 until 48).map(i => f"f$i%02d" -> tree(3))
+  }
+  private val a83Asts: Seq[(String, Cql)] =
+    a83Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
+
+  def a83CqlFuzz(s: SparkSession, d: String): DataFrame =
+    items(s, d)
+      .select(col("id") +: a83Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
+      .orderBy(col("id"))
+
+  val a83Sql: String = Tables.withItems(
+    s"""SELECT id, ${a83Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
+       |FROM items ORDER BY id""".stripMargin)
+
   /** CQL2 casei accessor (case-insensitive equality/IN, extension). */
   private val (a32Fn, a32Sql) = cqlQuery(
     """{"or":[
@@ -2900,6 +2965,7 @@ object StacSearch {
     "a76_cql2_allen"              -> (a76CqlAllen _),
     "a80_cql2_accenti"            -> (a80CqlAccenti _),
     "a81_cql2_bbox"               -> (a81CqlBbox _),
+    "a83_cql2_fuzz"               -> (a83CqlFuzz _),
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a82_geoparquet_export"       -> (a82GeoparquetExport _),
@@ -2977,6 +3043,7 @@ object StacSearch {
     "a76_cql2_allen"              -> a76Sql,
     "a80_cql2_accenti"            -> a80Sql,
     "a81_cql2_bbox"               -> a81Sql,
+    "a83_cql2_fuzz"               -> a83Sql,
     "a77_cql2_spatial_rel"        -> a77Sql,
     "a75_geoparquet_ingest"       -> a75Sql,
     "a82_geoparquet_export"       -> a82Sql,
