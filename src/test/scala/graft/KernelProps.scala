@@ -116,4 +116,74 @@ object KernelProps extends Properties("kernels") {
         graft.search.StacSearch.zRanges(w, s, e, n)
           .exists { case (a, b) => cell >= a && cell <= b }
     }
+
+  // non-degenerate footprint box (w, h > 0 — the relation laws below
+  // assume the box has an interior, which every item footprint does)
+  private val footBoxG: Gen[(Double, Double, Double, Double)] = for {
+    x0 <- Gen.chooseNum(-170.0, 120.0)
+    y0 <- Gen.chooseNum(-80.0, 40.0)
+    w <- Gen.chooseNum(0.5, 60.0)
+    h <- Gen.chooseNum(0.5, 40.0)
+  } yield (x0, y0, x0 + w, y0 + h)
+
+  property("DE-9IM box-relation algebra: implication and exclusivity " +
+      "laws hold on random box × shape pairs") =
+    forAll(footBoxG, shapeGen) { case ((x0, y0, x1, y1), s) =>
+      def r(rel: Int) = Geo.boxRelShape(x0, y0, x1, y1, s, rel)
+      val inter = Geo.boxIntersectsShape(x0, y0, x1, y1, s)
+      val within = r(Geo.RelWithin); val contains = r(Geo.RelContains)
+      val equalsR = r(Geo.RelEquals); val touches = r(Geo.RelTouches)
+      val crosses = r(Geo.RelCrosses); val overlaps = r(Geo.RelOverlaps)
+      // every positive relation implies intersection …
+      (!within || inter) && (!contains || inter) && (!equalsR || inter) &&
+        (!touches || inter) && (!crosses || inter) && (!overlaps || inter) &&
+        // … equals is mutual coverage …
+        (!equalsR || (within && contains)) &&
+        // … touches means boundary-only, excluding every interior relation …
+        (!touches || (!contains && !within && !overlaps && !crosses && !equalsR)) &&
+        // … crosses leaves the closed box, contains stays inside it …
+        (!crosses || (!contains && !within && !overlaps)) &&
+        // … and overlaps demands an exclusive part on BOTH sides
+        (!overlaps || (!within && !contains && !equalsR))
+    }
+
+  property("box vs point-target relations == plain coordinate arithmetic " +
+      "(independent restatement)") =
+    forAll(footBoxG, lonG, latG) { case ((x0, y0, x1, y1), x, y) =>
+      val p = PointS(x, y)
+      val strictlyIn = x > x0 && x < x1 && y > y0 && y < y1
+      val closedIn = x >= x0 && x <= x1 && y >= y0 && y <= y1
+      Geo.boxRelShape(x0, y0, x1, y1, p, Geo.RelContains) == strictlyIn &&
+        Geo.boxRelShape(x0, y0, x1, y1, p, Geo.RelTouches) == (closedIn && !strictlyIn) &&
+        !Geo.boxRelShape(x0, y0, x1, y1, p, Geo.RelCrosses) &&
+        !Geo.boxRelShape(x0, y0, x1, y1, p, Geo.RelOverlaps) &&
+        !Geo.boxRelShape(x0, y0, x1, y1, p, Geo.RelWithin) &&
+        !Geo.boxRelShape(x0, y0, x1, y1, p, Geo.RelEquals) &&
+        Geo.boxIntersectsShape(x0, y0, x1, y1, p) == closedIn
+    }
+
+  property("boxWithinGeom == all-corners-in-every-half-plane on convex " +
+      "rings (independent convex formulation)") =
+    forAll(footBoxG, convexPoly) { case ((x0, y0, x1, y1), ring) =>
+      val n = ring.length / 2
+      def cross(i: Int, px: Double, py: Double): Double = {
+        val j = (i + 1) % n
+        (ring(2 * j) - ring(2 * i)) * (py - ring(2 * i + 1)) -
+          (ring(2 * j + 1) - ring(2 * i + 1)) * (px - ring(2 * i))
+      }
+      val corners = Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+      val ties = corners.exists { case (px, py) =>
+        (0 until n).exists(i => math.abs(cross(i, px, py)) < 1e-6)
+      }
+      if (ties) true // near-boundary tie-breaks may legitimately differ
+      else {
+        // CCW convex ring: closed-region membership == every edge
+        // cross-product >= 0 — a formulation sharing no code with the
+        // parity + edge-clip kernel
+        val want = corners.forall { case (px, py) =>
+          (0 until n).forall(i => cross(i, px, py) > 0)
+        }
+        Geo.boxWithinGeom(x0, y0, x1, y1, Array(Array(ring))) == want
+      }
+    }
 }
