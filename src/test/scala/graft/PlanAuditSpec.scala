@@ -465,6 +465,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p) // map-side combine below the shuffle
   }
 
+  test("a80/a81/a83 batteries: one items scan, codegen'd projection — " +
+      "no join, no aggregate, no window") {
+    Seq("a80_cql2_accenti", "a81_cql2_bbox", "a83_cql2_fuzz").foreach { q =>
+      val p = plan(StacSearch.queries(q)(s, sf))
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, s"$q:\n$p")
+    }
+  }
+
+  test("a82: exported-catalog read-back — footer frame broadcasts onto ONE " +
+      "distributed scan of the export; no shuffle join, no second scan") {
+    val p = plan(StacSearch.queries("a82_geoparquet_export")(s, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("Cartesian"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
   test("c82: hard negatives — anchors broadcast; no Exchange input carries " +
       "a vector column (ids and one double on the wire)") {
     val df = graft.ops.Similarity.queries("c82_hard_negatives")(s, sf)
