@@ -216,6 +216,25 @@ class StacApiSpec extends AnyFunSuite {
     }
   }
 
+  test("RFC 3339 datetime forms — Z suffix, UTC offset, fractional " +
+      "seconds — resolve to the same instants as the naive-UTC form") {
+    // the reference accepts full RFC 3339 (stac-pydantic validates it);
+    // the UTC session zone makes Spark's timestamp cast the one parser
+    def matched(dt: String): Long =
+      StacApi.search(s, sf, SearchParams(datetime = Some(dt), limit = 1)).numMatched
+    val base = matched("2024-01-10 06:00:00/2024-01-20 18:00:00")
+    assert(base > 0)
+    // Z-suffixed T-separated ≡ naive (session zone is UTC)
+    assert(matched("2024-01-10T06:00:00Z/2024-01-20T18:00:00Z") == base)
+    // explicit +02:00 offset = the same instants shifted on the wall
+    assert(matched("2024-01-10T08:00:00+02:00/2024-01-20T20:00:00+02:00") == base)
+    // fractional seconds: .000 is the same instant
+    assert(matched("2024-01-10T06:00:00.000Z/2024-01-20T18:00:00.000Z") == base)
+    // and in the open-ended forms
+    val openBase = matched("2024-01-25 00:00:00/..")
+    assert(openBase > 0 && matched("2024-01-25T00:00:00Z/..") == openBase)
+  }
+
   test("malformed bbox (3 coords) rejects with a typed error, like the " +
       "reference's 400/422 (test_api.py:206-212)") {
     val ex = intercept[IllegalArgumentException] {
