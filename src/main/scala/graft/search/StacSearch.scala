@@ -1460,6 +1460,90 @@ object StacSearch {
        |FROM (SELECT id, lon, lat, $envelopeSqlCols FROM items)
        |ORDER BY id""".stripMargin)
 
+  /** A84: the SPATIAL + INTERVAL companion to the A83 generative
+    * battery — 32 seeded-random trees whose leaves are the full
+    * Enhanced-Spatial relation set over random bbox literals (the W > E
+    * antimeridian split included) and random convex-polygon GeoJSON on
+    * BOTH targets, plus the full Allen set over random (and open-bound)
+    * literal intervals against the item validity interval. Every
+    * coordinate is nudged 0.005 off the fixture's 2-dp/integer data
+    * grid, so cells measure the kernels' interior logic rather than
+    * boundary tie-breaks (A77 pins the on-boundary cases by hand).
+    */
+  private val a84Ops: Seq[(String, String)] = {
+    val rnd = new scala.util.Random(84202608L)
+    def c2(v: Double): Double = math.round(v * 100.0) / 100.0 + 0.005
+    def bboxLit(): String = {
+      if (rnd.nextInt(5) == 0) { // antimeridian-crossing W > E
+        val w = c2(120 + rnd.nextDouble() * 55); val e = c2(-175 + rnd.nextDouble() * 55)
+        val s = c2(-70 + rnd.nextDouble() * 60); val n = c2(s + 5 + rnd.nextDouble() * 60)
+        s"""{"bbox":[$w,$s,$e,$n]}"""
+      } else {
+        val w = c2(-170 + rnd.nextDouble() * 280); val e = c2(w + 1 + rnd.nextDouble() * 80)
+        val s = c2(-80 + rnd.nextDouble() * 120); val n = c2(s + 1 + rnd.nextDouble() * 50)
+        s"""{"bbox":[$w,$s,$e,$n]}"""
+      }
+    }
+    def polyLit(): String = {
+      val k = 5 + rnd.nextInt(4)
+      val cx = -100 + rnd.nextDouble() * 200; val cy = -50 + rnd.nextDouble() * 100
+      val r = 5 + rnd.nextDouble() * 35
+      val angles = Seq.fill(k)(rnd.nextDouble() * 2 * math.Pi).distinct.sorted
+      val pts = angles.map(a => s"[${c2(cx + r * math.cos(a))},${c2(cy + r * math.sin(a))}]")
+      s"""{"type":"Polygon","coordinates":[[${(pts :+ pts.head).mkString(",")}]]}"""
+    }
+    def tsLit(): String = f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:${15 * rnd.nextInt(4)}%02d:00"
+    def ivLit(): String = {
+      val (a, b) = { val x = tsLit(); val y = tsLit(); if (x <= y) (x, y) else (y, x) }
+      rnd.nextInt(6) match {
+        case 0 => s"""{"interval":["..","$b"]}"""
+        case 1 => s"""{"interval":["$a",".."]}"""
+        case _ => s"""{"interval":["$a","$b"]}"""
+      }
+    }
+    val sOps = Vector("s_intersects", "s_disjoint", "s_within", "s_contains",
+      "s_equals", "s_touches", "s_crosses", "s_overlaps")
+    val tOps = Vector("t_equals", "t_starts", "t_startedby", "t_finishes",
+      "t_finishedby", "t_meets", "t_metby", "t_overlaps", "t_overlappedby",
+      "t_during", "t_contains", "t_before", "t_after", "t_disjoint", "t_intersects")
+    // the selective relations (equals/touches/crosses on random shapes)
+    // are almost-always-false — weight toward the dense ones so logical
+    // nodes see varied truth values, while every relation still appears
+    def sOp(): String =
+      if (rnd.nextBoolean()) Vector("s_intersects", "s_disjoint", "s_within")(rnd.nextInt(3))
+      else sOps(rnd.nextInt(sOps.length))
+    def leaf(): String = rnd.nextInt(3) match {
+      case 0 =>
+        val tgt = if (rnd.nextBoolean()) "geometry" else "footprint"
+        val g = if (rnd.nextBoolean()) bboxLit() else polyLit()
+        s"""{"${sOp()}":[{"property":"$tgt"},$g]}"""
+      case 1 =>
+        s"""{"${tOps(rnd.nextInt(tOps.length))}":[{"interval":[{"property":"start_datetime"},{"property":"end_datetime"}]},${ivLit()}]}"""
+      case 2 => // mixed anchor keeps logical nodes exercised on both families
+        s"""{"${sOps(rnd.nextInt(3))}":[{"property":"geometry"},${bboxLit()}]}"""
+    }
+    def tree(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => s"""{"and":[${tree(depth - 1)},${tree(depth - 1)}]}"""
+        case 1 => s"""{"or":[${tree(depth - 1)},${tree(depth - 1)}]}"""
+        case 2 => s"""{"not":[${tree(depth - 1)}]}"""
+      }
+    (0 until 32).map(i => f"g$i%02d" -> tree(2))
+  }
+  private val a84Asts: Seq[(String, Cql)] =
+    a84Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
+
+  def a84CqlFuzzSpatial(s: SparkSession, d: String): DataFrame =
+    withEnvelope(items(s, d))
+      .select(col("id") +: a84Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
+      .orderBy(col("id"))
+
+  val a84Sql: String = Tables.withItems(
+    s"""SELECT id, ${a84Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
+       |FROM (SELECT id, lon, lat, start_datetime, end_datetime, $envelopeSqlCols FROM items)
+       |ORDER BY id""".stripMargin)
+
   /** A78: exact s_within on CONCAVE and HOLED query regions with an
     * ALGORITHMICALLY INDEPENDENT oracle — the Spark side runs the
     * general boxWithinGeom kernel (closed corner+center membership +
@@ -2966,6 +3050,7 @@ object StacSearch {
     "a80_cql2_accenti"            -> (a80CqlAccenti _),
     "a81_cql2_bbox"               -> (a81CqlBbox _),
     "a83_cql2_fuzz"               -> (a83CqlFuzz _),
+    "a84_cql2_fuzz_spatial"       -> (a84CqlFuzzSpatial _),
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a82_geoparquet_export"       -> (a82GeoparquetExport _),
@@ -3044,6 +3129,7 @@ object StacSearch {
     "a80_cql2_accenti"            -> a80Sql,
     "a81_cql2_bbox"               -> a81Sql,
     "a83_cql2_fuzz"               -> a83Sql,
+    "a84_cql2_fuzz_spatial"       -> a84Sql,
     "a77_cql2_spatial_rel"        -> a77Sql,
     "a75_geoparquet_ingest"       -> a75Sql,
     "a82_geoparquet_export"       -> a82Sql,
