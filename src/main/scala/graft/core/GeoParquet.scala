@@ -215,9 +215,10 @@ object GeoParquet {
 
   /** Exported directory for a fixture dir — content-fingerprinted like
     * [[stagedPath]] so an in-place regeneration cannot serve stale files.
+    * `tag` distinguishes shard strategies ("s" = id-hash, "z" = spatial).
     */
-  def exportPath(dir: String, shards: Int = 1): String =
-    s"/tmp/graft_geoparquet_export_${FixtureGuard.fingerprint(dir, "events")}_s$shards"
+  def exportPath(dir: String, shards: Int = 1, tag: String = "s"): String =
+    s"/tmp/graft_geoparquet_export_${FixtureGuard.fingerprint(dir, "events")}_$tag$shards"
 
   /** Per-row geometry: even id_num → Point, odd → footprint Polygon (the
     * stage() convention, so export and fixture file agree) + its envelope.
@@ -271,9 +272,11 @@ object GeoParquet {
     * — single pass, footer bbox folded during the write. Idempotent per
     * (fixture fingerprint, shards); `_SUCCESS` marks a completed export.
     */
-  def export(spark: SparkSession, dir: String, shards: Int = 1): String = synchronized {
+  def export(spark: SparkSession, dir: String, shards: Int = 1,
+             shardCol: Option[org.apache.spark.sql.Column] = None,
+             tag: String = "s"): String = synchronized {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val out = exportPath(dir, shards)
+    val out = exportPath(dir, shards, tag)
     val done = new java.io.File(out, "_SUCCESS")
     if (done.exists()) return out
     val root = new java.io.File(out)
@@ -283,11 +286,15 @@ object GeoParquet {
     root.mkdirs()
     val nShards = shards
     val outPath = out
+    // default shard = id-hash (uniform); a spatial caller passes a
+    // z-bucket column instead so each file's footprint (⇒ footer bbox)
+    // stays TIGHT and the catalog prunes (see searchBboxPruned)
+    val sc = shardCol.getOrElse(pmod(col("id_num"), lit(nShards.toLong)))
     Tables.items(spark, dir)
       .select(col("id"), col("id_num"), col("collection"), col("datetime"),
         col("start_datetime"), col("end_datetime"), col("value"),
         col("user_id"), col("lon"), col("lat"),
-        pmod(col("id_num"), lit(nShards.toLong)).as("shard"))
+        sc.cast("long").as("shard"))
       .repartition(col("collection"), col("shard"))
       .sortWithinPartitions(col("collection"), col("shard"), col("id_num"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -328,6 +335,31 @@ object GeoParquet {
           s"exported footer drifted: ${f.getName} → $m")
         f.getName.stripSuffix(".parquet") -> m.bbox
       }.toMap
+
+  /** Footer-driven FILE PRUNE + scan: the catalog-level analogue of
+    * parquet row-group skipping — the per-file `geo` bbox (exact, folded
+    * at write) decides membership BEFORE any data plane I/O, so a bbox
+    * search over a spatially-sharded catalog opens only the files whose
+    * footprint can match. Metadata plane is O(files) (= collections ×
+    * shards — never rows); at 100 TB this is the difference between
+    * scanning a planet and scanning a country. Returns (frame over the
+    * surviving files, files total, files read). Correctness is gated:
+    * the A85 oracle scans EVERY file, so a lossy prune is a hash break.
+    */
+  def searchBboxPruned(spark: SparkSession, out: String,
+                       w: Double, s: Double, e: Double, n: Double)
+      : (DataFrame, Int, Int) = {
+    val footers = footerBboxes(out)
+    val keep = footers.filter { case (_, b) =>
+      b(0) <= e && b(2) >= w && b(1) <= n && b(3) >= s
+    }
+    val files = keep.keys.toSeq.sorted.map(k => s"$out/$k.parquet")
+    val df =
+      if (files.isEmpty)
+        spark.read.parquet(out).limit(0) // schema-correct empty frame
+      else spark.read.parquet(files: _*)
+    (df, footers.size, keep.size)
+  }
 
   /** Read and parse the `geo` footer metadata — the metadata-plane step
     * a GeoParquet reader performs before planning the scan.

@@ -1684,6 +1684,51 @@ object StacSearch {
       .orderBy(col("id"))
   }
 
+  // ---------------------- A85 spatially-sharded catalog + footer prune
+  @volatile private var a85Dir: String = "/tmp/graft_geoparquet_export_unset"
+
+  /** A85: the catalog completes into a SPATIAL INDEX — export with
+    * Z-BUCKET sharding (shard = level-6 z-cell bucket, so each file's
+    * exact footer bbox covers one compact region), then answer a bbox
+    * search by pruning FILES on their `geo` footers before any data
+    * I/O: the catalog-level analogue of row-group skipping, and the
+    * shape a 100 TB STAC store actually serves from (A63's manifest
+    * prune, but driven by the files' own spec'd metadata rather than a
+    * sidecar table). The prune MUST skip files (required at gate time)
+    * and MUST be lossless — the oracle scans EVERY file, so a footer
+    * bbox that under-covers its rows is a hash break, not a silent
+    * missing row.
+    */
+  private val a85Box = (-130.005, -60.005, -20.005, 10.005) // (W, S, E, N)
+
+  def a85CatalogPrunedSearch(s: SparkSession, d: String): DataFrame = {
+    val zShards = 8 // level-6 z space (4096 cells) in 512-cell buckets
+    val shardCol = (zCellColumn.cast("long") * lit(zShards) / lit(4096)).cast("long")
+    val out = graft.core.GeoParquet.export(s, d, zShards, Some(shardCol), tag = "z")
+    a85Dir = out
+    val (w, so, e, n) = a85Box
+    val (df, total, read) = graft.core.GeoParquet.searchBboxPruned(s, out, w, so, e, n)
+    require(read < total,
+      s"footer prune skipped nothing ($read/$total files) — spatial sharding broken")
+    df.where(col("bbox.xmin") <= e && col("bbox.xmax") >= w &&
+        col("bbox.ymin") <= n && col("bbox.ymax") >= so)
+      .select(col("id"), col("collection"),
+        col("bbox.xmin").as("xmin"), col("bbox.ymin").as("ymin"),
+        col("bbox.xmax").as("xmax"), col("bbox.ymax").as("ymax"))
+      .orderBy(col("id"))
+  }
+
+  def a85Sql: String = {
+    val (w, so, e, n) = a85Box
+    s"""SELECT id, collection,
+       |  bbox.xmin AS xmin, bbox.ymin AS ymin,
+       |  bbox.xmax AS xmax, bbox.ymax AS ymax
+       |FROM read_parquet('$a85Dir/*.parquet')
+       |WHERE bbox.xmin <= $e AND bbox.xmax >= $w
+       |  AND bbox.ymin <= $n AND bbox.ymax >= $so
+       |ORDER BY id""".stripMargin
+  }
+
   def a82Sql: String =
     s"""SELECT id, collection, datetime, gtype, g_xmin, g_ymin, g_xmax, g_ymax,
        |  MIN(g_xmin) OVER (PARTITION BY collection) AS f_xmin,
@@ -3054,6 +3099,7 @@ object StacSearch {
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a82_geoparquet_export"       -> (a82GeoparquetExport _),
+    "a85_catalog_pruned_search"   -> (a85CatalogPrunedSearch _),
     "a78_within_concave"          -> (a78WithinConcave _),
     "a73_cql2_s_within"           -> (a73CqlWithin _),
     "a40_intersects_shapes"       -> a40Fn,
@@ -3133,6 +3179,7 @@ object StacSearch {
     "a77_cql2_spatial_rel"        -> a77Sql,
     "a75_geoparquet_ingest"       -> a75Sql,
     "a82_geoparquet_export"       -> a82Sql,
+    "a85_catalog_pruned_search"   -> a85Sql,
     "a78_within_concave"          -> a78Sql,
     "a73_cql2_s_within"           -> a73Sql,
     "a40_intersects_shapes"       -> a40Sql,

@@ -270,4 +270,37 @@ class ItemsLayoutSpec extends AnyFunSuite {
     val after = new java.io.File(out).listFiles().map(f => f.getName -> f.lastModified).toMap
     assert(before == after, "re-export must be a metadata no-op")
   }
+
+  test("A85 footer prune: lossless vs the full catalog scan, actually " +
+      "skips files, and a miss-everything box reads ZERO files") {
+    import graft.core.GeoParquet
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    val zShards = 8
+    val shardCol = (graft.search.StacSearch.zCellColumn.cast("long") *
+      lit(zShards) / lit(4096)).cast("long")
+    val out = GeoParquet.export(s, TestSpark.sf, zShards, Some(shardCol), tag = "z")
+    val (w, so, e, n) = (-130.005, -60.005, -20.005, 10.005)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("bbox.xmin") <= e && col("bbox.xmax") >= w &&
+          col("bbox.ymin") <= n && col("bbox.ymax") >= so)
+        .select("id").collect().map(_.getString(0)).toSet
+    val (pruned, total, read) = GeoParquet.searchBboxPruned(s, out, w, so, e, n)
+    assert(read < total, s"no files pruned ($read/$total)")
+    assert(read > 0)
+    // lossless: pruned scan finds exactly the full scan's matches
+    assert(hits(pruned) == hits(s.read.parquet(out)))
+    // every SKIPPED file really has no matching row (prune ≡ row truth)
+    val footers = GeoParquet.footerBboxes(out)
+    val keptStems = footers.collect {
+      case (k, b) if b(0) <= e && b(2) >= w && b(1) <= n && b(3) >= so => k
+    }.toSet
+    footers.keys.filterNot(keptStems).foreach { stem =>
+      assert(hits(s.read.parquet(s"$out/$stem.parquet")).isEmpty,
+        s"pruned file $stem contained a matching row")
+    }
+    // a box over open ocean far from every footprint reads zero files
+    val (_, t2, r2) = GeoParquet.searchBboxPruned(s, out, 200.0, 91.0, 201.0, 92.0)
+    assert(t2 == total && r2 == 0)
+  }
 }
