@@ -297,25 +297,98 @@ object GeoParquet {
         sc.cast("long").as("shard"))
       .repartition(col("collection"), col("shard"))
       .sortWithinPartitions(col("collection"), col("shard"), col("id_num"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val factory = new SimpleGroupFactory(schema)
-        var cur: (String, Long) = null
-        var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = null
-        try {
-          it.foreach { r =>
-            val key = (r.getString(2), r.getLong(10))
-            if (key != cur) {
-              if (writer != null) writer.close()
-              writer = new GeoWriterBuilder(
-                new Path(s"$outPath/${key._1}-${key._2}.parquet"), schema)
-                .withCompressionCodec(CompressionCodecName.SNAPPY)
-                .build()
-              cur = key
-            }
-            writer.write(rowGroup(factory, r))
-          }
-        } finally if (writer != null) writer.close()
+      .foreachPartition(writeShardRun(outPath, 10, rowGroup) _)
+    done.createNewFile()
+    out
+  }
+
+  /** Task body shared by [[export]] and [[compact]]: stream a sorted run
+    * of rows into one parquet-mr writer per (collection, shard) key,
+    * rolling the writer on key change. `shardIdx` is the shard column's
+    * position; `build` renders one row into a Group of [[schema]].
+    */
+  private def writeShardRun(outPath: String, shardIdx: Int,
+      build: (SimpleGroupFactory, org.apache.spark.sql.Row) => org.apache.parquet.example.data.Group)
+      (it: Iterator[org.apache.spark.sql.Row]): Unit = {
+    val factory = new SimpleGroupFactory(schema)
+    var cur: (String, Long) = null
+    var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = null
+    try {
+      it.foreach { r =>
+        val key = (r.getString(2), r.getLong(shardIdx))
+        if (key != cur) {
+          if (writer != null) writer.close()
+          writer = new GeoWriterBuilder(
+            new Path(s"$outPath/${key._1}-${key._2}.parquet"), schema)
+            .withCompressionCodec(CompressionCodecName.SNAPPY)
+            .build()
+          cur = key
+        }
+        writer.write(build(factory, r))
       }
+    } finally if (writer != null) writer.close()
+  }
+
+  /** One CATALOG row (as read back from exported files — geometry and
+    * bbox pass through untouched) → one Group. The compaction builder:
+    * no formula re-derivation, data plane only.
+    */
+  private def passGroup(factory: SimpleGroupFactory, r: org.apache.spark.sql.Row)
+      : org.apache.parquet.example.data.Group = {
+    def micros(t: java.sql.Timestamp): java.lang.Long =
+      if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val g = factory.newGroup()
+    g.append("id", r.getString(0))
+    g.append("id_num", r.getLong(1))
+    g.append("collection", r.getString(2))
+    val dt = micros(r.getAs[java.sql.Timestamp](3))
+    if (dt != null) g.append("datetime", dt.longValue())
+    val sd = micros(r.getAs[java.sql.Timestamp](4))
+    if (sd != null) g.append("start_datetime", sd.longValue())
+    val ed = micros(r.getAs[java.sql.Timestamp](5))
+    if (ed != null) g.append("end_datetime", ed.longValue())
+    g.append("value", r.getDouble(6))
+    g.append("user_id", r.getLong(7))
+    g.append("lon", r.getDouble(8))
+    g.append("lat", r.getDouble(9))
+    val b = r.getStruct(10)
+    val bb = g.addGroup("bbox")
+    bb.append("xmin", b.getDouble(0)); bb.append("ymin", b.getDouble(1))
+    bb.append("xmax", b.getDouble(2)); bb.append("ymax", b.getDouble(3))
+    g.append("geometry", org.apache.parquet.io.api.Binary.fromConstantByteArray(
+      r.getAs[Array[Byte]](11)))
+    g
+  }
+
+  /** Catalog COMPACTION (the 100 TB maintenance op — many small shard
+    * files merged into few): reads the CATALOG FILES (the source view is
+    * never consulted — pure data plane), re-shards on the caller's
+    * column, re-sorts, and rewrites through the same footer-folding
+    * writers, so every output file's `geo` bbox is exact by
+    * construction. Gated with the SOURCE catalog as the oracle side: a
+    * compaction that drops, duplicates, or mutates a row is a hash
+    * break.
+    */
+  def compact(spark: SparkSession, inDir: String, dir: String, toShards: Int,
+              shardCol: org.apache.spark.sql.Column): String = synchronized {
+    val out = exportPath(dir, toShards, "c")
+    val done = new java.io.File(out, "_SUCCESS")
+    if (done.exists()) return out
+    val root = new java.io.File(out)
+    if (root.exists()) { root.listFiles().foreach(_.delete()); root.delete() }
+    root.mkdirs()
+    val outPath = out
+    spark.read.parquet(inDir)
+      .select(col("id"), col("id_num"), col("collection"),
+        col("datetime").cast("timestamp").as("datetime"),
+        col("start_datetime").cast("timestamp").as("start_datetime"),
+        col("end_datetime").cast("timestamp").as("end_datetime"),
+        col("value"), col("user_id"), col("lon"), col("lat"),
+        col("bbox"), col("geometry"),
+        shardCol.cast("long").as("shard"))
+      .repartition(col("collection"), col("shard"))
+      .sortWithinPartitions(col("collection"), col("shard"), col("id_num"))
+      .foreachPartition(writeShardRun(outPath, 12, passGroup) _)
     done.createNewFile()
     out
   }

@@ -1729,6 +1729,56 @@ object StacSearch {
        |ORDER BY id""".stripMargin
   }
 
+  // ------------------------------------ A86 catalog compaction
+  @volatile private var a86SrcDir: String = "/tmp/graft_geoparquet_export_unset"
+  @volatile private var a86Dir: String = "/tmp/graft_geoparquet_export_unset"
+
+  /** A86: catalog COMPACTION — the 100 TB maintenance op (many small
+    * shard files merged into few, Z locality preserved): reads the A85
+    * z8 catalog's FILES (pure data plane — the source view is never
+    * consulted), re-shards to 2 z-buckets through the same
+    * footer-folding writers, and emits every compacted row with its
+    * file's footer bbox. The ORACLE READS THE SOURCE z8 CATALOG and
+    * re-derives the target shard (z-cell SQL) and footer (window
+    * min/max) — so a compaction that drops, duplicates, or mutates any
+    * row, or writes an inexact footer, is a hash break.
+    */
+  private def a86Shard(zShards: Int): Column =
+    (zCellColumn.cast("long") * lit(zShards) / lit(4096)).cast("long")
+
+  def a86CatalogCompact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = graft.core.GeoParquet.export(s, d, 8, Some(a86Shard(8)), tag = "z")
+    val out = graft.core.GeoParquet.compact(s, src, d, 2, a86Shard(2))
+    a86SrcDir = src; a86Dir = out
+    val fDf = graft.core.GeoParquet.footerBboxes(out).toSeq.map { case (stem, b) =>
+      val cut = stem.lastIndexOf('-')
+      (stem.substring(0, cut), stem.substring(cut + 1).toLong, b(0), b(1), b(2), b(3))
+    }.toDF("collection", "shard", "f_xmin", "f_ymin", "f_xmax", "f_ymax")
+    s.read.parquet(out)
+      .withColumn("shard", a86Shard(2))
+      .join(broadcast(fDf), Seq("collection", "shard"))
+      .select(col("id"), col("collection"), col("shard"),
+        col("bbox.xmin").as("xmin"), col("bbox.ymin").as("ymin"),
+        col("bbox.xmax").as("xmax"), col("bbox.ymax").as("ymax"),
+        col("f_xmin"), col("f_ymin"), col("f_xmax"), col("f_ymax"))
+      .orderBy(col("id"))
+  }
+
+  def a86Sql: String =
+    s"""SELECT id, collection, shard, xmin, ymin, xmax, ymax,
+       |  MIN(xmin) OVER (PARTITION BY collection, shard) AS f_xmin,
+       |  MIN(ymin) OVER (PARTITION BY collection, shard) AS f_ymin,
+       |  MAX(xmax) OVER (PARTITION BY collection, shard) AS f_xmax,
+       |  MAX(ymax) OVER (PARTITION BY collection, shard) AS f_ymax
+       |FROM (
+       |  SELECT id, collection,
+       |    CAST(floor((($zrCellSqlDuck) * 2) / 4096.0) AS BIGINT) AS shard,
+       |    bbox.xmin AS xmin, bbox.ymin AS ymin,
+       |    bbox.xmax AS xmax, bbox.ymax AS ymax
+       |  FROM read_parquet('$a86SrcDir/*.parquet'))
+       |ORDER BY id""".stripMargin
+
   def a82Sql: String =
     s"""SELECT id, collection, datetime, gtype, g_xmin, g_ymin, g_xmax, g_ymax,
        |  MIN(g_xmin) OVER (PARTITION BY collection) AS f_xmin,
@@ -3100,6 +3150,7 @@ object StacSearch {
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a82_geoparquet_export"       -> (a82GeoparquetExport _),
     "a85_catalog_pruned_search"   -> (a85CatalogPrunedSearch _),
+    "a86_catalog_compact"         -> (a86CatalogCompact _),
     "a78_within_concave"          -> (a78WithinConcave _),
     "a73_cql2_s_within"           -> (a73CqlWithin _),
     "a40_intersects_shapes"       -> a40Fn,
@@ -3180,6 +3231,7 @@ object StacSearch {
     "a75_geoparquet_ingest"       -> a75Sql,
     "a82_geoparquet_export"       -> a82Sql,
     "a85_catalog_pruned_search"   -> a85Sql,
+    "a86_catalog_compact"         -> a86Sql,
     "a78_within_concave"          -> a78Sql,
     "a73_cql2_s_within"           -> a73Sql,
     "a40_intersects_shapes"       -> a40Sql,
