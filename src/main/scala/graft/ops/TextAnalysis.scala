@@ -2242,6 +2242,139 @@ object TextAnalysis {
        |FROM bg JOIN lmt USING (bh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------- C104 Stupid-Backoff bigram LM + CCNet buckets
+  /** C104: distributed N-GRAM LANGUAGE MODEL (Stupid Backoff, Brants et
+    * al. 2007 "Large Language Models in Machine Translation") plus the
+    * CCNet head/middle/tail PERPLEXITY BUCKETING that consumes it —
+    * the literal CCNet pipeline step C66's corpus-familiarity ranking
+    * approximates. The LM is trained and applied in one job: bigram
+    * conditional score cb·10⁶ DIV cu(prefix) when the bigram was seen,
+    * else the backoff lane α·cu(word)/T with α = 0.4 kept exact as
+    * (2·cu·10⁶) DIV (5·T) — every score an integer in parts-per-million,
+    * so the whole model (train + apply + bucket) is hash-exact across
+    * engines with the float log left to the consumer (C66's doctrine).
+    * Per document the mean token score is its fluency ppm; per LANGUAGE
+    * the docs are cut into terciles by ppm rank — head = most fluent
+    * third, the buckets CCNet ships as dataset splits.
+    *
+    * Scale shape: the token stream (one explode carrying all three hash
+    * lanes: prefix unigram, current unigram, bigram) is staged once and
+    * feeds both the bigram-count build and the scoring joins; the
+    * unigram table is staged once for its three consumers (the size
+    * measurement, two join lanes, and the scalar total). Join sides are
+    * picked from MEASURED vocab sizes exactly like C66/C27 — broadcast
+    * under the ceiling, pinned merge join above it (a 100 TB bigram
+    * vocab is billions of rows and cannot broadcast). The tercile cut
+    * is a BOUNDED-DOMAIN HISTOGRAM rank (C93's doctrine): ppm ∈
+    * [0, 10⁶], so the per-language rank comes from a ≤10⁶-row histogram
+    * window and a broadcast join back — never a corpus-wide sort.
+    */
+  private[graft] val c104BroadcastMaxVocab = 10_000_000L
+
+  def c104NgramLm(s: SparkSession, d: String): DataFrame =
+    c104BucketsWith(s, d, c104BroadcastMaxVocab)
+
+  private[graft] def c104BucketsWith(
+      s: SparkSession, d: String, maxVocab: Long): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), expr(wordsSpark).as("w"))
+      .where(expr("size(w) >= 2"))
+    // one explode per bigram position carries all three hash lanes
+    val tok = base.select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(2, size(w)), i -> named_struct(" +
+          s"'hp', ${h64Spark("concat('sbu:', element_at(w, i - 1))")}, " +
+          s"'hc', ${h64Spark("concat('sbu:', element_at(w, i))")}, " +
+          s"'hb', ${h64Spark("concat('sbb:', element_at(w, i - 1), chr(1), element_at(w, i))")}))"))
+        .as("t"))
+      .select(col("doc_id"), col("lang"),
+        col("t.hp").as("hp"), col("t.hc").as("hc"), col("t.hb").as("hb"))
+      // staged: feeds the bigram-count build AND the scoring joins
+      .localCheckpoint(true)
+    // the unigram LM table: three consumers (measurement, two join
+    // lanes, scalar total) — at scale this is the persisted artifact
+    val uni = base.select(explode(col("w")).as("wd"))
+      .select(expr(h64Spark("concat('sbu:', wd)")).as("uh"))
+      .groupBy(col("uh")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true)
+    val big = tok.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
+    def measuredFits(t: DataFrame): Boolean = maxVocab == Long.MaxValue ||
+      (maxVocab > 0 &&
+        t.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).count() <= maxVocab)
+    val uFits = measuredFits(uni)
+    val bFits = measuredFits(big)
+    def uniLane(k: String, c: String): DataFrame = {
+      val lane = uni.select(col("uh").as(k), col("cu").as(c))
+      if (uFits) broadcast(lane) else lane.hint("merge")
+    }
+    val tot = uni.agg(sum(col("cu")).as("t"))
+    val doc = tok
+      .join(if (bFits) broadcast(big) else big.hint("merge"), Seq("hb"), "left")
+      .join(uniLane("hp", "cu_p"), Seq("hp"))
+      .join(uniLane("hc", "cu_c"), Seq("hc"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"),
+        expr("CASE WHEN cb IS NOT NULL THEN cb * 1000000 DIV cu_p" +
+          " ELSE (2 * cu_c * 1000000) DIV (5 * t) END").as("sc"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("CAST(sum(sc) DIV count(1) AS BIGINT)").as("ppm"))
+      // staged: feeds the histogram build AND the bucket join-back
+      .localCheckpoint(true)
+    val hist = doc.groupBy(col("lang"), col("ppm")).agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("lang")).orderBy(col("ppm").desc)
+    val wAll = Window.partitionBy(col("lang"))
+    val buck = hist.select(col("lang"), col("ppm"),
+      (sum(col("c")).over(wOrd) - col("c") + lit(1)).as("r"),
+      sum(col("c")).over(wAll).as("n"))
+    doc.join(broadcast(buck), Seq("lang", "ppm"))
+      .select(col("doc_id"), col("lang"), col("ppm"),
+        expr("CASE WHEN 3 * r <= n THEN 'head'" +
+          " WHEN 3 * r <= 2 * n THEN 'middle' ELSE 'tail' END").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c104Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, w
+       |  FROM (SELECT doc_id, lang, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= 2),
+       |tok AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(2, len(w) + 1),
+       |      i -> ${h64Duck("'sbu:'||w[i-1]")})) AS hp,
+       |    unnest(list_transform(range(2, len(w) + 1),
+       |      i -> ${h64Duck("'sbu:'||w[i]")})) AS hc,
+       |    unnest(list_transform(range(2, len(w) + 1),
+       |      i -> ${h64Duck("'sbb:'||w[i-1]||chr(1)||w[i]")})) AS hb
+       |  FROM base),
+       |uni AS (
+       |  SELECT ${h64Duck("'sbu:'||wd")} AS uh, COUNT(*) AS cu
+       |  FROM (SELECT unnest(w) AS wd FROM base) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM uni),
+       |big AS (SELECT hb, COUNT(*) AS cb FROM tok GROUP BY 1),
+       |ts AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN cb IS NOT NULL THEN cb * 1000000 // up.cu
+       |         ELSE (2 * uc.cu * 1000000) // (5 * t) END AS sc
+       |  FROM tok LEFT JOIN big USING (hb)
+       |    JOIN uni up ON tok.hp = up.uh
+       |    JOIN uni uc ON tok.hc = uc.uh
+       |    CROSS JOIN tot),
+       |doc AS (
+       |  SELECT doc_id, lang, CAST(SUM(sc) // COUNT(*) AS BIGINT) AS ppm
+       |  FROM ts GROUP BY doc_id, lang),
+       |hist AS (SELECT lang, ppm, COUNT(*) AS c FROM doc GROUP BY 1, 2),
+       |buck AS (
+       |  SELECT lang, ppm,
+       |    SUM(c) OVER (PARTITION BY lang ORDER BY ppm DESC) - c + 1 AS r,
+       |    SUM(c) OVER (PARTITION BY lang) AS n
+       |  FROM hist)
+       |SELECT doc_id, d.lang AS lang, d.ppm AS ppm,
+       |  CASE WHEN 3 * r <= n THEN 'head'
+       |       WHEN 3 * r <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM doc d JOIN buck b ON d.lang = b.lang AND d.ppm = b.ppm
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------- C63 exact-k stratified sample
   /** C63: EXACT-K deterministic sample per stratum — C22 samples at a
     * RATE (kept count varies with |stratum|); an eval set wants exactly
@@ -2827,6 +2960,7 @@ object TextAnalysis {
     "c62_snapshot_diff" -> (c62SnapshotDiff _),
     "c63_exact_k_sample" -> (c63ExactKSample _),
     "c66_familiarity" -> (c66Familiarity _),
+    "c104_ngram_lm" -> (c104NgramLm _),
     "c53_coverage_curve" -> (c53CoverageCurve _),
     "c51_budget_select" -> (c51BudgetSelect _),
     "c50_tokenizer_versions" -> (c50TokenizerVersions _),
@@ -2882,6 +3016,7 @@ object TextAnalysis {
     "c62_snapshot_diff" -> c62Sql,
     "c63_exact_k_sample" -> c63Sql,
     "c66_familiarity" -> c66Sql,
+    "c104_ngram_lm" -> c104Sql,
     "c53_coverage_curve" -> c53Sql,
     "c51_budget_select" -> c51Sql,
     "c50_tokenizer_versions" -> c50Sql,
