@@ -2271,8 +2271,19 @@ object TextAnalysis {
     */
   private[graft] val c104BroadcastMaxVocab = 10_000_000L
 
+  /** The bucketed-doc frame (doc_id, lang, ppm, bucket, nt) is memoized
+    * per (session, dir): C104 gates it and C105 plans the mixture on it —
+    * in a deployment the CCNet bucket assignment IS a persisted table
+    * consumed by every downstream split decision.
+    */
+  private def c104Memo(s: SparkSession, d: String): DataFrame =
+    graft.core.FrameMemo.cached(s, s"c104buckets:$d")(
+      c104BucketsWith(s, d, c104BroadcastMaxVocab))
+
   def c104NgramLm(s: SparkSession, d: String): DataFrame =
-    c104BucketsWith(s, d, c104BroadcastMaxVocab)
+    c104Memo(s, d)
+      .select(col("doc_id"), col("lang"), col("ppm"), col("bucket"))
+      .orderBy(col("doc_id"))
 
   private[graft] def c104BucketsWith(
       s: SparkSession, d: String, maxVocab: Long): DataFrame = {
@@ -2316,7 +2327,9 @@ object TextAnalysis {
         expr("CASE WHEN cb IS NOT NULL THEN cb * 1000000 DIV cu_p" +
           " ELSE (2 * cu_c * 1000000) DIV (5 * t) END").as("sc"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(expr("CAST(sum(sc) DIV count(1) AS BIGINT)").as("ppm"))
+      // nt = word count: bigram positions + 1 (the ≥2-word filter holds)
+      .agg(expr("CAST(sum(sc) DIV count(1) AS BIGINT)").as("ppm"),
+        expr("CAST(count(1) + 1 AS BIGINT)").as("nt"))
       // staged: feeds the histogram build AND the bucket join-back
       .localCheckpoint(true)
     val hist = doc.groupBy(col("lang"), col("ppm")).agg(count(lit(1)).as("c"))
@@ -2329,12 +2342,16 @@ object TextAnalysis {
     doc.join(broadcast(buck), Seq("lang", "ppm"))
       .select(col("doc_id"), col("lang"), col("ppm"),
         expr("CASE WHEN 3 * r <= n THEN 'head'" +
-          " WHEN 3 * r <= 2 * n THEN 'middle' ELSE 'tail' END").as("bucket"))
-      .orderBy(col("doc_id"))
+          " WHEN 3 * r <= 2 * n THEN 'middle' ELSE 'tail' END").as("bucket"),
+        col("nt"))
   }
 
-  val c104Sql: String =
-    s"""WITH base AS (
+  /** The shared train+score+rank CTE chain — C104 reads the bucket
+    * assignment off it, C105 plans the mixture off it (ONE SQL copy of
+    * the model, the c43ScoredSqlCte pattern).
+    */
+  private val c104CtesSql: String =
+    s"""base AS (
        |  SELECT doc_id, lang, w
        |  FROM (SELECT doc_id, lang, $wordsDuck AS w FROM documents)
        |  WHERE len(w) >= 2),
@@ -2361,19 +2378,78 @@ object TextAnalysis {
        |    JOIN uni uc ON tok.hc = uc.uh
        |    CROSS JOIN tot),
        |doc AS (
-       |  SELECT doc_id, lang, CAST(SUM(sc) // COUNT(*) AS BIGINT) AS ppm
+       |  SELECT doc_id, lang, CAST(SUM(sc) // COUNT(*) AS BIGINT) AS ppm,
+       |    CAST(COUNT(*) + 1 AS BIGINT) AS nt
        |  FROM ts GROUP BY doc_id, lang),
        |hist AS (SELECT lang, ppm, COUNT(*) AS c FROM doc GROUP BY 1, 2),
        |buck AS (
        |  SELECT lang, ppm,
        |    SUM(c) OVER (PARTITION BY lang ORDER BY ppm DESC) - c + 1 AS r,
        |    SUM(c) OVER (PARTITION BY lang) AS n
-       |  FROM hist)
-       |SELECT doc_id, d.lang AS lang, d.ppm AS ppm,
-       |  CASE WHEN 3 * r <= n THEN 'head'
-       |       WHEN 3 * r <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket
-       |FROM doc d JOIN buck b ON d.lang = b.lang AND d.ppm = b.ppm
+       |  FROM hist),
+       |bb AS (
+       |  SELECT doc_id, d.lang AS lang, d.ppm AS ppm,
+       |    CASE WHEN 3 * r <= n THEN 'head'
+       |         WHEN 3 * r <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket,
+       |    nt
+       |  FROM doc d JOIN buck b ON d.lang = b.lang AND d.ppm = b.ppm)""".stripMargin
+
+  val c104Sql: String =
+    s"""WITH $c104CtesSql
+       |SELECT doc_id, lang, ppm, bucket FROM bb
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------- C105 perplexity-filtered mixture plan
+  /** C105: PERPLEXITY-FILTERED equal-parts mixture — the step where
+    * CCNet's buckets become a dataset decision (Wenzek et al. 2020 keep
+    * head+middle per language and drop the tail; the multilingual mix
+    * then takes equal parts per language, capped by the scarcest one):
+    * per language, raw scoreable tokens vs tokens surviving the tail cut,
+    * the equal-parts take (min over kept — the binding language), and the
+    * realized sampling rates in basis points against BOTH denominators
+    * (vs kept = the mixture discount alone; vs raw = the compounded
+    * perplexity × mixture discount — C102's raw-beside-clean reporting).
+    * Sub-2-word docs are unscoreable by a bigram LM and sit outside both
+    * denominators (stated in both engines via the shared ≥2-word base).
+    *
+    * Scale shape: ONE projection + map-side-combined aggregate over the
+    * memoized C104 bucket frame (no second LM train), plan math on the
+    * \|langs\|-row aggregate via a bounded-frame window (C28's doctrine).
+    * Zero-kept languages (possible below 3 docs: a tercile of n < 3 has
+    * no head) take 0 with 0 bp, guarded identically in both engines.
+    */
+  def c105PerplexityMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    c104Memo(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(col("nt")).as("raw_tokens"),
+        sum(expr("CASE WHEN bucket <> 'tail' THEN nt ELSE 0 END"))
+          .as("kept_tokens"))
+      .withColumn("take_tokens",
+        min(col("kept_tokens")).over(Window.partitionBy()))
+      .select(col("lang"), col("raw_tokens"), col("kept_tokens"),
+        col("take_tokens"),
+        expr("CASE WHEN kept_tokens = 0 THEN 0" +
+          " ELSE take_tokens * 10000 DIV kept_tokens END").as("keep_rate_bp"),
+        expr("take_tokens * 10000 DIV raw_tokens").as("raw_rate_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val c105Sql: String =
+    s"""WITH $c104CtesSql,
+       |agg AS (
+       |  SELECT lang, CAST(SUM(nt) AS BIGINT) AS raw_tokens,
+       |    CAST(SUM(CASE WHEN bucket <> 'tail' THEN nt ELSE 0 END) AS BIGINT)
+       |      AS kept_tokens
+       |  FROM bb GROUP BY lang),
+       |m AS (SELECT *, MIN(kept_tokens) OVER () AS take_tokens FROM agg)
+       |SELECT lang, raw_tokens, kept_tokens,
+       |  CAST(take_tokens AS BIGINT) AS take_tokens,
+       |  CAST(CASE WHEN kept_tokens = 0 THEN 0
+       |       ELSE take_tokens * 10000 // kept_tokens END AS BIGINT)
+       |    AS keep_rate_bp,
+       |  CAST(take_tokens * 10000 // raw_tokens AS BIGINT) AS raw_rate_bp
+       |FROM m ORDER BY lang""".stripMargin
 
   // ------------------------------- C63 exact-k stratified sample
   /** C63: EXACT-K deterministic sample per stratum — C22 samples at a
@@ -2961,6 +3037,7 @@ object TextAnalysis {
     "c63_exact_k_sample" -> (c63ExactKSample _),
     "c66_familiarity" -> (c66Familiarity _),
     "c104_ngram_lm" -> (c104NgramLm _),
+    "c105_perplexity_mixture" -> (c105PerplexityMixture _),
     "c53_coverage_curve" -> (c53CoverageCurve _),
     "c51_budget_select" -> (c51BudgetSelect _),
     "c50_tokenizer_versions" -> (c50TokenizerVersions _),
@@ -3017,6 +3094,7 @@ object TextAnalysis {
     "c63_exact_k_sample" -> c63Sql,
     "c66_familiarity" -> c66Sql,
     "c104_ngram_lm" -> c104Sql,
+    "c105_perplexity_mixture" -> c105Sql,
     "c53_coverage_curve" -> c53Sql,
     "c51_budget_select" -> c51Sql,
     "c50_tokenizer_versions" -> c50Sql,

@@ -71,4 +71,26 @@ class NgramLmSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
     assert(merged == local)
   }
+
+  test("c105 mixture: equal-parts take = min kept, tail mass excluded, " +
+      "rates reproduce the local recomputation") {
+    val docsNt = s.read.parquet(TestSpark.sf + "/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS nt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byLang = local.toSeq.groupBy(_._2).map { case (l, ds) =>
+      val raw = ds.map(d => docsNt(d._1)).sum
+      val kept = ds.filter(_._4 != "tail").map(d => docsNt(d._1)).sum
+      l -> (raw, kept)
+    }
+    val take = byLang.values.map(_._2).min
+    val want = byLang.map { case (l, (raw, kept)) =>
+      (l, raw, kept, take,
+        if (kept == 0) 0L else take * 10000 / kept, take * 10000 / raw)
+    }.toSet
+    val got = TextAnalysis.c105PerplexityMixture(s, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(got.forall(r => r._3 <= r._2 && r._5 <= 10000 && r._6 <= r._5))
+  }
 }
