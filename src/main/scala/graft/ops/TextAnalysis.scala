@@ -1846,7 +1846,12 @@ object TextAnalysis {
   }
 
   def c103ClassifierTrain(s: SparkSession, d: String): DataFrame = {
-    val labeled = c103Labeled(s, d)
+    // staged: the labeled projection (one corpus pass incl. the Gopher
+    // stat battery) feeds BOTH the feature-count build and the prior
+    // counts — narrowed to the two columns they read before the
+    // checkpoint so the materialized blocks carry no stat columns
+    val labeled = c103Labeled(s, d).select(col("label"), col("w"))
+      .localCheckpoint(true)
     val table = labeled
       .select(col("label"), explode(expr(c103FeatsSpark)).as("f"))
       .select(col("label"),
