@@ -2292,6 +2292,28 @@ object TextAnalysis {
 
   private[graft] def c104BucketsWith(
       s: SparkSession, d: String, maxVocab: Long): DataFrame = {
+    // staged: the scored per-doc frame feeds the histogram build AND the
+    // bucket join-back
+    val doc = c104ScoredDoc(s, d, maxVocab).localCheckpoint(true)
+    val hist = doc.groupBy(col("lang"), col("ppm")).agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("lang")).orderBy(col("ppm").desc)
+    val wAll = Window.partitionBy(col("lang"))
+    val buck = hist.select(col("lang"), col("ppm"),
+      (sum(col("c")).over(wOrd) - col("c") + lit(1)).as("r"),
+      sum(col("c")).over(wAll).as("n"))
+    doc.join(broadcast(buck), Seq("lang", "ppm"))
+      .select(col("doc_id"), col("lang"), col("ppm"),
+        expr("CASE WHEN 3 * r <= n THEN 'head'" +
+          " WHEN 3 * r <= 2 * n THEN 'middle' ELSE 'tail' END").as("bucket"),
+        col("nt"))
+  }
+
+  /** The train-and-score pipeline up to the per-doc (ppm, nt) aggregate —
+    * un-checkpointed so its join shape stays plan-auditable.
+    */
+  private[graft] def c104ScoredDoc(
+      s: SparkSession, d: String, maxVocab: Long): DataFrame = {
     val base = docs(s, d)
       .select(col("doc_id"), col("lang"), expr(wordsSpark).as("w"))
       .where(expr("size(w) >= 2"))
@@ -2323,7 +2345,7 @@ object TextAnalysis {
       if (uFits) broadcast(lane) else lane.hint("merge")
     }
     val tot = uni.agg(sum(col("cu")).as("t"))
-    val doc = tok
+    tok
       .join(if (bFits) broadcast(big) else big.hint("merge"), Seq("hb"), "left")
       .join(uniLane("hp", "cu_p"), Seq("hp"))
       .join(uniLane("hc", "cu_c"), Seq("hc"))
@@ -2335,20 +2357,6 @@ object TextAnalysis {
       // nt = word count: bigram positions + 1 (the ≥2-word filter holds)
       .agg(expr("CAST(sum(sc) DIV count(1) AS BIGINT)").as("ppm"),
         expr("CAST(count(1) + 1 AS BIGINT)").as("nt"))
-      // staged: feeds the histogram build AND the bucket join-back
-      .localCheckpoint(true)
-    val hist = doc.groupBy(col("lang"), col("ppm")).agg(count(lit(1)).as("c"))
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy(col("lang")).orderBy(col("ppm").desc)
-    val wAll = Window.partitionBy(col("lang"))
-    val buck = hist.select(col("lang"), col("ppm"),
-      (sum(col("c")).over(wOrd) - col("c") + lit(1)).as("r"),
-      sum(col("c")).over(wAll).as("n"))
-    doc.join(broadcast(buck), Seq("lang", "ppm"))
-      .select(col("doc_id"), col("lang"), col("ppm"),
-        expr("CASE WHEN 3 * r <= n THEN 'head'" +
-          " WHEN 3 * r <= 2 * n THEN 'middle' ELSE 'tail' END").as("bucket"),
-        col("nt"))
   }
 
   /** The shared train+score+rank CTE chain — C104 reads the bucket

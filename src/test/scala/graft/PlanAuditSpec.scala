@@ -485,6 +485,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
   }
 
+  test("c104: LM scoring joins broadcast the measured-small count tables; " +
+      "the forced 100 TB path plans sort-merge with zero broadcast hash joins") {
+    val pb = plan(graft.ops.TextAnalysis.c104ScoredDoc(s, sf, Long.MaxValue))
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    assert(!pb.contains("SortMergeJoin") && !pb.contains("CartesianProduct"), pb)
+    val pm = plan(graft.ops.TextAnalysis.c104ScoredDoc(s, sf, 0L))
+    assert(pm.contains("SortMergeJoin"), pm)
+    assert(!pm.contains("BroadcastHashJoin"), pm)
+    assert(!pm.contains("CartesianProduct"), pm)
+  }
+
+  test("c104/c105: the tercile cut is histogram-ranked — windows partitioned " +
+      "by lang, bucket join-back broadcast; the mixture is joinless over the " +
+      "memoized bucket frame") {
+    val p = plan(graft.ops.TextAnalysis.c104BucketsWith(s, sf, Long.MaxValue))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+    // every window partitions by lang — no unpartitioned corpus window
+    val wins = p.split('\n').filter(_.contains("windowspecdefinition"))
+    assert(wins.nonEmpty && wins.forall(_.contains("lang#")), p)
+    // the gates read the memoized bucket frame: no join re-runs
+    Seq("c104_ngram_lm", "c105_perplexity_mixture").foreach { q =>
+      val pg = plan(graft.ops.TextAnalysis.queries(q)(s, sf))
+      assert(!pg.contains("Join"), s"$q:\n$pg")
+    }
+  }
+
   test("c82: hard negatives — anchors broadcast; no Exchange input carries " +
       "a vector column (ids and one double on the wire)") {
     val df = graft.ops.Similarity.queries("c82_hard_negatives")(s, sf)
