@@ -2309,16 +2309,15 @@ object TextAnalysis {
         col("nt"))
   }
 
-  /** The train-and-score pipeline up to the per-doc (ppm, nt) aggregate —
-    * un-checkpointed so its join shape stays plan-auditable.
+  /** Bigram-position explode over a (doc_id, lang, text) frame — one
+    * explode carries all three hash lanes; sub-2-word docs drop (a
+    * bigram LM cannot score them, stated in both engines).
     */
-  private[graft] def c104ScoredDoc(
-      s: SparkSession, d: String, maxVocab: Long): DataFrame = {
-    val base = docs(s, d)
+  private def c104TokOf(frame: DataFrame): DataFrame =
+    frame
       .select(col("doc_id"), col("lang"), expr(wordsSpark).as("w"))
       .where(expr("size(w) >= 2"))
-    // one explode per bigram position carries all three hash lanes
-    val tok = base.select(col("doc_id"), col("lang"), explode(expr(
+      .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(2, size(w)), i -> named_struct(" +
           s"'hp', ${h64Spark("concat('sbu:', element_at(w, i - 1))")}, " +
           s"'hc', ${h64Spark("concat('sbu:', element_at(w, i))")}, " +
@@ -2326,15 +2325,32 @@ object TextAnalysis {
         .as("t"))
       .select(col("doc_id"), col("lang"),
         col("t.hp").as("hp"), col("t.hc").as("hc"), col("t.hb").as("hb"))
-      // staged: feeds the bigram-count build AND the scoring joins
-      .localCheckpoint(true)
-    // the unigram LM table: three consumers (measurement, two join
-    // lanes, scalar total) — at scale this is the persisted artifact
-    val uni = base.select(explode(col("w")).as("wd"))
-      .select(expr(h64Spark("concat('sbu:', wd)")).as("uh"))
-      .groupBy(col("uh")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint(true)
-    val big = tok.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
+
+  // the trained LM IS three memoized artifacts — corpus token stream,
+  // unigram counts, bigram counts; in a deployment these are the
+  // persisted model tables every scoring job (batch or stream) joins
+  private def c104CorpusTok(s: SparkSession, d: String): DataFrame =
+    graft.core.FrameMemo.cached(s, s"c104tok:$d")(c104TokOf(docs(s, d)))
+
+  private def c104Uni(s: SparkSession, d: String): DataFrame =
+    graft.core.FrameMemo.cached(s, s"c104uni:$d")(
+      docs(s, d)
+        .select(col("doc_id"), expr(wordsSpark).as("w"))
+        .where(expr("size(w) >= 2"))
+        .select(explode(col("w")).as("wd"))
+        .select(expr(h64Spark("concat('sbu:', wd)")).as("uh"))
+        .groupBy(col("uh")).agg(count(lit(1)).as("cu")))
+
+  private def c104Big(s: SparkSession, d: String): DataFrame =
+    graft.core.FrameMemo.cached(s, s"c104big:$d")(
+      c104CorpusTok(s, d).groupBy(col("hb")).agg(count(lit(1)).as("cb")))
+
+  /** Score a token stream against the trained tables — the join+agg
+    * pipeline up to the per-doc (ppm, nt) aggregate, un-checkpointed so
+    * its join shape stays plan-auditable.
+    */
+  private def c104Score(
+      tok: DataFrame, uni: DataFrame, big: DataFrame, maxVocab: Long): DataFrame = {
     def measuredFits(t: DataFrame): Boolean = maxVocab == Long.MaxValue ||
       (maxVocab > 0 &&
         t.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).count() <= maxVocab)
@@ -2358,6 +2374,24 @@ object TextAnalysis {
       .agg(expr("CAST(sum(sc) DIV count(1) AS BIGINT)").as("ppm"),
         expr("CAST(count(1) + 1 AS BIGINT)").as("nt"))
   }
+
+  private[graft] def c104ScoredDoc(
+      s: SparkSession, d: String, maxVocab: Long): DataFrame =
+    c104Score(c104CorpusTok(s, d), c104Uni(s, d), c104Big(s, d), maxVocab)
+
+  /** Score an ARBITRARY (doc_id, lang, text) frame against the
+    * corpus-trained LM — the serving path (D39 scores micro-batches
+    * through it). Unseen BIGRAMS take the backoff lane; positions whose
+    * words are outside the training vocabulary drop via the inner
+    * unigram joins (Stupid Backoff reserves no OOV mass), so on served
+    * data `nt` counts scoreable positions + 1 and a doc with zero
+    * scoreable positions emits no row. On the training corpus itself
+    * every position is in-vocabulary and this equals [[c104ScoredDoc]].
+    */
+  private[graft] def c104ScoreBatch(
+      s: SparkSession, d: String, frame: DataFrame): DataFrame =
+    c104Score(c104TokOf(frame), c104Uni(s, d), c104Big(s, d),
+      c104BroadcastMaxVocab)
 
   /** The shared train+score+rank CTE chain — C104 reads the bucket
     * assignment off it, C105 plans the mixture off it (ONE SQL copy of

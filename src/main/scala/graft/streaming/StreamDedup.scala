@@ -1048,4 +1048,40 @@ object StreamDedup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         annFlat(k))
   }
+
+  // --------------- D39 streaming perplexity bucketing (CCNet serving)
+
+  /** Per-language tercile CUTS read off the batch C104 bucket frame —
+    * the CCNet serving contract: thresholds are computed ONCE on the
+    * training corpus, then applied to arriving documents (Wenzek et al.
+    * 2020 compute them on a sample and score the crawl against them).
+    * Ties share a batch rank (every doc at a boundary ppm sits in one
+    * bucket), so `ppm >= min(bucket ppm)` reproduces the batch
+    * assignment exactly. A language too small to have cut a head or
+    * middle tercile (n < 3) yields NULL cuts — the CASE guards route
+    * everything below the first present cut to tail, matching batch.
+    */
+  def lmThresholds(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextAnalysis.queries("c104_ngram_lm")(s, d)
+      .groupBy(col("lang"))
+      .agg(min(when(col("bucket") === "head", col("ppm"))).as("head_min"),
+        min(when(col("bucket") === "middle", col("ppm"))).as("middle_min"))
+
+  /** D39: score ONE micro-batch of documents against the corpus-trained
+    * Stupid-Backoff LM and bucket them with the batch-computed tercile
+    * cuts — D19's foreachBatch serving shape: the model (three memoized
+    * count tables) and the cuts (|langs| rows, broadcast) are static;
+    * each batch pays one explode + the same measured-size joins the
+    * batch scorer plans, so stream and batch CANNOT drift (same
+    * expressions, same tables, same cuts). Out-of-vocabulary positions
+    * drop (Stupid Backoff reserves no OOV mass); a doc with zero
+    * scoreable positions emits no row — both pinned in the spec.
+    */
+  def lmServeBatch(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.c104ScoreBatch(s, d, batch)
+      .join(broadcast(lmThresholds(s, d)), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppm"),
+        expr("CASE WHEN head_min IS NOT NULL AND ppm >= head_min THEN 'head'" +
+          " WHEN middle_min IS NOT NULL AND ppm >= middle_min THEN 'middle'" +
+          " ELSE 'tail' END").as("bucket"))
 }

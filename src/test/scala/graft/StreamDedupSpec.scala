@@ -12,6 +12,7 @@ case class AnnStreamIn(kind: String, vec_id: Long, v: Seq[Double])
 case class DocStreamIn(source: String, text: String)
 case class SampleDocIn(source: String, doc_id: Long)
 case class VecEmbIn(vec_id: Long, embedding: Seq[Double])
+case class LmStreamIn(doc_id: Long, lang: String, text: String)
 
 class StreamDedupSpec extends AnyFunSuite {
   private val s = TestSpark.spark
@@ -800,5 +801,36 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(before == batch,
       s"state-only: ${before.diff(batch).take(5)}; batch-only: ${batch.diff(before).take(5)}")
     assert(before.nonEmpty)
+  }
+
+  test("D39: streaming perplexity bucketing — docs served across micro-batches " +
+      "equal batch C104 exactly; an out-of-vocabulary doc emits no row") {
+    import s.implicits._
+    val mem = MemoryStream[LmStreamIn](s)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String)]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf ++= StreamDedup.lmServeBatch(s, sf, b).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+        ()
+      }
+      .start()
+    try {
+      val docs = s.read.parquet(sf + "/documents.parquet")
+        .selectExpr("doc_id", "lang", "text").collect()
+        .map(r => LmStreamIn(r.getLong(0), r.getString(1), r.getString(2)))
+      val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      // every word unseen → zero scoreable positions → no served row
+      mem.addData(LmStreamIn(999999L, docs.head.lang, "zzqqxv wwyykj vvffhq"))
+      q.processAllAvailable()
+      val batch = graft.ops.TextAnalysis.queries("c104_ngram_lm")(s, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      assert(buf.sizeIs == batch.length && buf.toSet == batch.toSet)
+      assert(!buf.exists(_._1 == 999999L))
+    } finally q.stop()
   }
 }
