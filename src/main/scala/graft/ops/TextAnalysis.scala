@@ -1846,21 +1846,27 @@ object TextAnalysis {
   }
 
   def c103ClassifierTrain(s: SparkSession, d: String): DataFrame = {
-    // staged: the labeled projection (one corpus pass incl. the Gopher
-    // stat battery) feeds BOTH the feature-count build and the prior
-    // counts — narrowed to the two columns they read before the
-    // checkpoint so the materialized blocks carry no stat columns
-    val labeled = c103Labeled(s, d).select(col("label"), col("w"))
-      .localCheckpoint(true)
-    val table = labeled
-      .select(col("label"), explode(expr(c103FeatsSpark)).as("f"))
+    // LITERALLY one corpus pass: a per-doc MARKER element (NULL — split
+    // can't produce one, so no feature can collide with it) rides the
+    // feature explode and maps to bucket -1, so the doc priors and the
+    // feature counts fall out of the SAME map-side-combined aggregation —
+    // no staged corpus frame, no second Gopher-battery scan. The hash
+    // stays OUTSIDE the lambda: a codegen'd projection after the explode
+    // (inside `transform` it would run interpreted per element). The
+    // ≤ 2·(buckets+1)-row aggregate is staged for its two readers.
+    val agg = c103Labeled(s, d)
+      .select(col("label"), explode(expr(
+        s"concat($c103FeatsSpark, array(CAST(NULL AS STRING)))")).as("f"))
       .select(col("label"),
-        (expr(h64Spark("concat('nb:', f)")) % c103Buckets).as("bucket"))
+        expr(s"CASE WHEN f IS NULL THEN CAST(-1 AS BIGINT)" +
+          s" ELSE ${h64Spark("concat('nb:', f)")} % $c103Buckets END").as("bucket"))
       .groupBy(col("label"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-    val perLabel = labeled.groupBy(col("label"))
-      .agg(count(lit(1)).as("label_docs"))
-    table.join(broadcast(perLabel), Seq("label"))
+      .localCheckpoint(true)
+    val perLabel = agg.where(col("bucket") === -1)
+      .select(col("label"), col("n").as("label_docs"))
+    agg.where(col("bucket") >= 0)
+      .join(broadcast(perLabel), Seq("label"))
       .select(col("label"), col("bucket"), col("n"), col("label_docs"))
       .orderBy(col("label"), col("bucket"))
   }
@@ -1878,15 +1884,18 @@ object TextAnalysis {
        |      CAST(len(list_filter(w, t -> t IN $stopList)) AS BIGINT) AS n_stop
        |    FROM (SELECT doc_id, text, $wordsDuck AS w FROM documents))),
        |feats AS (
-       |  SELECT label, unnest($c103FeatsDuck) AS f FROM lab),
-       |tbl AS (
-       |  SELECT label, ${h64Duck("'nb:' || f")} % $c103Buckets AS bucket,
+       |  SELECT label, unnest(list_append($c103FeatsDuck, NULL)) AS f FROM lab),
+       |agg AS (
+       |  SELECT label,
+       |    CASE WHEN f IS NULL THEN -1
+       |         ELSE ${h64Duck("'nb:' || f")} % $c103Buckets END AS bucket,
        |    COUNT(*) AS n
        |  FROM feats GROUP BY 1, 2),
-       |ld AS (SELECT label, COUNT(*) AS label_docs FROM lab GROUP BY 1)
+       |ld AS (SELECT label, n AS label_docs FROM agg WHERE bucket = -1)
        |SELECT label, bucket, CAST(n AS BIGINT) AS n,
        |  CAST(label_docs AS BIGINT) AS label_docs
-       |FROM tbl JOIN ld USING (label)
+       |FROM agg JOIN ld USING (label)
+       |WHERE bucket >= 0
        |ORDER BY label, bucket""".stripMargin
   }
 
