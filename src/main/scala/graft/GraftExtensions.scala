@@ -31,13 +31,15 @@ import graft.spatial.{BoxIntersectsGeom, PointInGeom, PointInPolygon,
   *  - `wkb_point(x, y) -> binary` — Point WKB encoder
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
         b))
     }
+    ext.injectOptimizerRule(_ => graft.spatial.DeriveSpatialEnvelope)
+  }
 }
 
 object GraftFunctions {
@@ -101,9 +103,17 @@ object GraftFunctions {
     }
   )
 
-  /** Register into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session: the SQL functions plus the
+    * envelope-derivation optimizer rule (idempotent — the rule object is
+    * added once).
+    */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       GraftBridge.registerFunction(spark, name, b)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.spatial.DeriveSpatialEnvelope))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.spatial.DeriveSpatialEnvelope
+  }
 }
