@@ -1729,6 +1729,51 @@ object StacSearch {
        |ORDER BY id""".stripMargin
   }
 
+  // ------------- A87 catalog DataSource V2: plan-time footer prune
+  @volatile private var a87Dir: String = "/tmp/graft_geoparquet_export_unset"
+
+  /** A87: the A85 footer prune moved INTO THE PLANNER — the catalog read
+    * as a DataSource V2 (`graft.sources.GeoCatalogSource`): the SAME
+    * bbox predicates, written as ordinary `where` clauses, push into the
+    * scan, and the scan itself drops files whose `geo` footer bbox
+    * cannot contain a match before any data I/O. A85 proves the prune's
+    * set algebra with an explicit two-step; A87 proves the ENGINE path a
+    * user actually runs (`spark.read.format(…).load(dir).where(…)`),
+    * with the skip REQUIRED at gate time (read off the scan's own
+    * accounting) and the oracle scanning EVERY file — a lossy prune is a
+    * hash break, not a silent missing row.
+    */
+  def a87CatalogSource(s: SparkSession, d: String): DataFrame = {
+    val zShards = 8
+    val shardCol = (zCellColumn.cast("long") * lit(zShards) / lit(4096)).cast("long")
+    val out = graft.core.GeoParquet.export(s, d, zShards, Some(shardCol), tag = "z")
+    a87Dir = out
+    val (w, so, e, n) = a85Box
+    val df = s.read.format("graft.sources.GeoCatalogSource").load(out)
+      .where(col("bbox.xmin") <= e && col("bbox.xmax") >= w &&
+        col("bbox.ymin") <= n && col("bbox.ymax") >= so)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val m = """footer-pruned files (\d+)/(\d+)""".r.findFirstMatchIn(plan)
+    require(m.exists(g => g.group(1).toInt < g.group(2).toInt),
+      s"planner prune skipped nothing — spatial sharding or pushdown broken:\n$plan")
+    df.select(col("id"), col("collection"),
+        col("bbox.xmin").as("xmin"), col("bbox.ymin").as("ymin"),
+        col("bbox.xmax").as("xmax"), col("bbox.ymax").as("ymax"))
+      .orderBy(col("id"))
+  }
+
+  def a87Sql: String = {
+    val (w, so, e, n) = a85Box
+    s"""SELECT id, collection,
+       |  bbox.xmin AS xmin, bbox.ymin AS ymin,
+       |  bbox.xmax AS xmax, bbox.ymax AS ymax
+       |FROM read_parquet('$a87Dir/*.parquet')
+       |WHERE bbox.xmin <= $e AND bbox.xmax >= $w
+       |  AND bbox.ymin <= $n AND bbox.ymax >= $so
+       |ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------ A86 catalog compaction
   @volatile private var a86SrcDir: String = "/tmp/graft_geoparquet_export_unset"
   @volatile private var a86Dir: String = "/tmp/graft_geoparquet_export_unset"
@@ -3150,6 +3195,7 @@ object StacSearch {
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a82_geoparquet_export"       -> (a82GeoparquetExport _),
     "a85_catalog_pruned_search"   -> (a85CatalogPrunedSearch _),
+    "a87_catalog_source"          -> (a87CatalogSource _),
     "a86_catalog_compact"         -> (a86CatalogCompact _),
     "a78_within_concave"          -> (a78WithinConcave _),
     "a73_cql2_s_within"           -> (a73CqlWithin _),
@@ -3231,6 +3277,7 @@ object StacSearch {
     "a75_geoparquet_ingest"       -> a75Sql,
     "a82_geoparquet_export"       -> a82Sql,
     "a85_catalog_pruned_search"   -> a85Sql,
+    "a87_catalog_source"          -> a87Sql,
     "a86_catalog_compact"         -> a86Sql,
     "a78_within_concave"          -> a78Sql,
     "a73_cql2_s_within"           -> a73Sql,

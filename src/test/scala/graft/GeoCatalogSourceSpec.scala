@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.core.GeoParquet
+import graft.search.StacSearch
+
+/** The `geocatalog` DataSource V2: plan-time footer-bbox file pruning
+  * from pushed filters, row/column fidelity against Spark's own parquet
+  * reader over the identical files.
+  */
+class GeoCatalogSourceSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+  private val fmt = "graft.sources.GeoCatalogSource"
+
+  // the spatially-sharded catalog (A85's layout): z-bucket shards keep
+  // each file's footer bbox tight so a bbox query CAN skip files
+  private lazy val cat: String = {
+    val shardCol = (StacSearch.zCellColumn.cast("long") * lit(8) / lit(4096))
+      .cast("long")
+    GeoParquet.export(s, sf, 8, Some(shardCol), tag = "z")
+  }
+
+  private def viaCatalog: DataFrame = s.read.format(fmt).load(cat)
+  private def viaParquet: DataFrame = s.read.parquet(cat)
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select(col("id"), col("id_num"), col("collection"),
+        col("datetime").cast("string"), col("start_datetime").cast("string"),
+        col("end_datetime").cast("string"), col("value"), col("user_id"),
+        col("lon"), col("lat"),
+        col("bbox.xmin"), col("bbox.ymin"), col("bbox.xmax"), col("bbox.ymax"),
+        hex(col("geometry")))
+      .collect().map(_.mkString("")).sorted.toSeq
+
+  test("full scan ≡ Spark's parquet reader over the same files — every " +
+      "column, geometry bytes included") {
+    val got = canon(viaCatalog)
+    val want = canon(viaParquet)
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("a bbox range filter prunes FILES at plan time and loses no rows") {
+    val (w, so, e, n) = (-130.005, -60.005, -20.005, 10.005)
+    def filtered(df: DataFrame): DataFrame =
+      df.where(col("bbox.xmin") <= e && col("bbox.xmax") >= w &&
+        col("bbox.ymin") <= n && col("bbox.ymax") >= so)
+    val df = filtered(viaCatalog)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val m = """footer-pruned files (\d+)/(\d+)""".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    val (kept, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(kept < total && kept > 0, s"$kept/$total:\n$plan")
+    assert(canon(df) == canon(filtered(viaParquet)))
+  }
+
+  test("non-prunable filters stay conservative: no file skipped, rows exact") {
+    val df = viaCatalog.where(col("bbox.xmin") >= -60.0) // footer can't decide
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val m = """footer-pruned files (\d+)/(\d+)""".r.findFirstMatchIn(plan).get
+    assert(m.group(1) == m.group(2), plan)
+    assert(canon(df) == canon(viaParquet.where(col("bbox.xmin") >= -60.0)))
+  }
+
+  test("column pruning: a narrow projection reads and returns only the " +
+      "requested fields") {
+    val got = viaCatalog.select(col("id"), col("lon")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val want = viaParquet.select(col("id"), col("lon")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    val plan = viaCatalog.select(col("id"), col("lon"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("geometry"), plan)
+  }
+}
