@@ -321,12 +321,40 @@ object GeoParquet {
           writer = new GeoWriterBuilder(
             new Path(s"$outPath/${key._1}-${key._2}.parquet"), schema)
             .withCompressionCodec(CompressionCodecName.SNAPPY)
+            // OVERWRITE: a retried streaming micro-batch (appendBatch
+            // names files by batchId) rewrites its own file instead of
+            // failing — exactly-once lands as last-write-wins idempotence
+            .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
             .build()
           cur = key
         }
         writer.write(build(factory, r))
       }
     } finally if (writer != null) writer.close()
+  }
+
+  /** STREAMING catalog ingest (D40): land ONE micro-batch of items-shaped
+    * rows as per-collection GeoParquet files
+    * `<collection>-<batchId>.parquet` through the SAME footer-folding
+    * writers as [[export]] — every batch file is independently valid
+    * GeoParquet 1.1 with an exact footer bbox the moment it closes, so
+    * the catalog is queryable (and footer-prunable) mid-stream; [[compact]]
+    * later merges the accumulated small batch files into canonical shards
+    * (A86's op — the batch/stream pair every file-backed store runs).
+    * Batch-id file naming + OVERWRITE writers make foreachBatch retries
+    * idempotent (a replayed batch rewrites its own files).
+    */
+  def appendBatch(batch: DataFrame, outDir: String, batchId: Long): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val outPath = outDir
+    batch
+      .select(col("id"), col("id_num"), col("collection"), col("datetime"),
+        col("start_datetime"), col("end_datetime"), col("value"),
+        col("user_id"), col("lon"), col("lat"),
+        lit(batchId).cast("long").as("shard"))
+      .repartition(col("collection"))
+      .sortWithinPartitions(col("collection"), col("id_num"))
+      .foreachPartition(writeShardRun(outPath, 10, rowGroup) _)
   }
 
   /** One CATALOG row (as read back from exported files — geometry and
@@ -370,8 +398,9 @@ object GeoParquet {
     * break.
     */
   def compact(spark: SparkSession, inDir: String, dir: String, toShards: Int,
-              shardCol: org.apache.spark.sql.Column): String = synchronized {
-    val out = exportPath(dir, toShards, "c")
+              shardCol: org.apache.spark.sql.Column,
+              tag: String = "c"): String = synchronized {
+    val out = exportPath(dir, toShards, tag)
     val done = new java.io.File(out, "_SUCCESS")
     if (done.exists()) return out
     val root = new java.io.File(out)

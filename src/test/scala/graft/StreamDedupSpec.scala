@@ -13,6 +13,10 @@ case class DocStreamIn(source: String, text: String)
 case class SampleDocIn(source: String, doc_id: Long)
 case class VecEmbIn(vec_id: Long, embedding: Seq[Double])
 case class LmStreamIn(doc_id: Long, lang: String, text: String)
+case class CatalogIn(id: String, id_num: Long, collection: String,
+    datetime: java.sql.Timestamp, start_datetime: java.sql.Timestamp,
+    end_datetime: java.sql.Timestamp, value: Double, user_id: Long,
+    lon: Double, lat: Double)
 
 class StreamDedupSpec extends AnyFunSuite {
   private val s = TestSpark.spark
@@ -832,5 +836,70 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(buf.sizeIs == batch.length && buf.toSet == batch.toSet)
       assert(!buf.exists(_._1 == 999999L))
     } finally q.stop()
+  }
+
+  test("D40: streaming catalog ingest — micro-batches land as valid GeoParquet " +
+      "with exact footers; content ≡ batch export; compaction merges exactly") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, hex, lit}
+    val dir = java.nio.file.Files.createTempDirectory("d40cat").toString
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("id"), col("id_num"), col("collection"),
+        col("datetime").cast("string"), col("start_datetime").cast("string"),
+        col("end_datetime").cast("string"), col("value"), col("user_id"),
+        col("lon"), col("lat"), col("bbox.xmin"), col("bbox.ymin"),
+        col("bbox.xmax"), col("bbox.ymax"), hex(col("geometry")))
+      .collect().map(_.mkString("")).sorted.toSeq
+
+    val items = graft.core.Tables.items(s, sf)
+      .select(col("id"), col("id_num"), col("collection"), col("datetime"),
+        col("start_datetime"), col("end_datetime"), col("value"),
+        col("user_id"), col("lon"), col("lat"))
+      .as[CatalogIn].collect()
+    val mem = MemoryStream[CatalogIn](s)
+    val q = mem.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.core.GeoParquet.appendBatch(b, dir, id)
+        ()
+      }
+      .start()
+    try {
+      val (b1, b2) = items.partition(_.id_num % 2 == 0)
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every batch file is valid GeoParquet 1.1 whose footer bbox is EXACT
+    val footers = graft.core.GeoParquet.footerBboxes(dir)
+    assert(footers.nonEmpty)
+    footers.foreach { case (stem, b) =>
+      val f = s.read.parquet(s"$dir/$stem.parquet")
+        .agg(org.apache.spark.sql.functions.min(col("bbox.xmin")),
+          org.apache.spark.sql.functions.min(col("bbox.ymin")),
+          org.apache.spark.sql.functions.max(col("bbox.xmax")),
+          org.apache.spark.sql.functions.max(col("bbox.ymax"))).head()
+      assert(Seq(f.getDouble(0), f.getDouble(1), f.getDouble(2), f.getDouble(3)) == b, stem)
+    }
+    // streamed catalog content ≡ the batch export of the same fixture,
+    // read back through the DataSource V2 path
+    val got = canon(s.read.format("graft.sources.GeoCatalogSource").load(dir))
+    val want = canon(s.read.parquet(graft.core.GeoParquet.export(s, sf, 1)))
+    assert(got == want && got.nonEmpty)
+    // compaction merges the small batch files into 2 z-shards: rows and
+    // footer exactness both survive
+    val shard2 = (graft.search.StacSearch.zCellColumn.cast("long") * lit(2) / lit(4096))
+      .cast("long")
+    val compacted = graft.core.GeoParquet.compact(s, dir, sf, 2, shard2, tag = "d40")
+    assert(canon(s.read.parquet(compacted)) == got)
+    graft.core.GeoParquet.footerBboxes(compacted).foreach { case (stem, b) =>
+      val f = s.read.parquet(s"$compacted/$stem.parquet")
+        .agg(org.apache.spark.sql.functions.min(col("bbox.xmin")),
+          org.apache.spark.sql.functions.min(col("bbox.ymin")),
+          org.apache.spark.sql.functions.max(col("bbox.xmax")),
+          org.apache.spark.sql.functions.max(col("bbox.ymax"))).head()
+      assert(Seq(f.getDouble(0), f.getDouble(1), f.getDouble(2), f.getDouble(3)) == b, stem)
+    }
   }
 }
