@@ -466,6 +466,22 @@ object GeoParquet {
   /** Read and parse the `geo` footer metadata — the metadata-plane step
     * a GeoParquet reader performs before planning the scan.
     */
+  /** Per-file row counts from the parquet footers — metadata plane only
+    * (the row-group counts live next to the `geo` key the bbox prune
+    * reads); lets a catalog COUNT(*) be answered without opening a
+    * single data page.
+    */
+  def footerRowCounts(out: String): Map[String, Long] =
+    new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration())
+        val reader = ParquetFileReader.open(in)
+        try f.getName.stripSuffix(".parquet") -> reader.getRecordCount
+        finally reader.close()
+      }.toMap
+
   def readGeoMeta(file: String): GeoMeta = {
     val in = HadoopInputFile.fromPath(new Path(file),
       new org.apache.hadoop.conf.Configuration())

@@ -13,9 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual,
   LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -95,10 +99,12 @@ private class GeoCatalogTable(path: String) extends Table with SupportsRead {
 }
 
 private class GeoCatalogScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GeoCatalogSource.schema
+  private var aggKinds: Array[String] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter(f => GeoCatalogScan.constraintOf(f).isDefined)
@@ -109,8 +115,103 @@ private class GeoCatalogScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GeoCatalogScan(path, accepted, required)
+  /** Aggregates the FOOTERS can answer exactly, data plane untouched:
+    * COUNT(*) (row-group record counts), and the four bound extremes a
+    * `geo` bbox carries — MIN(bbox.xmin), MIN(bbox.ymin), MAX(bbox.xmax),
+    * MAX(bbox.ymax) are precisely the folds the writer performed per
+    * file, so the global answer is the same fold over footers. Anything
+    * else (a MIN of a max-bound, a grouped count…) is refused and runs
+    * as a normal scan. Spark offers the pushdown only when no post-scan
+    * filters remain, which for this source means an UNFILTERED catalog —
+    * the "how big is it / what does it cover" metadata queries.
+    */
+  private def kindsOf(agg: Aggregation): Option[Array[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def boundOf(e: org.apache.spark.sql.connector.expressions.Expression,
+                isMin: Boolean): Option[String] = e match {
+      case n: NamedReference => (n.fieldNames.toSeq, isMin) match {
+        case (Seq("bbox", "xmin"), true) => Some("min:0")
+        case (Seq("bbox", "ymin"), true) => Some("min:1")
+        case (Seq("bbox", "xmax"), false) => Some("max:2")
+        case (Seq("bbox", "ymax"), false) => Some("max:3")
+        case _ => None
+      }
+      case _ => None
+    }
+    val ks = agg.aggregateExpressions.map {
+      case _: CountStar => Some("count")
+      case m: Min => boundOf(m.column, isMin = true)
+      case m: Max => boundOf(m.column, isMin = false)
+      case _ => None
+    }
+    if (ks.forall(_.isDefined)) Some(ks.map(_.get)) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    kindsOf(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    kindsOf(agg) match {
+      case Some(ks) => aggKinds = ks; true
+      case None => false
+    }
+
+  override def build(): Scan =
+    if (aggKinds.nonEmpty) new GeoCatalogAggScan(path, aggKinds)
+    else new GeoCatalogScan(path, accepted, required)
 }
+
+/** Footer-served aggregate scan: the answer row is computed at PLANNING
+  * time from the catalog's parquet footers (record counts + `geo`
+  * bboxes) — zero data pages read, one input partition carrying the
+  * finished values.
+  */
+private class GeoCatalogAggScan(path: String, kinds: Array[String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(kinds.zipWithIndex.map {
+    case ("count", i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", DoubleType, nullable = true)
+  })
+
+  override def toBatch: Batch = this
+
+  private lazy val values: Array[Any] = {
+    val boxes = GeoParquet.footerBboxes(path).values.toSeq
+    lazy val count = GeoParquet.footerRowCounts(path).values.sum
+    kinds.map {
+      case "count" => count: Any
+      case k =>
+        if (boxes.isEmpty) null
+        else {
+          val idx = k.split(':')(1).toInt
+          val vals = boxes.map(_(idx))
+          if (k.startsWith("min")) vals.min else vals.max
+        }
+    }
+  }
+
+  override def description(): String =
+    s"geocatalog $path aggregates served from footers [${kinds.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GeoCatalogAggPartition(values))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val row = p.asInstanceOf[GeoCatalogAggPartition].values
+          private var served = false
+          override def next(): Boolean = { val r = !served; served = true; r }
+          override def get(): InternalRow = new GenericInternalRow(row)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private case class GeoCatalogAggPartition(values: Array[Any])
+    extends InputPartition
 
 /** One catalog file = one partition; the footer prune happens HERE, at
   * plan time — `description()` records files kept/total so the decision

@@ -66,6 +66,29 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
     assert(canon(df) == canon(viaParquet.where(col("bbox.xmin") >= -60.0)))
   }
 
+  test("COUNT(*) and the four footer-bound extremes are served from " +
+      "footers — the plan shows the agg scan, values match a real scan") {
+    val agg = viaCatalog.agg(count(lit(1)).as("n"),
+      min(col("bbox.xmin")).as("w"), min(col("bbox.ymin")).as("s"),
+      max(col("bbox.xmax")).as("e"), max(col("bbox.ymax")).as("n2"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("aggregates served from footers"), plan)
+    val got = agg.head()
+    val want = viaParquet.agg(count(lit(1)), min(col("bbox.xmin")),
+      min(col("bbox.ymin")), max(col("bbox.xmax")), max(col("bbox.ymax"))).head()
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(0) > 0)
+    (1 to 4).foreach(i => assert(got.getDouble(i) == want.getDouble(i), i))
+  }
+
+  test("non-footer-answerable aggregates refuse the pushdown and still " +
+      "answer correctly off the data plane") {
+    val agg = viaCatalog.agg(min(col("bbox.xmax")).as("m")) // min of a MAX bound
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("served from footers"), plan)
+    assert(agg.head().getDouble(0) ==
+      viaParquet.agg(min(col("bbox.xmax"))).head().getDouble(0))
+  }
+
   test("column pruning: a narrow projection reads and returns only the " +
       "requested fields") {
     val got = viaCatalog.select(col("id"), col("lon")).collect()
