@@ -17,9 +17,10 @@ import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual,
   LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -100,7 +101,7 @@ private class GeoCatalogTable(path: String) extends Table with SupportsRead {
 
 private class GeoCatalogScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GeoCatalogSource.schema
@@ -114,6 +115,13 @@ private class GeoCatalogScanBuilder(path: String) extends ScanBuilder
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private var limit: Int = Int.MaxValue
+  // file-granular: each surviving file still reads whole, Spark applies
+  // the exact limit above — but readers stop emitting at the bound, so a
+  // catalog peek (`LIMIT 5`) opens one file and decodes 5 rows
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Aggregates the FOOTERS can answer exactly, data plane untouched:
     * COUNT(*) (row-group record counts), and the four bound extremes a
@@ -158,7 +166,7 @@ private class GeoCatalogScanBuilder(path: String) extends ScanBuilder
 
   override def build(): Scan =
     if (aggKinds.nonEmpty) new GeoCatalogAggScan(path, aggKinds)
-    else new GeoCatalogScan(path, accepted, required)
+    else new GeoCatalogScan(path, accepted, required, limit)
 }
 
 /** Footer-served aggregate scan: the answer row is computed at PLANNING
@@ -218,7 +226,8 @@ private case class GeoCatalogAggPartition(values: Array[Any])
   * is visible in `explain`.
   */
 private class GeoCatalogScan(path: String, pushed: Array[Filter],
-                             required: StructType) extends Scan with Batch {
+                             required: StructType, limit: Int = Int.MaxValue)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -231,15 +240,35 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
     (keep, footers.size)
   }
 
+  /** Post-prune statistics off the footers (record counts) and the
+    * filesystem (byte sizes) — what lets Catalyst make a correct
+    * broadcast call when the (pruned) catalog joins something bigger;
+    * an un-stated DSv2 defaults to "unknown = huge" and never
+    * broadcasts.
+    */
+  override def estimateStatistics(): Statistics = {
+    val counts = GeoParquet.footerRowCounts(path)
+    val rows = kept.map(f =>
+      counts.getOrElse(new java.io.File(f).getName.stripSuffix(".parquet"), 0L)).sum
+    val bytes = kept.map(f => new java.io.File(f).length()).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
   override def description(): String =
     s"geocatalog $path footer-pruned files ${kept.size}/$total, " +
-      s"pushed [${pushed.mkString(", ")}]"
+      s"pushed [${pushed.mkString(", ")}]" +
+      (if (limit != Int.MaxValue) s", limit $limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(f => GeoCatalogPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoCatalogReaderFactory(required)
+    new GeoCatalogReaderFactory(required, limit)
 }
 
 private object GeoCatalogScan {
@@ -263,10 +292,12 @@ private object GeoCatalogScan {
 
 private case class GeoCatalogPartition(file: String) extends InputPartition
 
-private class GeoCatalogReaderFactory(required: StructType)
+private class GeoCatalogReaderFactory(required: StructType,
+                                      limit: Int = Int.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GeoCatalogReader(p.asInstanceOf[GeoCatalogPartition].file, required)
+    new GeoCatalogReader(p.asInstanceOf[GeoCatalogPartition].file, required,
+      limit)
 }
 
 /** Row reader over one catalog file via parquet-mr's example Group API —
@@ -274,16 +305,20 @@ private class GeoCatalogReaderFactory(required: StructType)
   * simple record reader suffices; only the fields the scan requires are
   * materialized.
   */
-private class GeoCatalogReader(file: String, required: StructType)
+private class GeoCatalogReader(file: String, required: StructType,
+                               limit: Int = Int.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
       .withConf(new Configuration()).build()
   private var current: Group = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    if (emitted >= limit) return false // partially-pushed LIMIT: stop early
     current = reader.read()
+    if (current != null) emitted += 1
     current != null
   }
 

@@ -89,6 +89,25 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
       viaParquet.agg(min(col("bbox.xmax"))).head().getDouble(0))
   }
 
+  test("reported footer statistics let Catalyst broadcast the pruned catalog " +
+      "side of a join") {
+    val (w, so, e, n) = (-130.005, -60.005, -20.005, 10.005)
+    val pruned = viaCatalog.where(col("bbox.xmin") <= e && col("bbox.xmax") >= w &&
+      col("bbox.ymin") <= n && col("bbox.ymax") >= so)
+    val big = graft.core.Tables.items(s, sf).select(col("id"), col("value"))
+    val j = big.join(pruned.select(col("id"), col("collection")), "id")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(j.count() > 0)
+  }
+
+  test("LIMIT pushes into the readers: a catalog peek decodes only the bound") {
+    val peek = viaCatalog.limit(5)
+    val plan = peek.queryExecution.executedPlan.toString
+    assert(plan.contains("limit 5"), plan)
+    assert(peek.collect().length == 5)
+  }
+
   test("column pruning: a narrow projection reads and returns only the " +
       "requested fields") {
     val got = viaCatalog.select(col("id"), col("lon")).collect()
