@@ -66,6 +66,32 @@ class SpatialEnvelopeRuleSpec extends AnyFunSuite {
     assert("""\(lat#\d+ <= 30\.0\)""".r.findAllIn(opt).size == 1, opt)
   }
 
+  test("generative: seeded-random star polygons — the derived-envelope plan " +
+      "returns exactly the local ray-cast's rows") {
+    GraftFunctions.register(s)
+    s.read.parquet(pts).createOrReplaceTempView("pts")
+    val rows = s.read.parquet(pts).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val rnd = new java.util.Random(42)
+    (1 to 12).foreach { _ =>
+      val n = 3 + rnd.nextInt(7)
+      val cx = rnd.nextDouble() * 200 - 100
+      val cy = rnd.nextDouble() * 100 - 50
+      val poly = (0 until n).flatMap { i =>
+        val a = 2 * math.Pi * i / n
+        val r = 5.0 + rnd.nextDouble() * 35.0 // per-vertex radius → concave
+        Seq(cx + r * math.cos(a), cy + r * math.sin(a))
+      }.toArray
+      val ringSql = poly.map(v => s"${v}d").mkString("array(", ", ", ")")
+      val got = s.sql(s"SELECT id FROM pts WHERE point_in_polygon(lon, lat, $ringSql)")
+        .collect().map(_.getString(0)).toSet
+      val want = rows.collect {
+        case (id, lon, lat) if graft.spatial.Geo.rayCast(lon, lat, poly) => id
+      }.toSet
+      assert(got == want, s"poly ${poly.toSeq}")
+    }
+  }
+
   test("conservative: a kernel under OR derives nothing") {
     GraftFunctions.register(s)
     s.read.parquet(pts).createOrReplaceTempView("pts")
