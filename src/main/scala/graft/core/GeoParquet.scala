@@ -428,15 +428,7 @@ object GeoParquet {
     * Validates each footer is well-formed GeoParquet 1.1 on the way.
     */
   def footerBboxes(out: String): Map[String, Seq[Double]] =
-    new java.io.File(out).listFiles()
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map { f =>
-        val m = readGeoMeta(f.getAbsolutePath)
-        require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
-          m.encoding == "WKB" && m.bbox.length == 4,
-          s"exported footer drifted: ${f.getName} → $m")
-        f.getName.stripSuffix(".parquet") -> m.bbox
-      }.toMap
+    footerInfo(out).map { case (k, (b, _)) => k -> b }
 
   /** Footer-driven FILE PRUNE + scan: the catalog-level analogue of
     * parquet row-group skipping — the per-file `geo` bbox (exact, folded
@@ -466,50 +458,67 @@ object GeoParquet {
   /** Read and parse the `geo` footer metadata — the metadata-plane step
     * a GeoParquet reader performs before planning the scan.
     */
-  /** Per-file row counts from the parquet footers — metadata plane only
-    * (the row-group counts live next to the `geo` key the bbox prune
-    * reads); lets a catalog COUNT(*) be answered without opening a
-    * single data page.
+  // constructing a Hadoop Configuration loads and parses the default
+  // resources (~10-20 ms); the footer reads only consult it read-only,
+  // so one shared instance serves every metadata-plane open
+  private lazy val sharedConf = new org.apache.hadoop.conf.Configuration()
+
+  /** Per-file (geo bbox, row count) in ONE footer open per file — the
+    * metadata-plane read every catalog decision (file prune, count,
+    * bound extremes) is served from; the row-group counts live in the
+    * same footer as the `geo` key, so splitting them into two passes
+    * would double the open cost for nothing.
     */
-  def footerRowCounts(out: String): Map[String, Long] =
+  def footerInfo(out: String): Map[String, (Seq[Double], Long)] =
     new java.io.File(out).listFiles()
       .filter(_.getName.endsWith(".parquet"))
       .map { f =>
-        val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath),
-          new org.apache.hadoop.conf.Configuration())
+        val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), sharedConf)
         val reader = ParquetFileReader.open(in)
-        try f.getName.stripSuffix(".parquet") -> reader.getRecordCount
-        finally reader.close()
+        try {
+          val m = parseGeoMeta(f.getAbsolutePath,
+            reader.getFooter.getFileMetaData.getKeyValueMetaData)
+          require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
+            m.encoding == "WKB" && m.bbox.length == 4,
+            s"exported footer drifted: ${f.getName} → $m")
+          f.getName.stripSuffix(".parquet") -> ((m.bbox, reader.getRecordCount))
+        } finally reader.close()
       }.toMap
 
+  /** Per-file row counts — see [[footerInfo]]. */
+  def footerRowCounts(out: String): Map[String, Long] =
+    footerInfo(out).map { case (k, (_, n)) => k -> n }
+
   def readGeoMeta(file: String): GeoMeta = {
-    val in = HadoopInputFile.fromPath(new Path(file),
-      new org.apache.hadoop.conf.Configuration())
+    val in = HadoopInputFile.fromPath(new Path(file), sharedConf)
     val reader = ParquetFileReader.open(in)
-    try {
-      val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
-      val geo = kv.get("geo")
-      require(geo != null, s"$file has no 'geo' footer metadata — not GeoParquet")
-      val root = mapper.readTree(geo)
-      val primary = root.get("primary_column").asText()
-      val gcol = root.get("columns").get(primary)
-      val crs = gcol.get("crs")
-      import scala.jdk.CollectionConverters._
-      val covering = Option(gcol.get("covering")).map { cov =>
-        cov.get("bbox").fields().asScala.map { e =>
-          e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
-        }.toMap
-      }.getOrElse(Map.empty)
-      GeoMeta(
-        version = root.get("version").asText(),
-        primaryColumn = primary,
-        encoding = gcol.get("encoding").asText(),
-        geometryTypes = gcol.get("geometry_types").elements().asScala.map(_.asText()).toSeq,
-        crsAuthority = crs.get("id").get("authority").asText(),
-        crsCode = crs.get("id").get("code").asText(),
-        bbox = gcol.get("bbox").elements().asScala.map(_.asDouble()).toSeq,
-        covering = covering)
-    } finally reader.close()
+    try parseGeoMeta(file, reader.getFooter.getFileMetaData.getKeyValueMetaData)
+    finally reader.close()
+  }
+
+  private def parseGeoMeta(
+      file: String, kv: java.util.Map[String, String]): GeoMeta = {
+    val geo = kv.get("geo")
+    require(geo != null, s"$file has no 'geo' footer metadata — not GeoParquet")
+    val root = mapper.readTree(geo)
+    val primary = root.get("primary_column").asText()
+    val gcol = root.get("columns").get(primary)
+    val crs = gcol.get("crs")
+    import scala.jdk.CollectionConverters._
+    val covering = Option(gcol.get("covering")).map { cov =>
+      cov.get("bbox").fields().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+    GeoMeta(
+      version = root.get("version").asText(),
+      primaryColumn = primary,
+      encoding = gcol.get("encoding").asText(),
+      geometryTypes = gcol.get("geometry_types").elements().asScala.map(_.asText()).toSeq,
+      crsAuthority = crs.get("id").get("authority").asText(),
+      crsCode = crs.get("id").get("code").asText(),
+      bbox = gcol.get("bbox").elements().asScala.map(_.asDouble()).toSeq,
+      covering = covering)
   }
 
   /** Ingest the staged GeoParquet file: footer-driven — the geometry

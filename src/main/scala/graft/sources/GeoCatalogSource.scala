@@ -185,15 +185,14 @@ private class GeoCatalogAggScan(path: String, kinds: Array[String])
   override def toBatch: Batch = this
 
   private lazy val values: Array[Any] = {
-    val boxes = GeoParquet.footerBboxes(path).values.toSeq
-    lazy val count = GeoParquet.footerRowCounts(path).values.sum
+    val info = GeoParquet.footerInfo(path).values.toSeq // ONE open per file
     kinds.map {
-      case "count" => count: Any
+      case "count" => info.map(_._2).sum: Any
       case k =>
-        if (boxes.isEmpty) null
+        if (info.isEmpty) null
         else {
           val idx = k.split(':')(1).toInt
-          val vals = boxes.map(_(idx))
+          val vals = info.map(_._1(idx))
           if (k.startsWith("min")) vals.min else vals.max
         }
     }
@@ -247,9 +246,10 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
     * broadcasts.
     */
   override def estimateStatistics(): Statistics = {
-    val counts = GeoParquet.footerRowCounts(path)
+    val counts = GeoParquet.footerInfo(path)
     val rows = kept.map(f =>
-      counts.getOrElse(new java.io.File(f).getName.stripSuffix(".parquet"), 0L)).sum
+      counts.get(new java.io.File(f).getName.stripSuffix(".parquet"))
+        .map(_._2).getOrElse(0L)).sum
     val bytes = kept.map(f => new java.io.File(f).length()).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
