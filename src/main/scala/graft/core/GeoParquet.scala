@@ -469,8 +469,10 @@ object GeoParquet {
     * same footer as the `geo` key, so splitting them into two passes
     * would double the open cost for nothing.
     */
-  def footerInfo(out: String): Map[String, (Seq[Double], Long)] =
-    new java.io.File(out).listFiles()
+  def footerInfo(out: String): Map[String, (Seq[Double], Long)] = {
+    val files = new java.io.File(out).listFiles()
+    require(files != null, s"geocatalog path does not exist or is not a directory: $out")
+    files
       .filter(_.getName.endsWith(".parquet"))
       .map { f =>
         val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), sharedConf)
@@ -484,6 +486,7 @@ object GeoParquet {
           f.getName.stripSuffix(".parquet") -> ((m.bbox, reader.getRecordCount))
         } finally reader.close()
       }.toMap
+  }
 
   /** Per-file row counts — see [[footerInfo]]. */
   def footerRowCounts(out: String): Map[String, Long] =

@@ -108,6 +108,16 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
     assert(peek.collect().length == 5)
   }
 
+  test("edges: an empty catalog scans zero rows, counts 0, and serves NULL " +
+      "bound extremes; marker files are ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("emptycat").toString
+    new java.io.File(dir, "_SUCCESS").createNewFile()
+    val df = s.read.format(fmt).load(dir)
+    assert(df.collect().isEmpty)
+    val agg = df.agg(count(lit(1)), min(col("bbox.xmin"))).head()
+    assert(agg.getLong(0) == 0L && agg.isNullAt(1))
+  }
+
   test("column pruning: a narrow projection reads and returns only the " +
       "requested fields") {
     val got = viaCatalog.select(col("id"), col("lon")).collect()
