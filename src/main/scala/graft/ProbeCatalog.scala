@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * scan should prefer the native reader; the source earns its keep when
   * the footer prune or a metadata-served aggregate deletes I/O the
   * native path cannot (file skip before data plane; COUNT/extremes with
-  * zero data pages). Usage: `runMain graft.ProbeCatalog [sfDir] [reps]`.
+  * zero data pages). Usage:
+  * `runMain graft.ProbeCatalog [sfDir] [reps] [zShards]` — raise zShards
+  * to probe the metadata plane at higher file counts (files ≈
+  * collections × shards).
   */
 object ProbeCatalog {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 3
+    val zShards = if (args.length > 2) args(2).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,9 +30,11 @@ object ProbeCatalog {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val shardCol = (graft.search.StacSearch.zCellColumn.cast("long") * lit(8) / lit(4096))
+    val shardCol = (graft.search.StacSearch.zCellColumn.cast("long") * lit(zShards) / lit(4096))
       .cast("long")
-    val cat = graft.core.GeoParquet.export(spark, sfDir, 8, Some(shardCol), tag = "z")
+    val cat = graft.core.GeoParquet.export(spark, sfDir, zShards, Some(shardCol), tag = "z")
+    println(s"[catalog] files: ${graft.core.GeoParquet.footerInfo(cat).size} " +
+      s"(zShards=$zShards)")
     def viaSource = spark.read.format("graft.sources.GeoCatalogSource").load(cat)
     def viaParquet = spark.read.parquet(cat)
     val (w, s, e, n) = (-130.005, -60.005, -20.005, 10.005)
