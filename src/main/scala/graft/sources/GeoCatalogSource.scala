@@ -94,7 +94,8 @@ private class GeoCatalogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"geocatalog($path)"
   override def schema(): StructType = GeoCatalogSource.schema
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoCatalogScanBuilder(path)
 }
@@ -269,6 +270,66 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoCatalogReaderFactory(required, limit)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GeoCatalogMicroBatchStream(path, required)
+}
+
+/** SUBSCRIBE to the catalog: the streaming READ twin of the D40 streaming
+  * ingest — each micro-batch serves exactly the catalog files that
+  * appeared since the last offset (files are immutable once written, so
+  * a file IS an exactly-once unit; a D40 retry rewrites the same name
+  * and is by construction the same rows). The offset is the sorted file
+  * list — O(files) JSON, restart-safe: a recovered query replays from
+  * the checkpointed list. The "new items feed" every live STAC store
+  * serves, expressed as a Structured Streaming source.
+  */
+private class GeoCatalogMicroBatchStream(path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listing(): Seq[String] = {
+    val fs = new java.io.File(path).listFiles()
+    if (fs == null) Seq.empty
+    else fs.map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+  }
+
+  override def initialOffset(): Offset = GeoCatalogOffset(Seq.empty)
+  override def latestOffset(): Offset = GeoCatalogOffset(listing())
+  override def deserializeOffset(json: String): Offset =
+    GeoCatalogOffset(GeoCatalogOffset.parse(json))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val seen = start.asInstanceOf[GeoCatalogOffset].files.toSet
+    end.asInstanceOf[GeoCatalogOffset].files
+      .filterNot(seen)
+      .map(f => GeoCatalogPartition(s"$path/$f"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoCatalogReaderFactory(required)
+}
+
+/** The sorted file list as a JSON array — newline/quote-free by
+  * construction (writer-controlled `<collection>-<shard>.parquet` names),
+  * escaped anyway for safety.
+  */
+private case class GeoCatalogOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+private object GeoCatalogOffset {
+  def parse(json: String): Seq[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    (0 until node.size()).map(i => node.get(i).asText())
+  }
 }
 
 private object GeoCatalogScan {

@@ -108,6 +108,28 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
     assert(peek.collect().length == 5)
   }
 
+  test("streaming read: files landed by the streaming ingest surface as " +
+      "micro-batches, each file exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("catstream").toString
+    val items = graft.core.Tables.items(s, sf)
+      .select(col("id"), col("id_num"), col("collection"), col("datetime"),
+        col("start_datetime"), col("end_datetime"), col("value"),
+        col("user_id"), col("lon"), col("lat"))
+    graft.core.GeoParquet.appendBatch(items.where(col("id_num") % 2 === 0), dir, 0L)
+    val q = s.readStream.format(fmt).load(dir)
+      .writeStream.format("memory").queryName("catstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n0 = s.sql("SELECT COUNT(*) FROM catstream").head().getLong(0)
+      assert(n0 == items.where(col("id_num") % 2 === 0).count() && n0 > 0)
+      graft.core.GeoParquet.appendBatch(items.where(col("id_num") % 2 === 1), dir, 1L)
+      q.processAllAvailable()
+      val all = s.sql("SELECT id FROM catstream").collect().map(_.getString(0))
+      assert(all.length == items.count() && all.distinct.length == all.length)
+    } finally q.stop()
+  }
+
   test("edges: an empty catalog scans zero rows, counts 0, and serves NULL " +
       "bound extremes; marker files are ignored") {
     val dir = java.nio.file.Files.createTempDirectory("emptycat").toString
