@@ -97,12 +97,27 @@ private class GeoCatalogTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoCatalogScanBuilder(path)
+    new GeoCatalogScanBuilder(path, Option(options.get("bbox")))
 }
 
-private class GeoCatalogScanBuilder(path: String) extends ScanBuilder
+private class GeoCatalogScanBuilder(path: String, bboxOpt: Option[String])
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
+
+  // `option("bbox", "w,s,e,n")` — the STREAMING prune channel: Spark does
+  // not push Filters into MicroBatchStream scans, so a region-filtered
+  // subscription states its region as a source option (the row-level
+  // predicate still belongs in `where`, which Spark evaluates anyway —
+  // the option can only SKIP files, never change answers)
+  private val optFilters: Array[Filter] = bboxOpt.toArray.flatMap { s0 =>
+    val p = s0.split(",").map(_.trim.toDouble)
+    require(p.length == 4, s"bbox option must be 'w,s,e,n', got '$s0'")
+    Array[Filter](LessThanOrEqual("bbox.xmin", p(2)),
+      GreaterThanOrEqual("bbox.xmax", p(0)),
+      LessThanOrEqual("bbox.ymin", p(3)),
+      GreaterThanOrEqual("bbox.ymax", p(1)))
+  }
 
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GeoCatalogSource.schema
@@ -167,7 +182,7 @@ private class GeoCatalogScanBuilder(path: String) extends ScanBuilder
 
   override def build(): Scan =
     if (aggKinds.nonEmpty) new GeoCatalogAggScan(path, aggKinds)
-    else new GeoCatalogScan(path, accepted, required, limit)
+    else new GeoCatalogScan(path, accepted ++ optFilters, required, limit)
 }
 
 /** Footer-served aggregate scan: the answer row is computed at PLANNING
@@ -273,7 +288,7 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GeoCatalogMicroBatchStream(path, required)
+    new GeoCatalogMicroBatchStream(path, required, pushed)
 }
 
 /** SUBSCRIBE to the catalog: the streaming READ twin of the D40 streaming
@@ -282,12 +297,19 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
   * a file IS an exactly-once unit; a D40 retry rewrites the same name
   * and is by construction the same rows). The offset is the sorted file
   * list — O(files) JSON, restart-safe: a recovered query replays from
-  * the checkpointed list. The "new items feed" every live STAC store
-  * serves, expressed as a Structured Streaming source.
+  * the checkpointed list. Pushed bbox filters prune NEW files on their
+  * footers per batch — a region-filtered subscription never decodes a
+  * file whose footprint can't match (every filter still re-evaluates
+  * post-scan, so the prune can only skip, never lose). The "new items
+  * in my region" feed every live STAC store serves, expressed as a
+  * Structured Streaming source over the store's own files.
   */
-private class GeoCatalogMicroBatchStream(path: String, required: StructType)
+private class GeoCatalogMicroBatchStream(path: String, required: StructType,
+                                         pushed: Array[Filter])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val constraints = pushed.flatMap(GeoCatalogScan.constraintOf)
 
   private def listing(): Seq[String] = {
     val fs = new java.io.File(path).listFiles()
@@ -305,9 +327,17 @@ private class GeoCatalogMicroBatchStream(path: String, required: StructType)
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val seen = start.asInstanceOf[GeoCatalogOffset].files.toSet
-    end.asInstanceOf[GeoCatalogOffset].files
-      .filterNot(seen)
-      .map(f => GeoCatalogPartition(s"$path/$f"): InputPartition).toArray
+    val fresh = end.asInstanceOf[GeoCatalogOffset].files.filterNot(seen)
+    val kept =
+      if (constraints.isEmpty) fresh
+      else {
+        val footers = GeoParquet.footerInfo(path)
+        fresh.filter { f =>
+          footers.get(f.stripSuffix(".parquet"))
+            .forall { case (b, _) => constraints.forall(_(b)) }
+        }
+      }
+    kept.map(f => GeoCatalogPartition(s"$path/$f"): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -130,6 +130,31 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming read with a bbox filter: new files prune on their footers " +
+      "per batch — fewer input rows, same answers") {
+    val (w, so, e, n) = (-130.005, -60.005, -20.005, 10.005)
+    def boxed(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("bbox.xmin") <= e && col("bbox.xmax") >= w &&
+        col("bbox.ymin") <= n && col("bbox.ymax") >= so)
+    val q = boxed(s.readStream.format(fmt)
+        .option("bbox", s"$w,$so,$e,$n").load(cat))
+      .writeStream.format("memory").queryName("catstream_boxed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val served = s.sql("SELECT id FROM catstream_boxed").collect()
+        .map(_.getString(0)).sorted.toSeq
+      val want = boxed(viaParquet).select(col("id")).collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(served == want && served.nonEmpty)
+      // the footer prune bit: the batch read fewer rows than the catalog
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      val total = viaParquet.count()
+      assert(inputRows < total && inputRows >= served.size,
+        s"inputRows=$inputRows total=$total served=${served.size}")
+    } finally q.stop()
+  }
+
   test("edges: an empty catalog scans zero rows, counts 0, and serves NULL " +
       "bound extremes; marker files are ignored") {
     val dir = java.nio.file.Files.createTempDirectory("emptycat").toString
