@@ -47,8 +47,11 @@ object DeriveSpatialEnvelope extends Rule[LogicalPlan] {
     (xs.min, ys.min, xs.max, ys.max)
   }
 
+  // deterministic only: the derived predicate re-evaluates the child
+  // expression, which for a non-deterministic input (rand-derived
+  // coordinates) would see a DIFFERENT value than the kernel does
   private def range(e: Expression, lo: Double, hi: Double): Seq[Expression] =
-    if (e.dataType != DoubleType) Seq.empty
+    if (e.dataType != DoubleType || !e.deterministic) Seq.empty
     else Seq(GreaterThanOrEqual(e, Literal(lo)), LessThanOrEqual(e, Literal(hi)))
 
   /** The envelope conjuncts a single top-level conjunct implies. */
@@ -63,14 +66,11 @@ object DeriveSpatialEnvelope extends Rule[LogicalPlan] {
     case BoxIntersectsGeom(xmin, ymin, xmax, ymax, geom) if geom.nonEmpty =>
       // box ∩ geom ⇒ the box overlaps the geometry's envelope
       val (w, s, east, n) = envelopeOf(geom)
-      (if (xmin.dataType == DoubleType) Seq(LessThanOrEqual(xmin, Literal(east)))
-       else Seq.empty) ++
-        (if (xmax.dataType == DoubleType) Seq(GreaterThanOrEqual(xmax, Literal(w)))
-         else Seq.empty) ++
-        (if (ymin.dataType == DoubleType) Seq(LessThanOrEqual(ymin, Literal(n)))
-         else Seq.empty) ++
-        (if (ymax.dataType == DoubleType) Seq(GreaterThanOrEqual(ymax, Literal(s)))
-         else Seq.empty)
+      def ok(e: Expression) = e.dataType == DoubleType && e.deterministic
+      (if (ok(xmin)) Seq(LessThanOrEqual(xmin, Literal(east))) else Seq.empty) ++
+        (if (ok(xmax)) Seq(GreaterThanOrEqual(xmax, Literal(w))) else Seq.empty) ++
+        (if (ok(ymin)) Seq(LessThanOrEqual(ymin, Literal(n))) else Seq.empty) ++
+        (if (ok(ymax)) Seq(GreaterThanOrEqual(ymax, Literal(s))) else Seq.empty)
     case _ => Seq.empty
   }
 

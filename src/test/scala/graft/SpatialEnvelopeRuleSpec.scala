@@ -92,6 +92,16 @@ class SpatialEnvelopeRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("conservative: non-deterministic coordinates derive nothing (the " +
+      "range predicate would re-evaluate them)") {
+    GraftFunctions.register(s)
+    s.read.parquet(pts).createOrReplaceTempView("pts")
+    val df = s.sql(
+      s"SELECT id FROM pts WHERE point_in_polygon(lon + rand() * 0.0d, lat, $ring)")
+    val opt = optimized(df)
+    assert(!opt.contains(">= 10.0"), opt)
+  }
+
   test("conservative: a kernel under OR derives nothing") {
     GraftFunctions.register(s)
     s.read.parquet(pts).createOrReplaceTempView("pts")
