@@ -24,7 +24,9 @@ object PlanDump {
       "d2_sessionize" -> "Sessionization: one shuffle reused by windows + groupBy",
       "a70_agg_bundle" -> "Aggregations bundle: ONE scan + Expand + shuffle for every granularity",
       "c92_semantic_decon" -> "Semantic decon: eval set broadcast, corpus streams, per-row max/count",
-      "c93_rank_fusion" -> "Rank fusion: value-histogram ranks broadcast back — no global sort")
+      "c93_rank_fusion" -> "Rank fusion: value-histogram ranks broadcast back — no global sort",
+      "c105_perplexity_mixture" -> "Perplexity-filtered mixture: joinless over the memoized LM bucket frame",
+      "a87_catalog_source" -> "Catalog DataSource V2: plan-time footer file prune, filters pushed")
     val out = new StringBuilder
     out ++= "# Physical plans (generated snapshot, sf0.01)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"` (writes docs/PLANS.md).\n"
