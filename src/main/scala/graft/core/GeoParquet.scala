@@ -313,24 +313,43 @@ object GeoParquet {
     val factory = new SimpleGroupFactory(schema)
     var cur: (String, Long) = null
     var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = null
+    var tmpName: String = null
+    var finalName: String = null
+    // Files land at `<name>.parquet.tmp` and ATOMICALLY rename on close:
+    // a concurrent reader (the D41 subscription lists the directory and
+    // opens footers between micro-batches) can never observe a
+    // half-written footer — `.tmp` names don't match the `.parquet`
+    // listing filters, and the rename is all-or-nothing. REPLACE_EXISTING
+    // keeps the retry idempotence (a replayed batch re-renames over its
+    // own completed file).
+    def closeAndPublish(): Unit = if (writer != null) {
+      writer.close()
+      writer = null
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmpName), java.nio.file.Paths.get(finalName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     try {
       it.foreach { r =>
         val key = (r.getString(2), r.getLong(shardIdx))
         if (key != cur) {
-          if (writer != null) writer.close()
-          writer = new GeoWriterBuilder(
-            new Path(s"$outPath/${key._1}-${key._2}.parquet"), schema)
+          closeAndPublish()
+          finalName = s"$outPath/${key._1}-${key._2}.parquet"
+          tmpName = finalName + ".tmp"
+          writer = new GeoWriterBuilder(new Path(tmpName), schema)
             .withCompressionCodec(CompressionCodecName.SNAPPY)
-            // OVERWRITE: a retried streaming micro-batch (appendBatch
-            // names files by batchId) rewrites its own file instead of
-            // failing — exactly-once lands as last-write-wins idempotence
+            // OVERWRITE the tmp file: a retried streaming micro-batch
+            // (appendBatch names files by batchId) rewrites its own tmp
+            // after a mid-write crash instead of failing
             .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
             .build()
           cur = key
         }
         writer.write(build(factory, r))
       }
-    } finally if (writer != null) writer.close()
+      closeAndPublish()
+    } finally if (writer != null) writer.close() // error path: leave .tmp
   }
 
   /** STREAMING catalog ingest (D40): land ONE micro-batch of items-shaped
@@ -463,13 +482,17 @@ object GeoParquet {
   // so one shared instance serves every metadata-plane open
   private lazy val sharedConf = new org.apache.hadoop.conf.Configuration()
 
-  // (path, listing signature) → footer info: a catalog query consults the
+  // path → (listing signature, footer info): a catalog query consults the
   // footers several times (file prune, statistics, the explain pass), and
   // the metadata is immutable per file version — the signature (name,
   // length, mtime per file) invalidates on ANY rewrite, so a regenerated
-  // or compacted catalog can never serve stale footers
+  // or compacted catalog can never serve stale footers. Keyed on the
+  // DIRECTORY alone with the signature stored in the value: a streaming
+  // append changes the signature every micro-batch, and replacing the
+  // entry (instead of keying on the signature) keeps driver memory at
+  // O(directories), not O(batches × files).
   private val footerMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), Map[String, (Seq[Double], Long)]]()
+    String, (String, Map[String, (Seq[Double], Long)])]()
 
   /** Per-file (geo bbox, row count) in ONE footer open per file — the
     * metadata-plane read every catalog decision (file prune, count,
@@ -486,23 +509,27 @@ object GeoParquet {
     val parquet = files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val sig = parquet.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|")
-    footerMemo.computeIfAbsent((out, sig), _ => {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.traverse(parquet.toSeq) { f => Future {
-        val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), sharedConf)
-        val reader = ParquetFileReader.open(in)
-        try {
-          val m = parseGeoMeta(f.getAbsolutePath,
-            reader.getFooter.getFileMetaData.getKeyValueMetaData)
-          require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
-            m.encoding == "WKB" && m.bbox.length == 4,
-            s"exported footer drifted: ${f.getName} → $m")
-          f.getName.stripSuffix(".parquet") -> ((m.bbox, reader.getRecordCount))
-        } finally reader.close()
-      }}, Duration.Inf).toMap
-    })
+    footerMemo.compute(out, (_, prev) => {
+      if (prev != null && prev._1 == sig) prev
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val info = Await.result(Future.traverse(parquet.toSeq) { f => Future {
+          val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), sharedConf)
+          val reader = ParquetFileReader.open(in)
+          try {
+            val m = parseGeoMeta(f.getAbsolutePath,
+              reader.getFooter.getFileMetaData.getKeyValueMetaData)
+            require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
+              m.encoding == "WKB" && m.bbox.length == 4,
+              s"exported footer drifted: ${f.getName} → $m")
+            f.getName.stripSuffix(".parquet") -> ((m.bbox, reader.getRecordCount))
+          } finally reader.close()
+        }}, Duration.Inf).toMap
+        (sig, info)
+      }
+    })._2
   }
 
   /** Per-file row counts — see [[footerInfo]]. */

@@ -106,7 +106,9 @@ object SearchParams {
       filter = node("filter").map(_.toString),
       query = node("query").map(_.toString),
       sortBy = sorts,
-      limit = node("limit").map(_.asInt).getOrElse(10),
+      // untrusted HTTP surface: non-positive → 400, huge → clamp (STAC's
+      // suggested 10000 ceiling) so limit+1 can never overflow
+      limit = StacHttp.clampLimit(node("limit").map(_.asInt).getOrElse(10)),
       token = node("token").map(_.asText),
       include = fieldList("include"),
       exclude = fieldList("exclude"))

@@ -102,13 +102,13 @@ object StacHttp {
           conformsTo.foreach(o.withArray[ArrayNode]("conformsTo").add)
           json(ex, 200, o)
         case ("GET", List("search")) =>
-          json(ex, 200, featureCollection(spark, dir, paramsFromQuery(q), q))
+          json(ex, 200, featureCollection(spark, dir, paramsFromQuery(q), q,
+            "/search"))
         case ("POST", List("search")) =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val p = SearchParams.fromSearchBody(body)
-          json(ex, 200, featureCollection(spark, dir, p,
-            Map("fields_include" -> p.include.mkString(","),
-                "fields_exclude" -> p.exclude.mkString(","))))
+          json(ex, 200, featureCollection(spark, dir, p, Map.empty,
+            "/search", post = true))
         case ("GET", List("collections")) =>
           json(ex, 200, collectionsPage(spark, dir, q))
         case ("GET", List("collections", c)) =>
@@ -121,7 +121,8 @@ object StacHttp {
             notFound(ex, s"Collection $c does not exist")
           else
             json(ex, 200, featureCollection(spark, dir,
-              paramsFromQuery(q).copy(collections = Seq(c)), q))
+              paramsFromQuery(q).copy(collections = Seq(c)), q,
+              s"/collections/$c/items"))
         case ("GET", List("collections", c, "items", itemId)) =>
           val (feats, _, _) = StacApi.searchFeatures(spark, dir,
             SearchParams(collections = Seq(c), ids = Seq(itemId), limit = 1,
@@ -157,6 +158,16 @@ object StacHttp {
 
   private def csv(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Untrusted `limit` params: non-positive is a 400 (the IAE handler);
+    * large finite values clamp to the STAC-suggested 10000 ceiling —
+    * limit+1 can then never overflow and a page collect stays bounded.
+    */
+  private[search] def clampLimit(l: Int): Int = {
+    if (l <= 0)
+      throw new IllegalArgumentException(s"limit must be a positive integer, got $l")
+    math.min(l, 10000)
+  }
 
   /** GET /search query params → typed params — the GET half of the A62
     * codec. `fields` uses the STAC GET convention (`-x` = exclude,
@@ -195,7 +206,7 @@ object StacHttp {
       filterAst = filterAst,
       query = q.get("query"),
       sortBy = sorts,
-      limit = q.get("limit").map(_.toInt).getOrElse(10),
+      limit = clampLimit(q.get("limit").map(_.toInt).getOrElse(10)),
       token = q.get("token"),
       include = incF.map(_.stripPrefix("+")),
       exclude = excF.map(_.drop(1)))
@@ -223,9 +234,19 @@ object StacHttp {
     o
   }
 
+  /** The rel=next link must preserve the WHOLE search, not just the
+    * keyset token (the token encodes only sort-field values): a GET next
+    * href rebuilds the original query string minus any old token plus the
+    * new one, so a client following the advertised link keeps its
+    * collections/bbox/filter/sortby/limit; a POST next link is the STAC
+    * spec's method/body+merge form (`{"token": t}` merged into the
+    * original body client-side).
+    */
   private def featureCollection(spark: SparkSession, dir: String,
                                 p: SearchParams,
-                                q: Map[String, String]): ObjectNode = {
+                                q: Map[String, String],
+                                selfPath: String,
+                                post: Boolean = false): ObjectNode = {
     val (feats, matched, next) = StacApi.searchFeatures(spark, dir, p)
     val o = mapper.createObjectNode()
     o.put("type", "FeatureCollection")
@@ -238,7 +259,18 @@ object StacHttp {
     next.foreach { t =>
       val l = links.addObject()
       l.put("rel", "next"); l.put("type", "application/geo+json")
-      l.put("href", s"/search?token=${java.net.URLEncoder.encode(t, UTF_8)}")
+      if (post) {
+        l.put("href", selfPath)
+        l.put("method", "POST")
+        l.put("merge", true)
+        l.withObject("/body").put("token", t)
+      } else {
+        val carried = (q - "token").toSeq.sortBy(_._1) :+ ("token" -> t)
+        val qs = carried.map { case (k, v) =>
+          s"${java.net.URLEncoder.encode(k, UTF_8)}=${java.net.URLEncoder.encode(v, UTF_8)}"
+        }.mkString("&")
+        l.put("href", s"$selfPath?$qs")
+      }
       l.put("token", t)
     }
     o
@@ -246,7 +278,7 @@ object StacHttp {
 
   private def collectionsPage(spark: SparkSession, dir: String,
                               q: Map[String, String]): ObjectNode = {
-    val limit = q.get("limit").map(_.toInt).getOrElse(10)
+    val limit = clampLimit(q.get("limit").map(_.toInt).getOrElse(10))
     val (rows, next) = StacApi.collectionsPage(spark, dir, q.get("token"), limit)
     val o = mapper.createObjectNode()
     val ca = o.withArray[ArrayNode]("collections")

@@ -83,13 +83,17 @@ class StacHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f0.has("geometry") && f0.has("properties") && f0.has("assets"))
   }
 
-  test("GET /search next-link token walks page 2 ≡ the typed walk") {
+  test("GET /search next-link href walks page 2 AS ADVERTISED ≡ the typed walk") {
     val (_, p1) = get("/search?collections=click&limit=4")
     val next = p1.get("links").get(0)
     assert(next.get("rel").asText == "next")
-    val token = next.get("token").asText
-    val (code, p2) = get(s"/search?collections=click&limit=4&token=" +
-      URLEncoder.encode(token, UTF_8))
+    // the href must carry the WHOLE original search (collections, limit)
+    // plus the new token — a client follows it verbatim, so a bare
+    // `/search?token=…` would silently lose the filters
+    val href = next.get("href").asText
+    assert(href.startsWith("/search?"))
+    assert(href.contains("collections=click") && href.contains("limit=4"))
+    val (code, p2) = get(href)
     assert(code == 200)
     val typed1 = StacApi.search(s, sf, SearchParams(collections = Seq("click"), limit = 4))
     val typed2 = StacApi.search(s, sf, SearchParams(collections = Seq("click"), limit = 4,
@@ -97,6 +101,41 @@ class StacHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     val httpIds = (0 until p2.get("features").size())
       .map(p2.get("features").get(_).get("id").asText)
     assert(httpIds == typed2.items.map(r => r.getString(r.fieldIndex("id"))).toSeq)
+  }
+
+  test("POST /search next link is the method/body+merge form") {
+    val (_, p1) = post("/search", """{"collections":["click"],"limit":4}""")
+    val next = p1.get("links").get(0)
+    assert(next.get("rel").asText == "next")
+    assert(next.get("href").asText == "/search")
+    assert(next.get("method").asText == "POST")
+    assert(next.get("merge").asBoolean)
+    val token = next.get("body").get("token").asText
+    // client merges {token} into its original body and re-POSTs
+    val (code, p2) = post("/search",
+      s"""{"collections":["click"],"limit":4,"token":"$token"}""")
+    assert(code == 200)
+    val typed1 = StacApi.search(s, sf, SearchParams(collections = Seq("click"), limit = 4))
+    val typed2 = StacApi.search(s, sf, SearchParams(collections = Seq("click"), limit = 4,
+      token = typed1.nextToken))
+    val httpIds = (0 until p2.get("features").size())
+      .map(p2.get("features").get(_).get("id").asText)
+    assert(httpIds == typed2.items.map(r => r.getString(r.fieldIndex("id"))).toSeq)
+  }
+
+  test("limit contract: non-positive → 400, oversized clamps to the 10000 ceiling") {
+    val (bad, err) = get("/search?limit=0")
+    assert(bad == 400 && err.get("code").asText == "BadRequest")
+    val (bad2, _) = get("/search?limit=-5")
+    assert(bad2 == 400)
+    val (badPost, _) = post("/search", """{"limit":0}""")
+    assert(badPost == 400)
+    // Int.MaxValue would overflow limit+1 into .limit(negative) unclamped
+    val (code, doc) = get(s"/search?collections=click&limit=${Int.MaxValue}")
+    assert(code == 200)
+    assert(doc.get("numberReturned").asInt ==
+      StacApi.search(s, sf, SearchParams(collections = Seq("click"),
+        limit = 10000)).items.length)
   }
 
   test("POST /search body ≡ GET /search with the same parameters") {
