@@ -1460,6 +1460,215 @@ object StacSearch {
        |FROM (SELECT id, lon, lat, $envelopeSqlCols FROM items)
        |ORDER BY id""".stripMargin)
 
+  // ----------------- A88: TRUE rotated-polygon footprints (r11) -------
+  /** A88: exact spatial relations on the item's TRUE non-box polygon
+    * footprint — the last place the engine could disagree with the
+    * reference on a real dataset (ST_Intersects is exact on whatever WKB
+    * the file carries, database_logic.py:418-448; real satellite scenes
+    * are rotated quadrilaterals, utilities.py:139-147 round-trips them).
+    *
+    * Fixture: each item's envelope box spun about (lon, lat) by one of
+    * five EXACT Pythagorean rotations — rational (cos, sin) pairs, so
+    * both engines derive bit-identical corners from the same literals
+    * and the same operation order. The quad rides as a WKB Polygon
+    * column (the reference's storage format); the Spark predicates
+    * DECODE it per row through the codegen'd [[graft.spatial.WkbRelShape]]
+    * kernel — the envelope is only ever the prune, never the answer.
+    *
+    * Battery: env_int (the envelope's OVER-APPROXIMATION, kept in the
+    * output so the hash PINS exactly where envelope and true footprint
+    * disagree — a kernel that silently fell back to the box breaks the
+    * gate) beside the full exact relation set: intersects/disjoint vs a
+    * concave notched region, within vs both the concave region and a
+    * convex hull, contains(point), touches (branch-0 quads share the
+    * x = 17.35 edge line with the probe rectangle — boundary exactness
+    * load-bearing), overlaps, equals, crosses(line).
+    *
+    * Oracle: a DIFFERENT algorithm per cell — separating-axis tests over
+    * the region's convex decomposition (closed and strict), half-plane
+    * corner memberships, and the R-minus-notch within form — so a kernel
+    * bug cannot hide behind a mirrored rendering.
+    */
+  // The notched rectangle SPUN by the exact rotation (0.8, 0.6) about
+  // (-132, 2), constants derived in exact decimal arithmetic (every
+  // vertex is a 4-dp literal both engines parse identically) and placed
+  // over the fixture's dense lon band — EVERY region edge is diagonal,
+  // so axis-aligned envelopes over-claim all along the boundary and the
+  // gate hash pins the disagreement (2 rows at sf0.001, 27 at sf0.01).
+  private val a88RegionRing: Array[Double] = Array(
+    -147.1758, -49.6606, -79.1774, 1.3382, -91.1774, 17.3382,
+    -117.4174, 10.6582, -103.4174, 33.6582, -118.4174, 53.6582,
+    -186.4158, 2.6594)
+  private val a88RegionGeom: Array[Array[Array[Double]]] = Array(Array(a88RegionRing))
+  private val a88Region = graft.spatial.Shape.PolyS(a88RegionGeom)
+  // convex decomposition of the region (validated numerically in GeoSpec)
+  private val a88Pieces: Seq[Array[Double]] = Seq(
+    Array(-147.1758, -49.6606, -79.1774, 1.3382, -91.1774, 17.3382,
+      -159.1758, -33.6606),
+    Array(-159.1758, -33.6606, -91.1774, 17.3382, -117.4174, 10.6582,
+      -165.4158, -25.3406),
+    Array(-165.4158, -25.3406, -117.4174, 10.6582, -103.4174, 33.6582,
+      -171.4158, -17.3406),
+    Array(-171.4158, -17.3406, -103.4174, 33.6582, -118.4174, 53.6582,
+      -186.4158, 2.6594))
+  // region = R minus the open notch N (both CCW) — the independent
+  // within-oracle form
+  private val a88Notch: Array[Double] =
+    Array(-91.1774, 17.3382, -103.4174, 33.6582, -117.4174, 10.6582)
+  private val a88R: Array[Double] = Array(
+    -147.1758, -49.6606, -79.1774, 1.3382, -118.4174, 53.6582,
+    -186.4158, 2.6594)
+  private val a88Cvx: Array[Double] = Array(
+    -186.137, -60.223, -85.139, -75.223, -65.141, 60.177, -196.137, 70.177)
+  private val a88CvxShape = graft.spatial.Shape.PolyS(Array(Array(a88Cvx)))
+  // branch-0 quads realize xmax = -166.25 exactly (2-dp grid) — the
+  // touches-true cells share the rectangle's left edge LINE, so the
+  // boundary kernels' exactness is load-bearing, not avoided
+  private val a88TouchRect: Array[Double] =
+    Array(-166.25, -80.0, -150.0, -80.0, -150.0, 80.0, -166.25, 80.0)
+  private val a88TouchShape = graft.spatial.Shape.PolyS(Array(Array(a88TouchRect)))
+  private val a88CntPoint = graft.spatial.Shape.PointS(-175.0, -45.25)
+  private val a88EqQuad: Array[Double] =
+    Array(-161.0, -35.0, -159.4, -33.8, -160.6, -32.2, -162.2, -33.4)
+  private val a88EqShape = graft.spatial.Shape.PolyS(Array(Array(a88EqQuad)))
+  private val a88LinePath: Array[Double] =
+    Array(-170.3, -80.1, -60.7, 30.3, 20.1, -20.7, 170.3, 80.1)
+  private val a88LineShape = graft.spatial.Shape.LinesS(Array(a88LinePath))
+
+  /** Rotation classes: exact rational (cos, sin) — 3-4-5, 7-24-25
+    * triples and identity, two spun clockwise. */
+  private val a88RotC = Seq(1.0, 0.6, 0.28, 0.8, 0.96)
+  private val a88RotS = Seq(0.0, 0.8, 0.96, -0.6, -0.28)
+
+  /** items + the rotated-quad footprint: corner columns (the oracle's
+    * shared derivation) and the WKB Polygon the kernels decode.
+    */
+  private def withQuad(df: DataFrame): DataFrame = {
+    val hw = (col("user_id") % 10).cast("double") / 10.0 + 0.1
+    val hh = (col("id_num") % 7).cast("double") / 10.0 + 0.1
+    val rot = col("id_num") % 5
+    def pick(vals: Seq[Double]): Column =
+      vals.init.zipWithIndex.foldLeft(Option.empty[Column]) {
+        case (acc, (v, i)) =>
+          Some(acc.fold(when(rot === i, v))(_.when(rot === i, v)))
+      }.get.otherwise(vals.last)
+    df.withColumn("qc", pick(a88RotC)).withColumn("qs", pick(a88RotS))
+      .withColumn("qx0", col("lon") - col("qc") * hw + col("qs") * hh)
+      .withColumn("qy0", col("lat") - col("qs") * hw - col("qc") * hh)
+      .withColumn("qx1", col("lon") + col("qc") * hw + col("qs") * hh)
+      .withColumn("qy1", col("lat") + col("qs") * hw - col("qc") * hh)
+      .withColumn("qx2", col("lon") + col("qc") * hw - col("qs") * hh)
+      .withColumn("qy2", col("lat") + col("qs") * hw + col("qc") * hh)
+      .withColumn("qx3", col("lon") - col("qc") * hw - col("qs") * hh)
+      .withColumn("qy3", col("lat") - col("qs") * hw + col("qc") * hh)
+      .withColumn("qwkb", graft.spatial.WkbRingPoly(array(
+        col("qx0"), col("qy0"), col("qx1"), col("qy1"),
+        col("qx2"), col("qy2"), col("qx3"), col("qy3"))))
+  }
+
+  def a88PolygonFootprint(s: SparkSession, d: String): DataFrame = {
+    import graft.spatial.Geo.{RelContains, RelCrosses, RelEquals,
+      RelIntersects, RelOverlaps, RelTouches, RelWithin}
+    val df = withQuad(items(s, d))
+    def rel(shape: graft.spatial.Shape, r: Int): Column =
+      Geo.wkbRelShapeCol(col("qwkb"), shape, r)
+    val exmin = least(col("qx0"), col("qx1"), col("qx2"), col("qx3"))
+    val eymin = least(col("qy0"), col("qy1"), col("qy2"), col("qy3"))
+    val exmax = greatest(col("qx0"), col("qx1"), col("qx2"), col("qx3"))
+    val eymax = greatest(col("qy0"), col("qy1"), col("qy2"), col("qy3"))
+    df.select(col("id"),
+      col("qx0"), col("qy0"), col("qx1"), col("qy1"),
+      col("qx2"), col("qy2"), col("qx3"), col("qy3"),
+      Geo.footprintIntersectsGeom(exmin, eymin, exmax, eymax, a88RegionGeom)
+        .as("env_int"),
+      rel(a88Region, RelIntersects).as("p_int"),
+      (!rel(a88Region, RelIntersects)).as("p_dis"),
+      rel(a88Region, RelWithin).as("p_win"),
+      rel(a88CvxShape, RelWithin).as("p_win_cvx"),
+      rel(a88CntPoint, RelContains).as("p_cnt"),
+      rel(a88TouchShape, RelTouches).as("p_tch"),
+      rel(a88Region, RelOverlaps).as("p_ovl"),
+      rel(a88EqShape, RelEquals).as("p_eq"),
+      rel(a88LineShape, RelCrosses).as("p_crs"))
+      .orderBy(col("id"))
+  }
+
+  val a88Sql: String = {
+    import graft.spatial.Geo.QuadSql
+    val q = QuadSql(
+      IndexedSeq("qx0", "qx1", "qx2", "qx3"),
+      IndexedSeq("qy0", "qy1", "qy2", "qy3"), "qc", "qs")
+    val regionVerts = a88RegionRing.grouped(2).map { case Array(x, y) => (x, y) }.toSeq
+    val eqVerts = a88EqQuad.grouped(2).map { case Array(x, y) => (x, y) }.toSeq
+    val lineVerts = a88LinePath.grouped(2).map { case Array(x, y) => (x, y) }.toSeq
+    val lineSegs = lineVerts.sliding(2).map { case Seq((ax, ay), (bx, by)) =>
+      (ax, ay, bx, by)
+    }.toSeq
+    val pInt = a88Pieces.map(p => Geo.quadConvexSatSql(q, p, strict = false))
+      .mkString("(", " OR ", ")")
+    val cornersInR = (0 until 4).map(i =>
+      Geo.convexIntersectsSql(s"qx$i", s"qy$i", a88R))
+      .mkString("(", " AND ", ")")
+    val pWin = s"($cornersInR AND NOT ${Geo.quadConvexSatSql(q, a88Notch, strict = true)})"
+    val pWinCvx = (0 until 4).map(i =>
+      Geo.convexIntersectsSql(s"qx$i", s"qy$i", a88Cvx)).mkString("(", " AND ", ")")
+    val pCnt = Geo.pointInQuadSql(q, a88CntPoint.x, a88CntPoint.y, strict = true)
+    val pTch = s"(${Geo.quadConvexSatSql(q, a88TouchRect, strict = false)}" +
+      s" AND NOT ${Geo.quadConvexSatSql(q, a88TouchRect, strict = true)})"
+    val interiorsMeet = a88Pieces.map(p => Geo.quadConvexSatSql(q, p, strict = true))
+      .mkString("(", " OR ", ")")
+    val pOvl = s"($interiorsMeet AND NOT $pWin" +
+      s" AND NOT ${Geo.constVertsInQuadSql(q, regionVerts, strict = false)})"
+    val pEq = s"(${Geo.constVertsInQuadSql(q, eqVerts, strict = false)} AND " +
+      (0 until 4).map(i => Geo.convexIntersectsSql(s"qx$i", s"qy$i", a88EqQuad))
+        .mkString("(", " AND ", ")") + ")"
+    val lineOpen = lineSegs.map { case (ax, ay, bx, by) =>
+      Geo.segOpenQuadSql(q, ax, ay, bx, by)
+    }.mkString("(", " OR ", ")")
+    val pCrs = s"($lineOpen AND NOT " +
+      lineVerts.map { case (x, y) => Geo.pointInQuadSql(q, x, y, strict = false) }
+        .mkString("(", " AND ", ")") + ")"
+    val envInt = {
+      val (exmin, eymin) = ("least(qx0, qx1, qx2, qx3)", "least(qy0, qy1, qy2, qy3)")
+      val (exmax, eymax) =
+        ("greatest(qx0, qx1, qx2, qx3)", "greatest(qy0, qy1, qy2, qy3)")
+      a88Pieces.map(p => Geo.boxConvexSatSql(exmin, eymin, exmax, eymax, p))
+        .mkString("(", " OR ", ")")
+    }
+    Tables.withItems(
+      s"""SELECT id, qx0, qy0, qx1, qy1, qx2, qy2, qx3, qy3,
+         |  $envInt AS env_int,
+         |  $pInt AS p_int,
+         |  (NOT $pInt) AS p_dis,
+         |  $pWin AS p_win,
+         |  $pWinCvx AS p_win_cvx,
+         |  $pCnt AS p_cnt,
+         |  $pTch AS p_tch,
+         |  $pOvl AS p_ovl,
+         |  $pEq AS p_eq,
+         |  $pCrs AS p_crs
+         |FROM (
+         |  SELECT id, qc, qs,
+         |    (lon - (qc * hw) + (qs * hh)) AS qx0,
+         |    (lat - (qs * hw) - (qc * hh)) AS qy0,
+         |    (lon + (qc * hw) + (qs * hh)) AS qx1,
+         |    (lat + (qs * hw) - (qc * hh)) AS qy1,
+         |    (lon + (qc * hw) - (qs * hh)) AS qx2,
+         |    (lat + (qs * hw) + (qc * hh)) AS qy2,
+         |    (lon - (qc * hw) - (qs * hh)) AS qx3,
+         |    (lat - (qs * hw) + (qc * hh)) AS qy3
+         |  FROM (
+         |    SELECT id, lon, lat,
+         |      (CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1) AS hw,
+         |      (CAST(id_num % 7 AS DOUBLE) / 10.0 + 0.1) AS hh,
+         |      CASE id_num % 5 WHEN 0 THEN 1.0 WHEN 1 THEN 0.6 WHEN 2 THEN 0.28
+         |        WHEN 3 THEN 0.8 ELSE 0.96 END AS qc,
+         |      CASE id_num % 5 WHEN 0 THEN 0.0 WHEN 1 THEN 0.8 WHEN 2 THEN 0.96
+         |        WHEN 3 THEN -0.6 ELSE -0.28 END AS qs
+         |    FROM items))
+         |ORDER BY id""".stripMargin)
+  }
+
   /** A84: the SPATIAL + INTERVAL companion to the A83 generative
     * battery — 32 seeded-random trees whose leaves are the full
     * Enhanced-Spatial relation set over random bbox literals (the W > E
@@ -3199,6 +3408,7 @@ object StacSearch {
     "a83_cql2_fuzz"               -> (a83CqlFuzz _),
     "a84_cql2_fuzz_spatial"       -> (a84CqlFuzzSpatial _),
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
+    "a88_polygon_footprint"       -> (a88PolygonFootprint _),
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a82_geoparquet_export"       -> (a82GeoparquetExport _),
     "a85_catalog_pruned_search"   -> (a85CatalogPrunedSearch _),
@@ -3281,6 +3491,7 @@ object StacSearch {
     "a83_cql2_fuzz"               -> a83Sql,
     "a84_cql2_fuzz_spatial"       -> a84Sql,
     "a77_cql2_spatial_rel"        -> a77Sql,
+    "a88_polygon_footprint"       -> a88Sql,
     "a75_geoparquet_ingest"       -> a75Sql,
     "a82_geoparquet_export"       -> a82Sql,
     "a85_catalog_pruned_search"   -> a85Sql,

@@ -1,7 +1,7 @@
 package graft.spatial
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType}
@@ -1131,6 +1131,502 @@ object Geo {
     (envTest +: edgeTests).mkString("(", " AND ", ")")
   }
 
+  // =================================================================
+  // TRUE-POLYGON row-side relations (r11): the item's footprint as the
+  // DECODED ring set, not its envelope box. The reference evaluates
+  // ST_Intersects on whatever WKB the file carries — rotated
+  // quadrilaterals and concave scene outlines included
+  // (database_logic.py:418-448; utilities.py:139-147 round-trips them).
+  // The box kernels above are exact only for axis-aligned footprints;
+  // these generalize every relation to an arbitrary polygon row side
+  // (the envelope stays the pushdown-able prune). Same primitive set:
+  // closed membership (parity OR boundary), open-region segment tests
+  // (exact Cyrus-Beck clip for a convex row ring; an exact
+  // crossing-parameter partition sampler for the general case),
+  // vertex-coverage, and interior witnesses.
+  // =================================================================
+
+  /** Single convex ring of a polygon set, normalized CCW — the fast-path
+    * key for the open-segment tests (item footprints are typically
+    * convex quads).
+    */
+  def convexRingOf(geom: Array[Array[Array[Double]]]): Array[Double] = {
+    if (geom.length != 1 || geom(0).length != 1) return null
+    val r = geom(0)(0)
+    if (isConvexCcw(r)) r
+    else {
+      val n = r.length / 2
+      val rev = new Array[Double](r.length)
+      var i = 0
+      while (i < n) {
+        rev(2 * i) = r(2 * (n - 1 - i)); rev(2 * i + 1) = r(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      if (isConvexCcw(rev)) rev else null
+    }
+  }
+
+  /** Strictly-interior membership (parity AND not-on-boundary) — exact
+    * everywhere, including points exactly on ring edges.
+    */
+  def strictInGeom(x: Double, y: Double, geom: Array[Array[Array[Double]]]): Boolean =
+    !onGeomBoundary(x, y, geom) && containsGeom(x, y, geom)
+
+  /** Does segment a→b meet the OPEN interior of a CONVEX CCW ring?
+    * Exact Cyrus-Beck: clip [0,1] by each edge half-plane (f_i(p) ≥ 0
+    * inside, f affine along the segment); the open intersection is
+    * nonempty iff the clipped interval is non-degenerate AND its
+    * midpoint is STRICTLY inside every half-plane (a segment sliding
+    * along an edge clips to an interval whose points all have f_i = 0 —
+    * boundary only). Parallel-outside edges need no special case: the
+    * midpoint test rejects them. Static — called from generated code
+    * via the general dispatcher.
+    */
+  def segIntersectsOpenConvex(ax: Double, ay: Double, bx: Double, by: Double,
+                              ring: Array[Double]): Boolean = {
+    val n = ring.length / 2
+    val dx = bx - ax; val dy = by - ay
+    var t0 = 0.0; var t1 = 1.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val ex = ring(2 * j) - ring(2 * i); val ey = ring(2 * j + 1) - ring(2 * i + 1)
+      val fa = ex * (ay - ring(2 * i + 1)) - ey * (ax - ring(2 * i))
+      val fd = ex * dy - ey * dx
+      if (fd > 0) { val t = -fa / fd; if (t > t0) t0 = t }
+      else if (fd < 0) { val t = -fa / fd; if (t < t1) t1 = t }
+      i += 1
+    }
+    if (t1 <= t0) return false
+    val tm = (t0 + t1) / 2
+    i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val ex = ring(2 * j) - ring(2 * i); val ey = ring(2 * j + 1) - ring(2 * i + 1)
+      val fa = ex * (ay - ring(2 * i + 1)) - ey * (ax - ring(2 * i))
+      val fd = ex * dy - ey * dx
+      if (fa + tm * fd <= 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Crossing parameters of segment a→b against every ring edge of
+    * `geom` (plus 0 and 1), sorted — the partition of the segment into
+    * subintervals that each lie in ONE face of the arrangement. Midpoint
+    * membership per subinterval then decides open/closed coverage
+    * exactly (the candidate set is a superset of the true boundary
+    * crossings; extra candidates only refine the partition).
+    */
+  private def segCrossParams(ax: Double, ay: Double, bx: Double, by: Double,
+                             geom: Array[Array[Array[Double]]]): Array[Double] = {
+    val dx = bx - ax; val dy = by - ay
+    val buf = scala.collection.mutable.ArrayBuffer(0.0, 1.0)
+    var p = 0
+    while (p < geom.length) {
+      val rings = geom(p)
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        val n = ring.length / 2
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          val cx = ring(2 * i); val cy = ring(2 * i + 1)
+          val ex = ring(2 * j) - cx; val ey = ring(2 * j + 1) - cy
+          val denom = dx * ey - dy * ex
+          if (denom != 0) {
+            // seg param where the two supporting lines meet; keep it if
+            // it also lies within the EDGE's span (u in [0,1])
+            val t = ((cx - ax) * ey - (cy - ay) * ex) / denom
+            val u = if (ex != 0) (ax + t * dx - cx) / ex
+                    else if (ey != 0) (ay + t * dy - cy) / ey else -1.0
+            if (t > 0 && t < 1 && u >= 0 && u <= 1) buf += t
+          } else if (orient(ax, ay, bx, by, cx, cy) == 0) {
+            // collinear edge: its endpoints partition the segment
+            val tc = if (dx != 0) (cx - ax) / dx else if (dy != 0) (cy - ay) / dy else 0.0
+            val td = if (dx != 0) (ring(2 * j) - ax) / dx
+                     else if (dy != 0) (ring(2 * j + 1) - ay) / dy else 0.0
+            if (tc > 0 && tc < 1) buf += tc
+            if (td > 0 && td < 1) buf += td
+          }
+          i += 1
+        }
+        r += 1
+      }
+      p += 1
+    }
+    buf.distinct.sorted.toArray
+  }
+
+  /** Does segment a→b meet the OPEN region of an arbitrary polygon set?
+    * Convex fast path = Cyrus-Beck; general path = crossing-parameter
+    * partition + strict midpoint membership per subinterval.
+    */
+  def segMeetsOpenGeom(ax: Double, ay: Double, bx: Double, by: Double,
+                       geom: Array[Array[Array[Double]]]): Boolean = {
+    val cr = convexRingOf(geom)
+    if (cr != null) return segIntersectsOpenConvex(ax, ay, bx, by, cr)
+    val ts = segCrossParams(ax, ay, bx, by, geom)
+    var i = 0
+    while (i + 1 < ts.length) {
+      val tm = (ts(i) + ts(i + 1)) / 2
+      if (strictInGeom(ax + tm * (bx - ax), ay + tm * (by - ay), geom)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Is segment a→b entirely within the CLOSED region? Convex fast path:
+    * endpoints in the closed convex region suffice; general path: both
+    * endpoints and every subinterval midpoint in the closed region.
+    */
+  def segInClosedGeom(ax: Double, ay: Double, bx: Double, by: Double,
+                      geom: Array[Array[Array[Double]]]): Boolean = {
+    if (!inClosedGeom(ax, ay, geom) || !inClosedGeom(bx, by, geom)) return false
+    if (convexRingOf(geom) != null) return true
+    val ts = segCrossParams(ax, ay, bx, by, geom)
+    var i = 0
+    while (i + 1 < ts.length) {
+      val tm = (ts(i) + ts(i + 1)) / 2
+      if (!inClosedGeom(ax + tm * (bx - ax), ay + tm * (by - ay), geom)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** A strictly-interior witness point of polygon `rings` (shell +
+    * holes). Centroid first (the convex/typical case), then midpoints of
+    * shell-vertex pairs, then shell-vertex triangle centroids — any
+    * valid polygon with nonempty interior yields one.
+    */
+  def interiorPointOf(rings: Array[Array[Double]]): (Double, Double) = {
+    val geom = Array(rings)
+    val shell = rings(0)
+    val n = shell.length / 2
+    var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i < n) { cx += shell(2 * i); cy += shell(2 * i + 1); i += 1 }
+    cx /= n; cy /= n
+    if (strictInGeom(cx, cy, geom)) return (cx, cy)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val mx = (shell(2 * i) + shell(2 * j)) / 2
+        val my = (shell(2 * i + 1) + shell(2 * j + 1)) / 2
+        if (strictInGeom(mx, my, geom)) return (mx, my)
+        var k = j + 1
+        while (k < n) {
+          val tx = (shell(2 * i) + shell(2 * j) + shell(2 * k)) / 3
+          val ty = (shell(2 * i + 1) + shell(2 * j + 1) + shell(2 * k + 1)) / 3
+          if (strictInGeom(tx, ty, geom)) return (tx, ty)
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      "degenerate polygon: no interior witness point found")
+  }
+
+  /** Every vertex of every ring of A in the closed region of B. */
+  private def geomVertsInClosedGeom(a: Array[Array[Array[Double]]],
+                                    b: Array[Array[Array[Double]]]): Boolean = {
+    var p = 0
+    while (p < a.length) {
+      val rings = a(p)
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        var i = 0
+        while (i < ring.length) {
+          if (!inClosedGeom(ring(i), ring(i + 1), b)) return false
+          i += 2
+        }
+        r += 1
+      }
+      p += 1
+    }
+    true
+  }
+
+  /** Does any ring edge of B meet the OPEN region of A? */
+  def geomEdgesMeetOpenGeom(b: Array[Array[Array[Double]]],
+                            a: Array[Array[Array[Double]]]): Boolean = {
+    var p = 0
+    while (p < b.length) {
+      val rings = b(p)
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        val n = ring.length / 2
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          if (segMeetsOpenGeom(ring(2 * i), ring(2 * i + 1),
+              ring(2 * j), ring(2 * j + 1), a)) return true
+          i += 1
+        }
+        r += 1
+      }
+      p += 1
+    }
+    false
+  }
+
+  /** EXACT A ⊆ closed(B) for arbitrary polygon sets: every A vertex in
+    * closed B, a strictly-interior witness of every A part in closed B
+    * (rules out the face-ambiguous all-boundary case), and no B edge
+    * meets the open region of A (a boundary through Å leaves exterior
+    * points inside A — the [[boxWithinGeom]] argument, row side
+    * generalized).
+    */
+  def polyWithinGeom(a: Array[Array[Array[Double]]],
+                     b: Array[Array[Array[Double]]]): Boolean =
+    geomVertsInClosedGeom(a, b) &&
+      a.forall { rings =>
+        val (wx, wy) = interiorPointOf(rings)
+        inClosedGeom(wx, wy, b)
+      } &&
+      !geomEdgesMeetOpenGeom(b, a)
+
+  /** EXACT closed A ∩ closed B ≠ ∅ for arbitrary polygon sets: a vertex
+    * of one in the closed region of the other, or an edge pair crossing
+    * (boundary-inclusive). Complete: overlap without boundary crossing
+    * implies containment, whose vertices the first two disjuncts catch.
+    */
+  def polyIntersectsGeom(a: Array[Array[Array[Double]]],
+                         b: Array[Array[Array[Double]]]): Boolean = {
+    var p = 0
+    while (p < a.length) {
+      val rings = a(p)
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        var i = 0
+        while (i < ring.length) {
+          if (inClosedGeom(ring(i), ring(i + 1), b)) return true
+          i += 2
+        }
+        r += 1
+      }
+      p += 1
+    }
+    p = 0
+    while (p < b.length) {
+      val rings = b(p)
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        var i = 0
+        while (i < ring.length) {
+          if (inClosedGeom(ring(i), ring(i + 1), a)) return true
+          i += 2
+        }
+        r += 1
+      }
+      p += 1
+    }
+    val ea = allRingEdges(a); val eb = allRingEdges(b)
+    ea.exists { case (ax, ay, bx, by) =>
+      eb.exists { case (cx, cy, dx, dy) =>
+        segmentsCross(ax, ay, bx, by, cx, cy, dx, dy)
+      }
+    }
+  }
+
+  /** Strict separating-axis test between two convex CCW rings: open
+    * interiors intersect iff projections overlap STRICTLY on every edge
+    * normal of either ring. DIVISION-FREE — a tangency staged at
+    * shared-double coordinates (a vertex exactly on the other's edge
+    * line) decides exactly, where a clip-parameter division would round.
+    */
+  def convexInteriorsMeet(qa: Array[Double], qb: Array[Double]): Boolean = {
+    def axes(r: Array[Double]): Seq[(Double, Double)] = {
+      val n = r.length / 2
+      (0 until n).map { i =>
+        val j = (i + 1) % n
+        (-(r(2 * j + 1) - r(2 * i + 1)), r(2 * j) - r(2 * i))
+      }
+    }
+    (axes(qa) ++ axes(qb)).forall { case (nx, ny) =>
+      def proj(r: Array[Double]): (Double, Double) = {
+        var lo = Double.PositiveInfinity; var hi = Double.NegativeInfinity
+        var i = 0
+        while (i < r.length) {
+          val p = nx * r(i) + ny * r(i + 1)
+          if (p < lo) lo = p; if (p > hi) hi = p
+          i += 2
+        }
+        (lo, hi)
+      }
+      val (alo, ahi) = proj(qa); val (blo, bhi) = proj(qb)
+      alo < bhi && ahi > blo
+    }
+  }
+
+  /** Open(A) ∩ open(B) ≠ ∅ for arbitrary polygon sets. Convex-convex
+    * pairs decide by [[convexInteriorsMeet]] (exact at staged
+    * tangencies); the general case composes an edge of one through the
+    * open region of the other (the transversal case) with a
+    * strictly-interior witness of one inside the open region of the
+    * other (nesting without boundary contact; A = B included — the
+    * witness of A is in Å = B̊).
+    */
+  def geomInteriorsMeet(a: Array[Array[Array[Double]]],
+                        b: Array[Array[Array[Double]]]): Boolean = {
+    val ca = convexRingOf(a); val cb = convexRingOf(b)
+    if (ca != null && cb != null) return convexInteriorsMeet(ca, cb)
+    geomEdgesMeetOpenGeom(b, a) || geomEdgesMeetOpenGeom(a, b) ||
+      a.exists { rings =>
+        val (wx, wy) = interiorPointOf(rings); strictInGeom(wx, wy, b)
+      } ||
+      b.exists { rings =>
+        val (wx, wy) = interiorPointOf(rings); strictInGeom(wx, wy, a)
+      }
+  }
+
+  // ---- shape-target helpers on the polygon row side ----
+
+  /** Closed A ∩ shape (boundary-inclusive), any target type. */
+  def polyIntersectsShape(a: Array[Array[Array[Double]]], s: Shape): Boolean = s match {
+    case Shape.PointS(px, py)  => inClosedGeom(px, py, a)
+    case Shape.MultiPointS(ps) =>
+      var i = 0
+      while (i < ps.length) { if (inClosedGeom(ps(i), ps(i + 1), a)) return true; i += 2 }
+      false
+    case Shape.LinesS(paths) =>
+      val edges = allRingEdges(a)
+      paths.exists { path =>
+        var i = 0
+        var hit = false
+        while (i + 3 < path.length && !hit) {
+          val (ax, ay, bx, by) = (path(i), path(i + 1), path(i + 2), path(i + 3))
+          hit = inClosedGeom(ax, ay, a) || inClosedGeom(bx, by, a) ||
+            edges.exists { case (cx, cy, dx, dy) =>
+              segmentsCross(ax, ay, bx, by, cx, cy, dx, dy)
+            }
+          i += 2
+        }
+        hit
+      }
+    case Shape.PolyS(geom)  => polyIntersectsGeom(a, geom)
+    case Shape.CollS(parts) => parts.exists(polyIntersectsShape(a, _))
+  }
+
+  /** shape ⊆ closed A, any target type (polygon targets via the general
+    * within kernel with the sides swapped).
+    */
+  def shapeInClosedGeomA(a: Array[Array[Array[Double]]], s: Shape): Boolean = s match {
+    case Shape.PointS(px, py)  => inClosedGeom(px, py, a)
+    case Shape.MultiPointS(ps) =>
+      var i = 0
+      while (i < ps.length) { if (!inClosedGeom(ps(i), ps(i + 1), a)) return false; i += 2 }
+      true
+    case Shape.LinesS(paths) =>
+      paths.forall { path =>
+        var i = 0
+        var ok = true
+        while (i + 3 < path.length && ok) {
+          ok = segInClosedGeom(path(i), path(i + 1), path(i + 2), path(i + 3), a)
+          i += 2
+        }
+        ok
+      }
+    case Shape.PolyS(geom)  => polyWithinGeom(geom, a)
+    case Shape.CollS(parts) => parts.forall(shapeInClosedGeomA(a, _))
+  }
+
+  /** shape meets the OPEN region of A (interior-contact entry of the
+    * DE-9IM matrix): strict membership for points, open-segment tests
+    * for lines, symmetric open-open for polygon targets.
+    */
+  def shapeMeetsOpenGeomA(a: Array[Array[Array[Double]]], s: Shape): Boolean = s match {
+    case Shape.PointS(px, py)  => strictInGeom(px, py, a)
+    case Shape.MultiPointS(ps) =>
+      var i = 0
+      while (i < ps.length) { if (strictInGeom(ps(i), ps(i + 1), a)) return true; i += 2 }
+      false
+    case Shape.LinesS(paths) =>
+      paths.exists { path =>
+        var i = 0
+        var hit = false
+        while (i + 3 < path.length && !hit) {
+          hit = segMeetsOpenGeom(path(i), path(i + 1), path(i + 2), path(i + 3), a)
+          i += 2
+        }
+        hit
+      }
+    case Shape.PolyS(geom)  => geomInteriorsMeet(a, geom)
+    case Shape.CollS(parts) => parts.exists(shapeMeetsOpenGeomA(a, _))
+  }
+
+  // ---- DE-9IM composites on the TRUE polygon footprint ----
+
+  def polyWithinShape(a: Array[Array[Array[Double]]], s: Shape): Boolean = {
+    val polys = mergedPolys(s)
+    polys.nonEmpty && polyWithinGeom(a, polys)
+  }
+
+  def polyContainsShape(a: Array[Array[Array[Double]]], s: Shape): Boolean =
+    shapeInClosedGeomA(a, s) && shapeMeetsOpenGeomA(a, s)
+
+  def polyEqualsShape(a: Array[Array[Array[Double]]], s: Shape): Boolean =
+    polyWithinShape(a, s) && shapeInClosedGeomA(a, s)
+
+  def polyTouchesShape(a: Array[Array[Array[Double]]], s: Shape): Boolean =
+    polyIntersectsShape(a, s) && !shapeMeetsOpenGeomA(a, s)
+
+  def polyCrossesShape(a: Array[Array[Array[Double]]], s: Shape): Boolean =
+    shapeDim(s) < 2 &&
+      shapeMeetsOpenGeomA(a, s) && !shapeInClosedGeomA(a, s)
+
+  def polyOverlapsShape(a: Array[Array[Array[Double]]], s: Shape): Boolean = {
+    val polys = mergedPolys(s)
+    polys.nonEmpty && geomInteriorsMeet(a, polys) &&
+      !polyWithinGeom(a, polys) && !polyWithinGeom(polys, a)
+  }
+
+  final val RelIntersects = 0
+
+  /** Dispatch for the polygon-footprint relation kernel — one static
+    * entry point so the codegen'd expression stays single-call.
+    */
+  def polyRelShape(geom: Array[Array[Array[Double]]], s: Shape, rel: Int): Boolean =
+    rel match {
+      case RelIntersects => polyIntersectsShape(geom, s)
+      case RelContains   => polyContainsShape(geom, s)
+      case RelEquals     => polyEqualsShape(geom, s)
+      case RelTouches    => polyTouchesShape(geom, s)
+      case RelCrosses    => polyCrossesShape(geom, s)
+      case RelOverlaps   => polyOverlapsShape(geom, s)
+      case RelWithin     => polyWithinShape(geom, s)
+      case other => throw new IllegalArgumentException(s"bad poly rel: $other")
+    }
+
+  /** WKB footprint → relation kernel: decode the stored geometry to its
+    * ring set (the reference's storage format, utilities.py:139-147) and
+    * evaluate the relation on the TRUE polygon — not its envelope.
+    * Static — called from generated code via [[WkbRelShape]].
+    */
+  def wkbRelShape(b: Array[Byte], s: Shape, rel: Int): Boolean =
+    Wkb.toShape(b) match {
+      case Shape.PolyS(geom)   => polyRelShape(geom, s, rel)
+      case Shape.PointS(x, y) if rel == RelIntersects => pointIntersectsShape(x, y, s)
+      case Shape.PointS(x, y)  => pointRelShape(x, y, s, rel)
+      case other => throw new IllegalArgumentException(
+        s"wkb_rel_shape expects a polygon or point footprint, got $other")
+    }
+
+  /** Column builder: WKB footprint column vs constant shape, exact on
+    * the decoded rings. Callers keep the envelope columns as the
+    * pushdown-able prune in front; this kernel is the exact post-filter.
+    */
+  def wkbRelShapeCol(wkb: Column, s: Shape, rel: Int): Column =
+    GraftBridge.column(WkbRelShape(GraftBridge.expression(wkb), s, rel))
+
   /** Independent SQL oracle for box ∩ CONVEX CCW ring: separating-axis
     * test. Box axes = envelope interval overlap; each ring edge normal =
     * projection interval overlap, with the ring's projection bounds
@@ -1156,6 +1652,102 @@ object Geo {
       s"$bmin <= $pmax AND $bmax >= $pmin"
     }
     (envTest +: edgeTests).mkString("(", " AND ", ")")
+  }
+
+  // ------------- row-side QUAD oracle SQL (r11, the a88 battery) -------
+  // The row geometry is a convex CCW QUADRILATERAL given as column
+  // expressions (the rotated footprints), the query shape a constant.
+  // These renderers are deliberately a DIFFERENT algorithm from the
+  // Scala kernels (separating-axis / half-plane forms vs the kernels'
+  // vertex-containment + edge-crossing + clip decompositions), so a
+  // kernel bug cannot hide behind a mirrored oracle. SAT completeness:
+  // closed convex sets are disjoint iff separated on some edge normal of
+  // either polygon; open interiors are disjoint iff some edge-normal
+  // axis fails to overlap STRICTLY (the separating line at a touching
+  // contact can always be rotated onto an edge of one polygon).
+
+  /** Corner expressions of the row quad (CCW) plus its edge-direction
+    * expressions (cos, sin of the rotation) — the two quad SAT axes are
+    * (c, s) and (-s, c).
+    */
+  final case class QuadSql(qx: IndexedSeq[String], qy: IndexedSeq[String],
+                           c: String, s: String)
+
+  /** SAT overlap of the quad with a constant convex CCW ring — closed
+    * (intersection test) or strict (open-interior intersection test).
+    */
+  def quadConvexSatSql(q: QuadSql, ring: Array[Double], strict: Boolean): String = {
+    val lt = if (strict) "<" else "<="
+    val gt = if (strict) ">" else ">="
+    val n = ring.length / 2
+    def quadProj(nxE: String, nyE: String): (String, String) = {
+      val ps = (0 until 4).map(i => s"($nxE * ${q.qx(i)} + $nyE * ${q.qy(i)})")
+      (s"least(${ps.mkString(", ")})", s"greatest(${ps.mkString(", ")})")
+    }
+    // constant axes: the ring's edge normals (ring projection folds here)
+    val ringAxes = (0 until n).map { i =>
+      val x1 = ring(2 * i); val y1 = ring(2 * i + 1)
+      val x2 = ring(2 * ((i + 1) % n)); val y2 = ring(2 * ((i + 1) % n) + 1)
+      val nx = -(y2 - y1); val ny = x2 - x1
+      val projs = (0 until n).map(k => nx * ring(2 * k) + ny * ring(2 * k + 1))
+      val (qmin, qmax) = quadProj(s"($nx)", s"($ny)")
+      s"($qmin $lt ${projs.max} AND $qmax $gt ${projs.min})"
+    }
+    // expression axes: the quad's two edge normals (c, s) and (-s, c)
+    val quadAxes = Seq((q.c, q.s), (s"(0.0 - ${q.s})", q.c)).map { case (nxE, nyE) =>
+      val (qmin, qmax) = quadProj(nxE, nyE)
+      val rs = (0 until n).map(k => s"($nxE * ${ring(2 * k)} + $nyE * ${ring(2 * k + 1)})")
+      val rmin = s"least(${rs.mkString(", ")})"
+      val rmax = s"greatest(${rs.mkString(", ")})"
+      s"($qmin $lt $rmax AND $qmax $gt $rmin)"
+    }
+    (ringAxes ++ quadAxes).mkString("(", " AND ", ")")
+  }
+
+  /** Constant point in the quad: conjunction of the four CCW half-plane
+    * cross products (closed: ≥ 0; strict interior: > 0).
+    */
+  def pointInQuadSql(q: QuadSql, px: Double, py: Double, strict: Boolean): String = {
+    val ge = if (strict) ">" else ">="
+    (0 until 4).map { i =>
+      val j = (i + 1) % 4
+      s"(((${q.qx(j)} - ${q.qx(i)}) * ($py - ${q.qy(i)}) - " +
+        s"(${q.qy(j)} - ${q.qy(i)}) * ($px - ${q.qx(i)})) $ge 0)"
+    }.mkString("(", " AND ", ")")
+  }
+
+  /** Every constant vertex in the (closed or open) quad. */
+  def constVertsInQuadSql(q: QuadSql, verts: Seq[(Double, Double)],
+                          strict: Boolean): String =
+    verts.map { case (px, py) => pointInQuadSql(q, px, py, strict) }
+      .mkString("(", " AND ", ")")
+
+  /** Constant segment a→b meets the OPEN quad — the Cyrus-Beck clip with
+    * sign-agnostic CASE bounds (the quad's edge directions are column
+    * expressions, so the per-axis ordering cannot fold driver-side) and
+    * the strict affine midpoint test as the final authority.
+    */
+  def segOpenQuadSql(q: QuadSql, ax: Double, ay: Double,
+                     bx: Double, by: Double): String = {
+    val dx = bx - ax; val dy = by - ay
+    val fas = (0 until 4).map { i =>
+      val j = (i + 1) % 4
+      val ex = s"(${q.qx(j)} - ${q.qx(i)})"
+      val ey = s"(${q.qy(j)} - ${q.qy(i)})"
+      (s"($ex * ($ay - ${q.qy(i)}) - $ey * ($ax - ${q.qx(i)}))",
+        s"($ex * ($dy) - $ey * ($dx))")
+    }
+    val los = "0.0" +: fas.map { case (fa, fd) =>
+      s"(CASE WHEN $fd > 0 THEN (0.0 - $fa) / $fd ELSE 0.0 END)"
+    }
+    val his = "1.0" +: fas.map { case (fa, fd) =>
+      s"(CASE WHEN $fd < 0 THEN (0.0 - $fa) / $fd ELSE 1.0 END)"
+    }
+    val t0 = s"greatest(${los.mkString(", ")})"
+    val t1 = s"least(${his.mkString(", ")})"
+    val tm = s"(($t0 + $t1) / 2)"
+    val mids = fas.map { case (fa, fd) => s"($fa + $tm * $fd) > 0" }
+    s"($t1 > $t0 AND ${mids.mkString(" AND ")})"
   }
 }
 
@@ -1383,4 +1975,30 @@ case class BoxIntersectsShape(first: Expression, second: Expression,
       newFirst: Expression, newSecond: Expression,
       newThird: Expression, newFourth: Expression): BoxIntersectsShape =
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** Codegen'd DE-9IM relation of the item's TRUE footprint geometry (the
+  * stored WKB ring set, decoded per row — reference exactness on rotated
+  * and concave scene outlines, database_logic.py:418-448) vs a constant
+  * shape. rel ∈ {[[Geo.RelIntersects]], contains…within}; one static
+  * call per row inside whole-stage codegen, envelope prune AND'd by
+  * callers.
+  */
+case class WkbRelShape(child: Expression, shape: Shape, rel: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "wkb_rel_shape"
+
+  override protected def nullSafeEval(b: Any): Any =
+    Geo.wkbRelShape(b.asInstanceOf[Array[Byte]], shape, rel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val shapeRef = ctx.addReferenceObj("shape", shape, "graft.spatial.Shape")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.spatial.Geo.wkbRelShape($c, $shapeRef, $rel);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WkbRelShape =
+    copy(child = newChild)
 }

@@ -233,6 +233,13 @@ object Wkb {
   def boxBytes(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
     encode(Shape.PolyS(Array(Array(Array(xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax)))))
 
+  /** Flat open ring [x0,y0,x1,y1,…] → single-ring Polygon WKB (closure
+    * vertex appended by the encoder). Static — called from generated
+    * code via [[WkbRingPoly]]; the a88 rotated-footprint ingest path.
+    */
+  def ringBytes(flat: Array[Double]): Array[Byte] =
+    encode(Shape.PolyS(Array(Array(flat))))
+
   // ------------------------------------- UTF8String wrappers for codegen
   def geomTypeU8(b: Array[Byte]): UTF8String = UTF8String.fromString(geomType(b))
   def geoJsonU8(b: Array[Byte]): UTF8String = UTF8String.fromString(toGeoJson(b))
@@ -354,4 +361,26 @@ object WkbBox {
     GraftBridge.column(WkbBox(
       GraftBridge.expression(a.cast("double")), GraftBridge.expression(b.cast("double")),
       GraftBridge.expression(c.cast("double")), GraftBridge.expression(d.cast("double"))))
+}
+
+/** array<double> flat open ring → Polygon WKB (codegen'd) — synthesizes
+  * the reference's storage format for non-axis-aligned footprints (the
+  * a88 rotated-quad fixtures).
+  */
+case class WkbRingPoly(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wkb_ring_poly"
+  override protected def nullSafeEval(a: Any): Any =
+    Wkb.ringBytes(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.spatial.Wkb.ringBytes($c.toDoubleArray());")
+  override protected def withNewChildInternal(newChild: Expression): WkbRingPoly =
+    copy(child = newChild)
+}
+
+object WkbRingPoly {
+  def apply(c: Column): Column =
+    GraftBridge.column(WkbRingPoly(GraftBridge.expression(c)))
 }

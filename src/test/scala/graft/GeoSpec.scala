@@ -371,4 +371,231 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.pointRelShape(3.0, 4.0, PointS(3, 4), Geo.RelCrosses))
     assert(!Geo.pointRelShape(3.0, 4.0, PointS(3, 4), Geo.RelOverlaps))
   }
+
+  // =============== r11: TRUE-polygon row-side kernels (a88) ===============
+
+  /** The a88 notched region and its convex decomposition (duplicated
+    * constants — the gate's are private; drift breaks the numeric checks
+    * below, not silently).
+    */
+  private val a88Region: Array[Array[Array[Double]]] = Array(Array(Array(
+    -147.1758, -49.6606, -79.1774, 1.3382, -91.1774, 17.3382,
+    -117.4174, 10.6582, -103.4174, 33.6582, -118.4174, 53.6582,
+    -186.4158, 2.6594)))
+  private val a88Pieces: Seq[Array[Double]] = Seq(
+    Array(-147.1758, -49.6606, -79.1774, 1.3382, -91.1774, 17.3382,
+      -159.1758, -33.6606),
+    Array(-159.1758, -33.6606, -91.1774, 17.3382, -117.4174, 10.6582,
+      -165.4158, -25.3406),
+    Array(-165.4158, -25.3406, -117.4174, 10.6582, -103.4174, 33.6582,
+      -171.4158, -17.3406),
+    Array(-171.4158, -17.3406, -103.4174, 33.6582, -118.4174, 53.6582,
+      -186.4158, 2.6594))
+  private val a88Notch =
+    Array(-91.1774, 17.3382, -103.4174, 33.6582, -117.4174, 10.6582)
+  private val a88R = Array(
+    -147.1758, -49.6606, -79.1774, 1.3382, -118.4174, 53.6582,
+    -186.4158, 2.6594)
+
+  private def randQuad(rnd: scala.util.Random): Array[Array[Array[Double]]] = {
+    val cx = rnd.between(-200.0, -70.0); val cy = rnd.between(-60.0, 60.0)
+    val hw = rnd.between(0.1, 9.0); val hh = rnd.between(0.1, 9.0)
+    val a = rnd.between(0.0, 2 * math.Pi)
+    val (c, s) = (math.cos(a), math.sin(a))
+    Array(Array(Array(
+      cx - c * hw + s * hh, cy - s * hw - c * hh,
+      cx + c * hw + s * hh, cy + s * hw - c * hh,
+      cx + c * hw - s * hh, cy + s * hw + c * hh,
+      cx - c * hw - s * hh, cy - s * hw + c * hh)))
+  }
+
+  /** Driver-side SAT over both polygons' edge normals — the oracle's
+    * algorithm, reimplemented independently of the SQL renderer.
+    */
+  private def sat(quad: Array[Double], ring: Array[Double], strict: Boolean): Boolean = {
+    def verts(r: Array[Double]) = r.grouped(2).map { case Array(x, y) => (x, y) }.toSeq
+    def axes(r: Array[Double]) = {
+      val v = verts(r)
+      v.indices.map { i =>
+        val (x1, y1) = v(i); val (x2, y2) = v((i + 1) % v.length)
+        (-(y2 - y1), x2 - x1)
+      }
+    }
+    (axes(quad) ++ axes(ring)).forall { case (nx, ny) =>
+      def proj(r: Array[Double]) = {
+        val ps = verts(r).map { case (x, y) => nx * x + ny * y }
+        (ps.min, ps.max)
+      }
+      val (qlo, qhi) = proj(quad); val (rlo, rhi) = proj(ring)
+      if (strict) qlo < rhi && qhi > rlo else qlo <= rhi && qhi >= rlo
+    }
+  }
+
+  test("a88 region decomposition: pieces tile the region; region = R minus open notch (500k samples)") {
+    val rnd = new scala.util.Random(88101L)
+    (1 to 500000).foreach { _ =>
+      val x = rnd.between(-195.0, -70.0); val y = rnd.between(-60.0, 60.0)
+      val inRegion = Geo.containsGeom(x, y, a88Region)
+      val inPieces = a88Pieces.exists(p => Geo.rayCast(x, y, p))
+      assert(inRegion == inPieces, s"decomposition drift at ($x, $y)")
+      val inR = inConvex(x, y, a88R)
+      val inNotch = Geo.rayCast(x, y, a88Notch)
+      assert(inRegion == (inR && !inNotch), s"R-minus-notch drift at ($x, $y)")
+    }
+  }
+
+  test("polyIntersectsGeom == SAT over the convex decomposition on 20k random rotated quads") {
+    val rnd = new scala.util.Random(88102L)
+    (1 to 20000).foreach { _ =>
+      val quad = randQuad(rnd)
+      val kernel = Geo.polyIntersectsGeom(quad, a88Region)
+      val oracle = a88Pieces.exists(p => sat(quad(0)(0), p, strict = false))
+      assert(kernel == oracle, s"intersects drift on ${quad(0)(0).mkString(",")}")
+    }
+  }
+
+  test("polyWithinGeom == corners-in-R AND NOT strict-SAT(notch) on 20k random quads") {
+    val rnd = new scala.util.Random(88103L)
+    var winCount = 0
+    (1 to 20000).foreach { _ =>
+      val quad = randQuad(rnd)
+      val kernel = Geo.polyWithinGeom(quad, a88Region)
+      val ring = quad(0)(0)
+      val cornersInR = ring.grouped(2).forall { case Array(x, y) =>
+        inConvex(x, y, a88R)
+      }
+      val oracle = cornersInR && !sat(ring, a88Notch, strict = true)
+      assert(kernel == oracle, s"within drift on ${ring.mkString(",")}")
+      if (kernel) winCount += 1
+    }
+    assert(winCount > 0, "no within-true samples — the check proves nothing")
+  }
+
+  test("geomInteriorsMeet == strict SAT over pieces on 20k random quads") {
+    val rnd = new scala.util.Random(88104L)
+    (1 to 20000).foreach { _ =>
+      val quad = randQuad(rnd)
+      val kernel = Geo.geomInteriorsMeet(quad, a88Region)
+      val oracle = a88Pieces.exists(p => sat(quad(0)(0), p, strict = true))
+      assert(kernel == oracle, s"interiors drift on ${quad(0)(0).mkString(",")}")
+    }
+  }
+
+  test("segIntersectsOpenConvex == segIntersectsOpenBox on 50k random segment/box pairs") {
+    val rnd = new scala.util.Random(88105L)
+    (1 to 50000).foreach { _ =>
+      val x0 = rnd.between(-10.0, 10.0); val y0 = rnd.between(-10.0, 10.0)
+      val x1 = x0 + rnd.between(0.1, 8.0); val y1 = y0 + rnd.between(0.1, 8.0)
+      val ring = Array(x0, y0, x1, y0, x1, y1, x0, y1)
+      val (ax, ay) = (rnd.between(-15.0, 15.0), rnd.between(-15.0, 15.0))
+      val (bx, by) = (rnd.between(-15.0, 15.0), rnd.between(-15.0, 15.0))
+      assert(Geo.segIntersectsOpenConvex(ax, ay, bx, by, ring) ==
+        Geo.segIntersectsOpenBox(ax, ay, bx, by, x0, y0, x1, y1),
+        s"open-seg drift seg=($ax,$ay)->($bx,$by) box=($x0,$y0,$x1,$y1)")
+    }
+  }
+
+  test("segMeetsOpenGeom general path == convex fast path on convex rings") {
+    val rnd = new scala.util.Random(88106L)
+    // a concave region forces the general sampler; cross-check it on the
+    // same queries against the convex fast path applied to each piece:
+    // open-region membership in a union of edge-adjacent convex pieces
+    // is piecewise (interior seams are interior to the union)
+    (1 to 20000).foreach { _ =>
+      val (ax, ay) = (rnd.between(-200.0, -70.0), rnd.between(-60.0, 60.0))
+      val (bx, by) = (rnd.between(-200.0, -70.0), rnd.between(-60.0, 60.0))
+      val general = Geo.segMeetsOpenGeom(ax, ay, bx, by, a88Region)
+      val viaPieces = a88Pieces.exists(p =>
+        Geo.segIntersectsOpenConvex(ax, ay, bx, by, p)) ||
+        // seam-only passes: sample the midpoint directly
+        Geo.strictInGeom((ax + bx) / 2, (ay + by) / 2, a88Region)
+      // general ⇒ viaPieces can differ only on seam-tangent segments —
+      // vanishing probability under continuous sampling; assert equality
+      assert(general == (a88Pieces.exists(p =>
+        Geo.segIntersectsOpenConvex(ax, ay, bx, by, p))),
+        s"open-seg general drift ($ax,$ay)->($bx,$by)")
+      assert(viaPieces || !general)
+    }
+  }
+
+  test("polyRelShape composites: hand-built touch/overlap/equal/cross cases") {
+    import graft.spatial.Shape._
+    val quad = Array(Array(Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0)))
+    // equals with itself (different vertex start to prove set semantics)
+    val same = PolyS(Array(Array(Array(4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 0.0, 0.0))))
+    assert(Geo.polyRelShape(quad, same, Geo.RelEquals))
+    assert(Geo.polyRelShape(quad, same, Geo.RelWithin))
+    assert(!Geo.polyRelShape(quad, same, Geo.RelOverlaps))
+    // edge-sharing neighbor: touches, not overlaps
+    val neighbor = PolyS(Array(Array(Array(4.0, 0.0, 8.0, 0.0, 8.0, 4.0, 4.0, 4.0))))
+    assert(Geo.polyRelShape(quad, neighbor, Geo.RelTouches))
+    assert(Geo.polyRelShape(quad, neighbor, Geo.RelIntersects))
+    assert(!Geo.polyRelShape(quad, neighbor, Geo.RelOverlaps))
+    // proper overlap
+    val over = PolyS(Array(Array(Array(2.0, 2.0, 6.0, 2.0, 6.0, 6.0, 2.0, 6.0))))
+    assert(Geo.polyRelShape(quad, over, Geo.RelOverlaps))
+    assert(!Geo.polyRelShape(quad, over, Geo.RelTouches))
+    // line crossing vs line inside
+    val crossLine = LinesS(Array(Array(-1.0, 2.0, 5.0, 2.0)))
+    assert(Geo.polyRelShape(quad, crossLine, Geo.RelCrosses))
+    val inLine = LinesS(Array(Array(1.0, 2.0, 3.0, 2.0)))
+    assert(!Geo.polyRelShape(quad, inLine, Geo.RelCrosses)) // contained, no exit
+    assert(Geo.polyRelShape(quad, inLine, Geo.RelContains))
+    // point containment is interior-strict
+    assert(Geo.polyRelShape(quad, PointS(2, 2), Geo.RelContains))
+    assert(!Geo.polyRelShape(quad, PointS(0, 2), Geo.RelContains)) // on boundary
+    assert(Geo.polyRelShape(quad, PointS(0, 2), Geo.RelTouches))
+    // concave row side through the general paths: the L-shape contains
+    // its own notch-free parts and rejects notch points
+    val ell = Array(Array(Array(0.0, 0.0, 10.0, 0.0, 10.0, 4.0, 4.0, 4.0, 4.0, 10.0, 0.0, 10.0)))
+    assert(Geo.polyRelShape(ell, PointS(2, 8), Geo.RelContains))
+    assert(!Geo.polyRelShape(ell, PointS(8, 8), Geo.RelIntersects)) // in the notch
+    val notchBox = PolyS(Array(Array(Array(5.0, 5.0, 9.0, 5.0, 9.0, 9.0, 5.0, 9.0))))
+    assert(!Geo.polyRelShape(ell, notchBox, Geo.RelIntersects))
+    val straddle = PolyS(Array(Array(Array(2.0, 2.0, 8.0, 2.0, 8.0, 8.0, 2.0, 8.0))))
+    assert(Geo.polyRelShape(ell, straddle, Geo.RelOverlaps))
+    assert(!Geo.polyRelShape(ell, straddle, Geo.RelWithin))
+    // holed row side: the shell-with-hole is within its shell but does
+    // not CONTAIN a box sitting inside the hole
+    val holed = shellHole
+    val inHole = PolyS(Array(Array(Array(4.5, 4.5, 5.5, 4.5, 5.5, 5.5, 4.5, 5.5))))
+    assert(!Geo.polyRelShape(holed, inHole, Geo.RelIntersects))
+    assert(Geo.polyRelShape(holed, PolyS(Array(Array(holed(0)(0)))), Geo.RelWithin))
+  }
+
+  test("wkbRelShape decodes the stored footprint and matches the ring kernel") {
+    import graft.spatial.{Shape, Wkb}
+    val ring = Array(1.0, 1.0, 5.0, 2.0, 4.0, 6.0, 0.0, 5.0)
+    val wkb = Wkb.ringBytes(ring)
+    val probe = Shape.PolyS(Array(Array(Array(3.0, 3.0, 9.0, 3.0, 9.0, 9.0, 3.0, 9.0))))
+    assert(Geo.wkbRelShape(wkb, probe, Geo.RelIntersects) ==
+      Geo.polyRelShape(Array(Array(ring)), probe, Geo.RelIntersects))
+    // point-footprint WKB routes to the point kernels
+    val pt = Wkb.pointBytes(2.0, 2.0)
+    assert(Geo.wkbRelShape(pt, probe, Geo.RelIntersects) ==
+      Geo.pointIntersectsShape(2.0, 2.0, probe))
+  }
+
+  test("a88 gate: envelope over-claims exist and the exact kernel rejects them") {
+    val s = TestSpark.spark
+    val rows = graft.search.StacSearch.a88PolygonFootprint(s, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    def b(r: org.apache.spark.sql.Row, f: String) = r.getBoolean(r.fieldIndex(f))
+    val overClaims = rows.count(r => b(r, "env_int") && !b(r, "p_int"))
+    assert(overClaims > 0,
+      "no envelope over-claims — the rotated fixture is not load-bearing")
+    // the exact kernel can never claim MORE than the envelope
+    assert(rows.forall(r => !b(r, "p_int") || b(r, "env_int")))
+    // battery sanity: every relation has both outcomes somewhere except
+    // the deliberately false-dominant equals
+    Seq("p_int", "p_win", "p_win_cvx", "p_cnt", "p_tch", "p_ovl", "p_crs")
+      .foreach { f =>
+        assert(rows.exists(r => b(r, f)), s"$f never true")
+        assert(rows.exists(r => !b(r, f)), s"$f never false")
+      }
+    assert(rows.forall(r => b(r, "p_int") != b(r, "p_dis")))
+    // within ⇒ intersects; overlaps ⇒ intersects AND NOT within
+    assert(rows.forall(r => !b(r, "p_win") || b(r, "p_int")))
+    assert(rows.forall(r => !b(r, "p_ovl") || (b(r, "p_int") && !b(r, "p_win"))))
+  }
 }
