@@ -50,6 +50,28 @@ object GeoParquet {
       bbox: Seq[Double],
       covering: Map[String, Seq[String]])
 
+  /** Datetime extremes folded per file at write (micros, NTZ): the
+    * file-level form of the reference's datetime-overlap semantics
+    * (database_logic.py:279-312) — a range search [lo, hi] can match a
+    * file iff (some datetime row: dtMin <= hi ∧ dtMax >= lo) OR (some
+    * interval row: sdMin <= hi ∧ edMax >= lo). A64 proved this rule on a
+    * manifest table; here it lives in the files' own footers.
+    */
+  final case class FooterDt(
+      dtMin: Option[Long], dtMax: Option[Long],
+      sdMin: Option[Long], edMax: Option[Long],
+      hasNullDt: Boolean)
+
+  /** One catalog file's footer-served metadata: the spec'd `geo` bbox +
+    * row count, and the engine's `graft` sidecar key — the file's single
+    * collection (every writer keys files on (collection, shard)) and its
+    * datetime extremes. `collection`/`dt` are None for files written by
+    * older layouts — absent metadata can only DISABLE a prune, never
+    * lose a row.
+    */
+  final case class GeoFooter(bbox: Seq[Double], rows: Long,
+      collection: Option[String], dt: Option[FooterDt])
+
   /** Deterministic footprint half-extents — the SAME formula as the
     * items-view envelope columns (StacSearch.envelopeSqlCols), so the
     * oracle can re-derive every envelope WKB-free from (lon, lat,
@@ -188,6 +210,13 @@ object GeoParquet {
     private val inner = new org.apache.parquet.hadoop.example.GroupWriteSupport()
     private var w = Double.MaxValue; private var s = Double.MaxValue
     private var e = -Double.MaxValue; private var n = -Double.MaxValue
+    // `graft` sidecar folds (same single pass as the bbox): the file's
+    // one collection and its datetime extremes — the metadata the
+    // collection/datetime FILE prune (GeoCatalogSource) reads
+    private var coll: String = null; private var mixed = false
+    private var dtMin = Long.MaxValue; private var dtMax = Long.MinValue
+    private var sdMin = Long.MaxValue; private var edMax = Long.MinValue
+    private var hasNullDt = false
     override def init(conf: org.apache.hadoop.conf.Configuration): WriteSupport.WriteContext = {
       org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
       inner.init(conf)
@@ -198,11 +227,34 @@ object GeoParquet {
       val bb = g.getGroup("bbox", 0)
       w = math.min(w, bb.getDouble("xmin", 0)); s = math.min(s, bb.getDouble("ymin", 0))
       e = math.max(e, bb.getDouble("xmax", 0)); n = math.max(n, bb.getDouble("ymax", 0))
+      val c = g.getString("collection", 0)
+      if (coll == null) coll = c else if (coll != c) mixed = true
+      if (g.getFieldRepetitionCount("datetime") > 0) {
+        val v = g.getLong("datetime", 0)
+        if (v < dtMin) dtMin = v; if (v > dtMax) dtMax = v
+      } else hasNullDt = true
+      if (g.getFieldRepetitionCount("start_datetime") > 0) {
+        val v = g.getLong("start_datetime", 0)
+        if (v < sdMin) sdMin = v
+      }
+      if (g.getFieldRepetitionCount("end_datetime") > 0) {
+        val v = g.getLong("end_datetime", 0)
+        if (v > edMax) edMax = v
+      }
       inner.write(g)
     }
-    override def finalizeWrite(): WriteSupport.FinalizedWriteContext =
-      new WriteSupport.FinalizedWriteContext(
-        java.util.Collections.singletonMap("geo", geoJson((w, s, e, n))))
+    override def finalizeWrite(): WriteSupport.FinalizedWriteContext = {
+      val graft = mapper.createObjectNode()
+      if (coll != null && !mixed) graft.put("collection", coll)
+      if (dtMin != Long.MaxValue) { graft.put("dt_min", dtMin); graft.put("dt_max", dtMax) }
+      if (sdMin != Long.MaxValue) graft.put("sd_min", sdMin)
+      if (edMax != Long.MinValue) graft.put("ed_max", edMax)
+      graft.put("has_null_dt", hasNullDt)
+      val kv = new java.util.HashMap[String, String]()
+      kv.put("geo", geoJson((w, s, e, n)))
+      kv.put("graft", mapper.writeValueAsString(graft))
+      new WriteSupport.FinalizedWriteContext(kv)
+    }
   }
 
   private class GeoWriterBuilder(path: Path, schema: MessageType)
@@ -217,8 +269,10 @@ object GeoParquet {
     * [[stagedPath]] so an in-place regeneration cannot serve stale files.
     * `tag` distinguishes shard strategies ("s" = id-hash, "z" = spatial).
     */
+  // layout v3: footers carry the `graft` sidecar (collection + datetime
+  // extremes) — versioned path so memoized older exports regenerate
   def exportPath(dir: String, shards: Int = 1, tag: String = "s"): String =
-    s"/tmp/graft_geoparquet_export_${FixtureGuard.fingerprint(dir, "events")}_$tag$shards"
+    s"/tmp/graft_geoparquet_export_${FixtureGuard.fingerprint(dir, "events")}_v3$tag$shards"
 
   /** Per-row geometry: even id_num → Point, odd → footprint Polygon (the
     * stage() convention, so export and fixture file agree) + its envelope.
@@ -447,7 +501,7 @@ object GeoParquet {
     * Validates each footer is well-formed GeoParquet 1.1 on the way.
     */
   def footerBboxes(out: String): Map[String, Seq[Double]] =
-    footerInfo(out).map { case (k, (b, _)) => k -> b }
+    footerInfo(out).map { case (k, f) => k -> f.bbox }
 
   /** Footer-driven FILE PRUNE + scan: the catalog-level analogue of
     * parquet row-group skipping — the per-file `geo` bbox (exact, folded
@@ -492,7 +546,19 @@ object GeoParquet {
   // entry (instead of keying on the signature) keeps driver memory at
   // O(directories), not O(batches × files).
   private val footerMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Map[String, (Seq[Double], Long)])]()
+    String, (String, Map[String, GeoFooter])]()
+
+  /** Parse the optional `graft` sidecar footer key. */
+  private def parseGraftMeta(kv: java.util.Map[String, String])
+      : (Option[String], Option[FooterDt]) = {
+    val raw = kv.get("graft")
+    if (raw == null) return (None, None)
+    val n = mapper.readTree(raw)
+    def l(f: String): Option[Long] = Option(n.get(f)).map(_.asLong())
+    val dt = FooterDt(l("dt_min"), l("dt_max"), l("sd_min"), l("ed_max"),
+      Option(n.get("has_null_dt")).exists(_.asBoolean()))
+    (Option(n.get("collection")).map(_.asText()), Some(dt))
+  }
 
   /** Per-file (geo bbox, row count) in ONE footer open per file — the
     * metadata-plane read every catalog decision (file prune, count,
@@ -503,7 +569,7 @@ object GeoParquet {
     * measured 7.5 ms/file — minutes at a 100k-file catalog) and memoized
     * against the directory listing signature.
     */
-  def footerInfo(out: String): Map[String, (Seq[Double], Long)] = {
+  def footerInfo(out: String): Map[String, GeoFooter] = {
     val files = new java.io.File(out).listFiles()
     require(files != null, s"geocatalog path does not exist or is not a directory: $out")
     val parquet = files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -519,12 +585,14 @@ object GeoParquet {
           val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), sharedConf)
           val reader = ParquetFileReader.open(in)
           try {
-            val m = parseGeoMeta(f.getAbsolutePath,
-              reader.getFooter.getFileMetaData.getKeyValueMetaData)
+            val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+            val m = parseGeoMeta(f.getAbsolutePath, kv)
             require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
               m.encoding == "WKB" && m.bbox.length == 4,
               s"exported footer drifted: ${f.getName} → $m")
-            f.getName.stripSuffix(".parquet") -> ((m.bbox, reader.getRecordCount))
+            val (coll, dt) = parseGraftMeta(kv)
+            f.getName.stripSuffix(".parquet") ->
+              GeoFooter(m.bbox, reader.getRecordCount, coll, dt)
           } finally reader.close()
         }}, Duration.Inf).toMap
         (sig, info)
@@ -534,7 +602,7 @@ object GeoParquet {
 
   /** Per-file row counts — see [[footerInfo]]. */
   def footerRowCounts(out: String): Map[String, Long] =
-    footerInfo(out).map { case (k, (_, n)) => k -> n }
+    footerInfo(out).map { case (k, f) => k -> f.rows }
 
   def readGeoMeta(file: String): GeoMeta = {
     val in = HadoopInputFile.fromPath(new Path(file), sharedConf)

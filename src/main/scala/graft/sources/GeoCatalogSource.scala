@@ -203,12 +203,12 @@ private class GeoCatalogAggScan(path: String, kinds: Array[String])
   private lazy val values: Array[Any] = {
     val info = GeoParquet.footerInfo(path).values.toSeq // ONE open per file
     kinds.map {
-      case "count" => info.map(_._2).sum: Any
+      case "count" => info.map(_.rows).sum: Any
       case k =>
         if (info.isEmpty) null
         else {
           val idx = k.split(':')(1).toInt
-          val vals = info.map(_._1(idx))
+          val vals = info.map(_.bbox(idx))
           if (k.startsWith("min")) vals.min else vals.max
         }
     }
@@ -247,10 +247,10 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
   override def toBatch: Batch = this
 
   private lazy val (kept, total) = {
-    val footers = GeoParquet.footerBboxes(path).toSeq.sortBy(_._1)
+    val footers = GeoParquet.footerInfo(path).toSeq.sortBy(_._1)
     val cs = pushed.flatMap(GeoCatalogScan.constraintOf)
     val keep = footers.collect {
-      case (name, b) if cs.forall(_(b)) => s"$path/$name.parquet"
+      case (name, g) if cs.forall(_(g)) => s"$path/$name.parquet"
     }
     (keep, footers.size)
   }
@@ -265,7 +265,7 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
     val counts = GeoParquet.footerInfo(path)
     val rows = kept.map(f =>
       counts.get(new java.io.File(f).getName.stripSuffix(".parquet"))
-        .map(_._2).getOrElse(0L)).sum
+        .map(_.rows).getOrElse(0L)).sum
     val bytes = kept.map(f => new java.io.File(f).length()).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -334,7 +334,7 @@ private class GeoCatalogMicroBatchStream(path: String, required: StructType,
         val footers = GeoParquet.footerInfo(path)
         fresh.filter { f =>
           footers.get(f.stripSuffix(".parquet"))
-            .forall { case (b, _) => constraints.forall(_(b)) }
+            .forall(g => constraints.forall(_(g)))
         }
       }
     kept.map(f => GeoCatalogPartition(s"$path/$f"): InputPartition).toArray
@@ -363,20 +363,87 @@ private object GeoCatalogOffset {
 }
 
 private object GeoCatalogScan {
-  /** The file-level constraint a pushed filter implies, as a predicate
-    * over the footer bbox [W, S, E, N] — None = not prunable. Strict and
-    * non-strict variants share bounds: footer extremes are attained by
-    * real rows, so `xmin < v` admits a file iff W < v, etc.
+  import GeoParquet.GeoFooter
+
+  /** Timestamp filter values arrive as the type Spark binds to
+    * TIMESTAMP_NTZ columns (java.time.LocalDateTime) — fold to the
+    * footer's naive micros.
     */
-  def constraintOf(f: Filter): Option[Seq[Double] => Boolean] = f match {
-    case LessThanOrEqual("bbox.xmin", v: Double) => Some(b => b(0) <= v)
-    case LessThan("bbox.xmin", v: Double) => Some(b => b(0) < v)
-    case GreaterThanOrEqual("bbox.xmax", v: Double) => Some(b => b(2) >= v)
-    case GreaterThan("bbox.xmax", v: Double) => Some(b => b(2) > v)
-    case LessThanOrEqual("bbox.ymin", v: Double) => Some(b => b(1) <= v)
-    case LessThan("bbox.ymin", v: Double) => Some(b => b(1) < v)
-    case GreaterThanOrEqual("bbox.ymax", v: Double) => Some(b => b(3) >= v)
-    case GreaterThan("bbox.ymax", v: Double) => Some(b => b(3) > v)
+  private def micros(v: Any): Option[Long] = v match {
+    case t: java.time.LocalDateTime =>
+      Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case _ => None
+  }
+
+  /** The file-level constraint a pushed filter implies, as a predicate
+    * over the file's footer metadata — None = not prunable. Soundness
+    * rule throughout: the constraint must be TRUE whenever any file row
+    * could satisfy the filter; missing metadata (an older file's footer)
+    * therefore always answers true.
+    *
+    *  - bbox bounds: footer extremes are attained by real rows, so
+    *    `xmin < v` admits a file iff W < v, etc.
+    *  - collection =/IN: each writer keys files on (collection, shard),
+    *    so the footer carries the file's one collection.
+    *  - datetime bounds / IsNull / IsNotNull: the folded extremes — the
+    *    leaf `datetime >= v` is row-false on NULL rows, so the file
+    *    needs a non-null datetime reaching the bound; start/end bounds
+    *    fold over their non-null rows.
+    *  - And prunes on whichever conjuncts translate (a necessary
+    *    condition stays necessary); Or needs BOTH branches translated
+    *    (an unknown branch could match anything). This is exactly what
+    *    the reference's datetime-overlap disjunction compiles to, so a
+    *    full `collection IN … AND (datetime range OR interval overlap)`
+    *    search prunes at file granularity.
+    */
+  def constraintOf(f: Filter): Option[GeoFooter => Boolean] = f match {
+    case org.apache.spark.sql.sources.And(a, b) =>
+      (constraintOf(a), constraintOf(b)) match {
+        case (Some(ca), Some(cb)) => Some(g => ca(g) && cb(g))
+        case (one, other)         => one.orElse(other)
+      }
+    case org.apache.spark.sql.sources.Or(a, b) =>
+      for (ca <- constraintOf(a); cb <- constraintOf(b))
+        yield (g: GeoFooter) => ca(g) || cb(g)
+    case LessThanOrEqual("bbox.xmin", v: Double) => Some(g => g.bbox(0) <= v)
+    case LessThan("bbox.xmin", v: Double) => Some(g => g.bbox(0) < v)
+    case GreaterThanOrEqual("bbox.xmax", v: Double) => Some(g => g.bbox(2) >= v)
+    case GreaterThan("bbox.xmax", v: Double) => Some(g => g.bbox(2) > v)
+    case LessThanOrEqual("bbox.ymin", v: Double) => Some(g => g.bbox(1) <= v)
+    case LessThan("bbox.ymin", v: Double) => Some(g => g.bbox(1) < v)
+    case GreaterThanOrEqual("bbox.ymax", v: Double) => Some(g => g.bbox(3) >= v)
+    case GreaterThan("bbox.ymax", v: Double) => Some(g => g.bbox(3) > v)
+    case org.apache.spark.sql.sources.EqualTo("collection", v: String) =>
+      Some(g => g.collection.forall(_ == v))
+    case org.apache.spark.sql.sources.In("collection", vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      Some(g => g.collection.forall(set.contains))
+    case org.apache.spark.sql.sources.IsNull("datetime") =>
+      Some(g => g.dt.forall(_.hasNullDt))
+    case org.apache.spark.sql.sources.IsNotNull("datetime") =>
+      Some(g => g.dt.forall(_.dtMin.isDefined))
+    // inner `exists`: a file whose footer says "no non-null value at
+    // all" (None extreme) can never satisfy the row predicate — prune it
+    case GreaterThanOrEqual("datetime", v) =>
+      micros(v).map(m => g => g.dt.forall(_.dtMax.exists(_ >= m)))
+    case GreaterThan("datetime", v) =>
+      micros(v).map(m => g => g.dt.forall(_.dtMax.exists(_ > m)))
+    case LessThanOrEqual("datetime", v) =>
+      micros(v).map(m => g => g.dt.forall(_.dtMin.exists(_ <= m)))
+    case LessThan("datetime", v) =>
+      micros(v).map(m => g => g.dt.forall(_.dtMin.exists(_ < m)))
+    case LessThanOrEqual("start_datetime", v) =>
+      micros(v).map(m => g => g.dt.forall(_.sdMin.exists(_ <= m)))
+    case LessThan("start_datetime", v) =>
+      micros(v).map(m => g => g.dt.forall(_.sdMin.exists(_ < m)))
+    case GreaterThanOrEqual("end_datetime", v) =>
+      micros(v).map(m => g => g.dt.forall(_.edMax.exists(_ >= m)))
+    case GreaterThan("end_datetime", v) =>
+      micros(v).map(m => g => g.dt.forall(_.edMax.exists(_ > m)))
     case _ => None
   }
 }

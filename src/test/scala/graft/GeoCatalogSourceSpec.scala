@@ -176,4 +176,75 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("geometry"), plan)
   }
+
+  // ------- r11: collection + datetime file prune (the `graft` sidecar)
+
+  // the TIME-sharded catalog (A89's layout): shard = day-of-month of the
+  // item instant, so datetime ranges CAN skip files; one collection per
+  // file by the writer's (collection, shard) keying
+  private lazy val tcat: String = {
+    val shardCol = dayofmonth(coalesce(col("datetime"), col("start_datetime")))
+    GeoParquet.export(s, sf, 31, Some(shardCol), tag = "t")
+  }
+
+  private def keptOf(df: DataFrame): (Int, Int) = {
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val m = """footer-pruned files (\d+)/(\d+)""".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    (m.get.group(1).toInt, m.get.group(2).toInt)
+  }
+
+  test("collection = / IN filters prune files on the sidecar footer and " +
+      "lose no rows") {
+    def one(df: DataFrame) = df.where(col("collection") === "click")
+    val (k1, t1) = keptOf(one(s.read.format(fmt).load(tcat)))
+    assert(k1 < t1 && k1 > 0, s"$k1/$t1")
+    assert(canon(one(s.read.format(fmt).load(tcat))) == canon(one(s.read.parquet(tcat))))
+    def two(df: DataFrame) = df.where(col("collection").isin("click", "view"))
+    val (k2, t2) = keptOf(two(s.read.format(fmt).load(tcat)))
+    assert(k2 > k1 && k2 < t2, s"$k2/$t2 vs $k1")
+    assert(canon(two(s.read.format(fmt).load(tcat))) == canon(two(s.read.parquet(tcat))))
+  }
+
+  test("the reference's datetime-overlap DISJUNCTION prunes day files and " +
+      "keeps interval-only rows") {
+    def tsn(t: String) = lit(t).cast("timestamp_ntz")
+    val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-12 00:00:00")
+    def filt(df: DataFrame) = df.where(
+      (col("datetime") >= tsn(lo) && col("datetime") <= tsn(hi)) ||
+        (col("datetime").isNull &&
+          col("start_datetime") <= tsn(hi) && col("end_datetime") >= tsn(lo)))
+    val df = filt(s.read.format(fmt).load(tcat))
+    val (kept, total) = keptOf(df)
+    assert(kept < total && kept > 0, s"$kept/$total")
+    val got = canon(df)
+    assert(got == canon(filt(s.read.parquet(tcat))))
+    // the Or translation kept the NULL-datetime branch alive: interval
+    // rows whose window overlaps ride through the prune
+    assert(df.where(col("datetime").isNull).count() > 0)
+    // day files wholly inside the range survive, far days are gone:
+    // roughly (5 days + interval spill) of 30 per collection
+    assert(kept <= total / 3, s"$kept/$total — prune too weak")
+  }
+
+  test("datetime prune composes with collection under And; conservative " +
+      "when only one conjunct translates") {
+    def tsn(t: String) = lit(t).cast("timestamp_ntz")
+    val base = s.read.format(fmt).load(tcat)
+    val both = base.where(col("collection") === "view" &&
+      col("datetime") >= tsn("2024-01-25 00:00:00"))
+    val (kb, tb) = keptOf(both)
+    val (kc, _) = keptOf(base.where(col("collection") === "view"))
+    assert(kb < kc, s"And composition did not tighten: $kb vs $kc")
+    val wantBoth = s.read.parquet(tcat).where(col("collection") === "view" &&
+      col("datetime") >= tsn("2024-01-25 00:00:00"))
+    assert(canon(both) == canon(wantBoth))
+    // value > x is untranslatable: And(collection, value) prunes on the
+    // collection side only, rows stay exact
+    val mixed = base.where(col("collection") === "view" && col("value") > 100.0)
+    val (km, _) = keptOf(mixed)
+    assert(km == kc, s"untranslatable conjunct changed the prune: $km vs $kc")
+    assert(canon(mixed) ==
+      canon(s.read.parquet(tcat).where(col("collection") === "view" && col("value") > 100.0)))
+  }
 }
