@@ -132,6 +132,21 @@ object SearchParams {
 final case class SearchResult(
     items: Array[Row], numMatched: Long, nextToken: Option[String])
 
+/** One bucket of a frequency-distribution aggregation. */
+final case class AggBucket(key: String, frequency: Long)
+
+/** One computed aggregation (STAC Aggregation extension response
+  * member): `value` for integer aggregations, `buckets` for frequency
+  * distributions, min/max/sum for numeric stats.
+  */
+final case class Aggregation(
+    name: String,
+    value: Option[Long] = None,
+    buckets: Seq[AggBucket] = Nil,
+    min: Option[Double] = None,
+    max: Option[Double] = None,
+    sum: Option[Double] = None)
+
 object StacApi {
 
   /** /collections: the static catalog (title/license/description/links)
@@ -218,6 +233,76 @@ object StacApi {
       val kept = (base.filterNot(exc.contains) ++ sortFields)
         .distinct.filter(schema.contains)
       df.select(kept.map(col): _*)
+    }
+  }
+
+  /** The aggregations this deployment advertises (name → data_type) —
+    * the /aggregations capability document's content.
+    */
+  val supportedAggregations: Seq[(String, String)] = Seq(
+    "total_count" -> "integer",
+    "collection_frequency" -> "frequency_distribution",
+    "datetime_frequency" -> "frequency_distribution",
+    "value_stats" -> "numeric")
+
+  /** Execute the requested named aggregations over ONE search (the
+    * /aggregate endpoint of the STAC Aggregation extension): every
+    * search parameter filters through [[plan]], then a SINGLE
+    * grouping-sets pass produces every requested granularity — one scan
+    * and one shuffle however many aggregations are asked for (A70's
+    * shape; the reference-style engine pays one corpus scan per
+    * aggregation). Unknown names are a typed error (the HTTP 400
+    * contract). Result rows are bounded by |collections| + |months| + 1.
+    */
+  def aggregate(spark: SparkSession, dir: String, p: SearchParams,
+                names: Seq[String]): Seq[Aggregation] = {
+    val supported = supportedAggregations.map(_._1).toSet
+    val bad = names.filterNot(supported.contains)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown aggregation(s): ${bad.mkString(", ")} " +
+          s"(supported: ${supportedAggregations.map(_._1).mkString(", ")})")
+    if (names.isEmpty)
+      throw new IllegalArgumentException("aggregations must name at least one aggregation")
+    val base = plan(Tables.items(spark, dir), p)
+      .select(col("collection"),
+        coalesce(date_format(date_trunc("month",
+          coalesce(col("datetime"), col("start_datetime"))), "yyyy-MM"),
+          lit("__none__")).as("month_b"),
+        col("value"))
+    val wantColl = names.contains("collection_frequency")
+    val wantMonth = names.contains("datetime_frequency")
+    val sets = Seq(Seq.empty[Column]) ++
+      (if (wantColl) Seq(Seq(col("collection"))) else Nil) ++
+      (if (wantMonth) Seq(Seq(col("month_b"))) else Nil)
+    val rows = base.groupingSets(sets, col("collection"), col("month_b"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+        sum(col("value")).as("v_sum"))
+      .collect()
+    // gid bits: collection = MSB, month_b = LSB; 3 = the total row
+    val total = rows.find(r => r.getLong(r.fieldIndex("gid")) == 3L)
+    def bucketsOf(gid: Int, keyField: String): Seq[AggBucket] =
+      rows.filter(r => r.getLong(r.fieldIndex("gid")) == gid)
+        .map(r => AggBucket(
+          Option(r.get(r.fieldIndex(keyField))).map(_.toString).getOrElse("__none__"),
+          r.getLong(r.fieldIndex("n"))))
+        .sortBy(_.key).toSeq
+    names.map {
+      case "total_count" =>
+        Aggregation("total_count",
+          value = Some(total.map(r => r.getLong(r.fieldIndex("n"))).getOrElse(0L)))
+      case "collection_frequency" =>
+        Aggregation("collection_frequency", buckets = bucketsOf(1, "collection"))
+      case "datetime_frequency" =>
+        Aggregation("datetime_frequency", buckets = bucketsOf(2, "month_b"))
+      case "value_stats" =>
+        val t = total.filter(r => !r.isNullAt(r.fieldIndex("v_min")))
+        Aggregation("value_stats",
+          value = total.map(r => r.getLong(r.fieldIndex("n"))),
+          min = t.map(r => r.getDouble(r.fieldIndex("v_min"))),
+          max = t.map(r => r.getDouble(r.fieldIndex("v_max"))),
+          sum = t.map(r => r.getDouble(r.fieldIndex("v_sum"))))
     }
   }
 

@@ -60,7 +60,9 @@ object StacHttp {
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-text",
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-json",
     "http://www.opengis.net/spec/cql2/1.0/conf/basic-cql2",
-    "http://www.opengis.net/spec/cql2/1.0/conf/advanced-comparison-operators")
+    "http://www.opengis.net/spec/cql2/1.0/conf/advanced-comparison-operators",
+    "https://api.stacspec.org/v0.3.0/aggregation",
+    "http://www.opengis.net/spec/ogcapi-records-1/1.0/req/sortables")
 
   private val mapper = new ObjectMapper()
 
@@ -130,6 +132,38 @@ object StacHttp {
           if (feats.isEmpty) notFound(ex, s"Item $itemId does not exist")
           else json(ex, 200,
             mapper.readTree(feats.head).asInstanceOf[ObjectNode])
+        case ("GET", List("sortables")) =>
+          raw(ex, 200, StacSearch.sortables(graft.core.Tables.items(spark, dir)))
+        case ("GET", List("collections", c, "sortables")) =>
+          if (collectionNode(spark, dir, c).isEmpty)
+            notFound(ex, s"Collection $c does not exist")
+          else raw(ex, 200, StacSearch.sortables(
+            graft.core.Tables.items(spark, dir)
+              .where(org.apache.spark.sql.functions.col("collection") === c)))
+        case ("GET", List("aggregations")) =>
+          json(ex, 200, aggregationsDoc())
+        case ("GET", List("collections", c, "aggregations")) =>
+          if (collectionNode(spark, dir, c).isEmpty)
+            notFound(ex, s"Collection $c does not exist")
+          else json(ex, 200, aggregationsDoc())
+        case ("GET", List("aggregate")) =>
+          json(ex, 200, aggregateNode(spark, dir, paramsFromQuery(q),
+            csv(q.getOrElse("aggregations", ""))))
+        case ("POST", List("aggregate")) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val names = Option(mapper.readTree(body).get("aggregations"))
+            .map { n =>
+              import scala.jdk.CollectionConverters._
+              n.elements().asScala.map(_.asText).toSeq
+            }.getOrElse(Nil)
+          json(ex, 200, aggregateNode(spark, dir,
+            SearchParams.fromSearchBody(body), names))
+        case ("GET", List("collections", c, "aggregate")) =>
+          if (collectionNode(spark, dir, c).isEmpty)
+            notFound(ex, s"Collection $c does not exist")
+          else json(ex, 200, aggregateNode(spark, dir,
+            paramsFromQuery(q).copy(collections = Seq(c)),
+            csv(q.getOrElse("aggregations", ""))))
         case ("GET", List("queryables")) =>
           raw(ex, 200, StacSearch.queryables(graft.core.Tables.items(spark, dir)))
         case ("GET", List("collections", c, "queryables")) =>
@@ -272,6 +306,50 @@ object StacHttp {
         l.put("href", s"$selfPath?$qs")
       }
       l.put("token", t)
+    }
+    o
+  }
+
+  /** The /aggregations capability document: which named aggregations
+    * /aggregate will execute, with their data types (STAC Aggregation
+    * extension).
+    */
+  private def aggregationsDoc(): ObjectNode = {
+    val o = mapper.createObjectNode()
+    val arr = o.withArray[ArrayNode]("aggregations")
+    StacApi.supportedAggregations.foreach { case (name, dt) =>
+      val a = arr.addObject()
+      a.put("name", name); a.put("data_type", dt)
+    }
+    o
+  }
+
+  /** /aggregate response: the typed [[StacApi.aggregate]] result (one
+    * grouping-sets pass over the search) rendered per the extension —
+    * a thin codec, never a second query engine.
+    */
+  private def aggregateNode(spark: SparkSession, dir: String,
+                            p: SearchParams, names: Seq[String]): ObjectNode = {
+    val results = StacApi.aggregate(spark, dir, p, names)
+    val o = mapper.createObjectNode()
+    val arr = o.withArray[ArrayNode]("aggregations")
+    results.foreach { a =>
+      val n = arr.addObject()
+      n.put("name", a.name)
+      StacApi.supportedAggregations.find(_._1 == a.name)
+        .foreach { case (_, dt) => n.put("data_type", dt) }
+      a.value.foreach(v => n.put("value", v))
+      if (a.buckets.nonEmpty || a.name.endsWith("_frequency")) {
+        val bs = n.withArray[ArrayNode]("buckets")
+        a.buckets.foreach { b =>
+          val bn = bs.addObject()
+          bn.put("key", b.key); bn.put("data_type", "frequency")
+          bn.put("frequency", b.frequency)
+        }
+      }
+      a.min.foreach(v => n.put("overall_min", v))
+      a.max.foreach(v => n.put("overall_max", v))
+      a.sum.foreach(v => n.put("overall_sum", v))
     }
     o
   }

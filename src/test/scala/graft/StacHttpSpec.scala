@@ -235,6 +235,78 @@ class StacHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nf == 404)
   }
 
+  test("/sortables is the schema-derived sortables doc; collection scope 404s unknowns") {
+    val (code, doc) = get("/sortables")
+    assert(code == 200)
+    assert(doc.get("$schema").asText.nonEmpty)
+    // advertised = the typed layer's document, byte for byte
+    val typed = graft.search.StacSearch.sortables(Tables.items(s, sf))
+    assert(mapper.readTree(typed) == doc)
+    // orderable scalars advertised, arrays/structs omitted
+    assert(doc.get("properties").has("value") && doc.get("properties").has("datetime"))
+    val (sc, scoped) = get("/collections/view/sortables")
+    assert(sc == 200 && scoped.get("properties").has("value"))
+    val (nf, _) = get("/collections/nope/sortables")
+    assert(nf == 404)
+  }
+
+  test("/aggregations lists the supported set; /aggregate ≡ the typed single-pass bundle") {
+    val (code, doc) = get("/aggregations")
+    assert(code == 200)
+    val names = (0 until doc.get("aggregations").size())
+      .map(doc.get("aggregations").get(_).get("name").asText)
+    assert(names == StacApi.supportedAggregations.map(_._1))
+    val q = "aggregations=" + URLEncoder.encode(
+      "total_count,collection_frequency,datetime_frequency,value_stats", UTF_8) +
+      "&collections=click,view&datetime=" +
+      URLEncoder.encode("2024-01-05 00:00:00/2024-01-20 00:00:00", UTF_8)
+    val (ac, agg) = get(s"/aggregate?$q")
+    assert(ac == 200)
+    val typed = StacApi.aggregate(s, sf,
+      graft.search.SearchParams(collections = Seq("click", "view"),
+        datetime = Some("2024-01-05 00:00:00/2024-01-20 00:00:00")),
+      Seq("total_count", "collection_frequency", "datetime_frequency", "value_stats"))
+    val byName = (0 until agg.get("aggregations").size())
+      .map(agg.get("aggregations").get(_)).map(n => n.get("name").asText -> n).toMap
+    assert(byName("total_count").get("value").asLong == typed.head.value.get)
+    // total matches an independent direct count
+    val direct = StacApi.plan(Tables.items(s, sf),
+      graft.search.SearchParams(collections = Seq("click", "view"),
+        datetime = Some("2024-01-05 00:00:00/2024-01-20 00:00:00"))).count()
+    assert(byName("total_count").get("value").asLong == direct)
+    val cf = byName("collection_frequency")
+    val httpBuckets = (0 until cf.get("buckets").size()).map { i =>
+      val b = cf.get("buckets").get(i)
+      b.get("key").asText -> b.get("frequency").asLong
+    }
+    assert(httpBuckets == typed(1).buckets.map(b => b.key -> b.frequency))
+    assert(httpBuckets.map(_._2).sum == direct) // frequencies tile the total
+    val vs = byName("value_stats")
+    assert(vs.get("overall_min").asDouble == typed(3).min.get)
+    assert(vs.get("overall_max").asDouble == typed(3).max.get)
+    // collection-scoped twin
+    val (scc, scoped) = get("/collections/click/aggregate?aggregations=total_count")
+    assert(scc == 200)
+    assert(scoped.get("aggregations").get(0).get("value").asLong ==
+      StacApi.plan(Tables.items(s, sf),
+        graft.search.SearchParams(collections = Seq("click"))).count())
+    // POST twin with body search params
+    val (pc, posted) = post("/aggregate",
+      """{"collections":["click","view"],
+        |"datetime":"2024-01-05 00:00:00/2024-01-20 00:00:00",
+        |"aggregations":["total_count"]}""".stripMargin.replace("\n", ""))
+    assert(pc == 200)
+    assert(posted.get("aggregations").get(0).get("value").asLong == direct)
+  }
+
+  test("/aggregate 400-contract: unknown or missing aggregation names") {
+    val (c1, err) = get("/aggregate?aggregations=bogus_agg")
+    assert(c1 == 400 && err.get("code").asText == "BadRequest")
+    assert(err.get("description").asText.contains("bogus_agg"))
+    val (c2, _) = get("/aggregate")
+    assert(c2 == 400)
+  }
+
   test("bad requests surface as 400 JSON, unknown routes as 404") {
     val (code, err) = get("/search?bbox=1,2,3")
     assert(code == 400 && err.get("code").asText == "BadRequest")
