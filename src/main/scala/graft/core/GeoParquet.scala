@@ -70,7 +70,8 @@ object GeoParquet {
     * lose a row.
     */
   final case class GeoFooter(bbox: Seq[Double], rows: Long,
-      collection: Option[String], dt: Option[FooterDt])
+      collection: Option[String], dt: Option[FooterDt],
+      sortedById: Boolean)
 
   /** Deterministic footprint half-extents — the SAME formula as the
     * items-view envelope columns (StacSearch.envelopeSqlCols), so the
@@ -217,6 +218,10 @@ object GeoParquet {
     private var dtMin = Long.MaxValue; private var dtMax = Long.MinValue
     private var sdMin = Long.MaxValue; private var edMax = Long.MinValue
     private var hasNullDt = false
+    // detected, not assumed: id_num-ascending files advertise the order
+    // so a pushed TopN can early-stop their readers (unsorted DSv2-write
+    // input simply doesn't advertise)
+    private var prevId = Long.MinValue; private var sortedById = true
     override def init(conf: org.apache.hadoop.conf.Configuration): WriteSupport.WriteContext = {
       org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
       inner.init(conf)
@@ -229,6 +234,9 @@ object GeoParquet {
       e = math.max(e, bb.getDouble("xmax", 0)); n = math.max(n, bb.getDouble("ymax", 0))
       val c = g.getString("collection", 0)
       if (coll == null) coll = c else if (coll != c) mixed = true
+      val idn = g.getLong("id_num", 0)
+      if (idn < prevId) sortedById = false
+      prevId = idn
       if (g.getFieldRepetitionCount("datetime") > 0) {
         val v = g.getLong("datetime", 0)
         if (v < dtMin) dtMin = v; if (v > dtMax) dtMax = v
@@ -250,6 +258,7 @@ object GeoParquet {
       if (sdMin != Long.MaxValue) graft.put("sd_min", sdMin)
       if (edMax != Long.MinValue) graft.put("ed_max", edMax)
       graft.put("has_null_dt", hasNullDt)
+      graft.put("sorted_by_id_num", sortedById)
       val kv = new java.util.HashMap[String, String]()
       kv.put("geo", geoJson((w, s, e, n)))
       kv.put("graft", mapper.writeValueAsString(graft))
@@ -269,10 +278,11 @@ object GeoParquet {
     * [[stagedPath]] so an in-place regeneration cannot serve stale files.
     * `tag` distinguishes shard strategies ("s" = id-hash, "z" = spatial).
     */
-  // layout v3: footers carry the `graft` sidecar (collection + datetime
-  // extremes) — versioned path so memoized older exports regenerate
+  // layout v4: footers carry the `graft` sidecar (collection + datetime
+  // extremes + detected id_num sortedness) — versioned path so memoized
+  // older exports regenerate
   def exportPath(dir: String, shards: Int = 1, tag: String = "s"): String =
-    s"/tmp/graft_geoparquet_export_${FixtureGuard.fingerprint(dir, "events")}_v3$tag$shards"
+    s"/tmp/graft_geoparquet_export_${FixtureGuard.fingerprint(dir, "events")}_v4$tag$shards"
 
   /** Per-row geometry: even id_num → Point, odd → footprint Polygon (the
     * stage() convention, so export and fixture file agree) + its envelope.
@@ -405,6 +415,22 @@ object GeoParquet {
       closeAndPublish()
     } finally if (writer != null) writer.close() // error path: leave .tmp
   }
+
+  /** One parquet-mr writer for a catalog file (the DSv2 SupportsWrite
+    * path) — the SAME schema and footer-folding WriteSupport as every
+    * other catalog writer, so `df.write.format("geocatalog")` files are
+    * indistinguishable from exported ones (exact `geo` bbox + `graft`
+    * sidecar at close).
+    */
+  def newCatalogWriter(tmpPath: String)
+      : org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] =
+    new GeoWriterBuilder(new Path(tmpPath), schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+
+  /** Group factory over the catalog schema (for [[newCatalogWriter]]). */
+  def catalogGroupFactory: SimpleGroupFactory = new SimpleGroupFactory(schema)
 
   /** STREAMING catalog ingest (D40): land ONE micro-batch of items-shaped
     * rows as per-collection GeoParquet files
@@ -550,14 +576,15 @@ object GeoParquet {
 
   /** Parse the optional `graft` sidecar footer key. */
   private def parseGraftMeta(kv: java.util.Map[String, String])
-      : (Option[String], Option[FooterDt]) = {
+      : (Option[String], Option[FooterDt], Boolean) = {
     val raw = kv.get("graft")
-    if (raw == null) return (None, None)
+    if (raw == null) return (None, None, false)
     val n = mapper.readTree(raw)
     def l(f: String): Option[Long] = Option(n.get(f)).map(_.asLong())
     val dt = FooterDt(l("dt_min"), l("dt_max"), l("sd_min"), l("ed_max"),
       Option(n.get("has_null_dt")).exists(_.asBoolean()))
-    (Option(n.get("collection")).map(_.asText()), Some(dt))
+    (Option(n.get("collection")).map(_.asText()), Some(dt),
+      Option(n.get("sorted_by_id_num")).exists(_.asBoolean()))
   }
 
   /** Per-file (geo bbox, row count) in ONE footer open per file — the
@@ -590,9 +617,9 @@ object GeoParquet {
             require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
               m.encoding == "WKB" && m.bbox.length == 4,
               s"exported footer drifted: ${f.getName} → $m")
-            val (coll, dt) = parseGraftMeta(kv)
+            val (coll, dt, sorted) = parseGraftMeta(kv)
             f.getName.stripSuffix(".parquet") ->
-              GeoFooter(m.bbox, reader.getRecordCount, coll, dt)
+              GeoFooter(m.bbox, reader.getRecordCount, coll, dt, sorted)
           } finally reader.close()
         }}, Duration.Inf).toMap
         (sig, info)

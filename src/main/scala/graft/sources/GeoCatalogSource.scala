@@ -89,21 +89,172 @@ object GeoCatalogSource {
     StructField("geometry", BinaryType, nullable = false)))
 }
 
-private class GeoCatalogTable(path: String) extends Table with SupportsRead {
+private class GeoCatalogTable(path: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null && path.nonEmpty, "geocatalog requires a path")
   override def name(): String = s"geocatalog($path)"
   override def schema(): StructType = GeoCatalogSource.schema
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoCatalogScanBuilder(path, Option(options.get("bbox")))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GeoCatalogWriteBuilder(path, info.schema(), info.queryId())
+}
+
+// ===================== SupportsWrite: the catalog as a write TARGET ====
+// `df.write.format("geocatalog").mode(append|overwrite).save(dir)` (and
+// `writeTo` against a registered table) through the SAME footer-folding
+// parquet-mr writers as the export/compaction/streaming paths — every
+// committed file is independently valid GeoParquet 1.1 with an exact
+// `geo` bbox and the `graft` collection/datetime sidecar, so A85/A87/A89
+// pruning works on written catalogs unchanged. Tasks write one file per
+// collection seen (`<collection>-w<partition>-<job>.parquet`) at a
+// task-unique `.tmp` name; the driver commit renames atomically (and
+// clears the directory first under overwrite), aborts delete the tmps —
+// a failed or speculative attempt can never surface a half-written
+// footer to a concurrent reader.
+
+private class GeoCatalogWriteBuilder(path: String, schema: StructType,
+                                     queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val want = GeoCatalogSource.schema
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      want.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"geocatalog write requires the catalog schema " +
+        s"${want.simpleString} in declared order; got ${schema.simpleString}")
+    new GeoCatalogWrite(path, doTruncate, queryId)
+  }
+}
+
+private class GeoCatalogWrite(path: String, truncate: Boolean, queryId: String)
+    extends org.apache.spark.sql.connector.write.Write {
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new GeoCatalogBatchWrite(path, truncate, queryId)
+}
+
+private case class GeoCatalogCommitMsg(pairs: Seq[(String, String)])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private class GeoCatalogBatchWrite(path: String, truncate: Boolean,
+                                   queryId: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory,
+    PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    // job token keeps append-mode file names unique across write jobs
+    // (a second append must not overwrite the first's files)
+    new GeoCatalogWriterFactory(path,
+      Integer.toHexString(queryId.hashCode).takeRight(8))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) {
+      val fs = new java.io.File(path).listFiles()
+      if (fs != null) fs.filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    }
+    messages.foreach {
+      case GeoCatalogCommitMsg(pairs) =>
+        pairs.foreach { case (tmp, fin) =>
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(fin),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GeoCatalogCommitMsg(pairs) =>
+        pairs.foreach { case (tmp, _) => new java.io.File(tmp).delete() }
+      case _ => ()
+    }
+}
+
+private class GeoCatalogWriterFactory(path: String, job: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GeoCatalogDataWriter(path, job, partitionId, taskId)
+}
+
+/** One task's writer: parquet-mr writer per collection seen (rolled into
+  * a map — catalog partitionings co-locate collections, so this is
+  * near-always one), rows rendered straight from InternalRow.
+  */
+private class GeoCatalogDataWriter(path: String, job: String,
+                                   partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.Group
+
+  private val factory = GeoParquet.catalogGroupFactory
+  private val open = scala.collection.mutable.LinkedHashMap.empty[
+    String, (org.apache.parquet.hadoop.ParquetWriter[Group], String, String)]
+
+  override def write(row: InternalRow): Unit = {
+    val coll = row.getUTF8String(2).toString
+    val (w, _, _) = open.getOrElseUpdate(coll, {
+      val fin = s"$path/$coll-w$partitionId-$job.parquet"
+      val tmp = fin + s".tmp$taskId"
+      (GeoParquet.newCatalogWriter(tmp), tmp, fin)
+    })
+    w.write(group(row))
+  }
+
+  private def group(r: InternalRow): Group = {
+    val g = factory.newGroup()
+    g.append("id", r.getUTF8String(0).toString)
+    g.append("id_num", r.getLong(1))
+    g.append("collection", r.getUTF8String(2).toString)
+    if (!r.isNullAt(3)) g.append("datetime", r.getLong(3))
+    if (!r.isNullAt(4)) g.append("start_datetime", r.getLong(4))
+    if (!r.isNullAt(5)) g.append("end_datetime", r.getLong(5))
+    g.append("value", r.getDouble(6))
+    g.append("user_id", r.getLong(7))
+    g.append("lon", r.getDouble(8))
+    g.append("lat", r.getDouble(9))
+    val b = r.getStruct(10, 4)
+    val bb = g.addGroup("bbox")
+    bb.append("xmin", b.getDouble(0)); bb.append("ymin", b.getDouble(1))
+    bb.append("xmax", b.getDouble(2)); bb.append("ymax", b.getDouble(3))
+    g.append("geometry",
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(r.getBinary(11)))
+    g
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val pairs = open.values.map { case (w, tmp, fin) => w.close(); (tmp, fin) }.toSeq
+    GeoCatalogCommitMsg(pairs)
+  }
+
+  override def abort(): Unit = open.values.foreach { case (w, tmp, _) =>
+    try w.close() catch { case _: Exception => () }
+    new java.io.File(tmp).delete()
+  }
+
+  override def close(): Unit = ()
 }
 
 private class GeoCatalogScanBuilder(path: String, bboxOpt: Option[String])
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   // `option("bbox", "w,s,e,n")` — the STREAMING prune channel: Spark does
   // not push Filters into MicroBatchStream scans, so a region-filtered
@@ -122,10 +273,17 @@ private class GeoCatalogScanBuilder(path: String, bboxOpt: Option[String])
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GeoCatalogSource.schema
   private var aggKinds: Array[String] = Array.empty
+  private var rowPreds: Array[GeoCatalogScan.IdNumPred] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter(f => GeoCatalogScan.constraintOf(f).isDefined)
-    filters // every filter stays post-scan: the prune is file-granular
+    // id_num comparisons (the keyset-page shape, A23: `id_num > last`)
+    // are CONSUMED — evaluated inside the readers — so no residual
+    // Filter sits between a Sort and the scan and the TopN can push; all
+    // other filters stay post-scan (the prune is file-granular)
+    val (handled, residual) = filters.partition(GeoCatalogScan.idNumPredOf(_).isDefined)
+    rowPreds = handled.flatMap(GeoCatalogScan.idNumPredOf)
+    residual
   }
   override def pushedFilters(): Array[Filter] = accepted
 
@@ -133,11 +291,33 @@ private class GeoCatalogScanBuilder(path: String, bboxOpt: Option[String])
     required = requiredSchema
 
   private var limit: Int = Int.MaxValue
+  private var topNLimit: Option[Int] = None
   // file-granular: each surviving file still reads whole, Spark applies
   // the exact limit above — but readers stop emitting at the bound, so a
   // catalog peek (`LIMIT 5`) opens one file and decodes 5 rows
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY id_num ASC LIMIT k: catalog files are WRITTEN sorted by
+    * id_num (detected and advertised in the `graft` sidecar), so each
+    * sorted file's first k matching rows ARE its top-k — readers
+    * early-stop there and Spark's TakeOrderedAndProject merges the
+    * per-file heads. Partial push: unsorted files return all matches
+    * (a superset is always safe under the global top-k above).
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val ok = orders.length == 1 && (orders(0).expression() match {
+      case n: NamedReference =>
+        n.fieldNames.toSeq == Seq("id_num") &&
+          orders(0).direction() == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (ok) topNLimit = Some(l)
+    ok
+  }
 
   /** Aggregates the FOOTERS can answer exactly, data plane untouched:
     * COUNT(*) (row-group record counts), and the four bound extremes a
@@ -182,7 +362,8 @@ private class GeoCatalogScanBuilder(path: String, bboxOpt: Option[String])
 
   override def build(): Scan =
     if (aggKinds.nonEmpty) new GeoCatalogAggScan(path, aggKinds)
-    else new GeoCatalogScan(path, accepted ++ optFilters, required, limit)
+    else new GeoCatalogScan(path, accepted ++ optFilters, required, limit,
+      rowPreds, topNLimit)
 }
 
 /** Footer-served aggregate scan: the answer row is computed at PLANNING
@@ -241,7 +422,9 @@ private case class GeoCatalogAggPartition(values: Array[Any])
   * is visible in `explain`.
   */
 private class GeoCatalogScan(path: String, pushed: Array[Filter],
-                             required: StructType, limit: Int = Int.MaxValue)
+                             required: StructType, limit: Int = Int.MaxValue,
+                             rowPreds: Array[GeoCatalogScan.IdNumPred] = Array.empty,
+                             topN: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -250,7 +433,8 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
     val footers = GeoParquet.footerInfo(path).toSeq.sortBy(_._1)
     val cs = pushed.flatMap(GeoCatalogScan.constraintOf)
     val keep = footers.collect {
-      case (name, g) if cs.forall(_(g)) => s"$path/$name.parquet"
+      case (name, g) if cs.forall(_(g)) =>
+        (s"$path/$name.parquet", g.sortedById)
     }
     (keep, footers.size)
   }
@@ -263,10 +447,10 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
     */
   override def estimateStatistics(): Statistics = {
     val counts = GeoParquet.footerInfo(path)
-    val rows = kept.map(f =>
+    val rows = kept.map { case (f, _) =>
       counts.get(new java.io.File(f).getName.stripSuffix(".parquet"))
-        .map(_.rows).getOrElse(0L)).sum
-    val bytes = kept.map(f => new java.io.File(f).length()).sum
+        .map(_.rows).getOrElse(0L) }.sum
+    val bytes = kept.map { case (f, _) => new java.io.File(f).length() }.sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -278,13 +462,16 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
   override def description(): String =
     s"geocatalog $path footer-pruned files ${kept.size}/$total, " +
       s"pushed [${pushed.mkString(", ")}]" +
-      (if (limit != Int.MaxValue) s", limit $limit" else "")
+      (if (rowPreds.nonEmpty) s", consumed [${rowPreds.mkString(", ")}]" else "") +
+      (if (limit != Int.MaxValue) s", limit $limit" else "") +
+      topN.map(k => s", topN id_num ASC $k").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(f => GeoCatalogPartition(f): InputPartition).toArray
+    kept.map { case (f, sorted) =>
+      GeoCatalogPartition(f, sorted): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoCatalogReaderFactory(required, limit)
+    new GeoCatalogReaderFactory(required, limit, rowPreds, topN)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -337,7 +524,8 @@ private class GeoCatalogMicroBatchStream(path: String, required: StructType,
             .forall(g => constraints.forall(_(g)))
         }
       }
-    kept.map(f => GeoCatalogPartition(s"$path/$f"): InputPartition).toArray
+    kept.map(f => GeoCatalogPartition(s"$path/$f", sorted = false)
+      : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -364,6 +552,37 @@ private object GeoCatalogOffset {
 
 private object GeoCatalogScan {
   import GeoParquet.GeoFooter
+
+  /** A consumed row predicate over id_num — the readers are its ONLY
+    * evaluator (no residual Filter), which is what lets a Sort push past
+    * a keyset `where`.
+    */
+  final case class IdNumPred(op: String, v: Long) extends Serializable {
+    def matches(x: Long): Boolean = op match {
+      case ">"  => x > v
+      case ">=" => x >= v
+      case "<"  => x < v
+      case "<=" => x <= v
+      case "="  => x == v
+      case _    => true // IsNotNull on a non-nullable column
+    }
+    override def toString: String = s"id_num $op $v"
+  }
+
+  /** Translate a filter into a consumed id_num predicate (None = leave
+    * it residual).
+    */
+  def idNumPredOf(f: Filter): Option[IdNumPred] = f match {
+    case GreaterThan("id_num", v: Long) => Some(IdNumPred(">", v))
+    case GreaterThanOrEqual("id_num", v: Long) => Some(IdNumPred(">=", v))
+    case LessThan("id_num", v: Long) => Some(IdNumPred("<", v))
+    case LessThanOrEqual("id_num", v: Long) => Some(IdNumPred("<=", v))
+    case org.apache.spark.sql.sources.EqualTo("id_num", v: Long) =>
+      Some(IdNumPred("=", v))
+    case org.apache.spark.sql.sources.IsNotNull("id_num") =>
+      Some(IdNumPred("notnull", 0L))
+    case _ => None
+  }
 
   /** Timestamp filter values arrive as the type Spark binds to
     * TIMESTAMP_NTZ columns (java.time.LocalDateTime) — fold to the
@@ -448,14 +667,24 @@ private object GeoCatalogScan {
   }
 }
 
-private case class GeoCatalogPartition(file: String) extends InputPartition
+private case class GeoCatalogPartition(file: String, sorted: Boolean)
+    extends InputPartition
 
 private class GeoCatalogReaderFactory(required: StructType,
-                                      limit: Int = Int.MaxValue)
+    limit: Int = Int.MaxValue,
+    preds: Array[GeoCatalogScan.IdNumPred] = Array.empty,
+    topN: Option[Int] = None)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GeoCatalogReader(p.asInstanceOf[GeoCatalogPartition].file, required,
-      limit)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GeoCatalogPartition]
+    // a TopN bound may early-stop ONLY a file advertised sorted by the
+    // order key (first k matches = its true top-k); an unsorted file
+    // returns every match — a superset is always safe under the global
+    // TakeOrdered above a partial push
+    val stop = if (part.sorted) math.min(limit, topN.getOrElse(Int.MaxValue))
+               else limit
+    new GeoCatalogReader(part.file, required, stop, preds)
+  }
 }
 
 /** Row reader over one catalog file via parquet-mr's example Group API —
@@ -464,7 +693,8 @@ private class GeoCatalogReaderFactory(required: StructType,
   * materialized.
   */
 private class GeoCatalogReader(file: String, required: StructType,
-                               limit: Int = Int.MaxValue)
+                               limit: Int = Int.MaxValue,
+                               preds: Array[GeoCatalogScan.IdNumPred] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
@@ -474,10 +704,18 @@ private class GeoCatalogReader(file: String, required: StructType,
   private var emitted = 0
 
   override def next(): Boolean = {
-    if (emitted >= limit) return false // partially-pushed LIMIT: stop early
-    current = reader.read()
-    if (current != null) emitted += 1
-    current != null
+    // partially-pushed LIMIT/TopN: only rows matching the CONSUMED
+    // predicates count toward the bound (and only they are emitted)
+    while (emitted < limit) {
+      current = reader.read()
+      if (current == null) return false
+      if (preds.isEmpty ||
+          { val idn = current.getLong("id_num", 0); preds.forall(_.matches(idn)) }) {
+        emitted += 1
+        return true
+      }
+    }
+    false
   }
 
   private def fieldValue(g: Group, f: StructField): Any = {

@@ -108,6 +108,39 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
     assert(peek.collect().length == 5)
   }
 
+  test("keyset page: the Sort pushes as TopN, no SortExec in the plan, " +
+      "sorted files early-stop, answers exact") {
+    def page(df: DataFrame): DataFrame =
+      df.where(col("id_num") > 200L).orderBy(col("id_num")).limit(5)
+        .select(col("id"), col("id_num"), col("collection"))
+    val df = page(viaCatalog)
+    val physical = df.queryExecution.executedPlan.toString
+    // the per-query sort is GONE: files advertise id_num order, readers
+    // serve their heads, TakeOrderedAndProject merges them
+    assert(!physical.contains("+- Sort "), physical)
+    assert(physical.contains("TakeOrderedAndProject"), physical)
+    val desc = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(desc.contains("topN id_num ASC 5"), desc)
+    // the keyset predicate was CONSUMED by the readers (no residual
+    // Filter between sort and scan — that is what lets the TopN push)
+    assert(desc.contains("consumed [id_num > 200]"), desc)
+    assert(!physical.contains("+- Filter"), physical)
+    val want = page(viaParquet).collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == want && want.size == 5)
+    // deeper page, same contract
+    def deep(df: DataFrame): DataFrame =
+      df.where(col("id_num") >= 5000L).orderBy(col("id_num")).limit(7)
+        .select(col("id_num"))
+    assert(deep(viaCatalog).collect().map(_.getLong(0)).toSeq ==
+      deep(viaParquet).collect().map(_.getLong(0)).toSeq)
+    // a DESC order is refused (files advertise ASC): plan falls back to
+    // a real sort, answers still exact
+    def desc1(df: DataFrame): DataFrame =
+      df.orderBy(col("id_num").desc).limit(3).select(col("id_num"))
+    assert(desc1(viaCatalog).collect().map(_.getLong(0)).toSeq ==
+      desc1(viaParquet).collect().map(_.getLong(0)).toSeq)
+  }
+
   test("streaming read: files landed by the streaming ingest surface as " +
       "micro-batches, each file exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("catstream").toString
@@ -225,6 +258,50 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
     // day files wholly inside the range survive, far days are gone:
     // roughly (5 days + interval spill) of 30 per collection
     assert(kept <= total / 3, s"$kept/$total — prune too weak")
+  }
+
+  test("SupportsWrite: append/overwrite land footer-exact files; read-back " +
+      "≡ input; pruning works on the written catalog unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("wcat").toString
+    val src = s.read.parquet(cat)
+    src.repartition(col("collection")).write.format(fmt).mode("append").save(dir)
+    // content round-trip through the DSv2 reader
+    assert(canon(s.read.format(fmt).load(dir)) == canon(src))
+    // every committed file: exact geo bbox + graft sidecar re-derived
+    // from its own rows
+    val foot = GeoParquet.footerInfo(dir)
+    assert(foot.nonEmpty)
+    foot.foreach { case (stem, gf) =>
+      val f = s.read.parquet(s"$dir/$stem.parquet")
+      val r = f.agg(min(col("bbox.xmin")), min(col("bbox.ymin")),
+        max(col("bbox.xmax")), max(col("bbox.ymax")), count(lit(1)),
+        countDistinct(col("collection")), first(col("collection"))).head()
+      assert(gf.bbox == Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      assert(gf.rows == r.getLong(4))
+      assert(r.getLong(5) == 1L && gf.collection.contains(r.getString(6)))
+      assert(gf.dt.isDefined)
+    }
+    // collection prune works on the written catalog (files are
+    // single-collection by the writer's per-collection rolling)
+    val (kc, tc) = keptOf(s.read.format(fmt).load(dir)
+      .where(col("collection") === "click"))
+    assert(kc < tc && kc > 0, s"$kc/$tc")
+    // append accumulates (job-unique names: a second append must not
+    // clobber the first's files)
+    src.repartition(col("collection")).write.format(fmt).mode("append").save(dir)
+    assert(s.read.format(fmt).load(dir).count() == 2 * src.count())
+    // overwrite truncates and replaces
+    val clicks = src.where(col("collection") === "click")
+    clicks.repartition(1).write.format(fmt).mode("overwrite").save(dir)
+    assert(canon(s.read.format(fmt).load(dir)) == canon(clicks))
+    // wrong shape is a typed error, not silent coercion (Spark's own
+    // table-compatibility analysis fires first; the builder's require is
+    // the backstop for paths that bypass it)
+    val e = intercept[Exception] {
+      src.drop("geometry").write.format(fmt).mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("geometry") ||
+      e.getMessage.contains("geocatalog write requires"), String.valueOf(e))
   }
 
   test("datetime prune composes with collection under And; conservative " +
