@@ -1832,9 +1832,21 @@ object TextAnalysis {
   /** Labeled corpus with the word array still attached (c43Scored drops
     * it; training needs both the verdict and the features in one pass).
     */
+  /** Probe-visible alias of [[c103Labeled]] (ProbeC103 stage timing). */
+  def c103LabeledProbe(s: SparkSession, d: String): DataFrame = c103Labeled(s, d)
+
   private def c103Labeled(s: SparkSession, d: String): DataFrame = {
     val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
+    // The corpus parquet is bytes-tiny relative to the tokenize + battery
+    // + feature-hash work below, so the scan arrives in fewer partitions
+    // than cores (1 at sf0.1 — the whole training pass ran single-
+    // threaded); rebalance the CHEAP source rows before the expensive
+    // projection (c26 doctrine). Round-robin is enough: everything above
+    // is a commutative aggregation, no order to preserve. At 100 TB the
+    // scan already has more partitions than cores and the exchange moves
+    // source rows, never exploded features.
     docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", expr(wordsSpark))
       .withColumn("n_words", expr("CAST(size(w) AS BIGINT)"))
       .withColumn("n_chars", expr("CAST(length(text) - (size(w) - 1) AS BIGINT)"))
@@ -1852,8 +1864,7 @@ object TextAnalysis {
     // feature counts fall out of the SAME map-side-combined aggregation —
     // no staged corpus frame, no second Gopher-battery scan. The hash
     // stays OUTSIDE the lambda: a codegen'd projection after the explode
-    // (inside `transform` it would run interpreted per element). The
-    // ≤ 2·(buckets+1)-row aggregate is staged for its two readers.
+    // (inside `transform` it would run interpreted per element).
     val agg = c103Labeled(s, d)
       .select(col("label"), explode(expr(
         s"concat($c103FeatsSpark, array(CAST(NULL AS STRING)))")).as("f"))
@@ -1862,13 +1873,18 @@ object TextAnalysis {
           s" ELSE ${h64Spark("concat('nb:', f)")} % $c103Buckets END").as("bucket"))
       .groupBy(col("label"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val perLabel = agg.where(col("bucket") === -1)
-      .select(col("label"), col("n").as("label_docs"))
-    agg.where(col("bucket") >= 0)
-      .join(broadcast(perLabel), Seq("label"))
-      .select(col("label"), col("bucket"), col("n"), col("label_docs"))
-      .orderBy(col("label"), col("bucket"))
+      .collect() // ≤ 2·(buckets+1) rows — bounded by construction
+    // the marker row's count IS the label prior: one corpus pass ended,
+    // the ≤130-row monoid result finishes on the driver (no second job,
+    // no join, no window)
+    val labelDocs = agg.filter(_.getLong(1) == -1L)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rows = agg.filter(_.getLong(1) >= 0L)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        labelDocs(r.getString(0))))
+      .sortBy(t => (t._1, t._2))
+    import s.implicits._
+    rows.toSeq.toDF("label", "bucket", "n", "label_docs")
   }
 
   val c103Sql: String = {
