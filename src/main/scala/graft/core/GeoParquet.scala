@@ -432,6 +432,19 @@ object GeoParquet {
   /** Group factory over the catalog schema (for [[newCatalogWriter]]). */
   def catalogGroupFactory: SimpleGroupFactory = new SimpleGroupFactory(schema)
 
+  /** Projection of the catalog schema to the named top-level fields, in
+    * schema order (`parquet.read.schema` form) — the DSv2 reader hands
+    * this to parquet-mr so unrequested columns are never DECODED (the
+    * geometry WKB and id strings dominate decode cost; a COUNT or a
+    * narrow projection should not pay them).
+    */
+  def projectedSchema(names: Seq[String]): org.apache.parquet.schema.MessageType = {
+    import scala.jdk.CollectionConverters._
+    val keep = names.toSet
+    new org.apache.parquet.schema.MessageType(schema.getName,
+      schema.getFields.asScala.filter(f => keep(f.getName)).toList.asJava)
+  }
+
   /** STREAMING catalog ingest (D40): land ONE micro-batch of items-shaped
     * rows as per-collection GeoParquet files
     * `<collection>-<batchId>.parquet` through the SAME footer-folding
