@@ -372,7 +372,8 @@ object GeoParquet {
     * position; `build` renders one row into a Group of [[schema]].
     */
   private def writeShardRun(outPath: String, shardIdx: Int,
-      build: (SimpleGroupFactory, org.apache.spark.sql.Row) => org.apache.parquet.example.data.Group)
+      build: (SimpleGroupFactory, org.apache.spark.sql.Row) => org.apache.parquet.example.data.Group,
+      nameOf: (String, Long) => String = (c, sh) => s"$c-$sh.parquet")
       (it: Iterator[org.apache.spark.sql.Row]): Unit = {
     val factory = new SimpleGroupFactory(schema)
     var cur: (String, Long) = null
@@ -399,7 +400,7 @@ object GeoParquet {
         val key = (r.getString(2), r.getLong(shardIdx))
         if (key != cur) {
           closeAndPublish()
-          finalName = s"$outPath/${key._1}-${key._2}.parquet"
+          finalName = s"$outPath/${nameOf(key._1, key._2)}"
           tmpName = finalName + ".tmp"
           writer = new GeoWriterBuilder(new Path(tmpName), schema)
             .withCompressionCodec(CompressionCodecName.SNAPPY)
@@ -467,6 +468,87 @@ object GeoParquet {
       .repartition(col("collection"))
       .sortWithinPartitions(col("collection"), col("id_num"))
       .foreachPartition(writeShardRun(outPath, 10, rowGroup) _)
+  }
+
+  /** STREAMING self-maintenance (D42): the foreachBatch companion of
+    * [[appendBatch]] — after batch `gen` lands, any collection whose
+    * small-file count (batch files + older generation files) exceeds
+    * `maxSmallFiles` collapses them into ONE generation file
+    * `<collection>-g<gen>.parquet` through the same footer-folding
+    * writer, id_num-sorted so the merged file advertises its order for
+    * the keyset TopN path. The ingest stream self-maintains: file count
+    * per collection stays ≤ maxSmallFiles + 1 at every batch boundary
+    * instead of growing with the stream's lifetime.
+    *
+    * Crash safety (single writer — the owning foreachBatch):
+    *  - the merged file lands tmp+atomic-rename, THEN the inputs
+    *    delete: a concurrent point-in-time lister can transiently see a
+    *    merged row twice, never lose one;
+    *  - a crash between rename and deletes leaves inputs behind — the
+    *    RECOVERY SWEEP at the next call removes any file whose id is
+    *    ≤ the collection's newest generation id (those rows are in the
+    *    generation file by construction: the merge set is everything
+    *    present at merge time, and batch ids are unique per checkpoint
+    *    with a replayed batch rewriting identical content), so the
+    *    sweep is idempotent and duplicates cannot persist.
+    * A D41 subscriber treats a generation file as new (file-list
+    * offsets): re-delivery after compaction is the documented
+    * at-least-once caveat of combining the two — subscribe upstream of
+    * maintenance when exactly-once matters.
+    */
+  def maintainBatch(spark: SparkSession, outDir: String, gen: Long,
+                    maxSmallFiles: Int = 4): Seq[String] = {
+    // <collection>-<batchId>.parquet | <collection>-g<genId>.parquet
+    def parse(n: String): Option[(String, Boolean, Long)] = {
+      val stem = n.stripSuffix(".parquet")
+      val i = stem.lastIndexOf('-')
+      if (!n.endsWith(".parquet") || i <= 0) None
+      else {
+        val tail = stem.substring(i + 1)
+        val isGen = tail.startsWith("g")
+        val digits = if (isGen) tail.drop(1) else tail
+        if (digits.nonEmpty && digits.forall(_.isDigit))
+          Some((stem.substring(0, i), isGen, digits.toLong))
+        else None
+      }
+    }
+    def smallFiles(): Map[String, Seq[(java.io.File, Boolean, Long)]] = {
+      val fs = new java.io.File(outDir).listFiles()
+      if (fs == null) Map.empty
+      else fs.toSeq.flatMap(f => parse(f.getName).map {
+        case (c, g, id) => (c, (f, g, id)) })
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }
+    // recovery sweep: anything at or before the newest generation is
+    // already inside it
+    smallFiles().foreach { case (_, files) =>
+      val gens = files.filter(_._2)
+      if (gens.nonEmpty) {
+        val newest = gens.map(_._3).max
+        files.foreach { case (f, isGen, id) =>
+          if ((isGen && id < newest) || (!isGen && id <= newest)) f.delete()
+        }
+      }
+    }
+    val toMerge = smallFiles().filter(_._2.size > maxSmallFiles)
+    if (toMerge.isEmpty) return Seq.empty
+    val paths = toMerge.values.flatten.map(_._1.getAbsolutePath).toSeq
+    val outPath = outDir
+    spark.read.parquet(paths: _*)
+      .select(col("id"), col("id_num"), col("collection"),
+        col("datetime").cast("timestamp").as("datetime"),
+        col("start_datetime").cast("timestamp").as("start_datetime"),
+        col("end_datetime").cast("timestamp").as("end_datetime"),
+        col("value"), col("user_id"), col("lon"), col("lat"),
+        col("bbox"), col("geometry"),
+        lit(gen).cast("long").as("shard"))
+      .repartition(col("collection"))
+      .sortWithinPartitions(col("collection"), col("id_num"))
+      .foreachPartition(
+        writeShardRun(outPath, 12, passGroup, (c, g) => s"$c-g$g.parquet") _)
+    // renames are done; now the inputs go
+    toMerge.values.flatten.foreach(_._1.delete())
+    toMerge.keys.map(c => s"$outDir/$c-g$gen.parquet").toSeq
   }
 
   /** One CATALOG row (as read back from exported files — geometry and

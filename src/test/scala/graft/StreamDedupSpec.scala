@@ -902,4 +902,91 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(Seq(f.getDouble(0), f.getDouble(1), f.getDouble(2), f.getDouble(3)) == b, stem)
     }
   }
+
+  test("D42: self-maintaining streaming ingest — per-collection file counts " +
+      "converge under the compaction policy, reads stay footer-exact at " +
+      "every batch boundary, and the recovery sweep is idempotent") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, hex}
+    val dir = java.nio.file.Files.createTempDirectory("d42cat").toString
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("id"), col("id_num"), col("collection"),
+        col("datetime").cast("string"), col("start_datetime").cast("string"),
+        col("end_datetime").cast("string"), col("value"), col("user_id"),
+        col("lon"), col("lat"), col("bbox.xmin"), col("bbox.ymin"),
+        col("bbox.xmax"), col("bbox.ymax"), hex(col("geometry")))
+      .collect().map(_.mkString("")).sorted.toSeq
+    def readBack = s.read.format("graft.sources.GeoCatalogSource").load(dir)
+    def parquetFiles: Seq[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet")).sorted.toSeq
+    def assertFootersExact(): Unit =
+      graft.core.GeoParquet.footerBboxes(dir).foreach { case (stem, b) =>
+        val f = s.read.parquet(s"$dir/$stem.parquet")
+          .agg(org.apache.spark.sql.functions.min(col("bbox.xmin")),
+            org.apache.spark.sql.functions.min(col("bbox.ymin")),
+            org.apache.spark.sql.functions.max(col("bbox.xmax")),
+            org.apache.spark.sql.functions.max(col("bbox.ymax"))).head()
+        assert(Seq(f.getDouble(0), f.getDouble(1), f.getDouble(2),
+          f.getDouble(3)) == b, stem)
+      }
+
+    val items = graft.core.Tables.items(s, sf)
+      .select(col("id"), col("id_num"), col("collection"), col("datetime"),
+        col("start_datetime"), col("end_datetime"), col("value"),
+        col("user_id"), col("lon"), col("lat"))
+      .as[CatalogIn].collect()
+    val nBatches = 6
+    val maxSmall = 2
+    val batches = items.groupBy(_.id_num % nBatches)
+    val collections = items.map(_.collection).distinct.length
+    val mem = MemoryStream[CatalogIn](s)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[CatalogIn]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.core.GeoParquet.appendBatch(b, dir, id)
+        graft.core.GeoParquet.maintainBatch(s, dir, id, maxSmall)
+        ()
+      }
+      .start()
+    try {
+      (0 until nBatches).foreach { k =>
+        val batch = batches(k.toLong)
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        seen ++= batch
+        // at EVERY boundary: content ≡ everything ingested so far,
+        // footers exact, and the policy bound holds per collection
+        assert(readBack.count() == seen.size, s"batch $k")
+        assertFootersExact()
+        val counts = parquetFiles.groupBy(n => n.substring(0, n.lastIndexOf('-')))
+        counts.foreach { case (c, fs) =>
+          assert(fs.size <= maxSmall + 1, s"$c accreted ${fs.mkString(", ")}")
+        }
+      }
+    } finally q.stop()
+    // final content is exactly the fixture, bit for bit, through the DSv2
+    val expect = canon(s.read.parquet(graft.core.GeoParquet.export(s, sf, 1)))
+    assert(canon(readBack) == expect && expect.nonEmpty)
+    // converged: ≤ maxSmall+1 files per collection after 6 batches (vs 6
+    // per collection without maintenance)
+    assert(parquetFiles.size <= collections * (maxSmall + 1))
+    assert(parquetFiles.exists(_.contains("-g")), parquetFiles.mkString(", "))
+
+    // crash-window recovery: resurrect a replayed batch file whose rows
+    // are already inside the newest generation (rename happened, deletes
+    // did not) — the next maintenance call's sweep removes it and the
+    // content is unchanged
+    val gen = parquetFiles.filter(_.contains("-g")).head
+    val coll = gen.substring(0, gen.lastIndexOf('-'))
+    val genId = gen.substring(gen.lastIndexOf('-') + 2).stripSuffix(".parquet").toLong
+    val ghost = new java.io.File(dir, s"$coll-${genId}.parquet")
+    val before = canon(readBack)
+    java.nio.file.Files.copy(
+      new java.io.File(dir, gen).toPath, ghost.toPath)
+    assert(readBack.count() > seen.size) // the duplicate is visible…
+    graft.core.GeoParquet.maintainBatch(s, dir, genId + 1, maxSmall)
+    assert(!ghost.exists(), "recovery sweep must remove the superseded file")
+    assert(canon(readBack) == before) // …and maintenance heals it
+  }
 }
