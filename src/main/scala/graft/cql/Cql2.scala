@@ -574,10 +574,12 @@ object Cql {
       case "MultiLineString" =>
         if (coords.size() == 0) bad("MultiLineString needs >= 1 line")
         LinesS(coords.elements().asScala.map(flat(_, 2, "each line")).toArray)
-      case "Polygon"      => PolyS(Array(poly(coords)))
+      case "Polygon"      =>
+        PolyS(graft.spatial.Shape.normalizePoly(Array(poly(coords))))
       case "MultiPolygon" =>
         if (coords.size() == 0) bad("MultiPolygon needs >= 1 polygon")
-        PolyS(coords.elements().asScala.map(poly).toArray)
+        PolyS(graft.spatial.Shape.normalizePoly(
+          coords.elements().asScala.map(poly).toArray))
       case "GeometryCollection" =>
         val gs = g.get("geometries")
         if (gs == null || !gs.isArray || gs.size() == 0)

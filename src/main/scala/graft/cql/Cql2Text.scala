@@ -430,13 +430,14 @@ object Cql2Text {
           while (eatSym(",")) ls ::= posList(closeRing = false)
           expectSym(")")
           LinesS(ls.reverse.toArray)
-        case "POLYGON" => PolyS(Array(rings()))
+        case "POLYGON" =>
+          PolyS(graft.spatial.Shape.normalizePoly(Array(rings())))
         case "MULTIPOLYGON" =>
           expectSym("(")
           var ps = List(rings())
           while (eatSym(",")) ps ::= rings()
           expectSym(")")
-          PolyS(ps.reverse.toArray)
+          PolyS(graft.spatial.Shape.normalizePoly(ps.reverse.toArray))
         case "GEOMETRYCOLLECTION" =>
           expectSym("(")
           var gs = List(wkt())

@@ -1693,13 +1693,31 @@ object StacSearch {
         s"""{"bbox":[$w,$s,$e,$n]}"""
       }
     }
-    def polyLit(): String = {
+    def convexRing(cx: Double, cy: Double, r: Double): String = {
       val k = 5 + rnd.nextInt(4)
-      val cx = -100 + rnd.nextDouble() * 200; val cy = -50 + rnd.nextDouble() * 100
-      val r = 5 + rnd.nextDouble() * 35
       val angles = Seq.fill(k)(rnd.nextDouble() * 2 * math.Pi).distinct.sorted
       val pts = angles.map(a => s"[${c2(cx + r * math.cos(a))},${c2(cy + r * math.sin(a))}]")
-      s"""{"type":"Polygon","coordinates":[[${(pts :+ pts.head).mkString(",")}]]}"""
+      s"[[${(pts :+ pts.head).mkString(",")}]]"
+    }
+    def polyLit(): String = rnd.nextInt(5) match {
+      case 0 =>
+        // UNWRAPPED antimeridian-crossing ring (RFC 7946 §3.1.9 form,
+        // lon up to ~245): folds at parse into its two in-range pieces
+        // — the polygon analogue of the W > E bbox split, r11
+        val cx = 150 + rnd.nextDouble() * 60; val cy = -45 + rnd.nextDouble() * 90
+        s"""{"type":"Polygon","coordinates":${convexRing(cx, cy, 5 + rnd.nextDouble() * 30)}}"""
+      case 1 =>
+        // POLAR cap under the pinned planar semantics: a ring touching
+        // the pole LINE (lat = ±90 exactly) — planar and in-domain, the
+        // only cap form latitude's non-wrapping allows, r11
+        val sgn = if (rnd.nextBoolean()) 1 else -1
+        val lat0 = c2(sgn * (15 + rnd.nextDouble() * 55))
+        val w = c2(-170 + rnd.nextDouble() * 200); val e = c2(w + 20 + rnd.nextDouble() * 120)
+        val (lo, hi) = (math.min(lat0, 90.0 * sgn), math.max(lat0, 90.0 * sgn))
+        s"""{"type":"Polygon","coordinates":[[[$w,$lo],[$e,$lo],[$e,$hi],[$w,$hi],[$w,$lo]]]}"""
+      case _ =>
+        val cx = -100 + rnd.nextDouble() * 200; val cy = -50 + rnd.nextDouble() * 100
+        s"""{"type":"Polygon","coordinates":${convexRing(cx, cy, 5 + rnd.nextDouble() * 35)}}"""
     }
     def tsLit(): String = f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:${15 * rnd.nextInt(4)}%02d:00"
     def ivLit(): String = {

@@ -1873,6 +1873,87 @@ object Shape {
     if (w <= e) PolyS(Array(rect(w, e)))
     else PolyS(Array(rect(w, 180.0), rect(-180.0, e)))
   }
+
+  /** ANTIMERIDIAN + POLE normalization for QUERY polygon rings (r11 —
+    * the polygon analogue of [[fromBbox]]'s W > E split, which covers
+    * BBOX literals only). The PINNED semantics, never a silent guess:
+    *  - every lon already in [-180, 180] → the ring is PLANAR exactly
+    *    as written (reference parity: ST_GeomFromGeoJSON is planar, so
+    *    a wide ring is a wide planar polygon, NOT an implied
+    *    antimeridian crossing);
+    *  - any |lon| > 180 (RFC 7946 §3.1.9's "unwrapped" authoring form,
+    *    e.g. a ring running 170 → 190) → the polygon FOLDS into the
+    *    union of its in-range pieces: each ±360° translate is clipped
+    *    to the [-180, 180] strip (Sutherland–Hodgman against the two
+    *    vertical halfplanes — exact for the strip since it is convex),
+    *    holes clipped with their shell so parity semantics carry over;
+    *  - any |lat| > 90 → TYPED refusal: latitude does not wrap, a
+    *    planar ring beyond the poles has no defined meaning (a polar
+    *    cap is a ring touching ±90 — already planar and in-domain);
+    *  - |lon| > 540 → typed refusal (more than one wrap is authoring
+    *    error, not antimeridian form).
+    */
+  def normalizePoly(geom: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    geom.foreach(_.foreach { r =>
+      var i = 1
+      while (i < r.length) {
+        val lat = r(i)
+        if (lat > 90.0 || lat < -90.0) throw new IllegalArgumentException(
+          f"polygon latitude $lat%.6g is outside [-90, 90]: latitude does not " +
+            "wrap — express a polar cap as a ring touching the pole line")
+        val lon = r(i - 1)
+        if (lon > 540.0 || lon < -540.0) throw new IllegalArgumentException(
+          f"polygon longitude $lon%.6g is outside [-540, 540] — not the RFC " +
+            "7946 unwrapped antimeridian form")
+        i += 2
+      }
+    })
+    def inRange(rings: Array[Array[Double]]): Boolean =
+      rings.forall { r =>
+        var i = 0; var ok = true
+        while (ok && i < r.length) { ok = r(i) >= -180.0 && r(i) <= 180.0; i += 2 }
+        ok
+      }
+    // Sutherland–Hodgman against the vertical halfplane x≤c / x≥c
+    def clipHalf(ring: Array[Double], c: Double, keepLe: Boolean): Array[Double] = {
+      val n = ring.length / 2
+      if (n == 0) return ring
+      val out = Array.newBuilder[Double]
+      def inside(x: Double) = if (keepLe) x <= c else x >= c
+      var px = ring(2 * (n - 1)); var py = ring(2 * n - 1)
+      var i = 0
+      while (i < n) {
+        val x = ring(2 * i); val y = ring(2 * i + 1)
+        if (inside(x)) {
+          if (!inside(px)) {
+            val t = (c - px) / (x - px); out += c; out += py + t * (y - py)
+          }
+          out += x; out += y
+        } else if (inside(px)) {
+          val t = (c - px) / (x - px); out += c; out += py + t * (y - py)
+        }
+        px = x; py = y
+        i += 1
+      }
+      out.result()
+    }
+    if (geom.forall(inRange)) geom
+    else geom.flatMap { rings =>
+      if (inRange(rings)) Seq(rings)
+      else Seq(-360.0, 0.0, 360.0).flatMap { k =>
+        val shifted = rings.map { r =>
+          val s = new Array[Double](r.length)
+          var i = 0
+          while (i < r.length) { s(i) = r(i) + k; s(i + 1) = r(i + 1); i += 2 }
+          s
+        }
+        val clipped = shifted
+          .map(r => clipHalf(clipHalf(r, 180.0, keepLe = true), -180.0, keepLe = false))
+        if (clipped.isEmpty || clipped.head.length < 6) None
+        else Some(clipped.filter(_.length >= 6))
+      }
+    }
+  }
 }
 
 /** Codegen'd exact point ∩ arbitrary-shape test (Point/MultiPoint equality,

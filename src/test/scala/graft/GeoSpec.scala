@@ -598,4 +598,66 @@ class GeoSpec extends AnyFunSuite {
     assert(rows.forall(r => !b(r, "p_win") || b(r, "p_int")))
     assert(rows.forall(r => !b(r, "p_ovl") || (b(r, "p_int") && !b(r, "p_win"))))
   }
+
+  test("normalizePoly: the pinned antimeridian + pole semantics (r11)") {
+    import graft.spatial.{Geo, Shape}
+    def box(x0: Double, y0: Double, x1: Double, y1: Double): Array[Double] =
+      Array(x0, y0, x1, y0, x1, y1, x0, y1)
+    // UNWRAPPED crossing ring [170, 190] folds into its two in-range
+    // pieces: membership on both sides of the antimeridian, not beyond
+    val folded = Shape.normalizePoly(Array(Array(box(170, -10, 190, 10))))
+    assert(folded.length == 2)
+    val s = Shape.PolyS(folded)
+    assert(Geo.pointIntersectsShape(175.0, 0.0, s))
+    assert(Geo.pointIntersectsShape(-175.0, 0.0, s))
+    assert(!Geo.pointIntersectsShape(0.0, 0.0, s))
+    assert(!Geo.pointIntersectsShape(-165.0, 0.0, s))
+    // every folded coordinate is in range
+    assert(folded.forall(_.forall { r =>
+      r.grouped(2).forall(p => p(0) >= -180 && p(0) <= 180) }))
+    // negative-side authoring folds the same way
+    val neg = Shape.PolyS(Shape.normalizePoly(Array(Array(box(-190, -10, -170, 10)))))
+    assert(Geo.pointIntersectsShape(175.0, 0.0, neg))
+    assert(Geo.pointIntersectsShape(-175.0, 0.0, neg))
+    // a WIDE in-range ring is PLANAR as written (reference parity):
+    // NO implied crossing, the middle is inside
+    val wide = Shape.normalizePoly(Array(Array(box(-150, -10, 150, 10))))
+    assert(wide.length == 1)
+    assert(Geo.pointIntersectsShape(0.0, 0.0, Shape.PolyS(wide)))
+    // a hole crossing with its shell survives the fold (parity carries)
+    val holed = Shape.normalizePoly(Array(Array(
+      box(170, -10, 190, 10), box(175, -5, 185, 5))))
+    val hs = Shape.PolyS(holed)
+    assert(!Geo.pointIntersectsShape(178.0, 0.0, hs))  // in the hole
+    assert(!Geo.pointIntersectsShape(-178.0, 0.0, hs)) // in the hole, east piece
+    assert(Geo.pointIntersectsShape(172.0, 0.0, hs))
+    assert(Geo.pointIntersectsShape(-172.0, 0.0, hs))
+    // refusals are TYPED, never silent: latitude does not wrap…
+    val e1 = intercept[IllegalArgumentException] {
+      Shape.normalizePoly(Array(Array(box(0, 80, 10, 95))))
+    }
+    assert(e1.getMessage.contains("latitude does not wrap"))
+    // …and more than one wrap is authoring error
+    val e2 = intercept[IllegalArgumentException] {
+      Shape.normalizePoly(Array(Array(box(500, 0, 560, 10))))
+    }
+    assert(e2.getMessage.contains("[-540, 540]"))
+    // both grammars land on the same folded shape
+    val viaJson = graft.cql.Cql.parseGeoJsonShape(
+      """{"type":"Polygon","coordinates":[[[170,-10],[190,-10],[190,10],[170,10],[170,-10]]]}""")
+    val viaWkt = graft.cql.Cql2Text
+      .parse("S_INTERSECTS(geometry, POLYGON((170 -10, 190 -10, 190 10, 170 10, 170 -10)))") match {
+        case graft.cql.Cql.SIntersects(sh, _) => sh
+        case other => fail(s"unexpected AST: $other")
+      }
+    (viaJson, viaWkt) match {
+      case (Shape.PolyS(a), Shape.PolyS(b)) =>
+        assert(a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq)
+      case other => fail(s"expected folded polygons, got $other")
+    }
+    // a polar cap is the in-domain form: ring touching the pole line
+    val cap = Shape.PolyS(Shape.normalizePoly(Array(Array(box(-180, 60, 180, 90)))))
+    assert(Geo.pointIntersectsShape(0.0, 75.0, cap))
+    assert(!Geo.pointIntersectsShape(0.0, 30.0, cap))
+  }
 }
