@@ -426,9 +426,30 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
                              required: StructType, limit: Int = Int.MaxValue,
                              rowPreds: Array[GeoCatalogScan.IdNumPred] = Array.empty,
                              topN: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // RUNTIME file pruning (A93) — Spark's DSv2 dynamic-partition-pruning
+  // contract, with the FILE as the partition: when the catalog joins a
+  // dimension on `collection`, the broadcast side's keys arrive here as
+  // an In filter at execution time and prune files on the same sidecar
+  // constraint the static path uses (missing metadata answers true —
+  // a runtime filter can only SKIP, never lose, and every filter still
+  // re-evaluates post-scan). filterAttributes advertises only columns
+  // the footers can actually answer.
+  @volatile private var runtimeCs: Array[GeoParquet.GeoFooter => Boolean] =
+    Array.empty
+  // only advertise columns present in this scan's (pruned) output —
+  // PartitionPruning resolves the refs against the scan output and a
+  // projected-away column is an analysis error, not a skipped prune
+  override def filterAttributes(): Array[NamedReference] =
+    if (required.fieldNames.contains("collection"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("collection"))
+    else Array.empty
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeCs = filters.flatMap(GeoCatalogScan.constraintOf)
 
   private lazy val (kept, total) = {
     val footers = GeoParquet.footerInfo(path).toSeq.sortBy(_._1)
@@ -477,7 +498,16 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.internal.SQLConf.get
     val openCost = conf.filesOpenCostInBytes
-    val sized = kept.map { case (f, sorted) =>
+    val live =
+      if (runtimeCs.isEmpty) kept
+      else {
+        val footers = GeoParquet.footerInfo(path)
+        kept.filter { case (f, _) =>
+          val stem = new java.io.File(f).getName.stripSuffix(".parquet")
+          footers.get(stem).forall(g => runtimeCs.forall(_(g)))
+        }
+      }
+    val sized = live.map { case (f, sorted) =>
       (f, sorted, new java.io.File(f).length() + openCost) }
     val minParts = math.max(1, org.apache.spark.sql.SparkSession.active
       .sparkContext.defaultParallelism)
@@ -760,6 +790,13 @@ private object GeoCatalogReader {
   lazy val conf = new Configuration()
 }
 
+/** File-open counter, for observability: the runtime-pruning spec proves
+  * a prune by counting actual opens, not by trusting plan text.
+  */
+private[graft] object GeoCatalogMetrics {
+  val opens = new java.util.concurrent.atomic.AtomicLong()
+}
+
 private class GeoCatalogReader(file: String, required: StructType,
                                limit: Int = Int.MaxValue,
                                preds: Array[GeoCatalogScan.IdNumPred] = Array.empty,
@@ -767,6 +804,7 @@ private class GeoCatalogReader(file: String, required: StructType,
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] = {
+    GeoCatalogMetrics.opens.incrementAndGet()
     // decode ONLY the columns this scan needs: the required projection,
     // plus id_num when a consumed keyset predicate reads it; an empty
     // projection (COUNT) still needs one column to drive row iteration —

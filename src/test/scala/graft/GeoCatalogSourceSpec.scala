@@ -304,6 +304,39 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
       e.getMessage.contains("geocatalog write requires"), String.valueOf(e))
   }
 
+  test("runtime file pruning: a broadcast join on collection prunes files " +
+      "at EXECUTION time (DSv2 dynamic pruning), counted in actual opens") {
+    import s.implicits._
+    import graft.sources.GeoCatalogMetrics
+    // a selective dimension whose surviving collections are only known
+    // at RUNTIME: the filter is on a NON-join column over a real scan
+    // (a filter on the join key itself would propagate statically into
+    // the pushed filters and prune at plan time — also proven, by the
+    // a89 tests; a LocalRelation dim constant-folds its filter away and
+    // DPP sees no selective predicate at all)
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    Seq((1, "click"), (2, "view"), (3, "purchase"))
+      .toDF("k", "collection").write.mode("overwrite").parquet(dimDir)
+    val dim = s.read.parquet(dimDir).where(col("k") === 1)
+      .select(col("collection"))
+    def joined = viaCatalog.join(broadcast(dim), Seq("collection"))
+    // correctness first: the runtime prune loses nothing
+    assert(canon(joined) ==
+      canon(viaParquet.join(broadcast(dim), Seq("collection"))))
+    // the plan carries the dynamic-pruning runtime filter
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    // evidence by OPENS, not plan text: the joined run touches fewer
+    // files than a full scan of the same catalog
+    GeoCatalogMetrics.opens.set(0L)
+    viaCatalog.agg(sum(length(col("id")))).collect()
+    val full = GeoCatalogMetrics.opens.get()
+    GeoCatalogMetrics.opens.set(0L)
+    joined.agg(sum(length(col("id")))).collect()
+    val pruned = GeoCatalogMetrics.opens.get()
+    assert(full > 0 && pruned > 0 && pruned < full, s"opens $pruned vs $full")
+  }
+
   test("datetime prune composes with collection under And; conservative " +
       "when only one conjunct translates") {
     def tsn(t: String) = lit(t).cast("timestamp_ntz")
