@@ -287,7 +287,7 @@ object GeoParquet {
   /** Per-row geometry: even id_num → Point, odd → footprint Polygon (the
     * stage() convention, so export and fixture file agree) + its envelope.
     */
-  private[core] def rowGeom(idNum: Long, userId: Long, lon: Double, lat: Double)
+  private[graft] def rowGeom(idNum: Long, userId: Long, lon: Double, lat: Double)
       : (Shape, (Double, Double, Double, Double)) =
     if (idNum % 2 == 0) (Shape.PointS(lon, lat), (lon, lat, lon, lat))
     else {
@@ -763,12 +763,28 @@ object GeoParquet {
     * the covering block — through the codegen'd WKB decode expressions
     * into the envelope-column form every spatial predicate keys on.
     */
-  def ingestItems(spark: SparkSession, dir: String): (DataFrame, GeoMeta) = {
-    val file = stage(spark, dir)
+  def ingestItems(spark: SparkSession, dir: String): (DataFrame, GeoMeta) =
+    ingestFile(spark, stage(spark, dir))
+
+  /** Ingest ANY staged GeoParquet file, CRS-AWARE (A94 — the r10
+    * verdict's last capability edge): OGC:CRS84 passes through;
+    * EPSG:326xx/327xx (UTM WGS84) re-projects every geometry vertex to
+    * CRS84 inside a codegen'd expression ([[graft.spatial.UtmWkbToCrs84]]
+    * — scan parallelism, no driver work) before the A42 decode runs;
+    * any OTHER CRS is a TYPED refusal naming the supported set, never a
+    * silent planar misread. The covering columns stay in the FILE's CRS
+    * (they are the file's own skip-index; the decoded `g_*` envelope is
+    * the CRS84 form queries key on).
+    */
+  def ingestFile(spark: SparkSession, file: String): (DataFrame, GeoMeta) = {
     val meta = readGeoMeta(file)
     require(meta.encoding == "WKB",
       s"unsupported GeoParquet encoding '${meta.encoding}' (only WKB)")
-    val geom = col(meta.primaryColumn)
+    val raw = col(meta.primaryColumn)
+    val geom = utmReprojection(meta) match {
+      case None                 => raw
+      case Some((zone, south))  => graft.spatial.UtmWkbToCrs84(raw, zone, south)
+    }
     def coveringCol(field: String) =
       col(meta.covering(field).mkString("."))
     val df = spark.read.parquet(file)
@@ -782,5 +798,120 @@ object GeoParquet {
         coveringCol("xmin").as("c_xmin"), coveringCol("ymin").as("c_ymin"),
         coveringCol("xmax").as("c_xmax"), coveringCol("ymax").as("c_ymax"))
     (df, meta)
+  }
+
+  /** CRS dispatch for [[ingestFile]]: None = native CRS84 passthrough,
+    * Some((zone, south)) = UTM WGS84 re-projection, anything else a
+    * typed refusal naming the supported set.
+    */
+  private[graft] def utmReprojection(meta: GeoMeta): Option[(Int, Boolean)] =
+    (meta.crsAuthority, meta.crsCode) match {
+      case ("OGC", "CRS84") => None
+      case ("EPSG", code) if code.forall(_.isDigit) && code.nonEmpty &&
+          code.length <= 9 && graft.spatial.Utm.parseEpsg(code.toInt).isDefined =>
+        graft.spatial.Utm.parseEpsg(code.toInt)
+      case (auth, code) => throw new IllegalArgumentException(
+        s"unsupported GeoParquet CRS $auth:$code — supported: OGC:CRS84 " +
+          "(native) and EPSG:326xx/327xx (UTM WGS84, re-projected at ingest)")
+    }
+
+  // ---------------------- A94: PROJECTED (UTM) GeoParquet fixture
+  /** PROJJSON for a projected UTM WGS84 CRS (EPSG:326zz north / 327zz
+    * south); bbox in the file's own metres.
+    */
+  private def geoJsonUtm(bbox: (Double, Double, Double, Double),
+                         zone: Int, south: Boolean): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", "1.1.0")
+    root.put("primary_column", "geometry")
+    val cols = root.putObject("columns")
+    val g = cols.putObject("geometry")
+    g.put("encoding", "WKB")
+    val types = g.putArray("geometry_types")
+    types.add("Point"); types.add("Polygon")
+    val crs = g.putObject("crs")
+    crs.put("type", "ProjectedCRS")
+    crs.put("name", s"WGS 84 / UTM zone $zone${if (south) "S" else "N"}")
+    val crsId = crs.putObject("id")
+    crsId.put("authority", "EPSG")
+    crsId.put("code", graft.spatial.Utm.epsgOf(zone, south).toString)
+    val bb = g.putArray("bbox")
+    bb.add(bbox._1); bb.add(bbox._2); bb.add(bbox._3); bb.add(bbox._4)
+    val covering = g.putObject("covering")
+    val cbb = covering.putObject("bbox")
+    Seq("xmin", "ymin", "xmax", "ymax").foreach { f =>
+      val arr = cbb.putArray(f); arr.add("bbox"); arr.add(f)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def stagedUtmPath(dir: String, zone: Int): String =
+    s"/tmp/graft_geoparquet_${FixtureGuard.fingerprint(dir, "events")}/items_utm$zone.parquet"
+
+  /** Stage a PROJECTED GeoParquet file: the fixture items inside `zone`'s
+    * 6° band, every geometry vertex FORWARD-projected to UTM metres
+    * ([[graft.spatial.Utm.forward]]), covering bbox in metres, PROJJSON
+    * EPSG:326zz — the file a real satellite archive hands the engine.
+    * Fixture-build time, content-fingerprinted like [[stage]].
+    */
+  def stageUtm(spark: SparkSession, dir: String, zone: Int = 33): String = synchronized {
+    val file = stagedUtmPath(dir, zone)
+    val f = new java.io.File(file)
+    if (f.exists()) return file
+    f.getParentFile.mkdirs()
+    val cm = graft.spatial.Utm.centralMeridian(zone)
+    val rows = Tables.items(spark, dir)
+      .select(col("id"), col("id_num"), col("collection"), col("datetime"),
+        col("start_datetime"), col("end_datetime"), col("value"),
+        col("user_id"), col("lon"), col("lat"))
+      .where(col("lon") >= cm - 3.0 && col("lon") < cm + 3.0)
+      .orderBy(col("id_num"))
+      .collect()
+    require(rows.nonEmpty, s"no fixture items inside UTM zone $zone")
+    var (w, s, e, n) = (Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
+    val utmShapes = rows.map { r =>
+      val (shape, _) = rowGeom(r.getLong(1), r.getLong(7), r.getDouble(8), r.getDouble(9))
+      val wkb = graft.spatial.Utm.wkbFromCrs84(
+        graft.spatial.Wkb.encode(shape), zone, south = false)
+      val env = graft.spatial.Wkb.envelope(wkb)
+      w = math.min(w, env(0)); s = math.min(s, env(1))
+      e = math.max(e, env(2)); n = math.max(n, env(3))
+      (wkb, env)
+    }
+    val tmp = new java.io.File(file + ".tmp")
+    if (tmp.exists()) tmp.delete()
+    val real = ExampleParquetWriter.builder(new Path(tmp.getAbsolutePath))
+      .withType(schema)
+      .withExtraMetaData(java.util.Collections.singletonMap(
+        "geo", geoJsonUtm((w, s, e, n), zone, south = false)))
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try rows.zip(utmShapes).foreach { case (r, (wkb, env)) =>
+      def micros(t: java.sql.Timestamp): java.lang.Long =
+        if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      val g = factory.newGroup()
+      g.append("id", r.getString(0))
+      g.append("id_num", r.getLong(1))
+      g.append("collection", r.getString(2))
+      val dt = micros(r.getAs[java.sql.Timestamp](3))
+      if (dt != null) g.append("datetime", dt.longValue())
+      val sd = micros(r.getAs[java.sql.Timestamp](4))
+      if (sd != null) g.append("start_datetime", sd.longValue())
+      val ed = micros(r.getAs[java.sql.Timestamp](5))
+      if (ed != null) g.append("end_datetime", ed.longValue())
+      g.append("value", r.getDouble(6))
+      g.append("user_id", r.getLong(7))
+      g.append("lon", r.getDouble(8))
+      g.append("lat", r.getDouble(9))
+      val bb = g.addGroup("bbox")
+      bb.append("xmin", env(0)); bb.append("ymin", env(1))
+      bb.append("xmax", env(2)); bb.append("ymax", env(3))
+      g.append("geometry", org.apache.parquet.io.api.Binary.fromConstantByteArray(wkb))
+      real.write(g)
+    } finally real.close()
+    if (!tmp.renameTo(f))
+      throw new java.io.IOException(s"could not move $tmp to $f")
+    file
   }
 }
