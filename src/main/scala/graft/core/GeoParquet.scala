@@ -81,6 +81,13 @@ object GeoParquet {
   private def halfW(userId: Long): Double = (userId % 10).toDouble / 10.0 + 0.1
   private def halfH(idNum: Long): Double = (idNum % 7).toDouble / 10.0 + 0.1
 
+  /** Timestamp → NTZ micros for the parquet writers (null-passing) —
+    * ONE definition shared by every row renderer so the physical
+    * timestamp convention cannot silently diverge between writers.
+    */
+  private def micros(t: java.sql.Timestamp): java.lang.Long =
+    if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Staged file path for a fixture dir — content-fingerprinted so an
     * in-place regeneration can never serve a stale file.
     */
@@ -303,8 +310,6 @@ object GeoParquet {
     */
   private def rowGroup(factory: SimpleGroupFactory, r: org.apache.spark.sql.Row)
       : org.apache.parquet.example.data.Group = {
-    def micros(t: java.sql.Timestamp): java.lang.Long =
-      if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     val idNum = r.getLong(1); val userId = r.getLong(7)
     val lon = r.getDouble(8); val lat = r.getDouble(9)
     val (shape, (x0, y0, x1, y1)) = rowGeom(idNum, userId, lon, lat)
@@ -482,8 +487,16 @@ object GeoParquet {
     *
     * Crash safety (single writer — the owning foreachBatch):
     *  - the merged file lands tmp+atomic-rename, THEN the inputs
-    *    delete: a concurrent point-in-time lister can transiently see a
-    *    merged row twice, never lose one;
+    *    delete: the directory never has a state with rows MISSING. A
+    *    reader that lists AND opens inside the rename→delete window can
+    *    see a merged row twice; a reader that plans against a listing
+    *    and opens later can hit a vanished input (the standard
+    *    in-place-compaction caveat of every non-MVCC file store —
+    *    snapshot isolation needs a manifest layer, which is exactly
+    *    what the A63/A64 manifests provide for deployments that need
+    *    it). [[footerInfo]] tolerates the vanish (skips and re-lists);
+    *    schedule maintenance in the ingest loop's quiet point when
+    *    batch queries run against the live directory;
     *  - a crash between rename and deletes leaves inputs behind — the
     *    RECOVERY SWEEP at the next call removes any file whose id is
     *    ≤ the collection's newest generation id (those rows are in the
@@ -519,6 +532,19 @@ object GeoParquet {
         case (c, g, id) => (c, (f, g, id)) })
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     }
+    // LINEAGE guard (r11 review finding): the sweep's soundness rests on
+    // batch ids increasing monotonically within ONE checkpoint lineage —
+    // a stream restarted with a FRESH checkpoint restarts ids at 0, and
+    // a sweep that then read "0 ≤ newest generation 7" would delete
+    // just-appended rows that are in no generation file. A gen below
+    // anything already in the directory is that misuse: refuse TYPED,
+    // before any delete.
+    val maxExisting = smallFiles().values.flatten.map(_._3).foldLeft(-1L)(math.max)
+    require(gen >= maxExisting,
+      s"maintainBatch(gen=$gen) is behind the catalog's lineage (newest " +
+        s"file id $maxExisting in $outDir): this directory belongs to a " +
+        "different checkpoint lineage — resume the original checkpoint or " +
+        "ingest into a fresh directory")
     // recovery sweep: anything at or before the newest generation is
     // already inside it
     smallFiles().foreach { case (_, files) =>
@@ -557,8 +583,6 @@ object GeoParquet {
     */
   private def passGroup(factory: SimpleGroupFactory, r: org.apache.spark.sql.Row)
       : org.apache.parquet.example.data.Group = {
-    def micros(t: java.sql.Timestamp): java.lang.Long =
-      if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     val g = factory.newGroup()
     g.append("id", r.getString(0))
     g.append("id_num", r.getLong(1))
@@ -704,19 +728,26 @@ object GeoParquet {
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.global
         val info = Await.result(Future.traverse(parquet.toSeq) { f => Future {
-          val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), sharedConf)
-          val reader = ParquetFileReader.open(in)
-          try {
-            val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
-            val m = parseGeoMeta(f.getAbsolutePath, kv)
-            require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
-              m.encoding == "WKB" && m.bbox.length == 4,
-              s"exported footer drifted: ${f.getName} → $m")
-            val (coll, dt, sorted) = parseGraftMeta(kv)
-            f.getName.stripSuffix(".parquet") ->
-              GeoFooter(m.bbox, reader.getRecordCount, coll, dt, sorted)
-          } finally reader.close()
-        }}, Duration.Inf).toMap
+          // a file can vanish between the listing and this open (the
+          // maintainBatch rename→delete window): skip it — its rows are
+          // in the generation file the NEXT listing serves, and the
+          // signature of this listing can never match again anyway
+          if (!f.exists()) None
+          else {
+            val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), sharedConf)
+            val reader = ParquetFileReader.open(in)
+            try {
+              val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+              val m = parseGeoMeta(f.getAbsolutePath, kv)
+              require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
+                m.encoding == "WKB" && m.bbox.length == 4,
+                s"exported footer drifted: ${f.getName} → $m")
+              val (coll, dt, sorted) = parseGraftMeta(kv)
+              Some(f.getName.stripSuffix(".parquet") ->
+                GeoFooter(m.bbox, reader.getRecordCount, coll, dt, sorted))
+            } finally reader.close()
+          }
+        }}, Duration.Inf).flatten.toMap
         (sig, info)
       }
     })._2
@@ -888,8 +919,6 @@ object GeoParquet {
       .build()
     val factory = new SimpleGroupFactory(schema)
     try rows.zip(utmShapes).foreach { case (r, (wkb, env)) =>
-      def micros(t: java.sql.Timestamp): java.lang.Long =
-        if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
       val g = factory.newGroup()
       g.append("id", r.getString(0))
       g.append("id_num", r.getLong(1))

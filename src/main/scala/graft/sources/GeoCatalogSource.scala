@@ -155,10 +155,15 @@ private class GeoCatalogBatchWrite(path: String, truncate: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
-    // job token keeps append-mode file names unique across write jobs
-    // (a second append must not overwrite the first's files)
+    // job token keeps append-mode file names unique across write jobs (a
+    // second append must not overwrite the first's files): the FULL
+    // queryId rides along, not a 32-bit hash of it — a hash collision
+    // between two appends would REPLACE_EXISTING-overwrite the earlier
+    // job's rows silently (r11 review finding). Non-alnum characters are
+    // stripped for path safety; the leading 'j' keeps the token outside
+    // maintainBatch's <coll>-<digits> / <coll>-g<digits> grammar.
     new GeoCatalogWriterFactory(path,
-      Integer.toHexString(queryId.hashCode).takeRight(8))
+      "j" + queryId.filter(_.isLetterOrDigit))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -209,6 +214,13 @@ private class GeoCatalogDataWriter(path: String, job: String,
   override def write(row: InternalRow): Unit = {
     val coll = row.getUTF8String(2).toString
     val (w, _, _) = open.getOrElseUpdate(coll, {
+      // the collection value becomes part of a file NAME: refuse path
+      // separators and control characters outright (typed, at the write
+      // boundary) rather than writing outside the catalog directory
+      require(coll.nonEmpty && coll.forall(c =>
+        c > ' ' && c != '/' && c != '\\' && c != java.io.File.separatorChar),
+        s"collection '$coll' cannot name a catalog file " +
+          "(empty, path separator, or control character)")
       val fin = s"$path/$coll-w$partitionId-$job.parquet"
       val tmp = fin + s".tmp$taskId"
       (GeoParquet.newCatalogWriter(tmp), tmp, fin)
@@ -351,11 +363,18 @@ private class GeoCatalogScanBuilder(path: String, bboxOpt: Option[String])
     if (ks.forall(_.isDefined)) Some(ks.map(_.get)) else None
   }
 
+  // CONSUMED id_num predicates make footer aggregates WRONG, not just
+  // refused: Spark offers the pushdown when no post-scan filters remain,
+  // and consuming a keyset `where` empties the residual — so an
+  // id_num-filtered COUNT would be answered from UNFILTERED footer
+  // totals. Any consumed predicate therefore vetoes the aggregate path
+  // (r11 review finding; spec pins the filtered count).
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    kindsOf(agg).isDefined
+    rowPreds.isEmpty && kindsOf(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    kindsOf(agg) match {
+    if (rowPreds.nonEmpty) false
+    else kindsOf(agg) match {
       case Some(ks) => aggKinds = ks; true
       case None => false
     }

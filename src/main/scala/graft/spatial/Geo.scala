@@ -1327,8 +1327,14 @@ object Geo {
       }
       i += 1
     }
-    throw new IllegalArgumentException(
-      "degenerate polygon: no interior witness point found")
+    // DEGENERATE polygon (zero area — all vertices collinear, or a ring
+    // that retraces itself): it HAS no interior, so there is no witness
+    // to return. NaN is the typed "empty interior" answer the callers
+    // branch on — a relation that needs an interior meet is FALSE for
+    // such a part, never a crash (r11 review finding: the DSv2 write
+    // path accepts arbitrary WKB bytes, so a degenerate stored footprint
+    // must not fail the whole scan).
+    (Double.NaN, Double.NaN)
   }
 
   /** Every vertex of every ring of A in the closed region of B. */
@@ -1388,7 +1394,10 @@ object Geo {
     geomVertsInClosedGeom(a, b) &&
       a.forall { rings =>
         val (wx, wy) = interiorPointOf(rings)
-        inClosedGeom(wx, wy, b)
+        // a zero-area part has no interior: interior(A) ∩ interior(B)
+        // is empty, so within (which requires the interior meet) is
+        // false — decided, not thrown
+        !wx.isNaN && inClosedGeom(wx, wy, b)
       } &&
       !geomEdgesMeetOpenGeom(b, a)
 
@@ -1481,10 +1490,12 @@ object Geo {
     if (ca != null && cb != null) return convexInteriorsMeet(ca, cb)
     geomEdgesMeetOpenGeom(b, a) || geomEdgesMeetOpenGeom(a, b) ||
       a.exists { rings =>
-        val (wx, wy) = interiorPointOf(rings); strictInGeom(wx, wy, b)
+        val (wx, wy) = interiorPointOf(rings)
+        !wx.isNaN && strictInGeom(wx, wy, b) // empty interior meets nothing
       } ||
       b.exists { rings =>
-        val (wx, wy) = interiorPointOf(rings); strictInGeom(wx, wy, a)
+        val (wx, wy) = interiorPointOf(rings)
+        !wx.isNaN && strictInGeom(wx, wy, a)
       }
   }
 

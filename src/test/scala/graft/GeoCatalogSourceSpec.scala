@@ -101,6 +101,23 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("a consumed id_num filter VETOES the footer-aggregate pushdown: " +
+      "the filtered count comes from the data plane, not unfiltered footers") {
+    def q(df: DataFrame) = df.where(col("id_num") > 200L)
+    val agg = q(viaCatalog).agg(count(lit(1)).as("n"))
+    // the aggregate must NOT be served from footers (those totals ignore
+    // the consumed predicate)…
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("served from footers"), plan)
+    // …and the answer is the filtered count, exactly
+    val want = q(viaParquet).count()
+    assert(agg.head().getLong(0) == want && want > 0 &&
+      want < viaParquet.count())
+    // extremes under the same filter: data plane, still exact
+    val m = q(viaCatalog).agg(min(col("bbox.xmin"))).head().getDouble(0)
+    assert(m == q(viaParquet).agg(min(col("bbox.xmin"))).head().getDouble(0))
+  }
+
   test("LIMIT pushes into the readers: a catalog peek decodes only the bound") {
     val peek = viaCatalog.limit(5)
     val plan = peek.queryExecution.executedPlan.toString

@@ -660,4 +660,20 @@ class GeoSpec extends AnyFunSuite {
     assert(Geo.pointIntersectsShape(0.0, 75.0, cap))
     assert(!Geo.pointIntersectsShape(0.0, 30.0, cap))
   }
+
+  test("degenerate (zero-area) polygons DECIDE interior relations as " +
+      "false instead of throwing (r11: DSv2-written WKB is arbitrary)") {
+    import graft.spatial.Geo
+    // all vertices collinear — a ring with no interior
+    val flat: Array[Array[Array[Double]]] =
+      Array(Array(Array(0.0, 0.0, 2.0, 0.0, 4.0, 0.0)))
+    val region: Array[Array[Array[Double]]] =
+      Array(Array(Array(-10.0, -10.0, 10.0, -10.0, 10.0, 10.0, -10.0, 10.0)))
+    // within requires an interior meet → false, not a crash
+    assert(!Geo.polyWithinGeom(flat, region))
+    // an empty interior meets nothing
+    assert(!Geo.geomInteriorsMeet(flat, flat))
+    // …but closed intersection (boundary-inclusive) still sees the points
+    assert(Geo.polyIntersectsGeom(flat, region))
+  }
 }

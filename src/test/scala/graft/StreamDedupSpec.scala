@@ -988,5 +988,15 @@ class StreamDedupSpec extends AnyFunSuite {
     graft.core.GeoParquet.maintainBatch(s, dir, genId + 1, maxSmall)
     assert(!ghost.exists(), "recovery sweep must remove the superseded file")
     assert(canon(readBack) == before) // …and maintenance heals it
+
+    // LINEAGE guard: a maintenance call whose batch id is BEHIND the
+    // directory (the restarted-fresh-checkpoint misuse, where batch ids
+    // restart at 0 against a catalog holding generation g>0) is a typed
+    // refusal BEFORE any delete — never a silent sweep of fresh rows
+    val lineage = intercept[IllegalArgumentException] {
+      graft.core.GeoParquet.maintainBatch(s, dir, 0L, maxSmall)
+    }
+    assert(lineage.getMessage.contains("checkpoint lineage"), lineage.getMessage)
+    assert(canon(readBack) == before) // nothing was deleted
   }
 }
