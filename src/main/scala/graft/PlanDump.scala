@@ -26,7 +26,10 @@ object PlanDump {
       "c92_semantic_decon" -> "Semantic decon: eval set broadcast, corpus streams, per-row max/count",
       "c93_rank_fusion" -> "Rank fusion: value-histogram ranks broadcast back — no global sort",
       "c105_perplexity_mixture" -> "Perplexity-filtered mixture: joinless over the memoized LM bucket frame",
-      "a87_catalog_source" -> "Catalog DataSource V2: plan-time footer file prune, filters pushed")
+      "a87_catalog_source" -> "Catalog DataSource V2: plan-time footer file prune, filters pushed",
+      "a88_polygon_footprint" -> "True-polygon relations: scan + one codegen'd projection of exact kernels",
+      "a89_catalog_coldt_prune" -> "Catalog collection+datetime prune: sidecar constraints from the pushed tree",
+      "c103_classifier_train" -> "NB training: rebalanced corpus pass, one map-side-combined aggregation")
     val out = new StringBuilder
     out ++= "# Physical plans (generated snapshot, sf0.01)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"` (writes docs/PLANS.md).\n"
