@@ -73,6 +73,19 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** [[documents]] rebalanced across cores BEFORE an expensive per-doc
+    * projection (the c26/c103 doctrine, shared): the corpus parquet is
+    * bytes-tiny relative to tokenize/shingle/regex work, so the scan
+    * plans fewer partitions than cores (ONE at sf0.1) and a heavy
+    * projection chained on it runs single-threaded. Round-robin is
+    * enough for gates whose results are aggregations or explicitly
+    * ordered outputs — nothing above depends on row order. At 100 TB
+    * the scan already has more partitions than cores and the exchange
+    * moves source rows, never derived features.
+    */
+  def documentsRebalanced(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** STAC items view (SURVEY.md §4): `events` rows as STAC items.

@@ -26,7 +26,7 @@ object Curation {
   private val minChars = 100
 
   def c16CurationPipeline(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsRebalanced(s, d) // tokenize off the 1-partition scan
       .withColumn("w", expr(wordsSpark))
       .withColumn("n_words", expr("size(w)"))
       .where(col("n_words") >= minWords && length(col("text")) >= minChars)
@@ -131,7 +131,7 @@ object Curation {
     val deduped = base.join(keepExact, "doc_id")
     // full-corpus fingerprints (C19's definition: eval set = doc_id % 97),
     // staged once — the eval side and the corpus join both consume them
-    val fps = Tables.documents(s, d)
+    val fps = Tables.documentsRebalanced(s, d) // fpSpark off the 1-partition scan
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"), expr(fpSpark).as("fp"))

@@ -649,7 +649,7 @@ object Dedup {
     // FrameMemo: one build per session — C24, C40 and C70's distinct
     // projection all read the same staged shingle table.
     graft.core.FrameMemo.cached(s, s"p8grams:$d")(
-      Tables.documents(s, d)
+      Tables.documentsRebalanced(s, d) // kernel off the 1-partition scan
         .where(expr(s"size($wordsSpark) >= $passageLen"))
         .select(col("doc_id"), posexplode(
           graft.functions.WordShingleHashes(col("text"), passageLen, "p8:"))
@@ -1841,7 +1841,9 @@ object Dedup {
     * staged shingle table C24 already materializes.
     */
   def c97SourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    // rebalanced: the shingle kernel otherwise runs in the 1-partition
+    // scan stage (Tables.documentsRebalanced doctrine)
+    val sh = Tables.documentsRebalanced(s, d)
       .where(expr(s"size($wordsSpark) >= $passageLen"))
       .select(col("source"), explode(
         graft.functions.WordShingleHashes(col("text"), passageLen, "p8:"))

@@ -156,12 +156,12 @@ object TextAnalysis {
     * Identical integer math to [[c11Sql]] either way.
     */
   def c11Fingerprint(s: SparkSession, d: String): DataFrame = {
-    val rolling = docs(s, d)
+    val rolling = graft.core.Tables.documentsRebalanced(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"),
         graft.functions.RollingHash(col("text")).as("rolling_fp"))
-    val minGram = docs(s, d)
+    val minGram = graft.core.Tables.documentsRebalanced(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"), explode(expr(trigramsSpark)).as("g"))
@@ -1735,7 +1735,9 @@ object TextAnalysis {
     * source/lang for grouping.
     */
   private[ops] def c43Scored(s: SparkSession, d: String): DataFrame =
-    c43ScoredOn(docs(s, d))
+    // batch path rebalances the 1-partition scan under the battery; the
+    // streaming twin passes its own micro-batch frame to c43ScoredOn
+    c43ScoredOn(graft.core.Tables.documentsRebalanced(s, d))
 
   /** The rule battery over an arbitrary document frame (doc_id, source,
     * lang, text) — D19's per-micro-batch scoring input.
@@ -2224,7 +2226,7 @@ object TextAnalysis {
     c66ScoreWith(s, d, c66BroadcastMaxVocab)
 
   private[graft] def c66ScoreWith(s: SparkSession, d: String, maxVocab: Long): DataFrame = {
-    val bg = docs(s, d)
+    val bg = graft.core.Tables.documentsRebalanced(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 2"))
       .select(col("doc_id"), explode(expr(
@@ -2629,7 +2631,7 @@ object TextAnalysis {
 
   def c55ImportanceWeight(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs(s, d)
+    val toks = graft.core.Tables.documentsRebalanced(s, d)
       .select(col("doc_id"), col("source"),
         explode(expr(wordsSpark)).as("t"))
       .where(col("t") =!= "")
