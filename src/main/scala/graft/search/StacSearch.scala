@@ -442,10 +442,23 @@ object StacSearch {
   private val a76Asts: Seq[(String, Cql)] =
     a76Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
 
+  /** Battery-gate source shape (a43/c26 doctrine, applied r11): the
+    * fixture scan plans ONE partition, and a global ORDER BY ABOVE a
+    * 20-50-kernel battery projection executes the battery TWICE (the
+    * range exchange's bounds-sampling pass runs its child in full) and
+    * single-threaded. Range-partition + sort BELOW the projection: the
+    * sampling pass touches only the cheap source rows, the battery runs
+    * once at full parallelism, and projections preserve the established
+    * global id order (Verify's coalesce(1) concatenates partitions in
+    * range order, so the written output is still globally ordered).
+    */
+  private def idOrdered(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartitionByRange(s.sparkContext.defaultParallelism, col("id"))
+      .sortWithinPartitions(col("id"))
+
   def a76CqlAllen(s: SparkSession, d: String): DataFrame =
-    items(s, d)
+    idOrdered(s, items(s, d))
       .select(col("id") +: a76Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
-      .orderBy(col("id"))
 
   val a76Sql: String = Tables.withItems(
     s"""SELECT id, ${a76Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
@@ -556,9 +569,8 @@ object StacSearch {
     a83Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
 
   def a83CqlFuzz(s: SparkSession, d: String): DataFrame =
-    items(s, d)
+    idOrdered(s, items(s, d))
       .select(col("id") +: a83Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
-      .orderBy(col("id"))
 
   val a83Sql: String = Tables.withItems(
     s"""SELECT id, ${a83Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
@@ -1417,9 +1429,8 @@ object StacSearch {
     a77Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
 
   def a77CqlSpatialRel(s: SparkSession, d: String): DataFrame =
-    withEnvelope(items(s, d))
+    withEnvelope(idOrdered(s, items(s, d)))
       .select(col("id") +: a77Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
-      .orderBy(col("id"))
 
   val a77Sql: String = Tables.withItems(
     s"""SELECT id, ${a77Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
@@ -1569,7 +1580,7 @@ object StacSearch {
   def a88PolygonFootprint(s: SparkSession, d: String): DataFrame = {
     import graft.spatial.Geo.{RelContains, RelCrosses, RelEquals,
       RelIntersects, RelOverlaps, RelTouches, RelWithin}
-    val df = withQuad(items(s, d))
+    val df = withQuad(idOrdered(s, items(s, d)))
     def rel(shape: graft.spatial.Shape, r: Int): Column =
       Geo.wkbRelShapeCol(col("qwkb"), shape, r)
     val exmin = least(col("qx0"), col("qx1"), col("qx2"), col("qx3"))
@@ -1590,7 +1601,6 @@ object StacSearch {
       rel(a88Region, RelOverlaps).as("p_ovl"),
       rel(a88EqShape, RelEquals).as("p_eq"),
       rel(a88LineShape, RelCrosses).as("p_crs"))
-      .orderBy(col("id"))
   }
 
   val a88Sql: String = {
@@ -1762,9 +1772,8 @@ object StacSearch {
     a84Ops.map { case (n, j) => (n, Cql.parseJson(j)) }
 
   def a84CqlFuzzSpatial(s: SparkSession, d: String): DataFrame =
-    withEnvelope(items(s, d))
+    withEnvelope(idOrdered(s, items(s, d)))
       .select(col("id") +: a84Asts.map { case (n, a) => a.toColumn.as(n) }: _*)
-      .orderBy(col("id"))
 
   val a84Sql: String = Tables.withItems(
     s"""SELECT id, ${a84Asts.map { case (n, a) => s"${a.toSql} AS $n" }.mkString(", ")}
