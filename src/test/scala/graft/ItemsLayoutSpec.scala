@@ -95,8 +95,9 @@ class ItemsLayoutSpec extends AnyFunSuite {
     val a63 = StacSearch.a63CoveringIndex(s, TestSpark.sf)
     val n = a63.count() // forces materialization of both state tables
     assert(n > 0, "a63 gate bbox matched nothing — widen it")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(TestSpark.sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    // the layout dirs are keyed by the production content fingerprint
+    // (FixtureGuard.stateKey), not a path hash — re-derive it the same way
+    val key = graft.core.FixtureGuard.stateKey(TestSpark.sf, "events")
     val lp = new java.io.File(sys.props("java.io.tmpdir"), s"graft_itemszlayout_$key")
     val allFiles = lp.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     val manifest = ItemsLayout.coveringManifest(s, lp.getAbsolutePath)
@@ -114,8 +115,7 @@ class ItemsLayoutSpec extends AnyFunSuite {
     val s = TestSpark.spark
     val n = StacSearch.a64ManifestDatetime(s, TestSpark.sf).count()
     assert(n > 0, "a64 datetime window matched nothing")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(TestSpark.sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = graft.core.FixtureGuard.stateKey(TestSpark.sf, "events")
     val lp = new java.io.File(sys.props("java.io.tmpdir"), s"graft_itemstlayout_$key")
     val allFiles = lp.listFiles().filter(_.getName.endsWith(".parquet")).length
     val candidates = StacSearch.a64CandidateFiles(s, TestSpark.sf,
