@@ -17,8 +17,10 @@ import TextExprs._
   *
   * Output is the surviving corpus (doc_id + stats), verified against a
   * DuckDB oracle that restates the identical chain. At scale each stage is
-  * the already-audited shape: projections, one content-hash shuffle, one
-  * banded-signature shuffle — no O(n²) anywhere.
+  * the already-audited shape: ONE corpus scan (stats + content hash +
+  * MinHash signature in one projection — text never survives the scan
+  * stage), one content-hash shuffle carrying slim rows, one
+  * banded-signature shuffle — no O(n²), no join-back, no second scan.
   */
 object Curation {
 
@@ -26,47 +28,54 @@ object Curation {
   private val minChars = 100
 
   def c16CurationPipeline(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documentsRebalanced(s, d) // tokenize off the 1-partition scan
+    // One scan: quality gate + every downstream input (content hash for
+    // exact dedup, codegen'd MinHashSig for the near-dup banding — same
+    // 'mh:' trigram md5 / 2^59 split / h1 + j·h2 lanes as C2, parity
+    // asserted in GraftFunctionsSpec). Computing the signature before
+    // exact dedup does spend the kernel on exact-dup rows too, but it
+    // lets the shuffle carry ~70-byte rows instead of documents and
+    // removes the former survivor join-back (which re-ran the tokenize
+    // scan per consumer).
+    val scanned = Tables.documentsRebalanced(s, d) // kernels off the 1-partition scan
       .withColumn("w", expr(wordsSpark))
       .withColumn("n_words", expr("size(w)"))
       .where(col("n_words") >= minWords && length(col("text")) >= minChars)
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        length(col("text")).as("n_chars"),
+        graft.functions.MinHashSig(col("text"), 8).as("mh"),
+        md5(col("text")).as("h"))
 
-    // exact dedup: smallest doc_id per content hash survives. Staged once
-    // (slim doc_id frame): both the survivor join and the final anti-join
-    // re-derive `surviving`, and without the checkpoint the content-hash
-    // shuffle would run per consumer.
-    val keepExact = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-      .localCheckpoint(true)
+    // exact dedup: smallest doc_id per content hash survives — a single
+    // min_by aggregation (no groupBy-then-join-back). The banding and the
+    // final anti-join both consume the survivors, and both consumers sit
+    // ABOVE the content-hash Exchange with identical subtrees below it, so
+    // Spark's exchange reuse runs the scan + kernels + partial aggregate
+    // ONCE and reads the shuffle twice — the single-scan guarantee a
+    // checkpoint would give, minus the extra materialization job
+    // (PlanAuditSpec pins the ReusedExchange).
+    val surviving = scanned
+      .groupBy(col("h"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("n_words"),
+        col("n_chars"), col("mh")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.n_words").as("n_words"), col("r.n_chars").as("n_chars"),
+        col("r.mh").as("mh"))
 
-    val surviving = docs.join(keepExact, "doc_id")
-
-    // near-dup candidates over the survivors — C2's banding via the
-    // codegen'd MinHashSig kernel (one md5 per shingle inside a
-    // projection; shingle rows never exist), replacing the former
-    // explode → per-lane-min groupBy and its shuffle. Value-identical:
-    // the kernel computes the same 'mh:'-prefixed trigram md5, the same
-    // 15-hex-digit h1/h2 split mod 2^59, the same h1 + j·h2 lane mins
-    // (parity asserted in GraftFunctionsSpec).
-    val sig = surviving.select(col("doc_id"),
-      graft.functions.MinHashSig(col("text"), 8).as("mh"))
     val bandKeys = (0 until 4).map { b =>
       expr(s"concat(CAST(element_at(mh, ${2 * b + 1}) AS STRING), '_', " +
         s"CAST(element_at(mh, ${2 * b + 2}) AS STRING))")
     }
-    val bands = sig.select(col("doc_id"),
+    val bands = surviving.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    // no .distinct(): anti-join semantics ignore right-side duplicates,
+    // and the extra exchange+aggregate pair costs a full stage wave
     val dropNear = bands.groupBy(col("band"), col("bkey"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) >= 2)
       .select(explode(expr("slice(ds, 2, size(ds) - 1)")).as("doc_id"))
-      .distinct()
 
     surviving.join(dropNear, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("n_words"),
-        length(col("text")).as("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
 
@@ -119,27 +128,41 @@ object Curation {
     * the oracle restates the identical chain from the SAME shared CTE
     * bodies the stage oracles use — so the composition can't drift from
     * the pieces.
+    *
+    * Plan shape: ONE corpus scan — the C43 battery projection also emits
+    * the content hash and the C19 fingerprint (pass-through columns into
+    * [[TextAnalysis.c43ScoredOn]]'s single select), staged slim (no
+    * text) for its two consumers (the eval-fingerprint side and the
+    * dedup chain). Exact dedup is a single min_by aggregation — no
+    * groupBy-then-join-back, which previously re-ran the battery scan
+    * per consumer.
     */
   def c45CurationV2(s: SparkSession, d: String): DataFrame = {
-    val quality = TextAnalysis.c43Scored(s, d)
-      .where(col("keep")).select(col("doc_id"), col("n_words"))
-    val base = Tables.documents(s, d).join(quality, "doc_id")
-    val keepExact = base
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val deduped = base.join(keepExact, "doc_id")
-    // full-corpus fingerprints (C19's definition: eval set = doc_id % 97),
-    // staged once — the eval side and the corpus join both consume them
-    val fps = Tables.documentsRebalanced(s, d) // fpSpark off the 1-partition scan
-      .withColumn("w", expr(wordsSpark))
-      .where(expr("size(w) >= 3"))
-      .select(col("doc_id"), expr(fpSpark).as("fp"))
+    val scanned = TextAnalysis.c43ScoredOn(
+        Tables.documentsRebalanced(s, d),
+        Seq(md5(col("text")).as("h"),
+          // C19's fingerprint (null below the 3-word trigram floor — the
+          // quality gate's n_words ≥ 50 keeps only non-null fps, and the
+          // eval side filters explicitly)
+          when(expr("size(w) >= 3"), expr(fpSpark)).as("fp")))
+      .select(col("doc_id"), col("source"), col("n_words"), col("keep"),
+        col("h"), col("fp"))
       .localCheckpoint(true)
-    val evalFps = fps.where(col("doc_id") % 97 === 0).select(col("fp"))
-    deduped
+    // eval set = doc_id % 97 (C19's definition) over the FULL corpus —
+    // eval docs themselves leave the corpus below
+    val evalFps = scanned
+      .where(col("doc_id") % 97 === 0 && col("fp").isNotNull)
+      .select(col("fp"))
+    scanned.where(col("keep"))
+      // exact dedup BEFORE the eval-id filter: an eval doc can be the
+      // min-id survivor of a duplicate group (and then drop), exactly as
+      // in the join-back formulation
+      .groupBy(col("h"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("n_words"),
+        col("fp")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.n_words").as("n_words"), col("r.fp").as("fp"))
       .where(col("doc_id") % 97 =!= 0)
-      .join(fps, "doc_id")
       .join(broadcast(evalFps), Seq("fp"), "left_anti")
       .where(expr(s"${h64Spark("concat('samp:', CAST(doc_id AS STRING))")} % 1000")
         < expr(TextAnalysis.rateCaseSpark))

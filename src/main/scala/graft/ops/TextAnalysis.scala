@@ -1740,19 +1740,26 @@ object TextAnalysis {
     c43ScoredOn(graft.core.Tables.documentsRebalanced(s, d))
 
   /** The rule battery over an arbitrary document frame (doc_id, source,
-    * lang, text) — D19's per-micro-batch scoring input.
+    * lang, text) — D19's per-micro-batch scoring input. `extra` columns
+    * are evaluated in the SAME projection (with the token array `w` in
+    * scope), letting composite pipelines (C45) derive content hashes /
+    * fingerprints in the battery's single corpus scan instead of
+    * re-scanning.
     */
-  private[graft] def c43ScoredOn(corpus: DataFrame): DataFrame = {
+  private[graft] def c43ScoredOn(
+      corpus: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val stopList = c43Stop.map(t => s"'$t'").mkString("(", ", ", ")")
     corpus
       .withColumn("w", expr(wordsSpark))
-      .select(col("doc_id"), col("source"), col("lang"),
+      .select(Seq(col("doc_id"), col("source"), col("lang"),
         expr("CAST(size(w) AS BIGINT)").as("n_words"),
         expr("CAST(length(text) - (size(w) - 1) AS BIGINT)").as("n_chars"),
         expr("CAST(size(filter(w, t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT)")
           .as("n_syms"),
         expr("CAST(size(filter(w, t -> t RLIKE '[a-z]')) AS BIGINT)").as("n_alpha"),
         expr(s"CAST(size(filter(w, t -> t IN $stopList)) AS BIGINT)").as("n_stop"))
+        ++ extra: _*)
       .withColumn("keep",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("n_chars") >= col("n_words") * 3 &&
@@ -2107,28 +2114,33 @@ object TextAnalysis {
     * K ∈ {1, 2, 4, …, 32}, the fraction (basis points) of corpus token
     * occurrences covered by the top-K words by frequency (ties broken
     * lexically). One corpus scan to word counts (C15's partial-agg
-    * shape — the shuffle carries \|vocab\|), one \|vocab\|-row window
-    * for ranks, then a broadcast K-ladder join + conditional sums over
-    * the tiny ranked frame. All-integer (`covered·10⁴ DIV total`),
-    * hash-exact.
+    * shape — the shuffle carries \|vocab\|), then a DISTRIBUTED
+    * top-K_max (TakeOrderedAndProject: every partition keeps ≤32 rows —
+    * never a \|vocab\|-wide window, which would drag 10⁸⁺ distinct
+    * words onto one task at 100 TB) folded into ONE ≤32-element array
+    * row; the K-ladder prefix sums expand in-row (tie order among equal
+    * counts cannot change a prefix sum of equal values). The scalar
+    * total consumes the SAME word-count Exchange (exchange reuse — one
+    * scan, one shuffle, no checkpoint, no driver collect). All-integer
+    * (`covered·10⁴ DIV total`), hash-exact.
     */
   private val c53Ks = Seq(1, 2, 4, 8, 16, 32)
 
   def c53CoverageCurve(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val counts = docs(s, d)
       .select(explode(expr(wordsSpark)).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val ranked = counts
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("w"))))
-    ranked.crossJoin(broadcast(c53Ks.toDF("k")))
-      .groupBy(col("k"))
-      .agg(sum(when(col("rk") <= col("k"), col("cnt")).otherwise(lit(0L)))
-          .as("covered_tokens"),
-        sum(col("cnt")).as("total_tokens"))
+    val head = counts
+      .orderBy(col("cnt").desc, col("w")).limit(c53Ks.max)
+      .agg(reverse(sort_array(collect_list(col("cnt")))).as("hs"))
+    broadcast(head)
+      .crossJoin(c53Ks.toDF("k"))
+      .select(col("k"),
+        expr("aggregate(slice(hs, 1, k), 0L, (a, x) -> a + x)")
+          .as("covered_tokens"))
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total_tokens"))))
       .withColumn("coverage_bp",
         expr("covered_tokens * 10000 DIV total_tokens"))
       .orderBy(col("k"))

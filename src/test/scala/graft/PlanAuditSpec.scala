@@ -19,6 +19,16 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Plan with AQE off (Bench's configuration): static exchange-reuse
+    * (ReusedExchange nodes) is only visible in non-adaptive plans — AQE
+    * performs the same reuse at stage-materialization time instead.
+    */
+  private def planNoAqe(mk: => DataFrame): String = {
+    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try plan(mk) finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("b1: filter and projection push down to the parquet scan") {
     val p = plan(Analytics.queries("b1_pushdown_scan")(s, sf))
     assert(p.contains("PushedFilters"), p)
@@ -522,5 +532,53 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = p.split('\n').filter(_.contains("Exchange hashpartitioning"))
     assert(exchanges.nonEmpty, p)
     assert(!exchanges.exists(l => l.contains("nv#") || l.contains("qnv#")), p)
+  }
+
+  test("c53: coverage curve has NO window (the r11 |vocab|-wide ranking " +
+      "scale-killer) — distributed TakeOrdered head + reused word-count " +
+      "exchange for the total") {
+    val p = planNoAqe(graft.ops.TextAnalysis.queries("c53_coverage_curve")(s, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the scalar-total branch reads the SAME word-count shuffle the
+    // top-K branch built: one corpus scan, one |vocab| exchange
+    assert(p.contains("ReusedExchange"), p)
+    assert(p.split('\n').count(l =>
+      l.contains("Location") && l.contains("documents.parquet")) == 1, p)
+  }
+
+  test("c16: curation pipeline — exact dedup is one min_by aggregation " +
+      "(no join-back), survivors' exchange reused by banding and anti-join " +
+      "(single corpus scan), no distinct stage on the drop side") {
+    val p = planNoAqe(graft.ops.Curation.queries("c16_curation_pipeline")(s, sf))
+    assert(p.contains("partial_min_by"), p)
+    assert(p.contains("ReusedExchange"), p)
+    assert(p.split('\n').count(l =>
+      l.contains("Location") && l.contains("documents.parquet")) == 1, p)
+  }
+
+  test("c45: curation v2 — the C43 battery scan runs once (checkpointed " +
+      "slim frame feeds eval side + dedup chain), exact dedup is min_by, " +
+      "decontamination anti-join broadcasts") {
+    val p = plan(graft.ops.Curation.queries("c45_curation_v2")(s, sf))
+    assert(p.contains("partial_min_by"), p)
+    assert(p.split('\n').exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p)
+    // the corpus is read through the one checkpointed RDD — no second
+    // parquet scan of documents anywhere in the plan
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("c97: source overlap is join-free below the pair domain — one " +
+      "shingle exchange (reused by totals), in-row pair expansion, no " +
+      "self-join of the presence frame") {
+    val p = planNoAqe(graft.ops.Dedup.queries("c97_source_overlap")(s, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ReusedExchange"), p)
+    // exactly one shuffle keyed by the shingle hash
+    assert(p.split('\n').count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning(gh#")) == 1, p)
+    assert(p.split('\n').count(l =>
+      l.contains("Location") && l.contains("documents.parquet")) == 1, p)
   }
 }
