@@ -1679,6 +1679,142 @@ object StacSearch {
          |ORDER BY id""".stripMargin)
   }
 
+  // --------------- A95: stored NON-AREAL footprints (r12) ---------------
+  /** A95: the relation battery over STORED NON-AREAL WKB footprints —
+    * the reference's `ST_Intersects(geometry, …)` + serializer are
+    * type-agnostic over whatever WKB the row carries
+    * (database_logic.py:418-448, utilities.py:13-22): a catalog of
+    * flight paths or river scenes stores LineStrings, survey campaigns
+    * MultiPoints. Items cycle through the four non-areal storage types
+    * by `id_num % 4` — LineString (3-vertex polyline along the a88
+    * rotated-quad corners v0→v1→v2), MultiPoint {v0,v1,v2},
+    * MultiLineString {v0→v1, v2→v3} (the quad's opposite edges),
+    * GeometryCollection {Point v0, LineString v1→v2} — each built
+    * in-row as REAL WKB ([[graft.spatial.WkbLinePath]] /
+    * [[graft.spatial.WkbCollect]]) and decoded back by the same
+    * type-agnostic kernel the polygon gates use. Cells: the stored type
+    * name (pins that four genuinely different WKB layouts are on disk)
+    * and the DE-9IM set that is defined for dim < 2 vs areal targets —
+    * intersects/disjoint vs the concave a88 region, within vs the
+    * region and the convex hull, touches vs the shared-edge rectangle,
+    * crosses (in-and-out) vs the region.
+    *
+    * Oracle: independent algorithms per primitive — half-plane
+    * membership for points ([[Geo.pointConvexSql]]) and variable-
+    * endpoint segment SAT ([[Geo.segConvexSatSql]]) over the region's
+    * convex decomposition and the R-minus-notch closure form, vs the
+    * kernels' ray-cast + crossing-parameter midpoint machinery. (The
+    * oracle's interior tests are piecewise over the decomposition, so a
+    * segment lying EXACTLY along an internal seam would diverge — the
+    * seams are 4-dp diagonal lines off the fixture grid, and the gate
+    * hash pins that no row lands there.)
+    */
+  def a95LineFootprint(s: SparkSession, d: String): DataFrame = {
+    import graft.spatial.Geo.{RelCrosses, RelIntersects, RelTouches, RelWithin}
+    import graft.spatial.{WkbCollect, WkbLinePath, WkbPoint, WkbType}
+    val df = withQuad(idOrdered(s, items(s, d)))
+      .withColumn("ntyp", (col("id_num") % 4).cast("int"))
+    def pt(i: Int): Column = WkbPoint(col(s"qx$i"), col(s"qy$i"))
+    def path(is: Int*): Column = WkbLinePath(array(
+      is.flatMap(i => Seq(col(s"qx$i"), col(s"qy$i"))): _*))
+    val nwkb = when(col("ntyp") === 0, path(0, 1, 2))
+      .when(col("ntyp") === 1, WkbCollect(array(pt(0), pt(1), pt(2)), 4))
+      .when(col("ntyp") === 2, WkbCollect(array(path(0, 1), path(2, 3)), 5))
+      .otherwise(WkbCollect(array(pt(0), path(1, 2)), 7))
+    val withWkb = df.withColumn("nwkb", nwkb)
+    def rel(shape: graft.spatial.Shape, r: Int): Column =
+      Geo.wkbRelShapeCol(col("nwkb"), shape, r)
+    withWkb.select(col("id"), col("ntyp"),
+      col("qx0"), col("qy0"), col("qx1"), col("qy1"),
+      col("qx2"), col("qy2"), col("qx3"), col("qy3"),
+      WkbType(col("nwkb")).as("n_typ"),
+      rel(a88Region, RelIntersects).as("n_int"),
+      (!rel(a88Region, RelIntersects)).as("n_dis"),
+      rel(a88Region, RelWithin).as("n_win"),
+      rel(a88CvxShape, RelWithin).as("n_win_cvx"),
+      rel(a88TouchShape, RelTouches).as("n_tch"),
+      rel(a88Region, RelCrosses).as("n_crs"))
+  }
+
+  val a95Sql: String = {
+    type Pt = (String, String)
+    type Sg = (String, String, String, String)
+    val v = IndexedSeq(("qx0", "qy0"), ("qx1", "qy1"), ("qx2", "qy2"), ("qx3", "qy3"))
+    def sg(i: Int, j: Int): Sg = (v(i)._1, v(i)._2, v(j)._1, v(j)._2)
+    // part structure per stored type: points + segments over the corners
+    val partsByType: IndexedSeq[(Seq[Pt], Seq[Sg])] = IndexedSeq(
+      (Nil, Seq(sg(0, 1), sg(1, 2))),      // 0 LineString v0→v1→v2
+      (Seq(v(0), v(1), v(2)), Nil),        // 1 MultiPoint
+      (Nil, Seq(sg(0, 1), sg(2, 3))),      // 2 MultiLineString
+      (Seq(v(0)), Seq(sg(1, 2))))          // 3 GeometryCollection
+    def ptIn(p: Pt, ring: Array[Double], strict: Boolean): String =
+      Geo.pointConvexSql(p._1, p._2, ring, strict)
+    def sgSat(g: Sg, ring: Array[Double], strict: Boolean): String =
+      Geo.segConvexSatSql(g._1, g._2, g._3, g._4, ring, strict)
+    // any part meets any ring (closed), or reaches any ring's interior
+    def meets(t: Int, rings: Seq[Array[Double]], strict: Boolean): String = {
+      val (ps, gs) = partsByType(t)
+      rings.flatMap(r => ps.map(ptIn(_, r, strict)) ++ gs.map(sgSat(_, r, strict)))
+        .mkString("(", " OR ", ")")
+    }
+    // every part inside closure(region) = R minus the open notch
+    def inRegion(t: Int): String = {
+      val (ps, gs) = partsByType(t)
+      val ptsOk = ps.map(p =>
+        s"(${ptIn(p, a88R, strict = false)} AND NOT ${ptIn(p, a88Notch, strict = true)})")
+      val segsOk = gs.map(g =>
+        s"(${ptIn((g._1, g._2), a88R, strict = false)} AND " +
+          s"${ptIn((g._3, g._4), a88R, strict = false)} AND NOT " +
+          s"${sgSat(g, a88Notch, strict = true)})")
+      (ptsOk ++ segsOk).mkString("(", " AND ", ")")
+    }
+    // every part inside the CONVEX hull: vertex membership suffices
+    def inCvx(t: Int): String = {
+      val (ps, gs) = partsByType(t)
+      val pts = ps ++ gs.flatMap(g => Seq((g._1, g._2), (g._3, g._4)))
+      pts.map(ptIn(_, a88Cvx, strict = false)).mkString("(", " AND ", ")")
+    }
+    def byType(f: Int => String): String =
+      s"(CASE ntyp WHEN 0 THEN ${f(0)} WHEN 1 THEN ${f(1)} " +
+        s"WHEN 2 THEN ${f(2)} ELSE ${f(3)} END)"
+    val nInt = byType(meets(_, a88Pieces, strict = false))
+    val nWin = byType(t => s"(${inRegion(t)} AND ${meets(t, a88Pieces, strict = true)})")
+    val nWinCvx = byType(t => s"(${inCvx(t)} AND ${meets(t, Seq(a88Cvx), strict = true)})")
+    val nTch = byType(t => s"(${meets(t, Seq(a88TouchRect), strict = false)} AND NOT " +
+      s"${meets(t, Seq(a88TouchRect), strict = true)})")
+    val nCrs = byType(t => s"(${meets(t, a88Pieces, strict = true)} AND NOT ${inRegion(t)})")
+    Tables.withItems(
+      s"""SELECT id, ntyp, qx0, qy0, qx1, qy1, qx2, qy2, qx3, qy3,
+         |  (CASE ntyp WHEN 0 THEN 'LineString' WHEN 1 THEN 'MultiPoint'
+         |    WHEN 2 THEN 'MultiLineString' ELSE 'GeometryCollection' END) AS n_typ,
+         |  $nInt AS n_int,
+         |  (NOT $nInt) AS n_dis,
+         |  $nWin AS n_win,
+         |  $nWinCvx AS n_win_cvx,
+         |  $nTch AS n_tch,
+         |  $nCrs AS n_crs
+         |FROM (
+         |  SELECT id, ntyp,
+         |    (lon - (qc * hw) + (qs * hh)) AS qx0,
+         |    (lat - (qs * hw) - (qc * hh)) AS qy0,
+         |    (lon + (qc * hw) + (qs * hh)) AS qx1,
+         |    (lat + (qs * hw) - (qc * hh)) AS qy1,
+         |    (lon + (qc * hw) - (qs * hh)) AS qx2,
+         |    (lat + (qs * hw) + (qc * hh)) AS qy2,
+         |    (lon - (qc * hw) - (qs * hh)) AS qx3,
+         |    (lat - (qs * hw) + (qc * hh)) AS qy3
+         |  FROM (
+         |    SELECT id, lon, lat, CAST(id_num % 4 AS INTEGER) AS ntyp,
+         |      (CAST(user_id % 10 AS DOUBLE) / 10.0 + 0.1) AS hw,
+         |      (CAST(id_num % 7 AS DOUBLE) / 10.0 + 0.1) AS hh,
+         |      CASE id_num % 5 WHEN 0 THEN 1.0 WHEN 1 THEN 0.6 WHEN 2 THEN 0.28
+         |        WHEN 3 THEN 0.8 ELSE 0.96 END AS qc,
+         |      CASE id_num % 5 WHEN 0 THEN 0.0 WHEN 1 THEN 0.8 WHEN 2 THEN 0.96
+         |        WHEN 3 THEN -0.6 ELSE -0.28 END AS qs
+         |    FROM items))
+         |ORDER BY id""".stripMargin)
+  }
+
   /** A84: the SPATIAL + INTERVAL companion to the A83 generative
     * battery — 32 seeded-random trees whose leaves are the full
     * Enhanced-Spatial relation set over random bbox literals (the W > E
@@ -3499,6 +3635,7 @@ object StacSearch {
     "a84_cql2_fuzz_spatial"       -> (a84CqlFuzzSpatial _),
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
     "a88_polygon_footprint"       -> (a88PolygonFootprint _),
+    "a95_line_footprint"          -> (a95LineFootprint _),
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a82_geoparquet_export"       -> (a82GeoparquetExport _),
     "a85_catalog_pruned_search"   -> (a85CatalogPrunedSearch _),
@@ -3583,6 +3720,7 @@ object StacSearch {
     "a84_cql2_fuzz_spatial"       -> a84Sql,
     "a77_cql2_spatial_rel"        -> a77Sql,
     "a88_polygon_footprint"       -> a88Sql,
+    "a95_line_footprint"          -> a95Sql,
     "a75_geoparquet_ingest"       -> a75Sql,
     "a82_geoparquet_export"       -> a82Sql,
     "a85_catalog_pruned_search"   -> a85Sql,

@@ -108,6 +108,54 @@ object Geo {
     planes.mkString("(", " AND ", ")")
   }
 
+  /** Point vs constant convex CCW ring, closed or STRICT (interior)
+    * membership — the strict form the non-areal oracles need (a95).
+    */
+  def pointConvexSql(lonC: String, latC: String, poly: Array[Double],
+                     strict: Boolean): String = {
+    val cmp = if (strict) ">" else ">="
+    val n = poly.length / 2
+    (0 until n).map { i =>
+      val x1 = poly(2 * i); val y1 = poly(2 * i + 1)
+      val x2 = poly(2 * ((i + 1) % n)); val y2 = poly(2 * ((i + 1) % n) + 1)
+      s"(($x2 - $x1) * ($latC - $y1) - ($y2 - $y1) * ($lonC - $x1)) $cmp 0"
+    }.mkString("(", " AND ", ")")
+  }
+
+  /** SAT of a VARIABLE segment (endpoint column expressions) against a
+    * constant convex CCW ring — closed (do they meet?) or strict (does
+    * the segment reach the ring's open interior?). Axes = the ring's
+    * edge normals (ring projection bounds fold to constants) plus the
+    * segment's own normal (both endpoints project to the SAME value on
+    * it, so the segment side is one expression). Completeness: two
+    * convex sets are disjoint iff a line parallel to an edge of one
+    * separates them; the segment's only edge direction is itself. The
+    * strict form tests relint(segment) ∩ int(ring), which equals
+    * closed-segment ∩ int(ring) for nondegenerate segments (an endpoint
+    * inside an open set drags a neighborhood of the segment with it).
+    */
+  def segConvexSatSql(ax: String, ay: String, bx: String, by: String,
+                      ring: Array[Double], strict: Boolean): String = {
+    val lt = if (strict) "<" else "<="
+    val gt = if (strict) ">" else ">="
+    val n = ring.length / 2
+    val ringAxes = (0 until n).map { i =>
+      val x1 = ring(2 * i); val y1 = ring(2 * i + 1)
+      val x2 = ring(2 * ((i + 1) % n)); val y2 = ring(2 * ((i + 1) % n) + 1)
+      val nx = -(y2 - y1); val ny = x2 - x1
+      val projs = (0 until n).map(k => nx * ring(2 * k) + ny * ring(2 * k + 1))
+      val pa = s"($nx * $ax + $ny * $ay)"
+      val pb = s"($nx * $bx + $ny * $by)"
+      s"least($pa, $pb) $lt ${projs.max} AND greatest($pa, $pb) $gt ${projs.min}"
+    }
+    val snx = s"($ay - $by)"; val sny = s"($bx - $ax)"
+    val p = s"($snx * $ax + $sny * $ay)"
+    val rp = (0 until n).map(k => s"($snx * ${ring(2 * k)} + $sny * ${ring(2 * k + 1)})")
+    val segAxis =
+      s"least(${rp.mkString(", ")}) $lt $p AND greatest(${rp.mkString(", ")}) $gt $p"
+    (ringAxes :+ segAxis).mkString("(", " AND ", ")")
+  }
+
   /** Convex-polygon predicate as Columns (same half-plane form as the SQL
     * oracle — used in tests to cross-check the ray-cast expression).
     */
@@ -1617,18 +1665,61 @@ object Geo {
       case other => throw new IllegalArgumentException(s"bad poly rel: $other")
     }
 
-  /** WKB footprint → relation kernel: decode the stored geometry to its
-    * ring set (the reference's storage format, utilities.py:139-147) and
-    * evaluate the relation on the TRUE polygon — not its envelope.
-    * Static — called from generated code via [[WkbRelShape]].
+  /** Relation kernel for a NON-AREAL stored footprint (LineString /
+    * MultiLineString / MultiPoint / GeometryCollection of dim < 2)
+    * against an areal query shape — the reference's `ST_Intersects
+    * (geometry, …)` path is type-agnostic over whatever WKB the row
+    * carries (database_logic.py:418-448, utilities.py:13-22), so these
+    * footprints must flow through the same relation set. The DE-9IM
+    * composites reduce to three primitives the poly-side kernels
+    * already provide (meets-closed, meets-open, within-closure), with
+    * the QUERY polygon set as the containing geometry:
+    *
+    *  - intersects: any part meets the closed region
+    *  - within:     all parts inside the closure AND some part reaches
+    *                the interior (a footprint lying wholly ON the
+    *                boundary is NOT within — OGC I(A)∩I(B) ≠ ∅)
+    *  - touches:    contact without interior contact
+    *  - crosses:    interior contact without containment (the
+    *                in-and-out form; defined only for dim(f) < 2)
+    *
+    * contains / equals / overlaps against an areal target are
+    * dimensionally impossible for these footprints → typed refuse, not
+    * a silent false.
+    */
+  def nonArealRelShape(f: Shape, s: Shape, rel: Int): Boolean = {
+    val polys = mergedPolys(s)
+    if (polys.isEmpty) throw new IllegalArgumentException(
+      s"non-areal footprint relations need an areal query shape, got $s")
+    rel match {
+      case RelIntersects => polyIntersectsShape(polys, f)
+      case RelWithin =>
+        shapeInClosedGeomA(polys, f) && shapeMeetsOpenGeomA(polys, f)
+      case RelTouches =>
+        polyIntersectsShape(polys, f) && !shapeMeetsOpenGeomA(polys, f)
+      case RelCrosses =>
+        if (shapeDim(f) >= 2) throw new IllegalArgumentException(
+          "crosses is undefined for area/area operands")
+        shapeMeetsOpenGeomA(polys, f) && !shapeInClosedGeomA(polys, f)
+      case other => throw new IllegalArgumentException(
+        s"relation $other is undefined for a non-areal footprint vs an areal shape")
+    }
+  }
+
+  /** WKB footprint → relation kernel: decode the stored geometry (the
+    * reference's storage format, utilities.py:139-147) and evaluate the
+    * relation on the TRUE decoded shape — not its envelope. Type-
+    * agnostic like the reference's serializer: polygon footprints take
+    * the ring kernels, point footprints the point kernels, and line /
+    * multi-point / collection footprints the [[nonArealRelShape]]
+    * composites. Static — called from generated code via [[WkbRelShape]].
     */
   def wkbRelShape(b: Array[Byte], s: Shape, rel: Int): Boolean =
     Wkb.toShape(b) match {
       case Shape.PolyS(geom)   => polyRelShape(geom, s, rel)
       case Shape.PointS(x, y) if rel == RelIntersects => pointIntersectsShape(x, y, s)
       case Shape.PointS(x, y)  => pointRelShape(x, y, s, rel)
-      case other => throw new IllegalArgumentException(
-        s"wkb_rel_shape expects a polygon or point footprint, got $other")
+      case f                   => nonArealRelShape(f, s, rel)
     }
 
   /** Column builder: WKB footprint column vs constant shape, exact on

@@ -240,6 +240,41 @@ object Wkb {
   def ringBytes(flat: Array[Double]): Array[Byte] =
     encode(Shape.PolyS(Array(Array(flat))))
 
+  /** Flat open polyline [x0,y0,x1,y1,…] → LineString WKB. Static —
+    * called from generated code via [[WkbLinePath]]; synthesizes the
+    * reference's non-areal storage rows (utilities.py:13-22 round-trips
+    * every OGC type) for the a95 fixtures.
+    */
+  def linePathBytes(flat: Array[Double]): Array[Byte] =
+    encode(Shape.LinesS(Array(flat)))
+
+  /** Assemble a Multi* / GeometryCollection WKB from part WKBs: header +
+    * count + the parts verbatim (each part keeps its own byte-order
+    * header, as the recursive parse expects). Part types are validated
+    * against the container (MultiPoint holds Points, MultiLineString
+    * LineStrings, MultiPolygon Polygons; a GeometryCollection holds
+    * anything). Static — called from generated code via [[WkbCollect]].
+    */
+  def collectBytes(typ: Int, parts: Array[Array[Byte]]): Array[Byte] = {
+    require(typ >= 4 && typ <= 7, s"not a multi/collection WKB type: $typ")
+    parts.foreach { p =>
+      val pt = readHeader(ByteBuffer.wrap(p))
+      if (typ != 7 && pt != typ - 3) throw new IllegalArgumentException(
+        s"${typeNames(typ)} holding a ${typeNames.getOrElse(pt, pt.toString)}")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1)
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(typ).putInt(parts.length)
+    out.write(bb.array())
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  def collectBytes(typ: Int,
+                   parts: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] =
+    collectBytes(typ, parts.toObjectArray(BinaryType).map(_.asInstanceOf[Array[Byte]]))
+
   // ------------------------------------- UTF8String wrappers for codegen
   def geomTypeU8(b: Array[Byte]): UTF8String = UTF8String.fromString(geomType(b))
   def geoJsonU8(b: Array[Byte]): UTF8String = UTF8String.fromString(toGeoJson(b))
@@ -383,4 +418,47 @@ case class WkbRingPoly(child: Expression) extends UnaryExpression {
 object WkbRingPoly {
   def apply(c: Column): Column =
     GraftBridge.column(WkbRingPoly(GraftBridge.expression(c)))
+}
+
+/** array<double> flat open polyline → LineString WKB (codegen'd) —
+  * synthesizes the reference's non-areal storage rows (a95 fixtures).
+  */
+case class WkbLinePath(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wkb_line_path"
+  override protected def nullSafeEval(a: Any): Any =
+    Wkb.linePathBytes(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.spatial.Wkb.linePathBytes($c.toDoubleArray());")
+  override protected def withNewChildInternal(newChild: Expression): WkbLinePath =
+    copy(child = newChild)
+}
+
+object WkbLinePath {
+  def apply(c: Column): Column =
+    GraftBridge.column(WkbLinePath(GraftBridge.expression(c)))
+}
+
+/** array<binary> part WKBs → Multi* / GeometryCollection WKB
+  * (codegen'd); `typ` is the OGC container code (4 MultiPoint,
+  * 5 MultiLineString, 6 MultiPolygon, 7 GeometryCollection).
+  */
+case class WkbCollect(child: Expression, typ: Int) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wkb_collect"
+  override protected def nullSafeEval(a: Any): Any =
+    Wkb.collectBytes(typ,
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.spatial.Wkb.collectBytes($typ, $c);")
+  override protected def withNewChildInternal(newChild: Expression): WkbCollect =
+    copy(child = newChild)
+}
+
+object WkbCollect {
+  def apply(c: Column, typ: Int): Column =
+    GraftBridge.column(WkbCollect(GraftBridge.expression(c), typ))
 }
