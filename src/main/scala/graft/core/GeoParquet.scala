@@ -812,9 +812,10 @@ object GeoParquet {
     require(meta.encoding == "WKB",
       s"unsupported GeoParquet encoding '${meta.encoding}' (only WKB)")
     val raw = col(meta.primaryColumn)
-    val geom = utmReprojection(meta) match {
-      case None                 => raw
-      case Some((zone, south))  => graft.spatial.UtmWkbToCrs84(raw, zone, south)
+    val geom = ingestCrs(meta) match {
+      case IngestCrs.Crs84             => raw
+      case IngestCrs.Utm(zone, south)  => graft.spatial.UtmWkbToCrs84(raw, zone, south)
+      case IngestCrs.PseudoMercator    => graft.spatial.MercatorWkbToCrs84(raw)
     }
     def coveringCol(field: String) =
       col(meta.covering(field).mkString("."))
@@ -831,19 +832,32 @@ object GeoParquet {
     (df, meta)
   }
 
-  /** CRS dispatch for [[ingestFile]]: None = native CRS84 passthrough,
-    * Some((zone, south)) = UTM WGS84 re-projection, anything else a
-    * typed refusal naming the supported set.
+  /** The ingestable CRS set (A94 + r12 #3857): everything else refuses
+    * typed, never a silent planar misread.
     */
-  private[graft] def utmReprojection(meta: GeoMeta): Option[(Int, Boolean)] =
+  private[graft] sealed trait IngestCrs
+  private[graft] object IngestCrs {
+    case object Crs84 extends IngestCrs
+    final case class Utm(zone: Int, south: Boolean) extends IngestCrs
+    case object PseudoMercator extends IngestCrs
+  }
+
+  /** CRS dispatch for [[ingestFile]]: CRS84 passes through, UTM WGS84
+    * and EPSG:3857 re-project at ingest, anything else a typed refusal
+    * naming the supported set.
+    */
+  private[graft] def ingestCrs(meta: GeoMeta): IngestCrs =
     (meta.crsAuthority, meta.crsCode) match {
-      case ("OGC", "CRS84") => None
+      case ("OGC", "CRS84") => IngestCrs.Crs84
+      case ("EPSG", "3857") => IngestCrs.PseudoMercator
       case ("EPSG", code) if code.forall(_.isDigit) && code.nonEmpty &&
           code.length <= 9 && graft.spatial.Utm.parseEpsg(code.toInt).isDefined =>
-        graft.spatial.Utm.parseEpsg(code.toInt)
+        val (zone, south) = graft.spatial.Utm.parseEpsg(code.toInt).get
+        IngestCrs.Utm(zone, south)
       case (auth, code) => throw new IllegalArgumentException(
         s"unsupported GeoParquet CRS $auth:$code — supported: OGC:CRS84 " +
-          "(native) and EPSG:326xx/327xx (UTM WGS84, re-projected at ingest)")
+          "(native), EPSG:326xx/327xx (UTM WGS84) and EPSG:3857 " +
+          "(Pseudo-Mercator), both re-projected at ingest")
     }
 
   // ---------------------- A94: PROJECTED (UTM) GeoParquet fixture
@@ -851,7 +865,15 @@ object GeoParquet {
     * south); bbox in the file's own metres.
     */
   private def geoJsonUtm(bbox: (Double, Double, Double, Double),
-                         zone: Int, south: Boolean): String = {
+                         zone: Int, south: Boolean): String =
+    geoJsonProjected(bbox, s"WGS 84 / UTM zone $zone${if (south) "S" else "N"}",
+      graft.spatial.Utm.epsgOf(zone, south))
+
+  /** PROJJSON footer for any projected EPSG CRS; bbox in the file's own
+    * metres.
+    */
+  private def geoJsonProjected(bbox: (Double, Double, Double, Double),
+                               name: String, epsg: Int): String = {
     val root = mapper.createObjectNode()
     root.put("version", "1.1.0")
     root.put("primary_column", "geometry")
@@ -862,10 +884,10 @@ object GeoParquet {
     types.add("Point"); types.add("Polygon")
     val crs = g.putObject("crs")
     crs.put("type", "ProjectedCRS")
-    crs.put("name", s"WGS 84 / UTM zone $zone${if (south) "S" else "N"}")
+    crs.put("name", name)
     val crsId = crs.putObject("id")
     crsId.put("authority", "EPSG")
-    crsId.put("code", graft.spatial.Utm.epsgOf(zone, south).toString)
+    crsId.put("code", epsg.toString)
     val bb = g.putArray("bbox")
     bb.add(bbox._1); bb.add(bbox._2); bb.add(bbox._3); bb.add(bbox._4)
     val covering = g.putObject("covering")
@@ -919,6 +941,76 @@ object GeoParquet {
       .build()
     val factory = new SimpleGroupFactory(schema)
     try rows.zip(utmShapes).foreach { case (r, (wkb, env)) =>
+      val g = factory.newGroup()
+      g.append("id", r.getString(0))
+      g.append("id_num", r.getLong(1))
+      g.append("collection", r.getString(2))
+      val dt = micros(r.getAs[java.sql.Timestamp](3))
+      if (dt != null) g.append("datetime", dt.longValue())
+      val sd = micros(r.getAs[java.sql.Timestamp](4))
+      if (sd != null) g.append("start_datetime", sd.longValue())
+      val ed = micros(r.getAs[java.sql.Timestamp](5))
+      if (ed != null) g.append("end_datetime", ed.longValue())
+      g.append("value", r.getDouble(6))
+      g.append("user_id", r.getLong(7))
+      g.append("lon", r.getDouble(8))
+      g.append("lat", r.getDouble(9))
+      val bb = g.addGroup("bbox")
+      bb.append("xmin", env(0)); bb.append("ymin", env(1))
+      bb.append("xmax", env(2)); bb.append("ymax", env(3))
+      g.append("geometry", org.apache.parquet.io.api.Binary.fromConstantByteArray(wkb))
+      real.write(g)
+    } finally real.close()
+    if (!tmp.renameTo(f))
+      throw new java.io.IOException(s"could not move $tmp to $f")
+    file
+  }
+
+  def stagedMercatorPath(dir: String): String =
+    s"/tmp/graft_geoparquet_${FixtureGuard.fingerprint(dir, "events")}/items_3857.parquet"
+
+  /** Stage an EPSG:3857 GeoParquet file: every fixture item whose
+    * geometry fits the projection's ±85.05° validity band (a web-map
+    * pipeline clips its sources the same way; polygon half-height is
+    * ≤ 1.1°, so |lat| ≤ 83.9 keeps every vertex in band), geometry
+    * vertices forward-projected to Pseudo-Mercator metres
+    * ([[graft.spatial.Mercator3857.forward]]), covering bbox in metres,
+    * PROJJSON EPSG:3857 — the file every web-map tile pipeline hands
+    * the engine. Fixture-build time, content-fingerprinted like
+    * [[stage]].
+    */
+  def stageMercator(spark: SparkSession, dir: String): String = synchronized {
+    val file = stagedMercatorPath(dir)
+    val f = new java.io.File(file)
+    if (f.exists()) return file
+    f.getParentFile.mkdirs()
+    val rows = Tables.items(spark, dir)
+      .select(col("id"), col("id_num"), col("collection"), col("datetime"),
+        col("start_datetime"), col("end_datetime"), col("value"),
+        col("user_id"), col("lon"), col("lat"))
+      .where(abs(col("lat")) <= 83.9)
+      .orderBy(col("id_num"))
+      .collect()
+    require(rows.nonEmpty, "no fixture items inside the 3857 validity band")
+    var (w, s, e, n) = (Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
+    val mercShapes = rows.map { r =>
+      val (shape, _) = rowGeom(r.getLong(1), r.getLong(7), r.getDouble(8), r.getDouble(9))
+      val wkb = graft.spatial.Mercator3857.wkbFromCrs84(graft.spatial.Wkb.encode(shape))
+      val env = graft.spatial.Wkb.envelope(wkb)
+      w = math.min(w, env(0)); s = math.min(s, env(1))
+      e = math.max(e, env(2)); n = math.max(n, env(3))
+      (wkb, env)
+    }
+    val tmp = new java.io.File(file + ".tmp")
+    if (tmp.exists()) tmp.delete()
+    val real = ExampleParquetWriter.builder(new Path(tmp.getAbsolutePath))
+      .withType(schema)
+      .withExtraMetaData(java.util.Collections.singletonMap(
+        "geo", geoJsonProjected((w, s, e, n), "WGS 84 / Pseudo-Mercator", 3857)))
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try rows.zip(mercShapes).foreach { case (r, (wkb, env)) =>
       val g = factory.newGroup()
       g.append("id", r.getString(0))
       g.append("id_num", r.getLong(1))

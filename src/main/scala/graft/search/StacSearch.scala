@@ -2018,6 +2018,58 @@ object StacSearch {
        |  FROM read_parquet('$a75Path'))
        |ORDER BY id""".stripMargin
 
+  // ------------------ A96: EPSG:3857 (Pseudo-Mercator) ingest (r12)
+  /** A96: EPSG:3857 GeoParquet ingestion — the most common projected CRS
+    * in the wild (every web-map tile pipeline authors in it; r11 verdict
+    * Missing #3). A staged file carries every fixture item
+    * forward-projected to Pseudo-Mercator metres with a PROJJSON
+    * EPSG:3857 footer; ingest re-projects each WKB vertex back to CRS84
+    * through the codegen'd [[graft.spatial.MercatorWkbToCrs84]] (the
+    * closed-form spherical inverse — scan parallelism, no driver work)
+    * and the A42 decode runs unchanged. The gate emits the decoded CRS84
+    * envelope quantized to the A94-pinned 1e-7° ingest tolerance
+    * (integer ticks — the inverse is transcendental, so the two engines'
+    * libm may differ in the last ulp ≈ 1e-14°, seven orders below the
+    * grid) beside the RAW covering columns in the file's own metres; the
+    * oracle reads the same file and re-derives the degrees from the
+    * stored metre bbox via the published inverse formulas
+    * (λ = x/R, φ = 2·atan(exp(y/R)) − π/2 — monotone per axis, so the
+    * bbox corners map to the envelope corners).
+    */
+  @volatile private var a96Path: String = "/tmp/graft_geoparquet_unset/items_3857.parquet"
+
+  def a96MercatorIngest(s: SparkSession, d: String): DataFrame = {
+    val file = graft.core.GeoParquet.stageMercator(s, d)
+    a96Path = file
+    val (df, meta) = graft.core.GeoParquet.ingestFile(s, file)
+    require(meta.version == "1.1.0" && meta.primaryColumn == "geometry" &&
+      meta.crsAuthority == "EPSG" && meta.crsCode == "3857",
+      s"geo footer metadata drifted: $meta")
+    def ticks(c: String): Column =
+      round(col(c) * 1e7).cast("long").as(c.replace("g_", "t_"))
+    df.select(col("id"), col("collection"), col("datetime"), col("gtype"),
+      ticks("g_xmin"), ticks("g_ymin"), ticks("g_xmax"), ticks("g_ymax"),
+      col("c_xmin"), col("c_ymin"), col("c_xmax"), col("c_ymax"))
+      .orderBy(col("id"))
+  }
+
+  def a96Sql: String = {
+    val r = graft.spatial.Mercator3857.R
+    def lonT(c: String) = s"CAST(ROUND(DEGREES($c / $r) * 1e7) AS BIGINT)"
+    def latT(c: String) =
+      s"CAST(ROUND(DEGREES(2 * ATAN(EXP($c / $r)) - PI() / 2) * 1e7) AS BIGINT)"
+    s"""SELECT id, collection, datetime,
+       |  CASE WHEN id_num % 2 = 0 THEN 'Point' ELSE 'Polygon' END AS gtype,
+       |  ${lonT("bbox.xmin")} AS t_xmin,
+       |  ${latT("bbox.ymin")} AS t_ymin,
+       |  ${lonT("bbox.xmax")} AS t_xmax,
+       |  ${latT("bbox.ymax")} AS t_ymax,
+       |  bbox.xmin AS c_xmin, bbox.ymin AS c_ymin,
+       |  bbox.xmax AS c_xmax, bbox.ymax AS c_ymax
+       |FROM read_parquet('$a96Path')
+       |ORDER BY id""".stripMargin
+  }
+
   // -------------------------------- A82 distributed GeoParquet EXPORT
   @volatile private var a82Dir: String = "/tmp/graft_geoparquet_export_unset"
 
@@ -3636,6 +3688,7 @@ object StacSearch {
     "a77_cql2_spatial_rel"        -> (a77CqlSpatialRel _),
     "a88_polygon_footprint"       -> (a88PolygonFootprint _),
     "a95_line_footprint"          -> (a95LineFootprint _),
+    "a96_mercator_ingest"         -> (a96MercatorIngest _),
     "a75_geoparquet_ingest"       -> (a75GeoparquetIngest _),
     "a82_geoparquet_export"       -> (a82GeoparquetExport _),
     "a85_catalog_pruned_search"   -> (a85CatalogPrunedSearch _),
@@ -3721,6 +3774,7 @@ object StacSearch {
     "a77_cql2_spatial_rel"        -> a77Sql,
     "a88_polygon_footprint"       -> a88Sql,
     "a95_line_footprint"          -> a95Sql,
+    "a96_mercator_ingest"         -> a96Sql,
     "a75_geoparquet_ingest"       -> a75Sql,
     "a82_geoparquet_export"       -> a82Sql,
     "a85_catalog_pruned_search"   -> a85Sql,

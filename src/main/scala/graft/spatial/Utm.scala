@@ -138,13 +138,78 @@ object Utm {
     out
   }
 
-  private def mapShape(s: Shape, f: (Double, Double) => (Double, Double)): Shape = s match {
+  private[spatial] def mapShape(s: Shape, f: (Double, Double) => (Double, Double)): Shape = s match {
     case Shape.PointS(x, y)     => val (nx, ny) = f(x, y); Shape.PointS(nx, ny)
     case Shape.MultiPointS(pts) => Shape.MultiPointS(mapFlat(pts, f))
     case Shape.LinesS(paths)    => Shape.LinesS(paths.map(mapFlat(_, f)))
     case Shape.PolyS(geom)      => Shape.PolyS(geom.map(_.map(mapFlat(_, f))))
     case Shape.CollS(parts)     => Shape.CollS(parts.map(mapShape(_, f)))
   }
+}
+
+/** EPSG:3857 (WGS 84 / Pseudo-Mercator, "web mercator") — the most
+  * common projected CRS in the wild (every slippy-map tile pyramid).
+  * By the EPSG definition it applies the SPHERICAL Mercator formulas on
+  * the WGS84 semi-major axis with geodetic latitude:
+  *
+  *   x = R·λ,   y = R·ln(tan(π/4 + φ/2)),   R = 6 378 137 m
+  *
+  * so forward and inverse are closed-form (no series). Valid latitude
+  * band ±85.05112877980659° (where |y| = R·π, the square map corner).
+  *
+  * Scale shape: identical to [[Utm]] — pure per-vertex double math
+  * inside a codegen'd WKB expression, scan parallelism, no library.
+  */
+object Mercator3857 {
+  val R = 6378137.0
+  /** atan(sinh(π)) in degrees — the square map's latitude corner. */
+  val MaxLat = 85.05112877980659
+
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    require(lat >= -MaxLat && lat <= MaxLat,
+      s"latitude $lat outside the EPSG:3857 validity band ±$MaxLat")
+    val phi = math.toRadians(lat)
+    (R * math.toRadians(lon), R * math.log(math.tan(math.Pi / 4.0 + phi / 2.0)))
+  }
+
+  def inverse(x: Double, y: Double): (Double, Double) =
+    (math.toDegrees(x / R),
+      math.toDegrees(2.0 * math.atan(math.exp(y / R)) - math.Pi / 2.0))
+
+  /** Re-project every vertex of a WKB geometry from 3857 metres to CRS84
+    * degrees (vertex-exact, as [[Utm.wkbToCrs84]]).
+    */
+  def wkbToCrs84(wkb: Array[Byte]): Array[Byte] =
+    Wkb.encode(Utm.mapShape(Wkb.toShape(wkb), (x, y) => inverse(x, y)))
+
+  /** The forward twin — fixture staging writes PROJECTED files with it. */
+  def wkbFromCrs84(wkb: Array[Byte]): Array[Byte] =
+    Wkb.encode(Utm.mapShape(Wkb.toShape(wkb), (lon, lat) => forward(lon, lat)))
+}
+
+/** Codegen'd WKB re-projection: EPSG:3857 metres → CRS84 degrees. */
+case class MercatorWkbToCrs84(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BinaryType, DataType}
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mercator_wkb_to_crs84"
+  override protected def nullSafeEval(b: Any): Any =
+    Mercator3857.wkbToCrs84(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.spatial.Mercator3857.wkbToCrs84($c);")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): MercatorWkbToCrs84 =
+    copy(child = newChild)
+}
+
+object MercatorWkbToCrs84 {
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      MercatorWkbToCrs84(org.apache.spark.sql.GraftBridge.expression(c)))
 }
 
 /** Codegen'd WKB re-projection: `zone` UTM metres → CRS84 degrees, one

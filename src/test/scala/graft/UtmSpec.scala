@@ -51,6 +51,36 @@ class UtmSpec extends AnyFunSuite {
     assert(worst < 1e-9, s"worst round-trip error $worst deg")
   }
 
+  test("mercator 3857: independent published anchors, round-trip identity, " +
+      "band refusal") {
+    import graft.spatial.Mercator3857
+    // the square map corner: x(180°) = R·π = 20037508.342789244 m — the
+    // constant printed in every web-mercator reference
+    val (xmax, _) = Mercator3857.forward(180.0, 0.0)
+    assert(math.abs(xmax - 20037508.342789244) < 1e-6, xmax)
+    // equator: y(0) = 0 to double precision (tan(π/4) rounds to 1−ulp,
+    // so ln contributes ~1e-16·R ≈ 1 nm); x(0) = 0 exactly
+    val (x0, y0) = Mercator3857.forward(0.0, 0.0)
+    assert(x0 == 0.0 && math.abs(y0) < 1e-8, s"($x0,$y0)")
+    val (xq, _) = Mercator3857.forward(90.0, 0.0)
+    assert(math.abs(xq - 20037508.342789244 / 2.0) < 1e-6, xq)
+    // the published max latitude maps to y = R·π (the square corner)
+    val (_, ytop) = Mercator3857.forward(0.0, Mercator3857.MaxLat)
+    assert(math.abs(ytop - 20037508.342789244) < 1e-5, ytop)
+    // a published reference pair: lat 45° → y = R·ln(tan(67.5°))
+    val (_, y45) = Mercator3857.forward(0.0, 45.0)
+    assert(math.abs(y45 - 5621521.486192) < 0.5, y45)
+    // round-trip identity over the validity band
+    for (lon <- -180 to 180 by 30; lat <- -85 to 85 by 5) {
+      val (x, y) = Mercator3857.forward(lon, lat)
+      val (lo, la) = Mercator3857.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-12 && math.abs(la - lat) < 1e-12,
+        s"($lon,$lat) → ($lo,$la)")
+    }
+    // beyond the band refuses (typed)
+    intercept[IllegalArgumentException] { Mercator3857.forward(0.0, 86.0) }
+  }
+
   test("epsg parse: UTM codes in, everything else out") {
     assert(Utm.parseEpsg(32633).contains((33, false)))
     assert(Utm.parseEpsg(32701).contains((1, true)))
@@ -66,7 +96,8 @@ class UtmSpec extends AnyFunSuite {
     val file = graft.core.GeoParquet.stageUtm(s, sf, zone = 33)
     val (df, meta) = graft.core.GeoParquet.ingestFile(s, file)
     assert(meta.crsAuthority == "EPSG" && meta.crsCode == "32633")
-    assert(graft.core.GeoParquet.utmReprojection(meta).contains((33, false)))
+    assert(graft.core.GeoParquet.ingestCrs(meta) ==
+      graft.core.GeoParquet.IngestCrs.Utm(33, false))
     // every decoded envelope matches the CRS84 formulas the fixture was
     // authored from (forward ∘ inverse must land back on the source)
     val got = df.select(col("id"), col("gtype"),
@@ -94,9 +125,13 @@ class UtmSpec extends AnyFunSuite {
       .agg(max(col("c_xmax"))).head().getDouble(0)
     assert(cov > 1000.0, s"covering should be metres-scale, got $cov")
     // unsupported CRS is a typed refusal naming the supported set
+    // 3857 is now a SUPPORTED re-projection (a96), not a refusal
+    assert(graft.core.GeoParquet.ingestCrs(meta.copy(crsCode = "3857")) ==
+      graft.core.GeoParquet.IngestCrs.PseudoMercator)
     val e = intercept[IllegalArgumentException] {
-      graft.core.GeoParquet.utmReprojection(meta.copy(crsCode = "3857"))
+      graft.core.GeoParquet.ingestCrs(meta.copy(crsCode = "2154")) // Lambert-93
     }
-    assert(e.getMessage.contains("EPSG:326xx/327xx"), e.getMessage)
+    assert(e.getMessage.contains("EPSG:326xx/327xx") &&
+      e.getMessage.contains("3857"), e.getMessage)
   }
 }
