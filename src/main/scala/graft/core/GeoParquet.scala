@@ -225,9 +225,12 @@ object GeoParquet {
     private var dtMin = Long.MaxValue; private var dtMax = Long.MinValue
     private var sdMin = Long.MaxValue; private var edMax = Long.MinValue
     private var hasNullDt = false
-    // detected, not assumed: id_num-ascending files advertise the order
-    // so a pushed TopN can early-stop their readers (unsorted DSv2-write
-    // input simply doesn't advertise)
+    // detected, not assumed: STRICTLY id_num-ascending files advertise
+    // the order so a pushed TopN can early-stop their readers (unsorted
+    // DSv2-write input simply doesn't advertise). Strict, not weak:
+    // strictness proves id_num unique per file, which is what makes a
+    // COMPOUND order with leading id_num early-stoppable (tiebreakers
+    // can never fire) — r12, the A92 DESC/multi-key extension
     private var prevId = Long.MinValue; private var sortedById = true
     override def init(conf: org.apache.hadoop.conf.Configuration): WriteSupport.WriteContext = {
       org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
@@ -242,7 +245,7 @@ object GeoParquet {
       val c = g.getString("collection", 0)
       if (coll == null) coll = c else if (coll != c) mixed = true
       val idn = g.getLong("id_num", 0)
-      if (idn < prevId) sortedById = false
+      if (idn <= prevId && prevId != Long.MinValue) sortedById = false
       prevId = idn
       if (g.getFieldRepetitionCount("datetime") > 0) {
         val v = g.getLong("datetime", 0)

@@ -303,32 +303,52 @@ private class GeoCatalogScanBuilder(path: String, bboxOpt: Option[String])
     required = requiredSchema
 
   private var limit: Int = Int.MaxValue
-  private var topNLimit: Option[Int] = None
+  private var topNLimit: Option[(Int, Seq[GeoCatalogScan.TopNKey])] = None
   // file-granular: each surviving file still reads whole, Spark applies
   // the exact limit above — but readers stop emitting at the bound, so a
   // catalog peek (`LIMIT 5`) opens one file and decodes 5 rows
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed(): Boolean = true
 
-  /** ORDER BY id_num ASC LIMIT k: catalog files are WRITTEN sorted by
-    * id_num (detected and advertised in the `graft` sidecar), so each
-    * sorted file's first k matching rows ARE its top-k — readers
-    * early-stop there and Spark's TakeOrderedAndProject merges the
-    * per-file heads. Partial push: unsorted files return all matches
-    * (a superset is always safe under the global top-k above).
+  /** ORDER BY <keys> LIMIT k — pushable for ANY order over plain
+    * top-level scalar columns (r12; A92 pushed only `id_num ASC`):
+    *
+    *  - leading key `id_num ASC` on a file advertised STRICTLY sorted:
+    *    its first k matching rows are its top-k under any compound order
+    *    (strictness ⇒ id_num unique per file ⇒ tiebreakers never fire)
+    *    — readers EARLY-STOP the decode (A92's path, now compound-safe);
+    *  - leading key `id_num DESC` on a sorted file: the LAST k matching
+    *    rows — readers keep a k-row tail ring while streaming (decode is
+    *    O(file), emission O(k));
+    *  - anything else (the A71 `value DESC, id ASC` page shape): readers
+    *    keep a k-row bounded selection heap under the EXACT pushed
+    *    ordering — per file, only the k best candidate rows reach Spark,
+    *    and TakeOrderedAndProject merges the per-file heads. At catalog
+    *    scale this bounds rows-to-Spark at k·files instead of the whole
+    *    catalog; a superset per file is always safe under partial push.
     */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
-    import org.apache.spark.sql.connector.expressions.SortDirection
-    val ok = orders.length == 1 && (orders(0).expression() match {
-      case n: NamedReference =>
-        n.fieldNames.toSeq == Seq("id_num") &&
-          orders(0).direction() == SortDirection.ASCENDING
-      case _ => false
-    })
-    if (ok) topNLimit = Some(l)
-    ok
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case n: NamedReference if n.fieldNames.length == 1 =>
+          GeoCatalogSource.schema.fields.find(_.name == n.fieldNames()(0))
+            .filter(f => f.dataType match {
+              case _: StructType => false
+              case org.apache.spark.sql.types.BinaryType => false
+              case _ => true
+            })
+            .map(f => GeoCatalogScan.TopNKey(f.name,
+              o.direction() == SortDirection.ASCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) {
+      topNLimit = Some((l, keys.map(_.get))); true
+    } else false
   }
 
   /** Aggregates the FOOTERS can answer exactly, data plane untouched:
@@ -444,7 +464,7 @@ private case class GeoCatalogAggPartition(values: Array[Any])
 private class GeoCatalogScan(path: String, pushed: Array[Filter],
                              required: StructType, limit: Int = Int.MaxValue,
                              rowPreds: Array[GeoCatalogScan.IdNumPred] = Array.empty,
-                             topN: Option[Int] = None)
+                             topN: Option[(Int, Seq[GeoCatalogScan.TopNKey])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -505,7 +525,9 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
       s"pushed [${pushed.mkString(", ")}]" +
       (if (rowPreds.nonEmpty) s", consumed [${rowPreds.mkString(", ")}]" else "") +
       (if (limit != Int.MaxValue) s", limit $limit" else "") +
-      topN.map(k => s", topN id_num ASC $k").getOrElse("")
+      topN.map { case (k, keys) =>
+        s", topN ${keys.map(_.render).mkString(", ")} $k"
+      }.getOrElse("")
 
   // Spark's native file-source split coalescing, applied to whole files
   // (catalog files are small by construction — streaming batches and
@@ -627,6 +649,14 @@ private object GeoCatalogOffset {
 
 private object GeoCatalogScan {
   import GeoParquet.GeoFooter
+
+  /** One pushed TopN ordering key: column name, polarity, null placement
+    * (Spark's SortOrder rendered storage-side).
+    */
+  final case class TopNKey(name: String, asc: Boolean, nullsFirst: Boolean)
+      extends Serializable {
+    def render: String = s"$name ${if (asc) "ASC" else "DESC"}"
+  }
 
   /** A consumed row predicate over id_num — the readers are its ONLY
     * evaluator (no residual Filter), which is what lets a Sort push past
@@ -755,41 +785,140 @@ private case class GeoCatalogPartition(files: Seq[(String, Boolean)])
 private class GeoCatalogReaderFactory(required: StructType,
     limit: Int = Int.MaxValue,
     preds: Array[GeoCatalogScan.IdNumPred] = Array.empty,
-    topN: Option[Int] = None)
+    topN: Option[(Int, Seq[GeoCatalogScan.TopNKey])] = None)
     extends PartitionReaderFactory {
+
+  /** Ordering-key field positions in the scan output; None when a key
+    * column is not in the projection (cannot happen for a Spark-pushed
+    * TopN — the global merge above needs the keys — but an unresolvable
+    * push degrades to emit-all, never to a wrong answer).
+    */
+  private def keyIdx: Option[Seq[(Int, GeoCatalogScan.TopNKey)]] =
+    topN.flatMap { case (_, keys) =>
+      val idx = keys.map(k => required.fieldNames.indexOf(k.name) -> k)
+      if (idx.forall(_._1 >= 0)) Some(idx) else None
+    }
+
+  /** The EXACT pushed ordering over output rows (typed per field; null
+    * placement per key) — what the per-file selection heap ranks by.
+    */
+  private def comparatorOf(
+      idx: Seq[(Int, GeoCatalogScan.TopNKey)]): java.util.Comparator[InternalRow] =
+    new java.util.Comparator[InternalRow] with Serializable {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        var j = 0
+        while (j < idx.length) {
+          val (i, k) = idx(j)
+          val an = a.isNullAt(i); val bn = b.isNullAt(i)
+          val c =
+            if (an && bn) 0
+            else if (an) { if (k.nullsFirst) -1 else 1 }
+            else if (bn) { if (k.nullsFirst) 1 else -1 }
+            else {
+              val raw = required.fields(i).dataType match {
+                case StringType => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+                case LongType | TimestampNTZType =>
+                  java.lang.Long.compare(a.getLong(i), b.getLong(i))
+                case DoubleType =>
+                  java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+                case other => throw new IllegalStateException(
+                  s"unorderable TopN key type $other")
+              }
+              if (k.asc) raw else -raw
+            }
+          if (c != 0) return c
+          j += 1
+        }
+        0
+      }
+    }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GeoCatalogPartition]
-    // a TopN bound may early-stop ONLY a file advertised sorted by the
-    // order key (first k matches = its true top-k); an unsorted file
-    // returns every match — a superset is always safe under the global
-    // TakeOrdered above a partial push. The bound applies PER FILE:
-    // files in a pack are independent sorted runs, so each contributes
-    // its own first-k candidates to the TakeOrdered merge above.
-    def stopOf(sorted: Boolean) =
-      if (sorted) math.min(limit, topN.getOrElse(Int.MaxValue)) else limit
     // per-TASK Configuration copy: the copy constructor clones props
     // without the 13 ms default-XML parse, and a task-private instance
     // keeps 32 concurrent readers off the shared instance's
     // synchronized getProps
     val conf = new Configuration(GeoCatalogReader.conf)
-    val readers = part.files.iterator.map { case (f, sorted) =>
-      () => new GeoCatalogReader(f, required, stopOf(sorted), preds, conf)
-    }
-    new PartitionReader[InternalRow] {
-      private var cur: GeoCatalogReader = _
-      override def next(): Boolean = {
-        while (true) {
-          if (cur == null) {
-            if (!readers.hasNext) return false
-            cur = readers.next()()
+    val idxOpt = keyIdx
+
+    // Candidate rows of ONE file under the pushed bounds. The bound
+    // applies PER FILE: files in a pack are independent runs, each
+    // contributes its own k candidates to the TakeOrdered merge above.
+    val liveReaders = new java.util.ArrayList[GeoCatalogReader]()
+    def fileRows(f: String, sorted: Boolean): Iterator[InternalRow] = {
+      def streaming(stop: Int): Iterator[InternalRow] = {
+        val r = new GeoCatalogReader(f, required, stop, preds, conf)
+        liveReaders.add(r)
+        new Iterator[InternalRow] {
+          private var done = false
+          private var ready = false
+          override def hasNext: Boolean = {
+            if (done) return false
+            if (!ready) {
+              ready = r.next()
+              if (!ready) { r.close(); liveReaders.remove(r); done = true }
+            }
+            ready
           }
-          if (cur.next()) return true
-          cur.close(); cur = null
+          override def next(): InternalRow = { ready = false; r.get() }
         }
-        false
       }
-      override def get(): InternalRow = cur.get()
-      override def close(): Unit = if (cur != null) cur.close()
+      (topN, idxOpt) match {
+        case (Some((k, keys)), Some(idx)) =>
+          val stop = math.min(limit, k)
+          if (sorted && keys.head.name == "id_num" && keys.head.asc)
+            // strictly id_num-sorted file, leading ASC key: first k
+            // matches ARE its top-k (strictness ⇒ unique ⇒ compound
+            // tiebreakers never fire) — EARLY-STOP the decode
+            streaming(stop)
+          else if (sorted && keys.head.name == "id_num" && !keys.head.asc) {
+            // leading DESC key on a sorted file: the LAST k matches —
+            // tail ring while streaming (decode O(file), emission O(k))
+            val ring = new java.util.ArrayDeque[InternalRow](stop + 1)
+            streaming(limit).foreach { row =>
+              ring.addLast(row.copy())
+              if (ring.size > stop) ring.removeFirst()
+            }
+            GeoCatalogMetrics.topNEmitted.addAndGet(ring.size.toLong)
+            scala.jdk.CollectionConverters.IteratorHasAsScala(ring.iterator).asScala
+          } else {
+            // general order (the A71 value DESC, id ASC shape): bounded
+            // selection heap under the EXACT pushed ordering — only the
+            // k best candidate rows of this file reach Spark
+            val cmp = comparatorOf(idx)
+            val worstFirst = new java.util.PriorityQueue[InternalRow](
+              stop + 1, cmp.reversed())
+            streaming(limit).foreach { row =>
+              worstFirst.offer(row.copy())
+              if (worstFirst.size > stop) worstFirst.poll()
+            }
+            GeoCatalogMetrics.topNEmitted.addAndGet(worstFirst.size.toLong)
+            scala.jdk.CollectionConverters.IteratorHasAsScala(
+              worstFirst.iterator).asScala
+          }
+        case _ =>
+          // LIMIT-only (or unresolvable keys): sorted and unsorted files
+          // alike stop emitting at the limit bound
+          streaming(limit)
+      }
+    }
+
+    val rows = part.files.iterator.flatMap { case (f, sorted) => fileRows(f, sorted) }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!rows.hasNext) return false
+        cur = rows.next(); true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = {
+        // a consumer stopping mid-stream leaves the current streaming
+        // reader open — close whatever is still live
+        scala.jdk.CollectionConverters.ListHasAsScala(liveReaders).asScala
+          .foreach(r => try r.close() catch { case _: Exception => () })
+        liveReaders.clear()
+      }
     }
   }
 }
@@ -814,6 +943,11 @@ private object GeoCatalogReader {
   */
 private[graft] object GeoCatalogMetrics {
   val opens = new java.util.concurrent.atomic.AtomicLong()
+  /** Rows emitted by the buffered TopN selection paths (tail ring /
+    * selection heap) — the spec proves the k·files emission bound by
+    * counting, not by trusting plan text.
+    */
+  val topNEmitted = new java.util.concurrent.atomic.AtomicLong()
 }
 
 private class GeoCatalogReader(file: String, required: StructType,

@@ -150,12 +150,53 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
         .select(col("id_num"))
     assert(deep(viaCatalog).collect().map(_.getLong(0)).toSeq ==
       deep(viaParquet).collect().map(_.getLong(0)).toSeq)
-    // a DESC order is refused (files advertise ASC): plan falls back to
-    // a real sort, answers still exact
+    // a DESC order now pushes too (r12): sorted files serve their TAIL k
     def desc1(df: DataFrame): DataFrame =
       df.orderBy(col("id_num").desc).limit(3).select(col("id_num"))
+    val dplan = desc1(viaCatalog).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(dplan.contains("topN id_num DESC 3"), dplan)
     assert(desc1(viaCatalog).collect().map(_.getLong(0)).toSeq ==
       desc1(viaParquet).collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("general TopN pushes (r12): the A71 (value DESC, id ASC) page shape " +
+      "runs sort-free with per-file k-bounded emission, answers exact") {
+    def page(df: DataFrame): DataFrame =
+      df.orderBy(col("value").desc, col("id")).limit(7)
+        .select(col("id"), col("value"), col("collection"))
+    val df = page(viaCatalog)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("+- Sort "), physical)
+    assert(physical.contains("TakeOrderedAndProject"), physical)
+    val desc = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(desc.contains("topN value DESC, id ASC 7"), desc)
+    // per-file emission is bounded at k: the buffered selection paths
+    // hand Spark at most k rows per file (counted, not inferred)
+    graft.sources.GeoCatalogMetrics.topNEmitted.set(0L)
+    val got = df.collect().map(_.toString).toSeq
+    val emitted = graft.sources.GeoCatalogMetrics.topNEmitted.get()
+    val nFiles = new java.io.File(cat).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(emitted > 0 && emitted <= 7L * nFiles, s"emitted=$emitted files=$nFiles")
+    assert(got == page(viaParquet).collect().map(_.toString).toSeq && got.size == 7)
+    // compound order with leading id_num ASC early-stops (strict sort
+    // advertisement proves uniqueness, tiebreakers never fire)
+    def compound(df: DataFrame): DataFrame =
+      df.orderBy(col("id_num"), col("value").desc).limit(4)
+        .select(col("id_num"), col("value"))
+    val cplan = compound(viaCatalog).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(cplan.contains("topN id_num ASC, value DESC 4"), cplan)
+    assert(compound(viaCatalog).collect().map(_.toString).toSeq ==
+      compound(viaParquet).collect().map(_.toString).toSeq)
+    // a DESC order under a consumed keyset filter stays exact
+    def kd(df: DataFrame): DataFrame =
+      df.where(col("id_num") > 100L)
+        .orderBy(col("value").desc, col("id_num")).limit(5)
+        .select(col("id_num"), col("value"))
+    assert(kd(viaCatalog).collect().map(_.toString).toSeq ==
+      kd(viaParquet).collect().map(_.toString).toSeq)
   }
 
   test("streaming read: files landed by the streaming ingest surface as " +
