@@ -255,7 +255,14 @@ object StacApi {
     * contract). Result rows are bounded by |collections| + |months| + 1.
     */
   def aggregate(spark: SparkSession, dir: String, p: SearchParams,
-                names: Seq[String]): Seq[Aggregation] = {
+                names: Seq[String]): Seq[Aggregation] =
+    aggregateOn(Tables.items(spark, dir), p, names)
+
+  /** [[aggregate]] over an explicit items frame (r12 — the transaction
+    * overlay's serving path).
+    */
+  def aggregateOn(items: DataFrame, p: SearchParams,
+                  names: Seq[String]): Seq[Aggregation] = {
     val supported = supportedAggregations.map(_._1).toSet
     val bad = names.filterNot(supported.contains)
     if (bad.nonEmpty)
@@ -264,7 +271,7 @@ object StacApi {
           s"(supported: ${supportedAggregations.map(_._1).mkString(", ")})")
     if (names.isEmpty)
       throw new IllegalArgumentException("aggregations must name at least one aggregation")
-    val base = plan(Tables.items(spark, dir), p)
+    val base = plan(items, p)
       .select(col("collection"),
         coalesce(date_format(date_trunc("month",
           coalesce(col("datetime"), col("start_datetime"))), "yyyy-MM"),
@@ -363,8 +370,15 @@ object StacApi {
   private val ksSep = "\u0001"
 
   /** Execute a search: page of items + numMatched + continuation token. */
-  def search(spark: SparkSession, dir: String, p: SearchParams): SearchResult = {
-    val filtered = plan(Tables.items(spark, dir), p)
+  def search(spark: SparkSession, dir: String, p: SearchParams): SearchResult =
+    searchOn(Tables.items(spark, dir), p)
+
+  /** [[search]] over an EXPLICIT items frame — what lets an HTTP server
+    * with a transaction overlay (r12) serve its merged view through the
+    * same plan/sort/page machinery.
+    */
+  def searchOn(items: DataFrame, p: SearchParams): SearchResult = {
+    val filtered = plan(items, p)
     val sorts = sortCols(filtered, p)
     val sorted = applyFields(filtered, p, sorts).orderBy(orderCols(sorts): _*)
     val numMatched = if (p.withCount) filtered.count() else -1L
@@ -379,8 +393,15 @@ object StacApi {
     * never a driver loop over the page.
     */
   def searchFeatures(spark: SparkSession, dir: String,
-                     p: SearchParams): (Array[String], Long, Option[String]) = {
-    val filtered = plan(Tables.items(spark, dir), p)
+                     p: SearchParams): (Array[String], Long, Option[String]) =
+    searchFeaturesOn(Tables.items(spark, dir), p)
+
+  /** [[searchFeatures]] over an explicit items frame (r12 — the
+    * transaction overlay's serving path).
+    */
+  def searchFeaturesOn(items: DataFrame,
+                       p: SearchParams): (Array[String], Long, Option[String]) = {
+    val filtered = plan(items, p)
     val sorts = sortCols(filtered, p)
     val sorted = StacSearch.featureFrameOn(filtered)
       .orderBy(orderCols(sorts): _*)

@@ -67,7 +67,11 @@ object StacHttp {
   private val mapper = new ObjectMapper()
 
   final class Server private[StacHttp] (val http: HttpServer,
-      pool: java.util.concurrent.ExecutorService) {
+      pool: java.util.concurrent.ExecutorService,
+      /** The transaction overlay (r12): HTTP writes land here; every
+        * read route serves the merged view.
+        */
+      val store: TxnStore) {
     def port: Int = http.getAddress.getPort
     def base: String = s"http://localhost:$port"
     // shut the pool down too — its threads are non-daemon, so a stop()
@@ -80,23 +84,27 @@ object StacHttp {
     */
   def start(spark: SparkSession, dir: String, port: Int = 0): Server = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/", (ex: HttpExchange) => handle(spark, dir, ex))
+    val store = new TxnStore(spark, dir)
+    server.createContext("/", (ex: HttpExchange) => handle(spark, dir, store, ex))
     // a small pool: handlers run Spark actions, which parallelize
     // internally — the pool only bounds concurrent REQUESTS
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     server.setExecutor(pool)
     server.start()
-    new Server(server, pool)
+    new Server(server, pool, store)
   }
 
   // ------------------------------------------------------- dispatch
-  private def handle(spark: SparkSession, dir: String, ex: HttpExchange): Unit =
+  private def handle(spark: SparkSession, dir: String, store: TxnStore,
+                     ex: HttpExchange): Unit =
     try {
       val path = ex.getRequestURI.getPath.stripSuffix("/") match {
         case "" => "/"
         case p  => p
       }
       val q = queryParams(ex)
+      def itemsFrame = store.itemsView()
+      def body(): String = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       (ex.getRequestMethod, path.split("/").toList.drop(1)) match {
         case ("GET", Nil) | ("GET", List("")) => json(ex, 200, landing())
         case ("GET", List("conformance")) =>
@@ -104,77 +112,110 @@ object StacHttp {
           conformsTo.foreach(o.withArray[ArrayNode]("conformsTo").add)
           json(ex, 200, o)
         case ("GET", List("search")) =>
-          json(ex, 200, featureCollection(spark, dir, paramsFromQuery(q), q,
+          json(ex, 200, featureCollection(itemsFrame, paramsFromQuery(q), q,
             "/search"))
         case ("POST", List("search")) =>
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-          val p = SearchParams.fromSearchBody(body)
-          json(ex, 200, featureCollection(spark, dir, p, Map.empty,
+          val p = SearchParams.fromSearchBody(body())
+          json(ex, 200, featureCollection(itemsFrame, p, Map.empty,
             "/search", post = true))
         case ("GET", List("collections")) =>
-          json(ex, 200, collectionsPage(spark, dir, q))
+          json(ex, 200, collectionsPage(spark, dir, store, q))
         case ("GET", List("collections", c)) =>
-          collectionNode(spark, dir, c) match {
+          collectionNode(spark, dir, store, c) match {
             case Some(n) => json(ex, 200, n)
             case None    => notFound(ex, s"Collection $c does not exist")
           }
         case ("GET", List("collections", c, "items")) =>
-          if (collectionNode(spark, dir, c).isEmpty)
+          if (collectionNode(spark, dir, store, c).isEmpty)
             notFound(ex, s"Collection $c does not exist")
           else
-            json(ex, 200, featureCollection(spark, dir,
+            json(ex, 200, featureCollection(itemsFrame,
               paramsFromQuery(q).copy(collections = Seq(c)), q,
               s"/collections/$c/items"))
         case ("GET", List("collections", c, "items", itemId)) =>
-          val (feats, _, _) = StacApi.searchFeatures(spark, dir,
+          val (feats, _, _) = StacApi.searchFeaturesOn(itemsFrame,
             SearchParams(collections = Seq(c), ids = Seq(itemId), limit = 1,
               withCount = false))
           if (feats.isEmpty) notFound(ex, s"Item $itemId does not exist")
           else json(ex, 200,
             mapper.readTree(feats.head).asInstanceOf[ObjectNode])
+
+        // ------------- transactions (r12): the reference's declared-but-
+        // stubbed surface (database_logic.py:1049-1187), mounted for real
+        case ("POST", List("collections", c, "items")) =>
+          if (collectionNode(spark, dir, store, c).isEmpty)
+            notFound(ex, s"Collection $c does not exist")
+          else {
+            val f = store.createItem(c, body())
+            json(ex, 201, store.renderFeature(f))
+          }
+        case ("PUT", List("collections", c, "items", itemId)) =>
+          json(ex, 200, store.renderFeature(store.updateItem(c, itemId, body())))
+        case ("PATCH", List("collections", c, "items", itemId)) =>
+          json(ex, 200, store.renderFeature(store.patchItem(c, itemId, body())))
+        case ("DELETE", List("collections", c, "items", itemId)) =>
+          store.deleteItem(c, itemId)
+          noContent(ex)
+        case ("POST", List("collections")) =>
+          val id = store.createCollection(body(),
+            cid => baseCollectionExists(spark, dir, cid))
+          collectionNode(spark, dir, store, id) match {
+            case Some(n) => json(ex, 201, n)
+            case None    => json(ex, 201, mapper.createObjectNode().put("id", id))
+          }
+        case ("PUT", List("collections", c)) =>
+          store.updateCollection(c, body(),
+            cid => baseCollectionExists(spark, dir, cid))
+          json(ex, 200, collectionNode(spark, dir, store, c).get)
+        case ("DELETE", List("collections", c)) =>
+          store.deleteCollection(c,
+            cid => baseCollectionExists(spark, dir, cid))
+          noContent(ex)
         case ("GET", List("sortables")) =>
-          raw(ex, 200, StacSearch.sortables(graft.core.Tables.items(spark, dir)))
+          raw(ex, 200, StacSearch.sortables(itemsFrame))
         case ("GET", List("collections", c, "sortables")) =>
-          if (collectionNode(spark, dir, c).isEmpty)
+          if (collectionNode(spark, dir, store, c).isEmpty)
             notFound(ex, s"Collection $c does not exist")
           else raw(ex, 200, StacSearch.sortables(
-            graft.core.Tables.items(spark, dir)
+            itemsFrame
               .where(org.apache.spark.sql.functions.col("collection") === c)))
         case ("GET", List("aggregations")) =>
           json(ex, 200, aggregationsDoc())
         case ("GET", List("collections", c, "aggregations")) =>
-          if (collectionNode(spark, dir, c).isEmpty)
+          if (collectionNode(spark, dir, store, c).isEmpty)
             notFound(ex, s"Collection $c does not exist")
           else json(ex, 200, aggregationsDoc())
         case ("GET", List("aggregate")) =>
-          json(ex, 200, aggregateNode(spark, dir, paramsFromQuery(q),
+          json(ex, 200, aggregateNode(itemsFrame, paramsFromQuery(q),
             csv(q.getOrElse("aggregations", ""))))
         case ("POST", List("aggregate")) =>
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-          val names = Option(mapper.readTree(body).get("aggregations"))
+          val b = body()
+          val names = Option(mapper.readTree(b).get("aggregations"))
             .map { n =>
               import scala.jdk.CollectionConverters._
               n.elements().asScala.map(_.asText).toSeq
             }.getOrElse(Nil)
-          json(ex, 200, aggregateNode(spark, dir,
-            SearchParams.fromSearchBody(body), names))
+          json(ex, 200, aggregateNode(itemsFrame,
+            SearchParams.fromSearchBody(b), names))
         case ("GET", List("collections", c, "aggregate")) =>
-          if (collectionNode(spark, dir, c).isEmpty)
+          if (collectionNode(spark, dir, store, c).isEmpty)
             notFound(ex, s"Collection $c does not exist")
-          else json(ex, 200, aggregateNode(spark, dir,
+          else json(ex, 200, aggregateNode(itemsFrame,
             paramsFromQuery(q).copy(collections = Seq(c)),
             csv(q.getOrElse("aggregations", ""))))
         case ("GET", List("queryables")) =>
-          raw(ex, 200, StacSearch.queryables(graft.core.Tables.items(spark, dir)))
+          raw(ex, 200, StacSearch.queryables(itemsFrame))
         case ("GET", List("collections", c, "queryables")) =>
-          if (collectionNode(spark, dir, c).isEmpty)
+          if (collectionNode(spark, dir, store, c).isEmpty)
             notFound(ex, s"Collection $c does not exist")
           else raw(ex, 200, StacSearch.queryables(
-            graft.core.Tables.items(spark, dir)
+            itemsFrame
               .where(org.apache.spark.sql.functions.col("collection") === c)))
         case _ => notFound(ex, s"Not Found: $path")
       }
     } catch {
+      case e: TxnConflict => error(ex, 409, "ConflictError", e.getMessage)
+      case e: TxnMissing => error(ex, 404, "NotFoundError", e.getMessage)
       case e: IllegalArgumentException => error(ex, 400, "BadRequest", e.getMessage)
       case e: Exception => error(ex, 500, "InternalServerError", String.valueOf(e))
     } finally ex.close()
@@ -276,12 +317,12 @@ object StacHttp {
     * spec's method/body+merge form (`{"token": t}` merged into the
     * original body client-side).
     */
-  private def featureCollection(spark: SparkSession, dir: String,
+  private def featureCollection(items: org.apache.spark.sql.DataFrame,
                                 p: SearchParams,
                                 q: Map[String, String],
                                 selfPath: String,
                                 post: Boolean = false): ObjectNode = {
-    val (feats, matched, next) = StacApi.searchFeatures(spark, dir, p)
+    val (feats, matched, next) = StacApi.searchFeaturesOn(items, p)
     val o = mapper.createObjectNode()
     o.put("type", "FeatureCollection")
     val fa = o.withArray[ArrayNode]("features")
@@ -328,9 +369,9 @@ object StacHttp {
     * grouping-sets pass over the search) rendered per the extension —
     * a thin codec, never a second query engine.
     */
-  private def aggregateNode(spark: SparkSession, dir: String,
+  private def aggregateNode(items: org.apache.spark.sql.DataFrame,
                             p: SearchParams, names: Seq[String]): ObjectNode = {
-    val results = StacApi.aggregate(spark, dir, p, names)
+    val results = StacApi.aggregateOn(items, p, names)
     val o = mapper.createObjectNode()
     val arr = o.withArray[ArrayNode]("aggregations")
     results.foreach { a =>
@@ -355,27 +396,69 @@ object StacHttp {
   }
 
   private def collectionsPage(spark: SparkSession, dir: String,
+                              store: TxnStore,
                               q: Map[String, String]): ObjectNode = {
     val limit = clampLimit(q.get("limit").map(_.toInt).getOrElse(10))
-    val (rows, next) = StacApi.collectionsPage(spark, dir, q.get("token"), limit)
     val o = mapper.createObjectNode()
     val ca = o.withArray[ArrayNode]("collections")
-    rows.foreach(r => ca.add(collectionJson(r)))
-    val links = o.withArray[ArrayNode]("links")
-    next.foreach { t =>
-      val l = links.addObject()
-      l.put("rel", "next"); l.put("type", "application/json")
-      l.put("href", s"/collections?token=${java.net.URLEncoder.encode(t, UTF_8)}")
-      l.put("token", t)
+    if (!store.hasCollectionChanges) {
+      // base-only: the keyset-paged directory, unchanged
+      val (rows, next) = StacApi.collectionsPage(spark, dir, q.get("token"), limit)
+      rows.foreach(r => ca.add(collectionJson(r)))
+      val links = o.withArray[ArrayNode]("links")
+      next.foreach { t =>
+        val l = links.addObject()
+        l.put("rel", "next"); l.put("type", "application/json")
+        l.put("href", s"/collections?token=${java.net.URLEncoder.encode(t, UTF_8)}")
+        l.put("token", t)
+      }
+    } else {
+      // overlay mode: the directory is inherently small (it IS the
+      // catalog's collection roster) — serve the merged roster in id
+      // order on one page
+      val base = StacApi.collections(spark, dir).collect()
+        .filterNot { r =>
+          val id = r.getString(r.fieldIndex("collection"))
+          store.collectionDeleted(id) || store.createdCollection(id).isDefined
+        }.map(r => r.getString(r.fieldIndex("collection")) -> collectionJson(r))
+      val created = store.createdCollections.map { case (id, doc) =>
+        id -> createdCollectionJson(id, doc)
+      }
+      (base ++ created).sortBy(_._1).foreach { case (_, n) => ca.add(n) }
+      o.withArray[ArrayNode]("links")
     }
     o
   }
 
-  private def collectionNode(spark: SparkSession, dir: String,
-                             c: String): Option[ObjectNode] = {
+  private def baseCollectionExists(spark: SparkSession, dir: String,
+                                   c: String): Boolean = {
     import org.apache.spark.sql.functions.col
     StacApi.collections(spark, dir).where(col("collection") === c)
-      .collect().headOption.map(collectionJson)
+      .limit(1).collect().nonEmpty
+  }
+
+  /** A posted collection document, served back with the engine's
+    * framing: id/type/stac_version pinned, the posted metadata kept.
+    */
+  private def createdCollectionJson(id: String, doc: String): ObjectNode = {
+    val o = mapper.readTree(doc).asInstanceOf[ObjectNode]
+    o.put("type", "Collection")
+    o.put("stac_version", "1.0.0")
+    o.put("id", id)
+    if (!o.has("links")) o.withArray[ArrayNode]("links")
+    o
+  }
+
+  private def collectionNode(spark: SparkSession, dir: String,
+                             store: TxnStore, c: String): Option[ObjectNode] = {
+    import org.apache.spark.sql.functions.col
+    if (store.collectionDeleted(c)) None
+    else store.createdCollection(c) match {
+      case Some(doc) => Some(createdCollectionJson(c, doc))
+      case None =>
+        StacApi.collections(spark, dir).where(col("collection") === c)
+          .collect().headOption.map(collectionJson)
+    }
   }
 
   /** A26's derived directory row → STAC Collection JSON: static metadata
@@ -478,6 +561,9 @@ object StacHttp {
 
   private def notFound(ex: HttpExchange, msg: String): Unit =
     error(ex, 404, "NotFoundError", msg)
+
+  private def noContent(ex: HttpExchange): Unit =
+    ex.sendResponseHeaders(204, -1)
 
   private def error(ex: HttpExchange, code: Int, kind: String, msg: String): Unit = {
     val o = mapper.createObjectNode()

@@ -45,6 +45,20 @@ class StacHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     (r.statusCode(), mapper.readTree(r.body()))
   }
 
+  private def send(base: String, method: String, path: String,
+                   body: Option[String]): (Int, JsonNode) = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", "application/json")
+    val req = body match {
+      case Some(s0) => b.method(method, HttpRequest.BodyPublishers.ofString(s0))
+      case None     => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }
+    val r = client.send(req.build(), HttpResponse.BodyHandlers.ofString())
+    val node = if (r.body() == null || r.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(r.body())
+    (r.statusCode(), node)
+  }
+
   test("landing page: catalog doc with conformsTo and the route links") {
     val (code, doc) = get("/")
     assert(code == 200)
@@ -315,5 +329,130 @@ class StacHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code2 == 400)
     val (code3, _) = get("/no/such/route")
     assert(code3 == 404)
+  }
+
+  test("transactions (r12): create → search → patch → delete over real " +
+      "sockets, with the reference's 404/409 contracts") {
+    // a dedicated server: transactions mutate its overlay, and the other
+    // tests assert base-corpus answers
+    val srv = StacHttp.start(s, sf)
+    try {
+      val b = srv.base
+      def g(path: String) = send(b, "GET", path, None)
+      def feature(id: String, v: Double): String =
+        s"""{"type":"Feature","id":"$id","geometry":
+           |{"type":"Point","coordinates":[12.5,43.25]},
+           |"properties":{"datetime":"2024-02-03T04:05:06","value":$v,
+           |"user_id":7,"mission":"alpha"}}""".stripMargin.replace("\n", "")
+
+      // item create needs an existing collection → 404 on an unknown one
+      val (nf, _) = send(b, "POST", "/collections/nope/items",
+        Some(feature("tx-1", 1.5)))
+      assert(nf == 404)
+
+      // create in a real collection → 201, document echoes the fields
+      val (c1, f1) = send(b, "POST", "/collections/click/items",
+        Some(feature("tx-1", 1.5)))
+      assert(c1 == 201, f1)
+      assert(f1.get("id").asText == "tx-1" &&
+        f1.at("/properties/value").asDouble == 1.5 &&
+        f1.at("/properties/mission").asText == "alpha")
+
+      // duplicate create → 409 Conflict (the reference's create_item)
+      val (dup, derr) = send(b, "POST", "/collections/click/items",
+        Some(feature("tx-1", 9.9)))
+      assert(dup == 409 && derr.get("code").asText == "ConflictError")
+
+      // the created item is SEARCHABLE immediately (ids filter + lookup)
+      val (sc, sr) = g("/search?ids=tx-1&collections=click")
+      assert(sc == 200 && sr.get("numberReturned").asInt == 1, sr)
+      assert(sr.at("/features/0/properties/value").asDouble == 1.5)
+      val (lc, lf) = g("/collections/click/items/tx-1")
+      assert(lc == 200 && lf.get("id").asText == "tx-1")
+
+      // PUT replaces the document; PATCH is RFC 7386 merge (null removes)
+      val (uc, uf) = send(b, "PUT", "/collections/click/items/tx-1",
+        Some(feature("ignored-id-in-body", 2.5)))
+      assert(uc == 200 && uf.at("/properties/value").asDouble == 2.5)
+      val (pc, pf) = send(b, "PATCH", "/collections/click/items/tx-1",
+        Some("""{"properties":{"value":3.5,"mission":null,"quality":"good"}}"""))
+      assert(pc == 200, pf)
+      assert(pf.at("/properties/value").asDouble == 3.5 &&
+        pf.at("/properties/quality").asText == "good" &&
+        pf.at("/properties/mission").isMissingNode, pf)
+      val (_, sr2) = g("/search?ids=tx-1&collections=click")
+      assert(sr2.at("/features/0/properties/value").asDouble == 3.5)
+
+      // PUT/PATCH/DELETE on a missing item → 404
+      assert(send(b, "PUT", "/collections/click/items/ghost",
+        Some(feature("ghost", 1.0)))._1 == 404)
+      assert(send(b, "PATCH", "/collections/click/items/ghost",
+        Some("""{"properties":{"value":1}}"""))._1 == 404)
+      assert(send(b, "DELETE", "/collections/click/items/ghost", None)._1 == 404)
+
+      // delete → 204; gone from lookup and search; double-delete → 404
+      assert(send(b, "DELETE", "/collections/click/items/tx-1", None)._1 == 204)
+      assert(g("/collections/click/items/tx-1")._1 == 404)
+      assert(g("/search?ids=tx-1")._2.get("numberReturned").asInt == 0)
+      assert(send(b, "DELETE", "/collections/click/items/tx-1", None)._1 == 404)
+
+      // a BASE item can be updated and deleted too (overlay over base)
+      val (bc, bf) = g("/collections/view/items")
+      assert(bc == 200)
+      val baseId = bf.at("/features/0/id").asText
+      val (bp, bpf) = send(b, "PATCH", s"/collections/view/items/$baseId",
+        Some("""{"properties":{"value":123.25}}"""))
+      assert(bp == 200 && bpf.at("/properties/value").asDouble == 123.25, bpf)
+      assert(send(b, "DELETE", s"/collections/view/items/$baseId", None)._1 == 204)
+      assert(g(s"/collections/view/items/$baseId")._1 == 404)
+
+      // ---- collection transactions (A67 over the same contracts)
+      val collDoc =
+        """{"id":"campaign-x","title":"Campaign X","license":"CC-BY-4.0",
+          |"description":"created over HTTP"}""".stripMargin.replace("\n", "")
+      val (cc, cn) = send(b, "POST", "/collections", Some(collDoc))
+      assert(cc == 201 && cn.get("id").asText == "campaign-x", cn)
+      assert(send(b, "POST", "/collections", Some(collDoc))._1 == 409)
+      // create a collection that exists in the BASE directory → 409
+      assert(send(b, "POST", "/collections",
+        Some("""{"id":"click","title":"dup"}"""))._1 == 409)
+      // visible in the directory and addressable; items can land in it
+      val (gc2, gn) = g("/collections/campaign-x")
+      assert(gc2 == 200 && gn.get("title").asText == "Campaign X")
+      val (dirC, dirN) = g("/collections?limit=10000")
+      import scala.jdk.CollectionConverters._
+      val ids = dirN.get("collections").elements().asScala.map(_.get("id").asText).toSeq
+      assert(ids.contains("campaign-x") && ids.contains("click"), ids)
+      assert(dirC == 200 && ids == ids.sorted, ids)
+      val (ic, _) = send(b, "POST", "/collections/campaign-x/items",
+        Some(feature("tx-2", 5.0)))
+      assert(ic == 201)
+      assert(g("/search?collections=campaign-x")._2
+        .get("numberReturned").asInt == 1)
+      // update keeps identity, changes metadata
+      val (upc, upn) = send(b, "PUT", "/collections/campaign-x",
+        Some("""{"id":"campaign-x","title":"Campaign X2"}"""))
+      assert(upc == 200 && upn.get("title").asText == "Campaign X2")
+      assert(send(b, "PUT", "/collections/ghost",
+        Some("""{"id":"ghost"}"""))._1 == 404)
+      // delete removes the collection AND its items (the reference's
+      // delete_collection semantics); 404 afterwards, 404 on re-delete
+      assert(send(b, "DELETE", "/collections/campaign-x", None)._1 == 204)
+      assert(g("/collections/campaign-x")._1 == 404)
+      assert(g("/search?collections=campaign-x")._2
+        .get("numberReturned").asInt == 0)
+      assert(send(b, "DELETE", "/collections/campaign-x", None)._1 == 404)
+      // deleting a BASE collection purges its items from search
+      assert(send(b, "DELETE", "/collections/error", None)._1 == 204)
+      assert(g("/collections/error")._1 == 404)
+      assert(g("/search?collections=error")._2
+        .get("numberReturned").asInt == 0)
+      // bad geometry type is a 400, not a silent lon/lat guess
+      val badGeom =
+        """{"type":"Feature","id":"tx-3","geometry":{"type":"Polygon",
+          |"coordinates":[[[0,0],[1,0],[1,1],[0,0]]]},"properties":{}}"""
+          .stripMargin.replace("\n", "")
+      assert(send(b, "POST", "/collections/click/items", Some(badGeom))._1 == 400)
+    } finally srv.stop()
   }
 }
