@@ -2757,7 +2757,12 @@ object TextAnalysis {
     * Scale shape: ONE map-side-combined aggregate over the corpus
     * (shuffle = |sources|×buckets rows); the pairwise stage joins
     * bucket-to-bucket — S·V rows per side, never an S² array
-    * materialization — and the |sources|-row norm frame broadcasts.
+    * materialization — with the probe side BROADCAST (it is bounded by
+    * construction at |sources|·64 rows — the bucket constant times the
+    * catalog's source count, never corpus-sized; Catalyst's estimate
+    * for a derived aggregate is "unknown = huge", which planned a
+    * sort-merge join over a 640-row frame) and the |sources|-row norm
+    * frame broadcasts likewise.
     * Exactness: counts, squared norms and dots are all integer sums
     * (order-insensitive); float math is confined to the final cosine
     * projection over exact integers (B15's doctrine) where IEEE
@@ -2773,21 +2778,26 @@ object TextAnalysis {
     s"${h64Spark("concat('vb:', w)")} % $c74Buckets"
 
   def c74SourceVocabSim(s: SparkSession, d: String): DataFrame = {
-    val cnts = docs(s, d)
+    val cnts = Tables.documentsRebalanced(s, d) // tokenize off the 1-partition scan
       .select(col("source"), explode(expr(wordsSpark)).as("w"))
       .where(col("w") =!= "")
       .withColumn("b", expr(c74BucketSpark))
       .groupBy(col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val norms = cnts.groupBy(col("source"))
-      .agg(sum(col("c") * col("c")).as("n2"))
     val lhs = cnts.select(col("source").as("s1"), col("b"), col("c").as("c1"))
     val rhs = cnts.select(col("source").as("s2"), col("b"), col("c").as("c2"))
-    lhs.join(rhs, "b").where(col("s1") < col("s2"))
+    // keep the DIAGONAL through the pair aggregation: dot(s, s) IS the
+    // squared norm, so the norms come off the same pair frame instead of
+    // a second corpus aggregation (whose different partial-agg shape
+    // defeated exchange reuse and re-tokenized the whole corpus)
+    val pairs = lhs.join(broadcast(rhs), "b")
+      .where(col("s1") <= col("s2"))
       .groupBy(col("s1"), col("s2"))
       .agg(sum(col("c1") * col("c2")).as("dot"))
-      .join(broadcast(norms.select(col("source").as("s1"), col("n2").as("n2a"))), "s1")
-      .join(broadcast(norms.select(col("source").as("s2"), col("n2").as("n2b"))), "s2")
+    val diag = pairs.where(col("s1") === col("s2"))
+    pairs.where(col("s1") < col("s2"))
+      .join(broadcast(diag.select(col("s1"), col("dot").as("n2a"))), "s1")
+      .join(broadcast(diag.select(col("s1").as("s2"), col("dot").as("n2b"))), "s2")
       .select(col("s1"), col("s2"), col("dot"),
         (col("dot").cast("double") /
           (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))

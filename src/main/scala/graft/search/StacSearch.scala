@@ -1035,7 +1035,9 @@ object StacSearch {
     */
   private val a63Bbox = (-175.0, -20.0, -120.0, 25.0) // compact & populated: real pruning
 
-  private def a63Paths(s: SparkSession, d: String): (String, String) = {
+  // private[graft]: the layout spec audits THESE dirs instead of re-deriving
+  // the key (r11 ADVICE — a drifted re-derivation inspects the wrong dir)
+  private[graft] def a63Paths(s: SparkSession, d: String): (String, String) = {
     val key = graft.core.FixtureGuard.stateKey(d, "events")
     val lp = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_itemszlayout_$key").getAbsolutePath
@@ -1097,7 +1099,7 @@ object StacSearch {
     * NOR interval item was lost to the prune. ItemsLayoutSpec asserts
     * files are actually skipped on the temporal layout.
     */
-  private def a64Paths(s: SparkSession, d: String): (String, String) = {
+  private[graft] def a64Paths(s: SparkSession, d: String): (String, String) = {
     val key = graft.core.FixtureGuard.stateKey(d, "events")
     val lp = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_itemstlayout_$key").getAbsolutePath

@@ -95,10 +95,10 @@ class ItemsLayoutSpec extends AnyFunSuite {
     val a63 = StacSearch.a63CoveringIndex(s, TestSpark.sf)
     val n = a63.count() // forces materialization of both state tables
     assert(n > 0, "a63 gate bbox matched nothing — widen it")
-    // the layout dirs are keyed by the production content fingerprint
-    // (FixtureGuard.stateKey), not a path hash — re-derive it the same way
-    val key = graft.core.FixtureGuard.stateKey(TestSpark.sf, "events")
-    val lp = new java.io.File(sys.props("java.io.tmpdir"), s"graft_itemszlayout_$key")
+    // audit the EXACT dirs production resolved (a63Paths) — re-deriving
+    // the key here would silently inspect the wrong dir if key inputs
+    // or prefixes ever changed (r11 ADVICE)
+    val lp = new java.io.File(StacSearch.a63Paths(s, TestSpark.sf)._1)
     val allFiles = lp.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     val manifest = ItemsLayout.coveringManifest(s, lp.getAbsolutePath)
     assert(manifest.count() == allFiles.size, "manifest must carry exactly one row per data file")
@@ -115,8 +115,7 @@ class ItemsLayoutSpec extends AnyFunSuite {
     val s = TestSpark.spark
     val n = StacSearch.a64ManifestDatetime(s, TestSpark.sf).count()
     assert(n > 0, "a64 datetime window matched nothing")
-    val key = graft.core.FixtureGuard.stateKey(TestSpark.sf, "events")
-    val lp = new java.io.File(sys.props("java.io.tmpdir"), s"graft_itemstlayout_$key")
+    val lp = new java.io.File(StacSearch.a64Paths(s, TestSpark.sf)._1)
     val allFiles = lp.listFiles().filter(_.getName.endsWith(".parquet")).length
     val candidates = StacSearch.a64CandidateFiles(s, TestSpark.sf,
       "2024-01-10 00:00:00", "2024-01-20 00:00:00")

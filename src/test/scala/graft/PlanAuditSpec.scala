@@ -569,6 +569,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Scan parquet"), p)
   }
 
+  test("c74: vocab similarity is ONE corpus pass — the norms come off the " +
+      "pair frame's diagonal (the r12 fix: a separate norm aggregation " +
+      "re-tokenized the corpus), pair join broadcast, no sort-merge") {
+    val p = planNoAqe(graft.ops.TextAnalysis.queries("c74_source_vocab_sim")(s, sf))
+    assert(p.split('\n').count(l =>
+      l.contains("Location") && l.contains("documents.parquet")) == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("c97: source overlap is join-free below the pair domain — one " +
       "shingle exchange (reused by totals), in-row pair expansion, no " +
       "self-join of the presence frame") {
