@@ -29,7 +29,12 @@ object PlanDump {
       "a87_catalog_source" -> "Catalog DataSource V2: plan-time footer file prune, filters pushed",
       "a88_polygon_footprint" -> "True-polygon relations: scan + one codegen'd projection of exact kernels",
       "a89_catalog_coldt_prune" -> "Catalog collection+datetime prune: sidecar constraints from the pushed tree",
-      "c103_classifier_train" -> "NB training: rebalanced corpus pass, one map-side-combined aggregation")
+      "c103_classifier_train" -> "NB training: rebalanced corpus pass, one map-side-combined aggregation",
+      "c16_curation_pipeline" -> "Curation: one scan, min_by exact dedup, survivors' exchange reused (r12)",
+      "c53_coverage_curve" -> "Coverage curve: distributed TakeOrdered head, NO vocab-wide window (r12)",
+      "c97_source_overlap" -> "Source overlap: one shingle exchange, in-row pair expansion, no self-join (r12)",
+      "c74_source_vocab_sim" -> "Vocab similarity: one corpus pass, norms off the pair diagonal (r12)",
+      "a95_line_footprint" -> "Non-areal stored WKB relations: scan + one codegen'd kernel projection (r12)")
     val out = new StringBuilder
     out ++= "# Physical plans (generated snapshot, sf0.01)\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanDump\"` (writes docs/PLANS.md).\n"
