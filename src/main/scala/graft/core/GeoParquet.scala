@@ -901,8 +901,10 @@ object GeoParquet {
     mapper.writeValueAsString(root)
   }
 
-  def stagedUtmPath(dir: String, zone: Int): String =
-    s"/tmp/graft_geoparquet_${FixtureGuard.fingerprint(dir, "events")}/items_utm$zone.parquet"
+  def stagedUtmPath(dir: String, zone: Int, south: Boolean = false): String = {
+    val hemi = if (south) "s" else ""
+    s"/tmp/graft_geoparquet_${FixtureGuard.fingerprint(dir, "events")}/items_utm$zone$hemi.parquet"
+  }
 
   /** Stage a PROJECTED GeoParquet file: the fixture items inside `zone`'s
     * 6° band, every geometry vertex FORWARD-projected to UTM metres
@@ -910,17 +912,21 @@ object GeoParquet {
     * EPSG:326zz — the file a real satellite archive hands the engine.
     * Fixture-build time, content-fingerprinted like [[stage]].
     */
-  def stageUtm(spark: SparkSession, dir: String, zone: Int = 33): String = synchronized {
-    val file = stagedUtmPath(dir, zone)
+  def stageUtm(spark: SparkSession, dir: String, zone: Int = 33,
+               south: Boolean = false): String = synchronized {
+    val file = stagedUtmPath(dir, zone, south)
     val f = new java.io.File(file)
     if (f.exists()) return file
     f.getParentFile.mkdirs()
     val cm = graft.spatial.Utm.centralMeridian(zone)
+    // a SOUTH (327zz) file additionally windows to southern latitudes —
+    // the false-northing branch a real S-hemisphere archive exercises
     val rows = Tables.items(spark, dir)
       .select(col("id"), col("id_num"), col("collection"), col("datetime"),
         col("start_datetime"), col("end_datetime"), col("value"),
         col("user_id"), col("lon"), col("lat"))
-      .where(col("lon") >= cm - 3.0 && col("lon") < cm + 3.0)
+      .where(col("lon") >= cm - 3.0 && col("lon") < cm + 3.0 &&
+        (if (south) col("lat") < -1.5 else col("lat") > -90.0))
       .orderBy(col("id_num"))
       .collect()
     require(rows.nonEmpty, s"no fixture items inside UTM zone $zone")
@@ -928,7 +934,7 @@ object GeoParquet {
     val utmShapes = rows.map { r =>
       val (shape, _) = rowGeom(r.getLong(1), r.getLong(7), r.getDouble(8), r.getDouble(9))
       val wkb = graft.spatial.Utm.wkbFromCrs84(
-        graft.spatial.Wkb.encode(shape), zone, south = false)
+        graft.spatial.Wkb.encode(shape), zone, south)
       val env = graft.spatial.Wkb.envelope(wkb)
       w = math.min(w, env(0)); s = math.min(s, env(1))
       e = math.max(e, env(2)); n = math.max(n, env(3))
@@ -939,7 +945,7 @@ object GeoParquet {
     val real = ExampleParquetWriter.builder(new Path(tmp.getAbsolutePath))
       .withType(schema)
       .withExtraMetaData(java.util.Collections.singletonMap(
-        "geo", geoJsonUtm((w, s, e, n), zone, south = false)))
+        "geo", geoJsonUtm((w, s, e, n), zone, south)))
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
     val factory = new SimpleGroupFactory(schema)

@@ -81,6 +81,36 @@ class UtmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Mercator3857.forward(0.0, 86.0) }
   }
 
+  test("SOUTH-hemisphere ingest: an EPSG:32733 file (false northing " +
+      "10 000 000 m) lands back on CRS84 within 1e-7°") {
+    val file = graft.core.GeoParquet.stageUtm(s, sf, zone = 33, south = true)
+    val (df, meta) = graft.core.GeoParquet.ingestFile(s, file)
+    assert(meta.crsAuthority == "EPSG" && meta.crsCode == "32733")
+    val got = df.select(col("id"), col("g_xmin"), col("g_ymin"),
+      col("g_xmax"), col("g_ymax")).collect()
+    assert(got.nonEmpty)
+    val want = graft.core.Tables.items(s, sf)
+      .where(col("lon") >= 12.0 && col("lon") < 18.0 && col("lat") < -1.5)
+      .select(col("id"), col("id_num"), col("user_id"), col("lon"), col("lat"))
+      .collect().map { r =>
+        val (_, (x0, y0, x1, y1)) = graft.core.GeoParquet.rowGeom(
+          r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+        r.getString(0) -> (x0, y0, x1, y1)
+      }.toMap
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (x0, y0, x1, y1) = want(r.getString(0))
+      assert(math.abs(r.getDouble(1) - x0) < 1e-7 &&
+        math.abs(r.getDouble(2) - y0) < 1e-7 &&
+        math.abs(r.getDouble(3) - x1) < 1e-7 &&
+        math.abs(r.getDouble(4) - y1) < 1e-7, r)
+    }
+    // the raw file really is in the south convention: northings near
+    // 10^7 for near-equator southern latitudes, never negative
+    val rawN = s.read.parquet(file).agg(min(col("bbox.ymin"))).head().getDouble(0)
+    assert(rawN > 0.0 && rawN < 10000000.0, rawN)
+  }
+
   test("epsg parse: UTM codes in, everything else out") {
     assert(Utm.parseEpsg(32633).contains((33, false)))
     assert(Utm.parseEpsg(32701).contains((1, true)))
