@@ -1836,38 +1836,37 @@ object Dedup {
     * (`collect_set(source)` — the set is bounded by |sources|, never by
     * corpus size, and dedups (source, shingle) presence in the same
     * pass, so no separate DISTINCT stage exists); the source pairs then
-    * expand IN-ROW from each sorted set (≤ C(|sources|, 2) per shingle)
-    * and re-aggregate over the tiny pair domain. No self-join: the old
+    * expand IN-ROW from each sorted set — INCLUDING the diagonal, so
+    * the per-source totals are the pair frame's (s, s) rows (the c74
+    * diagonal doctrine: no separate totals aggregation, no third
+    * exchange) — and re-aggregate over the tiny pair domain
+    * (≤ C(|sources|+1, 2) rows per shingle). No self-join: the old
     * shape shuffled the presence frame twice more to join it with
-    * itself. Per-source totals come off the same staged frame and
-    * broadcast. At 100 TB this runs off the staged shingle table C24
+    * itself. At 100 TB this runs off the staged shingle table C24
     * already materializes.
     */
   def c97SourceOverlap(s: SparkSession, d: String): DataFrame = {
     // rebalanced: the shingle kernel otherwise runs in the 1-partition
     // scan stage (Tables.documentsRebalanced doctrine)
-    val bySh = Tables.documentsRebalanced(s, d)
+    val pairs = Tables.documentsRebalanced(s, d)
       .where(expr(s"size($wordsSpark) >= $passageLen"))
       .select(col("source"), explode(
         graft.functions.WordShingleHashes(col("text"), passageLen, "p8:"))
         .as("gh"))
       .groupBy(col("gh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      // totals + pairs both consume, diverging ABOVE the shingle Exchange
-      // with identical subtrees below — exchange reuse runs the scan +
-      // shingle kernel + partial collect_set once (no checkpoint job)
-    val per = bySh
-      .select(explode(col("srcs")).as("source"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    bySh.where(size(col("srcs")) >= 2)
       .select(explode(expr(
         """flatten(transform(srcs, (a, i) ->
-          |  transform(slice(srcs, i + 2, size(srcs) - i - 1), b ->
+          |  transform(slice(srcs, i + 1, size(srcs) - i), b ->
           |    struct(a AS source_a, b AS source_b))))""".stripMargin))
         .as("p"))
       .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
+    // dot(s, s) on the diagonal IS the per-source shingle total
+    val per = pairs.where(col("source_a") === col("source_b"))
+      .select(col("source_a").as("source"), col("n_shared").as("n_sh"))
+    pairs.where(col("source_a") < col("source_b"))
       .join(broadcast(per.select(col("source").as("source_a"), col("n_sh").as("n_a"))), "source_a")
       .join(broadcast(per.select(col("source").as("source_b"), col("n_sh").as("n_b"))), "source_b")
       .select(col("source_a"), col("source_b"), col("n_shared"),
