@@ -71,7 +71,12 @@ object GeoParquet {
     */
   final case class GeoFooter(bbox: Seq[Double], rows: Long,
       collection: Option[String], dt: Option[FooterDt],
-      sortedById: Boolean)
+      sortedById: Boolean,
+      /** Per-file id_num extremes — what lets a consumed KEYSET predicate
+        * (`id_num > token`) prune FILES at plan time, so a deep page
+        * opens O(page-covering files), never O(files) (r12).
+        */
+      idRange: Option[(Long, Long)] = None)
 
   /** Deterministic footprint half-extents — the SAME formula as the
     * items-view envelope columns (StacSearch.envelopeSqlCols), so the
@@ -232,6 +237,7 @@ object GeoParquet {
     // COMPOUND order with leading id_num early-stoppable (tiebreakers
     // can never fire) — r12, the A92 DESC/multi-key extension
     private var prevId = Long.MinValue; private var sortedById = true
+    private var idMin = Long.MaxValue; private var idMax = Long.MinValue
     override def init(conf: org.apache.hadoop.conf.Configuration): WriteSupport.WriteContext = {
       org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
       inner.init(conf)
@@ -247,6 +253,8 @@ object GeoParquet {
       val idn = g.getLong("id_num", 0)
       if (idn <= prevId && prevId != Long.MinValue) sortedById = false
       prevId = idn
+      if (idn < idMin) idMin = idn
+      if (idn > idMax) idMax = idn
       if (g.getFieldRepetitionCount("datetime") > 0) {
         val v = g.getLong("datetime", 0)
         if (v < dtMin) dtMin = v; if (v > dtMax) dtMax = v
@@ -269,6 +277,9 @@ object GeoParquet {
       if (edMax != Long.MinValue) graft.put("ed_max", edMax)
       graft.put("has_null_dt", hasNullDt)
       graft.put("sorted_by_id_num", sortedById)
+      if (idMin != Long.MaxValue) {
+        graft.put("id_min", idMin); graft.put("id_max", idMax)
+      }
       val kv = new java.util.HashMap[String, String]()
       kv.put("geo", geoJson((w, s, e, n)))
       kv.put("graft", mapper.writeValueAsString(graft))
@@ -291,8 +302,9 @@ object GeoParquet {
   // layout v4: footers carry the `graft` sidecar (collection + datetime
   // extremes + detected id_num sortedness) — versioned path so memoized
   // older exports regenerate
+  // layout v5 (r12): the sidecar also carries per-file id_num extremes
   def exportPath(dir: String, shards: Int = 1, tag: String = "s"): String =
-    s"/tmp/graft_geoparquet_export_${FixtureGuard.fingerprint(dir, "events")}_v4$tag$shards"
+    s"/tmp/graft_geoparquet_export_${FixtureGuard.fingerprint(dir, "events")}_v5$tag$shards"
 
   /** Per-row geometry: even id_num → Point, odd → footprint Polygon (the
     * stage() convention, so export and fixture file agree) + its envelope.
@@ -698,15 +710,16 @@ object GeoParquet {
 
   /** Parse the optional `graft` sidecar footer key. */
   private def parseGraftMeta(kv: java.util.Map[String, String])
-      : (Option[String], Option[FooterDt], Boolean) = {
+      : (Option[String], Option[FooterDt], Boolean, Option[(Long, Long)]) = {
     val raw = kv.get("graft")
-    if (raw == null) return (None, None, false)
+    if (raw == null) return (None, None, false, None)
     val n = mapper.readTree(raw)
     def l(f: String): Option[Long] = Option(n.get(f)).map(_.asLong())
     val dt = FooterDt(l("dt_min"), l("dt_max"), l("sd_min"), l("ed_max"),
       Option(n.get("has_null_dt")).exists(_.asBoolean()))
+    val ids = for (lo <- l("id_min"); hi <- l("id_max")) yield (lo, hi)
     (Option(n.get("collection")).map(_.asText()), Some(dt),
-      Option(n.get("sorted_by_id_num")).exists(_.asBoolean()))
+      Option(n.get("sorted_by_id_num")).exists(_.asBoolean()), ids)
   }
 
   /** Per-file (geo bbox, row count) in ONE footer open per file — the
@@ -745,9 +758,9 @@ object GeoParquet {
               require(m.version == "1.1.0" && m.primaryColumn == "geometry" &&
                 m.encoding == "WKB" && m.bbox.length == 4,
                 s"exported footer drifted: ${f.getName} → $m")
-              val (coll, dt, sorted) = parseGraftMeta(kv)
+              val (coll, dt, sorted, ids) = parseGraftMeta(kv)
               Some(f.getName.stripSuffix(".parquet") ->
-                GeoFooter(m.bbox, reader.getRecordCount, coll, dt, sorted))
+                GeoFooter(m.bbox, reader.getRecordCount, coll, dt, sorted, ids))
             } finally reader.close()
           }
         }}, Duration.Inf).flatten.toMap

@@ -493,10 +493,17 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
   private lazy val (kept, total) = {
     val footers = GeoParquet.footerInfo(path).toSeq.sortBy(_._1)
     val cs = pushed.flatMap(GeoCatalogScan.constraintOf)
-    val keep = footers.collect {
-      case (name, g) if cs.forall(_(g)) =>
-        (s"$path/$name.parquet", g.sortedById)
+    // pushed footer constraints AND the consumed keyset predicates
+    // against the sidecar's per-file id_num extremes (r12). Files
+    // without the extremes (older layouts) always survive: absent
+    // metadata can only DISABLE a prune, never lose a row.
+    val surviving = footers.filter { case (_, g) =>
+      cs.forall(_(g)) &&
+        rowPreds.forall(p => g.idRange.forall { case (lo, hi) =>
+          p.canMatchIn(lo, hi) })
     }
+    val keep = GeoCatalogScan.orderPrune(surviving, rowPreds, topN, limit)
+      .map { case (name, g) => (s"$path/$name.parquet", g.sortedById) }
     (keep, footers.size)
   }
 
@@ -658,6 +665,59 @@ private object GeoCatalogScan {
     def render: String = s"$name ${if (asc) "ASC" else "DESC"}"
   }
 
+  /** ORDER-prune (r12): under a pushed TopN whose LEADING key is id_num,
+    * the sidecar id ranges admit a plan-time cut — a file F can never
+    * reach the global top-k if the files lying WHOLLY before it in key
+    * order (ASC: hi < F.lo; DESC: lo > F.hi) already GUARANTEE k
+    * matching rows, where a file whose entire range satisfies every
+    * consumed predicate contributes its exact footer row count. A deep
+    * keyset page on an id-sharded catalog then opens O(files covering k
+    * rows) instead of every file above the token; interleaved
+    * per-collection shard chains prune independently through the same
+    * prefix. Conservative by construction: a file without extremes is
+    * never pruned and never contributes to the guarantee; over-lapping
+    * ranges only weaken the prefix, never the answer.
+    */
+  def orderPrune(files: Seq[(String, GeoParquet.GeoFooter)],
+                 preds: Array[IdNumPred],
+                 topN: Option[(Int, Seq[TopNKey])],
+                 limit: Int): Seq[(String, GeoParquet.GeoFooter)] = {
+    val (k, asc) = topN match {
+      case Some((n, keys)) if keys.head.name == "id_num" =>
+        (math.min(n, limit).toLong, keys.head.asc)
+      case _ => return files
+    }
+    // qualified contributors: full range matches every consumed pred
+    val qualified = files.flatMap { case (_, g) =>
+      g.idRange.collect {
+        case (lo, hi) if preds.forall(_.matchesAll(lo, hi)) => (lo, hi, g.rows)
+      }
+    }
+    if (qualified.isEmpty) return files
+    // prefix of guaranteed rows by key position: ASC keyed on hi
+    // (ascending), DESC keyed on lo (descending)
+    val keyed = (if (asc) qualified.map(q => (q._2, q._3))
+                 else qualified.map(q => (-q._1, q._3))).sortBy(_._1)
+    val keys = keyed.map(_._1).toArray
+    val prefix = keyed.scanLeft(0L)(_ + _._2).tail.toArray
+    def guaranteedBefore(bound: Long): Long = {
+      // rows in qualified files with key strictly below `bound`
+      var lo = 0; var hi = keys.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (keys(mid) < bound) lo = mid + 1 else hi = mid
+      }
+      if (lo == 0) 0L else prefix(lo - 1)
+    }
+    files.filter { case (_, g) =>
+      g.idRange match {
+        case None => true
+        case Some((lo, hi)) =>
+          guaranteedBefore(if (asc) lo else -hi) < k
+      }
+    }
+  }
+
   /** A consumed row predicate over id_num — the readers are its ONLY
     * evaluator (no residual Filter), which is what lets a Sort push past
     * a keyset `where`.
@@ -670,6 +730,31 @@ private object GeoCatalogScan {
       case "<=" => x <= v
       case "="  => x == v
       case _    => true // IsNotNull on a non-nullable column
+    }
+
+    /** Can ANY id_num in the file's [lo, hi] extremes match? The footer
+      * form of [[matches]] — used to prune FILES under a keyset page.
+      */
+    def canMatchIn(lo: Long, hi: Long): Boolean = op match {
+      case ">"  => hi > v
+      case ">=" => hi >= v
+      case "<"  => lo < v
+      case "<=" => lo <= v
+      case "="  => lo <= v && v <= hi
+      case _    => true
+    }
+
+    /** Does EVERY id_num in [lo, hi] match? The lower-bound form the
+      * order-prune walk needs (a file wholly above the token contributes
+      * its full row count toward the top-k guarantee).
+      */
+    def matchesAll(lo: Long, hi: Long): Boolean = op match {
+      case ">"  => lo > v
+      case ">=" => lo >= v
+      case "<"  => hi < v
+      case "<=" => hi <= v
+      case "="  => lo == v && hi == v
+      case _    => true
     }
     override def toString: String = s"id_num $op $v"
   }
