@@ -502,7 +502,23 @@ private class GeoCatalogScan(path: String, pushed: Array[Filter],
         rowPreds.forall(p => g.idRange.forall { case (lo, hi) =>
           p.canMatchIn(lo, hi) })
     }
-    val keep = GeoCatalogScan.orderPrune(surviving, rowPreds, topN, limit)
+    val ordered = GeoCatalogScan.orderPrune(surviving, rowPreds, topN, limit)
+    // LIMIT-only cut: a bare `LIMIT k` (no order, no filters of any
+    // kind — a pushed filter or consumed predicate means footer rows
+    // are not guaranteed to survive) is satisfied by ANY k rows, so the
+    // plan keeps files in listing order only until their exact footer
+    // row counts cover the bound — a catalog peek schedules one or two
+    // files, not every file's open
+    val limited =
+      if (topN.nonEmpty || rowPreds.nonEmpty || pushed.nonEmpty ||
+          limit == Int.MaxValue) ordered
+      else {
+        var cum = 0L
+        ordered.takeWhile { case (_, g) =>
+          val need = cum < limit; cum += g.rows; need
+        }
+      }
+    val keep = limited
       .map { case (name, g) => (s"$path/$name.parquet", g.sortedById) }
     (keep, footers.size)
   }

@@ -118,11 +118,17 @@ class GeoCatalogSourceSpec extends AnyFunSuite {
     assert(m == q(viaParquet).agg(min(col("bbox.xmin"))).head().getDouble(0))
   }
 
-  test("LIMIT pushes into the readers: a catalog peek decodes only the bound") {
+  test("LIMIT pushes into the readers: a catalog peek decodes only the bound " +
+      "and (r12) plans only the files covering it") {
     val peek = viaCatalog.limit(5)
     val plan = peek.queryExecution.executedPlan.toString
     assert(plan.contains("limit 5"), plan)
+    graft.sources.GeoCatalogMetrics.opens.set(0L)
     assert(peek.collect().length == 5)
+    // the bare-LIMIT file cut: footer row counts cover 5 rows within the
+    // first file, so the plan schedules 1 file, not the whole catalog
+    assert(graft.sources.GeoCatalogMetrics.opens.get() == 1L,
+      s"opens=${graft.sources.GeoCatalogMetrics.opens.get()}")
   }
 
   test("keyset page: the Sort pushes as TopN, no SortExec in the plan, " +
