@@ -193,13 +193,91 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------ C106 quality-aware near-dup
+  /** C106: QUALITY-AWARE near-dup survivor selection — production dedup
+    * keeps the BEST document of a duplicate cluster, not the lowest id
+    * (a syndicated article survives as its cleanest copy; Penedo et al.
+    * 2023 keep by length/quality heuristics). Same MinHash-LSH banding
+    * as C2/C16, but each bucket's survivor is the argmax by
+    * (quality score, then smallest doc_id) — the quality is C39's
+    * integer-exact hashed classifier score, so the argmax is
+    * deterministic and hash-stable in both engines. Every other member
+    * of any bucket drops (C16's greedy), and the output is the
+    * surviving corpus with its scores.
+    *
+    * Plan shape: ONE corpus scan computes (score, signature) in one
+    * projection; the band shuffle carries slim (doc_id, q, bkey) rows;
+    * per-bucket argmax is an in-row fold over the sorted member list
+    * (bounded by bucket size); the drop set broadcasts into the final
+    * anti-join. No join-back, no second scan — the c16 r12 doctrine.
+    */
+  def c106QualityDedup(s: SparkSession, d: String): DataFrame = {
+    val scanned = Tables.documentsRebalanced(s, d) // kernels off the 1-partition scan
+      // C16's quality floor: banding 2-lane buckets over very short docs
+      // reads as mass collision, not duplication
+      .withColumn("w", expr(wordsSpark))
+      .where(expr("size(w)") >= minWords && length(col("text")) >= minChars)
+      .select(col("doc_id"),
+        graft.functions.HashedClassScore(col("text"), "whi:").as("q"),
+        graft.functions.MinHashSig(col("text"), 8).as("mh"))
+    val bandKeys = (0 until 4).map { b =>
+      expr(s"concat(CAST(element_at(mh, ${2 * b + 1}) AS STRING), '_', " +
+        s"CAST(element_at(mh, ${2 * b + 2}) AS STRING))")
+    }
+    val bands = scanned.select(col("doc_id"), col("q"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    // ascending (q, -doc_id): the LAST element is (max q, min doc_id) —
+    // the survivor; everything before it drops
+    val dropNear = bands.groupBy(col("band"), col("bkey"))
+      .agg(array_sort(collect_list(
+        struct(col("q"), (-col("doc_id")).as("nid"), col("doc_id")))).as("ms"))
+      .where(size(col("ms")) >= 2)
+      .select(explode(expr(
+        "transform(slice(ms, 1, size(ms) - 1), x -> x.doc_id)")).as("doc_id"))
+    scanned.join(dropNear, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c106Sql: String = {
+    val lanes = (0 until 8).map(j => s"min(h1 + $j * h2) AS m$j").mkString(", ")
+    val bandCase = (0 until 4)
+      .map(b => s"WHEN b = $b THEN CAST(m${2 * b} AS VARCHAR)||'_'||CAST(m${2 * b + 1} AS VARCHAR)")
+      .mkString(" ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.c39ScoreDuck("hi")} AS q, w
+       |  FROM (SELECT doc_id, text, $wordsDuck AS w FROM documents)
+       |  WHERE len(w) >= $minWords AND length(text) >= $minChars),
+       |g AS (SELECT doc_id, $trigramsDuck AS g FROM docs),
+       |sh AS (SELECT doc_id, ('0x'||substr(hex,1,15))::BIGINT AS h1,
+       |         ('0x'||substr(hex,17,15))::BIGINT % 576460752303423488 AS h2
+       |       FROM (SELECT doc_id, md5('mh:'||s) AS hex
+       |             FROM (SELECT doc_id, unnest(g) AS s FROM g))),
+       |sig AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b, CASE $bandCase END AS bkey
+       |  FROM sig, range(4) t(b)),
+       |ranked AS (
+       |  SELECT b AS band, bkey, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY b, bkey
+       |      ORDER BY d.q DESC, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY b, bkey) AS n
+       |  FROM bands JOIN docs d USING (doc_id)),
+       |drop_near AS (
+       |  SELECT DISTINCT doc_id FROM ranked WHERE n >= 2 AND rk > 1)
+       |SELECT doc_id, q FROM docs
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c16_curation_pipeline" -> (c16CurationPipeline _),
-    "c45_curation_v2" -> (c45CurationV2 _)
+    "c45_curation_v2" -> (c45CurationV2 _),
+    "c106_quality_dedup" -> (c106QualityDedup _)
   )
 
   val oracle: Map[String, String] = Map(
     "c16_curation_pipeline" -> c16Sql,
-    "c45_curation_v2" -> c45Sql
+    "c45_curation_v2" -> c45Sql,
+    "c106_quality_dedup" -> c106Sql
   )
 }

@@ -1608,7 +1608,7 @@ object TextAnalysis {
   /** The DuckDB form of one class score (over a word-list column `w`) —
     * shared by the C39 gate and C51's budget selection.
     */
-  private def c39ScoreDuck(c: String): String = {
+  private[ops] def c39ScoreDuck(c: String): String = {
     val uni = c39WUnit(c)("t")._2
     val bi = c39WUnit(c)("w[i] || '_' || w[i+1]")._2
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t -> $uni)), (s, x) -> s + x)" +
