@@ -655,11 +655,15 @@ object Dedup {
           graft.functions.WordShingleHashes(col("text"), passageLen, "p8:"))
           .as(Seq("pos", "gh"))))
 
-  /** Occurrences of shingles seen in ≥2 documents (the copied passages). */
+  /** Occurrences of shingles seen in ≥2 documents (the copied passages).
+    * "≥2 distinct docs" is exactly `min(doc_id) ≠ max(doc_id)` — a
+    * single-phase map-combinable aggregate, where countDistinct plans a
+    * two-exchange distinct expansion (r12).
+    */
   private def p8Flagged(g8: DataFrame): DataFrame = {
     val dupHashes = g8.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2).select(col("gh"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .where(col("d0") =!= col("d1")).select(col("gh"))
     g8.join(dupHashes, "gh")
   }
 
@@ -667,14 +671,23 @@ object Dedup {
     val g8 = p8Grams(s, d)
     val flagged = p8Flagged(g8)
     val totals = g8.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val dupGrams = flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
-    val dupTokens = flagged
-      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${passageLen - 1})")).as("tp"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+    // ONE per-doc aggregation (r12; was two, plus an 8× token explode
+    // and a corpus-sized DISTINCT): the flagged gram POSITIONS per doc
+    // are unique and bounded by doc length, so the covered-token count
+    // is an in-row interval-union fold over the sorted starts —
+    // overlapping length-8 windows contribute min(8, gap) each
+    val dupStats = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), col("n_dup_grams"),
+        expr(s"aggregate(ps, struct(CAST(-$passageLen AS INT) AS prev, " +
+          "CAST(0 AS BIGINT) AS tot), (a, p) -> struct(p AS prev, " +
+          s"a.tot + least($passageLen, p - a.prev) AS tot), a -> a.tot)")
+          .as("dup_tokens"))
+    // both sides are doc_id aggregations — the join inherits their hash
+    // partitioning, no further exchange
     totals
-      .join(dupGrams, Seq("doc_id"), "left")
-      .join(dupTokens, Seq("doc_id"), "left")
+      .join(dupStats, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
@@ -1160,12 +1173,15 @@ object Dedup {
     * set; under-8-token documents never enter the shingle stream.
     */
   def c40PassageRemove(s: SparkSession, d: String): DataFrame = {
+    // per-doc flagged positions aggregate FIRST (bounded by doc length);
+    // the covered token set expands IN-ROW — no 8× explode, no
+    // corpus-sized DISTINCT exchange (r12)
     val cuts = p8Flagged(p8Grams(s, d))
-      .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${passageLen - 1})")).as("tp"))
-      .distinct()
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("tp"))).as("cut"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(flatten(transform(ps, " +
+          s"p -> sequence(p, p + ${passageLen - 1})))))").as("cut"))
     Tables.documents(s, d)
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("w", expr(wordsSpark))
