@@ -1290,9 +1290,15 @@ object Dedup {
     * hash-exact; no pairwise comparisons anywhere.
     */
   def c70Novelty(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g8 = p8Grams(s, d).select(col("doc_id"), col("gh")).distinct()
-    val first = g8.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
-    g8.join(first, "gh")
+    // first-seer per shingle as a gh-PARTITIONED window min (r12; was a
+    // groupBy + self-join — one more exchange plus a sort-merge join of
+    // the presence frame with itself). Partitioned by the shingle hash:
+    // partition size = docs sharing one shingle, the same skew bound the
+    // join had.
+    g8.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("gh"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
