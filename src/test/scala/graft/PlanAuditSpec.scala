@@ -317,11 +317,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
-  test("c70: novelty is one partial min aggregate + equi-join back — " +
-      "no cartesian, map-side combine on the gram key") {
+  test("c70: novelty's first-seer is a gh-PARTITIONED window min (r12 — " +
+      "was a groupBy + self-join): no join at all, no cartesian, and the " +
+      "window partitions by the gram key, never unpartitioned") {
     val p = plan(graft.ops.Dedup.queries("c70_novelty")(s, sf))
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Join"), p)
+    val wins = p.split('\n').filter(_.contains("windowspecdefinition"))
+    assert(wins.nonEmpty && wins.forall(_.contains("gh#")), p)
   }
 
   test("c67: the incremental cluster merge is equi-joins over state + " +
