@@ -939,7 +939,7 @@ object GeoParquet {
         col("start_datetime"), col("end_datetime"), col("value"),
         col("user_id"), col("lon"), col("lat"))
       .where(col("lon") >= cm - 3.0 && col("lon") < cm + 3.0 &&
-        (if (south) col("lat") < -1.5 else col("lat") > -90.0))
+        (if (south) col("lat") < -1.5 else lit(true)))
       .orderBy(col("id_num"))
       .collect()
     require(rows.nonEmpty, s"no fixture items inside UTM zone $zone")

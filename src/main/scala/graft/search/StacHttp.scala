@@ -413,9 +413,10 @@ object StacHttp {
         l.put("token", t)
       }
     } else {
-      // overlay mode: the directory is inherently small (it IS the
-      // catalog's collection roster) — serve the merged roster in id
-      // order on one page
+      // overlay mode: merge the base directory with the created/deleted
+      // roster, then page it under the SAME token contract as the base
+      // path (token = the id of the last collection seen, keyset on the
+      // id order)
       val base = StacApi.collections(spark, dir).collect()
         .filterNot { r =>
           val id = r.getString(r.fieldIndex("collection"))
@@ -424,8 +425,21 @@ object StacHttp {
       val created = store.createdCollections.map { case (id, doc) =>
         id -> createdCollectionJson(id, doc)
       }
-      (base ++ created).sortBy(_._1).foreach { case (_, n) => ca.add(n) }
-      o.withArray[ArrayNode]("links")
+      val merged = (base ++ created).sortBy(_._1)
+      val after = q.get("token") match {
+        case Some(t) => merged.dropWhile(_._1 <= t)
+        case None    => merged
+      }
+      val page = after.take(limit)
+      page.foreach { case (_, n) => ca.add(n) }
+      val links = o.withArray[ArrayNode]("links")
+      if (after.size > limit) {
+        val t = page.last._1
+        val l = links.addObject()
+        l.put("rel", "next"); l.put("type", "application/json")
+        l.put("href", s"/collections?token=${java.net.URLEncoder.encode(t, UTF_8)}")
+        l.put("token", t)
+      }
     }
     o
   }

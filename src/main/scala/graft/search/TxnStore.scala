@@ -158,7 +158,13 @@ final class TxnStore(spark: SparkSession, dir: String) {
   private def parseTs(n: com.fasterxml.jackson.databind.JsonNode,
                       field: String): Option[LocalDateTime] =
     Option(n.get(field)).filterNot(_.isNull).map { v =>
-      LocalDateTime.parse(v.asText.trim.replace(' ', 'T').stripSuffix("Z"))
+      try LocalDateTime.parse(v.asText.trim.replace(' ', 'T').stripSuffix("Z"))
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          // client data error → the handler's 400 contract, never a 500
+          throw new IllegalArgumentException(
+            s"unparseable $field '${v.asText}': ${e.getMessage}")
+      }
     }
 
   /** STAC Feature JSON → typed fields. Point geometry only (the items
@@ -176,8 +182,10 @@ final class TxnStore(spark: SparkSession, dir: String) {
       throw new IllegalArgumentException(
         "transaction items carry Point geometry (the items surface stores lon/lat)")
     val cs = geom.get("coordinates")
-    if (cs == null || cs.size() < 2)
-      throw new IllegalArgumentException("Point needs [lon, lat] coordinates")
+    if (cs == null || cs.size() < 2 ||
+        !cs.get(0).isNumber || !cs.get(1).isNumber)
+      throw new IllegalArgumentException(
+        "Point needs numeric [lon, lat] coordinates")
     val (lon, lat) = (cs.get(0).asDouble, cs.get(1).asDouble)
     val props = Option(n.get("properties")).filterNot(_.isNull)
       .map(_.asInstanceOf[ObjectNode])
@@ -280,9 +288,16 @@ final class TxnStore(spark: SparkSession, dir: String) {
     itemRevs.put((collection, itemId), ItemRev(deleted = true, cur))
   }
 
+  private def collectionDocNode(body: String): com.fasterxml.jackson.databind.JsonNode = {
+    val n = mapper.readTree(body)
+    if (n == null || !n.isObject)
+      throw new IllegalArgumentException("collection body must be a JSON object")
+    n
+  }
+
   def createCollection(body: String, existsInBase: String => Boolean): String =
     synchronized {
-      val n = mapper.readTree(body)
+      val n = collectionDocNode(body)
       val id = Option(n.get("id")).map(_.asText).filter(_.nonEmpty)
         .getOrElse(throw new IllegalArgumentException("collection must carry an id"))
       val existing = collRevs.get(id) match {
@@ -297,6 +312,7 @@ final class TxnStore(spark: SparkSession, dir: String) {
 
   def updateCollection(id: String, body: String,
                        existsInBase: String => Boolean): Unit = synchronized {
+    collectionDocNode(body)
     val exists = collRevs.get(id) match {
       case Some(CollRev(false, _)) => true
       case Some(CollRev(true, _)) => false

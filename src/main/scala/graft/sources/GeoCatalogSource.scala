@@ -921,7 +921,13 @@ private class GeoCatalogReaderFactory(required: StructType,
                 case LongType | TimestampNTZType =>
                   java.lang.Long.compare(a.getLong(i), b.getLong(i))
                 case DoubleType =>
-                  java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+                  // Spark's sort semantics (SQLOrderingUtil): ±0.0 EQUAL
+                  // (so ties fall through to the next key, matching the
+                  // global TakeOrdered), NaN greatest — plain
+                  // Double.compare ranks -0.0 < 0.0 and could evict the
+                  // row the global sort would return
+                  org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                    .compareDoubles(a.getDouble(i), b.getDouble(i))
                 case other => throw new IllegalStateException(
                   s"unorderable TopN key type $other")
               }
@@ -991,8 +997,14 @@ private class GeoCatalogReaderFactory(required: StructType,
             val worstFirst = new java.util.PriorityQueue[InternalRow](
               stop + 1, cmp.reversed())
             streaming(limit).foreach { row =>
-              worstFirst.offer(row.copy())
-              if (worstFirst.size > stop) worstFirst.poll()
+              // copy only rows that can actually enter the k-set — on
+              // the per-row hot path most rows lose to the current
+              // worst and need no allocation
+              if (worstFirst.size < stop ||
+                  cmp.compare(row, worstFirst.peek()) < 0) {
+                worstFirst.offer(row.copy())
+                if (worstFirst.size > stop) worstFirst.poll()
+              }
             }
             GeoCatalogMetrics.topNEmitted.addAndGet(worstFirst.size.toLong)
             scala.jdk.CollectionConverters.IteratorHasAsScala(

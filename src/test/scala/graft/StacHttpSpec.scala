@@ -453,6 +453,37 @@ class StacHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
           |"coordinates":[[[0,0],[1,0],[1,1],[0,0]]]},"properties":{}}"""
           .stripMargin.replace("\n", "")
       assert(send(b, "POST", "/collections/click/items", Some(badGeom))._1 == 400)
+      // client DATA errors are 400s, never 500s (r12 review findings):
+      // unparseable datetime, non-numeric coordinates, non-object
+      // collection body — and a rejected body must not poison the store
+      val badDt =
+        """{"type":"Feature","id":"tx-4","geometry":{"type":"Point",
+          |"coordinates":[1,2]},"properties":{"datetime":"2024-02-03T04:05:06+01:00"}}"""
+          .stripMargin.replace("\n", "")
+      assert(send(b, "POST", "/collections/click/items", Some(badDt))._1 == 400)
+      val badCoords =
+        """{"type":"Feature","id":"tx-5","geometry":{"type":"Point",
+          |"coordinates":["abc","def"]},"properties":{}}"""
+          .stripMargin.replace("\n", "")
+      assert(send(b, "POST", "/collections/click/items", Some(badCoords))._1 == 400)
+      assert(send(b, "POST", "/collections", Some("[1,2]"))._1 == 400)
+      assert(send(b, "PUT", "/collections/click", Some("\"oops\""))._1 == 400)
+      val (okAfter, _) = g("/collections/click")
+      assert(okAfter == 200) // the rejected PUT left the doc serving
+
+      // overlay-mode /collections honors limit + token (r12 review
+      // finding: the merged roster must page, not dump)
+      val (p1c, p1) = g("/collections?limit=2")
+      assert(p1c == 200 && p1.get("collections").size == 2, p1)
+      val tok = p1.get("links").elements().asScala
+        .find(l => l.get("rel").asText == "next").map(_.get("token").asText)
+      assert(tok.isDefined, p1)
+      val (p2c, p2) = g(s"/collections?limit=100&token=${tok.get}")
+      assert(p2c == 200 && p2.get("collections").size > 0)
+      val page1Ids = p1.get("collections").elements().asScala.map(_.get("id").asText).toSeq
+      val page2Ids = p2.get("collections").elements().asScala.map(_.get("id").asText).toSeq
+      assert((page1Ids ++ page2Ids) == (page1Ids ++ page2Ids).sorted)
+      assert(page1Ids.toSet.intersect(page2Ids.toSet).isEmpty)
     } finally srv.stop()
   }
 }
