@@ -1599,7 +1599,12 @@ object Dedup {
     val bands = s.read.parquet(c67BucketStatePath(s, d)).unionByName(inc)
     // candidate edges touching the increment: increment band keys probe
     // the full bucket index; both-increment and increment↔history pairs
-    // fall out of the same equi-join (distinct dedups band collisions)
+    // fall out of the same equi-join (distinct dedups band collisions).
+    // Checkpointed: the frame feeds THREE downstream executions (the CC
+    // edge checkpoint, the touched-cluster probe, and — through touched —
+    // the final anti-join's broadcast); without it the probe join +
+    // distinct re-ran once per consumer (measured: the merge's two
+    // broadcast-thread jobs each re-executed this 5-stage subtree).
     val cand = inc.join(
         bands.select(col("doc_id").as("doc2"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -1607,13 +1612,18 @@ object Dedup {
       .select(least(col("doc_id"), col("doc2")).as("d1"),
         greatest(col("doc_id"), col("doc2")).as("d2"))
       .distinct()
+      .localCheckpoint(true)
     val newEdges = cand.select(col("d1").as("src"), col("d2").as("dst"))
       .union(cand.select(col("d2"), col("d1")))
     val endpoints = newEdges.select(col("src").as("doc_id")).distinct()
     // touched components only: |touched| is bounded by the increment's
-    // bucket neighborhood — broadcast-sized by construction
+    // bucket neighborhood — broadcast-sized by construction. Checkpointed
+    // for the same reason: broadcast(touched) is built TWICE (star-edge
+    // construction and the final untouched anti-join), and each build
+    // otherwise re-runs the oldState⋈endpoints probe from the parquet up.
     val touched = oldState.join(endpoints, "doc_id")
       .select(col("cluster")).distinct()
+      .localCheckpoint(true)
     val touchedRows = oldState.join(broadcast(touched), "cluster")
     val starEdges = touchedRows
       .select(col("doc_id").as("src"), col("cluster").as("dst"))
