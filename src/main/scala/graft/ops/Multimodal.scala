@@ -166,6 +166,11 @@ object Multimodal {
     featurize(s, d).toDF()
       .select(col("doc_id"),
         col("dec_width"), col("dec_height"), col("pixel_sum"))
+      // materialize the tiny feature frame before the global sort: the
+      // range partitioner's key-sampling pass otherwise re-executes the
+      // whole codec pipeline a second time (every decode gate's sort
+      // paid 2× the ImageIO cost — measured per-job in r12)
+      .localCheckpoint(true)
       .orderBy(col("doc_id"))
 
   /** Row y of image doc_id is w pixels of value (a + y) % 256 with
@@ -205,6 +210,9 @@ object Multimodal {
         col("m").getItem(2).as("px_width"),
         col("m").getItem(3).as("px_height"),
         col("m").getItem(4).as("bpp"))
+      // see c12: the sort-sampling pass otherwise re-reads the payload
+      // column (the table's heavy bytes) a second time for its keys
+      .localCheckpoint(true)
       .orderBy(col("doc_id"))
 
   /** 24bpp BMP: stride = ceil(3w/4)·4, file = 54-byte headers + h·stride. */
@@ -257,6 +265,9 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     featurize(s, d).toDF()
       .select(col("doc_id"), c54Phash.as("phash"))
+      // see c12: the decode feeds the phash window AND the sort-sampling
+      // pass — materialize the 2-column frame so the codec runs once
+      .localCheckpoint(true)
       .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("phash"))))
       .orderBy(col("doc_id"))
   }
@@ -384,6 +395,8 @@ object Multimodal {
       // Array[Long] frame energies; only the output projection flattens it.
       .withColumn("frame_abs_csv", array_join(col("frame_abs"), "\u0001"))
       .drop("frame_abs")
+      // see c12: one decode pass, not two (sort-sampling re-execution)
+      .localCheckpoint(true)
       .orderBy(col("doc_id"))
   }
 
@@ -501,6 +514,8 @@ object Multimodal {
     videoParquet(s, d).as[Video]
       .mapPartitions(_.grouped(64).flatMap(_.iterator.map(v => decodeVideoSampled(v))))
       .toDF()
+      // see c12: one decode pass, not two (sort-sampling re-execution)
+      .localCheckpoint(true)
       .orderBy(col("doc_id"))
   }
 
@@ -545,8 +560,11 @@ object Multimodal {
     * breaks the agreement counts.
     */
   def c90CrossModalAgreement(s: SparkSession, d: String): DataFrame = {
+    // three consumers (two broadcast builds + the image-pair aggregate)
+    // — materialized once or the codec pass runs three times (see c12)
     val ph = featurize(s, d).toDF()
       .select(col("doc_id"), c54Phash.as("phash"))
+      .localCheckpoint(true)
     val pairs = graft.ops.Dedup.c2Pairs(s, d)
     val joined = pairs
       .join(broadcast(ph.select(col("doc_id").as("d1"), col("phash").as("p1"))), "d1")
