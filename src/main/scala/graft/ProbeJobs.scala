@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 object ProbeJobs {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val gateNames = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -31,7 +31,8 @@ object ProbeJobs {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Int, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val sites = js.stageInfos.map(si => si.name.takeWhile(_ != ':')).distinct
+        val sites = js.stageInfos.map(si =>
+            si.name.takeWhile(_ != ':') + "×" + si.numTasks).distinct
           .mkString("[", " ", "]")
         jobs.put(js.jobId, (js.time, js.stageInfos.size, sites))
       }
@@ -42,20 +43,22 @@ object ProbeJobs {
       }
     })
 
-    def exec(): Unit =
+    def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
-    exec() // warm run (staging, codegen)
-    (1 to reps).foreach { r =>
-      done.clear()
-      val t0 = System.nanoTime()
-      exec()
-      val total = (System.nanoTime() - t0) / 1e9
-      println(f"== $name run $r: $total%.2f s total")
-      import scala.jdk.CollectionConverters._
-      done.asScala.toSeq.sortBy(_._1).foreach { case (id, sec, nst, desc) =>
-        println(f"  job $id%4d  $sec%6.2f s  stages=$nst%-3d $desc")
+    gateNames.foreach { name =>
+      exec(name) // warm run (staging, codegen)
+      (1 to reps).foreach { r =>
+        done.clear()
+        val t0 = System.nanoTime()
+        exec(name)
+        val total = (System.nanoTime() - t0) / 1e9
+        println(f"== $name run $r: $total%.2f s total")
+        import scala.jdk.CollectionConverters._
+        done.asScala.toSeq.sortBy(_._1).foreach { case (id, sec, nst, desc) =>
+          println(f"  job $id%4d  $sec%6.2f s  stages=$nst%-3d $desc")
+        }
       }
     }
     spark.stop()

@@ -720,9 +720,16 @@ object Analytics {
     def q(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
       val base = Tables.lineitem(spark, dir)
         .select(col("l_linestatus").as("g"), col(valueCol).cast("double").as("v"))
+      // |groups| rows; checkpointed because it feeds THREE broadcast
+      // consumers (binned, hist's n join, the final n join) and each
+      // broadcast build otherwise re-runs this full-data aggregate —
+      // measured as three identical 2-stage jobs per q() invocation.
+      // coalesce(1): the checkpoint holds |groups| (~3) rows — without
+      // it every downstream broadcast build schedules one task per
+      // shuffle partition just to read them.
       val ext = base.groupBy(col("g")).agg(
         min(col("v")).as("vmin"), max(col("v")).as("vmax"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n")).coalesce(1).localCheckpoint(true)
       val width = (col("vmax") - col("vmin")) / nBins
       val binned = base.join(broadcast(ext), "g")
         .withColumn("bin",

@@ -1477,7 +1477,12 @@ object Dedup {
   private val c47Split = 400L
 
   private def c47Fps(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // rebalanced: the shingle/min-hash kernel otherwise runs at the
+    // 1-partition corpus-scan width (and localCheckpoint in the c47/c72
+    // consumers pins that width) — measured as a one-task 0.5-0.7 s job.
+    // The consumers' doc_id split filters still reach the parquet scan:
+    // predicates push through RepartitionOperation.
+    Tables.documentsRebalanced(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"), col("source"), expr(fpSpark).as("fp"))
@@ -1691,17 +1696,23 @@ object Dedup {
     val dirtyClusters = clusters
       .join(direct.select(col("doc_id")), "doc_id")
       .select(col("cluster")).distinct()
-    val transitive = clusters.join(broadcast(dirtyClusters), "cluster")
-      .select(col("doc_id"))
-      .join(direct, Seq("doc_id"), "left_anti")
-      .join(corpus.select(col("doc_id")), "doc_id") // eval rows never count
+    // direct and the dirty-cluster membership are |eval matches|-sized
+    // by construction — broadcast them so neither the anti-join nor the
+    // eval-row guard shuffles (the corpus side stays exchange-free).
+    val transitive = corpus.select(col("doc_id")) // eval rows never count
+      .join(broadcast(clusters.join(broadcast(dirtyClusters), "cluster")
+        .select(col("doc_id"))
+        .join(broadcast(direct), Seq("doc_id"), "left_anti")), "doc_id")
     (direct, transitive)
   }
 
   /** C101's fingerprint frame, shared with C102. */
   private[ops] def contamFps(s: SparkSession, d: String): DataFrame = {
     import graft.ops.TextExprs.fpSpark
-    Tables.documents(s, d)
+    // rebalanced: this frame is checkpointed below, and the checkpoint
+    // otherwise pins the fingerprint kernel to the 1-partition scan
+    // width (measured: a one-task ~1 s localCheckpoint job in c101/c102).
+    Tables.documentsRebalanced(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"), col("source"), expr(fpSpark).as("fp"))
@@ -1717,9 +1728,13 @@ object Dedup {
   private[graft] def closureOf(fps: DataFrame, clusters: DataFrame): DataFrame = {
     val corpus = fps.where(col("doc_id") % 97 =!= 0)
     val (direct, transitive) = closureParts(fps, clusters)
+    // both mark frames are tiny (see closureParts) — broadcast outer
+    // joins keep the corpus pass shuffle-free up to the final groupBy
     corpus.select(col("doc_id"), col("source"))
-      .join(direct.withColumn("is_direct", lit(1L)), Seq("doc_id"), "left")
-      .join(transitive.withColumn("is_trans", lit(1L)), Seq("doc_id"), "left")
+      .join(broadcast(direct.withColumn("is_direct", lit(1L))),
+        Seq("doc_id"), "left")
+      .join(broadcast(transitive.withColumn("is_trans", lit(1L))),
+        Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("is_direct"), lit(0L))).as("n_direct"),
