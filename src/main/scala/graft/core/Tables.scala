@@ -88,6 +88,16 @@ object Tables {
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** [[embeddings]] rebalanced across cores before an expensive per-vector
+    * kernel — [[documentsRebalanced]]'s doctrine for the vector column:
+    * the fixture parquet is one split, so normalize/bucket/centroid-assign
+    * chains (and the auto-broadcast builds of frames derived from them)
+    * otherwise run single-task. Derived features are never shuffled —
+    * only the raw (vec_id, embedding) rows move.
+    */
+  def embeddingsRebalanced(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** STAC items view (SURVEY.md §4): `events` rows as STAC items.
     *
     * - collection  = event_type (models the reference's collection id tag,

@@ -103,7 +103,11 @@ object Similarity {
     val bucket = (0 until nPlanes).map { j =>
       when(DotProduct(col("v"), planeCol(j)) >= 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
-    Tables.embeddings(s, d)
+    // rebalanced: every consumer chains per-vector kernels (normalize,
+    // plane dots, centroid assignment) on this frame, and the raw scan
+    // is one split at fixture scale — without the exchange those kernels
+    // (and auto-broadcast builds of derived frames) run single-task.
+    Tables.embeddingsRebalanced(s, d)
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
       .select(col("vec_id"),
@@ -1428,7 +1432,10 @@ object Similarity {
     trainCentroids(s, d)
 
   def c38SemanticDedup(s: SparkSession, d: String): DataFrame = {
-    val asg = c38Assigned(s, d)
+    // checkpointed: the frame feeds three executions (both sides of the
+    // in-cluster pair join and the final left join back) — without it
+    // the scan→normalize→assign chain re-runs per consumer.
+    val asg = c38Assigned(s, d).localCheckpoint(true)
     val other = asg.select(col("cent"), col("vec_id").as("y_id"),
       col("nv").as("y_nv"), col("cent_sim").as("y_cent_sim"))
     val dup = asg.join(other, Seq("cent"))
