@@ -324,8 +324,12 @@ object Dedup {
       .select(explode(expr(pairExpansion)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
+    // checkpointed (|docs| rows): the two aliased broadcasts below do not
+    // canonicalize to one exchange, so without it the explode+count over
+    // the postings runs twice
     val sizes = posting.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
     inter
       .join(broadcast(sizes.alias("sa")), col("d1") === col("sa.doc_id"))
       .join(broadcast(sizes.alias("sb")), col("d2") === col("sb.doc_id"))
@@ -391,8 +395,11 @@ object Dedup {
       .select(explode(expr(pairExpansion)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
+    // checkpointed (|docs| rows): the sa/sb broadcasts otherwise rebuild
+    // the explode+count over the postings twice (c4's fix, same shape)
     val sizes = posting.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
     // staged once: the fwd and rev projections both consume `sided`, and
     // the union's two branches do NOT canonicalize to a reused exchange —
     // without the checkpoint the pair expansion + count aggregate and
@@ -1099,9 +1106,14 @@ object Dedup {
     * shapes.
     */
   def c61DedupFunnel(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
-      md5(col("text")).as("h"),
+    // rebalanced + checkpointed: the md5+tokenize projection feeds three
+    // consumers (the keep-first aggregate, the survivor join, the raw
+    // stage rollup) and otherwise re-runs per consumer at the
+    // 1-partition scan width
+    val base = Tables.documentsRebalanced(s, d).select(col("doc_id"),
+      col("source"), md5(col("text")).as("h"),
       expr(s"size($wordsSpark)").cast("long").as("nt"))
+      .localCheckpoint(true)
     val keep1 = base.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val surv1 = base.join(keep1, "doc_id")
@@ -1910,6 +1922,12 @@ object Dedup {
       .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
+      // ≤ C(|sources|+1, 2) rows, but THREE consumers (the two diagonal
+      // broadcasts + the off-diagonal stream) — without the checkpoint
+      // each diagonal broadcast re-ran the whole shingle pass (measured:
+      // two identical 0.6 s 4-stage jobs); coalesce(1) keeps the
+      // downstream reads one-task
+      .coalesce(1).localCheckpoint(true)
     // dot(s, s) on the diagonal IS the per-source shingle total
     val per = pairs.where(col("source_a") === col("source_b"))
       .select(col("source_a").as("source"), col("n_shared").as("n_sh"))

@@ -77,7 +77,10 @@ object TextAnalysis {
   private val punctPat = "[.,!?;:]"
 
   def c9TextQuality(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    // rebalanced: the tokenize+regex kernel is row-wise and otherwise
+    // runs at the 1-partition scan width — both here and inside the
+    // c36/c61/c85 consumers that broadcast this frame
+    graft.core.Tables.documentsRebalanced(s, d)
       .withColumn("w", expr(wordsSpark))
       .select(
         col("doc_id"),
@@ -439,7 +442,10 @@ object TextAnalysis {
     // eval side and the corpus side of the anti-join consume it, and the
     // trigram minhash is the dominant cost — without the checkpoint the
     // projection runs twice (at scale: the staged fingerprint table)
-    val fps = docs(s, d)
+    // rebalanced: the checkpoint otherwise pins the trigram-minhash
+    // kernel to the 1-partition scan width (measured: a single-task
+    // 0.7-1.0 s job)
+    val fps = graft.core.Tables.documentsRebalanced(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"),
@@ -476,7 +482,10 @@ object TextAnalysis {
     // (bloom build, eval side, clean branch, verify branch) read the
     // staged result instead of re-deriving trigram minhashes per branch —
     // at scale this is the staged fingerprint table
-    val fps = docs(s, d)
+    // rebalanced: the checkpoint otherwise pins the trigram-minhash
+    // kernel to the 1-partition scan width (measured: a single-task
+    // 0.7-1.0 s job)
+    val fps = graft.core.Tables.documentsRebalanced(s, d)
       .withColumn("w", expr(wordsSpark))
       .where(expr("size(w) >= 3"))
       .select(col("doc_id"),
