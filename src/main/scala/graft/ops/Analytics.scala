@@ -769,8 +769,10 @@ object Analytics {
         .join(broadcast(ext.select(col("g"), col("n"))), "g")
         .select(col("g").as("l_linestatus") +: outs: _*)
     }
+    // both sides are |groups| (~3) rows — broadcast, not sort-merge
     q("l_quantity", Seq("median_qty" -> 0.5, "p95_qty" -> 0.95))
-      .join(q("l_extendedprice", Seq("median_price" -> 0.5)), "l_linestatus")
+      .join(broadcast(q("l_extendedprice", Seq("median_price" -> 0.5))),
+        "l_linestatus")
       .orderBy(col("l_linestatus"))
   }
 

@@ -1127,9 +1127,10 @@ object Dedup {
     def stage(df: DataFrame, n: String, t: String) =
       df.groupBy(col("source"))
         .agg(count(lit(1)).as(n), sum(col("nt")).as(t))
+    // |sources| rows per stage rollup — broadcast, not sort-merge
     stage(base, "n_raw", "tok_raw")
-      .join(stage(surv1, "n_exact", "tok_exact"), "source")
-      .join(stage(surv2, "n_near", "tok_near"), "source")
+      .join(broadcast(stage(surv1, "n_exact", "tok_exact")), "source")
+      .join(broadcast(stage(surv2, "n_near", "tok_near")), "source")
       .orderBy(col("source"))
   }
 
@@ -1834,7 +1835,9 @@ object Dedup {
         .where(expr("size(w) >= 3"))
         .select(col("doc_id"), explode(expr(s"array_distinct($trigramsSpark)")).as("gram"))
     }
+    // |pair-member docs| rows, two aliased broadcasts (c4/c56's fix)
     val sizes = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
     val inter = pairs
       .join(gr.select(col("doc_id").as("d1"), col("gram")), "d1")
       .join(gr.select(col("doc_id").as("d2"), col("gram")), Seq("d2", "gram"))

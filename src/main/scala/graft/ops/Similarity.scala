@@ -458,11 +458,13 @@ object Similarity {
     */
   private[graft] def recallFrame(truth: DataFrame, res: DataFrame,
       method: String, k: Int = kLsh): DataFrame = {
+    // truth and hits are |queries|·k / |queries| rows — broadcast both
+    // sides so the method frame is never shuffled for the tiny joins
     val hits = res.select(col("q_id"), col("n_id"))
-      .join(truth, Seq("q_id", "n_id"))
+      .join(broadcast(truth), Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
     truth.select(col("q_id")).distinct()
-      .join(hits, Seq("q_id"), "left")
+      .join(broadcast(hits), Seq("q_id"), "left")
       .select(lit(method).as("method"), col("q_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         // DIV, not `/`: Column./ on longs is DOUBLE division in Spark
@@ -478,7 +480,12 @@ object Similarity {
       .select(col("q_id"), col("n_id"))
 
   def c94AnnRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = recallTruth(s, d)
+    // |queries|·k rows behind a full brute-force scoring pass, consumed
+    // FOUR times (hit join + query-id spine, × two methods) — without
+    // the checkpoint each consumer re-ran the brute-force subtree
+    // (no coalesce: it would narrow the brute-force scoring stage itself
+    // to one task — the checkpoint's partition count is harmless)
+    val truth = recallTruth(s, d).localCheckpoint(true)
     recallFrame(truth, c7AnnLsh(s, d), "lsh")
       .unionAll(recallFrame(truth, c13AnnMultiprobe(s, d), "multiprobe"))
       .orderBy(col("method"), col("q_id"))

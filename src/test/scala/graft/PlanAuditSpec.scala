@@ -582,16 +582,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("c97: source overlap is join-free below the pair domain — one " +
-      "shingle exchange (reused by totals), in-row pair expansion, no " +
-      "self-join of the presence frame") {
+  test("c97: source overlap stages the pair matrix once — the final plan " +
+      "reads only the checkpointed pair frame (three consumers), no " +
+      "sort-merge join, no re-run of the shingle pass per diagonal " +
+      "broadcast (the r12-opt fix)") {
     val p = planNoAqe(graft.ops.Dedup.queries("c97_source_overlap")(s, sf))
     assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("ReusedExchange"), p)
-    // exactly one shuffle keyed by the shingle hash
+    // the shingle pass lives in the checkpoint build, not here: the final
+    // plan must not touch the corpus parquet at all
+    assert(!p.split('\n').exists(l =>
+      l.contains("Location") && l.contains("documents.parquet")), p)
+    assert(p.split('\n').count(_.contains("Scan ExistingRDD")) >= 3, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("c101: contamination closure is all-broadcast — the corpus pass " +
+      "never sort-merges against the |eval matches|-sized mark frames, " +
+      "and the fingerprint kernel runs off the rebalanced (multi-task) " +
+      "checkpoint, not the 1-partition scan (the r12-opt fixes)") {
+    val p = planNoAqe(graft.ops.Dedup.queries("c101_contamination_closure")(s, sf))
+    assert(!p.contains("SortMergeJoin"), p)
     assert(p.split('\n').count(l =>
-      l.trim.startsWith("Arguments: hashpartitioning(gh#")) == 1, p)
-    assert(p.split('\n').count(l =>
-      l.contains("Location") && l.contains("documents.parquet")) == 1, p)
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")) == 2, p)
+  }
+
+  test("c5/prepared: the shared similarity projection rebalances the " +
+      "embeddings scan before the normalize/plane kernels (round-robin " +
+      "exchange of raw rows only — the r12-opt single-task fix)") {
+    val p = planNoAqe(graft.ops.Dedup.queries("c5_dedup_embedding")(s, sf))
+    assert(p.contains("RoundRobinPartitioning"), p)
+    // the exchange carries the raw vector, never derived features
+    val rr = p.split('\n').dropWhile(!_.contains("RoundRobinPartitioning"))
+    assert(!rr.headOption.exists(_.contains("nv")), p)
   }
 }
