@@ -555,7 +555,10 @@ object Similarity {
   private val c100Quota = 20
 
   def c100ClusterBalance(s: SparkSession, d: String): DataFrame = {
+    // checkpointed: the frame feeds both the size broadcast and the main
+    // stream — without it the scan→normalize→assign chain ran twice
     val asg = c38Assigned(s, d).select(col("vec_id"), col("cent"))
+      .localCheckpoint(true)
     val sizes = asg.groupBy(col("cent")).agg(count(lit(1)).as("cluster_n"))
     val w = Window.partitionBy(col("cent"))
       .orderBy(col("h"), col("vec_id"))

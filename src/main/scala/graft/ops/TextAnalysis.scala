@@ -1252,7 +1252,10 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(1, size(w) - ${c31GramLen - 1}), i -> $gram)")).as("g"))
-    val all = grams(docs(s, d))
+    // rebalanced: the 8-gram explode otherwise runs at the 1-partition
+    // scan width on the corpus side (the eval side's doc_id filter still
+    // pushes below the exchange to the scan)
+    val all = grams(graft.core.Tables.documentsRebalanced(s, d))
     val evalGrams = all.where(col("doc_id") % 97 === 0)
       .select(col("g")).distinct().withColumn("hit", lit(1))
     all.where(col("doc_id") % 97 =!= 0)
