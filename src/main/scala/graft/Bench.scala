@@ -72,6 +72,12 @@ object Bench {
           None
         }
       }
+      // NOTE (r12-opt, measured): a per-gate System.gc() here fixes the
+      // occasional block-store tail inflation of individual gates
+      // (c89 2.6 → 1.2 s) but costs ~0.2 s on EVERY gate (full sweep
+      // 124 → 163 s): the async unpersist storm and post-GC warmup tax
+      // the next gate's timed run. The 1-min periodic GC above is the
+      // better trade; kept as-is.
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
