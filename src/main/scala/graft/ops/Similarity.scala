@@ -1446,6 +1446,12 @@ object Similarity {
     // in-cluster pair join and the final left join back) — without it
     // the scan→normalize→assign chain re-runs per consumer.
     val asg = c38Assigned(s, d).localCheckpoint(true)
+    // NOT salted (tried, measured, reverted): salting the |centroids|-key
+    // pair join widens the shuffle but replicates the VECTOR payload
+    // salt-fold — both sides are the corpus, so there is no small side
+    // to replicate cheaply (guide §2.3: shuffle fewer bytes beats wider
+    // keys). Measured +0.4-0.5 s at sf0.1; at scale the fix is
+    // sub-cluster bucketing (in-cluster LSH lanes), not a salt.
     val other = asg.select(col("cent"), col("vec_id").as("y_id"),
       col("nv").as("y_nv"), col("cent_sim").as("y_cent_sim"))
     val dup = asg.join(other, Seq("cent"))
