@@ -77,15 +77,40 @@ object Bench {
       // (c89 2.6 → 1.2 s) but costs ~0.2 s on EVERY gate (full sweep
       // 124 → 163 s): the async unpersist storm and post-GC warmup tax
       // the next gate's timed run. The 1-min periodic GC above is the
-      // better trade; kept as-is.
+      // better trade for GC; the r13 fix is the targeted sweep below.
+      //
+      // r13: per-gate localCheckpoint blocks are garbage the moment the
+      // gate's runs finish (the next run re-derives them), but they stay
+      // in the block store until a driver GC lets ContextCleaner collect
+      // them — storage from early gates was taxing late gates 4-14×
+      // mid-sweep (driver r12: c5 9.2 s vs 0.24 s quiet). Unpersist them
+      // EXPLICITLY between gates, OUTSIDE the timed region. FrameMemo
+      // frames are shared across gates (their checkpoints must survive —
+      // unpersisting a localCheckpoint'd RDD makes it unrecoverable), so
+      // the memo's own blocks are the keep set.
+      val keep = graft.core.FrameMemo.ownedRddIds(spark)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(blocking = true)
+      }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failures":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failures":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // Durable copy first: the driver's stdout parse failed two rounds
+    // running (sbt epilogue after the JSON line), so when
+    // SPARK_GRAFT_BENCH_OUT is set the line is ALSO written there as a
+    // file the driver can read unambiguously.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+    }
+    // stop() BEFORE the println so Spark's shutdown logging cannot land
+    // after (or inside) the one machine-readable stdout line.
     spark.stop()
+    println(line)
   }
 }

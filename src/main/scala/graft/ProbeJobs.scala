@@ -50,10 +50,14 @@ object ProbeJobs {
     gateNames.foreach { name =>
       exec(name) // warm run (staging, codegen)
       (1 to reps).foreach { r =>
-        done.clear()
+        // listener events are delivered async on the bus: settle before
+        // clearing (late events of the previous rep) and before reading
+        // (tail jobs of this rep), or the breakdown under-reports
+        Thread.sleep(300); done.clear()
         val t0 = System.nanoTime()
         exec(name)
         val total = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
         println(f"== $name run $r: $total%.2f s total")
         import scala.jdk.CollectionConverters._
         done.asScala.toSeq.sortBy(_._1).foreach { case (id, sec, nst, desc) =>
