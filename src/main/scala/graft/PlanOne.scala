@@ -4,8 +4,15 @@ import org.apache.spark.sql.execution.ExplainMode
 import java.nio.file.{Files, Paths}
 
 /** Dump `.explain("formatted")` for named gates to files — the per-round
-  * plan evidence (`plans/r12/<gate>_<tag>.txt`). Usage:
+  * plan evidence (`plans/r13/<gate>_<tag>.txt`). Usage:
   * `runMain graft.PlanOne <sfDir> <outDir> <tag> <gate[,gate...]>`
+  *
+  * CAVEAT (r12 ADVICE): gates whose constructors eagerly localCheckpoint
+  * shared frames EXECUTE those checkpoint-build subtrees during the dump,
+  * and the emitted plan shows `Scan ExistingRDD` where the build subtree
+  * ran — the dumped text covers only the post-checkpoint portion of the
+  * gate. Staged-build plan shapes are audited separately (PlanAuditSpec
+  * pins them on un-checkpointed kernels where it matters).
   */
 object PlanOne {
   def main(args: Array[String]): Unit = {

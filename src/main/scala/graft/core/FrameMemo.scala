@@ -14,6 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Keys include the session identity: checkpoint blocks die with their
   * session, so a frame cached under a stopped session is never returned
   * for a new one (stale entries are just unreferenced garbage).
+  *
+  * DEPLOYMENT CAVEAT — stated once here for EVERY eager
+  * `localCheckpoint(true)` site in the operators (the staged-frame
+  * idiom): localCheckpoint is NOT fault-tolerant. Blocks live only on
+  * the executors that computed them, the truncated lineage cannot be
+  * recomputed after an executor loss, and it is unsafe under dynamic
+  * allocation. It is the right LOCAL-bench staging primitive (no
+  * filesystem round-trip); on a real cluster each of these sites is the
+  * same pattern with a different materialization: a persisted staged
+  * table (write + read back, exactly what [[cached]] models) or
+  * `checkpoint()` to reliable storage.
   */
 object FrameMemo {
   // keyed on the SESSION OBJECT (reference equality — SparkSession doesn't

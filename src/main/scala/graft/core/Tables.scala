@@ -74,29 +74,53 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 
+  /** Planned partition count of a bare table scan, memoized per
+    * (session, path): gates the rebalance exchanges below. Reading it
+    * costs one physical planning of the scan (no job runs — partitions
+    * come from the FileIndex, whose listing [[load]] already memoizes).
+    */
+  private val scanWidthCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+
+  private def scanWidth(s: SparkSession, d: String, name: String): Int =
+    scanWidthCache.computeIfAbsent(
+      (System.identityHashCode(s), s"$d/$name"),
+      _ => load(s, d, name).rdd.getNumPartitions)
+
   /** [[documents]] rebalanced across cores BEFORE an expensive per-doc
     * projection (the c26/c103 doctrine, shared): the corpus parquet is
     * bytes-tiny relative to tokenize/shingle/regex work, so the scan
     * plans fewer partitions than cores (ONE at sf0.1) and a heavy
     * projection chained on it runs single-threaded. Round-robin is
     * enough for gates whose results are aggregations or explicitly
-    * ordered outputs — nothing above depends on row order. At 100 TB
-    * the scan already has more partitions than cores and the exchange
-    * moves source rows, never derived features.
+    * ordered outputs — nothing above depends on row order.
+    *
+    * CONDITIONAL (r13): the exchange only fires when the scan plans
+    * fewer than half the cores — at 100 TB the scan is already wider
+    * than the cluster and an unconditional round-robin would shuffle the
+    * whole corpus to accomplish nothing (locally the fixture is one row
+    * group, so the exchange stays and local plans are unchanged).
     */
-  def documentsRebalanced(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  def documentsRebalanced(s: SparkSession, d: String): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val doc = documents(s, d)
+    if (scanWidth(s, d, "documents") * 2 >= p) doc else doc.repartition(p)
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** [[embeddings]] rebalanced across cores before an expensive per-vector
-    * kernel — [[documentsRebalanced]]'s doctrine for the vector column:
-    * the fixture parquet is one split, so normalize/bucket/centroid-assign
-    * chains (and the auto-broadcast builds of frames derived from them)
-    * otherwise run single-task. Derived features are never shuffled —
-    * only the raw (vec_id, embedding) rows move.
+    * kernel — [[documentsRebalanced]]'s doctrine (and its r13 conditional)
+    * for the vector column: the fixture parquet is one split, so
+    * normalize/bucket/centroid-assign chains (and the auto-broadcast
+    * builds of frames derived from them) otherwise run single-task.
+    * Derived features are never shuffled — only raw (vec_id, embedding)
+    * rows move, and only when the scan is narrower than half the cores.
     */
-  def embeddingsRebalanced(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+  def embeddingsRebalanced(s: SparkSession, d: String): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val e = embeddings(s, d)
+    if (scanWidth(s, d, "embeddings") * 2 >= p) e else e.repartition(p)
+  }
 
   /** STAC items view (SURVEY.md §4): `events` rows as STAC items.
     *

@@ -715,64 +715,88 @@ object Analytics {
     // (hi−lo), identical to quantile_cont) is unchanged, so results are
     // bit-identical to the sort-based form; bin boundaries only steer
     // WHERE the candidates are, never the answer.
+    // r13: ONE pass for both value columns. The former shape invoked the
+    // three-pass pipeline once per column (q("l_quantity") ⋈
+    // q("l_extendedprice")) — six full-data passes and a ~12-job floor.
+    // Exploding each row into (which, v) pairs (which 0 = quantity,
+    // 1 = extendedprice) keys every stage by (g, which) instead of g, so
+    // both columns ride the SAME three passes; per-column bin boundaries,
+    // bracketing ranks and the interpolation arithmetic are exactly the
+    // per-q() formulas (keyed by which), so the output values are
+    // bit-identical — oracle-verified at sf0.001/0.01/0.1.
     import org.apache.spark.sql.expressions.Window
     val nBins = 1024
-    def q(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
-      val base = Tables.lineitem(spark, dir)
-        .select(col("l_linestatus").as("g"), col(valueCol).cast("double").as("v"))
-      // |groups| rows; checkpointed because it feeds THREE broadcast
-      // consumers (binned, hist's n join, the final n join) and each
-      // broadcast build otherwise re-runs this full-data aggregate —
-      // measured as three identical 2-stage jobs per q() invocation.
-      // coalesce(1): the checkpoint holds |groups| (~3) rows — without
-      // it every downstream broadcast build schedules one task per
-      // shuffle partition just to read them.
-      val ext = base.groupBy(col("g")).agg(
-        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
-        count(lit(1)).as("n")).coalesce(1).localCheckpoint(true)
-      val width = (col("vmax") - col("vmin")) / nBins
-      val binned = base.join(broadcast(ext), "g")
-        .withColumn("bin",
-          when(col("vmax") === col("vmin"), lit(0)).otherwise(
-            least(lit(nBins - 1),
-              floor((col("v") - col("vmin")) / width).cast("int"))))
-      val hist = binned.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
-        .join(broadcast(ext.select(col("g"), col("n"))), "g")
-        .withColumn("hi_rank",
-          sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
-        .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
-      // each percentile contributes two marks (floor and ceil rank); a
-      // histogram row emits the marks whose rank lands inside it
-      val marks = ps.zipWithIndex.flatMap { case ((_, p), i) =>
-        val idx = (col("n") - 1).cast("double") * lit(p)
-        Seq(struct(lit(2 * i).as("mid"), (floor(idx).cast("bigint") + 1).as("k")),
-          struct(lit(2 * i + 1).as("mid"), (ceil(idx).cast("bigint") + 1).as("k")))
-      }
-      val tbins = hist.select(col("g"), col("bin"), col("lo_rank"),
-          explode(filter(array(marks: _*),
-            m => m.getField("k").between(col("lo_rank"), col("hi_rank")))).as("m"))
-        .select(col("g"), col("bin"), col("m.mid").as("mid"),
-          (col("m.k") - col("lo_rank") + 1).as("rk"))
-      val wv = Window.partitionBy(col("g"), col("mid")).orderBy(col("v"))
-      val vals = binned.join(broadcast(tbins), Seq("g", "bin"))
-        .withColumn("rn", row_number().over(wv))
-        .where(col("rn") === col("rk"))
-      val aggs = ps.indices.flatMap { i =>
-        Seq(min(when(col("mid") === 2 * i, col("v"))).as(s"lo$i"),
-          min(when(col("mid") === 2 * i + 1, col("v"))).as(s"hi$i"))
-      }
-      val outs = ps.zipWithIndex.map { case ((name, p), i) =>
-        val idx = (col("n") - 1).cast("double") * lit(p)
-        round(col(s"lo$i") + (idx - floor(idx)) * (col(s"hi$i") - col(s"lo$i")), 6).as(name)
-      }
-      vals.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
-        .join(broadcast(ext.select(col("g"), col("n"))), "g")
-        .select(col("g").as("l_linestatus") +: outs: _*)
+    // (which, percentile, slot): quantity carries median+p95, price median
+    val ps = Seq((0, 0.5, 0), (0, 0.95, 1), (1, 0.5, 0))
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_linestatus").as("g"), explode(array(
+        struct(lit(0).as("which"), col("l_quantity").cast("double").as("v")),
+        struct(lit(1).as("which"), col("l_extendedprice").cast("double").as("v"))
+      )).as("e"))
+      .select(col("g"), col("e.which").as("which"), col("e.v").as("v"))
+    // |groups|·2 rows; checkpointed because it feeds THREE broadcast
+    // consumers (binned, hist's n join, the final n join) and each
+    // broadcast build otherwise re-runs this full-data aggregate.
+    // coalesce(1): without it every downstream broadcast build schedules
+    // one task per shuffle partition just to read ~6 rows.
+    val ext = base.groupBy(col("g"), col("which")).agg(
+      min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+      count(lit(1)).as("n")).coalesce(1).localCheckpoint(true)
+    val width = (col("vmax") - col("vmin")) / nBins
+    val binned = base.join(broadcast(ext), Seq("g", "which"))
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), lit(0)).otherwise(
+          least(lit(nBins - 1),
+            floor((col("v") - col("vmin")) / width).cast("int"))))
+    val hist = binned.groupBy(col("g"), col("which"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(ext.select(col("g"), col("which"), col("n"))),
+        Seq("g", "which"))
+      .withColumn("hi_rank", sum(col("cnt")).over(
+        Window.partitionBy(col("g"), col("which")).orderBy(col("bin"))))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
+    // each percentile contributes two marks (floor and ceil rank); a
+    // histogram row emits its own column's marks whose rank lands inside it
+    val marks = ps.flatMap { case (wh, p, i) =>
+      val idx = (col("n") - 1).cast("double") * lit(p)
+      Seq(struct(lit(wh).as("wh"), lit(2 * i).as("mid"),
+          (floor(idx).cast("bigint") + 1).as("k")),
+        struct(lit(wh).as("wh"), lit(2 * i + 1).as("mid"),
+          (ceil(idx).cast("bigint") + 1).as("k")))
     }
-    // both sides are |groups| (~3) rows — broadcast, not sort-merge
-    q("l_quantity", Seq("median_qty" -> 0.5, "p95_qty" -> 0.95))
-      .join(broadcast(q("l_extendedprice", Seq("median_price" -> 0.5))),
-        "l_linestatus")
+    val tbins = hist.select(col("g"), col("which"), col("bin"), col("lo_rank"),
+        explode(filter(array(marks: _*),
+          m => m.getField("wh") === col("which") &&
+            m.getField("k").between(col("lo_rank"), col("hi_rank")))).as("m"))
+      .select(col("g"), col("which"), col("bin"), col("m.mid").as("mid"),
+        (col("m.k") - col("lo_rank") + 1).as("rk"))
+    val wv = Window.partitionBy(col("g"), col("which"), col("mid"))
+      .orderBy(col("v"))
+    val vals = binned.join(broadcast(tbins), Seq("g", "which", "bin"))
+      .withColumn("rn", row_number().over(wv))
+      .where(col("rn") === col("rk"))
+    val aggs = ps.flatMap { case (wh, _, i) =>
+      Seq(min(when(col("which") === wh && col("mid") === 2 * i, col("v")))
+          .as(s"lo${wh}_$i"),
+        min(when(col("which") === wh && col("mid") === 2 * i + 1, col("v")))
+          .as(s"hi${wh}_$i"))
+    }
+    // per-column n as explicit columns (n is in fact identical across
+    // which — both source columns are non-null — but keep them separate
+    // so the interpolation index is per-column by construction)
+    val ns = ext.groupBy(col("g")).agg(
+      max(when(col("which") === 0, col("n"))).as("n0"),
+      max(when(col("which") === 1, col("n"))).as("n1"))
+    val names = Map((0, 0) -> "median_qty", (0, 1) -> "p95_qty",
+      (1, 0) -> "median_price")
+    val outs = ps.map { case (wh, p, i) =>
+      val idx = (col(s"n$wh") - 1).cast("double") * lit(p)
+      round(col(s"lo${wh}_$i") + (idx - floor(idx)) *
+        (col(s"hi${wh}_$i") - col(s"lo${wh}_$i")), 6).as(names((wh, i)))
+    }
+    vals.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      .join(broadcast(ns), "g")
+      .select(col("g").as("l_linestatus") +: outs: _*)
       .orderBy(col("l_linestatus"))
   }
 

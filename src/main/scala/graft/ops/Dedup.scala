@@ -753,22 +753,24 @@ object Dedup {
     *  2. a session-local memo of the read-back frame so repeated
     *     consumers in one session don't re-open the files.
     */
-  private val c18Memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private[graft] def c18StatePath(d: String): String = {
     val key = graft.core.FixtureGuard.stateKey(d, "documents")
     new java.io.File(sys.props("java.io.tmpdir"), s"graft_clusters_$key")
       .getAbsolutePath
   }
 
+  // session-local memo via FrameMemo (r13): the former private
+  // ConcurrentHashMap was keyed on the DIR alone, so (a) a new session
+  // could be handed a frame whose checkpoint blocks died with the old
+  // one, and (b) the bench's between-gate block-store sweep (which keeps
+  // only FrameMemo-owned blocks) unpersisted it mid-sweep
   def c18DupClusters(s: SparkSession, d: String): DataFrame =
-    c18Memo.computeIfAbsent(d, _ => {
+    graft.core.FrameMemo.cached(s, s"c18clusters:$d") {
       val p = c18StatePath(d)
       if (!new java.io.File(p, "_SUCCESS").exists())
         c18DupClustersCompute(s, d).write.mode("overwrite").parquet(p)
-      s.read.parquet(p).orderBy(col("doc_id")).localCheckpoint(true)
-    })
+      s.read.parquet(p).orderBy(col("doc_id"))
+    }
 
   private def c18DupClustersCompute(s: SparkSession, d: String): DataFrame = {
     val pairs = c2DedupMinhash(s, d).select(col("d1"), col("d2"))

@@ -91,7 +91,7 @@ object Similarity {
   private[ops] def plane(j: Int): Array[Double] =
     Array.tabulate(64)(i => ((h64Local(s"pl$j:$i") % 2001L) - 1000L) / 1000.0)
 
-  private def planeCol(j: Int): Column = array(plane(j).map(lit).toIndexedSeq: _*)
+  private def planeCol(j: Int): Column = lit(plane(j))
 
   private def planeLitDuck(p: Array[Double]): String =
     p.mkString("([", ", ", "]::DOUBLE[])")
@@ -826,7 +826,7 @@ object Similarity {
     * so ties break exactly like the oracle's ORDER BY sim DESC, cid.
     */
   private def ivfAssigned(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val simCols = cents.map(cv => DotProduct(col("nv"), array(cv.map(lit).toIndexedSeq: _*)))
+    val simCols = cents.map(cv => DotProduct(col("nv"), lit(cv)))
     e.select(col("vec_id"), col("nv"),
         array(simCols.toIndexedSeq: _*).as("sims"))
       .select(col("vec_id"), col("nv"),
@@ -1053,8 +1053,7 @@ object Similarity {
     val codeCols = (0 until pqM).map { m =>
       val sub = slice(col("nv"), m * pqDim + 1, pqDim)
       val scores = array(cbs(m).map { cv =>
-        lit(2.0) * DotProduct(sub, array(cv.map(lit).toIndexedSeq: _*)) -
-          lit(DotProduct.dot(cv, cv))
+        lit(2.0) * DotProduct(sub, lit(cv)) - lit(DotProduct.dot(cv, cv))
       }.toIndexedSeq: _*)
       (array_position(scores, array_max(scores)) - 1).cast("int").as(s"code$m")
     }
@@ -1067,8 +1066,7 @@ object Similarity {
     // oracle's + chain)
     val adc = (0 until pqM).map { m =>
       val qsub = slice(col("qnv"), m * pqDim + 1, pqDim)
-      val cbLit = array(cbs(m).map(cv =>
-        array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      val cbLit = centArrLit(cbs(m))
       DotProduct(qsub, element_at(cbLit, col(s"code$m") + 1))
     }.reduce(_ + _)
     encoded.join(broadcast(probes), "cent")
@@ -1263,8 +1261,16 @@ object Similarity {
       (id, Array.tabulate(64)(i => v(i) - cents(best)(i)))
     }
 
+  /** One nested-array LITERAL node, not a CreateArray tree of 16x64
+    * scalar literals: the inlined-codebook expression trees made
+    * analysis/optimization/codegen the dominant cost of every ANN gate
+    * (~0.6 s per execution outside any Spark job; the c33 formatted plan
+    * was 152 KB). Values are identical - ConstantFolding collapsed the
+    * tree to this same literal at runtime anyway; only the planning-time
+    * tree walk shrinks (guide par.7.3, planning cost).
+    */
   private def centArrLit(cents: Array[Array[Double]]): Column =
-    array(cents.map(cv => array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    typedlit(cents.map(_.toSeq).toSeq)
 
   def c35AnnPqResidual(s: SparkSession, d: String): DataFrame = {
     val coarse = trainCentroids(s, d)
@@ -1281,8 +1287,7 @@ object Similarity {
     val codeCols = (0 until pqM).map { m =>
       val sub = slice(col("rv"), m * pqDim + 1, pqDim)
       val scores = array(cbs(m).map { cv =>
-        lit(2.0) * DotProduct(sub, array(cv.map(lit).toIndexedSeq: _*)) -
-          lit(DotProduct.dot(cv, cv))
+        lit(2.0) * DotProduct(sub, lit(cv)) - lit(DotProduct.dot(cv, cv))
       }.toIndexedSeq: _*)
       (array_position(scores, array_max(scores)) - 1).cast("int").as(s"code$m")
     }
@@ -1294,8 +1299,7 @@ object Similarity {
           .as("qdotc"))
     val adc = (0 until pqM).map { m =>
       val qsub = slice(col("qnv"), m * pqDim + 1, pqDim)
-      val cbLit = array(cbs(m).map(cv =>
-        array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      val cbLit = centArrLit(cbs(m))
       DotProduct(qsub, element_at(cbLit, col(s"code$m") + 1))
     }.foldLeft(col("qdotc"))(_ + _)
     val w = Window.partitionBy(col("q_id"))
@@ -1428,7 +1432,7 @@ object Similarity {
     */
   private[graft] def assignOn(df: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
-    val simCols = cents.map(cv => DotProduct(col("nv"), array(cv.map(lit).toIndexedSeq: _*)))
+    val simCols = cents.map(cv => DotProduct(col("nv"), lit(cv)))
     df
       .select(col("vec_id"), col("nv"), array(simCols.toIndexedSeq: _*).as("sims"))
       .select(col("vec_id"), col("nv"),
@@ -1441,21 +1445,62 @@ object Similarity {
   private[graft] def centroidArtifact(s: SparkSession, d: String): Array[Array[Double]] =
     trainCentroids(s, d)
 
-  def c38SemanticDedup(s: SparkSession, d: String): DataFrame = {
+  /** Lane count for the in-cluster pair join: the smallest L whose
+    * triangular cell count per cluster, L(L+1)/2, gives the pair stage at
+    * least ~2 cells per core across all clusters — |centroids| is a FIXED
+    * training constant, so without lanes the join collapses to
+    * |centroids| reduce tasks no matter how large the corpus or cluster
+    * is (guide §2.2/§2.5: the one key set that cannot grow). Each vector
+    * ships L times (once per cell it participates in) — the triangle
+    * costs √-of-parallelism replication where a salt costs
+    * parallelism-linear replication of a full corpus side (the r12 salt
+    * experiment, measured and reverted). L=1 degenerates to the plain
+    * cent join (8-core local runs land here).
+    */
+  private[graft] def c38Lanes(parallelism: Int, nCents: Int): Int = {
+    val perCent = 2.0 * parallelism / math.max(1, nCents)
+    math.max(1, math.ceil((math.sqrt(8.0 * perCent + 1.0) - 1.0) / 2.0).toInt)
+  }
+
+  def c38SemanticDedup(s: SparkSession, d: String): DataFrame =
+    c38SemanticDedupWith(s, d,
+      c38Lanes(s.sparkContext.defaultParallelism, trainCentroids(s, d).length))
+
+  /** Lane-parameterized form — [[SimilaritySpec]] pins that every lane
+    * count enumerates the identical pair set (L = 1 is the plain cent
+    * self-join).
+    */
+  private[graft] def c38SemanticDedupWith(s: SparkSession, d: String,
+      lanes: Int): DataFrame = {
     // checkpointed: the frame feeds three executions (both sides of the
     // in-cluster pair join and the final left join back) — without it
     // the scan→normalize→assign chain re-runs per consumer.
     val asg = c38Assigned(s, d).localCheckpoint(true)
-    // NOT salted (tried, measured, reverted): salting the |centroids|-key
-    // pair join widens the shuffle but replicates the VECTOR payload
-    // salt-fold — both sides are the corpus, so there is no small side
-    // to replicate cheaply (guide §2.3: shuffle fewer bytes beats wider
-    // keys). Measured +0.4-0.5 s at sf0.1; at scale the fix is
-    // sub-cluster bucketing (in-cluster LSH lanes), not a salt.
-    val other = asg.select(col("cent"), col("vec_id").as("y_id"),
+    // In-cluster pair enumeration over (cent, lane-cell) instead of cent
+    // alone. Every vector gets a deterministic lane (pmod(xxhash64) —
+    // never rand(): retried map tasks must reproduce the assignment,
+    // guide §2.5) and is emitted once into each of its L triangular
+    // cells (ca ≤ cb). A pair with lanes (bx, by) meets in EXACTLY one
+    // cell: sorted(bx, by) when bx ≠ by, else only the diagonal cell
+    // (bx, bx) — the `lane ≠ y_lane OR ca = cb` guard keeps same-lane
+    // pairs out of off-diagonal cells, so the enumerated pair set is
+    // identical to the plain cent self-join (oracle-verified; the
+    // aggregation below is unchanged).
+    val cells = asg
+      .withColumn("lane",
+        pmod(xxhash64(col("vec_id")), lit(lanes.toLong)).cast("int"))
+      .select(col("vec_id"), col("nv"), col("cent"), col("cent_sim"),
+        col("lane"), explode(sequence(lit(0), lit(lanes - 1))).as("j"))
+      .select(col("vec_id"), col("nv"), col("cent"), col("cent_sim"),
+        col("lane"),
+        least(col("lane"), col("j")).as("ca"),
+        greatest(col("lane"), col("j")).as("cb"))
+    val other = cells.select(col("cent"), col("ca"), col("cb"),
+      col("lane").as("y_lane"), col("vec_id").as("y_id"),
       col("nv").as("y_nv"), col("cent_sim").as("y_cent_sim"))
-    val dup = asg.join(other, Seq("cent"))
-      .where(col("vec_id") =!= col("y_id") &&
+    val dup = cells.join(other, Seq("cent", "ca", "cb"))
+      .where((col("lane") =!= col("y_lane") || col("ca") === col("cb")) &&
+        col("vec_id") =!= col("y_id") &&
         DotProduct(col("nv"), col("y_nv")) >= semEps)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_dups"),
@@ -1510,7 +1555,7 @@ object Similarity {
     val maxabs = e.agg(array((1 to 64).map(i =>
         max(abs(element_at(col("nv"), i)))): _*))
       .collect()(0).getSeq[Double](0)
-    val mLit = array(maxabs.map(m => lit(math.max(m, 1e-12))): _*)
+    val mLit = lit(maxabs.map(m => math.max(m, 1e-12)).toArray)
     def withM(df: DataFrame) = df.withColumn("m", mLit)
     val q = withM(e).where(col("vec_id") < nQueries)
     val corpus = withM(e).where(col("vec_id") >= nQueries)

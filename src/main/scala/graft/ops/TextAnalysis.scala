@@ -2267,17 +2267,24 @@ object TextAnalysis {
     // production pipeline materializes anyway)
     val lm = bg.groupBy(col("bh")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
+    // r13 job-floor collapse: the vocab-size measurement (join-strategy
+    // pick) and the scalar corpus total used to be TWO jobs (a
+    // limit+count probe and a broadcast 1-row agg build); both are scalar
+    // facts of the checkpointed lm, so one tiny agg job yields both and
+    // the total rides into the scoring expression as a literal — same
+    // arithmetic, one fewer sequential job (plus the former
+    // crossJoin(broadcast(tot)) BNLJ node gone).
+    val r = lm.agg(count(lit(1)).as("vocab"), sum(col("cnt")).as("t"))
+      .collect()(0)
     val fits = maxVocab == Long.MaxValue ||
-      (maxVocab > 0 &&
-        lm.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).count() <= maxVocab)
+      (maxVocab > 0 && r.getLong(0) <= maxVocab)
+    val t = if (r.isNullAt(1)) 1L else r.getLong(1) // empty corpus guard
     val v = if (fits) broadcast(lm) else lm.hint("merge")
-    val tot = lm.agg(sum(col("cnt")).as("t"))
     bg.join(v, "bh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_cnt"))
-      .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_bigrams"),
-        expr("CAST(sum_cnt * 1000000 DIV (n_bigrams * t) AS BIGINT)")
+        expr(s"CAST(sum_cnt * 1000000 DIV (n_bigrams * CAST($t AS BIGINT)) AS BIGINT)")
           .as("familiarity_ppm"))
       .orderBy(col("doc_id"))
   }

@@ -608,11 +608,45 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("c5/prepared: the shared similarity projection rebalances the " +
       "embeddings scan before the normalize/plane kernels (round-robin " +
-      "exchange of raw rows only — the r12-opt single-task fix)") {
+      "exchange of raw rows only — the r12-opt single-task fix; the r13 " +
+      "conditional keeps it because the fixture scan is one split)") {
     val p = planNoAqe(graft.ops.Dedup.queries("c5_dedup_embedding")(s, sf))
     assert(p.contains("RoundRobinPartitioning"), p)
-    // the exchange carries the raw vector, never derived features
-    val rr = p.split('\n').dropWhile(!_.contains("RoundRobinPartitioning"))
-    assert(!rr.headOption.exists(_.contains("nv")), p)
+    // the exchange carries the raw vector, never derived features: find
+    // the numbered Exchange operator whose Arguments are the round-robin
+    // and check ITS Input attribute list (the r12 form checked the
+    // Arguments line itself, which never lists columns — vacuous)
+    val lines = p.split('\n')
+    val argIdx = lines.indexWhere(_.contains("RoundRobinPartitioning"))
+    assert(argIdx > 0, p)
+    // formatted explain prints "(n) Exchange" then "Input [k]: [cols]"
+    // then "Arguments: RoundRobinPartitioning..."
+    val input = lines.slice(argIdx - 2, argIdx).find(_.contains("Input"))
+    assert(input.isDefined, p)
+    assert(input.exists(l => l.contains("embedding") && !l.contains("nv#") &&
+      !l.contains("bucket")), s"round-robin exchange must carry raw rows only: $input\n$p")
+  }
+
+  test("c38: in-cluster pair enumeration keys on (cent, lane-cell), not " +
+      "cent alone — |centroids| is a fixed training constant, so a " +
+      "cent-only join collapses to 16 reduce tasks at any corpus size; " +
+      "the triangular lane cells parallelize it (r13)") {
+    // lanes forced to 3 (the 32-core policy value) so the pin is
+    // independent of the test JVM's core count
+    val p = planNoAqe(graft.ops.Similarity
+      .c38SemanticDedupWith(s, sf, 3))
+    // the pair join's equi-keys are the three cell columns
+    val keyLines = p.split('\n').filter(l =>
+      l.contains("keys [3]") || (l.contains("Left keys") || l.contains("Right keys")))
+    assert(keyLines.exists(l => l.contains("cent#") && l.contains("ca#") &&
+      l.contains("cb#")), p)
+    // lane derivation is deterministic (retried tasks must reproduce it)
+    assert(p.contains("xxhash64"), p)
+    // policy: 32 cores / 16 centroids → 3 lanes; 8 cores degenerates to
+    // the plain cent join; lane count grows with the cluster
+    assert(graft.ops.Similarity.c38Lanes(32, 16) == 3)
+    assert(graft.ops.Similarity.c38Lanes(8, 16) == 1)
+    assert(graft.ops.Similarity.c38Lanes(10000, 16) >
+      graft.ops.Similarity.c38Lanes(32, 16))
   }
 }

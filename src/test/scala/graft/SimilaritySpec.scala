@@ -146,6 +146,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("c38 lane cells enumerate the identical pair set for every lane " +
+      "count (r13: the (cent, lane-cell) join must be result-identical " +
+      "to the plain cent self-join, L=1)") {
+    def rows(lanes: Int) =
+      Similarity.c38SemanticDedupWith(s, sf, lanes).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSeq
+    val plain = rows(1)
+    // 2/3: both sides of the even/odd lane-pairing logic; 5: lanes >
+    // occupied cells in small clusters (empty cells must not matter)
+    for (l <- Seq(2, 3, 5)) assert(rows(l) == plain, s"lanes=$l diverged")
+  }
+
   test("c46 SQ8: integer-dot ranking tracks exact cosine — recall@5 ≥ 0.8 " +
       "against brute force") {
     val truth = topsets("c6_ann_bruteforce", 5)
