@@ -88,7 +88,13 @@ object Bench {
       // frames are shared across gates (their checkpoints must survive —
       // unpersisting a localCheckpoint'd RDD makes it unrecoverable), so
       // the memo's own blocks are the keep set.
+      // (the expected per-RDD "locally checkpointed ... cannot be
+      // recomputed" WARN is silenced below — these RDDs are garbage by
+      // construction, and 900+ identical lines would bury real warnings)
       val keep = graft.core.FrameMemo.ownedRddIds(spark)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        org.apache.logging.log4j.Level.ERROR)
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!keep.contains(id)) rdd.unpersist(blocking = true)
       }
